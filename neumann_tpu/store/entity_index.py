@@ -1,0 +1,70 @@
+"""String key <-> dense row id vocabulary.
+
+Same role as tensor_store/src/entity_index.rs: every entity key gets a
+stable small integer id, which is its row in the device-resident slabs.
+Deleted ids go to a free list and are reused, so the device arrays stay
+dense-ish and capacity growth is amortized.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Dict, List, Optional
+
+
+class EntityIndex:
+    def __init__(self):
+        self._lock = threading.RLock()
+        self._key_to_id: Dict[str, int] = {}
+        self._id_to_key: List[Optional[str]] = []
+        self._free: List[int] = []
+
+    def get_or_insert(self, key: str) -> int:
+        with self._lock:
+            eid = self._key_to_id.get(key)
+            if eid is not None:
+                return eid
+            if self._free:
+                eid = self._free.pop()
+                self._id_to_key[eid] = key
+            else:
+                eid = len(self._id_to_key)
+                self._id_to_key.append(key)
+            self._key_to_id[key] = eid
+            return eid
+
+    def lookup(self, key: str) -> Optional[int]:
+        with self._lock:
+            return self._key_to_id.get(key)
+
+    def key_of(self, eid: int) -> Optional[str]:
+        with self._lock:
+            if 0 <= eid < len(self._id_to_key):
+                return self._id_to_key[eid]
+            return None
+
+    def remove(self, key: str) -> Optional[int]:
+        with self._lock:
+            eid = self._key_to_id.pop(key, None)
+            if eid is not None:
+                self._id_to_key[eid] = None
+                self._free.append(eid)
+            return eid
+
+    def __len__(self) -> int:
+        with self._lock:
+            return len(self._key_to_id)
+
+    @property
+    def capacity(self) -> int:
+        """Highest id ever allocated + 1 (device row count)."""
+        with self._lock:
+            return len(self._id_to_key)
+
+    def keys(self):
+        with self._lock:
+            return list(self._key_to_id.keys())
+
+    def items(self):
+        with self._lock:
+            return list(self._key_to_id.items())

@@ -1,0 +1,70 @@
+"""Point-in-time snapshots of the tensor store.
+
+Parity with tensor_store/src/snapshot.rs: magic + version header, atomic
+tmp+rename write, CRC-checked body. Format "NTPU" v1.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+from typing import Dict
+
+from neumann_tpu.store import codec
+from neumann_tpu.store.tensor_store import TensorData
+from neumann_tpu.utils.errors import StoreError
+
+MAGIC = b"NTPU"
+VERSION = 1
+_HDR = struct.Struct("<4sII")  # magic, version, count
+
+
+def save(entries: Dict[str, TensorData], path) -> None:
+    path = os.fspath(path)
+    body = bytearray()
+    for key, data in entries.items():
+        kb = key.encode("utf-8")
+        body += struct.pack("<I", len(kb))
+        body += kb
+        payload = codec.encode_data(data)
+        body += struct.pack("<I", len(payload))
+        body += payload
+    blob = _HDR.pack(MAGIC, VERSION, len(entries)) + struct.pack(
+        "<I", zlib.crc32(bytes(body))) + bytes(body)
+    tmp = path + ".tmp"
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(tmp, "wb") as fh:
+        fh.write(blob)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)
+
+
+def load(path) -> Dict[str, TensorData]:
+    path = os.fspath(path)
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    if len(buf) < _HDR.size + 4:
+        raise StoreError("snapshot truncated")
+    magic, version, count = _HDR.unpack_from(buf, 0)
+    if magic != MAGIC:
+        raise StoreError("bad snapshot magic")
+    if version != VERSION:
+        raise StoreError(f"unsupported snapshot version {version}")
+    (crc,) = struct.unpack_from("<I", buf, _HDR.size)
+    body = buf[_HDR.size + 4:]
+    if zlib.crc32(body) != crc:
+        raise StoreError("snapshot checksum mismatch")
+    out: Dict[str, TensorData] = {}
+    pos = 0
+    for _ in range(count):
+        (klen,) = struct.unpack_from("<I", body, pos)
+        pos += 4
+        key = body[pos: pos + klen].decode("utf-8")
+        pos += klen
+        (plen,) = struct.unpack_from("<I", body, pos)
+        pos += 4
+        out[key] = codec.decode_data(body[pos: pos + plen])
+        pos += plen
+    return out

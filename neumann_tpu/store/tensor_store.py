@@ -1,0 +1,268 @@
+"""Host-side tensor store: the unified KV layer.
+
+Capability parity with tensor_store::TensorStore
+(tensor_store/src/lib.rs:209-1482): `type:id` string keys, a tagged value
+model (scalar / dense vector / sparse vector / pointer / pointers), prefix
+scan, snapshots, and WAL-backed durability. The Rust version shards a
+DashMap and prefix-routes to columnar slabs; here the hot numeric paths
+(embeddings, columns, adjacency) live in device-backed slabs owned by the
+engines, and this store holds the authoritative host view plus all metadata.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass, field
+from typing import Callable, Dict, Iterable, List, Optional, Union
+
+import numpy as np
+
+from neumann_tpu.store.sparse import (
+    DEFAULT_SPARSITY_THRESHOLD,
+    DEFAULT_VALUE_THRESHOLD,
+    SparseVector,
+)
+from neumann_tpu.utils.errors import StoreError
+
+ScalarValue = Union[None, bool, int, float, str, bytes]
+
+
+@dataclass(frozen=True)
+class TensorValue:
+    """Tagged union matching TensorValue (tensor_store/src/lib.rs:324-338)."""
+
+    kind: str  # "scalar" | "vector" | "sparse" | "pointer" | "pointers"
+    value: object
+
+    # -- constructors ---------------------------------------------------
+    @staticmethod
+    def scalar(v: ScalarValue) -> "TensorValue":
+        return TensorValue("scalar", v)
+
+    @staticmethod
+    def vector(v) -> "TensorValue":
+        return TensorValue("vector", np.asarray(v, dtype=np.float32))
+
+    @staticmethod
+    def sparse(v: SparseVector) -> "TensorValue":
+        return TensorValue("sparse", v)
+
+    @staticmethod
+    def pointer(key: str) -> "TensorValue":
+        return TensorValue("pointer", key)
+
+    @staticmethod
+    def pointers(keys: Iterable[str]) -> "TensorValue":
+        return TensorValue("pointers", list(keys))
+
+    @staticmethod
+    def from_embedding(
+        dense,
+        value_threshold: float = DEFAULT_VALUE_THRESHOLD,
+        sparsity_threshold: float = DEFAULT_SPARSITY_THRESHOLD,
+    ) -> "TensorValue":
+        """Auto-pick sparse vs dense, like TensorValue::from_embedding."""
+        sparse = SparseVector.from_dense_with_threshold(dense, value_threshold)
+        if sparse.sparsity() >= sparsity_threshold:
+            return TensorValue.sparse(sparse)
+        return TensorValue.vector(dense)
+
+    # -- accessors -------------------------------------------------------
+    def is_vector(self) -> bool:
+        return self.kind in ("vector", "sparse")
+
+    def to_dense(self) -> Optional[np.ndarray]:
+        if self.kind == "vector":
+            return np.asarray(self.value, dtype=np.float32)
+        if self.kind == "sparse":
+            return self.value.to_dense()
+        return None
+
+    def dimension(self) -> Optional[int]:
+        if self.kind == "vector":
+            return int(len(self.value))
+        if self.kind == "sparse":
+            return self.value.dim
+        return None
+
+    def dot(self, other: "TensorValue") -> Optional[float]:
+        a, b = self.to_dense(), other.to_dense()
+        if a is None or b is None or len(a) != len(b):
+            return None
+        return float(np.dot(a.astype(np.float64), b.astype(np.float64)))
+
+    def cosine_similarity(self, other: "TensorValue") -> Optional[float]:
+        a, b = self.to_dense(), other.to_dense()
+        if a is None or b is None or len(a) != len(b):
+            return None
+        na = float(np.linalg.norm(a))
+        nb = float(np.linalg.norm(b))
+        if na == 0.0 or nb == 0.0:
+            return 0.0
+        return float(np.dot(a.astype(np.float64), b.astype(np.float64))
+                     / (na * nb))
+
+    def __eq__(self, other):
+        if not isinstance(other, TensorValue) or self.kind != other.kind:
+            return False
+        if self.kind == "vector":
+            return np.array_equal(self.value, other.value)
+        return self.value == other.value
+
+
+@dataclass
+class TensorData:
+    """A named bag of TensorValues — one stored entity."""
+
+    fields: Dict[str, TensorValue] = field(default_factory=dict)
+
+    def set(self, name: str, value: TensorValue) -> "TensorData":
+        self.fields[name] = value
+        return self
+
+    def get(self, name: str) -> Optional[TensorValue]:
+        return self.fields.get(name)
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.fields
+
+    @staticmethod
+    def with_values(**kwargs) -> "TensorData":
+        td = TensorData()
+        for k, v in kwargs.items():
+            if isinstance(v, TensorValue):
+                td.set(k, v)
+            elif isinstance(v, SparseVector):
+                td.set(k, TensorValue.sparse(v))
+            elif isinstance(v, (list, tuple, np.ndarray)) and not isinstance(
+                v, (str, bytes)
+            ):
+                td.set(k, TensorValue.vector(v))
+            else:
+                td.set(k, TensorValue.scalar(v))
+        return td
+
+
+class TensorStore:
+    """Concurrent host KV store with prefix scan and durability hooks.
+
+    API parity: put/get/delete/exists/scan/scan_count/len plus
+    save_snapshot/load_snapshot and open_durable/recover via
+    neumann_tpu.store.{snapshot,wal}.
+    """
+
+    def __init__(self):
+        self._map: Dict[str, TensorData] = {}
+        self._lock = threading.RLock()
+        self._wal = None  # set by open_durable
+        # listeners let engines keep device slabs in sync with raw puts
+        self._put_hooks: List[Callable[[str, TensorData], None]] = []
+        self._delete_hooks: List[Callable[[str], None]] = []
+
+    # -- core ------------------------------------------------------------
+    def put(self, key: str, data: TensorData) -> None:
+        if not isinstance(key, str) or not key:
+            raise StoreError("key must be a non-empty string")
+        with self._lock:
+            self._map[key] = data
+            if self._wal is not None:
+                self._wal.log_put(key, data)
+        for hook in self._put_hooks:
+            hook(key, data)
+
+    def get(self, key: str) -> Optional[TensorData]:
+        with self._lock:
+            return self._map.get(key)
+
+    def delete(self, key: str) -> bool:
+        with self._lock:
+            existed = self._map.pop(key, None) is not None
+            if existed and self._wal is not None:
+                self._wal.log_delete(key)
+        if existed:
+            for hook in self._delete_hooks:
+                hook(key)
+        return existed
+
+    def exists(self, key: str) -> bool:
+        with self._lock:
+            return key in self._map
+
+    def scan(self, prefix: str = "") -> List[str]:
+        with self._lock:
+            return sorted(k for k in self._map if k.startswith(prefix))
+
+    def scan_count(self, prefix: str = "") -> int:
+        with self._lock:
+            if not prefix:
+                return len(self._map)
+            return sum(1 for k in self._map if k.startswith(prefix))
+
+    def keys(self) -> List[str]:
+        return self.scan("")
+
+    def __len__(self) -> int:
+        with self._lock:
+            return len(self._map)
+
+    def clear(self) -> None:
+        with self._lock:
+            self._map.clear()
+
+    # -- hooks -------------------------------------------------------------
+    def on_put(self, fn: Callable[[str, TensorData], None]) -> None:
+        self._put_hooks.append(fn)
+
+    def on_delete(self, fn: Callable[[str], None]) -> None:
+        self._delete_hooks.append(fn)
+
+    # -- durability (wired in store.wal / store.snapshot) -----------------
+    def save_snapshot(self, path) -> None:
+        from neumann_tpu.store import snapshot
+
+        with self._lock:
+            snapshot.save(self._map, path)
+
+    def load_snapshot(self, path) -> None:
+        from neumann_tpu.store import snapshot
+
+        loaded = snapshot.load(path)
+        with self._lock:
+            self._map = loaded
+        for key, data in list(loaded.items()):
+            for hook in self._put_hooks:
+                hook(key, data)
+
+    def open_durable(self, wal_path, sync_mode="batched") -> None:
+        """Attach a WAL; subsequent puts/deletes are logged."""
+        from neumann_tpu.store.wal import TensorWal
+
+        self._wal = TensorWal(wal_path, sync_mode=sync_mode)
+
+    def recover(self, wal_path, snapshot_path=None) -> int:
+        """Rebuild state from snapshot + WAL replay. Returns #records."""
+        from neumann_tpu.store.wal import TensorWal
+
+        if snapshot_path is not None:
+            import os
+
+            if os.path.exists(snapshot_path):
+                self.load_snapshot(snapshot_path)
+        n = 0
+        for op, key, data in TensorWal.replay(wal_path):
+            if op == "put":
+                self.put(key, data)
+            else:
+                self.delete(key)
+            n += 1
+        return n
+
+    def checkpoint(self, snapshot_path) -> None:
+        """Snapshot current state and truncate the WAL."""
+        self.save_snapshot(snapshot_path)
+        if self._wal is not None:
+            self._wal.truncate()
+
+    def wal_flush(self) -> None:
+        if self._wal is not None:
+            self._wal.flush()

@@ -1,0 +1,137 @@
+"""Write-ahead log with CRC32 framing, sync modes, and group commit.
+
+Parity with tensor_store::TensorWal (tensor_store/src/wal.rs:142-392):
+CRC32-checked binary records, SyncMode Immediate / Batched{max_entries} /
+Manual, append_batch group commit, truncation and replay that stops at the
+first corrupt record.
+
+Record framing: [len u32][crc32 u32][payload]; payload = op u8 (0=put,
+1=delete) + key + (TensorData for put).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import threading
+import zlib
+from typing import Iterator, Tuple
+
+from neumann_tpu.store import codec
+from neumann_tpu.store.tensor_store import TensorData
+from neumann_tpu.utils.errors import StoreError
+
+_HDR = struct.Struct("<II")
+
+SYNC_MODES = ("immediate", "batched", "manual")
+
+
+class TensorWal:
+    def __init__(self, path, sync_mode: str = "batched",
+                 batch_max_entries: int = 64):
+        if sync_mode not in SYNC_MODES:
+            raise StoreError(f"bad sync mode {sync_mode}")
+        self.path = os.fspath(path)
+        self.sync_mode = sync_mode
+        self.batch_max_entries = batch_max_entries
+        self._lock = threading.Lock()
+        self._pending = 0
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        self._fh = open(self.path, "ab")
+
+    # -- append -----------------------------------------------------------
+    def _frame(self, payload: bytes) -> bytes:
+        return _HDR.pack(len(payload), zlib.crc32(payload)) + payload
+
+    def _append(self, payload: bytes) -> None:
+        with self._lock:
+            self._fh.write(self._frame(payload))
+            self._pending += 1
+            if self.sync_mode == "immediate":
+                self._sync_locked()
+            elif (self.sync_mode == "batched"
+                  and self._pending >= self.batch_max_entries):
+                self._sync_locked()
+
+    def log_put(self, key: str, data: TensorData) -> None:
+        out = bytearray([0])
+        kb = key.encode("utf-8")
+        out += struct.pack("<I", len(kb))
+        out += kb
+        out += codec.encode_data(data)
+        self._append(bytes(out))
+
+    def log_delete(self, key: str) -> None:
+        kb = key.encode("utf-8")
+        self._append(bytes(bytearray([1]) + struct.pack("<I", len(kb)) + kb))
+
+    def append_batch(self, entries) -> None:
+        """Group commit: one write + one fsync for many records."""
+        frames = bytearray()
+        for op, key, data in entries:
+            out = bytearray([0 if op == "put" else 1])
+            kb = key.encode("utf-8")
+            out += struct.pack("<I", len(kb))
+            out += kb
+            if op == "put":
+                out += codec.encode_data(data)
+            frames += self._frame(bytes(out))
+        with self._lock:
+            self._fh.write(frames)
+            self._sync_locked()
+
+    # -- sync ----------------------------------------------------------------
+    def _sync_locked(self) -> None:
+        self._fh.flush()
+        os.fsync(self._fh.fileno())
+        self._pending = 0
+
+    def flush(self) -> None:
+        with self._lock:
+            self._sync_locked()
+
+    def truncate(self) -> None:
+        with self._lock:
+            self._fh.close()
+            self._fh = open(self.path, "wb")
+            self._pending = 0
+
+    def close(self) -> None:
+        with self._lock:
+            self._fh.flush()
+            self._fh.close()
+
+    def size_bytes(self) -> int:
+        with self._lock:
+            self._fh.flush()
+            return os.path.getsize(self.path)
+
+    # -- replay ---------------------------------------------------------------
+    @staticmethod
+    def replay(path) -> Iterator[Tuple[str, str, TensorData]]:
+        """Yield (op, key, data) tuples; stops at first corrupt record
+        (torn tail after a crash), like the reference's recovery."""
+        path = os.fspath(path)
+        if not os.path.exists(path):
+            return
+        with open(path, "rb") as fh:
+            buf = fh.read()
+        pos = 0
+        while pos + _HDR.size <= len(buf):
+            length, crc = _HDR.unpack_from(buf, pos)
+            start = pos + _HDR.size
+            end = start + length
+            if end > len(buf):
+                break  # torn write
+            payload = buf[start:end]
+            if zlib.crc32(payload) != crc:
+                break  # corruption — stop replay here
+            op = payload[0]
+            (klen,) = struct.unpack_from("<I", payload, 1)
+            key = payload[5: 5 + klen].decode("utf-8")
+            if op == 0:
+                data = codec.decode_data(payload, 5 + klen)
+                yield ("put", key, data)
+            else:
+                yield ("delete", key, None)
+            pos = end

@@ -1,0 +1,173 @@
+"""Golden tests for the device scan kernels against a NumPy oracle.
+
+Mirrors the reference's kernel-correctness strategy: exact-scan semantics of
+vector_engine::search_similar_with_metric (vector_engine/src/lib.rs:2049)
+checked for every metric, with masks, and for quantized corpora.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from neumann_tpu.ops import (
+    topk_scan,
+    score_all,
+    scalar_quantize,
+    scalar_dequantize,
+    binary_quantize,
+    hamming_topk,
+    int8_topk_scan,
+)
+
+
+def np_scores(corpus, queries, metric):
+    c = corpus.astype(np.float64)
+    q = queries.astype(np.float64)
+    dots = q @ c.T
+    if metric == "dot":
+        return dots
+    if metric == "cosine":
+        qn = np.linalg.norm(q, axis=1, keepdims=True)
+        cn = np.linalg.norm(c, axis=1)
+        out = np.where(
+            (qn <= 0) | (cn[None, :] <= 0), 0.0,
+            dots / np.maximum(qn * cn[None, :], 1e-30))
+        return out
+    if metric == "euclidean":
+        d2 = (q * q).sum(1)[:, None] - 2 * dots + (c * c).sum(1)[None, :]
+        return -np.sqrt(np.maximum(d2, 0))
+    if metric == "manhattan":
+        return -np.abs(q[:, None, :] - c[None, :, :]).sum(-1)
+    raise ValueError(metric)
+
+
+@pytest.mark.parametrize("metric", ["cosine", "dot", "euclidean", "manhattan"])
+def test_topk_matches_oracle(rng, metric):
+    corpus = rng.standard_normal((500, 64)).astype(np.float32)
+    queries = rng.standard_normal((7, 64)).astype(np.float32)
+    k = 10
+    s, i = topk_scan(jnp.asarray(corpus), jnp.asarray(queries), k, metric)
+    oracle = np_scores(corpus, queries, metric)
+    want = np.argsort(-oracle, axis=1)[:, :k]
+    got = np.asarray(i)
+    for q in range(queries.shape[0]):
+        # compare score sets (ties may permute indices)
+        np.testing.assert_allclose(
+            np.sort(oracle[q, got[q]]), np.sort(oracle[q, want[q]]),
+            rtol=3e-3, atol=3e-3)
+    np.testing.assert_allclose(
+        np.asarray(s),
+        np.take_along_axis(oracle, got, axis=1), rtol=3e-3, atol=3e-3)
+
+
+def test_topk_blockwise_exact(rng):
+    corpus = rng.standard_normal((1000, 32)).astype(np.float32)
+    queries = rng.standard_normal((3, 32)).astype(np.float32)
+    s_flat, i_flat = topk_scan(jnp.asarray(corpus), jnp.asarray(queries), 5)
+    s_blk, i_blk = topk_scan(
+        jnp.asarray(corpus), jnp.asarray(queries), 5, block_rows=128)
+    np.testing.assert_allclose(
+        np.asarray(s_flat), np.asarray(s_blk), rtol=1e-5, atol=1e-5)
+    assert (np.asarray(i_flat) == np.asarray(i_blk)).mean() > 0.95
+
+
+def test_topk_blockwise_nondivisible(rng):
+    corpus = rng.standard_normal((997, 32)).astype(np.float32)
+    queries = rng.standard_normal((2, 32)).astype(np.float32)
+    s_flat, _ = topk_scan(jnp.asarray(corpus), jnp.asarray(queries), 7)
+    s_blk, _ = topk_scan(
+        jnp.asarray(corpus), jnp.asarray(queries), 7, block_rows=256)
+    np.testing.assert_allclose(
+        np.asarray(s_flat), np.asarray(s_blk), rtol=1e-5, atol=1e-5)
+
+
+def test_mask_fused(rng):
+    corpus = rng.standard_normal((100, 16)).astype(np.float32)
+    queries = rng.standard_normal((1, 16)).astype(np.float32)
+    mask = np.zeros(100, bool)
+    mask[10:20] = True
+    s, i = topk_scan(jnp.asarray(corpus), jnp.asarray(queries), 5,
+                     mask=jnp.asarray(mask))
+    i = np.asarray(i)[0]
+    assert all(10 <= x < 20 for x in i)
+
+
+def test_mask_fewer_than_k(rng):
+    corpus = rng.standard_normal((50, 8)).astype(np.float32)
+    queries = rng.standard_normal((1, 8)).astype(np.float32)
+    mask = np.zeros(50, bool)
+    mask[3] = mask[7] = True
+    s, i = topk_scan(jnp.asarray(corpus), jnp.asarray(queries), 5,
+                     mask=jnp.asarray(mask))
+    i = np.asarray(i)[0]
+    s = np.asarray(s)[0]
+    assert set(i[:2]) == {3, 7}
+    assert (i[2:] == -1).all()
+    assert np.isneginf(s[2:]).all()
+
+
+def test_mask_fused_blockwise(rng):
+    corpus = rng.standard_normal((512, 16)).astype(np.float32)
+    queries = rng.standard_normal((2, 16)).astype(np.float32)
+    mask = rng.random(512) < 0.3
+    s1, i1 = topk_scan(jnp.asarray(corpus), jnp.asarray(queries), 9,
+                       mask=jnp.asarray(mask))
+    s2, i2 = topk_scan(jnp.asarray(corpus), jnp.asarray(queries), 9,
+                       mask=jnp.asarray(mask), block_rows=128)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                               rtol=1e-5, atol=1e-5)
+    for q in range(2):
+        assert mask[np.asarray(i2)[q]].all()
+
+
+def test_single_query_vector(rng):
+    corpus = rng.standard_normal((64, 8)).astype(np.float32)
+    q = rng.standard_normal(8).astype(np.float32)
+    s, i = topk_scan(jnp.asarray(corpus), jnp.asarray(q), 3)
+    assert s.shape == (1, 3) and i.shape == (1, 3)
+
+
+def test_zero_query_cosine(rng):
+    corpus = rng.standard_normal((10, 8)).astype(np.float32)
+    q = np.zeros(8, np.float32)
+    s = score_all(jnp.asarray(corpus), jnp.asarray(q), "cosine")
+    np.testing.assert_allclose(np.asarray(s), 0.0)
+
+
+def test_int8_quant_roundtrip(rng):
+    x = rng.standard_normal((20, 32)).astype(np.float32)
+    q, scale = scalar_quantize(jnp.asarray(x))
+    back = scalar_dequantize(q, scale)
+    np.testing.assert_allclose(np.asarray(back), x, atol=np.abs(x).max()/100)
+
+
+def test_int8_topk_recall(rng):
+    corpus = rng.standard_normal((2000, 128)).astype(np.float32)
+    queries = rng.standard_normal((5, 128)).astype(np.float32)
+    cq, cs = scalar_quantize(jnp.asarray(corpus))
+    s, i = int8_topk_scan(cq, cs, jnp.asarray(queries), 10, "cosine")
+    oracle = np_scores(corpus, queries, "cosine")
+    want = np.argsort(-oracle, axis=1)[:, :10]
+    got = np.asarray(i)
+    recall = np.mean([
+        len(set(got[q]) & set(want[q])) / 10 for q in range(5)])
+    assert recall >= 0.9, f"int8 recall@10 {recall}"
+
+
+def test_binary_quant_hamming(rng):
+    corpus = rng.standard_normal((300, 64)).astype(np.float32)
+    queries = corpus[:3] + 0.01 * rng.standard_normal((3, 64)).astype(
+        np.float32)
+    cb = binary_quantize(jnp.asarray(corpus))
+    qb = binary_quantize(jnp.asarray(queries))
+    s, i = hamming_topk(cb, qb, 5)
+    i = np.asarray(i)
+    # the near-identical vector should be the top hit
+    for q in range(3):
+        assert i[q, 0] == q
+
+
+def test_binary_quantize_nondivisible_dim(rng):
+    x = rng.standard_normal((10, 50)).astype(np.float32)
+    bits = binary_quantize(jnp.asarray(x))
+    assert bits.shape == (10, 2)

@@ -1,0 +1,232 @@
+"""Tensor store, codec, WAL, snapshot, entity index, embedding slab tests."""
+
+import numpy as np
+import pytest
+
+from neumann_tpu.store import (
+    EmbeddingSlab,
+    EntityIndex,
+    SparseVector,
+    TensorData,
+    TensorStore,
+    TensorValue,
+)
+from neumann_tpu.store.wal import TensorWal
+from neumann_tpu.utils.errors import StoreError
+
+
+def test_put_get_delete():
+    s = TensorStore()
+    s.put("user:alice", TensorData.with_values(name="alice", age=30))
+    got = s.get("user:alice")
+    assert got.get("name").value == "alice"
+    assert got.get("age").value == 30
+    assert s.exists("user:alice")
+    assert s.delete("user:alice")
+    assert not s.delete("user:alice")
+    assert s.get("user:alice") is None
+
+
+def test_scan_prefix():
+    s = TensorStore()
+    for i in range(5):
+        s.put(f"emb:k{i}", TensorData.with_values(v=[1.0, 2.0]))
+    s.put("node:a", TensorData())
+    assert s.scan("emb:") == [f"emb:k{i}" for i in range(5)]
+    assert s.scan_count("emb:") == 5
+    assert s.scan_count("") == 6
+    assert len(s) == 6
+
+
+def test_empty_key_rejected():
+    with pytest.raises(StoreError):
+        TensorStore().put("", TensorData())
+
+
+def test_value_model():
+    v = TensorValue.vector([1, 2, 3])
+    assert v.dimension() == 3
+    sv = TensorValue.sparse(SparseVector.from_dense([0, 0, 5.0, 0]))
+    assert sv.dimension() == 4
+    assert v.is_vector() and sv.is_vector()
+    assert TensorValue.pointer("a:b").kind == "pointer"
+    d = TensorValue.vector([1.0, 0.0])
+    e = TensorValue.vector([1.0, 0.0])
+    assert d.cosine_similarity(e) == pytest.approx(1.0)
+    assert d.dot(e) == pytest.approx(1.0)
+
+
+def test_from_embedding_auto():
+    dense = TensorValue.from_embedding([0.5, 0.3, 0.8, 0.2])
+    assert dense.kind == "vector"
+    sp = TensorValue.from_embedding([0.0] * 8 + [0.5, 0.3])
+    assert sp.kind == "sparse"
+
+
+def test_sparse_ops():
+    a = SparseVector.from_dense([0, 1.0, 0, 2.0])
+    b = SparseVector.from_dense([0, 3.0, 0, 0])
+    assert a.dot(b) == pytest.approx(3.0)
+    assert a.dot_dense([0, 1, 0, 1]) == pytest.approx(3.0)
+    assert a.nnz == 2 and a.sparsity() == pytest.approx(0.5)
+    np.testing.assert_allclose(a.to_dense(), [0, 1, 0, 2])
+    assert 0 < a.cosine_similarity(b) <= 1
+    assert a.jaccard(b) == pytest.approx(0.5)
+    assert a.overlap(b) == pytest.approx(1.0)
+
+
+def test_snapshot_roundtrip(tmp_path):
+    s = TensorStore()
+    s.put("a:1", TensorData.with_values(
+        x=1, y=2.5, s="hi", b=True, n=None,
+        v=[1.0, 2.0], raw=b"\x00\x01"))
+    s.put("a:2", TensorData.with_values(
+        sp=SparseVector.from_dense([0, 0, 7.0]),
+        p=TensorValue.pointer("a:1"),
+        ps=TensorValue.pointers(["a:1", "a:2"])))
+    path = tmp_path / "snap.ntpu"
+    s.save_snapshot(path)
+    s2 = TensorStore()
+    s2.load_snapshot(path)
+    assert len(s2) == 2
+    got = s2.get("a:1")
+    assert got.get("x").value == 1
+    assert got.get("y").value == 2.5
+    assert got.get("b").value is True
+    assert got.get("n").value is None
+    assert got.get("raw").value == b"\x00\x01"
+    np.testing.assert_allclose(got.get("v").value, [1.0, 2.0])
+    got2 = s2.get("a:2")
+    assert got2.get("p").value == "a:1"
+    assert got2.get("ps").value == ["a:1", "a:2"]
+    np.testing.assert_allclose(got2.get("sp").value.to_dense(), [0, 0, 7.0])
+
+
+def test_wal_replay(tmp_path):
+    wal_path = tmp_path / "wal.log"
+    s = TensorStore()
+    s.open_durable(wal_path, sync_mode="immediate")
+    s.put("k:1", TensorData.with_values(a=1))
+    s.put("k:2", TensorData.with_values(a=2))
+    s.delete("k:1")
+    s2 = TensorStore()
+    n = s2.recover(wal_path)
+    assert n == 3
+    assert s2.get("k:1") is None
+    assert s2.get("k:2").get("a").value == 2
+
+
+def test_wal_torn_tail(tmp_path):
+    wal_path = tmp_path / "wal.log"
+    wal = TensorWal(wal_path, sync_mode="immediate")
+    wal.log_put("k:1", TensorData.with_values(a=1))
+    wal.log_put("k:2", TensorData.with_values(a=2))
+    wal.close()
+    # corrupt the tail
+    with open(wal_path, "r+b") as fh:
+        fh.seek(-3, 2)
+        fh.write(b"\xff\xff\xff")
+    ops = list(TensorWal.replay(wal_path))
+    assert len(ops) == 1
+    assert ops[0][1] == "k:1"
+
+
+def test_wal_group_commit(tmp_path):
+    wal_path = tmp_path / "wal.log"
+    wal = TensorWal(wal_path, sync_mode="manual")
+    wal.append_batch([
+        ("put", "k:1", TensorData.with_values(a=1)),
+        ("put", "k:2", TensorData.with_values(a=2)),
+        ("delete", "k:1", None),
+    ])
+    wal.close()
+    assert len(list(TensorWal.replay(wal_path))) == 3
+
+
+def test_checkpoint_truncates_wal(tmp_path):
+    wal_path = tmp_path / "wal.log"
+    snap = tmp_path / "snap.ntpu"
+    s = TensorStore()
+    s.open_durable(wal_path, sync_mode="immediate")
+    s.put("k:1", TensorData.with_values(a=1))
+    s.checkpoint(snap)
+    assert list(TensorWal.replay(wal_path)) == []
+    s.put("k:2", TensorData.with_values(a=2))
+    s.wal_flush()
+    s2 = TensorStore()
+    s2.recover(wal_path, snapshot_path=snap)
+    assert s2.get("k:1") is not None and s2.get("k:2") is not None
+
+
+def test_entity_index():
+    ix = EntityIndex()
+    a = ix.get_or_insert("a")
+    b = ix.get_or_insert("b")
+    assert a != b
+    assert ix.get_or_insert("a") == a
+    assert ix.lookup("b") == b
+    assert ix.key_of(a) == "a"
+    assert len(ix) == 2
+    freed = ix.remove("a")
+    assert freed == a
+    assert ix.lookup("a") is None
+    c = ix.get_or_insert("c")
+    assert c == a  # free slot reused
+    assert ix.capacity == 2
+
+
+def test_embedding_slab(rng):
+    slab = EmbeddingSlab(dim=100)
+    assert slab.dim_pad == 128
+    v0 = rng.standard_normal(100).astype(np.float32)
+    slab.set_row(0, v0)
+    slab.set_row(5, v0 * 2)
+    np.testing.assert_allclose(slab.get_row(0), v0)
+    assert slab.get_row(1) is None
+    assert slab.valid_count() == 2
+    emb, valid = slab.device_view()
+    assert emb.shape == (slab.capacity, 128)
+    assert np.asarray(valid).sum() == 2
+    np.testing.assert_allclose(np.asarray(emb[5, :100]), v0 * 2, rtol=1e-6)
+    assert np.asarray(emb[0, 100:]).sum() == 0
+    # incremental update uses scatter path
+    slab.set_row(1, v0 * 3)
+    emb2, valid2 = slab.device_view()
+    np.testing.assert_allclose(np.asarray(emb2[1, :100]), v0 * 3, rtol=1e-6)
+    assert np.asarray(valid2).sum() == 3
+    slab.clear_row(0)
+    _, valid3 = slab.device_view()
+    assert np.asarray(valid3).sum() == 2
+
+
+def test_embedding_slab_growth(rng):
+    slab = EmbeddingSlab(dim=16, min_capacity=4)
+    vecs = rng.standard_normal((3000, 16)).astype(np.float32)
+    slab.set_rows(np.arange(3000), vecs)
+    assert slab.capacity >= 3000
+    emb, valid = slab.device_view()
+    assert np.asarray(valid).sum() == 3000
+    np.testing.assert_allclose(np.asarray(emb[2999, :16]), vecs[2999],
+                               rtol=1e-6)
+
+
+def test_embedding_slab_dim_mismatch():
+    slab = EmbeddingSlab(dim=8)
+    with pytest.raises(ValueError):
+        slab.set_row(0, np.zeros(9, np.float32))
+
+
+def test_quantized_views(rng):
+    slab = EmbeddingSlab(dim=64)
+    vecs = rng.standard_normal((50, 64)).astype(np.float32)
+    slab.set_rows(np.arange(50), vecs)
+    q, scale, valid = slab.quantized_view("int8")
+    assert q.dtype.name == "int8"
+    bits, _ = slab.quantized_view("binary")
+    assert bits.dtype.name == "uint32"
+    # cache hit: same objects until version changes
+    q2, _, _ = slab.quantized_view("int8")
+    assert q2 is q
+    slab.set_row(0, vecs[0] * 2)
+    q3, _, _ = slab.quantized_view("int8")
+    assert q3 is not q
