@@ -1,0 +1,709 @@
+"""Vector engine: embedding CRUD + device-scan similarity search.
+
+Capability parity with vector_engine (vector_engine/src/lib.rs:1369-3980):
+store/get/delete embeddings, batch ops, metric-variant search, metadata +
+filtered search, named collections with per-collection config (including a
+quantization storage mode), entity embeddings, pagination, and
+collection snapshots.
+
+TPU-native differences from the reference:
+
+* The corpus is a device array (EmbeddingSlab); SIMILAR is one MXU matmul
+  + top-k instead of a rayon loop over per-key store reads
+  (vector_engine/src/lib.rs:2144-2168).
+* Filters become a row bitmask ANDed with validity and applied inside the
+  scan as -inf, rather than the reference's pre/post-filter strategy
+  switch (vector_engine/src/lib.rs:3429-3512). Selectivity no longer
+  matters: the masked scan costs the same as the unmasked one.
+* Quantized collections scan int8/binary views of the same slab with
+  in-register dequantization.
+
+The TensorStore remains authoritative (keys ``emb:{key}``,
+``entity:{key}``, ``col:{name}:{key}``); the engine mirrors puts/deletes
+into device corpora via store hooks, so WAL replay and snapshot loads
+rebuild the device state automatically.
+"""
+
+from __future__ import annotations
+
+import functools
+import threading
+from dataclasses import dataclass, field, replace
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from neumann_tpu.store.embedding_slab import EmbeddingSlab
+from neumann_tpu.store.entity_index import EntityIndex
+from neumann_tpu.store.sparse import SparseVector
+from neumann_tpu.store.tensor_store import TensorData, TensorStore, TensorValue
+from neumann_tpu.utils.errors import VectorError
+
+EMB_PREFIX = "emb:"
+ENTITY_PREFIX = "entity:"
+COLLECTION_PREFIX = "col:"
+_EMBEDDING_FIELD = "embedding"
+
+METRICS = ("cosine", "dot", "euclidean", "manhattan")
+QUANTIZATIONS = ("none", "int8", "binary")
+
+
+# ---------------------------------------------------------------------------
+# results / filters
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class SearchResult:
+    """Key + similarity score, like SearchResult (vector_engine/src/lib.rs:253)."""
+
+    key: str
+    score: float
+
+
+FilterValue = Union[None, bool, int, float, str]
+
+
+@dataclass(frozen=True)
+class FilterCondition:
+    """Metadata filter tree, parity with FilterCondition's 14 variants
+    (vector_engine/src/lib.rs:297-324)."""
+
+    op: str
+    fieldname: Optional[str] = None
+    value: object = None
+    left: Optional["FilterCondition"] = None
+    right: Optional["FilterCondition"] = None
+
+    # -- constructors ---------------------------------------------------
+    @staticmethod
+    def eq(f, v):
+        return FilterCondition("eq", f, v)
+
+    @staticmethod
+    def ne(f, v):
+        return FilterCondition("ne", f, v)
+
+    @staticmethod
+    def lt(f, v):
+        return FilterCondition("lt", f, v)
+
+    @staticmethod
+    def le(f, v):
+        return FilterCondition("le", f, v)
+
+    @staticmethod
+    def gt(f, v):
+        return FilterCondition("gt", f, v)
+
+    @staticmethod
+    def ge(f, v):
+        return FilterCondition("ge", f, v)
+
+    @staticmethod
+    def exists(f):
+        return FilterCondition("exists", f)
+
+    @staticmethod
+    def contains(f, s):
+        return FilterCondition("contains", f, s)
+
+    @staticmethod
+    def starts_with(f, s):
+        return FilterCondition("starts_with", f, s)
+
+    @staticmethod
+    def in_(f, values):
+        return FilterCondition("in", f, tuple(values))
+
+    @staticmethod
+    def true():
+        return FilterCondition("true")
+
+    def and_(self, other):
+        return FilterCondition("and", left=self, right=other)
+
+    def or_(self, other):
+        return FilterCondition("or", left=self, right=other)
+
+    # -- evaluation --------------------------------------------------------
+    def evaluate(self, metadata: Dict[str, object]) -> bool:
+        op = self.op
+        if op == "true":
+            return True
+        if op == "and":
+            return self.left.evaluate(metadata) and self.right.evaluate(metadata)
+        if op == "or":
+            return self.left.evaluate(metadata) or self.right.evaluate(metadata)
+        if op == "exists":
+            return self.fieldname in metadata
+        have = self.fieldname in metadata
+        val = metadata.get(self.fieldname)
+        if op == "eq":
+            return have and val == self.value
+        if op == "ne":
+            return have and val != self.value
+        if op in ("lt", "le", "gt", "ge"):
+            if not have:
+                return False
+            try:
+                if op == "lt":
+                    return val < self.value
+                if op == "le":
+                    return val <= self.value
+                if op == "gt":
+                    return val > self.value
+                return val >= self.value
+            except TypeError:
+                return False
+        if op == "contains":
+            return have and isinstance(val, str) and self.value in val
+        if op == "starts_with":
+            return have and isinstance(val, str) and val.startswith(self.value)
+        if op == "in":
+            return have and val in self.value
+        raise VectorError(f"unknown filter op {op}")
+
+
+# ---------------------------------------------------------------------------
+# configs
+# ---------------------------------------------------------------------------
+
+@dataclass
+class VectorEngineConfig:
+    """Parity with VectorEngineConfig (vector_engine/src/lib.rs:626-710)."""
+
+    default_dimension: Optional[int] = None
+    sparse_threshold: float = 0.5
+    default_metric: str = "cosine"
+    max_dimension: Optional[int] = None
+    max_keys_per_scan: Optional[int] = None
+    search_timeout_s: Optional[float] = None
+
+    @staticmethod
+    def high_throughput() -> "VectorEngineConfig":
+        return VectorEngineConfig()
+
+    @staticmethod
+    def low_memory() -> "VectorEngineConfig":
+        return VectorEngineConfig(
+            sparse_threshold=0.3, max_dimension=4096,
+            max_keys_per_scan=10_000, search_timeout_s=30.0)
+
+    def validate(self) -> None:
+        if self.default_metric not in METRICS:
+            raise VectorError(f"bad metric {self.default_metric}")
+        if not (0.0 <= self.sparse_threshold <= 1.0):
+            raise VectorError("sparse_threshold must be in [0,1]")
+        if self.max_dimension is not None and self.max_dimension <= 0:
+            raise VectorError("max_dimension must be positive")
+
+
+@dataclass
+class VectorCollectionConfig:
+    """Per-collection config (dimension enforced, metric, storage mode)."""
+
+    dimension: Optional[int] = None
+    metric: str = "cosine"
+    quantization: str = "none"  # none | int8 | binary
+
+    def validate(self) -> None:
+        if self.metric not in METRICS:
+            raise VectorError(f"bad metric {self.metric}")
+        if self.quantization not in QUANTIZATIONS:
+            raise VectorError(f"bad quantization {self.quantization}")
+        if self.dimension is not None and self.dimension <= 0:
+            raise VectorError("dimension must be positive")
+
+
+# ---------------------------------------------------------------------------
+# corpus: one device-searchable namespace
+# ---------------------------------------------------------------------------
+
+class _Corpus:
+    """EntityIndex + EmbeddingSlab + host metadata for one namespace+dim."""
+
+    def __init__(self, dim: int):
+        self.dim = dim
+        self.index = EntityIndex()
+        self.slab = EmbeddingSlab(dim)
+        self.meta: Dict[int, Dict[str, object]] = {}
+        self.lock = threading.RLock()
+
+    def upsert(self, key: str, vec: np.ndarray,
+               metadata: Optional[Dict[str, object]] = None) -> int:
+        with self.lock:
+            row = self.index.get_or_insert(key)
+            self.slab.set_row(row, vec)
+            if metadata is not None:
+                self.meta[row] = dict(metadata)
+            else:
+                self.meta.pop(row, None)
+            return row
+
+    def remove(self, key: str) -> bool:
+        with self.lock:
+            row = self.index.remove(key)
+            if row is None:
+                return False
+            self.slab.clear_row(row)
+            self.meta.pop(row, None)
+            return True
+
+    def count(self) -> int:
+        return len(self.index)
+
+    def filter_mask(self, cond: FilterCondition) -> np.ndarray:
+        """Host-evaluated metadata filter -> row bitmask (fused on device)."""
+        mask = np.zeros(self.slab.capacity, dtype=bool)
+        with self.lock:
+            for key, row in self.index.items():
+                md = self.meta.get(row, {})
+                if cond.evaluate(md):
+                    mask[row] = True
+        return mask
+
+
+# ---------------------------------------------------------------------------
+# the engine
+# ---------------------------------------------------------------------------
+
+def _euclid_report(score: float) -> float:
+    """Internal -dist -> reference's 1/(1+dist) display score."""
+    return 1.0 / (1.0 + max(-score, 0.0))
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_topk():
+    import jax
+
+    from neumann_tpu.ops.scan import topk_scan
+
+    return jax.jit(topk_scan, static_argnames=("k", "metric", "block_rows"))
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_int8_topk():
+    import jax
+
+    from neumann_tpu.ops.quant import int8_topk_scan
+
+    return jax.jit(int8_topk_scan, static_argnames=("k", "metric",
+                                                    "block_rows"))
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_hamming():
+    import jax
+
+    from neumann_tpu.ops.quant import hamming_topk
+
+    return jax.jit(hamming_topk, static_argnames=("k",))
+
+
+class VectorEngine:
+    def __init__(self, store: Optional[TensorStore] = None,
+                 config: Optional[VectorEngineConfig] = None):
+        self.store = store if store is not None else TensorStore()
+        self.config = config or VectorEngineConfig()
+        self.config.validate()
+        # namespace -> dim -> corpus; namespaces: "" (default), "entity",
+        # and "col/{name}"
+        self._corpora: Dict[str, Dict[int, _Corpus]] = {}
+        self._collections: Dict[str, VectorCollectionConfig] = {}
+        self._lock = threading.RLock()
+        self.store.on_put(self._on_store_put)
+        self.store.on_delete(self._on_store_delete)
+
+    # ------------------------------------------------------------------
+    # store-hook mirroring (also replays WAL/snapshot loads into devices)
+    # ------------------------------------------------------------------
+    def _parse_key(self, key: str) -> Optional[Tuple[str, str]]:
+        if key.startswith(EMB_PREFIX):
+            return "", key[len(EMB_PREFIX):]
+        if key.startswith(ENTITY_PREFIX):
+            return "entity", key[len(ENTITY_PREFIX):]
+        if key.startswith(COLLECTION_PREFIX):
+            rest = key[len(COLLECTION_PREFIX):]
+            name, sep, inner = rest.partition(":")
+            if sep:
+                return f"col/{name}", inner
+        return None
+
+    def _on_store_put(self, key: str, data: TensorData) -> None:
+        parsed = self._parse_key(key)
+        if parsed is None:
+            return
+        ns, inner = parsed
+        emb = data.get(_EMBEDDING_FIELD)
+        if emb is None or not emb.is_vector():
+            return
+        vec = emb.to_dense()
+        metadata = {
+            n: v.value for n, v in data.fields.items()
+            if n != _EMBEDDING_FIELD and v.kind == "scalar"
+        }
+        corpus = self._corpus_for(ns, len(vec), create=True)
+        corpus.upsert(inner, vec, metadata or None)
+
+    def _on_store_delete(self, key: str) -> None:
+        parsed = self._parse_key(key)
+        if parsed is None:
+            return
+        ns, inner = parsed
+        with self._lock:
+            for corpus in self._corpora.get(ns, {}).values():
+                corpus.remove(inner)
+
+    def _corpus_for(self, ns: str, dim: int, create: bool) -> _Corpus:
+        with self._lock:
+            by_dim = self._corpora.setdefault(ns, {})
+            corpus = by_dim.get(dim)
+            if corpus is None:
+                if not create:
+                    raise VectorError(f"no embeddings of dimension {dim}")
+                corpus = by_dim[dim] = _Corpus(dim)
+            return corpus
+
+    # ------------------------------------------------------------------
+    # embedding CRUD (default namespace, emb:{key})
+    # ------------------------------------------------------------------
+    def _validate_vec(self, embedding, dim_hint: Optional[int] = None
+                      ) -> np.ndarray:
+        if isinstance(embedding, SparseVector):
+            embedding = embedding.to_dense()
+        vec = np.asarray(embedding, dtype=np.float32)
+        if vec.ndim != 1 or vec.size == 0:
+            raise VectorError("embedding must be a non-empty 1-D vector")
+        if self.config.max_dimension and vec.size > self.config.max_dimension:
+            raise VectorError(
+                f"dimension {vec.size} exceeds max {self.config.max_dimension}")
+        want = dim_hint or self.config.default_dimension
+        if want and vec.size != want:
+            raise VectorError(
+                f"dimension mismatch: expected {want}, got {vec.size}")
+        return vec
+
+    def store_embedding(self, key: str, embedding,
+                        metadata: Optional[Dict[str, object]] = None) -> None:
+        vec = self._validate_vec(embedding)
+        data = TensorData()
+        data.set(_EMBEDDING_FIELD,
+                 TensorValue.from_embedding(
+                     vec, sparsity_threshold=1.01
+                     if self.config.sparse_threshold >= 1.0
+                     else max(self.config.sparse_threshold, 0.0)))
+        for n, v in (metadata or {}).items():
+            data.set(n, TensorValue.scalar(v))
+        self.store.put(EMB_PREFIX + key, data)
+
+    def batch_store_embeddings(
+            self, items: Sequence[Tuple[str, object]]) -> int:
+        for key, emb in items:
+            self.store_embedding(key, emb)
+        return len(items)
+
+    def get_embedding(self, key: str) -> Optional[np.ndarray]:
+        data = self.store.get(EMB_PREFIX + key)
+        if data is None:
+            return None
+        emb = data.get(_EMBEDDING_FIELD)
+        return None if emb is None else emb.to_dense()
+
+    def get_metadata(self, key: str) -> Optional[Dict[str, object]]:
+        data = self.store.get(EMB_PREFIX + key)
+        if data is None:
+            return None
+        return {n: v.value for n, v in data.fields.items()
+                if n != _EMBEDDING_FIELD and v.kind == "scalar"}
+
+    def delete_embedding(self, key: str) -> bool:
+        return self.store.delete(EMB_PREFIX + key)
+
+    def embedding_exists(self, key: str) -> bool:
+        return self.store.exists(EMB_PREFIX + key)
+
+    def count_embeddings(self) -> int:
+        return self.store.scan_count(EMB_PREFIX)
+
+    def list_embeddings(self, limit: Optional[int] = None) -> List[str]:
+        keys = [k[len(EMB_PREFIX):] for k in self.store.scan(EMB_PREFIX)]
+        return keys[:limit] if limit else keys
+
+    # ------------------------------------------------------------------
+    # search
+    # ------------------------------------------------------------------
+    def _device_search(
+        self,
+        corpus: _Corpus,
+        queries: np.ndarray,
+        top_k: int,
+        metric: str,
+        extra_mask: Optional[np.ndarray] = None,
+        quantization: str = "none",
+    ) -> List[List[SearchResult]]:
+        import jax.numpy as jnp
+
+        q = np.asarray(queries, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if q.shape[1] != corpus.dim:
+            raise VectorError(
+                f"query dimension {q.shape[1]} != corpus dimension "
+                f"{corpus.dim}")
+        qp = np.zeros((q.shape[0], corpus.slab.dim_pad), np.float32)
+        qp[:, : corpus.dim] = q
+        k = max(1, min(top_k, corpus.slab.capacity))
+
+        if quantization == "binary":
+            from neumann_tpu.ops.quant import binary_quantize
+
+            bits, valid = corpus.slab.quantized_view("binary")
+            mask = valid
+            if extra_mask is not None:
+                mask = jnp.logical_and(mask, jnp.asarray(extra_mask))
+            import jax
+
+            qbits = jax.jit(binary_quantize)(jnp.asarray(qp))
+            scores, idx = _jitted_hamming()(bits, qbits, k, mask)
+        elif quantization == "int8":
+            cq, cs, valid = corpus.slab.quantized_view("int8")
+            mask = valid
+            if extra_mask is not None:
+                mask = jnp.logical_and(mask, jnp.asarray(extra_mask))
+            scores, idx = _jitted_int8_topk()(
+                cq, cs, jnp.asarray(qp), k, metric, mask)
+        else:
+            emb, valid = corpus.slab.device_view()
+            mask = valid
+            if extra_mask is not None:
+                mask = jnp.logical_and(mask, jnp.asarray(extra_mask))
+            scores, idx = _jitted_topk()(
+                emb, jnp.asarray(qp), k, metric, mask)
+
+        scores = np.asarray(scores)
+        idx = np.asarray(idx)
+        out: List[List[SearchResult]] = []
+        for qi in range(q.shape[0]):
+            row: List[SearchResult] = []
+            for score, rid in zip(scores[qi], idx[qi]):
+                if rid < 0:
+                    continue
+                key = corpus.index.key_of(int(rid))
+                if key is None:
+                    continue
+                s = float(score)
+                if metric == "euclidean" and quantization != "binary":
+                    s = _euclid_report(s)
+                row.append(SearchResult(key, s))
+            out.append(row)
+        return out
+
+    def _search_ns(self, ns: str, query, top_k: int, metric: Optional[str],
+                   filter_cond: Optional[FilterCondition] = None,
+                   quantization: str = "none",
+                   dim_hint: Optional[int] = None
+                   ) -> List[SearchResult]:
+        if top_k <= 0:
+            raise VectorError("top_k must be positive")
+        q = self._validate_vec(query, dim_hint)
+        metric = metric or self.config.default_metric
+        if metric not in METRICS:
+            raise VectorError(f"unknown metric {metric}")
+        if metric in ("cosine", "dot") and float(np.linalg.norm(q)) == 0.0:
+            return []
+        with self._lock:
+            corpus = self._corpora.get(ns, {}).get(q.size)
+        if corpus is None or corpus.count() == 0:
+            return []
+        extra = corpus.filter_mask(filter_cond) if filter_cond else None
+        return self._device_search(
+            corpus, q, top_k, metric, extra, quantization)[0]
+
+    def search_similar(self, query, top_k: int) -> List[SearchResult]:
+        return self._search_ns("", query, top_k, None)
+
+    def search_similar_with_metric(self, query, top_k: int, metric: str
+                                   ) -> List[SearchResult]:
+        return self._search_ns("", query, top_k, metric)
+
+    def search_similar_filtered(self, query, top_k: int,
+                                filter_cond: FilterCondition,
+                                metric: Optional[str] = None
+                                ) -> List[SearchResult]:
+        return self._search_ns("", query, top_k, metric, filter_cond)
+
+    def search_similar_paginated(self, query, top_k: int, offset: int,
+                                 metric: Optional[str] = None
+                                 ) -> List[SearchResult]:
+        results = self._search_ns("", query, top_k + offset, metric)
+        return results[offset:]
+
+    def search_by_key(self, key: str, top_k: int,
+                      metric: Optional[str] = None) -> List[SearchResult]:
+        """SIMILAR 'key' TOP k — query by an already-stored embedding."""
+        vec = self.get_embedding(key)
+        if vec is None:
+            raise VectorError(f"no embedding for key '{key}'")
+        return self._search_ns("", vec, top_k, metric)
+
+    def batch_search(self, queries, top_k: int,
+                     metric: Optional[str] = None
+                     ) -> List[List[SearchResult]]:
+        """Batched multi-query search: one device call for Q queries."""
+        q = np.asarray(queries, dtype=np.float32)
+        if q.ndim != 2:
+            raise VectorError("batch_search expects [Q, d]")
+        metric = metric or self.config.default_metric
+        with self._lock:
+            corpus = self._corpora.get("", {}).get(q.shape[1])
+        if corpus is None or corpus.count() == 0:
+            return [[] for _ in range(q.shape[0])]
+        return self._device_search(corpus, q, top_k, metric)
+
+    # ------------------------------------------------------------------
+    # entity embeddings (unified engine support)
+    # ------------------------------------------------------------------
+    def store_entity_embedding(self, key: str, embedding) -> None:
+        vec = self._validate_vec(embedding)
+        data = self.store.get(ENTITY_PREFIX + key) or TensorData()
+        data.set(_EMBEDDING_FIELD, TensorValue.vector(vec))
+        self.store.put(ENTITY_PREFIX + key, data)
+
+    def get_entity_embedding(self, key: str) -> Optional[np.ndarray]:
+        data = self.store.get(ENTITY_PREFIX + key)
+        if data is None:
+            return None
+        emb = data.get(_EMBEDDING_FIELD)
+        return None if emb is None else emb.to_dense()
+
+    def search_entities(self, query, top_k: int,
+                        metric: Optional[str] = None,
+                        mask_rows: Optional[np.ndarray] = None
+                        ) -> List[SearchResult]:
+        q = self._validate_vec(query)
+        metric = metric or self.config.default_metric
+        with self._lock:
+            corpus = self._corpora.get("entity", {}).get(q.size)
+        if corpus is None or corpus.count() == 0:
+            return []
+        return self._device_search(corpus, q, top_k, metric, mask_rows)[0]
+
+    def entity_corpus(self, dim: int) -> Optional[_Corpus]:
+        """Expose the entity corpus for fused hybrid queries (unified)."""
+        with self._lock:
+            return self._corpora.get("entity", {}).get(dim)
+
+    # ------------------------------------------------------------------
+    # collections
+    # ------------------------------------------------------------------
+    def create_collection(self, name: str,
+                          config: Optional[VectorCollectionConfig] = None
+                          ) -> None:
+        config = config or VectorCollectionConfig()
+        config.validate()
+        with self._lock:
+            if name in self._collections:
+                raise VectorError(f"collection '{name}' already exists")
+            self._collections[name] = config
+
+    def drop_collection(self, name: str) -> bool:
+        with self._lock:
+            if name not in self._collections:
+                return False
+            del self._collections[name]
+            self._corpora.pop(f"col/{name}", None)
+        for key in self.store.scan(f"{COLLECTION_PREFIX}{name}:"):
+            self.store.delete(key)
+        return True
+
+    def list_collections(self) -> List[str]:
+        with self._lock:
+            return sorted(self._collections)
+
+    def collection_config(self, name: str) -> VectorCollectionConfig:
+        with self._lock:
+            cfg = self._collections.get(name)
+        if cfg is None:
+            raise VectorError(f"unknown collection '{name}'")
+        return cfg
+
+    def collection_stats(self, name: str) -> Dict[str, object]:
+        cfg = self.collection_config(name)
+        ns = f"col/{name}"
+        with self._lock:
+            corpora = list(self._corpora.get(ns, {}).values())
+        count = sum(c.count() for c in corpora)
+        return {"name": name, "count": count,
+                "dimension": cfg.dimension, "metric": cfg.metric,
+                "quantization": cfg.quantization}
+
+    def store_in_collection(self, name: str, key: str, embedding,
+                            metadata: Optional[Dict[str, object]] = None
+                            ) -> None:
+        cfg = self.collection_config(name)
+        vec = self._validate_vec(embedding, cfg.dimension)
+        if cfg.dimension is None:
+            with self._lock:
+                self._collections[name] = replace(cfg, dimension=vec.size)
+        data = TensorData()
+        data.set(_EMBEDDING_FIELD, TensorValue.vector(vec))
+        for n, v in (metadata or {}).items():
+            data.set(n, TensorValue.scalar(v))
+        self.store.put(f"{COLLECTION_PREFIX}{name}:{key}", data)
+
+    def delete_from_collection(self, name: str, key: str) -> bool:
+        self.collection_config(name)
+        return self.store.delete(f"{COLLECTION_PREFIX}{name}:{key}")
+
+    def search_in_collection(self, name: str, query, top_k: int,
+                             metric: Optional[str] = None
+                             ) -> List[SearchResult]:
+        cfg = self.collection_config(name)
+        return self._search_ns(
+            f"col/{name}", query, top_k, metric or cfg.metric,
+            quantization=cfg.quantization, dim_hint=cfg.dimension)
+
+    def search_filtered_in_collection(self, name: str, query, top_k: int,
+                                      filter_cond: FilterCondition,
+                                      metric: Optional[str] = None
+                                      ) -> List[SearchResult]:
+        cfg = self.collection_config(name)
+        return self._search_ns(
+            f"col/{name}", query, top_k, metric or cfg.metric, filter_cond,
+            quantization=cfg.quantization, dim_hint=cfg.dimension)
+
+    def snapshot_collection(self, name: str, path) -> int:
+        """Persist a collection's vectors+metadata to an .npz file."""
+        self.collection_config(name)
+        prefix = f"{COLLECTION_PREFIX}{name}:"
+        keys, vecs, metas = [], [], []
+        for full in self.store.scan(prefix):
+            data = self.store.get(full)
+            emb = data.get(_EMBEDDING_FIELD)
+            if emb is None:
+                continue
+            keys.append(full[len(prefix):])
+            vecs.append(emb.to_dense())
+            metas.append({n: v.value for n, v in data.fields.items()
+                          if n != _EMBEDDING_FIELD and v.kind == "scalar"})
+        import json
+
+        np.savez_compressed(
+            path, keys=np.array(keys, dtype=object),
+            vectors=np.array(vecs, dtype=np.float32) if vecs else
+            np.zeros((0, 0), np.float32),
+            metadata=json.dumps(metas))
+        return len(keys)
+
+    def load_collection_snapshot(self, name: str, path) -> int:
+        import json
+
+        if name not in self._collections:
+            self.create_collection(name)
+        blob = np.load(path, allow_pickle=True)
+        keys = blob["keys"]
+        vectors = blob["vectors"]
+        metas = json.loads(str(blob["metadata"]))
+        for key, vec, meta in zip(keys, vectors, metas):
+            self.store_in_collection(name, str(key), vec, meta or None)
+        return len(keys)
