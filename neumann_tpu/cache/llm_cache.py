@@ -1,0 +1,222 @@
+"""LLM response cache: exact O(1) -> semantic device-scan -> stats.
+
+Capability parity with tensor_cache (tensor_cache/src/lib.rs:186-226 get
+flow): layer 1 exact hash lookup; layer 2 semantic similarity over cached
+query embeddings (the reference walks an HNSW — here it's the same masked
+MXU scan as every other search); TTL expiry via a min-heap; LRU/LFU/cost
+eviction; token counting and cost-savings accounting.
+
+Embeddings come from a pluggable embedder (default: deterministic feature
+hashing — the reference similarly ships a tokenizer-based default rather
+than calling a model).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import heapq
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from neumann_tpu.engines.vector import VectorCollectionConfig, VectorEngine
+
+_SEM_COLLECTION = "_llm_cache"
+
+
+def default_embedder(text: str, dim: int = 256) -> np.ndarray:
+    """Deterministic feature-hash embedding of word 3-grams."""
+    vec = np.zeros(dim, np.float32)
+    words = text.lower().split()
+    grams = words + [" ".join(words[i:i + 3])
+                     for i in range(max(0, len(words) - 2))]
+    for g in grams:
+        h = int.from_bytes(hashlib.blake2b(
+            g.encode(), digest_size=8).digest(), "little")
+        vec[h % dim] += 1.0 if (h >> 63) else -1.0
+    n = np.linalg.norm(vec)
+    return vec / n if n > 0 else vec
+
+
+def count_tokens(text: str) -> int:
+    """Approximate BPE token count (chars/4, floor at word count)."""
+    return max(len(text) // 4, len(text.split()))
+
+
+@dataclass
+class CacheStats:
+    exact_hits: int = 0
+    semantic_hits: int = 0
+    misses: int = 0
+    insertions: int = 0
+    evictions: int = 0
+    expirations: int = 0
+    tokens_saved: int = 0
+
+    @property
+    def hits(self) -> int:
+        return self.exact_hits + self.semantic_hits
+
+    def hit_rate(self) -> float:
+        total = self.hits + self.misses
+        return self.hits / total if total else 0.0
+
+    def cost_saved_usd(self, usd_per_1k_tokens: float = 0.002) -> float:
+        return self.tokens_saved / 1000.0 * usd_per_1k_tokens
+
+
+@dataclass
+class _Entry:
+    response: str
+    created: float
+    expires: Optional[float]
+    last_access: float
+    access_count: int = 0
+    cost: float = 0.0
+
+
+class LLMCache:
+    def __init__(self, capacity: int = 10_000,
+                 default_ttl_s: Optional[float] = None,
+                 semantic_threshold: float = 0.9,
+                 eviction: str = "lru",
+                 embedder: Callable[[str], np.ndarray] = default_embedder,
+                 vector: Optional[VectorEngine] = None):
+        if eviction not in ("lru", "lfu", "cost", "hybrid"):
+            raise ValueError(f"bad eviction strategy {eviction}")
+        self.capacity = capacity
+        self.default_ttl_s = default_ttl_s
+        self.semantic_threshold = semantic_threshold
+        self.eviction = eviction
+        self.embedder = embedder
+        self._lock = threading.RLock()
+        self._exact: Dict[str, _Entry] = {}
+        self._ttl_heap: List[Tuple[float, str]] = []
+        self._vector = vector or VectorEngine()
+        self._vector.create_collection(
+            _SEM_COLLECTION, VectorCollectionConfig(metric="cosine"))
+        self.stats = CacheStats()
+
+    # ------------------------------------------------------------------
+    def _norm(self, query: str) -> str:
+        return " ".join(query.lower().split())
+
+    def _expire_due(self) -> None:
+        now = time.time()
+        while self._ttl_heap and self._ttl_heap[0][0] <= now:
+            _, key = heapq.heappop(self._ttl_heap)
+            e = self._exact.get(key)
+            if e is not None and e.expires is not None and e.expires <= now:
+                self._remove(key)
+                self.stats.expirations += 1
+
+    def _remove(self, key: str) -> None:
+        self._exact.pop(key, None)
+        self._vector.delete_from_collection(_SEM_COLLECTION, key)
+
+    def _evict_one(self) -> None:
+        if not self._exact:
+            return
+        if self.eviction == "lru":
+            victim = min(self._exact, key=lambda k:
+                         self._exact[k].last_access)
+        elif self.eviction == "lfu":
+            victim = min(self._exact, key=lambda k:
+                         self._exact[k].access_count)
+        elif self.eviction == "cost":
+            victim = min(self._exact, key=lambda k: self._exact[k].cost)
+        else:  # hybrid: recency * frequency * cost
+            now = time.time()
+            victim = min(self._exact, key=lambda k: (
+                (self._exact[k].access_count + 1)
+                * self._exact[k].cost
+                / (now - self._exact[k].last_access + 1.0)))
+        self._remove(victim)
+        self.stats.evictions += 1
+
+    # ------------------------------------------------------------------
+    def put(self, query: str, response: str,
+            ttl_s: Optional[float] = None,
+            embedding: Optional[np.ndarray] = None) -> None:
+        key = self._norm(query)
+        now = time.time()
+        ttl = ttl_s if ttl_s is not None else self.default_ttl_s
+        expires = now + ttl if ttl else None
+        with self._lock:
+            self._expire_due()
+            while len(self._exact) >= self.capacity:
+                self._evict_one()
+            self._exact[key] = _Entry(
+                response=response, created=now, expires=expires,
+                last_access=now,
+                cost=float(count_tokens(response)))
+            if expires is not None:
+                heapq.heappush(self._ttl_heap, (expires, key))
+            emb = embedding if embedding is not None else self.embedder(key)
+            self._vector.store_in_collection(_SEM_COLLECTION, key,
+                                             np.asarray(emb, np.float32))
+            self.stats.insertions += 1
+
+    def get(self, query: str,
+            threshold: Optional[float] = None) -> Optional[str]:
+        """Exact layer first, then semantic similarity layer."""
+        key = self._norm(query)
+        with self._lock:
+            self._expire_due()
+            e = self._exact.get(key)
+            if e is not None:
+                e.last_access = time.time()
+                e.access_count += 1
+                self.stats.exact_hits += 1
+                self.stats.tokens_saved += count_tokens(e.response)
+                return e.response
+            # semantic layer
+            emb = self.embedder(key)
+            results = self._vector.search_in_collection(
+                _SEM_COLLECTION, emb, 1)
+            thr = threshold if threshold is not None \
+                else self.semantic_threshold
+            if results and results[0].score >= thr:
+                hit = self._exact.get(results[0].key)
+                if hit is not None:
+                    hit.last_access = time.time()
+                    hit.access_count += 1
+                    self.stats.semantic_hits += 1
+                    self.stats.tokens_saved += count_tokens(hit.response)
+                    return hit.response
+            self.stats.misses += 1
+            return None
+
+    def get_exact(self, query: str) -> Optional[str]:
+        key = self._norm(query)
+        with self._lock:
+            self._expire_due()
+            e = self._exact.get(key)
+            if e is None:
+                self.stats.misses += 1
+                return None
+            e.last_access = time.time()
+            e.access_count += 1
+            self.stats.exact_hits += 1
+            self.stats.tokens_saved += count_tokens(e.response)
+            return e.response
+
+    def evict(self, n: int = 1) -> int:
+        with self._lock:
+            before = len(self._exact)
+            for _ in range(min(n, before)):
+                self._evict_one()
+            return before - len(self._exact)
+
+    def clear(self) -> None:
+        with self._lock:
+            for key in list(self._exact):
+                self._remove(key)
+            self._ttl_heap.clear()
+
+    def __len__(self) -> int:
+        with self._lock:
+            return len(self._exact)

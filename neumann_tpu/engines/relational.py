@@ -232,12 +232,186 @@ class _Table:
 
 
 class RelationalEngine:
+    """Optionally store-backed: with a TensorStore attached, schemas live
+    at ``_schema:{table}`` and rows at ``table:{name}:{_id}`` (the
+    reference's slab-router prefix, slab_router.rs:9-15), so WAL replay
+    and snapshots rebuild tables via the put/delete hooks."""
+
     def __init__(self, store=None):
         self.store = store
         self._tables: Dict[str, _Table] = {}
         self._lock = threading.RLock()
         self._tx_counter = 0
         self._txs: Dict[int, dict] = {}
+        self._self_write = threading.local()
+        if store is not None:
+            store.on_put(self._on_store_put)
+            store.on_delete(self._on_store_delete)
+
+    # ------------------------------------------------------------------
+    # store persistence + replay hooks
+    # ------------------------------------------------------------------
+    def _persisting(self) -> bool:
+        return getattr(self._self_write, "on", False)
+
+    class _SelfWrite:
+        def __init__(self, eng):
+            self.eng = eng
+
+        def __enter__(self):
+            self.eng._self_write.on = True
+
+        def __exit__(self, *exc):
+            self.eng._self_write.on = False
+
+    def _persist_schema(self, t: _Table) -> None:
+        if self.store is None:
+            return
+        import json
+
+        from neumann_tpu.store.tensor_store import TensorData, TensorValue
+
+        spec = {
+            "columns": [
+                {"name": c.name, "ctype": c.ctype, "nullable": c.nullable,
+                 "unique": c.unique, "primary_key": c.primary_key,
+                 "default": c.default,
+                 "references": ([c.references.table, c.references.column,
+                                 c.references.on_delete]
+                                if c.references else None)}
+                for c in t.columns],
+            "hash_indexes": sorted(t.hash_indexes),
+            "btree_indexes": sorted(t.btree_indexes),
+        }
+        td = TensorData()
+        td.set("spec", TensorValue.scalar(json.dumps(spec)))
+        with self._SelfWrite(self):
+            self.store.put(f"_schema:{t.name}", td)
+
+    def _persist_row(self, t: _Table, r: int) -> None:
+        if self.store is None:
+            return
+        from neumann_tpu.store.tensor_store import TensorData, TensorValue
+
+        td = TensorData()
+        for c in t.columns:
+            if t.nulls[c.name][r]:
+                continue
+            v = t.data[c.name][r]
+            if c.ctype == "vector":
+                td.set(c.name, TensorValue.vector(v))
+            else:
+                td.set(c.name, TensorValue.scalar(
+                    _hashable(v) if not isinstance(v, (str, bytes)) else v))
+        with self._SelfWrite(self):
+            self.store.put(f"table:{t.name}:{r}", td)
+
+    def _persist_delete(self, t: _Table, r: int) -> None:
+        if self.store is None:
+            return
+        with self._SelfWrite(self):
+            self.store.delete(f"table:{t.name}:{r}")
+
+    def _on_store_put(self, key: str, data) -> None:
+        if self._persisting():
+            return
+        if key.startswith("_schema:"):
+            import json
+
+            name = key[len("_schema:"):]
+            spec = json.loads(data.get("spec").value)
+            with self._lock:
+                if name not in self._tables:
+                    cols = []
+                    for c in spec["columns"]:
+                        fk = None
+                        if c["references"]:
+                            fk = ForeignKey(*c["references"])
+                        cols.append(Column(
+                            c["name"], c["ctype"], nullable=c["nullable"],
+                            unique=c["unique"],
+                            primary_key=c["primary_key"],
+                            default=c["default"], references=fk))
+                    self._tables[name] = _Table(name, cols)
+                t = self._tables[name]
+                for col in spec.get("hash_indexes", []):
+                    if col not in t.hash_indexes and col in t.by_name:
+                        self.create_index(name, col)
+                for col in spec.get("btree_indexes", []):
+                    if col in t.by_name:
+                        t.btree_indexes.setdefault(col, _BTreeIndex())
+        elif key.startswith("table:"):
+            rest = key[len("table:"):]
+            name, sep, rid = rest.rpartition(":")
+            if not sep:
+                return
+            with self._lock:
+                t = self._tables.get(name)
+            if t is None:
+                return
+            values = {}
+            for c in t.columns:
+                v = data.get(c.name)
+                if v is None:
+                    values[c.name] = None
+                elif c.ctype == "vector":
+                    values[c.name] = v.to_dense()
+                else:
+                    values[c.name] = v.value
+            self._apply_row(t, int(rid), values)
+
+    def _on_store_delete(self, key: str) -> None:
+        if self._persisting():
+            return
+        if key.startswith("_schema:"):
+            with self._lock:
+                self._tables.pop(key[len("_schema:"):], None)
+        elif key.startswith("table:"):
+            rest = key[len("table:"):]
+            name, sep, rid = rest.rpartition(":")
+            if not sep:
+                return
+            with self._lock:
+                t = self._tables.get(name)
+            if t is None:
+                return
+            r = int(rid)
+            with t.lock:
+                if 0 <= r < t.n and t.alive[r]:
+                    for c in t.columns:
+                        hidx = t.hash_indexes.get(c.name)
+                        if hidx is not None and not t.nulls[c.name][r]:
+                            hidx.remove(_hashable(t.data[c.name][r]), r)
+                        bidx = t.btree_indexes.get(c.name)
+                        if bidx is not None:
+                            bidx.invalidate()
+                    t.alive[r] = False
+
+    def _apply_row(self, t: _Table, r: int, values: Dict[str, object]
+                   ) -> None:
+        """Replay a row at an explicit position (WAL/snapshot path)."""
+        with t.lock:
+            t._grow(r + 1)
+            if t.alive[r]:
+                for c in t.columns:
+                    hidx = t.hash_indexes.get(c.name)
+                    if hidx is not None and not t.nulls[c.name][r]:
+                        hidx.remove(_hashable(t.data[c.name][r]), r)
+            for c in t.columns:
+                v = values.get(c.name)
+                if v is None:
+                    t.nulls[c.name][r] = True
+                else:
+                    t.nulls[c.name][r] = False
+                    t.data[c.name][r] = t.coerce(c, v)
+                    hidx = t.hash_indexes.get(c.name)
+                    if hidx is not None:
+                        hidx.add(_hashable(t.coerce(c, v)), r)
+                bidx = t.btree_indexes.get(c.name)
+                if bidx is not None:
+                    bidx.invalidate()
+            t.alive[r] = True
+            t.n = max(t.n, r + 1)
 
     # ------------------------------------------------------------------
     # DDL
@@ -251,7 +425,9 @@ class RelationalEngine:
                         c.references.table not in self._tables:
                     raise RelationalError(
                         f"FK references unknown table {c.references.table}")
-            self._tables[name] = _Table(name, columns)
+            t = _Table(name, columns)
+            self._tables[name] = t
+        self._persist_schema(t)
 
     def drop_table(self, name: str) -> bool:
         with self._lock:
@@ -264,7 +440,13 @@ class RelationalEngine:
                         raise RelationalError(
                             f"table '{name}' is referenced by "
                             f"{other.name}.{c.name}")
-            return self._tables.pop(name, None) is not None
+            t = self._tables.pop(name, None)
+        if t is not None and self.store is not None:
+            with self._SelfWrite(self):
+                self.store.delete(f"_schema:{name}")
+                for k in self.store.scan(f"table:{name}:"):
+                    self.store.delete(k)
+        return t is not None
 
     def list_tables(self) -> List[str]:
         with self._lock:
@@ -369,6 +551,7 @@ class RelationalEngine:
                 bidx.invalidate()
         t.alive[pos] = True
         t.n = pos + 1
+        self._persist_row(t, pos)
         return pos
 
     def insert_many(self, name: str, rows: Sequence[Dict[str, object]]
@@ -516,6 +699,7 @@ class RelationalEngine:
                     bidx = t.btree_indexes.get(k)
                     if bidx is not None:
                         bidx.invalidate()
+                self._persist_row(t, r)
             return len(rows)
 
     def delete(self, name: str, condition: Optional[Condition]) -> int:
@@ -569,6 +753,7 @@ class RelationalEngine:
             if bidx is not None:
                 bidx.invalidate()
         t.alive[r] = False
+        self._persist_delete(t, r)
 
     # ------------------------------------------------------------------
     # indexes
@@ -585,6 +770,7 @@ class RelationalEngine:
                 if not t.nulls[column][r]:
                     idx.add(_hashable(t.data[column][r]), int(r))
             t.hash_indexes[column] = idx
+        self._persist_schema(t)
 
     def create_btree_index(self, table: str, column: str) -> None:
         t = self._table(table)
@@ -595,6 +781,7 @@ class RelationalEngine:
                 raise RelationalError(
                     f"btree index unsupported for {t.by_name[column].ctype}")
             t.btree_indexes.setdefault(column, _BTreeIndex())
+        self._persist_schema(t)
 
     def drop_index(self, table: str, column: str) -> bool:
         t = self._table(table)

@@ -1,0 +1,400 @@
+"""AST node types for the query language.
+
+Statement variants parallel StatementKind (neumann_parser/src/ast.rs:33-143);
+conditions reuse the engine Condition tree directly so the router passes
+them straight to the engines.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+from neumann_tpu.engines.condition import Condition
+
+
+@dataclass
+class Statement:
+    """Base class; `kind` is the class name for quick dispatch."""
+
+    @property
+    def kind(self) -> str:
+        return type(self).__name__
+
+
+# === SQL ===================================================================
+
+@dataclass
+class ColumnDef(Statement):
+    name: str
+    ctype: str
+    nullable: bool = True
+    unique: bool = False
+    primary_key: bool = False
+    default: object = None
+    references: Optional[Tuple[str, str, str]] = None  # table, col, action
+
+
+@dataclass
+class CreateTable(Statement):
+    table: str
+    columns: List[ColumnDef] = field(default_factory=list)
+    if_not_exists: bool = False
+
+
+@dataclass
+class DropTable(Statement):
+    table: str
+    if_exists: bool = False
+
+
+@dataclass
+class CreateIndex(Statement):
+    table: str
+    columns: List[str] = field(default_factory=list)
+    name: Optional[str] = None
+    unique: bool = False
+    btree: bool = False
+
+
+@dataclass
+class DropIndex(Statement):
+    name: Optional[str] = None
+    table: Optional[str] = None
+    column: Optional[str] = None
+
+
+@dataclass
+class Insert(Statement):
+    table: str
+    columns: Optional[List[str]] = None
+    rows: List[List[object]] = field(default_factory=list)
+
+
+@dataclass
+class SelectItem(Statement):
+    expr: str                 # column name, * or aggregate fn name
+    agg: Optional[str] = None  # count/sum/avg/min/max
+    alias: Optional[str] = None
+
+
+@dataclass
+class JoinClause(Statement):
+    table: str
+    how: str                 # inner/left/right/full/cross/natural
+    left_col: Optional[str] = None
+    right_col: Optional[str] = None
+
+
+@dataclass
+class Select(Statement):
+    table: str
+    items: List[SelectItem] = field(default_factory=list)
+    where: Optional[Condition] = None
+    joins: List[JoinClause] = field(default_factory=list)
+    group_by: List[str] = field(default_factory=list)
+    having: Optional[Condition] = None
+    order_by: List[Tuple[str, bool]] = field(default_factory=list)
+    limit: Optional[int] = None
+    offset: int = 0
+    distinct: bool = False
+
+
+@dataclass
+class Update(Statement):
+    table: str
+    updates: Dict[str, object] = field(default_factory=dict)
+    where: Optional[Condition] = None
+
+
+@dataclass
+class Delete(Statement):
+    table: str
+    where: Optional[Condition] = None
+
+
+@dataclass
+class ShowTables(Statement):
+    pass
+
+
+@dataclass
+class Describe(Statement):
+    target: str               # "table" | "node" | "edge"
+    name: str = ""
+
+
+# === graph =================================================================
+
+@dataclass
+class NodeCreate(Statement):
+    label: str
+    properties: Dict[str, object] = field(default_factory=dict)
+
+
+@dataclass
+class NodeGet(Statement):
+    node_id: object = None
+
+
+@dataclass
+class NodeDelete(Statement):
+    node_id: object = None
+
+
+@dataclass
+class NodeList(Statement):
+    label: Optional[str] = None
+    limit: Optional[int] = None
+    offset: int = 0
+
+
+@dataclass
+class EdgeCreate(Statement):
+    src: object = None
+    dst: object = None
+    edge_type: str = ""
+    properties: Dict[str, object] = field(default_factory=dict)
+
+
+@dataclass
+class EdgeGet(Statement):
+    edge_id: object = None
+
+
+@dataclass
+class EdgeDelete(Statement):
+    edge_id: object = None
+
+
+@dataclass
+class EdgeList(Statement):
+    edge_type: Optional[str] = None
+    limit: Optional[int] = None
+    offset: int = 0
+
+
+@dataclass
+class Neighbors(Statement):
+    node_id: object = None
+    direction: str = "out"    # out/in/both
+    edge_type: Optional[str] = None
+    by_similarity: Optional[List[float]] = None
+    limit: Optional[int] = None
+
+
+@dataclass
+class Path(Statement):
+    mode: str = "shortest"    # shortest/all/weighted/variable
+    src: object = None
+    dst: object = None
+    max_depth: Optional[int] = None
+    min_depth: Optional[int] = None
+    weight: Optional[str] = None
+
+
+@dataclass
+class PageRank(Statement):
+    damping: float = 0.85
+    max_iterations: int = 20
+
+
+@dataclass
+class GraphAggregate(Statement):
+    func: str = "count"       # count/sum/avg/min/max
+    target: str = "nodes"     # nodes/edges
+    prop: Optional[str] = None
+    label: Optional[str] = None
+    where: Optional[Condition] = None
+
+
+# === vector ================================================================
+
+@dataclass
+class EmbedStore(Statement):
+    key: str = ""
+    vector: List[float] = field(default_factory=list)
+    collection: Optional[str] = None
+
+
+@dataclass
+class EmbedGet(Statement):
+    key: str = ""
+    collection: Optional[str] = None
+
+
+@dataclass
+class EmbedDelete(Statement):
+    key: str = ""
+    collection: Optional[str] = None
+
+
+@dataclass
+class EmbedBatch(Statement):
+    items: List[Tuple[str, List[float]]] = field(default_factory=list)
+    collection: Optional[str] = None
+
+
+@dataclass
+class Similar(Statement):
+    """SIMILAR key|[vec] [TOP n|LIMIT n] [METRIC m] [CONNECTED TO id]
+    [IN collection] [WHERE cond]  (ast.rs:713-726 parity)."""
+
+    query_key: Optional[str] = None
+    query_vector: Optional[List[float]] = None
+    limit: int = 10
+    metric: Optional[str] = None
+    connected_to: Optional[str] = None
+    collection: Optional[str] = None
+    where: Optional[Condition] = None
+
+
+@dataclass
+class ShowEmbeddings(Statement):
+    limit: Optional[int] = None
+
+
+@dataclass
+class CountEmbeddings(Statement):
+    pass
+
+
+@dataclass
+class ShowCollections(Statement):
+    pass
+
+
+@dataclass
+class CreateCollection(Statement):
+    name: str = ""
+    dimension: Optional[int] = None
+    metric: str = "cosine"
+    quantization: str = "none"
+
+
+@dataclass
+class DropCollection(Statement):
+    name: str = ""
+
+
+# === unified ================================================================
+
+@dataclass
+class EntityCreate(Statement):
+    key: str = ""
+    properties: Dict[str, object] = field(default_factory=dict)
+    embedding: Optional[List[float]] = None
+    update: bool = False
+
+
+@dataclass
+class EntityGet(Statement):
+    key: str = ""
+
+
+@dataclass
+class EntityDelete(Statement):
+    key: str = ""
+
+
+@dataclass
+class EntityConnect(Statement):
+    src: str = ""
+    dst: str = ""
+    edge_type: str = "related"
+
+
+@dataclass
+class Find(Statement):
+    target: str = "node"      # node/edge/rows
+    label: Optional[str] = None    # label / edge type / table
+    where: Optional[Condition] = None
+    similar_to: Optional[object] = None   # key or vector
+    connected_to: Optional[str] = None
+    limit: Optional[int] = None
+
+
+# === vault / cache / blob / checkpoint / chain / cluster ===================
+
+@dataclass
+class Vault(Statement):
+    action: str = ""          # set/get/delete/list/rotate/grant/revoke/init
+    key: Optional[str] = None
+    value: Optional[str] = None
+    entity: Optional[str] = None
+    pattern: Optional[str] = None
+
+
+@dataclass
+class Cache(Statement):
+    action: str = ""          # init/stats/clear/evict/get/put/semantic_get/semantic_put
+    key: Optional[str] = None
+    value: Optional[str] = None
+    threshold: Optional[float] = None
+    embedding: Optional[List[float]] = None
+    count: Optional[int] = None
+
+
+@dataclass
+class Blob(Statement):
+    action: str = ""          # init/put/get/delete/info/link/unlink/links/
+    #                           tag/untag/verify/gc/repair/stats/meta_set/meta_get
+    name: Optional[str] = None
+    data: Optional[str] = None
+    path: Optional[str] = None
+    content_type: Optional[str] = None
+    creator: Optional[str] = None
+    entity: Optional[str] = None
+    tag: Optional[str] = None
+    meta_key: Optional[str] = None
+    meta_value: Optional[str] = None
+    full: bool = False
+
+
+@dataclass
+class Blobs(Statement):
+    mode: str = "all"         # all/for/by_tag/where_type/similar
+    pattern: Optional[str] = None
+    entity: Optional[str] = None
+    tag: Optional[str] = None
+    content_type: Optional[str] = None
+    artifact: Optional[str] = None
+    limit: Optional[int] = None
+
+
+@dataclass
+class Checkpoint(Statement):
+    name: Optional[str] = None
+
+
+@dataclass
+class Checkpoints(Statement):
+    limit: Optional[int] = None
+
+
+@dataclass
+class Rollback(Statement):
+    target: str = ""
+
+
+@dataclass
+class Chain(Statement):
+    action: str = ""          # begin/commit/rollback/height/tip/block/verify/
+    #                           history/similar/drift
+    height: Optional[int] = None
+    key: Optional[str] = None
+    embedding: Optional[List[float]] = None
+    limit: Optional[int] = None
+    from_height: Optional[int] = None
+    to_height: Optional[int] = None
+
+
+@dataclass
+class Cluster(Statement):
+    action: str = ""          # connect/disconnect/status/nodes/leader
+    address: Optional[str] = None
+
+
+@dataclass
+class Empty(Statement):
+    pass

@@ -1,0 +1,1004 @@
+"""Recursive-descent parser for the query language.
+
+One statement per `parse()` call (semicolon-separated lists via
+`parse_many`). Keywords are case-insensitive. See
+docs/book/src/reference/query-language.md in the reference for the
+statement grammar this mirrors (parser structure itself is original).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+from neumann_tpu.engines.condition import Condition
+from neumann_tpu.lang import ast
+from neumann_tpu.lang.lexer import Token, tokenize
+from neumann_tpu.utils.errors import ParseError
+
+_TYPE_MAP = {
+    "INT": "int", "INTEGER": "int", "BIGINT": "int", "SMALLINT": "int",
+    "FLOAT": "float", "DOUBLE": "float", "REAL": "float",
+    "DECIMAL": "float", "NUMERIC": "float",
+    "VARCHAR": "text", "CHAR": "text", "TEXT": "text", "BLOB": "text",
+    "DATE": "text", "TIME": "text", "TIMESTAMP": "text",
+    "BOOLEAN": "bool", "BOOL": "bool",
+    "VECTOR": "vector",
+}
+
+_METRIC_MAP = {
+    "COSINE": "cosine", "EUCLIDEAN": "euclidean", "DOT": "dot",
+    "DOT_PRODUCT": "dot", "MANHATTAN": "manhattan",
+}
+
+
+class _Parser:
+    def __init__(self, src: str):
+        self.toks = tokenize(src)
+        self.pos = 0
+
+    # -- stream helpers ----------------------------------------------------
+    def peek(self, ahead: int = 0) -> Token:
+        return self.toks[min(self.pos + ahead, len(self.toks) - 1)]
+
+    def next(self) -> Token:
+        t = self.toks[self.pos]
+        if t.kind != "eof":
+            self.pos += 1
+        return t
+
+    def at_kw(self, *kws: str) -> bool:
+        t = self.peek()
+        return t.kind == "ident" and t.text.upper() in kws
+
+    def accept_kw(self, *kws: str) -> Optional[str]:
+        if self.at_kw(*kws):
+            return self.next().text.upper()
+        return None
+
+    def expect_kw(self, *kws: str) -> str:
+        t = self.peek()
+        if not self.at_kw(*kws):
+            raise ParseError(
+                f"expected {' or '.join(kws)}, got {t.text or 'EOF'!r}",
+                t.line, t.col)
+        return self.next().text.upper()
+
+    def at_punct(self, p: str) -> bool:
+        t = self.peek()
+        return t.kind == "punct" and t.text == p
+
+    def accept_punct(self, p: str) -> bool:
+        if self.at_punct(p):
+            self.next()
+            return True
+        return False
+
+    def expect_punct(self, p: str) -> None:
+        t = self.peek()
+        if not self.at_punct(p):
+            raise ParseError(f"expected {p!r}, got {t.text or 'EOF'!r}",
+                             t.line, t.col)
+        self.next()
+
+    def ident(self, what: str = "identifier") -> str:
+        t = self.peek()
+        if t.kind == "ident":
+            return self.next().text
+        if t.kind == "string":
+            return self.next().value
+        raise ParseError(f"expected {what}, got {t.text or 'EOF'!r}",
+                         t.line, t.col)
+
+    def string(self, what: str = "string") -> str:
+        t = self.peek()
+        if t.kind == "string":
+            return self.next().value
+        raise ParseError(f"expected {what}, got {t.text or 'EOF'!r}",
+                         t.line, t.col)
+
+    def number(self, what: str = "number"):
+        t = self.peek()
+        neg = False
+        if t.kind == "punct" and t.text == "-":
+            self.next()
+            neg = True
+            t = self.peek()
+        if t.kind == "number":
+            v = self.next().value
+            return -v if neg else v
+        raise ParseError(f"expected {what}, got {t.text or 'EOF'!r}",
+                         t.line, t.col)
+
+    def int_(self, what: str = "integer") -> int:
+        v = self.number(what)
+        if not isinstance(v, int):
+            t = self.peek()
+            raise ParseError(f"expected {what}, got float", t.line, t.col)
+        return v
+
+    # -- values --------------------------------------------------------------
+    def value(self):
+        t = self.peek()
+        if t.kind == "string":
+            return self.next().value
+        if t.kind == "number" or (t.kind == "punct" and t.text == "-"):
+            return self.number()
+        if t.kind == "punct" and t.text == "[":
+            return self.vector()
+        if t.kind == "ident":
+            up = t.text.upper()
+            if up == "TRUE":
+                self.next()
+                return True
+            if up == "FALSE":
+                self.next()
+                return False
+            if up == "NULL":
+                self.next()
+                return None
+            return self.next().text  # bare identifier as string value
+        raise ParseError(f"expected value, got {t.text or 'EOF'!r}",
+                         t.line, t.col)
+
+    def vector(self) -> List[float]:
+        self.expect_punct("[")
+        out: List[float] = []
+        if not self.at_punct("]"):
+            while True:
+                out.append(float(self.number("vector element")))
+                if not self.accept_punct(","):
+                    break
+        self.expect_punct("]")
+        return out
+
+    def property_map(self) -> Dict[str, object]:
+        self.expect_punct("{")
+        props: Dict[str, object] = {}
+        if not self.at_punct("}"):
+            while True:
+                key = self.ident("property name")
+                self.expect_punct(":")
+                props[key] = self.value()
+                if not self.accept_punct(","):
+                    break
+        self.expect_punct("}")
+        return props
+
+    # -- conditions --------------------------------------------------------
+    def condition(self) -> Condition:
+        return self._or_expr()
+
+    def _or_expr(self) -> Condition:
+        left = self._and_expr()
+        while self.accept_kw("OR"):
+            left = left.or_(self._and_expr())
+        return left
+
+    def _and_expr(self) -> Condition:
+        left = self._not_expr()
+        while self.accept_kw("AND"):
+            left = left.and_(self._not_expr())
+        return left
+
+    def _not_expr(self) -> Condition:
+        if self.accept_kw("NOT"):
+            return self._not_expr().not_()
+        return self._primary_cond()
+
+    def _primary_cond(self) -> Condition:
+        if self.accept_punct("("):
+            c = self._or_expr()
+            self.expect_punct(")")
+            return c
+        t = self.peek()
+        col = self.ident("column name")
+        # dotted names (table.col)
+        while self.at_punct("."):
+            self.next()
+            col = f"{col}.{self.ident('column name')}"
+        if self.accept_kw("IS"):
+            if self.accept_kw("NOT"):
+                self.expect_kw("NULL")
+                return Condition.is_not_null(col)
+            self.expect_kw("NULL")
+            return Condition.is_null(col)
+        if self.accept_kw("IN"):
+            self.expect_punct("(")
+            vals = [self.value()]
+            while self.accept_punct(","):
+                vals.append(self.value())
+            self.expect_punct(")")
+            return Condition.in_(col, vals)
+        if self.accept_kw("LIKE"):
+            return Condition.like(col, self.string("LIKE pattern"))
+        if self.accept_kw("BETWEEN"):
+            lo = self.value()
+            self.expect_kw("AND")
+            hi = self.value()
+            return Condition.cmp(col, ">=", lo).and_(
+                Condition.cmp(col, "<=", hi))
+        op_tok = self.peek()
+        if op_tok.kind != "punct" or op_tok.text not in (
+                "=", "!=", "<>", "<", "<=", ">", ">="):
+            raise ParseError(
+                f"expected comparison after {col!r}, got "
+                f"{op_tok.text or 'EOF'!r}", op_tok.line, op_tok.col)
+        op = self.next().text
+        return Condition.cmp(col, op, self.value())
+
+    # ======================================================================
+    # statements
+    # ======================================================================
+    def statement(self) -> ast.Statement:
+        t = self.peek()
+        if t.kind == "eof" or self.at_punct(";"):
+            return ast.Empty()
+        if t.kind != "ident":
+            raise ParseError(f"expected statement, got {t.text!r}",
+                             t.line, t.col)
+        kw = t.text.upper()
+        handler = getattr(self, f"_stmt_{kw.lower()}", None)
+        if handler is None:
+            raise ParseError(f"unknown statement {t.text!r}", t.line, t.col)
+        self.next()
+        return handler()
+
+    # -- SQL ----------------------------------------------------------------
+    def _stmt_select(self) -> ast.Statement:
+        distinct = bool(self.accept_kw("DISTINCT"))
+        items: List[ast.SelectItem] = []
+        while True:
+            items.append(self._select_item())
+            if not self.accept_punct(","):
+                break
+        self.expect_kw("FROM")
+        table = self.ident("table name")
+        joins: List[ast.JoinClause] = []
+        while self.at_kw("JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS",
+                         "NATURAL"):
+            joins.append(self._join_clause())
+        where = self.condition() if self.accept_kw("WHERE") else None
+        group_by: List[str] = []
+        having = None
+        if self.accept_kw("GROUP"):
+            self.expect_kw("BY")
+            group_by.append(self.ident())
+            while self.accept_punct(","):
+                group_by.append(self.ident())
+            if self.accept_kw("HAVING"):
+                having = self.condition()
+        order_by: List[Tuple[str, bool]] = []
+        if self.accept_kw("ORDER"):
+            self.expect_kw("BY")
+            while True:
+                col = self.ident()
+                desc = False
+                if self.accept_kw("DESC"):
+                    desc = True
+                else:
+                    self.accept_kw("ASC")
+                order_by.append((col, desc))
+                if not self.accept_punct(","):
+                    break
+        limit = self.int_() if self.accept_kw("LIMIT") else None
+        offset = self.int_() if self.accept_kw("OFFSET") else 0
+        return ast.Select(table=table, items=items, where=where,
+                          joins=joins, group_by=group_by, having=having,
+                          order_by=order_by, limit=limit, offset=offset,
+                          distinct=distinct)
+
+    def _select_item(self) -> ast.SelectItem:
+        if self.at_punct("*"):
+            self.next()
+            return ast.SelectItem("*")
+        t = self.peek()
+        name = self.ident("column or function")
+        up = name.upper()
+        if up in ("COUNT", "SUM", "AVG", "MIN", "MAX") and self.at_punct("("):
+            self.next()
+            if self.at_punct("*"):
+                self.next()
+                arg = "*"
+            else:
+                arg = self.ident()
+            self.expect_punct(")")
+            alias = self.ident() if self.accept_kw("AS") else None
+            return ast.SelectItem(arg, agg=up.lower(), alias=alias)
+        while self.at_punct("."):
+            self.next()
+            name = f"{name}.{self.ident()}"
+        alias = self.ident() if self.accept_kw("AS") else None
+        return ast.SelectItem(name, alias=alias)
+
+    def _join_clause(self) -> ast.JoinClause:
+        how = "inner"
+        if self.accept_kw("INNER"):
+            how = "inner"
+        elif self.accept_kw("LEFT"):
+            how = "left"
+            self.accept_kw("OUTER")
+        elif self.accept_kw("RIGHT"):
+            how = "right"
+            self.accept_kw("OUTER")
+        elif self.accept_kw("FULL"):
+            how = "full"
+            self.accept_kw("OUTER")
+        elif self.accept_kw("CROSS"):
+            how = "cross"
+        elif self.accept_kw("NATURAL"):
+            how = "natural"
+        self.expect_kw("JOIN")
+        table = self.ident("table name")
+        left_col = right_col = None
+        if how not in ("cross", "natural"):
+            self.expect_kw("ON")
+            a = self._qualified()
+            self.expect_punct("=")
+            b = self._qualified()
+            left_col, right_col = a[1], b[1]
+            # normalize sides: (left_table.col = right_table.col)
+            if a[0] == table:
+                left_col, right_col = b[1], a[1]
+        return ast.JoinClause(table=table, how=how, left_col=left_col,
+                              right_col=right_col)
+
+    def _qualified(self) -> Tuple[Optional[str], str]:
+        name = self.ident()
+        if self.accept_punct("."):
+            return name, self.ident()
+        return None, name
+
+    def _stmt_insert(self) -> ast.Statement:
+        self.expect_kw("INTO")
+        table = self.ident("table name")
+        columns = None
+        if self.accept_punct("("):
+            columns = [self.ident()]
+            while self.accept_punct(","):
+                columns.append(self.ident())
+            self.expect_punct(")")
+        self.expect_kw("VALUES")
+        rows: List[List[object]] = []
+        while True:
+            self.expect_punct("(")
+            row = [self.value()]
+            while self.accept_punct(","):
+                row.append(self.value())
+            self.expect_punct(")")
+            rows.append(row)
+            if not self.accept_punct(","):
+                break
+        return ast.Insert(table=table, columns=columns, rows=rows)
+
+    def _stmt_update(self) -> ast.Statement:
+        table = self.ident("table name")
+        self.expect_kw("SET")
+        updates: Dict[str, object] = {}
+        while True:
+            col = self.ident()
+            self.expect_punct("=")
+            updates[col] = self.value()
+            if not self.accept_punct(","):
+                break
+        where = self.condition() if self.accept_kw("WHERE") else None
+        return ast.Update(table=table, updates=updates, where=where)
+
+    def _stmt_delete(self) -> ast.Statement:
+        self.expect_kw("FROM")
+        table = self.ident("table name")
+        where = self.condition() if self.accept_kw("WHERE") else None
+        return ast.Delete(table=table, where=where)
+
+    def _stmt_create(self) -> ast.Statement:
+        if self.accept_kw("TABLE"):
+            return self._create_table()
+        if self.accept_kw("UNIQUE"):
+            self.expect_kw("INDEX")
+            return self._create_index(unique=True)
+        if self.accept_kw("INDEX"):
+            return self._create_index(unique=False)
+        if self.accept_kw("BTREE"):
+            self.expect_kw("INDEX")
+            return self._create_index(unique=False, btree=True)
+        if self.accept_kw("COLLECTION"):
+            return self._create_collection()
+        t = self.peek()
+        raise ParseError("expected TABLE, INDEX or COLLECTION after CREATE",
+                         t.line, t.col)
+
+    def _create_table(self) -> ast.Statement:
+        if_not_exists = False
+        if self.accept_kw("IF"):
+            self.expect_kw("NOT")
+            self.expect_kw("EXISTS")
+            if_not_exists = True
+        table = self.ident("table name")
+        self.expect_punct("(")
+        cols: List[ast.ColumnDef] = []
+        while True:
+            cols.append(self._column_def())
+            if not self.accept_punct(","):
+                break
+        self.expect_punct(")")
+        return ast.CreateTable(table=table, columns=cols,
+                               if_not_exists=if_not_exists)
+
+    def _column_def(self) -> ast.ColumnDef:
+        name = self.ident("column name")
+        t = self.peek()
+        type_kw = self.ident("column type").upper()
+        if type_kw not in _TYPE_MAP:
+            raise ParseError(f"unknown column type {type_kw}",
+                             t.line, t.col)
+        if self.accept_punct("("):  # VARCHAR(255), DECIMAL(10,2)
+            self.number()
+            if self.accept_punct(","):
+                self.number()
+            self.expect_punct(")")
+        col = ast.ColumnDef(name=name, ctype=_TYPE_MAP[type_kw])
+        while True:
+            if self.accept_kw("NOT"):
+                self.expect_kw("NULL")
+                col.nullable = False
+            elif self.accept_kw("NULL"):
+                col.nullable = True
+            elif self.accept_kw("UNIQUE"):
+                col.unique = True
+            elif self.accept_kw("PRIMARY"):
+                self.expect_kw("KEY")
+                col.primary_key = True
+                col.nullable = False
+            elif self.accept_kw("DEFAULT"):
+                col.default = self.value()
+            elif self.accept_kw("REFERENCES"):
+                rtable = self.ident("referenced table")
+                self.expect_punct("(")
+                rcol = self.ident("referenced column")
+                self.expect_punct(")")
+                action = "restrict"
+                if self.accept_kw("ON"):
+                    self.expect_kw("DELETE")
+                    if self.accept_kw("CASCADE"):
+                        action = "cascade"
+                    elif self.accept_kw("RESTRICT"):
+                        action = "restrict"
+                    elif self.accept_kw("SET"):
+                        self.expect_kw("NULL")
+                        action = "set_null"
+                    elif self.accept_kw("NO"):
+                        self.expect_kw("ACTION")
+                        action = "restrict"
+                col.references = (rtable, rcol, action)
+            else:
+                break
+        return col
+
+    def _create_index(self, unique: bool, btree: bool = False
+                      ) -> ast.Statement:
+        name = None
+        if not self.at_kw("ON"):
+            name = self.ident("index name")
+        self.expect_kw("ON")
+        table = self.ident("table name")
+        self.expect_punct("(")
+        columns = [self.ident()]
+        while self.accept_punct(","):
+            columns.append(self.ident())
+        self.expect_punct(")")
+        return ast.CreateIndex(table=table, columns=columns, name=name,
+                               unique=unique, btree=btree)
+
+    def _create_collection(self) -> ast.Statement:
+        name = self.ident("collection name")
+        stmt = ast.CreateCollection(name=name)
+        while True:
+            if self.accept_kw("DIMENSION", "DIM"):
+                stmt.dimension = self.int_()
+            elif self.accept_kw("METRIC"):
+                m = self.ident().upper()
+                stmt.metric = _METRIC_MAP.get(m, m.lower())
+            elif self.accept_kw("QUANTIZATION", "QUANT"):
+                stmt.quantization = self.ident().lower()
+            else:
+                break
+        return stmt
+
+    def _stmt_drop(self) -> ast.Statement:
+        if self.accept_kw("TABLE"):
+            if_exists = False
+            if self.accept_kw("IF"):
+                self.expect_kw("EXISTS")
+                if_exists = True
+            table = self.ident("table name")
+            self.accept_kw("CASCADE")
+            return ast.DropTable(table=table, if_exists=if_exists)
+        if self.accept_kw("INDEX"):
+            if self.accept_kw("ON"):
+                table = self.ident()
+                self.expect_punct("(")
+                column = self.ident()
+                self.expect_punct(")")
+                return ast.DropIndex(table=table, column=column)
+            return ast.DropIndex(name=self.ident("index name"))
+        if self.accept_kw("COLLECTION"):
+            return ast.DropCollection(name=self.ident("collection name"))
+        t = self.peek()
+        raise ParseError("expected TABLE, INDEX or COLLECTION after DROP",
+                         t.line, t.col)
+
+    def _stmt_show(self) -> ast.Statement:
+        if self.accept_kw("TABLES"):
+            return ast.ShowTables()
+        if self.accept_kw("EMBEDDINGS"):
+            limit = self.int_() if self.accept_kw("LIMIT") else None
+            return ast.ShowEmbeddings(limit=limit)
+        if self.accept_kw("COLLECTIONS"):
+            return ast.ShowCollections()
+        if self.accept_kw("VECTOR"):
+            self.expect_kw("INDEX")
+            return ast.ShowCollections()
+        t = self.peek()
+        raise ParseError("expected TABLES, EMBEDDINGS or COLLECTIONS",
+                         t.line, t.col)
+
+    def _stmt_describe(self) -> ast.Statement:
+        target = "table"
+        if self.accept_kw("TABLE"):
+            target = "table"
+        elif self.accept_kw("NODE"):
+            target = "node"
+        elif self.accept_kw("EDGE"):
+            target = "edge"
+        return ast.Describe(target=target, name=self.ident("name"))
+
+    def _stmt_count(self) -> ast.Statement:
+        self.expect_kw("EMBEDDINGS")
+        return ast.CountEmbeddings()
+
+    # -- graph ----------------------------------------------------------------
+    def _stmt_node(self) -> ast.Statement:
+        act = self.expect_kw("CREATE", "GET", "DELETE", "LIST")
+        if act == "CREATE":
+            label = self.ident("node label")
+            props = self.property_map() if self.at_punct("{") else {}
+            return ast.NodeCreate(label=label, properties=props)
+        if act == "GET":
+            return ast.NodeGet(node_id=self.value())
+        if act == "DELETE":
+            return ast.NodeDelete(node_id=self.value())
+        label = None
+        if self.peek().kind in ("ident", "string") and \
+                not self.at_kw("LIMIT", "OFFSET"):
+            label = self.ident()
+        limit = self.int_() if self.accept_kw("LIMIT") else None
+        offset = self.int_() if self.accept_kw("OFFSET") else 0
+        return ast.NodeList(label=label, limit=limit, offset=offset)
+
+    def _stmt_edge(self) -> ast.Statement:
+        act = self.expect_kw("CREATE", "GET", "DELETE", "LIST")
+        if act == "CREATE":
+            src = self.value()
+            self.expect_punct("->")
+            dst = self.value()
+            if self.accept_punct(":"):
+                etype = self.ident("edge type")
+            else:
+                etype = self.ident("edge type")
+            props = self.property_map() if self.at_punct("{") else {}
+            return ast.EdgeCreate(src=src, dst=dst, edge_type=etype,
+                                  properties=props)
+        if act == "GET":
+            return ast.EdgeGet(edge_id=self.value())
+        if act == "DELETE":
+            return ast.EdgeDelete(edge_id=self.value())
+        etype = None
+        if self.peek().kind in ("ident", "string") and \
+                not self.at_kw("LIMIT", "OFFSET"):
+            etype = self.ident()
+        limit = self.int_() if self.accept_kw("LIMIT") else None
+        offset = self.int_() if self.accept_kw("OFFSET") else 0
+        return ast.EdgeList(edge_type=etype, limit=limit, offset=offset)
+
+    def _stmt_neighbors(self) -> ast.Statement:
+        node_id = self.value()
+        stmt = ast.Neighbors(node_id=node_id)
+        if self.accept_kw("OUTGOING", "OUT"):
+            stmt.direction = "out"
+        elif self.accept_kw("INCOMING", "IN"):
+            stmt.direction = "in"
+        elif self.accept_kw("BOTH"):
+            stmt.direction = "both"
+        if self.accept_punct(":"):
+            stmt.edge_type = self.ident("edge type")
+        if self.accept_kw("BY"):
+            self.expect_kw("SIMILARITY")
+            if self.at_punct("["):
+                stmt.by_similarity = self.vector()
+            else:
+                stmt.by_similarity = []  # use node's own embedding
+        if self.accept_kw("LIMIT"):
+            stmt.limit = self.int_()
+        return stmt
+
+    def _stmt_path(self) -> ast.Statement:
+        mode = "shortest"
+        if self.accept_kw("SHORTEST"):
+            mode = "shortest"
+        elif self.accept_kw("ALL"):
+            mode = "all"
+        elif self.accept_kw("WEIGHTED"):
+            mode = "weighted"
+        elif self.accept_kw("ALL_WEIGHTED"):
+            mode = "weighted"
+        elif self.accept_kw("VARIABLE"):
+            mode = "variable"
+        src = self.value()
+        self.expect_kw("TO")
+        dst = self.value()
+        stmt = ast.Path(mode=mode, src=src, dst=dst)
+        while True:
+            if self.accept_kw("MAX_DEPTH"):
+                stmt.max_depth = self.int_()
+            elif self.accept_kw("MIN_DEPTH"):
+                stmt.min_depth = self.int_()
+            elif self.accept_kw("WEIGHT"):
+                stmt.weight = self.ident("weight property")
+            else:
+                break
+        return stmt
+
+    def _stmt_pagerank(self) -> ast.Statement:
+        stmt = ast.PageRank()
+        while True:
+            if self.accept_kw("DAMPING"):
+                stmt.damping = float(self.number())
+            elif self.accept_kw("MAX_ITERATIONS"):
+                stmt.max_iterations = self.int_()
+            elif self.accept_kw("TOLERANCE"):
+                self.number()  # accepted, fixed-iteration kernel
+            else:
+                break
+        return stmt
+
+    def _stmt_graph(self) -> ast.Statement:
+        self.expect_kw("AGGREGATE")
+        func = self.expect_kw("COUNT", "SUM", "AVG", "MIN", "MAX").lower()
+        stmt = ast.GraphAggregate(func=func)
+        target = self.expect_kw("NODES", "EDGES", "NODE", "EDGE")
+        if target in ("NODES", "EDGES"):
+            stmt.target = target.lower()
+            if self.peek().kind in ("ident", "string") and \
+                    not self.at_kw("WHERE"):
+                stmt.label = self.ident()
+        else:
+            stmt.target = target.lower() + "s"
+            stmt.prop = self.ident("property")
+            if self.peek().kind in ("ident", "string") and \
+                    not self.at_kw("WHERE"):
+                stmt.label = self.ident()
+        if self.accept_kw("WHERE"):
+            stmt.where = self.condition()
+        return stmt
+
+    # -- vector ---------------------------------------------------------------
+    def _stmt_embed(self) -> ast.Statement:
+        if self.accept_kw("STORE"):
+            key = self.string("embedding key")
+            vec = self.vector()
+            coll = self.ident() if self.accept_kw("IN") else None
+            return ast.EmbedStore(key=key, vector=vec, collection=coll)
+        if self.accept_kw("GET"):
+            key = self.string("embedding key")
+            coll = self.ident() if self.accept_kw("IN") else None
+            return ast.EmbedGet(key=key, collection=coll)
+        if self.accept_kw("DELETE"):
+            key = self.string("embedding key")
+            coll = self.ident() if self.accept_kw("IN") else None
+            return ast.EmbedDelete(key=key, collection=coll)
+        if self.accept_kw("BATCH"):
+            self.expect_punct("[")
+            items = []
+            while not self.at_punct("]"):
+                self.expect_punct("(")
+                key = self.string("key")
+                self.expect_punct(",")
+                vec = self.vector()
+                self.expect_punct(")")
+                items.append((key, vec))
+                if not self.accept_punct(","):
+                    break
+            self.expect_punct("]")
+            coll = self.ident() if self.accept_kw("IN") else None
+            return ast.EmbedBatch(items=items, collection=coll)
+        if self.accept_kw("BUILD"):
+            self.expect_kw("INDEX")
+            coll = self.ident() if self.accept_kw("IN") else None
+            return ast.Empty()  # exact scan needs no index build
+        # bare EMBED 'key' [vec] (README short form)
+        key = self.string("embedding key")
+        vec = self.vector()
+        coll = self.ident() if self.accept_kw("IN") else None
+        return ast.EmbedStore(key=key, vector=vec, collection=coll)
+
+    def _stmt_similar(self) -> ast.Statement:
+        stmt = ast.Similar()
+        if self.at_punct("["):
+            stmt.query_vector = self.vector()
+        else:
+            stmt.query_key = self.string("key or [vector]")
+        while True:
+            if self.accept_kw("TOP", "LIMIT"):
+                stmt.limit = self.int_()
+            elif self.accept_kw("METRIC"):
+                m = self.ident("metric").upper()
+                if m not in _METRIC_MAP:
+                    t = self.peek()
+                    raise ParseError(f"unknown metric {m}", t.line, t.col)
+                stmt.metric = _METRIC_MAP[m]
+            elif self.accept_kw("CONNECTED"):
+                self.expect_kw("TO")
+                stmt.connected_to = self.string("entity key")
+            elif self.accept_kw("IN"):
+                stmt.collection = self.ident("collection")
+            elif self.accept_kw("WHERE"):
+                stmt.where = self.condition()
+            else:
+                break
+        return stmt
+
+    # -- unified ---------------------------------------------------------------
+    def _stmt_entity(self) -> ast.Statement:
+        act = self.expect_kw("CREATE", "GET", "UPDATE", "DELETE", "CONNECT")
+        if act in ("CREATE", "UPDATE"):
+            key = self.string("entity key")
+            props = self.property_map() if self.at_punct("{") else {}
+            emb = None
+            if self.accept_kw("EMBEDDING"):
+                emb = self.vector()
+            return ast.EntityCreate(key=key, properties=props,
+                                    embedding=emb, update=(act == "UPDATE"))
+        if act == "GET":
+            return ast.EntityGet(key=self.string("entity key"))
+        if act == "DELETE":
+            return ast.EntityDelete(key=self.string("entity key"))
+        src = self.string("entity key")
+        self.expect_punct("->")
+        dst = self.string("entity key")
+        etype = "related"
+        if self.accept_punct(":"):
+            etype = self.ident("edge type")
+        return ast.EntityConnect(src=src, dst=dst, edge_type=etype)
+
+    def _stmt_find(self) -> ast.Statement:
+        stmt = ast.Find()
+        target = self.expect_kw("NODE", "EDGE", "ROWS", "ENTITY")
+        stmt.target = target.lower()
+        if target == "ROWS":
+            self.expect_kw("FROM")
+            stmt.label = self.ident("table name")
+        elif self.peek().kind in ("ident", "string") and not self.at_kw(
+                "WHERE", "SIMILAR", "CONNECTED", "LIMIT"):
+            stmt.label = self.ident()
+        while True:
+            if self.accept_kw("WHERE"):
+                stmt.where = self.condition()
+            elif self.accept_kw("SIMILAR"):
+                self.expect_kw("TO")
+                if self.at_punct("["):
+                    stmt.similar_to = self.vector()
+                else:
+                    stmt.similar_to = self.string("key")
+            elif self.accept_kw("CONNECTED"):
+                self.expect_kw("TO")
+                stmt.connected_to = self.string("key")
+            elif self.accept_kw("LIMIT"):
+                stmt.limit = self.int_()
+            else:
+                break
+        return stmt
+
+    # -- vault / cache / blob ----------------------------------------------------
+    def _stmt_vault(self) -> ast.Statement:
+        act = self.expect_kw("INIT", "SET", "GET", "DELETE", "LIST",
+                             "ROTATE", "GRANT", "REVOKE")
+        stmt = ast.Vault(action=act.lower())
+        if act == "SET" or act == "ROTATE":
+            stmt.key = self.string("secret key")
+            stmt.value = self.string("secret value")
+        elif act in ("GET", "DELETE"):
+            stmt.key = self.string("secret key")
+        elif act == "LIST":
+            if self.peek().kind == "string":
+                stmt.pattern = self.string()
+        elif act in ("GRANT", "REVOKE"):
+            stmt.entity = self.string("entity")
+            self.expect_kw("ON")
+            stmt.key = self.string("secret key")
+        return stmt
+
+    def _stmt_cache(self) -> ast.Statement:
+        if self.accept_kw("INIT"):
+            return ast.Cache(action="init")
+        if self.accept_kw("STATS"):
+            return ast.Cache(action="stats")
+        if self.accept_kw("CLEAR"):
+            return ast.Cache(action="clear")
+        if self.accept_kw("EVICT"):
+            count = None
+            if self.peek().kind == "number":
+                count = self.int_()
+            return ast.Cache(action="evict", count=count)
+        if self.accept_kw("GET"):
+            return ast.Cache(action="get", key=self.string("cache key"))
+        if self.accept_kw("PUT"):
+            return ast.Cache(action="put", key=self.string("cache key"),
+                             value=self.string("cache value"))
+        self.expect_kw("SEMANTIC")
+        act = self.expect_kw("GET", "PUT")
+        if act == "GET":
+            stmt = ast.Cache(action="semantic_get",
+                             key=self.string("query"))
+            if self.accept_kw("THRESHOLD"):
+                stmt.threshold = float(self.number())
+            return stmt
+        stmt = ast.Cache(action="semantic_put", key=self.string("query"),
+                         value=self.string("response"))
+        if self.accept_kw("EMBEDDING"):
+            stmt.embedding = self.vector()
+        return stmt
+
+    def _stmt_blob(self) -> ast.Statement:
+        act = self.expect_kw(
+            "INIT", "PUT", "GET", "DELETE", "INFO", "LINK", "UNLINK",
+            "LINKS", "TAG", "UNTAG", "VERIFY", "GC", "REPAIR", "STATS",
+            "META")
+        stmt = ast.Blob(action=act.lower())
+        if act == "PUT":
+            stmt.name = self.string("filename")
+            while True:
+                if self.accept_kw("DATA"):
+                    stmt.data = self.string("data")
+                elif self.accept_kw("FROM"):
+                    stmt.path = self.string("path")
+                elif self.accept_kw("TYPE"):
+                    stmt.content_type = self.string("content type")
+                elif self.accept_kw("BY"):
+                    stmt.creator = self.string("creator")
+                elif self.accept_kw("LINK"):
+                    stmt.entity = self.string("entity")
+                elif self.accept_kw("TAG"):
+                    stmt.tag = self.string("tag")
+                else:
+                    break
+        elif act == "GET":
+            stmt.name = self.string("artifact id")
+            if self.accept_kw("TO"):
+                stmt.path = self.string("path")
+        elif act in ("DELETE", "INFO", "LINKS", "VERIFY"):
+            stmt.name = self.string("artifact id")
+        elif act == "LINK":
+            stmt.name = self.string("artifact id")
+            self.expect_kw("TO")
+            stmt.entity = self.string("entity")
+        elif act == "UNLINK":
+            stmt.name = self.string("artifact id")
+            self.expect_kw("FROM")
+            stmt.entity = self.string("entity")
+        elif act in ("TAG", "UNTAG"):
+            stmt.name = self.string("artifact id")
+            stmt.tag = self.string("tag")
+        elif act == "GC":
+            stmt.full = bool(self.accept_kw("FULL"))
+        elif act == "META":
+            sub = self.expect_kw("SET", "GET")
+            stmt.action = f"meta_{sub.lower()}"
+            stmt.name = self.string("artifact id")
+            stmt.meta_key = self.string("meta key")
+            if sub == "SET":
+                stmt.meta_value = self.string("meta value")
+        return stmt
+
+    def _stmt_blobs(self) -> ast.Statement:
+        if self.accept_kw("FOR"):
+            return ast.Blobs(mode="for", entity=self.string("entity"))
+        if self.accept_kw("BY"):
+            self.expect_kw("TAG")
+            return ast.Blobs(mode="by_tag", tag=self.string("tag"))
+        if self.accept_kw("WHERE"):
+            self.expect_kw("TYPE")
+            self.expect_punct("=")
+            return ast.Blobs(mode="where_type",
+                             content_type=self.string("content type"))
+        if self.accept_kw("SIMILAR"):
+            self.expect_kw("TO")
+            stmt = ast.Blobs(mode="similar",
+                             artifact=self.string("artifact id"))
+            if self.accept_kw("LIMIT"):
+                stmt.limit = self.int_()
+            return stmt
+        stmt = ast.Blobs(mode="all")
+        if self.peek().kind == "string":
+            stmt.pattern = self.string()
+        return stmt
+
+    # -- checkpoint / chain / cluster ---------------------------------------------
+    def _stmt_checkpoint(self) -> ast.Statement:
+        name = None
+        if self.peek().kind == "string":
+            name = self.string()
+        return ast.Checkpoint(name=name)
+
+    def _stmt_checkpoints(self) -> ast.Statement:
+        limit = self.int_() if self.accept_kw("LIMIT") else None
+        return ast.Checkpoints(limit=limit)
+
+    def _stmt_rollback(self) -> ast.Statement:
+        if self.accept_kw("CHAIN"):
+            self.expect_kw("TO")
+            return ast.Chain(action="rollback", height=self.int_())
+        self.expect_kw("TO")
+        return ast.Rollback(target=self.string("checkpoint"))
+
+    def _stmt_begin(self) -> ast.Statement:
+        self.expect_kw("CHAIN")
+        self.expect_kw("TRANSACTION")
+        return ast.Chain(action="begin")
+
+    def _stmt_commit(self) -> ast.Statement:
+        self.expect_kw("CHAIN")
+        return ast.Chain(action="commit")
+
+    def _stmt_chain(self) -> ast.Statement:
+        act = self.expect_kw("HEIGHT", "TIP", "BLOCK", "VERIFY", "HISTORY",
+                             "SIMILAR", "DRIFT")
+        stmt = ast.Chain(action=act.lower())
+        if act == "BLOCK":
+            stmt.height = self.int_()
+        elif act == "HISTORY":
+            stmt.key = self.string("key")
+        elif act == "SIMILAR":
+            stmt.embedding = self.vector()
+            if self.accept_kw("LIMIT"):
+                stmt.limit = self.int_()
+        elif act == "DRIFT":
+            self.expect_kw("FROM")
+            stmt.from_height = self.int_()
+            self.expect_kw("TO")
+            stmt.to_height = self.int_()
+        return stmt
+
+    def _stmt_cluster(self) -> ast.Statement:
+        act = self.expect_kw("CONNECT", "DISCONNECT", "STATUS", "NODES",
+                             "LEADER")
+        stmt = ast.Cluster(action=act.lower())
+        if act == "CONNECT":
+            stmt.address = self.string("address")
+        return stmt
+
+
+def parse(src: str) -> ast.Statement:
+    """Parse a single statement (trailing semicolon allowed)."""
+    p = _Parser(src)
+    stmt = p.statement()
+    while p.accept_punct(";"):
+        pass
+    t = p.peek()
+    if t.kind != "eof":
+        raise ParseError(f"unexpected trailing input {t.text!r}",
+                         t.line, t.col)
+    return stmt
+
+
+def parse_many(src: str) -> List[ast.Statement]:
+    """Parse a semicolon-separated list of statements."""
+    p = _Parser(src)
+    out: List[ast.Statement] = []
+    while p.peek().kind != "eof":
+        while p.accept_punct(";"):
+            pass
+        if p.peek().kind == "eof":
+            break
+        out.append(p.statement())
+        while p.accept_punct(";"):
+            pass
+    return out

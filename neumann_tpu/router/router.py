@@ -1,0 +1,872 @@
+"""QueryRouter: executes statements against the engines.
+
+Capability parity with query_router (query_router/src/lib.rs): execute()
+parses and dispatches (the reference fast-paths on the first keyword then
+falls back to a full parse — here parsing is cheap enough to always parse);
+exec_similar handles metric/filter/collection/CONNECTED TO; FIND routes to
+the unified engine; VAULT/CACHE/BLOB/CHECKPOINT statements hit the extended
+modules; destructive statements trigger auto-checkpoints when a checkpoint
+manager is attached; cursor-style pagination via execute_paginated.
+"""
+
+from __future__ import annotations
+
+import itertools
+import threading
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from neumann_tpu.engines.condition import Condition
+from neumann_tpu.engines.graph import GraphEngine
+from neumann_tpu.engines.relational import (
+    Column,
+    ForeignKey,
+    RelationalEngine,
+)
+from neumann_tpu.engines.unified import UnifiedEngine
+from neumann_tpu.engines.vector import (
+    FilterCondition,
+    VectorCollectionConfig,
+    VectorEngine,
+)
+from neumann_tpu.lang import ast
+from neumann_tpu.lang.parser import parse
+from neumann_tpu.store.tensor_store import TensorStore
+from neumann_tpu.utils.errors import NeumannError, VectorError
+
+
+@dataclass
+class QueryResult:
+    """Tagged result, mirroring the reference's QueryResult enum."""
+
+    kind: str                      # rows/count/message/similar/value/...
+    message: str = ""
+    rows: List[dict] = field(default_factory=list)
+    count: Optional[int] = None
+    results: List[dict] = field(default_factory=list)   # similar hits
+    value: object = None
+
+    @staticmethod
+    def msg(text: str) -> "QueryResult":
+        return QueryResult("message", message=text)
+
+    @staticmethod
+    def of_rows(rows: List[dict]) -> "QueryResult":
+        return QueryResult("rows", rows=rows, count=len(rows))
+
+    @staticmethod
+    def of_count(n: int) -> "QueryResult":
+        return QueryResult("count", count=n)
+
+    @staticmethod
+    def of_value(v) -> "QueryResult":
+        return QueryResult("value", value=v)
+
+
+def _filter_from_condition(cond: Condition) -> FilterCondition:
+    """Condition tree -> vector-engine metadata filter."""
+    op = cond.op
+    F = FilterCondition
+    if op == "true":
+        return F.true()
+    if op == "and":
+        return _filter_from_condition(cond.left).and_(
+            _filter_from_condition(cond.right))
+    if op == "or":
+        return _filter_from_condition(cond.left).or_(
+            _filter_from_condition(cond.right))
+    if op == "not":
+        raise VectorError("NOT is not supported in SIMILAR WHERE filters")
+    mapping = {"=": F.eq, "!=": F.ne, "<": F.lt, "<=": F.le,
+               ">": F.gt, ">=": F.ge}
+    if op in mapping:
+        return mapping[op](cond.column, cond.value)
+    if op == "in":
+        return F.in_(cond.column, cond.value)
+    if op == "like":
+        pat = cond.value
+        if pat.endswith("%") and "%" not in pat[:-1] and "_" not in pat:
+            return F.starts_with(cond.column, pat[:-1])
+        raise VectorError("only 'prefix%' LIKE is supported in filters")
+    if op == "is_not_null":
+        return F.exists(cond.column)
+    raise VectorError(f"unsupported filter op {op}")
+
+
+class QueryRouter:
+    def __init__(self, store: Optional[TensorStore] = None,
+                 data_dir: Optional[str] = None):
+        self.store = store if store is not None else TensorStore()
+        self.relational = RelationalEngine(self.store)
+        self.graph = GraphEngine(self.store)
+        self.vector = VectorEngine(self.store)
+        self.unified = UnifiedEngine(self.store, self.relational,
+                                     self.graph, self.vector)
+        self.vault = None        # attach via init_vault
+        self.cache = None        # attach via init_cache
+        self.blob = None         # attach via init_blob
+        self.checkpoints = None  # attach via init_checkpoints
+        self.data_dir = data_dir
+        self._cursors: Dict[str, dict] = {}
+        self._cursor_seq = itertools.count(1)
+        self._lock = threading.RLock()
+
+    # -- module attachment ---------------------------------------------------
+    def init_vault(self, master_password: str, **kw) -> None:
+        from neumann_tpu.vault import TensorVault
+
+        self.vault = TensorVault(self.store, master_password, **kw)
+
+    def init_cache(self, **kw) -> None:
+        from neumann_tpu.cache import LLMCache
+
+        self.cache = LLMCache(**kw)
+
+    def init_blob(self) -> None:
+        from neumann_tpu.blob import BlobStore
+
+        self.blob = BlobStore(self.store)
+
+    def init_checkpoints(self, directory: str, **kw) -> None:
+        from neumann_tpu.checkpoint import CheckpointManager
+
+        self.checkpoints = CheckpointManager(self.store, directory, **kw)
+
+    # -- entry points ---------------------------------------------------------
+    def execute(self, query: str) -> QueryResult:
+        stmt = parse(query)
+        return self.execute_statement(stmt)
+
+    def execute_many(self, query: str) -> List[QueryResult]:
+        from neumann_tpu.lang.parser import parse_many
+
+        return [self.execute_statement(s) for s in parse_many(query)]
+
+    def execute_paginated(self, query: str, page_size: int,
+                          cursor: Optional[str] = None):
+        """Returns (rows, next_cursor). Cursor survives across calls."""
+        with self._lock:
+            if cursor is not None:
+                state = self._cursors.get(cursor)
+                if state is None:
+                    raise NeumannError(f"unknown cursor {cursor}")
+                rows = state["rows"]
+                pos = state["pos"]
+            else:
+                result = self.execute(query)
+                rows = result.rows or result.results
+                pos = 0
+                cursor = f"cur-{next(self._cursor_seq)}"
+                self._cursors[cursor] = {"rows": rows, "pos": 0}
+            page = rows[pos: pos + page_size]
+            newpos = pos + len(page)
+            if newpos >= len(rows):
+                self._cursors.pop(cursor, None)
+                return page, None
+            self._cursors[cursor]["pos"] = newpos
+            return page, cursor
+
+    def close_cursor(self, cursor: str) -> bool:
+        with self._lock:
+            return self._cursors.pop(cursor, None) is not None
+
+    # -- auto checkpoint -------------------------------------------------------
+    def _auto_ckpt(self, op: str, detail: str = "") -> None:
+        if self.checkpoints is not None:
+            self.checkpoints.auto_checkpoint(op, detail)
+
+    # ======================================================================
+    def execute_statement(self, stmt: ast.Statement) -> QueryResult:
+        handler = getattr(self, f"_exec_{type(stmt).__name__.lower()}", None)
+        if handler is None:
+            raise NeumannError(
+                f"statement {type(stmt).__name__} not yet executable")
+        return handler(stmt)
+
+    # -- SQL -----------------------------------------------------------------
+    def _exec_createtable(self, s: ast.CreateTable) -> QueryResult:
+        if s.if_not_exists and self.relational.table_exists(s.table):
+            return QueryResult.msg(f"table '{s.table}' already exists")
+        cols = []
+        for c in s.columns:
+            fk = None
+            if c.references:
+                fk = ForeignKey(c.references[0], c.references[1],
+                                c.references[2])
+            cols.append(Column(c.name, c.ctype, nullable=c.nullable,
+                               unique=c.unique, primary_key=c.primary_key,
+                               default=c.default, references=fk))
+        self.relational.create_table(s.table, cols)
+        return QueryResult.msg(f"table '{s.table}' created")
+
+    def _exec_droptable(self, s: ast.DropTable) -> QueryResult:
+        if s.if_exists and not self.relational.table_exists(s.table):
+            return QueryResult.msg(f"table '{s.table}' does not exist")
+        self._auto_ckpt("drop_table", s.table)
+        self.relational.drop_table(s.table)
+        return QueryResult.msg(f"table '{s.table}' dropped")
+
+    def _exec_createindex(self, s: ast.CreateIndex) -> QueryResult:
+        for col in s.columns:
+            if s.btree:
+                self.relational.create_btree_index(s.table, col)
+            else:
+                self.relational.create_index(s.table, col)
+        return QueryResult.msg(
+            f"index created on {s.table}({', '.join(s.columns)})")
+
+    def _exec_dropindex(self, s: ast.DropIndex) -> QueryResult:
+        if s.table and s.column:
+            ok = self.relational.drop_index(s.table, s.column)
+            return QueryResult.msg("index dropped" if ok
+                                   else "no such index")
+        return QueryResult.msg("named indexes are addressed as "
+                               "DROP INDEX ON table(column)")
+
+    def _exec_insert(self, s: ast.Insert) -> QueryResult:
+        rows = []
+        for values in s.rows:
+            if s.columns is not None:
+                if len(values) != len(s.columns):
+                    raise NeumannError("column/value count mismatch")
+                rows.append(dict(zip(s.columns, values)))
+            else:
+                schema = self.relational.describe(s.table)
+                names = [c["name"] for c in schema]
+                if len(values) != len(names):
+                    raise NeumannError("column/value count mismatch")
+                rows.append(dict(zip(names, values)))
+        ids = self.relational.insert_many(s.table, rows)
+        return QueryResult("count", count=len(ids),
+                           message=f"inserted {len(ids)} row(s)",
+                           value=ids)
+
+    def _exec_select(self, s: ast.Select) -> QueryResult:
+        # aggregates without GROUP BY
+        aggs = [i for i in s.items if i.agg]
+        if aggs and not s.group_by:
+            out = {}
+            for item in aggs:
+                alias = item.alias or f"{item.agg}({item.expr})"
+                if item.agg == "count":
+                    out[alias] = self.relational.count(s.table, s.where)
+                else:
+                    fn = getattr(self.relational, f"{item.agg}_column")
+                    out[alias] = fn(s.table, item.expr, s.where)
+            return QueryResult.of_rows([out])
+        if s.group_by:
+            agg_spec = [(i.agg or "count", i.expr if i.expr != "*" else "",
+                         i.alias or f"{i.agg}({i.expr})")
+                        for i in s.items if i.agg]
+            rows = self.relational.group_by(s.table, s.group_by, agg_spec,
+                                            s.where, s.having)
+            if s.order_by:
+                for col, desc in reversed(s.order_by):
+                    rows.sort(key=lambda r: (r.get(col) is None,
+                                             r.get(col)), reverse=desc)
+            if s.offset:
+                rows = rows[s.offset:]
+            if s.limit is not None:
+                rows = rows[: s.limit]
+            return QueryResult.of_rows(rows)
+        if s.joins:
+            rows = None
+            base = s.table
+            for j in s.joins:
+                if j.how == "natural":
+                    rows = self.relational.natural_join(base, j.table)
+                elif j.how == "cross":
+                    rows = self.relational.join(base, j.table, "_id",
+                                                "_id", "cross")
+                else:
+                    rows = self.relational.join(base, j.table, j.left_col,
+                                                j.right_col, j.how)
+            if s.where is not None:
+                rows = [r for r in rows if s.where.evaluate_row(r)]
+            if s.limit is not None:
+                rows = rows[s.offset: s.offset + s.limit]
+            elif s.offset:
+                rows = rows[s.offset:]
+            cols = None
+            if not any(i.expr == "*" for i in s.items):
+                cols = [i.expr for i in s.items]
+                rows = [{k: r.get(k) for k in cols} for r in rows]
+            return QueryResult.of_rows(rows)
+        cols = None
+        if not any(i.expr == "*" for i in s.items):
+            cols = [i.expr for i in s.items]
+        rows = self.relational.select(
+            s.table, s.where, columns=cols, order_by=s.order_by or None,
+            limit=s.limit, offset=s.offset)
+        if s.distinct:
+            seen = set()
+            uniq = []
+            for r in rows:
+                key = tuple(sorted((k, repr(v)) for k, v in r.items()))
+                if key not in seen:
+                    seen.add(key)
+                    uniq.append(r)
+            rows = uniq
+        return QueryResult.of_rows(rows)
+
+    def _exec_update(self, s: ast.Update) -> QueryResult:
+        self._auto_ckpt("update", s.table)
+        n = self.relational.update(s.table, s.where, s.updates)
+        return QueryResult("count", count=n, message=f"updated {n} row(s)")
+
+    def _exec_delete(self, s: ast.Delete) -> QueryResult:
+        self._auto_ckpt("delete", s.table)
+        n = self.relational.delete(s.table, s.where)
+        return QueryResult("count", count=n, message=f"deleted {n} row(s)")
+
+    def _exec_showtables(self, s) -> QueryResult:
+        return QueryResult.of_rows(
+            [{"table": t, "rows": self.relational.row_count(t)}
+             for t in self.relational.list_tables()])
+
+    def _exec_describe(self, s: ast.Describe) -> QueryResult:
+        if s.target == "table":
+            return QueryResult.of_rows(self.relational.describe(s.name))
+        if s.target == "node":
+            nodes = self.graph.find_nodes(s.name, limit=100)
+            props = sorted({p for n in nodes for p in n["properties"]})
+            return QueryResult.of_rows(
+                [{"label": s.name, "count": len(nodes),
+                  "properties": ", ".join(props)}])
+        edges = [self.graph.get_edge(e) for e in range(
+            self.graph.edge_count() + 50)]
+        typed = [e for e in edges if e and e["type"] == s.name]
+        return QueryResult.of_rows(
+            [{"type": s.name, "count": len(typed)}])
+
+    # -- graph -----------------------------------------------------------------
+    def _exec_nodecreate(self, s: ast.NodeCreate) -> QueryResult:
+        nid = self.graph.create_node(s.label, s.properties)
+        return QueryResult("value", value=nid,
+                           message=f"node {nid} created")
+
+    def _exec_nodeget(self, s: ast.NodeGet) -> QueryResult:
+        node = self.graph.get_node(int(s.node_id))
+        if node is None:
+            return QueryResult.msg(f"no node {s.node_id}")
+        return QueryResult.of_rows([{
+            "id": node["id"], "label": node["label"],
+            **node["properties"]}])
+
+    def _exec_nodedelete(self, s: ast.NodeDelete) -> QueryResult:
+        self._auto_ckpt("delete", f"node {s.node_id}")
+        ok = self.graph.delete_node(int(s.node_id))
+        return QueryResult.msg(
+            f"node {s.node_id} deleted" if ok else f"no node {s.node_id}")
+
+    def _exec_nodelist(self, s: ast.NodeList) -> QueryResult:
+        nodes = self.graph.find_nodes(s.label, limit=s.limit,
+                                      offset=s.offset)
+        return QueryResult.of_rows([
+            {"id": n["id"], "label": n["label"], **n["properties"]}
+            for n in nodes])
+
+    def _exec_edgecreate(self, s: ast.EdgeCreate) -> QueryResult:
+        eid = self.graph.create_edge(int(s.src), int(s.dst), s.edge_type,
+                                     s.properties or None)
+        return QueryResult("value", value=eid,
+                           message=f"edge {eid} created")
+
+    def _exec_edgeget(self, s: ast.EdgeGet) -> QueryResult:
+        e = self.graph.get_edge(int(s.edge_id))
+        if e is None:
+            return QueryResult.msg(f"no edge {s.edge_id}")
+        return QueryResult.of_rows([{
+            "id": e["id"], "src": e["src"], "dst": e["dst"],
+            "type": e["type"], **e["properties"]}])
+
+    def _exec_edgedelete(self, s: ast.EdgeDelete) -> QueryResult:
+        ok = self.graph.delete_edge(int(s.edge_id))
+        return QueryResult.msg(
+            f"edge {s.edge_id} deleted" if ok else f"no edge {s.edge_id}")
+
+    def _exec_edgelist(self, s: ast.EdgeList) -> QueryResult:
+        out = []
+        count = 0
+        eid = 0
+        scanned = 0
+        total = self.graph.edge_count()
+        offset = s.offset
+        while scanned < total:
+            e = self.graph.get_edge(eid)
+            eid += 1
+            if e is None:
+                if eid > total + 100_000:
+                    break
+                continue
+            scanned += 1
+            if s.edge_type is not None and e["type"] != s.edge_type:
+                continue
+            if offset > 0:
+                offset -= 1
+                continue
+            out.append({"id": e["id"], "src": e["src"], "dst": e["dst"],
+                        "type": e["type"]})
+            count += 1
+            if s.limit is not None and count >= s.limit:
+                break
+        return QueryResult.of_rows(out)
+
+    def _exec_neighbors(self, s: ast.Neighbors) -> QueryResult:
+        nid = int(s.node_id)
+        if s.by_similarity is not None:
+            # cross-engine: rank neighbors by embedding similarity
+            key = self.unified.key_of_node(nid)
+            limit = s.limit or 10
+            if s.by_similarity:
+                query = np.asarray(s.by_similarity, np.float32)
+            elif key is not None:
+                query = key
+            else:
+                raise NeumannError(
+                    "BY SIMILARITY needs a vector or an entity node")
+            if key is not None and not len(s.by_similarity or []):
+                res = self.unified.find_neighbors_by_similarity(key, limit)
+            else:
+                neighbor_ids = self.graph.neighbors(nid, s.direction,
+                                                    s.edge_type)
+                keys = {self.unified.key_of_node(x) for x in neighbor_ids}
+                keys.discard(None)
+                if not keys:
+                    return QueryResult("similar", results=[])
+                vecq = self.unified._resolve_query_vec(query)
+                mask = self.unified._keys_to_row_mask(keys, vecq.size)
+                res = self.vector.search_entities(vecq, limit,
+                                                  mask_rows=mask)
+            return QueryResult("similar", results=[
+                {"key": r.key, "score": r.score} for r in res])
+        ids = self.graph.neighbors(nid, s.direction, s.edge_type)
+        if s.limit:
+            ids = ids[: s.limit]
+        return QueryResult.of_rows([{"id": i} for i in ids])
+
+    def _exec_path(self, s: ast.Path) -> QueryResult:
+        a, b = int(s.src), int(s.dst)
+        if s.mode == "shortest":
+            p = self.graph.find_path(a, b, s.max_depth or 0)
+            return QueryResult("value", value=p,
+                               message="no path" if p is None else
+                               " -> ".join(map(str, p)))
+        if s.mode == "weighted":
+            r = self.graph.find_weighted_path(a, b, s.weight or "weight")
+            if r is None:
+                return QueryResult("value", value=None, message="no path")
+            path, cost = r
+            return QueryResult("value", value={"path": path, "cost": cost},
+                               message=f"cost {cost}: " +
+                               " -> ".join(map(str, path)))
+        if s.mode == "variable":
+            paths = self.graph.find_variable_paths(
+                a, b, s.min_depth or 1, s.max_depth or 10)
+        else:
+            paths = self.graph.find_all_paths(a, b, s.max_depth or 10)
+            if s.min_depth:
+                paths = [p for p in paths if len(p) - 1 >= s.min_depth]
+        return QueryResult("value", value=paths,
+                           message=f"{len(paths)} path(s)")
+
+    def _exec_pagerank(self, s: ast.PageRank) -> QueryResult:
+        pr = self.graph.pagerank(s.damping, s.max_iterations)
+        rows = [{"id": k, "rank": v}
+                for k, v in sorted(pr.items(), key=lambda kv: -kv[1])]
+        return QueryResult.of_rows(rows)
+
+    def _exec_graphaggregate(self, s: ast.GraphAggregate) -> QueryResult:
+        if s.prop is None:
+            if s.target == "nodes":
+                n = len(self.graph.find_nodes(s.label)) if s.label \
+                    else self.graph.node_count()
+            else:
+                if s.label:
+                    n = sum(1 for i in range(self.graph._next_edge)
+                            if (e := self.graph.get_edge(i)) is not None
+                            and e["type"] == s.label)
+                else:
+                    n = self.graph.edge_count()
+            return QueryResult.of_count(n)
+        values = []
+        if s.target == "nodes":
+            for node in self.graph.find_nodes(s.label, s.where):
+                v = node["properties"].get(s.prop)
+                if isinstance(v, (int, float)) and not isinstance(v, bool):
+                    values.append(float(v))
+        else:
+            for i in range(self.graph._next_edge):
+                e = self.graph.get_edge(i)
+                if e is None:
+                    continue
+                if s.label and e["type"] != s.label:
+                    continue
+                props = e["properties"]
+                if s.where is not None and \
+                        not s.where.evaluate_row(props):
+                    continue
+                v = props.get(s.prop)
+                if isinstance(v, (int, float)) and not isinstance(v, bool):
+                    values.append(float(v))
+        if s.func == "count":
+            return QueryResult.of_count(len(values))
+        if not values:
+            return QueryResult.of_value(None)
+        fn = {"sum": sum, "avg": lambda v: sum(v) / len(v),
+              "min": min, "max": max}[s.func]
+        return QueryResult.of_value(fn(values))
+
+    # -- vector ---------------------------------------------------------------
+    def _exec_embedstore(self, s: ast.EmbedStore) -> QueryResult:
+        if s.collection:
+            if s.collection not in self.vector.list_collections():
+                self.vector.create_collection(s.collection)
+            self.vector.store_in_collection(s.collection, s.key, s.vector)
+        else:
+            self.vector.store_embedding(s.key, s.vector)
+        return QueryResult.msg(f"embedding '{s.key}' stored")
+
+    def _exec_embedget(self, s: ast.EmbedGet) -> QueryResult:
+        if s.collection:
+            data = self.store.get(f"col:{s.collection}:{s.key}")
+            vec = None
+            if data is not None and data.get("embedding") is not None:
+                vec = data.get("embedding").to_dense()
+        else:
+            vec = self.vector.get_embedding(s.key)
+        if vec is None:
+            return QueryResult.msg(f"no embedding '{s.key}'")
+        return QueryResult.of_value(vec.tolist())
+
+    def _exec_embeddelete(self, s: ast.EmbedDelete) -> QueryResult:
+        if s.collection:
+            ok = self.vector.delete_from_collection(s.collection, s.key)
+        else:
+            ok = self.vector.delete_embedding(s.key)
+        return QueryResult.msg(
+            f"embedding '{s.key}' deleted" if ok else
+            f"no embedding '{s.key}'")
+
+    def _exec_embedbatch(self, s: ast.EmbedBatch) -> QueryResult:
+        if s.collection:
+            if s.collection not in self.vector.list_collections():
+                self.vector.create_collection(s.collection)
+            for key, vec in s.items:
+                self.vector.store_in_collection(s.collection, key, vec)
+        else:
+            self.vector.batch_store_embeddings(s.items)
+        return QueryResult.msg(f"stored {len(s.items)} embeddings")
+
+    def _exec_similar(self, s: ast.Similar) -> QueryResult:
+        query = s.query_vector if s.query_vector is not None \
+            else s.query_key
+        if s.connected_to is not None:
+            if isinstance(query, str) and \
+                    self.vector.get_entity_embedding(query) is None:
+                vec = self.vector.get_embedding(query)
+                if vec is None:
+                    raise VectorError(f"no embedding for '{query}'")
+                query = vec
+            res = self.unified.find_similar_connected(
+                query, s.limit, s.connected_to, s.metric)
+        elif s.collection is not None:
+            if s.where is not None:
+                res = self.vector.search_filtered_in_collection(
+                    s.collection, self._resolve_query(s, query), s.limit,
+                    _filter_from_condition(s.where), s.metric)
+            else:
+                res = self.vector.search_in_collection(
+                    s.collection, self._resolve_query(s, query), s.limit,
+                    s.metric)
+        elif s.where is not None:
+            res = self.vector.search_similar_filtered(
+                self._resolve_query(s, query), s.limit,
+                _filter_from_condition(s.where), s.metric)
+        else:
+            q = self._resolve_query(s, query)
+            res = self.vector.search_similar_with_metric(
+                q, s.limit, s.metric or "cosine")
+        return QueryResult("similar", results=[
+            {"key": r.key, "score": r.score} for r in res])
+
+    def _resolve_query(self, s: ast.Similar, query):
+        if isinstance(query, str):
+            if s.collection is not None:
+                data = self.store.get(f"col:{s.collection}:{query}")
+                if data is not None and data.get("embedding") is not None:
+                    return data.get("embedding").to_dense()
+            vec = self.vector.get_embedding(query)
+            if vec is None:
+                raise VectorError(f"no embedding for '{query}'")
+            return vec
+        return query
+
+    def _exec_showembeddings(self, s: ast.ShowEmbeddings) -> QueryResult:
+        keys = self.vector.list_embeddings(s.limit)
+        return QueryResult.of_rows([{"key": k} for k in keys])
+
+    def _exec_countembeddings(self, s) -> QueryResult:
+        return QueryResult.of_count(self.vector.count_embeddings())
+
+    def _exec_showcollections(self, s) -> QueryResult:
+        return QueryResult.of_rows([
+            self.vector.collection_stats(n)
+            for n in self.vector.list_collections()])
+
+    def _exec_createcollection(self, s: ast.CreateCollection) -> QueryResult:
+        self.vector.create_collection(s.name, VectorCollectionConfig(
+            dimension=s.dimension, metric=s.metric,
+            quantization=s.quantization))
+        return QueryResult.msg(f"collection '{s.name}' created")
+
+    def _exec_dropcollection(self, s: ast.DropCollection) -> QueryResult:
+        self._auto_ckpt("drop_collection", s.name)
+        ok = self.vector.drop_collection(s.name)
+        return QueryResult.msg(
+            f"collection '{s.name}' dropped" if ok else
+            f"no collection '{s.name}'")
+
+    # -- unified -----------------------------------------------------------------
+    def _exec_entitycreate(self, s: ast.EntityCreate) -> QueryResult:
+        if s.update and not self.unified.entity_exists(s.key):
+            raise NeumannError(f"no entity '{s.key}'")
+        nid = self.unified.create_entity(s.key, s.properties, s.embedding)
+        return QueryResult("value", value=nid,
+                           message=f"entity '{s.key}' "
+                           f"{'updated' if s.update else 'created'}")
+
+    def _exec_entityget(self, s: ast.EntityGet) -> QueryResult:
+        ent = self.unified.get_entity(s.key)
+        if ent is None:
+            return QueryResult.msg(f"no entity '{s.key}'")
+        row = {"key": ent["key"], "node_id": ent["node_id"],
+               **ent["fields"]}
+        if ent["embedding"] is not None:
+            row["embedding_dim"] = len(ent["embedding"])
+        return QueryResult.of_rows([row])
+
+    def _exec_entitydelete(self, s: ast.EntityDelete) -> QueryResult:
+        self._auto_ckpt("delete", f"entity {s.key}")
+        ok = self.unified.delete_entity(s.key)
+        return QueryResult.msg(
+            f"entity '{s.key}' deleted" if ok else f"no entity '{s.key}'")
+
+    def _exec_entityconnect(self, s: ast.EntityConnect) -> QueryResult:
+        eid = self.unified.connect_entities(s.src, s.dst, s.edge_type)
+        return QueryResult("value", value=eid,
+                           message=f"'{s.src}' -> '{s.dst}' connected")
+
+    def _exec_find(self, s: ast.Find) -> QueryResult:
+        if s.target == "rows":
+            rows = self.relational.select(s.label, s.where, limit=s.limit)
+            return QueryResult.of_rows(rows)
+        if s.target == "edge":
+            out = []
+            for i in range(self.graph._next_edge):
+                e = self.graph.get_edge(i)
+                if e is None:
+                    continue
+                if s.label and e["type"] != s.label:
+                    continue
+                if s.where is not None and \
+                        not s.where.evaluate_row(e["properties"]):
+                    continue
+                out.append({"id": e["id"], "src": e["src"],
+                            "dst": e["dst"], "type": e["type"]})
+                if s.limit and len(out) >= s.limit:
+                    break
+            return QueryResult.of_rows(out)
+        # FIND NODE / FIND ENTITY
+        if s.similar_to is not None or s.connected_to is not None:
+            ents = self.unified.find(
+                condition=s.where, similar_to=s.similar_to,
+                top_k=s.limit or 10, connected_to=s.connected_to)
+            rows = []
+            for ent in ents:
+                row = {"key": ent["key"], **ent["fields"]}
+                if "score" in ent:
+                    row["score"] = ent["score"]
+                rows.append(row)
+            return QueryResult.of_rows(rows)
+        nodes = self.graph.find_nodes(s.label, s.where, limit=s.limit)
+        return QueryResult.of_rows([
+            {"id": n["id"], "label": n["label"], **n["properties"]}
+            for n in nodes])
+
+    # -- vault ---------------------------------------------------------------
+    def _need(self, attr: str, hint: str):
+        mod = getattr(self, attr)
+        if mod is None:
+            raise NeumannError(f"{attr} not initialized — {hint}")
+        return mod
+
+    def _exec_vault(self, s: ast.Vault) -> QueryResult:
+        vault = self._need("vault", "run init_vault(master_password)")
+        act = s.action
+        if act == "set":
+            vault.set(s.key, s.value)
+            return QueryResult.msg(f"secret '{s.key}' stored")
+        if act == "get":
+            return QueryResult.of_value(vault.get(s.key))
+        if act == "delete":
+            ok = vault.delete(s.key)
+            return QueryResult.msg("deleted" if ok else "no such secret")
+        if act == "list":
+            return QueryResult.of_rows(
+                [{"key": k} for k in vault.list(s.pattern)])
+        if act == "rotate":
+            vault.rotate(s.key, s.value)
+            return QueryResult.msg(f"secret '{s.key}' rotated")
+        if act == "grant":
+            vault.grant(s.entity, s.key)
+            return QueryResult.msg(f"granted '{s.entity}' on '{s.key}'")
+        if act == "revoke":
+            vault.revoke(s.entity, s.key)
+            return QueryResult.msg(f"revoked '{s.entity}' on '{s.key}'")
+        raise NeumannError(f"vault action {act} unsupported")
+
+    def _exec_cache(self, s: ast.Cache) -> QueryResult:
+        if s.action == "init":
+            if self.cache is None:
+                self.init_cache()
+            return QueryResult.msg("cache initialized")
+        cache = self._need("cache", "run CACHE INIT first")
+        if s.action == "stats":
+            st = cache.stats
+            return QueryResult.of_rows([{
+                "exact_hits": st.exact_hits,
+                "semantic_hits": st.semantic_hits, "misses": st.misses,
+                "hit_rate": round(st.hit_rate(), 4),
+                "tokens_saved": st.tokens_saved,
+                "entries": len(cache)}])
+        if s.action == "clear":
+            cache.clear()
+            return QueryResult.msg("cache cleared")
+        if s.action == "evict":
+            n = cache.evict(s.count or 1)
+            return QueryResult.msg(f"evicted {n} entries")
+        if s.action == "get":
+            v = cache.get_exact(s.key)
+            return QueryResult.of_value(v) if v is not None else \
+                QueryResult.msg("cache miss")
+        if s.action == "put":
+            cache.put(s.key, s.value)
+            return QueryResult.msg("cached")
+        if s.action == "semantic_get":
+            v = cache.get(s.key, threshold=s.threshold)
+            return QueryResult.of_value(v) if v is not None else \
+                QueryResult.msg("cache miss")
+        if s.action == "semantic_put":
+            cache.put(s.key, s.value, embedding=np.asarray(
+                s.embedding, np.float32) if s.embedding else None)
+            return QueryResult.msg("cached")
+        raise NeumannError(f"cache action {s.action} unsupported")
+
+    def _exec_blob(self, s: ast.Blob) -> QueryResult:
+        if s.action == "init":
+            if self.blob is None:
+                self.init_blob()
+            return QueryResult.msg("blob storage initialized")
+        blob = self._need("blob", "run BLOB INIT first")
+        act = s.action
+        if act == "put":
+            if s.data is not None:
+                data = s.data.encode("utf-8")
+            elif s.path is not None:
+                with open(s.path, "rb") as fh:
+                    data = fh.read()
+            else:
+                raise NeumannError("BLOB PUT needs DATA or FROM")
+            aid = blob.put(s.name, data, s.content_type, s.creator)
+            if s.entity:
+                blob.link(aid, s.entity)
+            if s.tag:
+                blob.tag(aid, s.tag)
+            return QueryResult("value", value=aid,
+                               message=f"blob {aid} stored")
+        if act == "get":
+            data = blob.get(s.name)
+            if s.path:
+                with open(s.path, "wb") as fh:
+                    fh.write(data)
+                return QueryResult.msg(
+                    f"{len(data)} bytes written to {s.path}")
+            return QueryResult.of_value(data)
+        if act == "delete":
+            ok = blob.delete(s.name)
+            return QueryResult.msg("deleted" if ok else "no such blob")
+        if act == "info":
+            return QueryResult.of_rows([blob.info(s.name)])
+        if act == "link":
+            blob.link(s.name, s.entity)
+            return QueryResult.msg("linked")
+        if act == "unlink":
+            blob.unlink(s.name, s.entity)
+            return QueryResult.msg("unlinked")
+        if act == "links":
+            return QueryResult.of_rows(
+                [{"entity": e} for e in blob.links(s.name)])
+        if act == "tag":
+            blob.tag(s.name, s.tag)
+            return QueryResult.msg("tagged")
+        if act == "untag":
+            blob.untag(s.name, s.tag)
+            return QueryResult.msg("untagged")
+        if act == "verify":
+            ok = blob.verify(s.name)
+            return QueryResult.msg("OK" if ok else "CORRUPT")
+        if act == "gc":
+            n = blob.gc(full=s.full)
+            return QueryResult.msg(f"collected {n} chunks")
+        if act == "repair":
+            bad = blob.repair()
+            return QueryResult.msg(
+                "all blobs OK" if not bad else
+                f"corrupt: {', '.join(bad)}")
+        if act == "stats":
+            return QueryResult.of_rows([blob.stats()])
+        if act == "meta_set":
+            blob.meta_set(s.name, s.meta_key, s.meta_value)
+            return QueryResult.msg("meta set")
+        if act == "meta_get":
+            return QueryResult.of_value(blob.meta_get(s.name, s.meta_key))
+        raise NeumannError(f"blob action {act} unsupported")
+
+    def _exec_blobs(self, s: ast.Blobs) -> QueryResult:
+        blob = self._need("blob", "run BLOB INIT first")
+        if s.mode == "for":
+            ids = blob.for_entity(s.entity)
+        elif s.mode == "by_tag":
+            ids = blob.by_tag(s.tag)
+        elif s.mode == "where_type":
+            ids = blob.by_type(s.content_type)
+        elif s.mode == "similar":
+            ids = [i for i in blob.list() if i != s.artifact][: s.limit or 10]
+        else:
+            ids = blob.list(s.pattern)
+        return QueryResult.of_rows([blob.info(i) for i in ids])
+
+    # -- checkpoints ---------------------------------------------------------------
+    def _exec_checkpoint(self, s: ast.Checkpoint) -> QueryResult:
+        ck = self._need("checkpoints", "init_checkpoints(dir) first")
+        cid = ck.create(name=s.name)
+        return QueryResult("value", value=cid,
+                           message=f"checkpoint {cid} created")
+
+    def _exec_checkpoints(self, s: ast.Checkpoints) -> QueryResult:
+        ck = self._need("checkpoints", "init_checkpoints(dir) first")
+        return QueryResult.of_rows([
+            {"id": c["id"], "name": c["name"], "auto": c["auto"],
+             "reason": c["reason"], "entries": c["entries"]}
+            for c in ck.list(s.limit)])
+
+    def _exec_rollback(self, s: ast.Rollback) -> QueryResult:
+        ck = self._need("checkpoints", "init_checkpoints(dir) first")
+        c = ck.rollback(s.target)
+        return QueryResult.msg(f"rolled back to {c['id']}")
+
+    def _exec_empty(self, s) -> QueryResult:
+        return QueryResult.msg("")

@@ -1,0 +1,246 @@
+"""REPL shell: readline editing, ASCII tables, built-ins, durability.
+
+Capability parity with neumann_shell (neumann_shell/src/lib.rs:94-964):
+built-ins (help/exit/clear/tables), SAVE/LOAD snapshots, WAL status, VAULT
+INIT / CACHE INIT / BLOB INIT, `doctor` diagnostics, and all query
+statements through the router. Replay-on-start comes from TensorStore WAL
+recovery when started with --wal-dir.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from typing import List, Optional
+
+from neumann_tpu.router import QueryResult, QueryRouter
+from neumann_tpu.utils.errors import NeumannError
+
+BANNER = r"""
+  _  _ ___ _   _ __  __   _   _  _ _  _       _____ ___ _   _
+ | \| | __| | | |  \/  | /_\ | \| | \| |  ___|_   _| _ \ | | |
+ | .` | _|| |_| | |\/| |/ _ \| .` | .` | |___| | | |  _/ |_| |
+ |_|\_|___|\___/|_|  |_/_/ \_\_|\_|_|\_|       |_| |_|  \___/
+
+ TPU-native unified data engine — type `help` for commands
+"""
+
+HELP = """\
+Built-ins:
+  help                 show this help
+  exit | quit          leave the shell
+  clear                clear the screen
+  tables               alias for SHOW TABLES
+  save '<path>'        snapshot the store to a file
+  load '<path>'        load a snapshot file
+  wal status           show WAL size and sync mode
+  vault init '<pw>'    initialize the secrets vault
+  cache init           initialize the LLM cache
+  blob init            initialize blob storage
+  doctor               run diagnostics
+
+Statements: SELECT/INSERT/UPDATE/DELETE/CREATE TABLE/..., NODE/EDGE/
+NEIGHBORS/PATH/PAGERANK, EMBED/SIMILAR, ENTITY/FIND, VAULT/CACHE/BLOB,
+CHECKPOINT/ROLLBACK. See docs for the full language."""
+
+
+def _fmt_value(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return f"{v:.6g}"
+    if isinstance(v, bytes):
+        return f"<{len(v)} bytes>"
+    s = str(v)
+    return s if len(s) <= 60 else s[:57] + "..."
+
+
+def format_table(rows: List[dict]) -> str:
+    if not rows:
+        return "(no rows)"
+    cols: List[str] = []
+    for row in rows:
+        for k in row:
+            if k not in cols:
+                cols.append(k)
+    widths = {c: len(c) for c in cols}
+    rendered = []
+    for row in rows:
+        r = {c: _fmt_value(row.get(c)) for c in cols}
+        rendered.append(r)
+        for c in cols:
+            widths[c] = max(widths[c], len(r[c]))
+    sep = "+" + "+".join("-" * (widths[c] + 2) for c in cols) + "+"
+    out = [sep,
+           "|" + "|".join(f" {c.ljust(widths[c])} " for c in cols) + "|",
+           sep]
+    for r in rendered:
+        out.append("|" + "|".join(
+            f" {r[c].ljust(widths[c])} " for c in cols) + "|")
+    out.append(sep)
+    return "\n".join(out)
+
+
+def format_result(res: QueryResult) -> str:
+    if res.kind == "rows":
+        body = format_table(res.rows)
+        return f"{body}\n({len(res.rows)} row(s))"
+    if res.kind == "similar":
+        body = format_table(res.results)
+        return f"{body}\n({len(res.results)} hit(s))"
+    if res.kind == "count":
+        return res.message or str(res.count)
+    if res.kind == "value":
+        if res.message:
+            return res.message
+        return _fmt_value(res.value)
+    return res.message
+
+
+class Shell:
+    def __init__(self, wal_dir: Optional[str] = None,
+                 router: Optional[QueryRouter] = None,
+                 stdin=None, stdout=None):
+        self.router = router or QueryRouter()
+        self.wal_dir = wal_dir
+        self.stdin = stdin or sys.stdin
+        self.stdout = stdout or sys.stdout
+        if wal_dir:
+            os.makedirs(wal_dir, exist_ok=True)
+            snap = os.path.join(wal_dir, "snapshot.ntpu")
+            wal = os.path.join(wal_dir, "wal.log")
+            n = self.router.store.recover(
+                wal, snapshot_path=snap if os.path.exists(snap) else None)
+            self.router.store.open_durable(wal)
+            self.router.init_checkpoints(os.path.join(wal_dir, "ckpts"))
+            if n:
+                self._print(f"(replayed {n} WAL record(s))")
+
+    def _print(self, text: str) -> None:
+        print(text, file=self.stdout)
+
+    # ------------------------------------------------------------------
+    def execute(self, line: str) -> Optional[str]:
+        """Execute one input line; returns output text (None for exit)."""
+        q = line.strip()
+        if not q:
+            return ""
+        lower = q.lower().rstrip(";").strip()
+        if lower in ("exit", "quit"):
+            return None
+        if lower == "help":
+            return HELP
+        if lower == "clear":
+            return "\033[2J\033[H"
+        if lower == "tables":
+            q = "SHOW TABLES"
+        elif lower.startswith("save "):
+            path = q[5:].strip().strip("'\"")
+            self.router.store.save_snapshot(path)
+            return f"saved to {path}"
+        elif lower.startswith("load "):
+            path = q[5:].strip().strip("'\"")
+            self.router.store.load_snapshot(path)
+            return f"loaded {len(self.router.store)} entries from {path}"
+        elif lower == "wal status":
+            wal = self.router.store._wal
+            if wal is None:
+                return "WAL: disabled (start with --wal-dir)"
+            return (f"WAL: {wal.path} ({wal.size_bytes()} bytes, "
+                    f"sync={wal.sync_mode})")
+        elif lower.startswith("vault init"):
+            pw = q[len("vault init"):].strip().strip("'\"")
+            if not pw:
+                return "usage: vault init '<master password>'"
+            self.router.init_vault(pw)
+            return "vault initialized"
+        elif lower == "doctor":
+            return self.doctor()
+        try:
+            res = self.router.execute(q)
+        except NeumannError as e:
+            return f"error: {e}"
+        except Exception as e:  # surface engine bugs honestly
+            return f"internal error: {type(e).__name__}: {e}"
+        return format_result(res)
+
+    def doctor(self) -> str:
+        """Diagnostics like the reference shell's doctor command."""
+        checks = []
+        store = self.router.store
+        checks.append(("storage", f"{len(store)} entries", "ok"))
+        wal = store._wal
+        checks.append(("wal", "enabled" if wal else "disabled",
+                       "ok" if wal else "warn"))
+        try:
+            import jax
+
+            devs = jax.devices()
+            kind = devs[0].platform if devs else "none"
+            checks.append(("devices", f"{len(devs)} x {kind}", "ok"))
+        except Exception as e:
+            checks.append(("devices", str(e), "fail"))
+        ncorp = sum(len(v) for v in self.router.vector._corpora.values())
+        checks.append(("vector corpora", str(ncorp), "ok"))
+        checks.append(("graph",
+                       f"{self.router.graph.node_count()} nodes / "
+                       f"{self.router.graph.edge_count()} edges", "ok"))
+        checks.append(("vault", "initialized" if self.router.vault
+                       else "not initialized", "ok"))
+        width = max(len(c[0]) for c in checks)
+        return "\n".join(
+            f"  [{'OK ' if st == 'ok' else ('WRN' if st == 'warn' else 'ERR')}] "
+            f"{name.ljust(width)}  {detail}"
+            for name, detail, st in checks)
+
+    # ------------------------------------------------------------------
+    def run(self) -> None:
+        try:
+            import readline  # noqa: F401 — enables line editing
+        except ImportError:
+            pass
+        self._print(BANNER)
+        while True:
+            try:
+                line = input("neumann> ")
+            except EOFError:
+                self._print("bye")
+                break
+            except KeyboardInterrupt:
+                self._print("")
+                continue
+            out = self.execute(line)
+            if out is None:
+                self._print("bye")
+                break
+            if out:
+                self._print(out)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="neumann-tpu",
+                                 description="TPU-native unified data engine")
+    ap.add_argument("--wal-dir", default=None,
+                    help="directory for WAL + snapshots (durable mode)")
+    ap.add_argument("-c", "--command", default=None,
+                    help="execute one statement and exit")
+    args = ap.parse_args(argv)
+    shell = Shell(wal_dir=args.wal_dir)
+    if args.command:
+        out = shell.execute(args.command)
+        if out:
+            print(out)
+        shell.router.store.wal_flush()
+        return 0
+    shell.run()
+    shell.router.store.wal_flush()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

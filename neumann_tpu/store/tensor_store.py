@@ -205,9 +205,16 @@ class TensorStore:
         with self._lock:
             return len(self._map)
 
-    def clear(self) -> None:
+    def clear(self, notify: bool = True) -> None:
+        """Remove all entries. With notify=True (default), delete hooks
+        fire per key so engine device mirrors drop their rows too."""
         with self._lock:
+            keys = list(self._map)
             self._map.clear()
+        if notify:
+            for key in keys:
+                for hook in self._delete_hooks:
+                    hook(key)
 
     # -- hooks -------------------------------------------------------------
     def on_put(self, fn: Callable[[str, TensorData], None]) -> None:

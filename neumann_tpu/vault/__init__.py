@@ -1,0 +1,3 @@
+"""tensor_vault parity: encrypted secrets with graph-edge ACLs."""
+
+from neumann_tpu.vault.vault import TensorVault, Permission  # noqa: F401

@@ -1,0 +1,276 @@
+"""Encrypted secret store.
+
+Capability parity with tensor_vault (tensor_vault/src/vault.rs): AES-256-GCM
+encryption at rest, KDF-derived master key (scrypt here; the reference uses
+Argon2id), per-secret versioning with rollback, entity ACL grants with
+permission levels and TTL, audit log, namespaces, rate limiting, key
+zeroization on close. Secrets persist in the shared TensorStore under
+``_vault:`` keys, so WAL/snapshot durability covers them.
+"""
+
+from __future__ import annotations
+
+import os
+import secrets as pysecrets
+import threading
+import time
+from dataclasses import dataclass, field
+from enum import IntEnum
+from fnmatch import fnmatch
+from typing import Dict, List, Optional, Tuple
+
+from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+from neumann_tpu.store.tensor_store import TensorData, TensorStore, TensorValue
+from neumann_tpu.utils.errors import VaultError
+
+_PREFIX = "_vault:"
+_SALT_KEY = "_vault_meta:salt"
+
+
+class Permission(IntEnum):
+    READ = 1
+    WRITE = 2
+    ADMIN = 3
+
+
+@dataclass
+class _Grant:
+    level: Permission
+    expires_at: Optional[float] = None  # unix seconds
+
+    def live(self) -> bool:
+        return self.expires_at is None or time.time() < self.expires_at
+
+
+@dataclass
+class _AuditEvent:
+    ts: float
+    actor: str
+    action: str
+    key: str
+    ok: bool
+
+
+class TensorVault:
+    """Root-identity vault; other identities act through grants."""
+
+    ROOT = "root"
+
+    def __init__(self, store: Optional[TensorStore] = None,
+                 master_password: str = "",
+                 namespace: str = "default",
+                 rate_limit_per_min: int = 0):
+        if not master_password:
+            raise VaultError("master password required")
+        self.store = store if store is not None else TensorStore()
+        self.namespace = namespace
+        self._lock = threading.RLock()
+        self._grants: Dict[Tuple[str, str], _Grant] = {}
+        self._audit: List[_AuditEvent] = []
+        self._rate_limit = rate_limit_per_min
+        self._rate_window: Dict[str, List[float]] = {}
+        salt = self._load_or_create_salt()
+        key = self._derive_key(master_password.encode(), salt)
+        self._aead: Optional[AESGCM] = AESGCM(key)
+        self._key = bytearray(key)
+
+    # -- key management --------------------------------------------------
+    def _load_or_create_salt(self) -> bytes:
+        data = self.store.get(_SALT_KEY)
+        if data is not None:
+            return data.get("salt").value
+        salt = os.urandom(16)
+        td = TensorData()
+        td.set("salt", TensorValue.scalar(salt))
+        self.store.put(_SALT_KEY, td)
+        return salt
+
+    @staticmethod
+    def _derive_key(password: bytes, salt: bytes) -> bytes:
+        import hashlib
+
+        return hashlib.scrypt(password, salt=salt, n=2 ** 14, r=8, p=1,
+                              dklen=32)
+
+    def close(self) -> None:
+        """Zeroize key material."""
+        with self._lock:
+            for i in range(len(self._key)):
+                self._key[i] = 0
+            self._aead = None
+
+    def _cipher(self) -> AESGCM:
+        if self._aead is None:
+            raise VaultError("vault is closed")
+        return self._aead
+
+    # -- access control -----------------------------------------------------
+    def _check(self, actor: str, key: str, need: Permission) -> None:
+        if actor == self.ROOT:
+            return
+        grant = self._grants.get((actor, key))
+        if grant is None or not grant.live() or grant.level < need:
+            self._log(actor, "denied", key, False)
+            raise VaultError(f"'{actor}' lacks {need.name} on '{key}'")
+
+    def _rate_check(self, actor: str) -> None:
+        if not self._rate_limit:
+            return
+        now = time.time()
+        window = self._rate_window.setdefault(actor, [])
+        window[:] = [t for t in window if now - t < 60.0]
+        if len(window) >= self._rate_limit:
+            raise VaultError(f"rate limit exceeded for '{actor}'")
+        window.append(now)
+
+    def grant(self, entity: str, key: str,
+              level: Permission = Permission.READ,
+              ttl_seconds: Optional[float] = None,
+              actor: str = "root") -> None:
+        self._check(actor, key, Permission.ADMIN)
+        expires = time.time() + ttl_seconds if ttl_seconds else None
+        with self._lock:
+            self._grants[(entity, key)] = _Grant(level, expires)
+        self._log(actor, "grant", key, True)
+
+    def revoke(self, entity: str, key: str, actor: str = "root") -> None:
+        self._check(actor, key, Permission.ADMIN)
+        with self._lock:
+            self._grants.pop((entity, key), None)
+        self._log(actor, "revoke", key, True)
+
+    def grants_for(self, key: str) -> List[Tuple[str, str]]:
+        with self._lock:
+            return [(e, g.level.name) for (e, k), g in self._grants.items()
+                    if k == key and g.live()]
+
+    # -- secret CRUD ----------------------------------------------------------
+    def _skey(self, key: str) -> str:
+        return f"{_PREFIX}{self.namespace}:{key}"
+
+    _MAX_VERSIONS = 10
+
+    @staticmethod
+    def _read_versions(data: Optional[TensorData]) -> List[bytes]:
+        if data is None:
+            return []
+        out = []
+        i = 0
+        while True:
+            v = data.get(f"v{i}")
+            if v is None:
+                break
+            out.append(v.value)
+            i += 1
+        return out
+
+    @staticmethod
+    def _write_versions(td: TensorData, versions: List[bytes]) -> None:
+        for i, blob in enumerate(versions):
+            td.set(f"v{i}", TensorValue.scalar(blob))
+
+    def set(self, key: str, value: str, actor: str = "root") -> None:
+        self._rate_check(actor)
+        if actor != self.ROOT:
+            self._check(actor, key, Permission.WRITE)
+        nonce = os.urandom(12)
+        ct = self._cipher().encrypt(nonce, value.encode("utf-8"),
+                                    key.encode("utf-8"))
+        data = self.store.get(self._skey(key))
+        versions = self._read_versions(data)
+        if data is not None and data.get("cipher") is not None:
+            versions.append(data.get("cipher").value)
+            versions = versions[-self._MAX_VERSIONS:]
+        td = TensorData()
+        td.set("cipher", TensorValue.scalar(nonce + ct))
+        self._write_versions(td, versions)
+        self.store.put(self._skey(key), td)
+        self._log(actor, "set", key, True)
+
+    def get(self, key: str, actor: str = "root") -> str:
+        self._rate_check(actor)
+        if actor != self.ROOT:
+            self._check(actor, key, Permission.READ)
+        data = self.store.get(self._skey(key))
+        if data is None:
+            self._log(actor, "get", key, False)
+            raise VaultError(f"no secret '{key}'")
+        blob = data.get("cipher").value
+        out = self._decrypt(blob, key)
+        self._log(actor, "get", key, True)
+        return out
+
+    def _decrypt(self, blob: bytes, key: str) -> str:
+        nonce, ct = blob[:12], blob[12:]
+        try:
+            return self._cipher().decrypt(nonce, ct,
+                                          key.encode("utf-8")).decode()
+        except Exception as e:
+            raise VaultError("decryption failed (wrong key or tamper)") \
+                from e
+
+    def delete(self, key: str, actor: str = "root") -> bool:
+        if actor != self.ROOT:
+            self._check(actor, key, Permission.ADMIN)
+        ok = self.store.delete(self._skey(key))
+        self._log(actor, "delete", key, ok)
+        return ok
+
+    def list(self, pattern: Optional[str] = None, actor: str = "root"
+             ) -> List[str]:
+        prefix = f"{_PREFIX}{self.namespace}:"
+        keys = [k[len(prefix):] for k in self.store.scan(prefix)]
+        if actor != self.ROOT:
+            keys = [k for k in keys
+                    if (g := self._grants.get((actor, k))) is not None
+                    and g.live()]
+        if pattern:
+            keys = [k for k in keys if fnmatch(k, pattern)]
+        return keys
+
+    def rotate(self, key: str, new_value: str, actor: str = "root") -> None:
+        """New version; old value retrievable via version history."""
+        self.get(key, actor)  # must exist + perm check
+        if actor != self.ROOT:
+            self._check(actor, key, Permission.WRITE)
+        self.set(key, new_value, actor)
+        self._log(actor, "rotate", key, True)
+
+    def versions(self, key: str, actor: str = "root") -> int:
+        if actor != self.ROOT:
+            self._check(actor, key, Permission.READ)
+        data = self.store.get(self._skey(key))
+        if data is None:
+            raise VaultError(f"no secret '{key}'")
+        return len(self._read_versions(data))
+
+    def rollback_version(self, key: str, actor: str = "root") -> str:
+        """Restore the previous version; returns the restored value."""
+        if actor != self.ROOT:
+            self._check(actor, key, Permission.ADMIN)
+        data = self.store.get(self._skey(key))
+        if data is None:
+            raise VaultError(f"no secret '{key}'")
+        versions = self._read_versions(data)
+        if not versions:
+            raise VaultError(f"no prior versions of '{key}'")
+        prev = versions.pop()
+        td = TensorData()
+        td.set("cipher", TensorValue.scalar(prev))
+        self._write_versions(td, versions)
+        self.store.put(self._skey(key), td)
+        self._log(actor, "rollback", key, True)
+        return self._decrypt(prev, key)
+
+    # -- audit ------------------------------------------------------------------
+    def _log(self, actor: str, action: str, key: str, ok: bool) -> None:
+        with self._lock:
+            self._audit.append(_AuditEvent(time.time(), actor, action,
+                                           key, ok))
+            if len(self._audit) > 10_000:
+                self._audit = self._audit[-5_000:]
+
+    def audit_log(self, limit: int = 100) -> List[dict]:
+        with self._lock:
+            return [e.__dict__ for e in self._audit[-limit:]]

@@ -1,0 +1,241 @@
+"""Vault, LLM cache, blob store, checkpoint manager — focused tests."""
+
+import time
+
+import numpy as np
+import pytest
+
+from neumann_tpu.blob import BlobStore
+from neumann_tpu.blob.blob_store import CHUNK_SIZE
+from neumann_tpu.cache import LLMCache
+from neumann_tpu.checkpoint import CheckpointManager
+from neumann_tpu.store import TensorStore, TensorData, TensorValue
+from neumann_tpu.utils.errors import BlobError, CheckpointError, VaultError
+from neumann_tpu.vault import Permission, TensorVault
+
+
+# ---------------------------------------------------------------- vault
+
+def test_vault_roundtrip_and_wrong_password(tmp_path):
+    store = TensorStore()
+    v = TensorVault(store, "pw1")
+    v.set("k", "secret")
+    assert v.get("k") == "secret"
+    # same store, wrong password -> decryption fails
+    v2 = TensorVault(store, "pw2")
+    with pytest.raises(VaultError):
+        v2.get("k")
+    # same password works (salt persisted in store)
+    v3 = TensorVault(store, "pw1")
+    assert v3.get("k") == "secret"
+
+
+def test_vault_acl_levels_and_ttl():
+    v = TensorVault(TensorStore(), "pw")
+    v.set("s", "v1")
+    with pytest.raises(VaultError):
+        v.get("s", actor="eve")
+    v.grant("reader", "s", Permission.READ)
+    assert v.get("s", actor="reader") == "v1"
+    with pytest.raises(VaultError):
+        v.set("s", "v2", actor="reader")  # READ < WRITE
+    v.grant("writer", "s", Permission.WRITE)
+    v.set("s", "v2", actor="writer")
+    # TTL grant expires
+    v.grant("temp", "s", Permission.READ, ttl_seconds=0.05)
+    assert v.get("s", actor="temp") == "v2"
+    time.sleep(0.1)
+    with pytest.raises(VaultError):
+        v.get("s", actor="temp")
+    assert ("reader", "READ") in v.grants_for("s")
+
+
+def test_vault_versions_rollback_audit():
+    v = TensorVault(TensorStore(), "pw")
+    v.set("k", "v1")
+    v.rotate("k", "v2")
+    v.rotate("k", "v3")
+    assert v.get("k") == "v3"
+    assert v.versions("k") == 2
+    assert v.rollback_version("k") == "v2"
+    assert v.get("k") == "v2"
+    log = v.audit_log()
+    assert any(e["action"] == "rollback" for e in log)
+    v.close()
+    with pytest.raises(VaultError):
+        v.get("k")
+
+
+def test_vault_namespaces_and_list():
+    store = TensorStore()
+    a = TensorVault(store, "pw", namespace="a")
+    b = TensorVault(store, "pw", namespace="b")
+    a.set("api_key", "1")
+    a.set("api_token", "2")
+    b.set("other", "3")
+    assert a.list() == ["api_key", "api_token"]
+    assert a.list("api_k*") == ["api_key"]
+    assert b.list() == ["other"]
+
+
+def test_vault_rate_limit():
+    v = TensorVault(TensorStore(), "pw", rate_limit_per_min=3)
+    v.set("k", "v")
+    v.get("k", actor="root")
+    v.get("k", actor="root")
+    with pytest.raises(VaultError):
+        v.get("k", actor="root")
+
+
+# ---------------------------------------------------------------- cache
+
+def test_cache_exact_and_semantic():
+    c = LLMCache(semantic_threshold=0.4)
+    c.put("what is machine learning", "ML is ...")
+    assert c.get("what is machine learning") == "ML is ..."
+    assert c.stats.exact_hits == 1
+    # near-duplicate question hits the semantic layer
+    out = c.get("what is machine learning?")
+    assert out == "ML is ..."
+    assert c.stats.semantic_hits >= 1
+    assert c.get("completely unrelated query about turtles") is None
+    assert c.stats.misses >= 1
+    assert 0 < c.stats.hit_rate() < 1
+    assert c.stats.tokens_saved > 0
+
+
+def test_cache_ttl_expiry():
+    c = LLMCache()
+    c.put("q", "r", ttl_s=0.05)
+    assert c.get("q") == "r"
+    time.sleep(0.1)
+    assert c.get_exact("q") is None
+    assert c.stats.expirations == 1
+
+
+def test_cache_capacity_eviction_lru():
+    c = LLMCache(capacity=3, eviction="lru")
+    for i in range(3):
+        c.put(f"q{i}", f"r{i}")
+    c.get(f"q1")
+    c.get(f"q2")
+    c.put("q3", "r3")  # evicts q0 (least recently used)
+    assert c.get_exact("q0") is None
+    assert c.get_exact("q1") == "r1"
+    assert c.stats.evictions == 1
+    assert len(c) == 3
+
+
+def test_cache_clear():
+    c = LLMCache()
+    c.put("a", "1")
+    c.clear()
+    assert len(c) == 0 and c.get("a") is None
+
+
+# ---------------------------------------------------------------- blob
+
+def test_blob_chunking_and_dedup():
+    b = BlobStore()
+    big = b"x" * (CHUNK_SIZE + 100)
+    a1 = b.put("a.bin", big)
+    assert b.get(a1) == big
+    assert b.info(a1)["chunks"] == 2
+    # identical content dedups chunks
+    a2 = b.put("b.bin", big)
+    assert b.stats()["chunks"] == 2  # shared
+    b.delete(a1)
+    assert b.get(a2) == big  # refcount protects shared chunks
+    b.delete(a2)
+    assert b.gc() == 2  # now unreferenced
+    assert b.stats()["chunks"] == 0
+
+
+def test_blob_streaming_writer():
+    b = BlobStore()
+    w = b.writer("s.bin", content_type="application/octet-stream")
+    for i in range(5):
+        w.write(bytes([i]) * 1000)
+    aid = w.finish()
+    with pytest.raises(BlobError):
+        w.finish()
+    data = b.get(aid)
+    assert len(data) == 5000
+    assert b.verify(aid)
+
+
+def test_blob_verify_detects_corruption():
+    store = TensorStore()
+    b = BlobStore(store)
+    aid = b.put("f", b"hello")
+    # corrupt the chunk in the underlying store
+    ck = [k for k in store.scan("_chunk:")][0]
+    td = TensorData()
+    td.set("data", TensorValue.scalar(b"hacked"))
+    td.set("refs", TensorValue.scalar(1))
+    store.put(ck, td)
+    assert not b.verify(aid)
+    assert b.repair() == [aid]
+
+
+def test_blob_id_counter_recovery():
+    store = TensorStore()
+    b = BlobStore(store)
+    a1 = b.put("f1", b"x")
+    b2 = BlobStore(store)  # new instance over same store
+    a2 = b2.put("f2", b"y")
+    assert a1 != a2
+
+
+# ---------------------------------------------------------------- checkpoint
+
+def test_checkpoint_create_list_rollback(tmp_path):
+    store = TensorStore()
+    cm = CheckpointManager(store, tmp_path / "ck")
+    store.put("k:1", TensorData.with_values(v=1))
+    cid = cm.create(name="first")
+    store.put("k:2", TensorData.with_values(v=2))
+    assert len(store) == 2
+    cm.rollback("first")
+    assert len(store) == 1 and store.get("k:1") is not None
+    # rollback is itself reversible via the auto checkpoint it takes
+    pre = [c for c in cm.list() if c["reason"] and
+           "rollback" in c["reason"]]
+    assert pre
+    cm.rollback(pre[0]["id"])
+    assert len(store) == 2
+    with pytest.raises(CheckpointError):
+        cm.rollback("nope")
+
+
+def test_checkpoint_retention(tmp_path):
+    store = TensorStore()
+    cm = CheckpointManager(store, tmp_path / "ck", retention=3)
+    for i in range(6):
+        cm.auto_checkpoint("delete", f"op{i}")
+    autos = [c for c in cm.list() if c["auto"]]
+    assert len(autos) == 3
+    # named checkpoints are never dropped by retention
+    cm.create(name="keep")
+    for i in range(4):
+        cm.auto_checkpoint("delete", f"more{i}")
+    assert any(c["name"] == "keep" for c in cm.list())
+
+
+def test_checkpoint_persistence(tmp_path):
+    store = TensorStore()
+    cm = CheckpointManager(store, tmp_path / "ck")
+    store.put("a:1", TensorData.with_values(x=1))
+    cm.create(name="n1")
+    # new manager over the same dir sees the index
+    cm2 = CheckpointManager(TensorStore(), tmp_path / "ck")
+    assert any(c["name"] == "n1" for c in cm2.list())
+    assert cm2.preview("n1")["entries"] == 1
+    assert cm2.delete("n1")
+    assert not cm2.delete("n1")
+
+
+def test_auto_checkpoint_ignores_nondestructive(tmp_path):
+    cm = CheckpointManager(TensorStore(), tmp_path / "ck")
+    assert cm.auto_checkpoint("select") is None
+    assert cm.auto_checkpoint("delete", "t") is not None

@@ -1,0 +1,106 @@
+"""Shell tests: built-ins, formatting, durability round-trips."""
+
+import io
+
+import pytest
+
+from neumann_tpu.shell import Shell, format_result
+from neumann_tpu.router import QueryResult
+
+
+@pytest.fixture
+def sh(tmp_path):
+    return Shell(stdout=io.StringIO())
+
+
+def test_builtins(sh):
+    assert "Built-ins" in sh.execute("help")
+    assert sh.execute("exit") is None
+    assert sh.execute("quit;") is None
+    assert sh.execute("") == ""
+    assert "no rows" in sh.execute("tables")
+
+
+def test_statement_roundtrip(sh):
+    sh.execute("CREATE TABLE t (v INT)")
+    sh.execute("INSERT INTO t VALUES (42)")
+    out = sh.execute("SELECT * FROM t")
+    assert "42" in out and "| v" in out.replace("  ", " ")
+    out2 = sh.execute("EMBED STORE 'x' [1.0, 0.0]")
+    assert "stored" in out2
+    out3 = sh.execute("SIMILAR 'x' TOP 1")
+    assert "x" in out3 and "1 hit(s)" in out3
+
+
+def test_error_reporting(sh):
+    out = sh.execute("SELECT * FROM missing")
+    assert out.startswith("error:")
+    out2 = sh.execute("SELEC * FROM t")
+    assert out2.startswith("error:")
+
+
+def test_save_load(sh, tmp_path):
+    sh.execute("CREATE TABLE t (v INT)")
+    sh.execute("EMBED STORE 'k' [1.0]")
+    path = tmp_path / "snap.ntpu"
+    assert "saved" in sh.execute(f"save '{path}'")
+    sh2 = Shell(stdout=io.StringIO())
+    assert "loaded" in sh2.execute(f"load '{path}'")
+    assert "1" in sh2.execute("COUNT EMBEDDINGS")
+
+
+def test_wal_dir_durability(tmp_path):
+    d = str(tmp_path / "data")
+    sh = Shell(wal_dir=d, stdout=io.StringIO())
+    sh.execute("EMBED STORE 'a' [1.0, 2.0]")
+    sh.router.store.wal_flush()
+    sh2 = Shell(wal_dir=d, stdout=io.StringIO())
+    assert "a" in sh2.execute("SHOW EMBEDDINGS")
+    assert "WAL:" in sh2.execute("wal status")
+
+
+def test_vault_init_and_doctor(sh):
+    assert "usage" in sh.execute("vault init")
+    assert "initialized" in sh.execute("vault init 'pw'")
+    sh.execute("VAULT SET 'k' 'v'")
+    doc = sh.execute("doctor")
+    assert "storage" in doc and "devices" in doc
+
+
+def test_format_result_kinds():
+    assert format_result(QueryResult.msg("hi")) == "hi"
+    assert format_result(QueryResult.of_count(3)) == "3"
+    assert "NULL" in format_result(
+        QueryResult.of_rows([{"a": None, "b": True}]))
+    long = format_result(QueryResult.of_rows([{"x": "y" * 100}]))
+    assert "..." in long
+
+
+def test_command_mode(tmp_path, capsys):
+    from neumann_tpu.shell.shell import main
+
+    rc = main(["-c", "SHOW TABLES"])
+    assert rc == 0
+    assert "no rows" in capsys.readouterr().out
+
+
+def test_wal_dir_recovers_tables(tmp_path):
+    import io
+    d = str(tmp_path / "data2")
+    sh = Shell(wal_dir=d, stdout=io.StringIO())
+    sh.execute("CREATE TABLE users (name TEXT, age INT)")
+    sh.execute("INSERT INTO users VALUES ('alice', 30)")
+    sh.execute("CREATE INDEX ON users (age)")
+    sh.router.store.wal_flush()
+    sh2 = Shell(wal_dir=d, stdout=io.StringIO())
+    out = sh2.execute("SELECT * FROM users WHERE age = 30")
+    assert "alice" in out
+    assert sh2.router.relational.list_indexes("users")["hash"] == ["age"]
+    # updates and deletes replay too
+    sh2.execute("UPDATE users SET age = 31 WHERE name = 'alice'")
+    sh2.execute("INSERT INTO users VALUES ('bob', 22)")
+    sh2.execute("DELETE FROM users WHERE name = 'bob'")
+    sh2.router.store.wal_flush()
+    sh3 = Shell(wal_dir=d, stdout=io.StringIO())
+    assert "31" in sh3.execute("SELECT age FROM users")
+    assert "bob" not in sh3.execute("SELECT * FROM users")
