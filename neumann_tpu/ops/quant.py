@@ -7,12 +7,15 @@ HBM-resident corpus, scanned by the same matmul+top-k pattern with
 in-register dequantization — mirroring EmbeddingStorage variants
 (tensor_store/src/hnsw.rs:564-1225) without the per-node dispatch.
 
-int8: per-row symmetric scale (absmax/127). The MXU multiplies int8 natively
-on v5e; scores rescale by the row scale after the matmul, so dequantization
-never touches HBM.
+int8: per-row symmetric scale (absmax/127). The MXU multiplies int8
+natively on v5e; scores rescale by the row scale after the matmul, so
+dequantization never touches HBM. Corpora bigger than `block_rows` stream
+through a lax.scan with a running top-k carry (exact merge), so the score
+matrix never materializes.
 
 binary: sign bits packed 32/dim into uint32; hamming distance via XOR +
-popcount on the VPU. Matches BinaryVector (tensor_store/src/binary_quantization.rs:27-210).
+popcount on the VPU. Matches BinaryVector
+(tensor_store/src/binary_quantization.rs:27-210).
 """
 
 from __future__ import annotations
@@ -43,6 +46,30 @@ def scalar_dequantize(q: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
     return q.astype(jnp.float32) * scale[..., None]
 
 
+def _int8_block_scores(qq, q_scale, q_norm, block_q, block_scale, metric):
+    """Scores for one int8 corpus block. qq [Q,d] int8, q_scale [Q],
+    q_norm [Q,1] dequantized query L2 norms."""
+    dots = lax.dot_general(
+        qq, block_q,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    dots = dots * q_scale[:, None] * block_scale[None, :]
+    if metric == "dot":
+        return dots
+    cn2 = jnp.sum(block_q.astype(jnp.float32) ** 2, axis=1) \
+        * block_scale ** 2
+    if metric == "cosine":
+        cn = jnp.sqrt(cn2)
+        denom = jnp.maximum(q_norm * cn[None, :], 1e-30)
+        return jnp.where((q_norm <= 0) | (cn[None, :] <= 0), 0.0,
+                         dots / denom)
+    if metric == "euclidean":
+        d2 = q_norm ** 2 - 2.0 * dots + cn2[None, :]
+        return -jnp.maximum(d2, 0.0)
+    raise ValueError(f"unsupported int8 metric: {metric}")
+
+
 def int8_topk_scan(
     corpus_q: jnp.ndarray,
     corpus_scale: jnp.ndarray,
@@ -50,56 +77,81 @@ def int8_topk_scan(
     k: int,
     metric: str = "cosine",
     mask: Optional[jnp.ndarray] = None,
-    block_rows: int = 128 * 1024,
+    block_rows: int = 512 * 1024,
 ):
     """Top-k scan over an int8 corpus with in-register dequantization.
 
-    Queries stay f32; they are quantized to int8 per-query so the matmul
-    runs int8 x int8 -> int32 on the MXU, then both scales rescale the
-    scores. Exact ordering is preserved up to quantization error of the
-    stored corpus (query quant error affects all rows equally per query
-    only in the dot term; for 768d int8 this stays within recall@10 parity
-    — verified in tests against the f32 oracle).
+    Queries are quantized per-query so the matmul runs int8 x int8 ->
+    int32 on the MXU; both scales rescale the scores afterwards. Exact up
+    to the stored corpus's quantization error (recall@10 parity verified
+    in tests against the f32 oracle).
     """
-    queries = _as2d(queries)
-    qq, q_scale = scalar_quantize(queries.astype(jnp.float32))
-    n = corpus_q.shape[0]
+    queries = _as2d(queries).astype(jnp.float32)
+    if queries.shape[-1] != corpus_q.shape[-1]:
+        raise ValueError(
+            f"query dim {queries.shape[-1]} != corpus dim "
+            f"{corpus_q.shape[-1]}")
+    qq, q_scale = scalar_quantize(queries)
+    q_norm = jnp.sqrt(jnp.sum(
+        (qq.astype(jnp.float32) * q_scale[:, None]) ** 2, axis=1,
+        keepdims=True))
+    n, d = corpus_q.shape
     k = min(k, n)
 
-    def scores_for(block_q, block_scale):
-        dots = lax.dot_general(
-            qq.astype(jnp.int32),
-            block_q.astype(jnp.int32),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        ).astype(jnp.float32)
-        dots = dots * q_scale[:, None] * block_scale[None, :]
-        if metric == "dot":
-            return dots
-        # norms from the quantized representation
-        qn = jnp.sqrt(jnp.sum(
-            (qq.astype(jnp.float32) * q_scale[:, None]) ** 2, axis=1,
-            keepdims=True))
-        cn2 = jnp.sum(block_q.astype(jnp.float32) ** 2, axis=1) \
-            * block_scale ** 2
-        if metric == "cosine":
-            cn = jnp.sqrt(cn2)
-            denom = jnp.maximum(qn * cn[None, :], 1e-30)
-            return jnp.where((qn <= 0) | (cn[None, :] <= 0), 0.0,
-                             dots / denom)
+    if n <= block_rows:
+        scores = _int8_block_scores(qq, q_scale, q_norm, corpus_q,
+                                    corpus_scale, metric)
+        if mask is not None:
+            scores = jnp.where(mask[None, :], scores, NEG_INF)
+        top_s, top_i = lax.top_k(scores, k)
+        top_i = jnp.where(jnp.isneginf(top_s), -1, top_i)
         if metric == "euclidean":
-            d2 = qn ** 2 - 2.0 * dots + cn2[None, :]
-            return -jnp.maximum(d2, 0.0)
-        raise ValueError(f"unsupported int8 metric: {metric}")
+            top_s = -jnp.sqrt(jnp.maximum(-top_s, 0.0))
+        return top_s, top_i.astype(jnp.int32)
 
-    scores = scores_for(corpus_q, corpus_scale)
-    if mask is not None:
-        scores = jnp.where(mask[None, :], scores, NEG_INF)
-    top_s, top_i = lax.top_k(scores, k)
-    top_i = jnp.where(jnp.isneginf(top_s), -1, top_i)
+    # -- blockwise: stream the corpus, carry a running top-k -------------
+    q = queries.shape[0]
+    nblocks = -(-n // block_rows)
+    n_pad = nblocks * block_rows
+    if n_pad != n:
+        pad = n_pad - n
+        corpus_q = jnp.concatenate(
+            [corpus_q, jnp.zeros((pad, d), corpus_q.dtype)], axis=0)
+        corpus_scale = jnp.concatenate(
+            [corpus_scale, jnp.ones((pad,), corpus_scale.dtype)], axis=0)
+        pad_mask = jnp.concatenate(
+            [jnp.ones((n,), bool) if mask is None else mask,
+             jnp.zeros((pad,), bool)], axis=0)
+    else:
+        pad_mask = mask if mask is not None else jnp.ones((n,), bool)
+
+    corpus_b = corpus_q.reshape(nblocks, block_rows, d)
+    scale_b = corpus_scale.reshape(nblocks, block_rows)
+    mask_b = pad_mask.reshape(nblocks, block_rows)
+    block_iota = lax.broadcasted_iota(jnp.int32, (1, block_rows), 1)
+
+    init = (jnp.full((q, k), NEG_INF, jnp.float32),
+            jnp.full((q, k), -1, jnp.int32))
+
+    def step(carry, xs):
+        best_s, best_i = carry
+        block_idx, block, bscale, bmask = xs
+        s = _int8_block_scores(qq, q_scale, q_norm, block, bscale, metric)
+        s = jnp.where(bmask[None, :], s, NEG_INF)
+        ids = jnp.broadcast_to(block_iota + block_idx * block_rows, s.shape)
+        cand_s = jnp.concatenate([best_s, s], axis=1)
+        cand_i = jnp.concatenate([best_i, ids], axis=1)
+        new_s, pos = lax.top_k(cand_s, k)
+        new_i = jnp.take_along_axis(cand_i, pos, axis=1)
+        return (new_s, new_i), None
+
+    (best_s, best_i), _ = lax.scan(
+        step, init,
+        (jnp.arange(nblocks, dtype=jnp.int32), corpus_b, scale_b, mask_b))
+    best_i = jnp.where(jnp.isneginf(best_s), -1, best_i)
     if metric == "euclidean":
-        top_s = -jnp.sqrt(jnp.maximum(-top_s, 0.0))
-    return top_s, top_i.astype(jnp.int32)
+        best_s = -jnp.sqrt(jnp.maximum(-best_s, 0.0))
+    return best_s, best_i
 
 
 # ---------------------------------------------------------------------------
@@ -131,9 +183,7 @@ def hamming_topk(
 ):
     """Top-k by smallest hamming distance (returned score = -distance).
 
-    XOR + popcount on the VPU; [Q, 1, W] vs [1, N, W] broadcast is done in
-    row-blocks to bound memory.
-    """
+    XOR + popcount on the VPU."""
     query_bits = query_bits if query_bits.ndim == 2 else query_bits[None, :]
     n = corpus_bits.shape[0]
     k = min(k, n)
@@ -149,7 +199,8 @@ def hamming_topk(
     return top_s, top_i.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "metric"))
+@functools.partial(jax.jit, static_argnames=("k", "metric", "block_rows"))
 def int8_topk_scan_jit(corpus_q, corpus_scale, queries, k, metric="cosine",
-                       mask=None):
-    return int8_topk_scan(corpus_q, corpus_scale, queries, k, metric, mask)
+                       mask=None, block_rows=512 * 1024):
+    return int8_topk_scan(corpus_q, corpus_scale, queries, k, metric, mask,
+                          block_rows)

@@ -1,0 +1,162 @@
+"""Partitioners: key -> shard assignment strategies.
+
+Parity with the reference's Partitioner trait and implementations
+(tensor_store/src/{partitioner,consistent_hash,semantic_partitioner,
+voronoi}.rs): consistent hashing with virtual nodes, semantic assignment
+by archetype-centroid similarity (k-means on device), and Voronoi regions
+over explicit seed points. These drive which mesh shard owns an entity —
+semantic assignment gives the locality that lets filtered/clustered
+queries probe fewer shards.
+"""
+
+from __future__ import annotations
+
+import bisect
+import hashlib
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+class ConsistentHashPartitioner:
+    """Hash ring with virtual nodes."""
+
+    def __init__(self, shards: Sequence[str], virtual_nodes: int = 64):
+        if not shards:
+            raise ValueError("need at least one shard")
+        self.virtual_nodes = virtual_nodes
+        self._ring: List[int] = []
+        self._owner: Dict[int, str] = {}
+        self._shards = list(shards)
+        for s in shards:
+            self._add_ring(s)
+
+    @staticmethod
+    def _hash(s: str) -> int:
+        return int.from_bytes(
+            hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
+
+    def _add_ring(self, shard: str) -> None:
+        for v in range(self.virtual_nodes):
+            h = self._hash(f"{shard}#{v}")
+            bisect.insort(self._ring, h)
+            self._owner[h] = shard
+
+    def assign(self, key: str) -> str:
+        h = self._hash(key)
+        idx = bisect.bisect_right(self._ring, h)
+        if idx == len(self._ring):
+            idx = 0
+        return self._owner[self._ring[idx]]
+
+    def add_shard(self, shard: str) -> None:
+        self._shards.append(shard)
+        self._add_ring(shard)
+
+    def remove_shard(self, shard: str) -> None:
+        self._shards.remove(shard)
+        for v in range(self.virtual_nodes):
+            h = self._hash(f"{shard}#{v}")
+            i = bisect.bisect_left(self._ring, h)
+            if i < len(self._ring) and self._ring[i] == h:
+                self._ring.pop(i)
+                self._owner.pop(h, None)
+
+    @property
+    def shards(self) -> List[str]:
+        return list(self._shards)
+
+
+def kmeans(vectors: np.ndarray, k: int, iters: int = 20,
+           seed: int = 0) -> np.ndarray:
+    """Device k-means (Lloyd's): one matmul + segment-sum per iteration."""
+    import jax
+    import jax.numpy as jnp
+
+    n, d = vectors.shape
+    k = min(k, n)
+    rng = np.random.default_rng(seed)
+    centroids = vectors[rng.choice(n, k, replace=False)].copy()
+
+    @jax.jit
+    def step(cent, x):
+        d2 = (jnp.sum(x * x, 1, keepdims=True)
+              - 2.0 * x @ cent.T + jnp.sum(cent * cent, 1)[None, :])
+        assign = jnp.argmin(d2, axis=1)
+        sums = jax.ops.segment_sum(x, assign, num_segments=k)
+        counts = jax.ops.segment_sum(jnp.ones((x.shape[0],)), assign,
+                                     num_segments=k)
+        new = jnp.where(counts[:, None] > 0,
+                        sums / jnp.maximum(counts[:, None], 1.0), cent)
+        return new, assign
+
+    x = np.asarray(vectors, np.float32)
+    import jax.numpy as jnp
+
+    cent = jnp.asarray(centroids)
+    xj = jnp.asarray(x)
+    for _ in range(iters):
+        cent, assign = step(cent, xj)
+    return np.asarray(cent)
+
+
+class SemanticPartitioner:
+    """Assign embeddings to the shard whose archetype centroid is nearest
+    (cosine), like semantic_partitioner.rs. Centroids are discovered with
+    device k-means over a sample."""
+
+    def __init__(self, n_shards: int):
+        self.n_shards = n_shards
+        self.centroids: Optional[np.ndarray] = None
+
+    def train(self, sample: np.ndarray, iters: int = 20) -> None:
+        self.centroids = kmeans(np.asarray(sample, np.float32),
+                                self.n_shards, iters)
+
+    def assign(self, vector: np.ndarray) -> int:
+        return int(self.assign_batch(np.asarray(vector)[None, :])[0])
+
+    def assign_batch(self, vectors: np.ndarray) -> np.ndarray:
+        if self.centroids is None:
+            raise ValueError("partitioner not trained")
+        v = np.asarray(vectors, np.float32)
+        c = self.centroids
+        vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+        cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-30)
+        return np.argmax(vn @ cn.T, axis=1)
+
+    def query_shards(self, query: np.ndarray, nprobe: int = 1
+                     ) -> List[int]:
+        """Shards to probe for a query, nearest-centroid first."""
+        if self.centroids is None:
+            raise ValueError("partitioner not trained")
+        q = np.asarray(query, np.float32)
+        c = self.centroids
+        qn = q / max(float(np.linalg.norm(q)), 1e-30)
+        cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-30)
+        order = np.argsort(-(cn @ qn))
+        return [int(i) for i in order[:nprobe]]
+
+
+class VoronoiPartitioner:
+    """Explicit seed points define regions; assignment = nearest seed by
+    euclidean distance (voronoi.rs capability)."""
+
+    def __init__(self, seeds: np.ndarray):
+        self.seeds = np.asarray(seeds, np.float32)
+        if self.seeds.ndim != 2 or not len(self.seeds):
+            raise ValueError("seeds must be [k, d]")
+
+    def assign(self, vector: np.ndarray) -> int:
+        v = np.asarray(vector, np.float32)
+        d2 = np.sum((self.seeds - v[None, :]) ** 2, axis=1)
+        return int(np.argmin(d2))
+
+    def assign_batch(self, vectors: np.ndarray) -> np.ndarray:
+        v = np.asarray(vectors, np.float32)
+        d2 = (np.sum(v * v, 1)[:, None] - 2 * v @ self.seeds.T
+              + np.sum(self.seeds * self.seeds, 1)[None, :])
+        return np.argmin(d2, axis=1)
+
+    def region_of(self, idx: int) -> np.ndarray:
+        return self.seeds[idx]

@@ -1,19 +1,27 @@
-"""Test config: force a virtual 8-device CPU mesh before jax imports.
+"""Test config: force a virtual 8-device CPU mesh.
 
 Multi-chip sharding logic is exercised on 8 virtual CPU devices
 (xla_force_host_platform_device_count), mirroring how the reference tests
 multi-node logic in-process with MemoryTransport instead of a real cluster
 (tensor_chain/src/network.rs:981-1283).
+
+NOTE: the axon TPU plugin's site hook imports jax at interpreter startup,
+so JAX_PLATFORMS set here would be too late — but the backend itself is
+still uninitialized, so jax.config.update works. XLA_FLAGS is read at
+backend init, which also hasn't happened yet.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -22,3 +30,10 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _assert_cpu_mesh():
+    assert jax.devices()[0].platform == "cpu"
+    assert len(jax.devices()) == 8
+    yield

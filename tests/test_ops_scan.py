@@ -171,3 +171,19 @@ def test_binary_quantize_nondivisible_dim(rng):
     x = rng.standard_normal((10, 50)).astype(np.float32)
     bits = binary_quantize(jnp.asarray(x))
     assert bits.shape == (10, 2)
+
+
+def test_int8_blockwise_matches_flat(rng):
+    corpus = rng.standard_normal((3000, 64)).astype(np.float32)
+    queries = rng.standard_normal((4, 64)).astype(np.float32)
+    cq, cs = scalar_quantize(jnp.asarray(corpus))
+    s1, i1 = int8_topk_scan(cq, cs, jnp.asarray(queries), 8)
+    s2, i2 = int8_topk_scan(cq, cs, jnp.asarray(queries), 8,
+                            block_rows=512)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                               rtol=1e-5, atol=1e-5)
+    mask = np.zeros(3000, bool)
+    mask[100:200] = True
+    s3, i3 = int8_topk_scan(cq, cs, jnp.asarray(queries), 8,
+                            mask=jnp.asarray(mask), block_rows=512)
+    assert mask[np.asarray(i3)].all()
