@@ -1,0 +1,465 @@
+"""gRPC server over the query router.
+
+Capability parity with neumann_server (neumann_server/src/lib.rs:105-532):
+QueryService (Execute / ExecuteBatch / ExecutePaginated / CloseCursor /
+ExecuteStream), Health, PointsService + CollectionsService (Qdrant-style,
+proto/vector.proto), BlobService streaming upload/download, API-key auth
+with per-key rate limiting, audit log, and x-request-id correlation.
+
+grpc_tools isn't in this image, so service stubs are hand-registered via
+grpc's generic handler API over protoc-generated message classes — same
+wire format, no codegen plugin needed.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import threading
+import time
+from concurrent import futures
+from typing import Dict, Iterable, List, Optional
+
+import grpc
+import numpy as np
+
+from neumann_tpu.router import QueryResult, QueryRouter
+from neumann_tpu.server import neumann_pb2 as pb
+from neumann_tpu.utils.errors import NeumannError
+
+VERSION = "0.1.0"
+
+
+def _json_default(v):
+    if isinstance(v, bytes):
+        return {"__b64__": base64.b64encode(v).decode()}
+    if isinstance(v, np.ndarray):
+        return v.tolist()
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.floating,)):
+        return float(v)
+    raise TypeError(f"unserializable {type(v)}")
+
+
+def dumps(obj) -> str:
+    return json.dumps(obj, default=_json_default)
+
+
+def result_to_proto(res: QueryResult) -> pb.QueryResponse:
+    out = pb.QueryResponse(kind=res.kind, message=res.message or "")
+    if res.rows:
+        out.rows.extend(pb.Row(json=dumps(r)) for r in res.rows)
+    if res.results:
+        out.hits.extend(pb.Hit(key=h["key"], score=h["score"])
+                        for h in res.results)
+    if res.count is not None:
+        out.count = res.count
+    if res.value is not None:
+        out.value_json = dumps(res.value)
+    return out
+
+
+class _Auth:
+    def __init__(self, api_keys: Optional[Iterable[str]],
+                 rate_limit_per_min: int):
+        self.keys = set(api_keys) if api_keys else None
+        self.rate = rate_limit_per_min
+        self._windows: Dict[str, List[float]] = {}
+        self._lock = threading.Lock()
+        self.audit: List[dict] = []
+
+    def check(self, context) -> str:
+        md = dict(context.invocation_metadata())
+        key = md.get("x-api-key", "")
+        rid = md.get("x-request-id", "")
+        if rid:
+            context.set_trailing_metadata((("x-request-id", rid),))
+        if self.keys is not None and key not in self.keys:
+            self.log(key, "auth_failure", ok=False)
+            context.abort(grpc.StatusCode.UNAUTHENTICATED,
+                          "invalid API key")
+        if self.rate:
+            now = time.time()
+            with self._lock:
+                w = self._windows.setdefault(key, [])
+                w[:] = [t for t in w if now - t < 60.0]
+                limited = len(w) >= self.rate
+                if not limited:
+                    w.append(now)
+            if limited:
+                self.log(key, "rate_limited", ok=False)
+                context.abort(grpc.StatusCode.RESOURCE_EXHAUSTED,
+                              "rate limit exceeded")
+        return key
+
+    def log(self, key: str, action: str, ok: bool = True,
+            detail: str = "") -> None:
+        with self._lock:
+            self.audit.append({"ts": time.time(), "key": key,
+                               "action": action, "ok": ok,
+                               "detail": detail})
+            if len(self.audit) > 10_000:
+                self.audit = self.audit[-5_000:]
+
+
+class NeumannServer:
+    def __init__(self, router: Optional[QueryRouter] = None,
+                 host: str = "127.0.0.1", port: int = 0,
+                 api_keys: Optional[Iterable[str]] = None,
+                 rate_limit_per_min: int = 0,
+                 max_workers: int = 16):
+        self.router = router or QueryRouter()
+        self.host = host
+        self._auth = _Auth(api_keys, rate_limit_per_min)
+        self._server = grpc.server(
+            futures.ThreadPoolExecutor(max_workers=max_workers))
+        self._server.add_generic_rpc_handlers(self._handlers())
+        self.port = self._server.add_insecure_port(f"{host}:{port}")
+        self.metrics = {"requests": 0, "errors": 0,
+                        "latency_ms_sum": 0.0}
+        self._mlock = threading.Lock()
+
+    # ------------------------------------------------------------------
+    def serve(self, block: bool = False) -> int:
+        self._server.start()
+        if block:
+            self._server.wait_for_termination()
+        return self.port
+
+    def stop(self, grace: float = 1.0) -> None:
+        self._server.stop(grace)
+
+    def audit_log(self) -> List[dict]:
+        return list(self._auth.audit)
+
+    # ------------------------------------------------------------------
+    def _record(self, t0: float, error: bool) -> None:
+        with self._mlock:
+            self.metrics["requests"] += 1
+            if error:
+                self.metrics["errors"] += 1
+            self.metrics["latency_ms_sum"] += (time.time() - t0) * 1e3
+
+    def _wrap(self, fn, req_cls, resp_cls, streaming_out=False,
+              streaming_in=False):
+        def handler(request, context):
+            t0 = time.time()
+            key = self._auth.check(context)
+            try:
+                out = fn(request, context)
+                self._record(t0, False)
+                self._auth.log(key, fn.__name__)
+                return out
+            except NeumannError as e:
+                self._record(t0, True)
+                self._auth.log(key, fn.__name__, ok=False, detail=str(e))
+                if streaming_out:
+                    context.abort(grpc.StatusCode.INVALID_ARGUMENT, str(e))
+                return resp_cls(error=str(e))
+            except Exception as e:  # noqa: BLE001 — surface faithfully
+                self._record(t0, True)
+                self._auth.log(key, fn.__name__, ok=False, detail=str(e))
+                context.abort(grpc.StatusCode.INTERNAL,
+                              f"{type(e).__name__}: {e}")
+        des = req_cls.FromString
+        ser = resp_cls.SerializeToString
+        if streaming_out and streaming_in:
+            return grpc.stream_stream_rpc_method_handler(
+                handler, request_deserializer=des,
+                response_serializer=ser)
+        if streaming_out:
+            return grpc.unary_stream_rpc_method_handler(
+                handler, request_deserializer=des,
+                response_serializer=ser)
+        if streaming_in:
+            return grpc.stream_unary_rpc_method_handler(
+                handler, request_deserializer=des,
+                response_serializer=ser)
+        return grpc.unary_unary_rpc_method_handler(
+            handler, request_deserializer=des, response_serializer=ser)
+
+    def _handlers(self):
+        q = {
+            "Execute": self._wrap(self._execute, pb.QueryRequest,
+                                  pb.QueryResponse),
+            "ExecuteBatch": self._wrap(self._execute_batch,
+                                       pb.BatchRequest, pb.BatchResponse),
+            "ExecutePaginated": self._wrap(
+                self._execute_paginated, pb.PaginatedRequest,
+                pb.PaginatedResponse),
+            "CloseCursor": self._wrap(self._close_cursor,
+                                      pb.CloseCursorRequest,
+                                      pb.CloseCursorResponse),
+            "ExecuteStream": self._wrap(self._execute_stream,
+                                        pb.QueryRequest, pb.QueryResponse,
+                                        streaming_out=True),
+        }
+        h = {"Check": self._wrap(self._health, pb.HealthRequest,
+                                 pb.HealthResponse)}
+        p = {
+            "Upsert": self._wrap(self._points_upsert,
+                                 pb.UpsertPointsRequest,
+                                 pb.UpsertPointsResponse),
+            "Get": self._wrap(self._points_get, pb.GetPointsRequest,
+                              pb.GetPointsResponse),
+            "Delete": self._wrap(self._points_delete,
+                                 pb.DeletePointsRequest,
+                                 pb.DeletePointsResponse),
+            "Query": self._wrap(self._points_query,
+                                pb.QueryPointsRequest,
+                                pb.QueryPointsResponse),
+            "Scroll": self._wrap(self._points_scroll,
+                                 pb.ScrollPointsRequest,
+                                 pb.ScrollPointsResponse),
+        }
+        c = {
+            "Create": self._wrap(self._col_create,
+                                 pb.CreateCollectionRequest,
+                                 pb.CreateCollectionResponse),
+            "Drop": self._wrap(self._col_drop, pb.DropCollectionRequest,
+                               pb.DropCollectionResponse),
+            "List": self._wrap(self._col_list, pb.ListCollectionsRequest,
+                               pb.ListCollectionsResponse),
+        }
+        b = {
+            "Upload": self._wrap(self._blob_upload, pb.BlobChunk,
+                                 pb.BlobUploadResponse, streaming_in=True),
+            "Download": self._wrap(self._blob_download,
+                                   pb.BlobDownloadRequest, pb.BlobChunk,
+                                   streaming_out=True),
+        }
+        return [
+            grpc.method_handlers_generic_handler("neumann.QueryService", q),
+            grpc.method_handlers_generic_handler("neumann.Health", h),
+            grpc.method_handlers_generic_handler("neumann.PointsService", p),
+            grpc.method_handlers_generic_handler(
+                "neumann.CollectionsService", c),
+            grpc.method_handlers_generic_handler("neumann.BlobService", b),
+        ]
+
+    # -- query service ------------------------------------------------------
+    def _execute(self, request, context):
+        return result_to_proto(self.router.execute(request.query))
+
+    def _execute_batch(self, request, context):
+        out = pb.BatchResponse()
+        for qr in request.queries:
+            try:
+                out.results.append(
+                    result_to_proto(self.router.execute(qr.query)))
+            except NeumannError as e:
+                out.results.append(pb.QueryResponse(error=str(e)))
+        return out
+
+    def _execute_paginated(self, request, context):
+        rows, cursor = self.router.execute_paginated(
+            request.query, request.page_size,
+            request.cursor or None)
+        return pb.PaginatedResponse(
+            rows=[pb.Row(json=dumps(r)) for r in rows],
+            next_cursor=cursor or "")
+
+    def _close_cursor(self, request, context):
+        return pb.CloseCursorResponse(
+            closed=self.router.close_cursor(request.cursor))
+
+    def _execute_stream(self, request, context):
+        res = self.router.execute(request.query)
+        chunk = 64
+        rows = res.rows or [
+            {"key": h["key"], "score": h["score"]} for h in res.results]
+        if not rows:
+            yield result_to_proto(res)
+            return
+        for i in range(0, len(rows), chunk):
+            part = QueryResult("rows", rows=rows[i: i + chunk])
+            yield result_to_proto(part)
+
+    # -- health -----------------------------------------------------------
+    def _health(self, request, context):
+        import jax
+
+        dev = jax.devices()[0]
+        return pb.HealthResponse(ok=True, version=VERSION,
+                                 entries=len(self.router.store),
+                                 device=dev.platform)
+
+    # -- points / collections ----------------------------------------------
+    def _ensure_collection(self, name: str):
+        if name not in self.router.vector.list_collections():
+            self.router.vector.create_collection(name)
+
+    def _points_upsert(self, request, context):
+        self._ensure_collection(request.collection)
+        n = 0
+        for pt in request.points:
+            payload = json.loads(pt.payload_json) if pt.payload_json \
+                else None
+            self.router.vector.store_in_collection(
+                request.collection, pt.id, list(pt.vector), payload)
+            n += 1
+        return pb.UpsertPointsResponse(upserted=n)
+
+    def _points_get(self, request, context):
+        out = pb.GetPointsResponse()
+        for pid in request.ids:
+            data = self.router.store.get(
+                f"col:{request.collection}:{pid}")
+            if data is None:
+                continue
+            emb = data.get("embedding")
+            payload = {n: v.value for n, v in data.fields.items()
+                       if n != "embedding" and v.kind == "scalar"}
+            out.points.append(pb.Point(
+                id=pid,
+                vector=emb.to_dense().tolist() if emb is not None else [],
+                payload_json=dumps(payload) if payload else ""))
+        return out
+
+    def _points_delete(self, request, context):
+        n = 0
+        for pid in request.ids:
+            if self.router.vector.delete_from_collection(
+                    request.collection, pid):
+                n += 1
+        return pb.DeletePointsResponse(deleted=n)
+
+    def _points_query(self, request, context):
+        from neumann_tpu.engines.vector import FilterCondition
+
+        filt = None
+        if request.filter_json:
+            filt = _filter_from_json(json.loads(request.filter_json))
+        if filt is not None:
+            hits = self.router.vector.search_filtered_in_collection(
+                request.collection, list(request.vector),
+                request.limit or 10, filt)
+        else:
+            hits = self.router.vector.search_in_collection(
+                request.collection, list(request.vector),
+                request.limit or 10)
+        out = pb.QueryPointsResponse()
+        for h in hits:
+            data = self.router.store.get(
+                f"col:{request.collection}:{h.key}")
+            payload = {}
+            if data is not None:
+                payload = {n: v.value for n, v in data.fields.items()
+                           if n != "embedding" and v.kind == "scalar"}
+            out.result.append(pb.ScoredPoint(
+                id=h.key, score=h.score,
+                payload_json=dumps(payload) if payload else ""))
+        return out
+
+    def _points_scroll(self, request, context):
+        prefix = f"col:{request.collection}:"
+        keys = [k[len(prefix):] for k in self.router.store.scan(prefix)]
+        if request.offset_id:
+            keys = [k for k in keys if k > request.offset_id]
+        limit = request.limit or 100
+        page = keys[:limit]
+        out = pb.ScrollPointsResponse(
+            next_offset_id=page[-1] if len(keys) > limit else "")
+        for pid in page:
+            data = self.router.store.get(prefix + pid)
+            emb = data.get("embedding") if data else None
+            out.points.append(pb.Point(
+                id=pid,
+                vector=emb.to_dense().tolist() if emb is not None else []))
+        return out
+
+    def _col_create(self, request, context):
+        from neumann_tpu.engines.vector import VectorCollectionConfig
+
+        self.router.vector.create_collection(
+            request.name, VectorCollectionConfig(
+                dimension=request.dimension or None,
+                metric=request.metric or "cosine",
+                quantization=request.quantization or "none"))
+        return pb.CreateCollectionResponse(ok=True)
+
+    def _col_drop(self, request, context):
+        return pb.DropCollectionResponse(
+            ok=self.router.vector.drop_collection(request.name))
+
+    def _col_list(self, request, context):
+        out = pb.ListCollectionsResponse()
+        for name in self.router.vector.list_collections():
+            st = self.router.vector.collection_stats(name)
+            out.collections.append(pb.CollectionInfo(
+                name=name, count=st["count"],
+                dimension=st["dimension"] or 0, metric=st["metric"],
+                quantization=st["quantization"]))
+        return out
+
+    # -- blobs -------------------------------------------------------------
+    def _blob_upload(self, request_iterator, context):
+        if self.router.blob is None:
+            self.router.init_blob()
+        writer = None
+        for chunk in request_iterator:
+            if writer is None:
+                writer = self.router.blob.writer(
+                    chunk.name or "unnamed",
+                    chunk.content_type or None)
+            if chunk.data:
+                writer.write(chunk.data)
+        if writer is None:
+            return pb.BlobUploadResponse(error="empty upload")
+        return pb.BlobUploadResponse(artifact_id=writer.finish())
+
+    def _blob_download(self, request, context):
+        if self.router.blob is None:
+            self.router.init_blob()
+        info = self.router.blob.info(request.artifact_id)
+        first = True
+        for data in self.router.blob.read_stream(request.artifact_id):
+            yield pb.BlobChunk(
+                name=info["name"] if first else "",
+                content_type=(info["content_type"] or "") if first else "",
+                data=data)
+            first = False
+
+
+def _filter_from_json(obj) -> "FilterCondition":
+    from neumann_tpu.engines.vector import FilterCondition as F
+
+    op = obj["op"]
+    if op in ("and", "or"):
+        left = _filter_from_json(obj["left"])
+        right = _filter_from_json(obj["right"])
+        return left.and_(right) if op == "and" else left.or_(right)
+    if op == "true":
+        return F.true()
+    if op == "exists":
+        return F.exists(obj["field"])
+    return F(op, obj["field"], obj.get("value"))
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="neumann-tpu-server")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=50051)
+    ap.add_argument("--api-key", action="append", default=None)
+    ap.add_argument("--wal-dir", default=None)
+    args = ap.parse_args(argv)
+    router = QueryRouter()
+    if args.wal_dir:
+        import os
+
+        os.makedirs(args.wal_dir, exist_ok=True)
+        router.store.recover(os.path.join(args.wal_dir, "wal.log"))
+        router.store.open_durable(os.path.join(args.wal_dir, "wal.log"))
+    srv = NeumannServer(router, args.host, args.port,
+                        api_keys=args.api_key)
+    port = srv.serve(block=False)
+    print(f"neumann-tpu server listening on {args.host}:{port}")
+    srv._server.wait_for_termination()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,170 @@
+"""TT compression, codecs, delta vectors, IVF index tests."""
+
+import numpy as np
+import pytest
+
+from neumann_tpu.compress import (
+    TTConfig,
+    delta_decode_ids,
+    delta_encode_ids,
+    rle_decode,
+    rle_encode,
+    tt_cosine_similarity,
+    tt_decompose,
+    tt_dot,
+    tt_reconstruct,
+    varint_decode,
+    varint_encode,
+)
+from neumann_tpu.compress.tensor_train import (
+    load_tt,
+    save_tt,
+    tt_dot_dense,
+    tt_norm,
+)
+from neumann_tpu.ops.ivf import IVFConfig, IVFIndex
+from neumann_tpu.store.delta_vector import (
+    ArchetypeRegistry,
+    DeltaVector,
+    KMeansConfig,
+)
+
+
+def smooth_vec(rng, d, components: int = 2):
+    """Low-frequency vector — compressible, like real embeddings."""
+    t = np.linspace(0, 6 * np.pi, d)
+    coef = rng.standard_normal(components)
+    return sum(c * np.sin((i + 1) * t) for i, c in enumerate(coef)).astype(
+        np.float32)
+
+
+def test_tt_roundtrip_accuracy(rng):
+    v = smooth_vec(rng, 1024)
+    tt = tt_decompose(v, TTConfig.for_dim(1024))
+    back = tt_reconstruct(tt)
+    rel = np.linalg.norm(back - v) / np.linalg.norm(v)
+    assert rel < 0.01
+    assert tt.compression_ratio() > 2.0
+
+
+def test_tt_high_compression_vs_accuracy(rng):
+    v = smooth_vec(rng, 1024)
+    hc = tt_decompose(v, TTConfig.high_compression(1024))
+    ha = tt_decompose(v, TTConfig.high_accuracy(1024))
+    assert hc.n_params < ha.n_params
+    err_hc = np.linalg.norm(tt_reconstruct(hc) - v)
+    err_ha = np.linalg.norm(tt_reconstruct(ha) - v)
+    assert err_ha <= err_hc + 1e-5
+
+
+def test_tt_dot_and_cosine(rng):
+    a = smooth_vec(rng, 512)
+    b = smooth_vec(rng, 512)
+    ta = tt_decompose(a, TTConfig.high_accuracy(512))
+    tb = tt_decompose(b, TTConfig.high_accuracy(512))
+    assert tt_dot(ta, tb) == pytest.approx(float(np.dot(a, b)), rel=1e-3)
+    assert tt_norm(ta) == pytest.approx(float(np.linalg.norm(a)), rel=1e-3)
+    want = np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert tt_cosine_similarity(ta, tb) == pytest.approx(want, abs=1e-3)
+    assert tt_dot_dense(ta, b) == pytest.approx(float(np.dot(a, b)),
+                                                rel=1e-2)
+
+
+def test_tt_odd_dimension(rng):
+    v = smooth_vec(rng, 768)
+    tt = tt_decompose(v)
+    assert tt_reconstruct(tt).shape == (768,)
+    v2 = smooth_vec(rng, 97)  # prime
+    tt2 = tt_decompose(v2)
+    np.testing.assert_allclose(tt_reconstruct(tt2), v2, atol=1e-3)
+
+
+def test_tt_save_load(tmp_path, rng):
+    vs = [("a", tt_decompose(smooth_vec(rng, 256))),
+          ("b", tt_decompose(smooth_vec(rng, 256)))]
+    path = tmp_path / "tts.npz"
+    save_tt(path, vs)
+    loaded = load_tt(path)
+    assert [k for k, _ in loaded] == ["a", "b"]
+    np.testing.assert_allclose(tt_reconstruct(loaded[0][1]),
+                               tt_reconstruct(vs[0][1]), atol=1e-6)
+
+
+def test_varint_roundtrip():
+    vals = [0, 1, 127, 128, 300, 2 ** 40, 5]
+    assert varint_decode(varint_encode(vals)) == vals
+    with pytest.raises(ValueError):
+        varint_encode([-1])
+    with pytest.raises(ValueError):
+        varint_decode(b"\x80")  # truncated
+
+
+def test_delta_ids():
+    ids = [3, 4, 10, 1000, 1001]
+    enc = delta_encode_ids(ids)
+    assert delta_decode_ids(enc) == ids
+    assert len(enc) < len(varint_encode(ids))
+    with pytest.raises(ValueError):
+        delta_encode_ids([5, 3])
+
+
+def test_rle():
+    data = b"\x00" * 300 + b"abc" + b"\xff" * 10
+    enc = rle_encode(data)
+    assert rle_decode(enc) == data
+    assert len(enc) < len(data)
+    with pytest.raises(ValueError):
+        rle_decode(b"\x01")
+
+
+def test_delta_vector_roundtrip(rng):
+    ref = rng.standard_normal(64).astype(np.float32)
+    v = ref.copy()
+    v[5] += 1.0
+    v[20] -= 0.5
+    dv = DeltaVector.from_dense_with_reference(v, ref, 0, threshold=0.01)
+    assert dv.nnz() == 2
+    np.testing.assert_allclose(dv.to_dense(ref), v, atol=1e-6)
+
+
+def test_archetype_registry(rng):
+    centers = rng.standard_normal((3, 32)).astype(np.float32) * 10
+    data = np.concatenate([
+        centers[i] + 0.05 * rng.standard_normal((40, 32)).astype(np.float32)
+        for i in range(3)])
+    reg = ArchetypeRegistry(threshold=0.001)
+    n = reg.discover_archetypes(data, KMeansConfig(k=3))
+    assert n == 3
+    dvs = reg.encode_batch(data)
+    # small deltas, good compression
+    nnz_frac, ratio = reg.compression_stats(dvs)
+    # decode reproduces inputs
+    for i in (0, 50, 100):
+        np.testing.assert_allclose(reg.decode(dvs[i]), data[i], atol=1e-3)
+    # same-cluster points share an archetype
+    assert len({dv.archetype for dv in dvs[:40]}) == 1
+
+
+def test_ivf_index(rng):
+    n, d = 2000, 64
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    idx = IVFIndex(d, IVFConfig(n_clusters=16, nprobe=16))
+    idx.train(data[:1000])
+    idx.add(data)
+    assert idx.n_vectors == n
+    queries = data[:5]
+    s, ids = idx.search(queries, 10)
+    # nprobe = all clusters -> exact: self is top-1
+    for qi in range(5):
+        assert ids[qi, 0] == qi
+    # recall with fewer probes still decent for self-queries
+    s2, ids2 = idx.search(queries, 10, nprobe=4)
+    assert (ids2[:, 0] == np.arange(5)).mean() >= 0.8
+
+
+def test_ivf_errors(rng):
+    idx = IVFIndex(8)
+    with pytest.raises(ValueError):
+        idx.add(rng.standard_normal((10, 8)).astype(np.float32))
+    with pytest.raises(ValueError):
+        idx.search(np.zeros(8, np.float32), 3)

@@ -1,0 +1,145 @@
+"""Client<->server tests over a real gRPC socket (loopback)."""
+
+import numpy as np
+import pytest
+
+from neumann_tpu.server import NeumannClient, NeumannServer
+from neumann_tpu.utils.errors import NeumannError
+
+
+@pytest.fixture
+def srv():
+    s = NeumannServer(port=0)
+    s.serve()
+    yield s
+    s.stop()
+
+
+@pytest.fixture
+def cli(srv):
+    c = NeumannClient.connect(f"127.0.0.1:{srv.port}")
+    yield c
+    c.close()
+
+
+def test_execute_roundtrip(cli):
+    assert "created" in cli.execute(
+        "CREATE TABLE t (name TEXT, age INT)").message
+    cli.execute("INSERT INTO t VALUES ('alice', 30), ('bob', 25)")
+    res = cli.execute("SELECT * FROM t WHERE age > 26")
+    assert res.rows == [{"_id": 0, "name": "alice", "age": 30}]
+    res2 = cli.execute("EMBED STORE 'x' [1.0, 0.0]")
+    assert "stored" in res2.message
+    hits = cli.execute("SIMILAR 'x' TOP 1").hits
+    assert hits[0]["key"] == "x"
+
+
+def test_execute_error_propagates(cli):
+    with pytest.raises(NeumannError) as ei:
+        cli.execute("SELECT * FROM missing")
+    assert "missing" in str(ei.value)
+    with pytest.raises(NeumannError):
+        cli.execute("TOTALLY BOGUS")
+
+
+def test_batch(cli):
+    out = cli.execute_batch([
+        "CREATE TABLE b (v INT)",
+        "INSERT INTO b VALUES (1)",
+        "SELECT * FROM nope",
+        "SELECT * FROM b"])
+    assert out[0].ok and out[1].ok
+    assert not out[2].ok and "nope" in out[2].error
+    assert out[3].rows[0]["v"] == 1
+
+
+def test_paginated(cli):
+    cli.execute("CREATE TABLE p (v INT)")
+    cli.execute("INSERT INTO p VALUES " +
+                ", ".join(f"({i})" for i in range(25)))
+    pages = list(cli.execute_paginated("SELECT * FROM p", page_size=10))
+    assert [len(p) for p in pages] == [10, 10, 5]
+
+
+def test_stream(cli):
+    cli.execute("CREATE TABLE s (v INT)")
+    cli.execute("INSERT INTO s VALUES " +
+                ", ".join(f"({i})" for i in range(150)))
+    chunks = list(cli.execute_stream("SELECT * FROM s"))
+    assert sum(len(c.rows) for c in chunks) == 150
+    assert len(chunks) >= 3
+
+
+def test_health(cli):
+    h = cli.health()
+    assert h["ok"] and h["device"] in ("cpu", "tpu")
+
+
+def test_points_api(cli):
+    cli.create_collection("docs", dimension=4)
+    n = cli.upsert_points("docs", [
+        {"id": "a", "vector": [1, 0, 0, 0], "payload": {"lang": "en"}},
+        {"id": "b", "vector": [0, 1, 0, 0]},
+    ])
+    assert n == 2
+    hits = cli.query_points("docs", [1, 0, 0, 0], limit=1)
+    assert hits[0]["id"] == "a"
+    fhits = cli.query_points(
+        "docs", [1, 0, 0, 0], limit=5,
+        filter_json={"op": "eq", "field": "lang", "value": "en"})
+    assert [h["id"] for h in fhits] == ["a"]
+    cols = cli.list_collections()
+    assert cols[0]["name"] == "docs" and cols[0]["count"] == 2
+    pts = list(cli.scroll_points("docs", limit=1))
+    assert {p["id"] for p in pts} == {"a", "b"}
+    assert cli.delete_points("docs", ["a", "zz"]) == 1
+
+
+def test_blob_streaming(cli):
+    data = bytes(range(256)) * 5000  # 1.28 MB, crosses chunk boundary
+    aid = cli.upload_blob("big.bin", data,
+                          content_type="application/octet-stream")
+    back = cli.download_blob(aid)
+    assert back == data
+
+
+def test_auth_and_rate_limit():
+    srv = NeumannServer(port=0, api_keys=["sekret"], rate_limit_per_min=3)
+    srv.serve()
+    try:
+        bad = NeumannClient.connect(f"127.0.0.1:{srv.port}",
+                                    api_key="wrong", retries=0)
+        with pytest.raises(NeumannError) as ei:
+            bad.execute("SHOW TABLES")
+        assert "UNAUTHENTICATED" in str(ei.value)
+        bad.close()
+        good = NeumannClient.connect(f"127.0.0.1:{srv.port}",
+                                     api_key="sekret", retries=0)
+        good.execute("SHOW TABLES")
+        good.execute("SHOW TABLES")
+        good.execute("SHOW TABLES")
+        with pytest.raises(NeumannError) as ei:
+            good.execute("SHOW TABLES")
+        assert "RESOURCE_EXHAUSTED" in str(ei.value)
+        good.close()
+        audit = srv.audit_log()
+        assert any(e["action"] == "auth_failure" for e in audit)
+        assert any(e["action"] == "rate_limited" for e in audit)
+    finally:
+        srv.stop()
+
+
+def test_embedded_mode():
+    c = NeumannClient.embedded()
+    c.execute("CREATE TABLE e (v INT)")
+    c.execute("INSERT INTO e VALUES (7)")
+    assert c.execute("SELECT * FROM e").rows[0]["v"] == 7
+    pages = list(c.execute_paginated("SELECT * FROM e", 10))
+    assert pages == [[{"_id": 0, "v": 7}]]
+    c.upsert_points("col", [{"id": "x", "vector": [1.0, 0.0]}])
+    assert c.query_points("col", [1.0, 0.0], 1)[0]["id"] == "x"
+
+
+def test_metrics(srv, cli):
+    cli.execute("SHOW TABLES")
+    assert srv.metrics["requests"] >= 1
