@@ -1,0 +1,175 @@
+"""SWIM-style gossip membership with incarnation numbers.
+
+Parity with tensor_chain/src/gossip.rs capability: periodic ping/ack
+probing with indirect ping-req fallback, alive/suspect/faulty states,
+incarnation-number refutation, and LWW membership dissemination
+piggybacked on every message. Sans-IO: tick()/handle() like RaftNode.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+from neumann_tpu.chain.transport import Message
+
+
+def _stable_seed(seed: int, node_id: str) -> int:
+    """Process-independent seed (str.__hash__ is randomized per run)."""
+    import hashlib
+
+    h = hashlib.blake2b(f"{seed}:{node_id}".encode(),
+                        digest_size=8).digest()
+    return int.from_bytes(h, "little")
+
+ALIVE = "alive"
+SUSPECT = "suspect"
+FAULTY = "faulty"
+
+_RANK = {ALIVE: 0, SUSPECT: 1, FAULTY: 2}
+
+
+@dataclass
+class MemberState:
+    status: str = ALIVE
+    incarnation: int = 0
+    version: int = 0     # LWW tiebreaker
+
+
+@dataclass
+class GossipConfig:
+    probe_interval: int = 3       # ticks between probes
+    ack_timeout: int = 2          # ticks to wait for ack
+    suspect_timeout: int = 6      # ticks from suspect -> faulty
+    indirect_probes: int = 2
+
+
+class GossipNode:
+    def __init__(self, node_id: str, peers: List[str],
+                 config: Optional[GossipConfig] = None, seed: int = 0):
+        self.id = node_id
+        self.config = config or GossipConfig()
+        self._rng = random.Random(_stable_seed(seed, node_id))
+        self.members: Dict[str, MemberState] = {
+            p: MemberState() for p in peers if p != node_id}
+        self.members[node_id] = MemberState()
+        self.incarnation = 0
+        self._tick = 0
+        self._awaiting_ack: Dict[str, int] = {}   # peer -> deadline
+        self._suspect_since: Dict[str, int] = {}
+        self._version = 0
+
+    # ------------------------------------------------------------------
+    def _membership_payload(self) -> dict:
+        return {p: {"status": m.status, "inc": m.incarnation,
+                    "v": m.version}
+                for p, m in self.members.items()}
+
+    def _merge_membership(self, remote: dict) -> None:
+        for peer, info in remote.items():
+            cur = self.members.get(peer)
+            if peer == self.id:
+                # refute rumors about ourselves
+                if info["status"] != ALIVE and \
+                        info["inc"] >= self.incarnation:
+                    self.incarnation = info["inc"] + 1
+                    me = self.members[self.id]
+                    me.status = ALIVE
+                    me.incarnation = self.incarnation
+                    self._version += 1
+                    me.version = self._version
+                continue
+            if cur is None:
+                self.members[peer] = MemberState(
+                    info["status"], info["inc"], info["v"])
+                continue
+            # LWW by (incarnation, status rank, version)
+            if (info["inc"], _RANK[info["status"]], info["v"]) > \
+                    (cur.incarnation, _RANK[cur.status], cur.version):
+                cur.status = info["status"]
+                cur.incarnation = info["inc"]
+                cur.version = info["v"]
+                if info["status"] == SUSPECT:
+                    self._suspect_since.setdefault(peer, self._tick)
+                elif info["status"] == ALIVE:
+                    self._suspect_since.pop(peer, None)
+
+    def _mark(self, peer: str, status: str) -> None:
+        m = self.members.get(peer)
+        if m is None or m.status == status:
+            return
+        m.status = status
+        self._version += 1
+        m.version = self._version
+        if status == SUSPECT:
+            self._suspect_since[peer] = self._tick
+        else:
+            self._suspect_since.pop(peer, None)
+
+    # ------------------------------------------------------------------
+    def tick(self) -> List[Message]:
+        self._tick += 1
+        out: List[Message] = []
+        # ack timeouts -> suspect + indirect probes
+        for peer, deadline in list(self._awaiting_ack.items()):
+            if self._tick >= deadline:
+                del self._awaiting_ack[peer]
+                self._mark(peer, SUSPECT)
+                others = [p for p in self.members
+                          if p not in (self.id, peer)
+                          and self.members[p].status == ALIVE]
+                for helper in self._rng.sample(
+                        others, min(self.config.indirect_probes,
+                                    len(others))):
+                    out.append(Message("ping_req", self.id, helper,
+                                       {"target": peer,
+                                        "members":
+                                        self._membership_payload()}))
+        # suspects -> faulty
+        for peer, since in list(self._suspect_since.items()):
+            if self._tick - since >= self.config.suspect_timeout:
+                self._mark(peer, FAULTY)
+        # periodic probe of a random live-ish peer
+        if self._tick % self.config.probe_interval == 0:
+            candidates = [p for p in self.members
+                          if p != self.id
+                          and self.members[p].status != FAULTY]
+            if candidates:
+                target = self._rng.choice(candidates)
+                self._awaiting_ack[target] = \
+                    self._tick + self.config.ack_timeout
+                out.append(Message("ping", self.id, target,
+                                   {"members":
+                                    self._membership_payload()}))
+        return out
+
+    def handle(self, msg: Message) -> List[Message]:
+        self._merge_membership(msg.payload.get("members", {}))
+        if msg.kind == "ping":
+            # snapshot membership BEFORE marking the pinger alive: if we
+            # believed it faulty, the ack must carry that rumor so the
+            # pinger can refute with an incarnation bump (without this,
+            # rank-based gossip re-infects FAULTY forever)
+            view = self._membership_payload()
+            self._mark(msg.src, ALIVE)
+            return [Message("ack", self.id, msg.src, {"members": view})]
+        if msg.kind == "ack":
+            self._awaiting_ack.pop(msg.src, None)
+            self._mark(msg.src, ALIVE)
+            return []
+        if msg.kind == "ping_req":
+            target = msg.payload["target"]
+            return [Message("ping", self.id, target,
+                            {"members": self._membership_payload(),
+                             "on_behalf": msg.src})]
+        return []
+
+    # ------------------------------------------------------------------
+    def alive_peers(self) -> List[str]:
+        return sorted(p for p, m in self.members.items()
+                      if m.status == ALIVE and p != self.id)
+
+    def status_of(self, peer: str) -> Optional[str]:
+        m = self.members.get(peer)
+        return m.status if m else None

@@ -1,0 +1,417 @@
+"""Tensor-Raft: deterministic sans-IO Raft core.
+
+Parity with tensor_chain/src/raft.rs capability: leader election with
+pre-vote, log replication with commit tracking, heartbeats, leadership
+transfer (TimeoutNow), log compaction + snapshot install for lagging
+followers, and persistence hooks (a RaftWal callback invoked before state
+transitions, like raft_wal.rs fsyncs).
+
+Design: the node never touches a clock or socket. `tick()` advances one
+logical tick and returns outbound Messages; `handle(msg)` consumes one
+inbound Message and returns outbound Messages; `take_committed()` yields
+newly committed entries for the state machine. The cluster layer pumps
+real time/transport; the DST harness pumps seeded simulated time — the
+same core runs in both (the reference needs loom/DST for this; here
+determinism is by construction).
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Tuple
+
+from neumann_tpu.chain.transport import Message
+
+
+def _stable_seed(seed: int, node_id: str) -> int:
+    """Process-independent seed (str.__hash__ is randomized per run)."""
+    import hashlib
+
+    h = hashlib.blake2b(f"{seed}:{node_id}".encode(),
+                        digest_size=8).digest()
+    return int.from_bytes(h, "little")
+
+FOLLOWER = "follower"
+PRE_CANDIDATE = "pre_candidate"
+CANDIDATE = "candidate"
+LEADER = "leader"
+
+
+@dataclass
+class RaftConfig:
+    election_timeout_min: int = 10   # ticks
+    election_timeout_max: int = 20
+    heartbeat_interval: int = 3
+    pre_vote: bool = True
+    max_entries_per_append: int = 64
+    snapshot_threshold: Optional[int] = None  # compact when log longer
+
+
+@dataclass
+class LogEntry:
+    term: int
+    payload: dict
+
+
+class RaftNode:
+    def __init__(self, node_id: str, peers: List[str],
+                 config: Optional[RaftConfig] = None, seed: int = 0,
+                 persist: Optional[Callable[[dict], None]] = None):
+        self.id = node_id
+        self.peers = [p for p in peers if p != node_id]
+        self.config = config or RaftConfig()
+        self._rng = random.Random(_stable_seed(seed, node_id))
+        self._persist = persist
+
+        # persistent state
+        self.term = 0
+        self.voted_for: Optional[str] = None
+        self.log: List[LogEntry] = []
+        # snapshot state (log compaction)
+        self.snapshot_index = 0   # entries up to this global index live
+        self.snapshot_term = 0    # in the snapshot, not in self.log
+        self.snapshot_data: Optional[dict] = None
+
+        # volatile
+        self.state = FOLLOWER
+        self.leader_id: Optional[str] = None
+        self.commit_index = 0
+        self.last_applied = 0
+        self._elapsed = 0
+        self._timeout = self._rand_timeout()
+        self._votes: set = set()
+        self._pre_votes: set = set()
+        # leader volatile
+        self.next_index: Dict[str, int] = {}
+        self.match_index: Dict[str, int] = {}
+        self._transfer_target: Optional[str] = None
+
+    # ------------------------------------------------------------------
+    # log index helpers (global 1-based indices; snapshot may hide prefix)
+    # ------------------------------------------------------------------
+    def last_index(self) -> int:
+        return self.snapshot_index + len(self.log)
+
+    def last_term(self) -> int:
+        if self.log:
+            return self.log[-1].term
+        return self.snapshot_term
+
+    def term_at(self, index: int) -> Optional[int]:
+        if index == 0:
+            return 0
+        if index == self.snapshot_index:
+            return self.snapshot_term
+        pos = index - self.snapshot_index - 1
+        if 0 <= pos < len(self.log):
+            return self.log[pos].term
+        return None
+
+    def entries_from(self, index: int) -> List[LogEntry]:
+        pos = index - self.snapshot_index - 1
+        if pos < 0:
+            return []
+        return self.log[pos:]
+
+    def _rand_timeout(self) -> int:
+        return self._rng.randint(self.config.election_timeout_min,
+                                 self.config.election_timeout_max)
+
+    def _persist_state(self) -> None:
+        if self._persist is not None:
+            self._persist({"term": self.term, "voted_for": self.voted_for,
+                           "log_len": self.last_index()})
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+    def propose(self, payload: dict) -> Optional[int]:
+        """Leader-only: append an entry; returns its global index."""
+        if self.state != LEADER:
+            return None
+        self.log.append(LogEntry(self.term, payload))
+        self._persist_state()
+        idx = self.last_index()
+        self.match_index[self.id] = idx
+        if not self.peers:
+            self._advance_commit()
+        return idx
+
+    def take_committed(self) -> List[Tuple[int, dict]]:
+        """Newly committed (index, payload) entries since last call."""
+        out = []
+        while self.last_applied < self.commit_index:
+            self.last_applied += 1
+            term = self.term_at(self.last_applied)
+            if term is None:      # inside snapshot — already applied via
+                continue          # install_snapshot on this node
+            pos = self.last_applied - self.snapshot_index - 1
+            out.append((self.last_applied, self.log[pos].payload))
+        return out
+
+    def transfer_leadership(self, target: str) -> List[Message]:
+        if self.state != LEADER or target not in self.peers:
+            return []
+        self._transfer_target = target
+        if self.match_index.get(target, 0) == self.last_index():
+            return [Message("timeout_now", self.id, target,
+                            {"term": self.term})]
+        return []  # will fire once the target catches up
+
+    def compact(self, upto: Optional[int] = None,
+                snapshot_data: Optional[dict] = None) -> int:
+        """Drop applied log prefix; returns new snapshot index."""
+        upto = min(upto if upto is not None else self.last_applied,
+                   self.last_applied)
+        if upto <= self.snapshot_index:
+            return self.snapshot_index
+        term = self.term_at(upto)
+        keep = upto - self.snapshot_index
+        self.log = self.log[keep:]
+        self.snapshot_index = upto
+        self.snapshot_term = term or 0
+        self.snapshot_data = snapshot_data
+        return upto
+
+    # ------------------------------------------------------------------
+    # time
+    # ------------------------------------------------------------------
+    def tick(self) -> List[Message]:
+        out: List[Message] = []
+        self._elapsed += 1
+        if self.state == LEADER:
+            if self._elapsed >= self.config.heartbeat_interval:
+                self._elapsed = 0
+                out += self._broadcast_append()
+            if self.config.snapshot_threshold and \
+                    len(self.log) > self.config.snapshot_threshold:
+                self.compact()
+            return out
+        if self._elapsed >= self._timeout:
+            out += self._start_election()
+        return out
+
+    def _start_election(self, skip_pre_vote: bool = False) -> List[Message]:
+        self._elapsed = 0
+        self._timeout = self._rand_timeout()
+        if not self.peers:
+            # single-node cluster: win immediately
+            self.term += 1
+            self.voted_for = self.id
+            self._persist_state()
+            self._become_leader()
+            return []
+        if self.config.pre_vote and not skip_pre_vote:
+            self.state = PRE_CANDIDATE
+            self._pre_votes = {self.id}
+            return [Message("pre_vote_req", self.id, p, {
+                "term": self.term + 1, "last_index": self.last_index(),
+                "last_term": self.last_term()}) for p in self.peers]
+        self.state = CANDIDATE
+        self.term += 1
+        self.voted_for = self.id
+        self._persist_state()
+        self._votes = {self.id}
+        return [Message("vote_req", self.id, p, {
+            "term": self.term, "last_index": self.last_index(),
+            "last_term": self.last_term()}) for p in self.peers]
+
+    def _become_leader(self) -> None:
+        self.state = LEADER
+        self.leader_id = self.id
+        self._elapsed = 0
+        self._transfer_target = None
+        for p in self.peers:
+            self.next_index[p] = self.last_index() + 1
+            self.match_index[p] = 0
+        self.match_index[self.id] = self.last_index()
+        # no-op entry to commit entries from prior terms promptly
+        self.log.append(LogEntry(self.term, {"noop": True}))
+        self.match_index[self.id] = self.last_index()
+        self._persist_state()
+        if not self.peers:
+            self._advance_commit()
+
+    def _become_follower(self, term: int,
+                         leader: Optional[str] = None) -> None:
+        if term > self.term:
+            self.term = term
+            self.voted_for = None
+            self._persist_state()
+        self.state = FOLLOWER
+        self.leader_id = leader
+        self._elapsed = 0
+        self._timeout = self._rand_timeout()
+
+    # ------------------------------------------------------------------
+    # replication
+    # ------------------------------------------------------------------
+    def _broadcast_append(self) -> List[Message]:
+        return [m for p in self.peers for m in self._append_for(p)]
+
+    def _append_for(self, peer: str) -> List[Message]:
+        nxt = self.next_index.get(peer, self.last_index() + 1)
+        if nxt <= self.snapshot_index:
+            return [Message("install_snapshot", self.id, peer, {
+                "term": self.term,
+                "last_index": self.snapshot_index,
+                "last_term": self.snapshot_term,
+                "data": self.snapshot_data})]
+        prev = nxt - 1
+        prev_term = self.term_at(prev)
+        if prev_term is None:
+            prev_term = self.snapshot_term
+        entries = self.entries_from(nxt)[
+            : self.config.max_entries_per_append]
+        return [Message("append_entries", self.id, peer, {
+            "term": self.term, "prev_index": prev,
+            "prev_term": prev_term,
+            "entries": [{"term": e.term, "payload": e.payload}
+                        for e in entries],
+            "leader_commit": self.commit_index})]
+
+    def _advance_commit(self) -> None:
+        for idx in range(self.last_index(), self.commit_index, -1):
+            if self.term_at(idx) != self.term:
+                continue  # only commit current-term entries by counting
+            votes = 1 + sum(1 for p in self.peers
+                            if self.match_index.get(p, 0) >= idx)
+            if votes * 2 > len(self.peers) + 1:
+                self.commit_index = idx
+                break
+
+    # ------------------------------------------------------------------
+    # message handling
+    # ------------------------------------------------------------------
+    def handle(self, msg: Message) -> List[Message]:
+        handler = getattr(self, f"_on_{msg.kind}", None)
+        if handler is None:
+            return []
+        term = msg.payload.get("term", 0)
+        if term > self.term and msg.kind not in ("pre_vote_req",
+                                                 "pre_vote_resp"):
+            self._become_follower(term)
+        return handler(msg)
+
+    def _on_pre_vote_req(self, msg: Message) -> List[Message]:
+        p = msg.payload
+        up_to_date = (p["last_term"], p["last_index"]) >= \
+            (self.last_term(), self.last_index())
+        # grant pre-vote only if we haven't heard from a live leader
+        no_leader = self._elapsed >= self.config.election_timeout_min or \
+            self.leader_id is None
+        grant = p["term"] > self.term and up_to_date and no_leader
+        return [Message("pre_vote_resp", self.id, msg.src,
+                        {"term": p["term"], "granted": grant})]
+
+    def _on_pre_vote_resp(self, msg: Message) -> List[Message]:
+        if self.state != PRE_CANDIDATE:
+            return []
+        if msg.payload.get("granted"):
+            self._pre_votes.add(msg.src)
+            if len(self._pre_votes) * 2 > len(self.peers) + 1:
+                return self._start_election(skip_pre_vote=True)
+        return []
+
+    def _on_vote_req(self, msg: Message) -> List[Message]:
+        p = msg.payload
+        grant = False
+        if p["term"] >= self.term:
+            up_to_date = (p["last_term"], p["last_index"]) >= \
+                (self.last_term(), self.last_index())
+            if up_to_date and self.voted_for in (None, msg.src):
+                grant = True
+                self.voted_for = msg.src
+                self._elapsed = 0
+                self._persist_state()
+        return [Message("vote_resp", self.id, msg.src,
+                        {"term": self.term, "granted": grant})]
+
+    def _on_vote_resp(self, msg: Message) -> List[Message]:
+        if self.state != CANDIDATE or msg.payload["term"] < self.term:
+            return []
+        if msg.payload.get("granted"):
+            self._votes.add(msg.src)
+            if len(self._votes) * 2 > len(self.peers) + 1:
+                self._become_leader()
+                return self._broadcast_append()
+        return []
+
+    def _on_append_entries(self, msg: Message) -> List[Message]:
+        p = msg.payload
+        if p["term"] < self.term:
+            return [Message("append_resp", self.id, msg.src,
+                            {"term": self.term, "success": False,
+                             "match": 0})]
+        self._become_follower(p["term"], leader=msg.src)
+        prev = p["prev_index"]
+        our_term = self.term_at(prev)
+        if our_term is None or (prev > 0 and our_term != p["prev_term"]):
+            return [Message("append_resp", self.id, msg.src,
+                            {"term": self.term, "success": False,
+                             "match": min(prev - 1, self.last_index())})]
+        # append, truncating conflicts
+        idx = prev
+        for e in p["entries"]:
+            idx += 1
+            existing = self.term_at(idx)
+            if existing is None:
+                self.log.append(LogEntry(e["term"], e["payload"]))
+            elif existing != e["term"]:
+                pos = idx - self.snapshot_index - 1
+                self.log = self.log[:pos]
+                self.log.append(LogEntry(e["term"], e["payload"]))
+        self._persist_state()
+        if p["leader_commit"] > self.commit_index:
+            self.commit_index = min(p["leader_commit"], self.last_index())
+        return [Message("append_resp", self.id, msg.src,
+                        {"term": self.term, "success": True,
+                         "match": idx})]
+
+    def _on_append_resp(self, msg: Message) -> List[Message]:
+        if self.state != LEADER:
+            return []
+        p = msg.payload
+        if p.get("success"):
+            self.match_index[msg.src] = max(
+                self.match_index.get(msg.src, 0), p["match"])
+            self.next_index[msg.src] = self.match_index[msg.src] + 1
+            self._advance_commit()
+            out = []
+            if self._transfer_target == msg.src and \
+                    self.match_index[msg.src] == self.last_index():
+                out.append(Message("timeout_now", self.id, msg.src,
+                                   {"term": self.term}))
+                self._transfer_target = None
+            if self.next_index[msg.src] <= self.last_index():
+                out += self._append_for(msg.src)
+            return out
+        self.next_index[msg.src] = max(
+            1, min(p.get("match", 0) + 1,
+                   self.next_index.get(msg.src, 1) - 1))
+        return self._append_for(msg.src)
+
+    def _on_install_snapshot(self, msg: Message) -> List[Message]:
+        p = msg.payload
+        if p["term"] < self.term:
+            return []
+        self._become_follower(p["term"], leader=msg.src)
+        if p["last_index"] <= self.snapshot_index:
+            return []
+        self.snapshot_index = p["last_index"]
+        self.snapshot_term = p["last_term"]
+        self.snapshot_data = p.get("data")
+        self.log = []
+        self.commit_index = max(self.commit_index, p["last_index"])
+        self.last_applied = max(self.last_applied, p["last_index"])
+        self._persist_state()
+        return [Message("append_resp", self.id, msg.src,
+                        {"term": self.term, "success": True,
+                         "match": self.snapshot_index})]
+
+    def _on_timeout_now(self, msg: Message) -> List[Message]:
+        if msg.payload.get("term", 0) < self.term:
+            return []
+        # immediate election, skipping pre-vote (leadership transfer)
+        return self._start_election(skip_pre_vote=True)

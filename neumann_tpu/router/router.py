@@ -868,5 +868,81 @@ class QueryRouter:
         c = ck.rollback(s.target)
         return QueryResult.msg(f"rolled back to {c['id']}")
 
+    # -- chain / cluster ---------------------------------------------------
+    def init_chain(self, embedding_dim: int = 64, **kw) -> None:
+        from neumann_tpu.chain import TensorChain
+
+        self.chain = TensorChain(self.store, embedding_dim, **kw)
+
+    def _exec_chain(self, s: ast.Chain) -> QueryResult:
+        chain = getattr(self, "chain", None)
+        if s.action == "begin":
+            if chain is None:
+                self.init_chain()
+                chain = self.chain
+            self._chain_tx = chain.begin()
+            return QueryResult.msg(
+                f"chain transaction {self._chain_tx.tx_id} started")
+        if chain is None:
+            raise NeumannError("chain not initialized — "
+                               "BEGIN CHAIN TRANSACTION first")
+        if s.action == "commit":
+            tx = getattr(self, "_chain_tx", None)
+            if tx is None:
+                raise NeumannError("no open chain transaction")
+            h = chain.commit(tx)
+            self._chain_tx = None
+            return QueryResult.msg(f"committed block {h - 1} "
+                                   f"(height {h})")
+        if s.action == "rollback":
+            n = chain.rollback_to(s.height or 0)
+            return QueryResult.msg(f"chain rolled back {n} block(s)")
+        if s.action == "height":
+            return QueryResult.of_count(chain.height)
+        if s.action == "tip":
+            tip = chain.tip()
+            return QueryResult.of_rows([tip.to_dict()] if tip else [])
+        if s.action == "block":
+            blk = chain.get_block(s.height)
+            if blk is None:
+                return QueryResult.msg(f"no block {s.height}")
+            return QueryResult.of_rows([blk.to_dict()])
+        if s.action == "verify":
+            return QueryResult.msg(
+                "chain OK" if chain.verify() else "chain CORRUPT")
+        if s.action == "history":
+            return QueryResult.of_rows(chain.history(s.key))
+        if s.action == "similar":
+            return QueryResult.of_rows(
+                chain.similar_blocks(s.embedding, s.limit or 5))
+        if s.action == "drift":
+            return QueryResult.of_rows(
+                [chain.drift(s.from_height, s.to_height)])
+        raise NeumannError(f"chain action {s.action} unsupported")
+
+    def _exec_cluster(self, s: ast.Cluster) -> QueryResult:
+        cluster = getattr(self, "cluster", None)
+        if s.action == "connect":
+            return QueryResult.msg(
+                "single-process build: start nodes with "
+                "neumann_tpu.chain.cluster.ClusterOrchestrator; "
+                f"requested address {s.address!r} noted")
+        if cluster is None:
+            return QueryResult.msg("not connected to a cluster")
+        if s.action == "status":
+            return QueryResult.of_rows([{
+                "leader": cluster.leader(),
+                "nodes": len(cluster.nodes)}])
+        if s.action == "nodes":
+            return QueryResult.of_rows([
+                {"id": nid, "state": n.raft.state, "term": n.raft.term}
+                for nid, n in cluster.nodes.items()])
+        if s.action == "leader":
+            return QueryResult.of_value(cluster.leader())
+        if s.action == "disconnect":
+            self.cluster = None
+            return QueryResult.msg("disconnected")
+        raise NeumannError(f"cluster action {s.action} unsupported")
+
     def _exec_empty(self, s) -> QueryResult:
         return QueryResult.msg("")

@@ -1,0 +1,499 @@
+"""Distributed layer tests: HLC, transport faults, chain, consensus,
+Raft (unit + DST with partitions/crashes), 2PC, gossip, deadlock,
+cluster replication."""
+
+import numpy as np
+import pytest
+
+from neumann_tpu.chain import (
+    HLC,
+    Chain,
+    ConflictClass,
+    DeadlockDetector,
+    GossipNode,
+    MemoryTransport,
+    Message,
+    RaftConfig,
+    RaftNode,
+    TensorChain,
+    TransportHub,
+    TwoPhaseCoordinator,
+    TwoPhaseParticipant,
+    classify_conflict,
+    classify_pairwise,
+)
+from neumann_tpu.chain.block import compute_state_root
+from neumann_tpu.chain.cluster import ClusterOrchestrator
+from neumann_tpu.chain.consensus import merge_orthogonal
+from neumann_tpu.chain.dst import DSTHarness, FaultAction
+from neumann_tpu.store.tensor_store import TensorData, TensorStore
+from neumann_tpu.utils.errors import ChainError
+
+
+# ---------------------------------------------------------------- HLC
+
+def test_hlc_monotone_and_merge():
+    t = [1000]
+    clock = HLC("a", now_ms=lambda: t[0])
+    a = clock.now()
+    b = clock.now()
+    assert b > a
+    # clock stuck -> logical grows
+    c = clock.now()
+    assert c.logical > 0
+    # remote ahead -> jump forward
+    remote = HLC("b", now_ms=lambda: 2000).now()
+    merged = clock.update(remote)
+    assert merged.wall_ms == 2000 and merged > remote
+
+
+# ---------------------------------------------------------------- transport
+
+def test_memory_transport_and_faults():
+    hub = TransportHub(seed=1)
+    a = hub.register("a")
+    b = hub.register("b")
+    c = hub.register("c")
+    assert a.send("b", "hello", {"x": 1})
+    msg = b.recv()
+    assert msg.kind == "hello" and msg.payload == {"x": 1}
+    assert a.broadcast("hi", {}) == 2
+    b.drain()
+    c.drain()
+    # partition: a alone, b+c together
+    hub.partition({"a"}, {"b", "c"})
+    assert not a.send("b", "x", {})
+    assert b.send("c", "x", {})
+    hub.heal()
+    assert a.send("b", "x", {})
+    # drops
+    hub.drop_probability = 1.0
+    assert not a.send("b", "x", {})
+    hub.heal()
+    # asymmetric blocking
+    hub.blocked_inbound.add("b")
+    assert not a.send("b", "x", {})
+    assert b.send("a", "x", {})
+    # corruption
+    hub.heal()
+    hub.corrupt_probability = 1.0
+    a.send("b", "x", {"real": True})
+    got = b.drain()[-1]
+    assert got.payload.get("__corrupted__")
+
+
+def test_message_codec():
+    m = Message("k", "a", "b", {"n": 1, "s": "x"})
+    assert Message.decode(m.encode()).payload == m.payload
+
+
+# ---------------------------------------------------------------- chain
+
+def test_chain_append_verify_history():
+    ch = Chain()
+    b1 = ch.new_block([{"id": 1, "ops": [{"op": "put", "key": "k:1"}]}],
+                      "root1")
+    ch.append(b1)
+    b2 = ch.new_block([{"id": 2, "ops": [{"op": "put", "key": "k:2"}]}],
+                      "root2", delta_embedding=np.ones(4))
+    ch.append(b2)
+    assert ch.height == 2 and ch.verify()
+    assert ch.get_block(1).delta_embedding == [1, 1, 1, 1]
+    hist = ch.history("k:1")
+    assert len(hist) == 1 and hist[0]["height"] == 0
+    # tamper detection
+    ch._blocks[0].transactions.append({"id": 9, "ops": []})
+    assert not ch.verify()
+
+
+def test_chain_rejects_bad_blocks():
+    ch = Chain()
+    b1 = ch.new_block([], "r")
+    ch.append(b1)
+    bad = ch.new_block([], "r")
+    bad.prev_hash = "f" * 64
+    with pytest.raises(ChainError):
+        ch.append(bad)
+    other = Chain(signing_key=b"other")
+    foreign = other.new_block([], "r")
+    with pytest.raises(ChainError):
+        ch.append(foreign)
+
+
+def test_state_root_order_independent():
+    a = compute_state_root({"x": b"1", "y": b"2"})
+    b = compute_state_root({"y": b"2", "x": b"1"})
+    assert a == b
+    c = compute_state_root({"x": b"1", "y": b"3"})
+    assert a != c
+
+
+# ---------------------------------------------------------------- consensus
+
+def test_classify_conflicts():
+    e1 = np.array([1.0, 0, 0, 0], np.float32)
+    e2 = np.array([0, 1.0, 0, 0], np.float32)
+    assert classify_conflict(e1, {"a"}, e2, {"b"}) == \
+        ConflictClass.ORTHOGONAL
+    assert classify_conflict(e1, {"a"}, e1, {"a"}) == \
+        ConflictClass.IDENTICAL
+    assert classify_conflict(e1, {"a"}, -e1, {"a"}) == \
+        ConflictClass.CONFLICTING
+    assert classify_conflict(e1, {"a"}, e1 * 0.9 + e2 * 0.3, {"a"}) == \
+        ConflictClass.SIMILAR
+    merged = merge_orthogonal([e1, e2])
+    np.testing.assert_allclose(merged, [1, 1, 0, 0])
+
+
+def test_classify_pairwise_batch():
+    deltas = np.array([[1, 0], [0, 1], [-1, 0]], np.float32)
+    keys = [{"a"}, {"b"}, {"a"}]
+    out = classify_pairwise(deltas, keys)
+    d = {(i, j): c for i, j, c in out}
+    assert d[(0, 1)] == ConflictClass.ORTHOGONAL
+    assert d[(0, 2)] == ConflictClass.CONFLICTING
+
+
+def test_tensor_chain_commit_flow():
+    tc = TensorChain(embedding_dim=4)
+    tx = tc.begin()
+    tx.put("doc:1", TensorData.with_values(
+        embedding=[1.0, 0, 0, 0], title="one"))
+    assert tx.get("doc:1") is not None       # read-your-writes
+    assert tc.store.get("doc:1") is None     # invisible pre-commit
+    h = tc.commit(tx)
+    assert h == 1 and tc.store.get("doc:1") is not None
+    assert tc.verify()
+    blk = tc.get_block(0)
+    np.testing.assert_allclose(blk.delta_embedding, [1, 0, 0, 0])
+    with pytest.raises(ChainError):
+        tx.put("x", TensorData())  # closed
+
+
+def test_tensor_chain_conflict_and_merge():
+    tc = TensorChain(embedding_dim=4)
+    tx1 = tc.begin()
+    tx1.put("a", TensorData.with_values(embedding=[1.0, 0, 0, 0]))
+    tx2 = tc.begin()
+    tx2.put("b", TensorData.with_values(embedding=[0, 1.0, 0, 0]))
+    # orthogonal: auto-merge commits both in one block
+    h = tc.commit(tx1, auto_merge=True)
+    assert h == 1
+    assert tc.store.get("a") is not None and tc.store.get("b") is not None
+    assert len(tc.get_block(0).transactions) == 2
+    # conflicting: opposite delta on same key
+    tx3 = tc.begin()
+    tx3.put("c", TensorData.with_values(embedding=[1.0, 0, 0, 0]))
+    tx4 = tc.begin()
+    tx4.put("c", TensorData.with_values(embedding=[-1.0, 0, 0, 0]))
+    with pytest.raises(ChainError):
+        tc.commit(tx3)
+    tc.rollback(tx4)
+    assert tc.commit(tx3) == 2
+
+
+def test_tensor_chain_similar_and_drift():
+    tc = TensorChain(embedding_dim=2)
+    for vec in ([1.0, 0.0], [0.9, 0.1], [0.0, 1.0]):
+        tx = tc.begin()
+        tx.put(f"k{vec}", TensorData.with_values(embedding=vec))
+        tc.commit(tx)
+    sim = tc.similar_blocks([1.0, 0.0], limit=2)
+    assert sim[0]["height"] == 0 and sim[1]["height"] == 1
+    d = tc.drift(0, 3)
+    assert d["blocks"] == 3 and d["drift_norm"] > 0
+    assert tc.rollback_to(1) == 2
+    assert tc.height == 1
+
+
+# ---------------------------------------------------------------- raft unit
+
+def pump(nodes, hub, transports, steps=50):
+    for _ in range(steps):
+        for nid, node in nodes.items():
+            for m in node.tick():
+                hub.deliver(m)
+        for nid, node in nodes.items():
+            for msg in transports[nid].drain():
+                for m in node.handle(msg):
+                    hub.deliver(m)
+
+
+def make_cluster(n=3, seed=0):
+    hub = TransportHub(seed=seed)
+    ids = [f"n{i}" for i in range(n)]
+    nodes = {nid: RaftNode(nid, ids, RaftConfig(), seed=seed + i)
+             for i, nid in enumerate(ids)}
+    transports = {nid: hub.register(nid) for nid in ids}
+    return hub, nodes, transports
+
+
+def test_raft_elects_single_leader():
+    hub, nodes, tr = make_cluster(3)
+    pump(nodes, hub, tr, 60)
+    leaders = [n for n in nodes.values() if n.state == "leader"]
+    assert len(leaders) == 1
+    term = leaders[0].term
+    followers = [n for n in nodes.values() if n.state != "leader"]
+    assert all(f.term == term for f in followers)
+
+
+def test_raft_replicates_and_commits():
+    hub, nodes, tr = make_cluster(3)
+    pump(nodes, hub, tr, 60)
+    leader = next(n for n in nodes.values() if n.state == "leader")
+    idx = leader.propose({"k": "v1"})
+    assert idx is not None
+    pump(nodes, hub, tr, 20)
+    for node in nodes.values():
+        committed = [p for _, p in node.take_committed()
+                     if "noop" not in p]
+        assert {"k": "v1"} in committed
+
+
+def test_raft_single_node_cluster():
+    node = RaftNode("solo", ["solo"], RaftConfig())
+    for _ in range(30):
+        node.tick()
+    assert node.state == "leader"
+    node.propose({"x": 1})
+    got = [p for _, p in node.take_committed() if "noop" not in p]
+    assert {"x": 1} in got
+
+
+def test_raft_leadership_transfer():
+    hub, nodes, tr = make_cluster(3)
+    pump(nodes, hub, tr, 60)
+    leader = next(n for n in nodes.values() if n.state == "leader")
+    target = leader.peers[0]
+    for m in leader.transfer_leadership(target):
+        hub.deliver(m)
+    pump(nodes, hub, tr, 40)
+    new_leader = next(n for n in nodes.values() if n.state == "leader")
+    assert new_leader.id == target
+
+
+def test_raft_snapshot_install():
+    hub, nodes, tr = make_cluster(3)
+    pump(nodes, hub, tr, 60)
+    leader = next(n for n in nodes.values() if n.state == "leader")
+    # isolate one follower, write a lot, compact, heal
+    lagger = leader.peers[0]
+    hub.partition({leader.id, leader.peers[1]}, {lagger})
+    for i in range(10):
+        leader.propose({"i": i})
+        pump(nodes, hub, tr, 5)
+    leader.take_committed()
+    leader.compact(snapshot_data={"state": "dense"})
+    assert leader.snapshot_index > 0
+    hub.heal()
+    pump(nodes, hub, tr, 60)
+    lag_node = nodes[lagger]
+    assert lag_node.snapshot_index == leader.snapshot_index or \
+        lag_node.last_index() >= leader.snapshot_index
+
+
+# ---------------------------------------------------------------- DST
+
+def test_dst_steady_state():
+    r = DSTHarness(3, seed=42).run(ticks=300)
+    assert r.ok, r.violations
+    assert any(r.committed.values())
+
+
+@pytest.mark.parametrize("seed", [1, 7, 1234])
+def test_dst_partition_heals(seed):
+    h = DSTHarness(5, seed=seed)
+    faults = [
+        FaultAction(60, "partition",
+                    groups=[{"n0", "n1"}, {"n2", "n3", "n4"}]),
+        FaultAction(150, "heal"),
+    ]
+    r = h.run(ticks=400, faults=faults)
+    assert r.ok, r.violations
+    # majority side keeps committing through the partition
+    assert max(len(v) for v in r.committed.values()) > 0
+
+
+@pytest.mark.parametrize("seed", [3, 99])
+def test_dst_leader_crash_restart(seed):
+    h = DSTHarness(3, seed=seed)
+    h.run(ticks=80, propose_every=10)
+    leader = h.current_leader() or "n0"
+    faults = [FaultAction(0, "crash", node=leader),
+              FaultAction(120, "restart", node=leader)]
+    r = h.run(ticks=300, faults=faults)
+    assert r.ok, r.violations
+
+
+def test_dst_message_drops():
+    h = DSTHarness(3, seed=5)
+    faults = [FaultAction(20, "drop_rate", rate=0.3),
+              FaultAction(200, "drop_rate", rate=0.0)]
+    r = h.run(ticks=400, faults=faults)
+    assert r.ok, r.violations
+
+
+def test_dst_deterministic():
+    a = DSTHarness(3, seed=11).run(ticks=200)
+    b = DSTHarness(3, seed=11).run(ticks=200)
+    assert a.committed == b.committed
+    assert a.leaders_per_term == b.leaders_per_term
+
+
+# ---------------------------------------------------------------- 2PC
+
+def make_2pc(n=2):
+    stores = {f"p{i}": TensorStore() for i in range(n)}
+    parts = {nid: TwoPhaseParticipant(nid, s)
+             for nid, s in stores.items()}
+    coord = TwoPhaseCoordinator("coord")
+    return coord, parts, stores
+
+
+def route_2pc(coord, parts, msgs):
+    # deliver until quiescent
+    queue = list(msgs)
+    while queue:
+        msg = queue.pop(0)
+        if msg.dst == coord.id:
+            queue += coord.handle(msg)
+        elif msg.dst in parts:
+            queue += parts[msg.dst].handle(msg)
+
+
+def test_2pc_commit():
+    coord, parts, stores = make_2pc()
+    tx, prepares = coord.begin({
+        "p0": [{"op": "put", "key": "k:1", "fields": {"v": 1}}],
+        "p1": [{"op": "put", "key": "k:2", "fields": {"v": 2}}]})
+    route_2pc(coord, parts, prepares)
+    assert coord.state_of(tx) == "committed"
+    assert stores["p0"].get("k:1").get("v").value == 1
+    assert stores["p1"].get("k:2").get("v").value == 2
+    # locks released
+    assert parts["p0"].locks.owner_of("k:1") is None
+
+
+def test_2pc_abort_on_lock_conflict():
+    coord, parts, stores = make_2pc()
+    # pre-lock k:1 on p0 under another tx
+    assert parts["p0"].locks.try_lock("k:1", "other-tx")
+    tx, prepares = coord.begin({
+        "p0": [{"op": "put", "key": "k:1", "fields": {"v": 1}}],
+        "p1": [{"op": "put", "key": "k:2", "fields": {"v": 2}}]})
+    route_2pc(coord, parts, prepares)
+    assert coord.state_of(tx) == "aborted"
+    assert stores["p0"].get("k:1") is None
+    assert stores["p1"].get("k:2") is None  # atomicity across shards
+
+
+def test_2pc_explicit_abort():
+    coord, parts, stores = make_2pc()
+    tx, prepares = coord.begin({
+        "p0": [{"op": "put", "key": "a", "fields": {"v": 1}}]})
+    msgs = coord.abort(tx)
+    route_2pc(coord, parts, prepares + msgs)
+    assert coord.state_of(tx) == "aborted"
+    with pytest.raises(ChainError):
+        coord.abort("nonexistent")
+
+
+# ---------------------------------------------------------------- gossip
+
+def pump_gossip(nodes, steps=30, lost=frozenset()):
+    for _ in range(steps):
+        inbox = []
+        for node in nodes.values():
+            inbox += node.tick()
+        while inbox:
+            msg = inbox.pop(0)
+            if msg.dst in lost or msg.dst not in nodes:
+                continue
+            inbox += nodes[msg.dst].handle(msg)
+
+
+def test_gossip_all_alive():
+    ids = ["a", "b", "c", "d"]
+    nodes = {i: GossipNode(i, ids, seed=2) for i in ids}
+    pump_gossip(nodes, 30)
+    for node in nodes.values():
+        assert len(node.alive_peers()) == 3
+
+
+def test_gossip_detects_failure_and_refutes():
+    ids = ["a", "b", "c", "d"]
+    nodes = {i: GossipNode(i, ids, seed=2) for i in ids}
+    pump_gossip(nodes, 20)
+    # d dies: messages to it vanish
+    dead = {"d"}
+    pump_gossip({i: n for i, n in nodes.items() if i not in dead},
+                60, lost=dead)
+    statuses = {nodes[i].status_of("d") for i in ("a", "b", "c")}
+    assert "faulty" in statuses or "suspect" in statuses
+    # d comes back with a refutation: incarnation bump spreads
+    pump_gossip(nodes, 60)
+    assert all(nodes[i].status_of("d") == "alive"
+               for i in ("a", "b", "c"))
+
+
+# ---------------------------------------------------------------- deadlock
+
+def test_deadlock_detection():
+    d = DeadlockDetector()
+    d.add_wait("t1", "t2")
+    d.add_wait("t2", "t3")
+    assert d.find_cycle() is None
+    d.add_wait("t3", "t1")
+    cycle = d.find_cycle()
+    assert cycle is not None and set(cycle) == {"t1", "t2", "t3"}
+    assert d.victim() == "t3"
+    d.remove_waiter("t3")
+    assert d.find_cycle() is None
+
+
+# ---------------------------------------------------------------- cluster
+
+def test_cluster_replicated_store():
+    orch = ClusterOrchestrator(3, seed=9)
+    leader_id = orch.run_until_leader()
+    assert leader_id is not None
+    leader = orch.nodes[leader_id]
+    assert leader.propose_put(
+        "user:alice", TensorData.with_values(name="alice"))
+    orch.step(30)
+    for node in orch.nodes.values():
+        got = node.store.get("user:alice")
+        assert got is not None and got.get("name").value == "alice"
+    assert leader.propose_delete("user:alice")
+    orch.step(30)
+    assert all(n.store.get("user:alice") is None
+               for n in orch.nodes.values())
+    # non-leader propose fails
+    follower = next(n for n in orch.nodes.values() if not n.is_leader())
+    assert not follower.propose_put("x", TensorData())
+    assert follower.leader_hint() == leader_id
+
+
+def test_cluster_query_routing():
+    executed = []
+
+    def factory(nid):
+        def run(q):
+            executed.append((nid, q))
+            return f"{nid}:{q}"
+        return run
+
+    orch = ClusterOrchestrator(3, seed=4, query_executor_factory=factory)
+    leader_id = orch.run_until_leader()
+    # keep stepping until every follower has learned the leader
+    for _ in range(100):
+        orch.step()
+        if all(n.leader_hint() == leader_id or n.is_leader()
+               for n in orch.nodes.values()):
+            break
+    follower = next(n for n in orch.nodes.values() if not n.is_leader())
+    follower.send_query("SHOW TABLES")
+    orch.step(10)
+    assert executed and executed[0][0] == leader_id
+    assert follower.poll_query_result() == f"{leader_id}:SHOW TABLES"

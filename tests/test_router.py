@@ -245,3 +245,32 @@ def test_module_not_initialized_errors(r):
         r.execute("VAULT GET 'x'")
     with pytest.raises(NeumannError):
         r.execute("BLOB STATS")
+
+
+def test_chain_statements(r):
+    assert "started" in r.execute("BEGIN CHAIN TRANSACTION").message
+    # stage ops through the workspace API, then commit via statement
+    from neumann_tpu.store.tensor_store import TensorData
+    r._chain_tx.put("doc:x", TensorData.with_values(
+        embedding=[1.0] + [0.0] * 63))
+    assert "committed" in r.execute("COMMIT CHAIN").message
+    assert r.execute("CHAIN HEIGHT").count == 1
+    assert r.execute("CHAIN VERIFY").message == "chain OK"
+    blk = r.execute("CHAIN BLOCK 0").rows[0]
+    assert blk["height"] == 0
+    hist = r.execute("CHAIN HISTORY 'doc:x'").rows
+    assert len(hist) == 1
+    tip = r.execute("CHAIN TIP").rows
+    assert tip and tip[0]["height"] == 0
+    sim = r.execute("CHAIN SIMILAR [1.0] LIMIT 2")
+    assert isinstance(sim.rows, list)
+    drift = r.execute("CHAIN DRIFT FROM 0 TO 1").rows[0]
+    assert drift["blocks"] == 1
+    assert "rolled back" in r.execute("ROLLBACK CHAIN TO 0").message
+    assert r.execute("CHAIN HEIGHT").count == 0
+
+
+def test_cluster_statements(r):
+    out = r.execute("CLUSTER STATUS")
+    assert "not connected" in out.message
+    assert "noted" in r.execute("CLUSTER CONNECT 'n2@host:1'").message
