@@ -34,6 +34,7 @@ def main():
     from jax import lax
 
     from neumann_tpu.ops.quant import (
+        corpus_sqnorms,
         int8_topk_scan,
         int8_topk_scan_jit,
         scalar_quantize,
@@ -70,15 +71,19 @@ def main():
         kc, sub = jax.random.split(kc)
         corpus_q = fill(corpus_q, sub, jnp.int32(ci * chunk_rows))
     scale = (0.5 + jax.random.uniform(kq, (n,))) / 127.0
+    sqnorm = jax.jit(corpus_sqnorms)(corpus_q, scale)
     queries = jax.random.normal(jax.random.PRNGKey(7), (q, d), jnp.float32)
-    mask = jnp.ones((n,), bool)
+    mask = None  # no tombstones: a fully-valid corpus skips the mask op
 
     @functools.partial(jax.jit, static_argnames=("reps", "nq"))
-    def chain(corpus_q, scale, qs, mask, reps, nq):
+    def chain(corpus_q, scale, sqnorm, qs, reps, nq):
         def body(i, carry):
             cur, acc = carry
             s, idx = int8_topk_scan(corpus_q, scale, cur, k, "cosine",
-                                    mask, block_rows=block_rows)
+                                    None, block_rows=block_rows,
+                                    selection="approx",
+                                    recall_target=0.95,
+                                    corpus_sqnorm=sqnorm)
             # data dependence so the loop can't be collapsed; the
             # perturbation is ~1e-30 and does not change the workload
             cur = cur + 1e-30 * jnp.mean(s)
@@ -88,7 +93,7 @@ def main():
 
     def timed(reps, nq):
         t0 = time.perf_counter()
-        float(chain(corpus_q, scale, queries, mask, reps, nq))
+        float(chain(corpus_q, scale, sqnorm, queries, reps, nq))
         return time.perf_counter() - t0
 
     # batched throughput: per-iter from rep-count difference
@@ -119,7 +124,8 @@ def main():
     _, oi = topk_scan_jit(sub_f32, queries, k, "cosine",
                           block_rows=block_rows)
     _, qi = int8_topk_scan_jit(sub_q, sub_scale, queries, k, "cosine",
-                               block_rows=block_rows)
+                               block_rows=block_rows,
+                               selection="approx", recall_target=0.95)
     oi = np.asarray(oi)
     qi = np.asarray(qi)
     recall = float(np.mean([

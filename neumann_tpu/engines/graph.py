@@ -28,6 +28,7 @@ from typing import Dict, List, Optional, Sequence, Set, Tuple
 import numpy as np
 
 from neumann_tpu.engines.condition import Condition
+from neumann_tpu.engines.graph_algorithms import GraphAlgorithmsMixin
 from neumann_tpu.store.tensor_store import TensorData, TensorStore, TensorValue
 from neumann_tpu.utils.errors import GraphError
 
@@ -47,7 +48,7 @@ class TraversalFilter:
     direction: str = "out"        # out | in | both
 
 
-class GraphEngine:
+class GraphEngine(GraphAlgorithmsMixin):
     def __init__(self, store: Optional[TensorStore] = None):
         self.store = store if store is not None else TensorStore()
         self._lock = threading.RLock()

@@ -200,6 +200,13 @@ class PageRank(Statement):
 
 
 @dataclass
+class GraphAlgorithm(Statement):
+    name: str = ""            # betweenness/closeness/eigenvector/louvain/
+    #                           label_propagation
+    params: Dict[str, object] = field(default_factory=dict)
+
+
+@dataclass
 class GraphAggregate(Statement):
     func: str = "count"       # count/sum/avg/min/max
     target: str = "nodes"     # nodes/edges

@@ -660,6 +660,48 @@ class _Parser:
                 break
         return stmt
 
+    def _graph_algorithm(self, name: str, numeric_params) -> ast.Statement:
+        stmt = ast.GraphAlgorithm(name=name)
+        while True:
+            matched = False
+            for kw, key, conv in numeric_params:
+                if self.accept_kw(kw):
+                    stmt.params[key] = conv(self.number())
+                    matched = True
+                    break
+            if not matched:
+                if self.accept_kw("DIRECTION"):
+                    d = self.expect_kw("OUTGOING", "INCOMING", "BOTH")
+                    stmt.params["direction"] = {
+                        "OUTGOING": "out", "INCOMING": "in",
+                        "BOTH": "both"}[d]
+                elif self.accept_kw("EDGE_TYPE"):
+                    stmt.params["edge_type"] = self.ident()
+                else:
+                    break
+        return stmt
+
+    def _stmt_betweenness(self) -> ast.Statement:
+        return self._graph_algorithm("betweenness", [
+            ("SAMPLING_RATIO", "sampling_ratio", float)])
+
+    def _stmt_closeness(self) -> ast.Statement:
+        return self._graph_algorithm("closeness", [])
+
+    def _stmt_eigenvector(self) -> ast.Statement:
+        return self._graph_algorithm("eigenvector", [
+            ("MAX_ITERATIONS", "max_iterations", int),
+            ("TOLERANCE", "tol", float)])
+
+    def _stmt_louvain(self) -> ast.Statement:
+        return self._graph_algorithm("louvain", [
+            ("RESOLUTION", "resolution", float),
+            ("MAX_PASSES", "max_passes", int)])
+
+    def _stmt_label_propagation(self) -> ast.Statement:
+        return self._graph_algorithm("label_propagation", [
+            ("MAX_ITERATIONS", "max_iterations", int)])
+
     def _stmt_graph(self) -> ast.Statement:
         self.expect_kw("AGGREGATE")
         func = self.expect_kw("COUNT", "SUM", "AVG", "MIN", "MAX").lower()

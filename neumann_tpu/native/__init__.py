@@ -1,0 +1,151 @@
+"""ctypes loader for the C++ native module.
+
+Compiles neumann_native.cpp with g++ on first use (cached as a .so next
+to the source); falls back to None if no compiler is available, in which
+case callers use the pure-Python implementations.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+_HERE = os.path.dirname(__file__)
+_SRC = os.path.join(_HERE, "neumann_native.cpp")
+_SO = os.path.join(_HERE, "libneumann_native.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """Return the native library, building it if needed; None if
+    unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        try:
+            if (not os.path.exists(_SO)
+                    or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _SO],
+                    check=True, capture_output=True, timeout=120)
+            lib = ctypes.CDLL(_SO)
+        except (OSError, subprocess.SubprocessError):
+            return None
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        lib.nn_crc32.restype = ctypes.c_uint32
+        lib.nn_crc32.argtypes = [u8p, ctypes.c_size_t]
+        lib.nn_wal_frame.restype = ctypes.c_size_t
+        lib.nn_wal_frame.argtypes = [u8p, ctypes.c_size_t, u8p]
+        lib.nn_wal_scan.restype = ctypes.c_size_t
+        lib.nn_wal_scan.argtypes = [u8p, ctypes.c_size_t, u64p,
+                                    ctypes.c_size_t]
+        lib.nn_varint_encode.restype = ctypes.c_size_t
+        lib.nn_varint_encode.argtypes = [u64p, ctypes.c_size_t, u8p]
+        lib.nn_varint_decode.restype = ctypes.c_size_t
+        lib.nn_varint_decode.argtypes = [u8p, ctypes.c_size_t, u64p,
+                                         ctypes.c_size_t]
+        lib.nn_delta_encode_ids.restype = ctypes.c_size_t
+        lib.nn_delta_encode_ids.argtypes = [u64p, ctypes.c_size_t, u8p]
+        lib.nn_delta_decode_ids.restype = ctypes.c_size_t
+        lib.nn_delta_decode_ids.argtypes = [u8p, ctypes.c_size_t, u64p,
+                                            ctypes.c_size_t]
+        lib.nn_rle_encode.restype = ctypes.c_size_t
+        lib.nn_rle_encode.argtypes = [u8p, ctypes.c_size_t, u8p]
+        lib.nn_rle_decode.restype = ctypes.c_size_t
+        lib.nn_rle_decode.argtypes = [u8p, ctypes.c_size_t, u8p,
+                                      ctypes.c_size_t]
+        _lib = lib
+        return _lib
+
+
+def _as_u8(buf: bytes):
+    return ctypes.cast(ctypes.c_char_p(buf),
+                       ctypes.POINTER(ctypes.c_uint8))
+
+
+# -- python-facing helpers (None-safe: callers check available()) ---------
+
+def available() -> bool:
+    return load() is not None
+
+
+def crc32(buf: bytes) -> int:
+    lib = load()
+    return lib.nn_crc32(_as_u8(buf), len(buf))
+
+
+def wal_scan(buf: bytes, max_records: int = 1 << 20):
+    """[(offset, length)] of valid records, stopping at corruption."""
+    lib = load()
+    out = (ctypes.c_uint64 * (2 * max_records))()
+    n = lib.nn_wal_scan(_as_u8(buf), len(buf), out, max_records)
+    return [(out[2 * i], out[2 * i + 1]) for i in range(n)]
+
+
+def wal_frame(payload: bytes) -> bytes:
+    lib = load()
+    out = (ctypes.c_uint8 * (len(payload) + 8))()
+    n = lib.nn_wal_frame(_as_u8(payload), len(payload), out)
+    return bytes(out[:n])
+
+
+def varint_encode(values) -> bytes:
+    lib = load()
+    n = len(values)
+    arr = (ctypes.c_uint64 * n)(*values)
+    out = (ctypes.c_uint8 * (10 * n))()
+    size = lib.nn_varint_encode(arr, n, out)
+    return bytes(out[:size])
+
+
+def varint_decode(buf: bytes, max_n: int = 1 << 22):
+    lib = load()
+    out = (ctypes.c_uint64 * max_n)()
+    n = lib.nn_varint_decode(_as_u8(buf), len(buf), out, max_n)
+    if n == ctypes.c_size_t(-1).value:
+        raise ValueError("truncated varint stream")
+    return [out[i] for i in range(n)]
+
+
+def delta_encode_ids(ids) -> bytes:
+    lib = load()
+    n = len(ids)
+    arr = (ctypes.c_uint64 * n)(*ids)
+    out = (ctypes.c_uint8 * (10 * max(n, 1)))()
+    size = lib.nn_delta_encode_ids(arr, n, out)
+    return bytes(out[:size])
+
+
+def delta_decode_ids(buf: bytes, max_n: int = 1 << 22):
+    lib = load()
+    out = (ctypes.c_uint64 * max_n)()
+    n = lib.nn_delta_decode_ids(_as_u8(buf), len(buf), out, max_n)
+    if n == ctypes.c_size_t(-1).value:
+        raise ValueError("truncated varint stream")
+    return [out[i] for i in range(n)]
+
+
+def rle_encode(data: bytes) -> bytes:
+    lib = load()
+    out = (ctypes.c_uint8 * (2 * max(len(data), 1)))()
+    n = lib.nn_rle_encode(_as_u8(data), len(data), out)
+    return bytes(out[:n])
+
+
+def rle_decode(buf: bytes, max_out: Optional[int] = None) -> bytes:
+    lib = load()
+    cap = max_out if max_out is not None else 255 * (len(buf) // 2) + 1
+    out = (ctypes.c_uint8 * cap)()
+    n = lib.nn_rle_decode(_as_u8(buf), len(buf), out, cap)
+    if n == ctypes.c_size_t(-1).value:
+        raise ValueError("truncated RLE stream")
+    return bytes(out[:n])

@@ -112,6 +112,9 @@ class QueryRouter:
         self._cursors: Dict[str, dict] = {}
         self._cursor_seq = itertools.count(1)
         self._lock = threading.RLock()
+        from neumann_tpu.utils.observability import QueryMetrics
+
+        self.metrics = QueryMetrics()
 
     # -- module attachment ---------------------------------------------------
     def init_vault(self, master_password: str, **kw) -> None:
@@ -136,8 +139,20 @@ class QueryRouter:
 
     # -- entry points ---------------------------------------------------------
     def execute(self, query: str) -> QueryResult:
+        import time as _time
+
         stmt = parse(query)
-        return self.execute_statement(stmt)
+        kind = type(stmt).__name__
+        t0 = _time.perf_counter()
+        try:
+            out = self.execute_statement(stmt)
+        except Exception:
+            self.metrics.record(kind, (_time.perf_counter() - t0) * 1e3,
+                                error=True, query=query)
+            raise
+        self.metrics.record(kind, (_time.perf_counter() - t0) * 1e3,
+                            query=query)
+        return out
 
     def execute_many(self, query: str) -> List[QueryResult]:
         from neumann_tpu.lang.parser import parse_many
@@ -476,6 +491,39 @@ class QueryRouter:
         pr = self.graph.pagerank(s.damping, s.max_iterations)
         rows = [{"id": k, "rank": v}
                 for k, v in sorted(pr.items(), key=lambda kv: -kv[1])]
+        return QueryResult.of_rows(rows)
+
+    def _exec_graphalgorithm(self, s: ast.GraphAlgorithm) -> QueryResult:
+        params = dict(s.params)
+        params.pop("edge_type", None)  # algorithms run over all edges
+        if s.name == "betweenness":
+            params.pop("direction", None)
+            out = self.graph.betweenness_centrality(**params)
+            key = "betweenness"
+        elif s.name == "closeness":
+            out = self.graph.closeness_centrality(
+                direction=params.get("direction", "both"))
+            key = "closeness"
+        elif s.name == "eigenvector":
+            params.pop("direction", None)
+            out = self.graph.eigenvector_centrality(**params)
+            key = "centrality"
+        elif s.name == "louvain":
+            params.pop("direction", None)
+            out = self.graph.louvain(**params)
+            key = "community"
+        elif s.name == "label_propagation":
+            params.pop("direction", None)
+            out = self.graph.label_propagation(**params)
+            key = "community"
+        else:
+            raise NeumannError(f"unknown graph algorithm {s.name}")
+        rows = [{"id": nid, key: val}
+                for nid, val in sorted(out.items(),
+                                       key=lambda kv: (-kv[1]
+                                                       if isinstance(
+                                                           kv[1], float)
+                                                       else kv[1], kv[0]))]
         return QueryResult.of_rows(rows)
 
     def _exec_graphaggregate(self, s: ast.GraphAggregate) -> QueryResult:

@@ -41,6 +41,10 @@ class TensorWal:
 
     # -- append -----------------------------------------------------------
     def _frame(self, payload: bytes) -> bytes:
+        from neumann_tpu import native
+
+        if native.available():
+            return native.wal_frame(payload)
         return _HDR.pack(len(payload), zlib.crc32(payload)) + payload
 
     def _append(self, payload: bytes) -> None:
@@ -116,16 +120,28 @@ class TensorWal:
             return
         with open(path, "rb") as fh:
             buf = fh.read()
-        pos = 0
-        while pos + _HDR.size <= len(buf):
-            length, crc = _HDR.unpack_from(buf, pos)
-            start = pos + _HDR.size
-            end = start + length
-            if end > len(buf):
-                break  # torn write
-            payload = buf[start:end]
-            if zlib.crc32(payload) != crc:
-                break  # corruption — stop replay here
+
+        from neumann_tpu import native
+
+        if native.available():
+            # C++ scan validates framing + CRC in one pass
+            records = [buf[off: off + length]
+                       for off, length in native.wal_scan(buf)]
+        else:
+            records = []
+            pos = 0
+            while pos + _HDR.size <= len(buf):
+                length, crc = _HDR.unpack_from(buf, pos)
+                start = pos + _HDR.size
+                end = start + length
+                if end > len(buf):
+                    break  # torn write
+                payload = buf[start:end]
+                if zlib.crc32(payload) != crc:
+                    break  # corruption — stop replay here
+                records.append(payload)
+                pos = end
+        for payload in records:
             op = payload[0]
             (klen,) = struct.unpack_from("<I", payload, 1)
             key = payload[5: 5 + klen].decode("utf-8")
@@ -134,4 +150,3 @@ class TensorWal:
                 yield ("put", key, data)
             else:
                 yield ("delete", key, None)
-            pos = end

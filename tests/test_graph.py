@@ -316,3 +316,59 @@ def test_batch_ops(g):
     assert len(ids) == 2
     eids = g.batch_create_edges([(ids[0], ids[1], "e")])
     assert g.edge_count() == 1
+
+
+def test_betweenness_centrality(g):
+    # path a-b-c: b is the bridge
+    a, b, c = chain(g, 3, directed=False)
+    bc = g.betweenness_centrality()
+    assert bc[b] > bc[a] and bc[b] > bc[c]
+    # sampled variant returns same argmax on this tiny graph
+    bc2 = g.betweenness_centrality(sampling_ratio=1.0)
+    assert max(bc2, key=bc2.get) == b
+
+
+def test_closeness_centrality(g):
+    a, b, c = chain(g, 3, directed=False)
+    cc = g.closeness_centrality()
+    assert cc[b] > cc[a]
+    lone = g.create_node("x")
+    assert g.closeness_centrality()[lone] == 0.0
+
+
+def test_eigenvector_centrality(g):
+    hub = g.create_node("h")
+    spokes = [g.create_node("s") for _ in range(4)]
+    for s in spokes:
+        g.create_edge(hub, s, "e", directed=False)
+    ev = g.eigenvector_centrality()
+    assert ev[hub] > ev[spokes[0]]
+
+
+def test_label_propagation_communities(g):
+    # two cliques joined by one edge
+    c1 = [g.create_node("a") for _ in range(4)]
+    c2 = [g.create_node("b") for _ in range(4)]
+    for grp in (c1, c2):
+        for i in range(4):
+            for j in range(i + 1, 4):
+                g.create_edge(grp[i], grp[j], "e", directed=False)
+    g.create_edge(c1[0], c2[0], "bridge", directed=False)
+    labels = g.label_propagation(seed=3)
+    assert len({labels[n] for n in c1}) == 1
+    assert len({labels[n] for n in c2}) == 1
+    assert labels[c1[1]] != labels[c2[1]]
+
+
+def test_louvain_communities(g):
+    c1 = [g.create_node("a") for _ in range(5)]
+    c2 = [g.create_node("b") for _ in range(5)]
+    for grp in (c1, c2):
+        for i in range(5):
+            for j in range(i + 1, 5):
+                g.create_edge(grp[i], grp[j], "e", directed=False)
+    g.create_edge(c1[0], c2[0], "bridge", directed=False)
+    comm = g.louvain(seed=1)
+    assert len({comm[n] for n in c1}) == 1
+    assert len({comm[n] for n in c2}) == 1
+    assert comm[c1[0]] != comm[c2[0]]

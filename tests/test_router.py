@@ -274,3 +274,19 @@ def test_cluster_statements(r):
     out = r.execute("CLUSTER STATUS")
     assert "not connected" in out.message
     assert "noted" in r.execute("CLUSTER CONNECT 'n2@host:1'").message
+
+
+def test_graph_algorithm_statements(r):
+    ids = [r.execute("NODE CREATE n { }").value for _ in range(4)]
+    for i in range(3):
+        r.execute(f"EDGE CREATE {ids[i]} -> {ids[i+1]} : e")
+    bw = r.execute("BETWEENNESS SAMPLING_RATIO 1.0").rows
+    assert len(bw) == 4
+    cl = r.execute("CLOSENESS").rows
+    assert len(cl) == 4
+    ev = r.execute("EIGENVECTOR MAX_ITERATIONS 30").rows
+    assert len(ev) == 4
+    lv = r.execute("LOUVAIN RESOLUTION 1.0").rows
+    assert {row["id"] for row in lv} == set(ids)
+    lp = r.execute("LABEL_PROPAGATION MAX_ITERATIONS 10").rows
+    assert len(lp) == 4
