@@ -61,6 +61,7 @@ class GraphEngine(GraphAlgorithmsMixin):
         self._prop_indexes: Dict[str, Dict[object, Set[int]]] = {}
         self._fulltext: Dict[str, Dict[str, Set[int]]] = {}
         self._unique: Set[Tuple[str, str]] = set()   # (label, prop)
+        self._constraints: Dict[str, dict] = {}      # name -> spec
         self._edge_version = 0
         self._edge_cache = None
         self.store.on_put(self._on_store_put)
@@ -186,6 +187,7 @@ class GraphEngine(GraphAlgorithmsMixin):
                 raise GraphError(f"property name {r} is reserved")
         with self._lock:
             self._check_unique(label, properties, exclude=None)
+            self._check_exists_constraints(label, properties)
             nid = self._next_node
         data = TensorData()
         data.set("_label", TensorValue.scalar(label))
@@ -837,6 +839,47 @@ class GraphEngine(GraphAlgorithmsMixin):
             sets = [inv.get(t, set()) for t in toks]
             hit = set.intersection(*sets) if sets else set()
             return sorted(hit & set(self._nodes))
+
+    def create_constraint(self, name: str, target: str, prop: str,
+                          kind: str, label: Optional[str] = None) -> None:
+        """Named constraint: kind in unique|exists, target node|edge."""
+        if name in self._constraints:
+            raise GraphError(f"constraint '{name}' exists")
+        if kind == "unique":
+            if target != "node":
+                raise GraphError("unique constraints apply to nodes")
+            self.create_unique_constraint(label or "", prop)
+        elif kind != "exists":
+            raise GraphError(f"unknown constraint kind {kind}")
+        self._constraints[name] = {"name": name, "target": target,
+                                   "prop": prop, "kind": kind,
+                                   "label": label}
+
+    def drop_constraint(self, name: str) -> bool:
+        spec = self._constraints.pop(name, None)
+        if spec is None:
+            return False
+        if spec["kind"] == "unique":
+            self._unique.discard((spec["label"] or "", spec["prop"]))
+        return True
+
+    def list_constraints(self) -> List[dict]:
+        return [dict(v) for v in self._constraints.values()]
+
+    def get_constraint(self, name: str) -> Optional[dict]:
+        spec = self._constraints.get(name)
+        return dict(spec) if spec else None
+
+    def _check_exists_constraints(self, label: str, props: dict) -> None:
+        for spec in self._constraints.values():
+            if spec["kind"] != "exists" or spec["target"] != "node":
+                continue
+            if spec["label"] not in (None, label):
+                continue
+            if props.get(spec["prop"]) is None:
+                raise GraphError(
+                    f"constraint {spec['name']}: property "
+                    f"'{spec['prop']}' required")
 
     def create_unique_constraint(self, label: str, prop: str) -> None:
         with self._lock:

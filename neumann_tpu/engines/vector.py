@@ -45,7 +45,7 @@ COLLECTION_PREFIX = "col:"
 _EMBEDDING_FIELD = "embedding"
 
 METRICS = ("cosine", "dot", "euclidean", "manhattan")
-QUANTIZATIONS = ("none", "int8", "binary")
+QUANTIZATIONS = ("none", "int8", "binary", "pq")
 
 
 # ---------------------------------------------------------------------------
@@ -454,6 +454,58 @@ class VectorEngine:
         qp[:, : corpus.dim] = q
         k = max(1, min(top_k, corpus.slab.capacity))
 
+        if quantization == "pq":
+            import jax.numpy as jnp
+
+            from neumann_tpu.ops.pq import PQCodebook, PQConfig, pq_topk
+
+            with corpus.lock:
+                pq_state = getattr(corpus, "_pq", None)
+                version = corpus.slab.version
+            if pq_state is None or pq_state[0] != version:
+                rows, vecs = [], []
+                for key, row in corpus.index.items():
+                    v = corpus.slab.get_row(row)
+                    if v is not None:
+                        rows.append(row)
+                        vecs.append(v)
+                mat = np.zeros((len(vecs), corpus.slab.dim_pad),
+                               np.float32)
+                for i, v in enumerate(vecs):
+                    mat[i, : corpus.dim] = v
+                book = PQCodebook(corpus.slab.dim_pad, PQConfig(
+                    n_subspaces=max(8, corpus.slab.dim_pad // 8)))
+                book.train(mat)
+                codes = book.encode(mat)
+                pq_state = (version, book, codes, np.asarray(rows))
+                with corpus.lock:
+                    corpus._pq = pq_state
+            _, book, codes, row_map = pq_state
+            # translate the row mask to the PQ code ordering
+            code_mask = None
+            if extra_mask is not None:
+                code_mask = np.asarray(extra_mask)[row_map]
+            valid_np = corpus.slab.valid_mask_host()[row_map]
+            code_mask = valid_np if code_mask is None \
+                else (code_mask & valid_np)
+            s_pq, i_pq = pq_topk(book, codes, qp,
+                                 min(top_k, len(row_map)), code_mask)
+            scores = s_pq
+            idx = np.where(i_pq >= 0, row_map[np.maximum(i_pq, 0)], -1)
+            out: List[List[SearchResult]] = []
+            for qi in range(qp.shape[0]):
+                row_hits: List[SearchResult] = []
+                for score, rid in zip(scores[qi], idx[qi]):
+                    if rid < 0:
+                        continue
+                    key = corpus.index.key_of(int(rid))
+                    if key is not None:
+                        # ADC gives squared distance; report 1/(1+d)
+                        row_hits.append(SearchResult(
+                            key, 1.0 / (1.0 + float(np.sqrt(
+                                max(-score, 0.0))))))
+                out.append(row_hits)
+            return out
         if quantization == "binary":
             from neumann_tpu.ops.quant import binary_quantize
 
@@ -559,6 +611,108 @@ class VectorEngine:
         if corpus is None or corpus.count() == 0:
             return [[] for _ in range(q.shape[0])]
         return self._device_search(corpus, q, top_k, metric)
+
+    # ------------------------------------------------------------------
+    # ANN indexes (API parity with build_hnsw_index / build_ivf_index /
+    # search_with_hnsw / search_with_ivf_nprobe / save_index / load_index,
+    # vector_engine/src/lib.rs)
+    #
+    # On TPU the exact MXU scan outruns graph-walk ANN well past 10M rows
+    # (SURVEY.md §6 hard-parts (e)), so the sub-linear structure here is
+    # IVF over a cluster-sorted device layout; the hnsw-named entry
+    # points build the same index for drop-in compatibility.
+    # ------------------------------------------------------------------
+    def build_ivf_index(self, n_clusters: int = 64, nprobe: int = 8
+                        ) -> int:
+        """Build an IVF index over the default namespace. Returns #rows."""
+        from neumann_tpu.ops.ivf import IVFConfig, IVFIndex
+
+        with self._lock:
+            corpora = self._corpora.get("", {})
+            if not corpora:
+                raise VectorError("no embeddings to index")
+            dim, corpus = max(corpora.items(),
+                              key=lambda kv: kv[1].count())
+        rows = []
+        vecs = []
+        for key, row in corpus.index.items():
+            v = corpus.slab.get_row(row)
+            if v is not None:
+                rows.append(row)
+                vecs.append(v)
+        if not vecs:
+            raise VectorError("no embeddings to index")
+        mat = np.stack(vecs)
+        idx = IVFIndex(dim, IVFConfig(
+            n_clusters=min(n_clusters, len(vecs)), nprobe=nprobe))
+        idx.train(mat[: min(len(mat), 100_000)])
+        idx.add(mat)
+        with self._lock:
+            self._ivf = (idx, corpus, np.asarray(rows))
+        return len(vecs)
+
+    # drop-in names for the reference's HNSW API
+    def build_hnsw_index(self, **kw) -> int:
+        return self.build_ivf_index(**kw)
+
+    def _ivf_search(self, query, top_k: int, nprobe: Optional[int]
+                    ) -> List[SearchResult]:
+        state = getattr(self, "_ivf", None)
+        if state is None:
+            raise VectorError("no index built (build_ivf_index first)")
+        idx, corpus, row_map = state
+        q = self._validate_vec(query, idx.dim)
+        s, ids = idx.search(q, top_k, nprobe)
+        out = []
+        for score, i in zip(s[0], ids[0]):
+            if i < 0:
+                continue
+            key = corpus.index.key_of(int(row_map[i]))
+            if key is not None:
+                out.append(SearchResult(key, float(score)))
+        return out
+
+    def search_with_ivf_nprobe(self, query, top_k: int, nprobe: int
+                               ) -> List[SearchResult]:
+        return self._ivf_search(query, top_k, nprobe)
+
+    def search_with_hnsw(self, query, top_k: int) -> List[SearchResult]:
+        return self._ivf_search(query, top_k, None)
+
+    def save_index(self, path) -> None:
+        state = getattr(self, "_ivf", None)
+        if state is None:
+            raise VectorError("no index built")
+        idx, corpus, row_map = state
+        np.savez_compressed(
+            path, centroids=idx.centroids,
+            reordered=np.asarray(idx._reordered),
+            row_ids=idx._row_ids, stride=idx._stride, n=idx._n,
+            dim=idx.dim, nprobe=idx.config.nprobe, row_map=row_map)
+
+    def load_index(self, path) -> int:
+        from neumann_tpu.ops.ivf import IVFConfig, IVFIndex
+
+        import jax.numpy as jnp
+
+        blob = np.load(path)
+        dim = int(blob["dim"])
+        idx = IVFIndex(dim, IVFConfig(
+            n_clusters=len(blob["centroids"]),
+            nprobe=int(blob["nprobe"])))
+        idx.centroids = blob["centroids"]
+        idx._reordered = jnp.asarray(blob["reordered"])
+        idx._row_ids = blob["row_ids"]
+        idx._stride = int(blob["stride"])
+        idx._n = int(blob["n"])
+        with self._lock:
+            corpus = self._corpora.get("", {}).get(dim)
+        if corpus is None:
+            raise VectorError(
+                f"no dimension-{dim} embeddings loaded to map the index "
+                f"onto")
+        self._ivf = (idx, corpus, blob["row_map"])
+        return idx._n
 
     # ------------------------------------------------------------------
     # entity embeddings (unified engine support)

@@ -207,6 +207,36 @@ class GraphAlgorithm(Statement):
 
 
 @dataclass
+class GraphConstraint(Statement):
+    action: str = "create"     # create/drop/list/get
+    name: Optional[str] = None
+    target: str = "node"
+    label: Optional[str] = None
+    prop: Optional[str] = None
+    kind: str = "unique"       # unique/exists
+
+
+@dataclass
+class GraphIndex(Statement):
+    action: str = "create"     # create/drop/show
+    target: str = "node"
+    prop: Optional[str] = None
+
+
+@dataclass
+class GraphPattern(Statement):
+    mode: str = "match"        # match/count/exists
+    pattern: str = ""
+    limit: Optional[int] = None
+
+
+@dataclass
+class GraphBatch(Statement):
+    action: str = "create_nodes"
+    items: List[object] = field(default_factory=list)
+
+
+@dataclass
 class GraphAggregate(Statement):
     func: str = "count"       # count/sum/avg/min/max
     target: str = "nodes"     # nodes/edges

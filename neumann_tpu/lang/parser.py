@@ -253,18 +253,29 @@ class _Parser:
                 break
         self.expect_kw("FROM")
         table = self.ident("table name")
+        aliases: Dict[str, str] = {}
+        alias = self._maybe_alias()
+        if alias:
+            aliases[alias] = table
         joins: List[ast.JoinClause] = []
         while self.at_kw("JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS",
                          "NATURAL"):
-            joins.append(self._join_clause())
+            joins.append(self._join_clause(aliases))
         where = self.condition() if self.accept_kw("WHERE") else None
         group_by: List[str] = []
         having = None
         if self.accept_kw("GROUP"):
             self.expect_kw("BY")
-            group_by.append(self.ident())
+
+            def gb_ident():
+                name = self.ident()
+                while self.accept_punct("."):
+                    name = f"{name}.{self.ident()}"
+                return name
+
+            group_by.append(gb_ident())
             while self.accept_punct(","):
-                group_by.append(self.ident())
+                group_by.append(gb_ident())
             if self.accept_kw("HAVING"):
                 having = self.condition()
         order_by: List[Tuple[str, bool]] = []
@@ -272,6 +283,8 @@ class _Parser:
             self.expect_kw("BY")
             while True:
                 col = self.ident()
+                while self.accept_punct("."):
+                    col = f"{col}.{self.ident()}"
                 desc = False
                 if self.accept_kw("DESC"):
                     desc = True
@@ -282,10 +295,13 @@ class _Parser:
                     break
         limit = self.int_() if self.accept_kw("LIMIT") else None
         offset = self.int_() if self.accept_kw("OFFSET") else 0
-        return ast.Select(table=table, items=items, where=where,
+        stmt = ast.Select(table=table, items=items, where=where,
                           joins=joins, group_by=group_by, having=having,
                           order_by=order_by, limit=limit, offset=offset,
                           distinct=distinct)
+        if aliases:
+            _rewrite_aliases(stmt, aliases)
+        return stmt
 
     def _select_item(self) -> ast.SelectItem:
         if self.at_punct("*"):
@@ -310,7 +326,20 @@ class _Parser:
         alias = self.ident() if self.accept_kw("AS") else None
         return ast.SelectItem(name, alias=alias)
 
-    def _join_clause(self) -> ast.JoinClause:
+    _ALIAS_STOP = ("JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS",
+                   "NATURAL", "WHERE", "GROUP", "HAVING", "ORDER",
+                   "LIMIT", "OFFSET", "ON", "AS")
+
+    def _maybe_alias(self) -> Optional[str]:
+        if self.accept_kw("AS"):
+            return self.ident("alias")
+        t = self.peek()
+        if t.kind == "ident" and t.text.upper() not in self._ALIAS_STOP:
+            return self.next().text
+        return None
+
+    def _join_clause(self, aliases: Optional[Dict[str, str]] = None
+                     ) -> ast.JoinClause:
         how = "inner"
         if self.accept_kw("INNER"):
             how = "inner"
@@ -329,6 +358,10 @@ class _Parser:
             how = "natural"
         self.expect_kw("JOIN")
         table = self.ident("table name")
+        if aliases is not None:
+            alias = self._maybe_alias()
+            if alias:
+                aliases[alias] = table
         left_col = right_col = None
         if how not in ("cross", "natural"):
             self.expect_kw("ON")
@@ -703,6 +736,14 @@ class _Parser:
             ("MAX_ITERATIONS", "max_iterations", int)])
 
     def _stmt_graph(self) -> ast.Statement:
+        if self.accept_kw("CONSTRAINT"):
+            return self._graph_constraint()
+        if self.accept_kw("INDEX"):
+            return self._graph_index()
+        if self.accept_kw("PATTERN"):
+            return self._graph_pattern()
+        if self.accept_kw("BATCH"):
+            return self._graph_batch()
         self.expect_kw("AGGREGATE")
         func = self.expect_kw("COUNT", "SUM", "AVG", "MIN", "MAX").lower()
         stmt = ast.GraphAggregate(func=func)
@@ -721,6 +762,123 @@ class _Parser:
         if self.accept_kw("WHERE"):
             stmt.where = self.condition()
         return stmt
+
+    def _graph_constraint(self) -> ast.Statement:
+        act = self.expect_kw("CREATE", "DROP", "LIST", "GET")
+        if act == "LIST":
+            return ast.GraphConstraint(action="list")
+        if act in ("DROP", "GET"):
+            return ast.GraphConstraint(action=act.lower(),
+                                       name=self.ident("constraint name"))
+        name = self.ident("constraint name")
+        self.expect_kw("ON")
+        target = self.expect_kw("NODE", "EDGE").lower()
+        label = None
+        if self.accept_punct("("):
+            label = self.ident("label")
+            self.expect_punct(")")
+        prop = self.ident("property")
+        kind = self.expect_kw("UNIQUE", "EXISTS").lower()
+        return ast.GraphConstraint(action="create", name=name,
+                                   target=target, label=label,
+                                   prop=prop, kind=kind)
+
+    def _graph_index(self) -> ast.Statement:
+        act = self.expect_kw("CREATE", "DROP", "SHOW")
+        if act == "SHOW":
+            target = self.expect_kw("NODE", "EDGE").lower()
+            return ast.GraphIndex(action="show", target=target)
+        target = self.expect_kw("NODE", "EDGE", "LABEL",
+                                "EDGE_TYPE").lower()
+        prop = None
+        if target in ("node", "edge"):
+            if act == "CREATE":
+                self.expect_kw("PROPERTY")
+            prop = self.ident("property")
+        return ast.GraphIndex(action=act.lower(), target=target,
+                              prop=prop)
+
+    def _graph_pattern(self) -> ast.Statement:
+        mode = self.expect_kw("MATCH", "COUNT", "EXISTS").lower()
+        # capture the raw pattern text between parens for the cypher
+        # pattern parser (balanced parens)
+        t = self.peek()
+        if not self.at_punct("("):
+            raise ParseError("expected ( pattern )", t.line, t.col)
+        depth = 0
+        parts = []
+        while True:
+            tok = self.peek()
+            if tok.kind == "eof":
+                raise ParseError("unterminated pattern", tok.line, tok.col)
+            if tok.kind == "ident" and tok.text.upper() == "LIMIT" and                     depth == 0:
+                break
+            self.next()
+            if tok.kind == "punct" and tok.text == "(":
+                depth += 1
+            elif tok.kind == "punct" and tok.text == ")":
+                depth -= 1
+            if tok.kind == "string":
+                parts.append(f"'{tok.value}'")
+            else:
+                parts.append(tok.text)
+            if depth == 0 and tok.kind == "punct" and tok.text == ")":
+                nxt = self.peek()
+                # pattern continues with a relationship?
+                if not (nxt.kind == "punct" and nxt.text in
+                        ("-", "<", "->")):
+                    break
+        limit = self.int_() if self.accept_kw("LIMIT") else None
+        return ast.GraphPattern(mode=mode, pattern=" ".join(parts),
+                                limit=limit)
+
+    def _graph_batch(self) -> ast.Statement:
+        act = self.expect_kw("CREATE", "DELETE", "UPDATE")
+        target = self.expect_kw("NODES", "EDGES").lower()
+        self.expect_punct("[")
+        items = []
+        if act == "CREATE" and target == "nodes":
+            while not self.at_punct("]"):
+                self.expect_punct("(")
+                label = self.ident("label")
+                props = self.property_map() if self.at_punct("{") else {}
+                self.expect_punct(")")
+                items.append((label, props))
+                if not self.accept_punct(","):
+                    break
+            action = "create_nodes"
+        elif act == "CREATE":
+            while not self.at_punct("]"):
+                self.expect_punct("(")
+                src = self.value()
+                self.expect_punct("->")
+                dst = self.value()
+                self.expect_punct(":")
+                etype = self.ident("edge type")
+                props = self.property_map() if self.at_punct("{") else {}
+                self.expect_punct(")")
+                items.append((src, dst, etype, props))
+                if not self.accept_punct(","):
+                    break
+            action = "create_edges"
+        elif act == "UPDATE":
+            while not self.at_punct("]"):
+                self.expect_punct("(")
+                nid = self.value()
+                props = self.property_map()
+                self.expect_punct(")")
+                items.append((nid, props))
+                if not self.accept_punct(","):
+                    break
+            action = "update_nodes"
+        else:
+            while not self.at_punct("]"):
+                items.append(self.value())
+                if not self.accept_punct(","):
+                    break
+            action = f"delete_{target}"
+        self.expect_punct("]")
+        return ast.GraphBatch(action=action, items=items)
 
     # -- vector ---------------------------------------------------------------
     def _stmt_embed(self) -> ast.Statement:
@@ -1044,3 +1202,33 @@ def parse_many(src: str) -> List[ast.Statement]:
         while p.accept_punct(";"):
             pass
     return out
+
+
+def _rewrite_aliases(stmt: "ast.Select", aliases: Dict[str, str]) -> None:
+    """Replace alias-qualified names (u.col) with table-qualified ones."""
+
+    def fix_name(name: str) -> str:
+        if "." in name:
+            prefix, col = name.split(".", 1)
+            if prefix in aliases:
+                return f"{aliases[prefix]}.{col}"
+        return name
+
+    def fix_cond(c):
+        if c is None:
+            return None
+        kwargs = {}
+        if c.column is not None:
+            kwargs["column"] = fix_name(c.column)
+        left = fix_cond(c.left)
+        right = fix_cond(c.right)
+        from dataclasses import replace as _replace
+
+        return _replace(c, left=left, right=right, **kwargs)
+
+    for item in stmt.items:
+        item.expr = fix_name(item.expr)
+    stmt.where = fix_cond(stmt.where)
+    stmt.having = fix_cond(stmt.having)
+    stmt.group_by = [fix_name(g) for g in stmt.group_by]
+    stmt.order_by = [(fix_name(c), d) for c, d in stmt.order_by]

@@ -141,6 +141,21 @@ class QueryRouter:
     def execute(self, query: str) -> QueryResult:
         import time as _time
 
+        from neumann_tpu.lang.cypher import looks_like_cypher
+
+        if looks_like_cypher(query):
+            t0 = _time.perf_counter()
+            try:
+                out = self._execute_cypher(query)
+            except Exception:
+                self.metrics.record(
+                    "Cypher", (_time.perf_counter() - t0) * 1e3,
+                    error=True, query=query)
+                raise
+            self.metrics.record("Cypher",
+                                (_time.perf_counter() - t0) * 1e3,
+                                query=query)
+            return out
         stmt = parse(query)
         kind = type(stmt).__name__
         t0 = _time.perf_counter()
@@ -153,6 +168,15 @@ class QueryRouter:
         self.metrics.record(kind, (_time.perf_counter() - t0) * 1e3,
                             query=query)
         return out
+
+    def _execute_cypher(self, query: str) -> QueryResult:
+        from neumann_tpu.lang.cypher import CypherExecutor, parse_cypher
+
+        q = parse_cypher(query)
+        if q.kind in ("create", "merge") or q.delete_vars:
+            self._auto_ckpt("update", "cypher")
+        rows = CypherExecutor(self.graph).execute(q)
+        return QueryResult.of_rows(rows)
 
     def execute_many(self, query: str) -> List[QueryResult]:
         from neumann_tpu.lang.parser import parse_many
@@ -300,6 +324,10 @@ class QueryRouter:
                                                 j.right_col, j.how)
             if s.where is not None:
                 rows = [r for r in rows if s.where.evaluate_row(r)]
+            if s.order_by:
+                for col, desc in reversed(s.order_by):
+                    rows.sort(key=lambda r: (r.get(col) is None,
+                                             r.get(col)), reverse=desc)
             if s.limit is not None:
                 rows = rows[s.offset: s.offset + s.limit]
             elif s.offset:
@@ -309,11 +337,28 @@ class QueryRouter:
                 cols = [i.expr for i in s.items]
                 rows = [{k: r.get(k) for k in cols} for r in rows]
             return QueryResult.of_rows(rows)
+        def _unqualify(name):
+            # single-table queries may still alias-qualify columns
+            return name[len(s.table) + 1:] \
+                if name.startswith(s.table + ".") else name
+
+        def _unqualify_cond(c):
+            if c is None:
+                return None
+            from dataclasses import replace as _replace
+
+            kw = {}
+            if c.column is not None:
+                kw["column"] = _unqualify(c.column)
+            return _replace(c, left=_unqualify_cond(c.left),
+                            right=_unqualify_cond(c.right), **kw)
+
         cols = None
         if not any(i.expr == "*" for i in s.items):
-            cols = [i.expr for i in s.items]
+            cols = [_unqualify(i.expr) for i in s.items]
         rows = self.relational.select(
-            s.table, s.where, columns=cols, order_by=s.order_by or None,
+            s.table, _unqualify_cond(s.where), columns=cols,
+            order_by=[( _unqualify(c), d) for c, d in s.order_by] or None,
             limit=s.limit, offset=s.offset)
         if s.distinct:
             seen = set()
@@ -525,6 +570,79 @@ class QueryRouter:
                                                            kv[1], float)
                                                        else kv[1], kv[0]))]
         return QueryResult.of_rows(rows)
+
+    def _exec_graphconstraint(self, s: ast.GraphConstraint) -> QueryResult:
+        if s.action == "create":
+            self.graph.create_constraint(s.name, s.target, s.prop,
+                                         s.kind, s.label)
+            return QueryResult.msg(f"constraint '{s.name}' created")
+        if s.action == "drop":
+            ok = self.graph.drop_constraint(s.name)
+            return QueryResult.msg("dropped" if ok
+                                   else f"no constraint '{s.name}'")
+        if s.action == "get":
+            spec = self.graph.get_constraint(s.name)
+            return QueryResult.of_rows([spec] if spec else [])
+        return QueryResult.of_rows(self.graph.list_constraints())
+
+    def _exec_graphindex(self, s: ast.GraphIndex) -> QueryResult:
+        if s.action == "create":
+            if s.target == "node" and s.prop:
+                self.graph.create_property_index(s.prop)
+                return QueryResult.msg(f"node property index on "
+                                       f"'{s.prop}' created")
+            return QueryResult.msg(
+                "label/edge-type lookups are always indexed")
+        if s.action == "drop":
+            ok = self.graph.drop_property_index(s.prop) if s.prop \
+                else False
+            return QueryResult.msg("dropped" if ok else "no such index")
+        return QueryResult.of_rows(
+            [{"property": p} for p in sorted(self.graph._prop_indexes)])
+
+    def _exec_graphpattern(self, s: ast.GraphPattern) -> QueryResult:
+        from neumann_tpu.lang.cypher import (
+            CypherExecutor,
+            _CypherParser,
+        )
+
+        parser = _CypherParser(s.pattern)
+        pattern = parser.pattern()
+        execu = CypherExecutor(self.graph)
+        bindings = execu._match_pattern(pattern)
+        if s.mode == "count":
+            return QueryResult.of_count(len(bindings))
+        if s.mode == "exists":
+            return QueryResult.of_value(bool(bindings))
+        rows = [execu._row_view(b) for b in bindings]
+        if s.limit is not None:
+            rows = rows[: s.limit]
+        return QueryResult.of_rows(rows)
+
+    def _exec_graphbatch(self, s: ast.GraphBatch) -> QueryResult:
+        if s.action == "create_nodes":
+            ids = self.graph.batch_create_nodes(s.items)
+            return QueryResult("value", value=ids,
+                               message=f"created {len(ids)} nodes")
+        if s.action == "create_edges":
+            ids = [self.graph.create_edge(int(a), int(b), t, p or None)
+                   for a, b, t, p in s.items]
+            return QueryResult("value", value=ids,
+                               message=f"created {len(ids)} edges")
+        if s.action == "update_nodes":
+            for nid, props in s.items:
+                self.graph.update_node(int(nid), props)
+            return QueryResult.msg(f"updated {len(s.items)} nodes")
+        if s.action == "delete_nodes":
+            self._auto_ckpt("delete", "graph batch")
+            n = sum(1 for nid in s.items
+                    if self.graph.delete_node(int(nid)))
+            return QueryResult.msg(f"deleted {n} nodes")
+        if s.action == "delete_edges":
+            n = sum(1 for eid in s.items
+                    if self.graph.delete_edge(int(eid)))
+            return QueryResult.msg(f"deleted {n} edges")
+        raise NeumannError(f"graph batch action {s.action} unsupported")
 
     def _exec_graphaggregate(self, s: ast.GraphAggregate) -> QueryResult:
         if s.prop is None:

@@ -1,0 +1,174 @@
+"""REST API facade (the reference's axum REST layer, Qdrant-style).
+
+Endpoints (JSON in/out):
+  GET  /health
+  GET  /metrics
+  POST /query                         {"query": "..."}
+  PUT  /collections/{name}            {"dimension", "metric", "quantization"}
+  GET  /collections
+  DELETE /collections/{name}
+  PUT  /collections/{name}/points     {"points": [{id, vector, payload}]}
+  POST /collections/{name}/points/query
+                                      {"vector": [...], "limit", "filter"}
+  POST /collections/{name}/points/delete  {"ids": [...]}
+
+stdlib http.server with a thread pool — the control-plane surface; bulk
+traffic belongs on the gRPC service.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from neumann_tpu.router import QueryRouter
+from neumann_tpu.server.server import dumps
+from neumann_tpu.utils.errors import NeumannError
+
+
+class RestServer:
+    def __init__(self, router: Optional[QueryRouter] = None,
+                 host: str = "127.0.0.1", port: int = 0,
+                 api_keys=None):
+        self.router = router or QueryRouter()
+        keys = set(api_keys) if api_keys else None
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _body(self):
+                length = int(self.headers.get("Content-Length") or 0)
+                if not length:
+                    return {}
+                return json.loads(self.rfile.read(length) or b"{}")
+
+            def _send(self, code: int, payload) -> None:
+                blob = dumps(payload).encode("utf-8")
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(blob)))
+                self.end_headers()
+                self.wfile.write(blob)
+
+            def _auth(self) -> bool:
+                if keys is None:
+                    return True
+                if self.headers.get("x-api-key") in keys:
+                    return True
+                self._send(401, {"error": "invalid API key"})
+                return False
+
+            def _route(self, method: str) -> None:
+                if not self._auth():
+                    return
+                try:
+                    out = outer._dispatch(method, self.path,
+                                          self._body())
+                    self._send(200, out)
+                except NeumannError as e:
+                    self._send(400, {"error": str(e)})
+                except Exception as e:  # noqa: BLE001
+                    self._send(500, {"error":
+                                     f"{type(e).__name__}: {e}"})
+
+            def do_GET(self):
+                self._route("GET")
+
+            def do_POST(self):
+                self._route("POST")
+
+            def do_PUT(self):
+                self._route("PUT")
+
+            def do_DELETE(self):
+                self._route("DELETE")
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread: Optional[threading.Thread] = None
+
+    # ------------------------------------------------------------------
+    def _dispatch(self, method: str, path: str, body: dict):
+        parts = [p for p in path.split("?")[0].split("/") if p]
+        if method == "GET" and parts == ["health"]:
+            import jax
+
+            return {"ok": True,
+                    "entries": len(self.router.store),
+                    "device": jax.devices()[0].platform}
+        if method == "GET" and parts == ["metrics"]:
+            return {"statements": self.router.metrics.snapshot(),
+                    "slow_queries": self.router.metrics.slow_queries()}
+        if method == "POST" and parts == ["query"]:
+            res = self.router.execute(body["query"])
+            return {"kind": res.kind, "message": res.message,
+                    "rows": res.rows, "hits": res.results,
+                    "count": res.count, "value": res.value}
+        if parts and parts[0] == "collections":
+            return self._collections(method, parts[1:], body)
+        raise NeumannError(f"no route {method} {path}")
+
+    def _collections(self, method: str, parts, body: dict):
+        from neumann_tpu.engines.vector import VectorCollectionConfig
+        from neumann_tpu.server.server import _filter_from_json
+
+        vec = self.router.vector
+        if method == "GET" and not parts:
+            return {"collections": [vec.collection_stats(n)
+                                    for n in vec.list_collections()]}
+        name = parts[0] if parts else None
+        if method == "PUT" and len(parts) == 1:
+            vec.create_collection(name, VectorCollectionConfig(
+                dimension=body.get("dimension"),
+                metric=body.get("metric", "cosine"),
+                quantization=body.get("quantization", "none")))
+            return {"ok": True}
+        if method == "DELETE" and len(parts) == 1:
+            return {"ok": vec.drop_collection(name)}
+        if len(parts) >= 2 and parts[1] == "points":
+            if method == "PUT":
+                if name not in vec.list_collections():
+                    vec.create_collection(name)
+                for p in body.get("points", []):
+                    vec.store_in_collection(name, str(p["id"]),
+                                            p["vector"],
+                                            p.get("payload"))
+                return {"upserted": len(body.get("points", []))}
+            if method == "POST" and len(parts) == 3 and \
+                    parts[2] == "query":
+                if "vector" not in body:
+                    raise NeumannError(
+                        "points query requires a 'vector' field")
+                filt = None
+                if body.get("filter"):
+                    filt = _filter_from_json(body["filter"])
+                if filt is not None:
+                    hits = vec.search_filtered_in_collection(
+                        name, body["vector"], body.get("limit", 10),
+                        filt)
+                else:
+                    hits = vec.search_in_collection(
+                        name, body["vector"], body.get("limit", 10))
+                return {"result": [{"id": h.key, "score": h.score}
+                                   for h in hits]}
+            if method == "POST" and len(parts) == 3 and \
+                    parts[2] == "delete":
+                n = sum(1 for pid in body.get("ids", [])
+                        if vec.delete_from_collection(name, str(pid)))
+                return {"deleted": n}
+        raise NeumannError(f"no route {method} /{'/'.join(parts)}")
+
+    # ------------------------------------------------------------------
+    def serve(self) -> int:
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self.port
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()

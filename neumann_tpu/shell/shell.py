@@ -138,9 +138,14 @@ class Shell:
         if lower == "tables":
             q = "SHOW TABLES"
         elif lower.startswith("save "):
-            path = q[5:].strip().strip("'\"")
-            self.router.store.save_snapshot(path)
-            return f"saved to {path}"
+            rest = q[5:].strip()
+            compressed = rest.lower().endswith(" compressed")
+            if compressed:
+                rest = rest[: -len(" compressed")].strip()
+            path = rest.strip("'\"")
+            self.router.store.save_snapshot(path, compressed=compressed)
+            return f"saved to {path}" + (" (compressed)" if compressed
+                                         else "")
         elif lower.startswith("load "):
             path = q[5:].strip().strip("'\"")
             self.router.store.load_snapshot(path)

@@ -16,11 +16,13 @@ from neumann_tpu.store.tensor_store import TensorData
 from neumann_tpu.utils.errors import StoreError
 
 MAGIC = b"NTPU"
+MAGIC_Z = b"NTPZ"   # zlib-compressed wrapper around an NTPU snapshot
 VERSION = 1
 _HDR = struct.Struct("<4sII")  # magic, version, count
 
 
-def save(entries: Dict[str, TensorData], path) -> None:
+def save(entries: Dict[str, TensorData], path,
+         compressed: bool = False) -> None:
     path = os.fspath(path)
     body = bytearray()
     for key, data in entries.items():
@@ -32,6 +34,8 @@ def save(entries: Dict[str, TensorData], path) -> None:
         body += payload
     blob = _HDR.pack(MAGIC, VERSION, len(entries)) + struct.pack(
         "<I", zlib.crc32(bytes(body))) + bytes(body)
+    if compressed:
+        blob = MAGIC_Z + zlib.compress(blob, level=6)
     tmp = path + ".tmp"
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(tmp, "wb") as fh:
@@ -45,6 +49,8 @@ def load(path) -> Dict[str, TensorData]:
     path = os.fspath(path)
     with open(path, "rb") as fh:
         buf = fh.read()
+    if buf[:4] == MAGIC_Z:
+        buf = zlib.decompress(buf[4:])
     if len(buf) < _HDR.size + 4:
         raise StoreError("snapshot truncated")
     magic, version, count = _HDR.unpack_from(buf, 0)

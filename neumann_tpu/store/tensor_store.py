@@ -224,11 +224,14 @@ class TensorStore:
         self._delete_hooks.append(fn)
 
     # -- durability (wired in store.wal / store.snapshot) -----------------
-    def save_snapshot(self, path) -> None:
+    def save_snapshot(self, path, compressed: bool = False) -> None:
         from neumann_tpu.store import snapshot
 
         with self._lock:
-            snapshot.save(self._map, path)
+            snapshot.save(self._map, path, compressed=compressed)
+
+    def save_snapshot_compressed(self, path) -> None:
+        self.save_snapshot(path, compressed=True)
 
     def load_snapshot(self, path) -> None:
         from neumann_tpu.store import snapshot

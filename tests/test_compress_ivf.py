@@ -168,3 +168,69 @@ def test_ivf_errors(rng):
         idx.add(rng.standard_normal((10, 8)).astype(np.float32))
     with pytest.raises(ValueError):
         idx.search(np.zeros(8, np.float32), 3)
+
+
+# ---------------------------------------------------------------- PQ
+
+def test_pq_roundtrip(rng):
+    from neumann_tpu.ops.pq import PQCodebook, PQConfig
+
+    data = rng.standard_normal((500, 64)).astype(np.float32)
+    pq = PQCodebook(64, PQConfig(n_subspaces=8, iters=8))
+    pq.train(data)
+    codes = pq.encode(data)
+    assert codes.shape == (500, 8) and codes.dtype == np.uint8
+    back = pq.decode(codes)
+    # reconstruction error bounded (random data, 256 cents/subspace)
+    err = np.linalg.norm(back - data, axis=1) / np.linalg.norm(
+        data, axis=1)
+    assert err.mean() < 0.6
+
+
+def test_pq_adc_matches_decode_distance(rng):
+    from neumann_tpu.ops.pq import PQCodebook, PQConfig
+
+    data = rng.standard_normal((200, 32)).astype(np.float32)
+    pq = PQCodebook(32, PQConfig(n_subspaces=4, iters=8))
+    pq.train(data)
+    codes = pq.encode(data)
+    q = rng.standard_normal(32).astype(np.float32)
+    table = pq.compute_adc_table(q)
+    d_adc = pq.adc_distance(table, codes[7])
+    d_real = float(np.sum((pq.decode(codes[7:8])[0] - q) ** 2))
+    assert d_adc == pytest.approx(d_real, rel=1e-4)
+
+
+def test_pq_topk_search(rng):
+    from neumann_tpu.ops.pq import PQCodebook, PQConfig, pq_topk
+
+    data = rng.standard_normal((1000, 64)).astype(np.float32)
+    pq = PQCodebook(64, PQConfig(n_subspaces=16, iters=10))
+    pq.train(data[:500])
+    codes = pq.encode(data)
+    queries = data[:5]
+    s, i = pq_topk(pq, codes, queries, 10)
+    # PQ recall vs exact euclidean oracle
+    d2 = (np.sum(queries**2, 1)[:, None] - 2 * queries @ data.T
+          + np.sum(data**2, 1)[None, :])
+    want = np.argsort(d2, axis=1)[:, :10]
+    recall = np.mean([len(set(i[r]) & set(want[r])) / 10
+                      for r in range(5)])
+    assert recall >= 0.5  # 16 subspaces on random 64d
+    # self is (almost always) found
+    assert (i[:, 0] == np.arange(5)).mean() >= 0.8
+    # mask respected
+    mask = np.zeros(1000, bool)
+    mask[100:200] = True
+    s2, i2 = pq_topk(pq, codes, queries, 5, mask)
+    assert ((i2 >= 100) & (i2 < 200) | (i2 == -1)).all()
+
+
+def test_pq_bad_dims():
+    from neumann_tpu.ops.pq import PQCodebook, PQConfig
+
+    with pytest.raises(ValueError):
+        PQCodebook(65, PQConfig(n_subspaces=8))
+    pq = PQCodebook(64, PQConfig(n_subspaces=8))
+    with pytest.raises(ValueError):
+        pq.encode(np.zeros((2, 64), np.float32))

@@ -290,3 +290,59 @@ def test_graph_algorithm_statements(r):
     assert {row["id"] for row in lv} == set(ids)
     lp = r.execute("LABEL_PROPAGATION MAX_ITERATIONS 10").rows
     assert len(lp) == 4
+
+
+def test_graph_constraint_statements(r):
+    r.execute("GRAPH CONSTRAINT CREATE uniq_email ON NODE (user) "
+              "email UNIQUE")
+    r.execute("NODE CREATE user { email: 'a@x.com' }")
+    from neumann_tpu.utils.errors import GraphError
+    with pytest.raises(GraphError):
+        r.execute("NODE CREATE user { email: 'a@x.com' }")
+    r.execute("GRAPH CONSTRAINT CREATE needs_name ON NODE name EXISTS")
+    with pytest.raises(GraphError):
+        r.execute("NODE CREATE person { age: 3 }")
+    lst = r.execute("GRAPH CONSTRAINT LIST").rows
+    assert {c["name"] for c in lst} == {"uniq_email", "needs_name"}
+    got = r.execute("GRAPH CONSTRAINT GET uniq_email").rows
+    assert got[0]["kind"] == "unique"
+    r.execute("GRAPH CONSTRAINT DROP needs_name")
+    r.execute("NODE CREATE person { age: 3 }")  # now fine
+
+
+def test_graph_index_statements(r):
+    r.execute("NODE CREATE p { city: 'SF' }")
+    r.execute("GRAPH INDEX CREATE NODE PROPERTY city")
+    assert r.execute("GRAPH INDEX SHOW NODE").rows == [
+        {"property": "city"}]
+    assert "dropped" in r.execute("GRAPH INDEX DROP NODE city").message
+
+
+def test_graph_pattern_statements(r):
+    a = r.execute("NODE CREATE person { name: 'a' }").value
+    b = r.execute("NODE CREATE person { name: 'b' }").value
+    r.execute(f"EDGE CREATE {a} -> {b} : reports_to")
+    n = r.execute("GRAPH PATTERN COUNT "
+                  "(x:person)-[:reports_to]->(y:person)").count
+    assert n == 1
+    assert r.execute("GRAPH PATTERN EXISTS "
+                     "(x:person)-[:reports_to]->(y:person)").value is True
+    rows = r.execute("GRAPH PATTERN MATCH "
+                     "(x:person)-[:reports_to]->(y:person) LIMIT 5").rows
+    assert rows[0]["x.name"] == "a" and rows[0]["y.name"] == "b"
+
+
+def test_graph_batch_statements(r):
+    out = r.execute("GRAPH BATCH CREATE NODES ["
+                    "(person { name: 'x' }), (person { name: 'y' })]")
+    ids = out.value
+    assert len(ids) == 2
+    out2 = r.execute(f"GRAPH BATCH CREATE EDGES ["
+                     f"({ids[0]} -> {ids[1]} : knows)]")
+    assert len(out2.value) == 1
+    r.execute(f"GRAPH BATCH UPDATE NODES [({ids[0]} {{ age: 9 }})]")
+    assert r.execute(f"NODE GET {ids[0]}").rows[0]["age"] == 9
+    r.execute(f"GRAPH BATCH DELETE EDGES [{out2.value[0]}]")
+    assert r.execute("GRAPH AGGREGATE COUNT EDGES").count == 0
+    r.execute(f"GRAPH BATCH DELETE NODES [{ids[0]}, {ids[1]}]")
+    assert len(r.execute("NODE LIST person").rows) == 0

@@ -143,3 +143,81 @@ def test_embedded_mode():
 def test_metrics(srv, cli):
     cli.execute("SHOW TABLES")
     assert srv.metrics["requests"] >= 1
+
+
+def test_rest_api(tmp_path):
+    import json
+    import urllib.request
+
+    from neumann_tpu.server.rest import RestServer
+
+    srv = RestServer(port=0)
+    port = srv.serve()
+    base = f"http://127.0.0.1:{port}"
+
+    def call(method, path, body=None):
+        data = json.dumps(body).encode() if body is not None else None
+        req = urllib.request.Request(base + path, data=data,
+                                     method=method)
+        req.add_header("Content-Type", "application/json")
+        try:
+            with urllib.request.urlopen(req) as resp:
+                return resp.status, json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    code, h = call("GET", "/health")
+    assert code == 200 and h["ok"]
+    code, out = call("POST", "/query",
+                     {"query": "CREATE TABLE t (v INT)"})
+    assert code == 200
+    call("POST", "/query", {"query": "INSERT INTO t VALUES (7)"})
+    code, out = call("POST", "/query", {"query": "SELECT * FROM t"})
+    assert out["rows"] == [{"_id": 0, "v": 7}]
+    # collections + points
+    code, _ = call("PUT", "/collections/docs", {"dimension": 4})
+    assert code == 200
+    call("PUT", "/collections/docs/points", {"points": [
+        {"id": "a", "vector": [1, 0, 0, 0], "payload": {"lang": "en"}},
+        {"id": "b", "vector": [0, 1, 0, 0]}]})
+    code, res = call("POST", "/collections/docs/points/query",
+                     {"vector": [1, 0, 0, 0], "limit": 1})
+    assert res["result"][0]["id"] == "a"
+    code, res = call("POST", "/collections/docs/points/query",
+                     {"vector": [1, 0, 0, 0], "limit": 5,
+                      "filter": {"op": "eq", "field": "lang",
+                                 "value": "en"}})
+    assert [p["id"] for p in res["result"]] == ["a"]
+    code, res = call("POST", "/collections/docs/points/delete",
+                     {"ids": ["a"]})
+    assert res["deleted"] == 1
+    code, cols = call("GET", "/collections")
+    assert cols["collections"][0]["count"] == 1
+    code, res = call("POST", "/query", {"query": "BROKEN !!"})
+    assert code == 400 and "error" in res
+    code, _ = call("GET", "/nope")
+    assert code == 400
+    code, m = call("GET", "/metrics")
+    assert "statements" in m
+    srv.stop()
+
+
+def test_rest_auth():
+    import json
+    import urllib.request
+
+    from neumann_tpu.server.rest import RestServer
+
+    srv = RestServer(port=0, api_keys=["k1"])
+    port = srv.serve()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/health", method="GET")
+    try:
+        urllib.request.urlopen(req)
+        assert False, "expected 401"
+    except urllib.error.HTTPError as e:
+        assert e.code == 401
+    req.add_header("x-api-key", "k1")
+    with urllib.request.urlopen(req) as resp:
+        assert resp.status == 200
+    srv.stop()

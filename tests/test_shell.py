@@ -104,3 +104,26 @@ def test_wal_dir_recovers_tables(tmp_path):
     sh3 = Shell(wal_dir=d, stdout=io.StringIO())
     assert "31" in sh3.execute("SELECT age FROM users")
     assert "bob" not in sh3.execute("SELECT * FROM users")
+
+
+def test_docs_cli(tmp_path):
+    from neumann_tpu import docs_cli
+    from neumann_tpu.router import QueryRouter
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "wal.md").write_text(
+        "# WAL recovery\nThe write ahead log replays records after "
+        "a crash to restore durability.\n# Snapshots\nSnapshots are "
+        "point in time copies of the store.")
+    (d / "vector.md").write_text(
+        "# Vector search\nSimilarity search scans embeddings with "
+        "matmul kernels on the TPU.")
+    r = QueryRouter()
+    n = docs_cli.build_index(r, str(d))
+    assert n == 3
+    hits = docs_cli.search(r, "how does the write ahead log recover "
+                              "after a crash")
+    assert hits and "wal.md" in hits[0]["file"]
+    hits2 = docs_cli.search(r, "similarity search embeddings matmul")
+    assert hits2 and "vector.md" in hits2[0]["file"]

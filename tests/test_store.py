@@ -230,3 +230,18 @@ def test_quantized_views(rng):
     slab.set_row(0, vecs[0] * 2)
     q3, _, _ = slab.quantized_view("int8")
     assert q3 is not q
+
+
+def test_compressed_snapshot_roundtrip(tmp_path):
+    s = TensorStore()
+    for i in range(50):
+        s.put(f"k:{i}", TensorData.with_values(v=[0.0] * 64, n=i))
+    plain = tmp_path / "a.ntpu"
+    comp = tmp_path / "b.ntpu"
+    s.save_snapshot(plain)
+    s.save_snapshot_compressed(comp)
+    import os
+    assert os.path.getsize(comp) < os.path.getsize(plain)
+    s2 = TensorStore()
+    s2.load_snapshot(comp)  # transparent sniffing
+    assert len(s2) == 50 and s2.get("k:7").get("n").value == 7

@@ -255,3 +255,46 @@ def test_metadata_access(eng):
     eng.store_embedding("a", [1.0], metadata={"source": "web", "n": 3})
     assert eng.get_metadata("a") == {"source": "web", "n": 3}
     assert eng.get_metadata("missing") is None
+
+
+def test_ivf_index_api(rng, eng, tmp_path):
+    vecs = rng.standard_normal((300, 32)).astype(np.float32)
+    eng.batch_store_embeddings([(f"v{i}", vecs[i]) for i in range(300)])
+    n = eng.build_ivf_index(n_clusters=8, nprobe=8)
+    assert n == 300
+    res = eng.search_with_ivf_nprobe(vecs[17], 5, nprobe=8)
+    assert res[0].key == "v17"
+    # hnsw-named compatibility entry points hit the same index
+    res2 = eng.search_with_hnsw(vecs[17], 5)
+    assert res2[0].key == "v17"
+    # save/load roundtrip
+    path = tmp_path / "index.npz"
+    eng.save_index(path)
+    eng2 = VectorEngine()
+    eng2.batch_store_embeddings([(f"v{i}", vecs[i]) for i in range(300)])
+    assert eng2.load_index(path) == 300
+    res3 = eng2.search_with_hnsw(vecs[17], 3)
+    assert res3[0].key == "v17"
+    with pytest.raises(VectorError):
+        VectorEngine().search_with_hnsw(vecs[0], 3)
+    with pytest.raises(VectorError):
+        VectorEngine().build_ivf_index()
+
+
+def test_pq_collection(rng, eng):
+    eng.create_collection("pqc", VectorCollectionConfig(
+        dimension=64, quantization="pq"))
+    vecs = rng.standard_normal((300, 64)).astype(np.float32)
+    for i, v in enumerate(vecs):
+        eng.store_in_collection("pqc", f"v{i}", v)
+    res = eng.search_in_collection("pqc", vecs[11], 5)
+    assert res and res[0].key == "v11"
+    # metadata filter still fuses
+    eng.create_collection("pqf", VectorCollectionConfig(
+        dimension=64, quantization="pq"))
+    for i in range(100):
+        eng.store_in_collection("pqf", f"k{i}", vecs[i],
+                                {"grp": i % 2})
+    hits = eng.search_filtered_in_collection(
+        "pqf", vecs[10], 5, FilterCondition.eq("grp", 0))
+    assert all(int(h.key[1:]) % 2 == 0 for h in hits)
