@@ -1,0 +1,124 @@
+"""Jepsen-style chaos harness over the in-process cluster.
+
+Parity with the reference's RealJepsenHarness / ChaosRaftCluster
+(integration_tests/src/jepsen.rs): real Raft nodes, concurrent client
+workloads against the leader, a nemesis schedule (partitions / heals /
+crashes), a recorded invoke/complete history, and a linearizability
+check at the end. Deterministic: driven on the simulated tick clock
+with a seeded RNG, like the DST harness.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+from neumann_tpu.chain.cluster import ClusterOrchestrator
+from neumann_tpu.chain.dst import FaultAction
+from neumann_tpu.chain.linearizability import CheckResult, Op, \
+    check_register
+from neumann_tpu.store.tensor_store import TensorData
+
+_KEY = "jepsen:register"
+
+
+@dataclass
+class JepsenResult:
+    history: List[Op]
+    check: CheckResult
+    writes_attempted: int
+    writes_acked: int
+
+    @property
+    def ok(self) -> bool:
+        return self.check.ok
+
+
+class JepsenHarness:
+    """Single-register read/write workload with a nemesis."""
+
+    def __init__(self, n_nodes: int = 3, seed: int = 0):
+        self.orch = ClusterOrchestrator(n_nodes, seed=seed)
+        self.rng = random.Random(seed)
+        self.history: List[Op] = []
+        self._pending: List[dict] = []   # writes awaiting commit
+        self._tick = 0
+        self.writes_attempted = 0
+        self.writes_acked = 0
+
+    def _leader(self):
+        lid = self.orch.leader()
+        return self.orch.nodes[lid] if lid else None
+
+    def _applied_value(self, node) -> Optional[int]:
+        data = node.store.get(_KEY)
+        if data is None:
+            return None
+        return data.get("v").value
+
+    def run(self, ticks: int = 400,
+            nemesis: Optional[List[FaultAction]] = None,
+            write_every: int = 7, read_every: int = 5) -> JepsenResult:
+        nemesis = sorted(nemesis or [], key=lambda f: f.at_tick)
+        ni = 0
+        next_val = 0
+        self.orch.run_until_leader()
+        for t in range(ticks):
+            self._tick = t
+            while ni < len(nemesis) and nemesis[ni].at_tick == t:
+                f = nemesis[ni]
+                if f.kind == "partition":
+                    self.orch.hub.partition(*f.groups)
+                elif f.kind == "heal":
+                    self.orch.hub.heal()
+                ni += 1
+            leader = self._leader()
+            # writes: propose through the leader; completion = committed
+            if leader is not None and t % write_every == 0:
+                next_val += 1
+                self.writes_attempted += 1
+                idx = leader.raft.propose(
+                    {"op": "put", "key": _KEY,
+                     "data": __import__(
+                         "neumann_tpu.store.codec",
+                         fromlist=["codec"]).encode_data(
+                             TensorData.with_values(v=next_val)).hex()})
+                if idx is not None:
+                    self._pending.append({"value": next_val,
+                                          "invoke": t, "index": idx,
+                                          "term": leader.raft.term,
+                                          "node": leader})
+            # reads: leader-local applied state (read-your-raft)
+            if leader is not None and t % read_every == 0:
+                val = self._applied_value(leader)
+                self.history.append(Op("reader", "read", val,
+                                       invoke=t, complete=t + 0.5))
+            self.orch.step()
+            # complete writes whose index has been applied on the leader
+            still = []
+            for wr in self._pending:
+                node = wr["node"]
+                applied = node.raft.last_applied >= wr["index"]
+                entry_term = node.raft.term_at(wr["index"])
+                if applied and entry_term == wr["term"]:
+                    self.history.append(Op(
+                        "writer", "write", wr["value"],
+                        invoke=wr["invoke"], complete=t + 1))
+                    self.writes_acked += 1
+                elif applied and entry_term is not None and \
+                        entry_term != wr["term"]:
+                    pass  # overwritten by a new leader: write never
+                    #       took effect, drop it from the history
+                else:
+                    still.append(wr)
+            self._pending = still
+        # still-pending writes are indeterminate: they may take effect
+        # at any point after their invocation
+        for wr in self._pending:
+            self.history.append(Op("writer", "write", wr["value"],
+                                   invoke=wr["invoke"],
+                                   complete=float("inf")))
+        check = check_register(self.history)
+        return JepsenResult(self.history, check,
+                            self.writes_attempted, self.writes_acked)

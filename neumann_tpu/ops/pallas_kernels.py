@@ -1,0 +1,191 @@
+"""Pallas TPU kernels for the scan hot path.
+
+Two kernels here; both follow the playbook in the Pallas guide (grid +
+BlockSpec pipelining handles HBM->VMEM double buffering automatically):
+
+* ``hamming_scores``: packed-bit hamming distances. The XLA broadcast
+  formulation materializes a [Q, B, W] popcount intermediate per block;
+  this kernel keeps a [Q, TILE] accumulator in VMEM and streams the W
+  bit-words with a fori_loop — one XOR+popcount+add per word, nothing
+  spilled to HBM.
+* ``int8_dot_scores``: int8 x int8 -> f32 scores for one corpus tile
+  with the per-row multiplier fused, as a building block for serving
+  paths that want explicit control over tiling.
+
+Both run in interpret mode off-TPU so the CPU test mesh exercises them.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+# ---------------------------------------------------------------------------
+# hamming
+# ---------------------------------------------------------------------------
+
+def _hamming_kernel(q_ref, c_ref, out_ref):
+    """q_ref [Q, W] u32, c_ref [TILE, W] u32 -> out_ref [Q, TILE] i32.
+
+    Loads both tiles once, then unrolls the word loop with STATIC value
+    slices — Mosaic cannot lower 1-wide column memory loads
+    (vector<Qx1xi32>), but strided extracts from in-register vectors are
+    fine. W is small (d/32, e.g. 24 for 768d), so the unroll is cheap.
+    """
+    q = q_ref[:]                          # [Q, W] in registers
+    c = c_ref[:]                          # [TILE, W]
+    acc = jnp.zeros(out_ref.shape, jnp.int32)
+    for w in range(q_ref.shape[1]):       # static unroll
+        qcol = lax.slice_in_dim(q, w, w + 1, axis=1)   # [Q, 1]
+        crow = lax.slice_in_dim(c, w, w + 1, axis=1)   # [TILE, 1]
+        x = lax.population_count(qcol ^ crow.reshape(1, -1))
+        acc = acc + x.astype(jnp.int32)
+    out_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def hamming_scores(corpus_bits: jnp.ndarray, query_bits: jnp.ndarray,
+                   tile: int = 2048) -> jnp.ndarray:
+    """[Q, N] hamming distances via the Pallas kernel.
+
+    corpus_bits [N, W] uint32 (N a multiple of `tile` — callers pad),
+    query_bits [Q, W] uint32.
+    """
+    n, w = corpus_bits.shape
+    q = query_bits.shape[0]
+    grid = (n // tile,)
+    return pl.pallas_call(
+        _hamming_kernel,
+        out_shape=jax.ShapeDtypeStruct((q, n), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((q, w), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((q, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=not _on_tpu(),
+    )(query_bits, corpus_bits)
+
+
+def hamming_topk_pallas(corpus_bits, query_bits, k,
+                        mask=None, block_rows: int = 1024 * 1024,
+                        tile: int = 2048):
+    """Blockwise hamming top-k using the Pallas distance kernel.
+
+    Exact merge across blocks; score = -distance (matches
+    ops.quant.hamming_topk).
+    """
+    from neumann_tpu.ops.scan import NEG_INF
+
+    query_bits = query_bits if query_bits.ndim == 2 else \
+        query_bits[None, :]
+    n, w = corpus_bits.shape
+    q = query_bits.shape[0]
+    k = min(k, n)
+    # pad rows to a tile multiple
+    block_rows = min(block_rows, max(tile, (n + tile - 1) // tile * tile))
+    nblocks = -(-n // block_rows)
+    n_pad = nblocks * block_rows
+    if n_pad != n:
+        corpus_bits = jnp.concatenate(
+            [corpus_bits,
+             jnp.zeros((n_pad - n, w), corpus_bits.dtype)], axis=0)
+        pad_mask = jnp.concatenate(
+            [jnp.ones((n,), bool) if mask is None else mask,
+             jnp.zeros((n_pad - n,), bool)], axis=0)
+    else:
+        pad_mask = mask
+
+    corpus_b = corpus_bits.reshape(nblocks, block_rows, w)
+    mask_b = (pad_mask.reshape(nblocks, block_rows)
+              if pad_mask is not None else None)
+    block_iota = lax.broadcasted_iota(jnp.int32, (1, block_rows), 1)
+
+    init = (jnp.full((q, k), NEG_INF, jnp.float32),
+            jnp.full((q, k), -1, jnp.int32))
+
+    def step(carry, xs):
+        best_s, best_i = carry
+        if mask_b is None:
+            bidx, block = xs
+            bmask = None
+        else:
+            bidx, block, bmask = xs
+        dist = hamming_scores(block, query_bits, tile=tile)
+        s = -dist.astype(jnp.float32)
+        if bmask is not None:
+            s = jnp.where(bmask[None, :], s, NEG_INF)
+        bs, bi = lax.top_k(s, k)
+        ids = jnp.take_along_axis(
+            jnp.broadcast_to(block_iota + bidx * block_rows, s.shape),
+            bi, axis=1)
+        cand_s = jnp.concatenate([best_s, bs], axis=1)
+        cand_i = jnp.concatenate([best_i, ids], axis=1)
+        ns, pos = lax.top_k(cand_s, k)
+        return (ns, jnp.take_along_axis(cand_i, pos, axis=1)), None
+
+    xs = (jnp.arange(nblocks, dtype=jnp.int32), corpus_b)
+    if mask_b is not None:
+        xs = xs + (mask_b,)
+    (best_s, best_i), _ = lax.scan(step, init, xs)
+    best_i = jnp.where(jnp.isneginf(best_s), -1, best_i)
+    return best_s, best_i
+
+
+# ---------------------------------------------------------------------------
+# int8 tile scores
+# ---------------------------------------------------------------------------
+
+def _int8_kernel(q_ref, c_ref, qmult_ref, rmult_ref, out_ref):
+    """q [Q, d] i8, c [TILE, d] i8, qmult [Q, 1] f32, rmult [1, TILE] f32
+    -> out [Q, TILE] f32."""
+    dots = lax.dot_general(
+        q_ref[:], c_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    out_ref[:] = dots * qmult_ref[:] * rmult_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def int8_dot_scores(corpus_q, row_mult, queries_q, q_mult,
+                    tile: int = 2048) -> jnp.ndarray:
+    """[Q, N] fused-dequant scores: (q . c) * q_mult * row_mult."""
+    n, d = corpus_q.shape
+    q = queries_q.shape[0]
+    grid = (n // tile,)
+    return pl.pallas_call(
+        _int8_kernel,
+        out_shape=jax.ShapeDtypeStruct((q, n), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((q, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((q, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=not _on_tpu(),
+    )(queries_q, corpus_q, q_mult, row_mult)

@@ -497,3 +497,84 @@ def test_cluster_query_routing():
     orch.step(10)
     assert executed and executed[0][0] == leader_id
     assert follower.poll_query_result() == f"{leader_id}:SHOW TABLES"
+
+
+# ------------------------------------------------------- linearizability
+
+def test_linearizability_checker_basics():
+    from neumann_tpu.chain.linearizability import Op, check_register
+
+    # sequential write->read is fine
+    h = [Op("w", "write", 1, 0, 1), Op("r", "read", 1, 2, 3)]
+    assert check_register(h).ok
+    # read of a never-written value fails
+    h2 = [Op("w", "write", 1, 0, 1), Op("r", "read", 9, 2, 3)]
+    assert not check_register(h2).ok
+    # stale read after a completed overwrite fails
+    h3 = [Op("w", "write", 1, 0, 1), Op("w", "write", 2, 2, 3),
+          Op("r", "read", 1, 4, 5)]
+    assert not check_register(h3).ok
+    # concurrent write/read: either order is a valid linearization
+    h4 = [Op("w", "write", 1, 0, 10), Op("r", "read", None, 2, 3)]
+    assert check_register(h4).ok
+    h5 = [Op("w", "write", 1, 0, 10), Op("r", "read", 1, 2, 3)]
+    assert check_register(h5).ok
+    assert check_register([]).ok
+
+
+def test_jepsen_steady_state():
+    from neumann_tpu.chain.jepsen import JepsenHarness
+
+    res = JepsenHarness(3, seed=21).run(ticks=200)
+    assert res.writes_acked > 0
+    assert res.ok, res.check.reason
+
+
+@pytest.mark.parametrize("seed", [2, 13])
+def test_jepsen_with_partitions(seed):
+    from neumann_tpu.chain.dst import FaultAction
+    from neumann_tpu.chain.jepsen import JepsenHarness
+
+    nemesis = [
+        FaultAction(50, "partition",
+                    groups=[{"n0"}, {"n1", "n2"}]),
+        FaultAction(130, "heal"),
+        FaultAction(200, "partition",
+                    groups=[{"n1"}, {"n0", "n2"}]),
+        FaultAction(280, "heal"),
+    ]
+    res = JepsenHarness(3, seed=seed).run(ticks=380, nemesis=nemesis)
+    assert res.writes_acked > 0
+    assert res.ok, res.check.reason
+
+
+# ------------------------------------------------------- ed25519 signing
+
+def test_ed25519_identities_and_blocks():
+    from neumann_tpu.chain.signing import (
+        NodeIdentity,
+        derive_embedding,
+        sign_block,
+        verify_block,
+    )
+
+    ident = NodeIdentity.from_seed(b"node-1")
+    same = NodeIdentity.from_seed(b"node-1")
+    assert ident.public_bytes() == same.public_bytes()
+    msg = b"append entries"
+    sig = ident.sign(msg)
+    assert NodeIdentity.verify(ident.public_bytes(), msg, sig)
+    assert not NodeIdentity.verify(ident.public_bytes(), b"tampered", sig)
+    # geometric identity: deterministic unit vector, distinct per key
+    e1 = ident.embedding(32)
+    e2 = NodeIdentity.from_seed(b"node-2").embedding(32)
+    assert abs(np.linalg.norm(e1) - 1.0) < 1e-5
+    assert abs(float(e1 @ e2)) < 0.9
+    np.testing.assert_allclose(e1, same.embedding(32))
+    # block signing
+    ch = Chain()
+    blk = ch.new_block([], "root")
+    sign_block(ident, blk)
+    assert verify_block(ident.public_bytes(), blk)
+    blk.transactions.append({"id": 1, "ops": []})
+    assert not verify_block(ident.public_bytes(), blk)

@@ -239,3 +239,35 @@ def test_auto_checkpoint_ignores_nondestructive(tmp_path):
     cm = CheckpointManager(TensorStore(), tmp_path / "ck")
     assert cm.auto_checkpoint("select") is None
     assert cm.auto_checkpoint("delete", "t") is not None
+
+
+# ---------------------------------------------------------------- shamir
+
+def test_shamir_split_combine():
+    from neumann_tpu.vault import shamir
+
+    secret = b"the launch codes are 0000"
+    shares = shamir.split(secret, n=5, k=3)
+    assert len(shares) == 5
+    # any 3 shares reconstruct
+    subset = {x: shares[x] for x in [1, 3, 5]}
+    assert shamir.combine(subset) == secret
+    subset2 = {x: shares[x] for x in [2, 4, 5]}
+    assert shamir.combine(subset2) == secret
+    # 2 shares do NOT reconstruct (overwhelmingly likely)
+    partial = shamir.combine({x: shares[x] for x in [1, 2]})
+    assert partial != secret
+    # all 5 also work
+    assert shamir.combine(shares) == secret
+
+
+def test_shamir_errors():
+    from neumann_tpu.vault import shamir
+    from neumann_tpu.utils.errors import VaultError
+
+    with pytest.raises(VaultError):
+        shamir.split(b"x", n=2, k=3)
+    with pytest.raises(VaultError):
+        shamir.combine({})
+    with pytest.raises(VaultError):
+        shamir.combine({1: b"ab", 2: b"a"})

@@ -1,0 +1,69 @@
+"""Pallas kernel tests (interpret mode on the CPU mesh) vs oracles."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from neumann_tpu.ops.pallas_kernels import (
+    hamming_scores,
+    hamming_topk_pallas,
+    int8_dot_scores,
+)
+from neumann_tpu.ops.quant import binary_quantize, hamming_topk
+
+
+def test_hamming_scores_matches_oracle(rng):
+    corpus = rng.standard_normal((4096, 64)).astype(np.float32)
+    queries = rng.standard_normal((8, 64)).astype(np.float32)
+    cb = np.asarray(binary_quantize(jnp.asarray(corpus)))
+    qb = np.asarray(binary_quantize(jnp.asarray(queries)))
+    got = np.asarray(hamming_scores(jnp.asarray(cb), jnp.asarray(qb),
+                                    tile=1024))
+    want = np.zeros((8, 4096), np.int64)
+    for w in range(cb.shape[1]):
+        x = np.bitwise_xor(qb[:, w][:, None], cb[:, w][None, :])
+        want += np.vectorize(lambda v: bin(v).count("1"))(x)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_hamming_topk_pallas_matches_xla(rng):
+    corpus = rng.standard_normal((5000, 96)).astype(np.float32)
+    queries = corpus[:4] + 0.01 * rng.standard_normal(
+        (4, 96)).astype(np.float32)
+    cb = binary_quantize(jnp.asarray(corpus))
+    qb = binary_quantize(jnp.asarray(queries))
+    s1, i1 = hamming_topk(cb, qb, 7)
+    s2, i2 = hamming_topk_pallas(cb, qb, 7, tile=512, block_rows=2048)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    # self-hits survive
+    assert (np.asarray(i2)[:, 0] == np.arange(4)).all()
+
+
+def test_hamming_topk_pallas_masked(rng):
+    corpus = rng.standard_normal((1000, 32)).astype(np.float32)
+    cb = binary_quantize(jnp.asarray(corpus))
+    qb = binary_quantize(jnp.asarray(corpus[:2]))
+    mask = np.zeros(1000, bool)
+    mask[500:600] = True
+    s, i = hamming_topk_pallas(cb, qb, 5, mask=jnp.asarray(mask),
+                               tile=256, block_rows=512)
+    i = np.asarray(i)
+    assert ((i >= 500) & (i < 600) | (i == -1)).all()
+
+
+def test_int8_dot_scores(rng):
+    corpus = rng.standard_normal((2048, 128)).astype(np.float32)
+    queries = rng.standard_normal((8, 128)).astype(np.float32)
+    from neumann_tpu.ops.quant import scalar_quantize
+
+    cq, cs = scalar_quantize(jnp.asarray(corpus))
+    qq, qs = scalar_quantize(jnp.asarray(queries))
+    row_mult = np.asarray(cs)[None, :]
+    q_mult = np.asarray(qs)[:, None]
+    got = np.asarray(int8_dot_scores(
+        cq, jnp.asarray(row_mult), qq, jnp.asarray(q_mult), tile=512))
+    want = (np.asarray(cq, np.float32) @ np.zeros(0).reshape(0)) \
+        if False else \
+        (np.asarray(qq, np.int64) @ np.asarray(cq, np.int64).T
+         ).astype(np.float32) * q_mult * row_mult
+    np.testing.assert_allclose(got, want, rtol=1e-5)
