@@ -38,21 +38,23 @@ def _on_tpu() -> bool:
 # hamming
 # ---------------------------------------------------------------------------
 
-def _hamming_kernel(q_ref, c_ref, out_ref):
-    """q_ref [Q, W] u32, c_ref [TILE, W] u32 -> out_ref [Q, TILE] i32.
+def _hamming_kernel(q_ref, ct_ref, out_ref):
+    """q_ref [Q, W] u32, ct_ref [W, TILE] u32 -> out_ref [Q, TILE] i32.
 
-    Loads both tiles once, then unrolls the word loop with STATIC value
-    slices — Mosaic cannot lower 1-wide column memory loads
-    (vector<Qx1xi32>), but strided extracts from in-register vectors are
-    fine. W is small (d/32, e.g. 24 for 768d), so the unroll is cheap.
+    The corpus tile arrives TRANSPOSED (word-major) so every slice in
+    the word loop is lane-aligned: Mosaic rejects 1-wide column memory
+    loads (vector<Qx1xi32>) and lane<->sublane value transposes, but a
+    [Q, 1] sublane slice XORed against a [1, TILE] lane row broadcasts
+    cleanly. W is small (d/32, e.g. 24 for 768d), so the static unroll
+    stays compact. Verified on v5e hardware.
     """
     q = q_ref[:]                          # [Q, W] in registers
-    c = c_ref[:]                          # [TILE, W]
+    ct = ct_ref[:]                        # [W, TILE]
     acc = jnp.zeros(out_ref.shape, jnp.int32)
     for w in range(q_ref.shape[1]):       # static unroll
-        qcol = lax.slice_in_dim(q, w, w + 1, axis=1)   # [Q, 1]
-        crow = lax.slice_in_dim(c, w, w + 1, axis=1)   # [TILE, 1]
-        x = lax.population_count(qcol ^ crow.reshape(1, -1))
+        qcol = lax.slice_in_dim(q, w, w + 1, axis=1)    # [Q, 1]
+        crow = lax.slice_in_dim(ct, w, w + 1, axis=0)   # [1, TILE]
+        x = lax.population_count(qcol ^ crow)
         acc = acc + x.astype(jnp.int32)
     out_ref[:] = acc
 
@@ -63,11 +65,13 @@ def hamming_scores(corpus_bits: jnp.ndarray, query_bits: jnp.ndarray,
     """[Q, N] hamming distances via the Pallas kernel.
 
     corpus_bits [N, W] uint32 (N a multiple of `tile` — callers pad),
-    query_bits [Q, W] uint32.
+    query_bits [Q, W] uint32. The corpus transposes once outside the
+    kernel (one XLA pass) into the word-major layout the kernel needs.
     """
     n, w = corpus_bits.shape
     q = query_bits.shape[0]
     grid = (n // tile,)
+    corpus_t = corpus_bits.T              # [W, N], word-major
     return pl.pallas_call(
         _hamming_kernel,
         out_shape=jax.ShapeDtypeStruct((q, n), jnp.int32),
@@ -75,13 +79,13 @@ def hamming_scores(corpus_bits: jnp.ndarray, query_bits: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((q, w), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, w), lambda i: (i, 0),
+            pl.BlockSpec((w, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((q, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         interpret=not _on_tpu(),
-    )(query_bits, corpus_bits)
+    )(query_bits, corpus_t)
 
 
 def hamming_topk_pallas(corpus_bits, query_bits, k,

@@ -244,23 +244,67 @@ def hamming_topk(
     query_bits: jnp.ndarray,
     k: int,
     mask: Optional[jnp.ndarray] = None,
+    block_rows: int = 128 * 1024,
 ):
     """Top-k by smallest hamming distance (returned score = -distance).
 
-    XOR + popcount on the VPU."""
+    XOR + popcount on the VPU, streamed in row blocks so the [Q, B, W]
+    intermediate stays bounded (a flat formulation would materialize
+    [Q, N, W]). For an explicitly fused kernel see
+    ops.pallas_kernels.hamming_topk_pallas."""
     query_bits = query_bits if query_bits.ndim == 2 else query_bits[None, :]
-    n = corpus_bits.shape[0]
+    n, w = corpus_bits.shape
+    q = query_bits.shape[0]
     k = min(k, n)
-    x = lax.population_count(
-        corpus_bits[None, :, :] ^ query_bits[:, None, :]
-    )
-    dist = jnp.sum(x.astype(jnp.int32), axis=-1)
-    scores = -dist.astype(jnp.float32)
-    if mask is not None:
-        scores = jnp.where(mask[None, :], scores, NEG_INF)
-    top_s, top_i = lax.top_k(scores, k)
-    top_i = jnp.where(jnp.isneginf(top_s), -1, top_i)
-    return top_s, top_i.astype(jnp.int32)
+
+    def block_scores(block):
+        x = lax.population_count(block[None, :, :]
+                                 ^ query_bits[:, None, :])
+        return -jnp.sum(x.astype(jnp.int32), axis=-1).astype(jnp.float32)
+
+    if n <= block_rows:
+        scores = block_scores(corpus_bits)
+        if mask is not None:
+            scores = jnp.where(mask[None, :], scores, NEG_INF)
+        top_s, top_i = lax.top_k(scores, k)
+        top_i = jnp.where(jnp.isneginf(top_s), -1, top_i)
+        return top_s, top_i.astype(jnp.int32)
+
+    nblocks = -(-n // block_rows)
+    n_pad = nblocks * block_rows
+    if n_pad != n:
+        corpus_bits = jnp.concatenate(
+            [corpus_bits,
+             jnp.zeros((n_pad - n, w), corpus_bits.dtype)], axis=0)
+        pad_mask = jnp.concatenate(
+            [jnp.ones((n,), bool) if mask is None else mask,
+             jnp.zeros((n_pad - n,), bool)], axis=0)
+    else:
+        pad_mask = mask if mask is not None else jnp.ones((n,), bool)
+    corpus_b = corpus_bits.reshape(nblocks, block_rows, w)
+    mask_b = pad_mask.reshape(nblocks, block_rows)
+    block_iota = lax.broadcasted_iota(jnp.int32, (1, block_rows), 1)
+    init = (jnp.full((q, k), NEG_INF, jnp.float32),
+            jnp.full((q, k), -1, jnp.int32))
+
+    def step(carry, xs):
+        best_s, best_i = carry
+        bidx, block, bmask = xs
+        s = jnp.where(bmask[None, :], block_scores(block), NEG_INF)
+        bs, bi = lax.top_k(s, k)
+        ids = jnp.take_along_axis(
+            jnp.broadcast_to(block_iota + bidx * block_rows, s.shape),
+            bi, axis=1)
+        cand_s = jnp.concatenate([best_s, bs], axis=1)
+        cand_i = jnp.concatenate([best_i, ids], axis=1)
+        ns, pos = lax.top_k(cand_s, k)
+        return (ns, jnp.take_along_axis(cand_i, pos, axis=1)), None
+
+    (best_s, best_i), _ = lax.scan(
+        step, init,
+        (jnp.arange(nblocks, dtype=jnp.int32), corpus_b, mask_b))
+    best_i = jnp.where(jnp.isneginf(best_s), -1, best_i)
+    return best_s, best_i
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric", "block_rows",

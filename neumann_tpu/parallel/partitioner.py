@@ -76,7 +76,22 @@ def kmeans(vectors: np.ndarray, k: int, iters: int = 20,
     n, d = vectors.shape
     k = min(k, n)
     rng = np.random.default_rng(seed)
-    centroids = vectors[rng.choice(n, k, replace=False)].copy()
+    # k-means++ seeding: spread initial centroids by D^2 sampling
+    # (plain random init collapses well-separated clusters)
+    x64 = vectors.astype(np.float64)
+    first = rng.integers(n)
+    chosen = [first]
+    d2 = np.sum((x64 - x64[first]) ** 2, axis=1)
+    for _ in range(1, k):
+        total = d2.sum()
+        if total <= 0:
+            chosen.append(rng.integers(n))
+        else:
+            probs = d2 / total
+            chosen.append(int(rng.choice(n, p=probs)))
+        d2 = np.minimum(d2, np.sum(
+            (x64 - x64[chosen[-1]]) ** 2, axis=1))
+    centroids = vectors[chosen].copy()
 
     @jax.jit
     def step(cent, x):

@@ -159,6 +159,11 @@ class QueryRouter:
         stmt = parse(query)
         kind = type(stmt).__name__
         t0 = _time.perf_counter()
+        cached = self._try_cache_get(kind, query)
+        if cached is not None:
+            self.metrics.record(kind, (_time.perf_counter() - t0) * 1e3,
+                                query=query)
+            return cached
         try:
             out = self.execute_statement(stmt)
         except Exception:
@@ -167,7 +172,37 @@ class QueryRouter:
             raise
         self.metrics.record(kind, (_time.perf_counter() - t0) * 1e3,
                             query=query)
+        self._try_cache_put(kind, query, out)
         return out
+
+    # -- LLM-cache integration around cacheable statements (parity with
+    # try_cache_get, query_router/src/lib.rs:1940-1957). Off by default;
+    # enable with enable_query_cache().
+    _CACHEABLE = ("Similar", "Select", "Find")
+
+    def enable_query_cache(self, **kw) -> None:
+        if self.cache is None:
+            self.init_cache(**kw)
+        self._query_cache_on = True
+
+    def _try_cache_get(self, kind: str, query: str):
+        if not getattr(self, "_query_cache_on", False) or \
+                self.cache is None or kind not in self._CACHEABLE:
+            return None
+        import pickle
+
+        blob = self.cache.get(query)
+        if blob is None:
+            return None
+        return pickle.loads(bytes.fromhex(blob))
+
+    def _try_cache_put(self, kind: str, query: str, result) -> None:
+        if not getattr(self, "_query_cache_on", False) or \
+                self.cache is None or kind not in self._CACHEABLE:
+            return
+        import pickle
+
+        self.cache.put(query, pickle.dumps(result).hex())
 
     def _execute_cypher(self, query: str) -> QueryResult:
         from neumann_tpu.lang.cypher import CypherExecutor, parse_cypher

@@ -578,3 +578,52 @@ def test_ed25519_identities_and_blocks():
     assert verify_block(ident.public_bytes(), blk)
     blk.transactions.append({"id": 1, "ops": []})
     assert not verify_block(ident.public_bytes(), blk)
+
+
+# ------------------------------------------------------- codebooks
+
+def test_codebooks(rng):
+    from neumann_tpu.chain.codebook import GlobalCodebook, LocalCodebook
+
+    centers = rng.standard_normal((4, 16)).astype(np.float32) * 5
+    deltas = np.concatenate([
+        centers[i] + 0.1 * rng.standard_normal((40, 16)).astype(np.float32)
+        for i in range(4)])
+    gb = GlobalCodebook(16, n_codes=4)
+    gb.train(deltas)
+    code, dist = gb.quantize(deltas[0])
+    assert 0 <= code < 4 and dist < 2.0, dist
+    np.testing.assert_allclose(gb.decode(code), gb.codes[code])
+    # in-distribution deltas are not anomalous; far ones are
+    assert not gb.is_anomalous(deltas[5])
+    assert gb.is_anomalous(np.full(16, 100.0, np.float32))
+    # local book adapts with EMA
+    lb = LocalCodebook(gb, ema=0.5)
+    shifted = centers[0] + 2.0
+    for _ in range(10):
+        lb.observe(shifted)
+    assert lb.drift_from_global() > 0.01
+    assert lb.usage.sum() == 10
+
+
+def test_delta_replication(rng):
+    from neumann_tpu.chain.delta_replication import DeltaReplicator
+    from neumann_tpu.store.delta_vector import ArchetypeRegistry
+
+    centers = rng.standard_normal((3, 64)).astype(np.float32) * 10
+    data = np.concatenate([
+        centers[i] + 0.002 * rng.standard_normal(
+            (30, 64)).astype(np.float32)
+        for i in range(3)])
+    reg = ArchetypeRegistry(threshold=0.01)
+    reg.discover_archetypes(data)
+    rep = DeltaReplicator(reg)
+    items = [(f"k{i}", data[i]) for i in range(90)]
+    wire = rep.encode_batch(items)
+    # replica reconstructs via a registry snapshot
+    replica = DeltaReplicator.from_snapshot(rep.registry_snapshot())
+    back = replica.decode_batch(wire)
+    for (k1, v1), (k2, v2) in zip(items, back):
+        assert k1 == k2
+        np.testing.assert_allclose(v1, v2, atol=0.02)
+    assert rep.bandwidth_ratio() > 3.0  # 4-6x claim territory

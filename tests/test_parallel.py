@@ -128,3 +128,84 @@ def test_graft_entry_compiles():
     fn, args = g.entry()
     # compile-check only (small shapes would differ; just lower)
     jax.jit(fn).lower(*args).compile()
+
+
+# ------------------------------------------------- distributed planner
+
+def make_shard_cluster(rng, n_shards=3, docs_per=50, d=16):
+    from neumann_tpu.parallel.distributed import (
+        DistributedExecutor,
+        QueryPlanner,
+    )
+    from neumann_tpu.router import QueryRouter
+
+    routers = {}
+    executors = {}
+    for s in range(n_shards):
+        r = QueryRouter()
+        for i in range(docs_per):
+            gid = s * docs_per + i
+            r.vector.store_embedding(
+                f"doc{gid}",
+                np.eye(d, dtype=np.float32)[gid % d]
+                + 0.01 * rng.standard_normal(d).astype(np.float32))
+        routers[f"s{s}"] = r
+        executors[f"s{s}"] = r.execute
+    planner = QueryPlanner("s0", list(routers))
+    return DistributedExecutor(planner, executors), routers
+
+
+def test_scatter_gather_topk(rng):
+    ex, routers = make_shard_cluster(rng)
+    vec = ", ".join("1.0" if i == 3 else "0.0" for i in range(16))
+    out = ex.execute(f"SIMILAR [{vec}] TOP 5")
+    assert len(out.results) == 5
+    # global best should be a doc whose id % 16 == 3 from ANY shard
+    assert all(int(h["key"][3:]) % 16 == 3 for h in out.results[:3])
+    # scores sorted descending across shards
+    scores = [h["score"] for h in out.results]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_aggregate_and_first_non_empty(rng):
+    ex, routers = make_shard_cluster(rng)
+    out = ex.execute("COUNT EMBEDDINGS")
+    assert out.count == 150
+    out2 = ex.execute("EMBED GET 'doc120'")  # lives on shard 2 only
+    assert out2.value is not None
+
+
+def test_concat_merge(rng):
+    ex, routers = make_shard_cluster(rng)
+    for name, r in routers.items():
+        r.execute("CREATE TABLE t (shard TEXT)")
+        r.execute(f"INSERT INTO t VALUES ('{name}')")
+    out = ex.execute("SELECT * FROM t")
+    assert {row["shard"] for row in out.rows} == {"s0", "s1", "s2"}
+
+
+def test_semantic_routing(rng):
+    from neumann_tpu.parallel.distributed import QueryPlanner
+    from neumann_tpu.parallel.partitioner import SemanticPartitioner
+
+    centers = np.array([[10, 0], [0, 10], [-10, -10]], np.float32)
+    data = np.concatenate([
+        centers[i] + 0.3 * rng.standard_normal((30, 2)).astype(np.float32)
+        for i in range(3)])
+    sp = SemanticPartitioner(3)
+    sp.train(data)
+    planner = QueryPlanner("s0", ["s0", "s1", "s2"], semantic=sp)
+    plan = planner.plan_with_embedding("SIMILAR [1.0] TOP 5",
+                                       centers[1], nprobe=1)
+    assert len(plan.shards) == 1
+    full = planner.plan("SIMILAR [1.0] TOP 5")
+    assert len(full.shards) == 3 and full.k == 5
+
+
+def test_shard_failure_degrades(rng):
+    ex, routers = make_shard_cluster(rng)
+    def boom(q):
+        raise RuntimeError("shard down")
+    ex.executors["s1"] = boom
+    out = ex.execute("COUNT EMBEDDINGS")
+    assert out.count == 100  # two healthy shards still answer

@@ -346,3 +346,19 @@ def test_graph_batch_statements(r):
     assert r.execute("GRAPH AGGREGATE COUNT EDGES").count == 0
     r.execute(f"GRAPH BATCH DELETE NODES [{ids[0]}, {ids[1]}]")
     assert len(r.execute("NODE LIST person").rows) == 0
+
+
+def test_query_result_cache(r):
+    r.execute("EMBED STORE 'a' [1.0, 0.0]")
+    r.enable_query_cache(semantic_threshold=0.99)
+    first = r.execute("SIMILAR 'a' TOP 1")
+    assert first.results[0]["key"] == "a"
+    hits_before = r.cache.stats.hits
+    second = r.execute("SIMILAR 'a' TOP 1")
+    assert second.results == first.results
+    assert r.cache.stats.hits > hits_before
+    # mutations are never cached
+    r.execute("EMBED STORE 'b' [0.9, 0.1]")
+    r.cache.clear()
+    fresh = r.execute("SIMILAR 'a' TOP 2")
+    assert len(fresh.results) == 2

@@ -221,3 +221,35 @@ def test_rest_auth():
     with urllib.request.urlopen(req) as resp:
         assert resp.status == 200
     srv.stop()
+
+
+def test_query_batcher(rng):
+    import threading
+
+    from neumann_tpu.engines import VectorEngine
+    from neumann_tpu.server.batcher import QueryBatcher
+
+    eng = VectorEngine()
+    vecs = rng.standard_normal((500, 32)).astype(np.float32)
+    eng.batch_store_embeddings([(f"v{i}", vecs[i]) for i in range(500)])
+    b = QueryBatcher(eng, dim=32, max_wait_ms=5.0)
+    try:
+        # concurrent searches coalesce into shared batches
+        results = [None] * 20
+        def worker(i):
+            results[i] = b.search(vecs[i], 3)
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(20)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i in range(20):
+            assert results[i][0].key == f"v{i}"
+        assert b.queries_served == 20
+        assert b.batches_run < 20  # actually coalesced
+        # error propagation: wrong dim
+        with pytest.raises(Exception):
+            b.search(np.zeros(7, np.float32), 3)
+    finally:
+        b.close()
