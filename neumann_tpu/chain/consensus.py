@@ -75,6 +75,23 @@ def classify_conflict(delta_a: np.ndarray, keys_a: Set[str],
         else ConflictClass.CONFLICTING
 
 
+def classify_delta_geometry(delta_a: np.ndarray, delta_b: np.ndarray,
+                            config: ConsensusConfig = ConsensusConfig()
+                            ) -> ConflictClass:
+    """Geometry-only classification (used by partition merge, where the
+    key sets are identical by construction): orthogonal deltas to the
+    same entity change disjoint dimensions and merge by addition."""
+    cos = _cosine(np.asarray(delta_a, np.float32),
+                  np.asarray(delta_b, np.float32))
+    if abs(cos) <= config.orthogonal_threshold:
+        return ConflictClass.ORTHOGONAL
+    if cos >= config.identical_threshold:
+        return ConflictClass.IDENTICAL
+    if cos >= config.similar_threshold:
+        return ConflictClass.SIMILAR
+    return ConflictClass.CONFLICTING
+
+
 def classify_pairwise(deltas: np.ndarray,
                       key_sets: Sequence[Set[str]],
                       config: ConsensusConfig = ConsensusConfig()

@@ -1,0 +1,97 @@
+"""Defense-in-depth validation for cluster messages.
+
+Parity with tensor_chain/src/message_validation.rs: every inbound
+Message is schema-checked (known kind, required payload fields, type and
+bound constraints) before it reaches a consensus core, so a corrupted or
+malicious frame degrades to a reject instead of an exception inside
+Raft/2PC.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+from neumann_tpu.chain.transport import Message
+
+_MAX_ENTRIES = 10_000
+_MAX_STR = 4096
+
+# kind -> {field: validator}
+_SCHEMAS: Dict[str, Dict[str, object]] = {
+    "pre_vote_req": {"term": int, "last_index": int, "last_term": int},
+    "pre_vote_resp": {"term": int, "granted": bool},
+    "vote_req": {"term": int, "last_index": int, "last_term": int},
+    "vote_resp": {"term": int, "granted": bool},
+    "append_entries": {"term": int, "prev_index": int, "prev_term": int,
+                       "entries": list, "leader_commit": int},
+    "append_resp": {"term": int, "success": bool, "match": int},
+    "install_snapshot": {"term": int, "last_index": int,
+                         "last_term": int},
+    "timeout_now": {"term": int},
+    "tx_prepare": {"tx": str, "ops": list},
+    "tx_vote": {"tx": str, "ok": bool},
+    "tx_commit": {"tx": str},
+    "tx_abort": {"tx": str},
+    "tx_ack": {"tx": str},
+    "ping": {"members": dict},
+    "ack": {"members": dict},
+    "ping_req": {"target": str, "members": dict},
+    "cluster_query": {"query": str, "reply_to": str},
+    "cluster_query_result": {},
+}
+
+
+def validate(msg: Message) -> Tuple[bool, str]:
+    """(ok, reason). Unknown kinds and malformed payloads are rejected."""
+    if not isinstance(msg.payload, dict):
+        return False, "payload is not a mapping"
+    if msg.payload.get("__corrupted__"):
+        return False, "corruption marker set"
+    schema = _SCHEMAS.get(msg.kind)
+    if schema is None:
+        return False, f"unknown message kind {msg.kind!r}"
+    for fname, ftype in schema.items():
+        if fname not in msg.payload:
+            return False, f"missing field {fname!r}"
+        val = msg.payload[fname]
+        if ftype is int:
+            if isinstance(val, bool) or not isinstance(val, int):
+                return False, f"field {fname!r} must be int"
+            if not (-1 <= val <= 2 ** 62):
+                return False, f"field {fname!r} out of range"
+        elif ftype is bool and not isinstance(val, bool):
+            return False, f"field {fname!r} must be bool"
+        elif ftype is str:
+            if not isinstance(val, str) or len(val) > _MAX_STR:
+                return False, f"field {fname!r} must be a short string"
+        elif ftype is list and not isinstance(val, list):
+            return False, f"field {fname!r} must be a list"
+        elif ftype is dict and not isinstance(val, dict):
+            return False, f"field {fname!r} must be a mapping"
+    if msg.kind == "append_entries":
+        entries = msg.payload["entries"]
+        if len(entries) > _MAX_ENTRIES:
+            return False, "too many entries"
+        for e in entries:
+            if not isinstance(e, dict) or "term" not in e or \
+                    "payload" not in e:
+                return False, "malformed log entry"
+    return True, ""
+
+
+class ValidatingInbox:
+    """Wrap a node's handle() with validation + a reject counter."""
+
+    def __init__(self, node):
+        self.node = node
+        self.rejected = 0
+        self.reasons: List[str] = []
+
+    def handle(self, msg: Message):
+        ok, reason = validate(msg)
+        if not ok:
+            self.rejected += 1
+            if len(self.reasons) < 100:
+                self.reasons.append(f"{msg.kind}: {reason}")
+            return []
+        return self.node.handle(msg)

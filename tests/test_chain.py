@@ -627,3 +627,130 @@ def test_delta_replication(rng):
         assert k1 == k2
         np.testing.assert_allclose(v1, v2, atol=0.02)
     assert rep.bandwidth_ratio() > 3.0  # 4-6x claim territory
+
+
+# ------------------------------------------------- partition merge
+
+def test_partition_merge_six_phases():
+    from neumann_tpu.chain.partition_merge import PartitionMerger
+    from neumann_tpu.store.tensor_store import TensorStore
+
+    base = TensorStore()
+    base.put("shared", TensorData.with_values(
+        embedding=[1.0, 0.0, 0.0, 0.0], v="orig"))
+    left = TensorStore()
+    right = TensorStore()
+    for s in (left, right):
+        s.put("shared", base.get("shared"))
+    # divergence during the partition:
+    left.put("left_only", TensorData.with_values(
+        embedding=[0.0, 1.0, 0.0, 0.0]))
+    right.put("right_only", TensorData.with_values(
+        embedding=[0.0, 0.0, 1.0, 0.0]))
+    # orthogonal edits to the same key (disjoint dims of change)
+    left.put("shared", TensorData.with_values(
+        embedding=[1.0, 0.5, 0.0, 0.0], v="orig"))
+    right.put("shared", TensorData.with_values(
+        embedding=[1.0, 0.0, 0.7, 0.0], v="orig"))
+    merger = PartitionMerger(embedding_dim=4)
+    report = merger.merge(left, right, base=base,
+                          left_height=5, right_height=3)
+    assert report.ok and not merger.frozen
+    # creations survive on both sides
+    assert left.get("right_only") is not None
+    assert right.get("left_only") is not None
+    # orthogonal edits merged by vector addition
+    for s in (left, right):
+        emb = s.get("shared").get("embedding").to_dense()
+        np.testing.assert_allclose(emb, [1.0, 0.5, 0.7, 0.0], atol=1e-5)
+    assert "shared" in report.merged
+    # stores end identical
+    from neumann_tpu.store import codec
+    for key in set(left.keys()) | set(right.keys()):
+        assert codec.encode_data(left.get(key)) == \
+            codec.encode_data(right.get(key))
+
+
+def test_partition_merge_conflicting_key():
+    from neumann_tpu.chain.partition_merge import PartitionMerger
+    from neumann_tpu.store.tensor_store import TensorStore
+
+    base = TensorStore()
+    base.put("k", TensorData.with_values(embedding=[1.0, 0.0]))
+    left, right = TensorStore(), TensorStore()
+    left.put("k", TensorData.with_values(embedding=[2.0, 0.0]))   # +x
+    right.put("k", TensorData.with_values(embedding=[0.0, 0.0]))  # -x
+    merger = PartitionMerger(embedding_dim=2)
+    report = merger.merge(left, right, base=base,
+                          left_height=9, right_height=2)
+    assert "k" in report.conflicts
+    # higher chain (left) won on both sides
+    np.testing.assert_allclose(
+        right.get("k").get("embedding").to_dense(), [2.0, 0.0])
+
+
+# ------------------------------------------------- message validation
+
+def test_message_validation():
+    from neumann_tpu.chain.message_validation import (
+        ValidatingInbox,
+        validate,
+    )
+
+    ok, _ = validate(Message("vote_req", "a", "b",
+                             {"term": 1, "last_index": 0,
+                              "last_term": 0}))
+    assert ok
+    bad_cases = [
+        Message("vote_req", "a", "b", {"term": "one", "last_index": 0,
+                                       "last_term": 0}),
+        Message("vote_req", "a", "b", {"term": 1}),
+        Message("nonsense_kind", "a", "b", {}),
+        Message("append_entries", "a", "b",
+                {"term": 1, "prev_index": 0, "prev_term": 0,
+                 "entries": [{"bogus": 1}], "leader_commit": 0}),
+        Message("vote_req", "a", "b", {"__corrupted__": True,
+                                       "term": 1, "last_index": 0,
+                                       "last_term": 0}),
+        Message("tx_prepare", "a", "b", {"tx": "x" * 9999, "ops": []}),
+    ]
+    for m in bad_cases:
+        ok, reason = validate(m)
+        assert not ok, m.kind
+    # validating inbox shields a raft node from garbage
+    node = RaftNode("n0", ["n0", "n1"], RaftConfig())
+    inbox = ValidatingInbox(node)
+    out = inbox.handle(Message("append_entries", "x", "n0",
+                               {"term": "NaN"}))
+    assert out == [] and inbox.rejected == 1
+    good = inbox.handle(Message("vote_req", "n1", "n0",
+                                {"term": 1, "last_index": 0,
+                                 "last_term": 0}))
+    assert good and good[0].kind == "vote_resp"
+
+
+# ------------------------------------------------- geometric routing
+
+def test_geometric_membership_routing():
+    from neumann_tpu.chain.geometric import (
+        GeometricMembership,
+        GeometricTransport,
+    )
+
+    hub = TransportHub()
+    t = hub.register("me")
+    for p in ("a", "b", "c"):
+        hub.register(p)
+    gm = GeometricMembership("me", [1.0, 0.0])
+    gm.upsert_peer("a", [0.9, 0.1])
+    gm.upsert_peer("b", [0.0, 1.0])
+    gm.upsert_peer("c", [-1.0, 0.0])
+    assert gm.rank_peers() == ["a", "b", "c"]
+    gt = GeometricTransport(t, gm)
+    assert gt.send_to_nearest("hi", {"x": 1})
+    msg = hub._nodes["a"]._queue.get_nowait()
+    assert msg.kind == "hi"
+    n = gt.regional_broadcast("region", {}, top_m=2)
+    assert n == 2
+    gm.remove_peer("a")
+    assert gm.nearest([0.95, 0.05]) == "b"
