@@ -59,7 +59,12 @@ class RaftNode:
                  config: Optional[RaftConfig] = None, seed: int = 0,
                  persist: Optional[Callable[[dict], None]] = None):
         self.id = node_id
-        self.peers = [p for p in peers if p != node_id]
+        # membership: voters count for quorum/elections; learners only
+        # replicate (reference: joint-consensus + learner promotion,
+        # raft.rs membership change capability, single-change-at-a-time)
+        self.voters = {p for p in peers} | {node_id}
+        self.learners: set = set()
+        self._pending_config_index: Optional[int] = None
         self.config = config or RaftConfig()
         self._rng = random.Random(_stable_seed(seed, node_id))
         self._persist = persist
@@ -126,6 +131,51 @@ class RaftNode:
     # ------------------------------------------------------------------
     # public API
     # ------------------------------------------------------------------
+    @property
+    def peers(self) -> List[str]:
+        """Replication targets: every other voter + all learners."""
+        return sorted((self.voters | self.learners) - {self.id})
+
+    @property
+    def voting_peers(self) -> List[str]:
+        return sorted(self.voters - {self.id})
+
+    def _quorum(self, count: int) -> bool:
+        return count * 2 > len(self.voters)
+
+    # -- membership changes (single change at a time) -------------------
+    def propose_config_change(self, op: str, node: str) -> Optional[int]:
+        """op: add_learner | promote | remove. Leader-only; refuses
+        while a previous change is uncommitted."""
+        if self.state != LEADER:
+            return None
+        if self._pending_config_index is not None and \
+                self.commit_index < self._pending_config_index:
+            return None
+        idx = self.propose({"__config__": {"op": op, "node": node}})
+        if idx is not None:
+            self._pending_config_index = idx
+            # config applies on append (standard Raft), locally at once
+            self._apply_config({"op": op, "node": node})
+            if op == "add_learner":
+                self.next_index[node] = self.last_index() + 1
+                self.match_index[node] = 0
+        return idx
+
+    def _apply_config(self, change: dict) -> None:
+        op, node = change["op"], change["node"]
+        if op == "add_learner":
+            if node not in self.voters:
+                self.learners.add(node)
+        elif op == "promote":
+            self.learners.discard(node)
+            self.voters.add(node)
+        elif op == "remove":
+            self.voters.discard(node)
+            self.learners.discard(node)
+            self.next_index.pop(node, None)
+            self.match_index.pop(node, None)
+
     def propose(self, payload: dict) -> Optional[int]:
         """Leader-only: append an entry; returns its global index."""
         if self.state != LEADER:
@@ -134,7 +184,7 @@ class RaftNode:
         self._persist_state()
         idx = self.last_index()
         self.match_index[self.id] = idx
-        if not self.peers:
+        if not self.voting_peers:
             self._advance_commit()
         return idx
 
@@ -195,8 +245,8 @@ class RaftNode:
     def _start_election(self, skip_pre_vote: bool = False) -> List[Message]:
         self._elapsed = 0
         self._timeout = self._rand_timeout()
-        if not self.peers:
-            # single-node cluster: win immediately
+        if not self.voting_peers:
+            # single-voter cluster: win immediately
             self.term += 1
             self.voted_for = self.id
             self._persist_state()
@@ -207,7 +257,8 @@ class RaftNode:
             self._pre_votes = {self.id}
             return [Message("pre_vote_req", self.id, p, {
                 "term": self.term + 1, "last_index": self.last_index(),
-                "last_term": self.last_term()}) for p in self.peers]
+                "last_term": self.last_term()})
+                for p in self.voting_peers]
         self.state = CANDIDATE
         self.term += 1
         self.voted_for = self.id
@@ -215,7 +266,8 @@ class RaftNode:
         self._votes = {self.id}
         return [Message("vote_req", self.id, p, {
             "term": self.term, "last_index": self.last_index(),
-            "last_term": self.last_term()}) for p in self.peers]
+            "last_term": self.last_term()})
+            for p in self.voting_peers]
 
     def _become_leader(self) -> None:
         self.state = LEADER
@@ -230,7 +282,7 @@ class RaftNode:
         self.log.append(LogEntry(self.term, {"noop": True}))
         self.match_index[self.id] = self.last_index()
         self._persist_state()
-        if not self.peers:
+        if not self.voting_peers:
             self._advance_commit()
 
     def _become_follower(self, term: int,
@@ -275,9 +327,10 @@ class RaftNode:
         for idx in range(self.last_index(), self.commit_index, -1):
             if self.term_at(idx) != self.term:
                 continue  # only commit current-term entries by counting
-            votes = 1 + sum(1 for p in self.peers
-                            if self.match_index.get(p, 0) >= idx)
-            if votes * 2 > len(self.peers) + 1:
+            votes = sum(
+                1 for p in self.voters
+                if p == self.id or self.match_index.get(p, 0) >= idx)
+            if self._quorum(votes):
                 self.commit_index = idx
                 break
 
@@ -310,7 +363,7 @@ class RaftNode:
             return []
         if msg.payload.get("granted"):
             self._pre_votes.add(msg.src)
-            if len(self._pre_votes) * 2 > len(self.peers) + 1:
+            if self._quorum(len(self._pre_votes)):
                 return self._start_election(skip_pre_vote=True)
         return []
 
@@ -333,7 +386,7 @@ class RaftNode:
             return []
         if msg.payload.get("granted"):
             self._votes.add(msg.src)
-            if len(self._votes) * 2 > len(self.peers) + 1:
+            if self._quorum(len(self._votes)):
                 self._become_leader()
                 return self._broadcast_append()
         return []
@@ -362,6 +415,12 @@ class RaftNode:
                 pos = idx - self.snapshot_index - 1
                 self.log = self.log[:pos]
                 self.log.append(LogEntry(e["term"], e["payload"]))
+            else:
+                continue
+            cfg = e["payload"].get("__config__") \
+                if isinstance(e["payload"], dict) else None
+            if cfg:
+                self._apply_config(cfg)
         self._persist_state()
         if p["leader_commit"] > self.commit_index:
             self.commit_index = min(p["leader_commit"], self.last_index())

@@ -507,6 +507,8 @@ class VectorEngine:
                 out.append(row_hits)
             return out
         if quantization == "binary":
+            import os
+
             from neumann_tpu.ops.quant import binary_quantize
 
             bits, valid = corpus.slab.quantized_view("binary")
@@ -516,7 +518,16 @@ class VectorEngine:
             import jax
 
             qbits = jax.jit(binary_quantize)(jnp.asarray(qp))
-            scores, idx = _jitted_hamming()(bits, qbits, k, mask)
+            if os.environ.get("NEUMANN_PALLAS") == "1":
+                # fused Pallas kernel: ~1.8x the XLA path on v5e, but
+                # Mosaic compiles are slow on the dev tunnel, so opt-in
+                from neumann_tpu.ops.pallas_kernels import (
+                    hamming_topk_pallas,
+                )
+
+                scores, idx = hamming_topk_pallas(bits, qbits, k, mask)
+            else:
+                scores, idx = _jitted_hamming()(bits, qbits, k, mask)
         elif quantization == "int8":
             cq, cs, valid = corpus.slab.quantized_view("int8")
             mask = valid

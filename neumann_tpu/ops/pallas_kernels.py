@@ -90,7 +90,8 @@ def hamming_scores(corpus_bits: jnp.ndarray, query_bits: jnp.ndarray,
 
 def hamming_topk_pallas(corpus_bits, query_bits, k,
                         mask=None, block_rows: int = 1024 * 1024,
-                        tile: int = 2048):
+                        tile: int = 2048, selection: str = "exact",
+                        recall_target: float = 0.95):
     """Blockwise hamming top-k using the Pallas distance kernel.
 
     Exact merge across blocks; score = -distance (matches
@@ -132,11 +133,13 @@ def hamming_topk_pallas(corpus_bits, query_bits, k,
             bmask = None
         else:
             bidx, block, bmask = xs
+        from neumann_tpu.ops.scan import _block_topk
+
         dist = hamming_scores(block, query_bits, tile=tile)
         s = -dist.astype(jnp.float32)
         if bmask is not None:
             s = jnp.where(bmask[None, :], s, NEG_INF)
-        bs, bi = lax.top_k(s, k)
+        bs, bi = _block_topk(s, k, selection, recall_target)
         ids = jnp.take_along_axis(
             jnp.broadcast_to(block_iota + bidx * block_rows, s.shape),
             bi, axis=1)

@@ -95,6 +95,16 @@ def _filter_from_condition(cond: Condition) -> FilterCondition:
     raise VectorError(f"unsupported filter op {op}")
 
 
+def _as_id(value, what: str = "id") -> int:
+    """User-supplied node/edge ids must coerce cleanly to ints."""
+    try:
+        if isinstance(value, bool):
+            raise ValueError
+        return int(value)
+    except (TypeError, ValueError):
+        raise NeumannError(f"invalid {what}: {value!r}") from None
+
+
 class QueryRouter:
     def __init__(self, store: Optional[TensorStore] = None,
                  data_dir: Optional[str] = None):
@@ -443,7 +453,7 @@ class QueryRouter:
                            message=f"node {nid} created")
 
     def _exec_nodeget(self, s: ast.NodeGet) -> QueryResult:
-        node = self.graph.get_node(int(s.node_id))
+        node = self.graph.get_node(_as_id(s.node_id, "node id"))
         if node is None:
             return QueryResult.msg(f"no node {s.node_id}")
         return QueryResult.of_rows([{
@@ -452,7 +462,7 @@ class QueryRouter:
 
     def _exec_nodedelete(self, s: ast.NodeDelete) -> QueryResult:
         self._auto_ckpt("delete", f"node {s.node_id}")
-        ok = self.graph.delete_node(int(s.node_id))
+        ok = self.graph.delete_node(_as_id(s.node_id, "node id"))
         return QueryResult.msg(
             f"node {s.node_id} deleted" if ok else f"no node {s.node_id}")
 
@@ -464,13 +474,13 @@ class QueryRouter:
             for n in nodes])
 
     def _exec_edgecreate(self, s: ast.EdgeCreate) -> QueryResult:
-        eid = self.graph.create_edge(int(s.src), int(s.dst), s.edge_type,
+        eid = self.graph.create_edge(_as_id(s.src, "node id"), _as_id(s.dst, "node id"), s.edge_type,
                                      s.properties or None)
         return QueryResult("value", value=eid,
                            message=f"edge {eid} created")
 
     def _exec_edgeget(self, s: ast.EdgeGet) -> QueryResult:
-        e = self.graph.get_edge(int(s.edge_id))
+        e = self.graph.get_edge(_as_id(s.edge_id, "edge id"))
         if e is None:
             return QueryResult.msg(f"no edge {s.edge_id}")
         return QueryResult.of_rows([{
@@ -478,7 +488,7 @@ class QueryRouter:
             "type": e["type"], **e["properties"]}])
 
     def _exec_edgedelete(self, s: ast.EdgeDelete) -> QueryResult:
-        ok = self.graph.delete_edge(int(s.edge_id))
+        ok = self.graph.delete_edge(_as_id(s.edge_id, "edge id"))
         return QueryResult.msg(
             f"edge {s.edge_id} deleted" if ok else f"no edge {s.edge_id}")
 
@@ -510,7 +520,7 @@ class QueryRouter:
         return QueryResult.of_rows(out)
 
     def _exec_neighbors(self, s: ast.Neighbors) -> QueryResult:
-        nid = int(s.node_id)
+        nid = _as_id(s.node_id, "node id")
         if s.by_similarity is not None:
             # cross-engine: rank neighbors by embedding similarity
             key = self.unified.key_of_node(nid)
@@ -543,7 +553,7 @@ class QueryRouter:
         return QueryResult.of_rows([{"id": i} for i in ids])
 
     def _exec_path(self, s: ast.Path) -> QueryResult:
-        a, b = int(s.src), int(s.dst)
+        a, b = _as_id(s.src, "node id"), _as_id(s.dst, "node id")
         if s.mode == "shortest":
             p = self.graph.find_path(a, b, s.max_depth or 0)
             return QueryResult("value", value=p,
@@ -660,22 +670,22 @@ class QueryRouter:
             return QueryResult("value", value=ids,
                                message=f"created {len(ids)} nodes")
         if s.action == "create_edges":
-            ids = [self.graph.create_edge(int(a), int(b), t, p or None)
+            ids = [self.graph.create_edge(_as_id(a), _as_id(b), t, p or None)
                    for a, b, t, p in s.items]
             return QueryResult("value", value=ids,
                                message=f"created {len(ids)} edges")
         if s.action == "update_nodes":
             for nid, props in s.items:
-                self.graph.update_node(int(nid), props)
+                self.graph.update_node(_as_id(nid), props)
             return QueryResult.msg(f"updated {len(s.items)} nodes")
         if s.action == "delete_nodes":
             self._auto_ckpt("delete", "graph batch")
             n = sum(1 for nid in s.items
-                    if self.graph.delete_node(int(nid)))
+                    if self.graph.delete_node(_as_id(nid)))
             return QueryResult.msg(f"deleted {n} nodes")
         if s.action == "delete_edges":
             n = sum(1 for eid in s.items
-                    if self.graph.delete_edge(int(eid)))
+                    if self.graph.delete_edge(_as_id(eid)))
             return QueryResult.msg(f"deleted {n} edges")
         raise NeumannError(f"graph batch action {s.action} unsupported")
 

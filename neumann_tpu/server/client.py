@@ -74,11 +74,16 @@ class NeumannClient:
     # -- constructors -----------------------------------------------------
     @staticmethod
     def connect(address: str, api_key: Optional[str] = None,
+                tls_root_cert: Optional[bytes] = None,
                 **kw) -> "NeumannClient":
         import grpc
 
-        return NeumannClient(channel=grpc.insecure_channel(address),
-                             api_key=api_key, **kw)
+        if tls_root_cert is not None:
+            creds = grpc.ssl_channel_credentials(tls_root_cert)
+            channel = grpc.secure_channel(address, creds)
+        else:
+            channel = grpc.insecure_channel(address)
+        return NeumannClient(channel=channel, api_key=api_key, **kw)
 
     @staticmethod
     def embedded(router=None) -> "NeumannClient":

@@ -47,9 +47,14 @@ class RestServer:
                 return json.loads(self.rfile.read(length) or b"{}")
 
             def _send(self, code: int, payload) -> None:
-                blob = dumps(payload).encode("utf-8")
+                if isinstance(payload, str):  # pre-rendered HTML
+                    blob = payload.encode("utf-8")
+                    ctype = "text/html; charset=utf-8"
+                else:
+                    blob = dumps(payload).encode("utf-8")
+                    ctype = "application/json"
                 self.send_response(code)
-                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(blob)))
                 self.end_headers()
                 self.wfile.write(blob)
@@ -94,6 +99,8 @@ class RestServer:
     # ------------------------------------------------------------------
     def _dispatch(self, method: str, path: str, body: dict):
         parts = [p for p in path.split("?")[0].split("/") if p]
+        if method == "GET" and not parts:
+            return self._dashboard()
         if method == "GET" and parts == ["health"]:
             import jax
 
@@ -111,6 +118,52 @@ class RestServer:
         if parts and parts[0] == "collections":
             return self._collections(method, parts[1:], body)
         raise NeumannError(f"no route {method} {path}")
+
+    def _dashboard(self) -> str:
+        """Web admin status page (the reference's axum dashboard role)."""
+        r = self.router
+        vec_count = sum(
+            c.count() for by_dim in r.vector._corpora.values()
+            for c in by_dim.values())
+        rows = "".join(
+            f"<tr><td>{n}</td><td>{st['count']}</td>"
+            f"<td>{st['dimension']}</td><td>{st['metric']}</td>"
+            f"<td>{st['quantization']}</td></tr>"
+            for n, st in ((n, r.vector.collection_stats(n))
+                          for n in r.vector.list_collections()))
+        metrics = "".join(
+            f"<tr><td>{k}</td><td>{v['count']}</td><td>{v['errors']}</td>"
+            f"<td>{v['avg_ms']}</td><td>{v['max_ms']}</td></tr>"
+            for k, v in sorted(r.metrics.snapshot().items()))
+        slow = "".join(
+            f"<li><code>{q['ms']} ms</code> {q['query'][:120]}</li>"
+            for q in r.metrics.slow_queries()[-10:])
+        import jax
+
+        dev = jax.devices()[0].platform
+        return f"""<!doctype html><html><head><title>neumann-tpu</title>
+<style>body{{font-family:monospace;margin:2em;background:#101418;
+color:#d7e0ea}}table{{border-collapse:collapse;margin:1em 0}}
+td,th{{border:1px solid #33404f;padding:4px 10px}}h1{{color:#7dd3fc}}
+h2{{color:#94a3b8}}code{{color:#fbbf24}}</style></head><body>
+<h1>neumann-tpu</h1>
+<p>device: <code>{dev}</code> · store entries:
+<code>{len(r.store)}</code> · embeddings: <code>{vec_count}</code> ·
+graph: <code>{r.graph.node_count()}</code> nodes /
+<code>{r.graph.edge_count()}</code> edges · tables:
+<code>{len(r.relational.list_tables())}</code></p>
+<h2>collections</h2>
+<table><tr><th>name</th><th>count</th><th>dim</th><th>metric</th>
+<th>quant</th></tr>{rows or '<tr><td colspan=5>none</td></tr>'}</table>
+<h2>statement metrics</h2>
+<table><tr><th>kind</th><th>count</th><th>errors</th><th>avg ms</th>
+<th>max ms</th></tr>{metrics or '<tr><td colspan=5>none</td></tr>'}
+</table>
+<h2>slow queries</h2><ul>{slow or '<li>none</li>'}</ul>
+<p>JSON API: <a href="/health" style="color:#7dd3fc">/health</a> ·
+<a href="/metrics" style="color:#7dd3fc">/metrics</a> ·
+<a href="/collections" style="color:#7dd3fc">/collections</a></p>
+</body></html>"""
 
     def _collections(self, method: str, parts, body: dict):
         from neumann_tpu.engines.vector import VectorCollectionConfig

@@ -108,14 +108,27 @@ class NeumannServer:
                  host: str = "127.0.0.1", port: int = 0,
                  api_keys: Optional[Iterable[str]] = None,
                  rate_limit_per_min: int = 0,
-                 max_workers: int = 16):
+                 max_workers: int = 16,
+                 tls: bool = False,
+                 tls_cert: Optional[bytes] = None,
+                 tls_key: Optional[bytes] = None):
         self.router = router or QueryRouter()
         self.host = host
         self._auth = _Auth(api_keys, rate_limit_per_min)
         self._server = grpc.server(
             futures.ThreadPoolExecutor(max_workers=max_workers))
         self._server.add_generic_rpc_handlers(self._handlers())
-        self.port = self._server.add_insecure_port(f"{host}:{port}")
+        self.tls_cert = None
+        if tls:
+            if tls_cert is None or tls_key is None:
+                tls_cert, tls_key = generate_self_signed(host)
+            self.tls_cert = tls_cert
+            creds = grpc.ssl_server_credentials(((tls_key, tls_cert),))
+            self.port = self._server.add_secure_port(
+                f"{host}:{port}", creds)
+        else:
+            self.port = self._server.add_insecure_port(
+                f"{host}:{port}")
         self.metrics = {"requests": 0, "errors": 0,
                         "latency_ms_sum": 0.0}
         self._mlock = threading.Lock()
@@ -420,6 +433,40 @@ class NeumannServer:
                 content_type=(info["content_type"] or "") if first else "",
                 data=data)
             first = False
+
+
+def generate_self_signed(host: str = "127.0.0.1"):
+    """(cert_pem, key_pem) — parity with the reference's rcgen TLS."""
+    import datetime
+    import ipaddress
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import ec
+    from cryptography.x509.oid import NameOID
+
+    key = ec.generate_private_key(ec.SECP256R1())
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME,
+                                         "neumann-tpu")])
+    try:
+        san = x509.SubjectAlternativeName(
+            [x509.IPAddress(ipaddress.ip_address(host))])
+    except ValueError:
+        san = x509.SubjectAlternativeName([x509.DNSName(host)])
+    now = datetime.datetime.now(datetime.timezone.utc)
+    cert = (x509.CertificateBuilder()
+            .subject_name(name).issuer_name(name)
+            .public_key(key.public_key())
+            .serial_number(x509.random_serial_number())
+            .not_valid_before(now)
+            .not_valid_after(now + datetime.timedelta(days=365))
+            .add_extension(san, critical=False)
+            .sign(key, hashes.SHA256()))
+    return (cert.public_bytes(serialization.Encoding.PEM),
+            key.private_bytes(
+                serialization.Encoding.PEM,
+                serialization.PrivateFormat.PKCS8,
+                serialization.NoEncryption()))
 
 
 def _filter_from_json(obj) -> "FilterCondition":

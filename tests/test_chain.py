@@ -754,3 +754,59 @@ def test_geometric_membership_routing():
     assert n == 2
     gm.remove_peer("a")
     assert gm.nearest([0.95, 0.05]) == "b"
+
+
+# ------------------------------------------------- membership change
+
+def test_raft_learner_then_promote():
+    hub, nodes, tr = make_cluster(3)
+    pump(nodes, hub, tr, 60)
+    leader = next(n for n in nodes.values() if n.state == "leader")
+    # boot a 4th node as a learner
+    n3 = RaftNode("n3", ["n0", "n1", "n2", "n3"], RaftConfig(), seed=77)
+    n3.voters = set(leader.voters)      # joins knowing current voters
+    n3.learners = {"n3"}
+    nodes["n3"] = n3
+    transports = tr
+    transports["n3"] = hub.register("n3")
+    assert leader.propose_config_change("add_learner", "n3") is not None
+    for i in range(5):
+        leader.propose({"v": i})
+    pump(nodes, hub, tr, 40)
+    # learner replicates but does not vote / count for quorum
+    assert n3.last_index() >= 5
+    assert "n3" in leader.learners and "n3" not in leader.voters
+    assert len(leader.voters) == 3
+    pump(nodes, hub, tr, 10)
+    # promotion makes it a voter
+    assert leader.propose_config_change("promote", "n3") is not None
+    pump(nodes, hub, tr, 40)
+    assert "n3" in leader.voters
+    # followers learned the config through the log
+    for node in nodes.values():
+        assert "n3" in node.voters, node.id
+
+
+def test_raft_remove_node():
+    hub, nodes, tr = make_cluster(3)
+    pump(nodes, hub, tr, 60)
+    leader = next(n for n in nodes.values() if n.state == "leader")
+    victim = leader.voting_peers[0]
+    assert leader.propose_config_change("remove", victim) is not None
+    pump(nodes, hub, tr, 40)
+    assert victim not in leader.voters
+    # the 2-voter cluster still commits
+    leader.propose({"after": 1})
+    pump(nodes, hub, tr, 20)
+    assert leader.commit_index >= leader.last_index() - 0
+
+
+def test_raft_single_pending_config_change():
+    hub, nodes, tr = make_cluster(3)
+    # block replication so the first change stays uncommitted
+    pump(nodes, hub, tr, 60)
+    leader = next(n for n in nodes.values() if n.state == "leader")
+    hub.partition({leader.id})
+    assert leader.propose_config_change("add_learner", "x1") is not None
+    assert leader.propose_config_change("add_learner", "x2") is None
+    hub.heal()

@@ -253,3 +253,40 @@ def test_query_batcher(rng):
             b.search(np.zeros(7, np.float32), 3)
     finally:
         b.close()
+
+
+def test_tls_grpc():
+    srv = NeumannServer(port=0, tls=True)
+    srv.serve()
+    try:
+        cli = NeumannClient.connect(f"127.0.0.1:{srv.port}",
+                                    tls_root_cert=srv.tls_cert,
+                                    retries=0)
+        cli.execute("CREATE TABLE t (v INT)")
+        cli.execute("INSERT INTO t VALUES (5)")
+        assert cli.execute("SELECT * FROM t").rows[0]["v"] == 5
+        cli.close()
+        # plaintext client against the TLS port fails cleanly
+        bad = NeumannClient.connect(f"127.0.0.1:{srv.port}", retries=0)
+        with pytest.raises(NeumannError):
+            bad.execute("SHOW TABLES")
+        bad.close()
+    finally:
+        srv.stop()
+
+
+def test_dashboard_html():
+    import urllib.request
+
+    from neumann_tpu.server.rest import RestServer
+
+    srv = RestServer(port=0)
+    port = srv.serve()
+    srv.router.execute("CREATE TABLE t (v INT)")
+    srv.router.execute("EMBED STORE 'x' [1.0]")
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as resp:
+        html = resp.read().decode()
+        assert resp.headers["Content-Type"].startswith("text/html")
+    assert "neumann-tpu" in html and "collections" in html
+    assert "store entries" in html
+    srv.stop()
