@@ -1,0 +1,121 @@
+"""Full benchmark sweep: the five BASELINE.json configs.
+
+bench.py prints the single headline line for the driver; this script
+reports every configuration from BASELINE.json (plus the reference
+comparison) as a JSON array. Uses the same chained-in-jit timing as
+bench.py (the dev tunnel's block_until_ready does not block).
+
+  1. flat exact cosine SIMILAR top-5, 100K x 768 fp32
+  2. batched multi-query: 64 x 768 vs 1M corpus, top-10
+  3. predicate-filtered search (mask fused into the scan)
+  4. hybrid graph-bitmask top-k (CONNECTED TO as a mask)
+  5. 10M int8 corpus (the bench.py headline; see BENCH_r*.json)
+"""
+
+import functools
+import json
+import time
+
+import numpy as np
+
+REF_NS_PER_VEC_768 = 367.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from neumann_tpu.ops.scan import topk_scan
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    scale = 1 if on_tpu else 100  # CPU smoke mode shrinks corpora
+
+    results = []
+
+    def timed_chain(fn, corpus, qs, reps=(1, 4)):
+        # corpus must be a jit ARGUMENT: closures become compile-request
+        # constants and blow the remote compiler's size limit
+        @functools.partial(jax.jit, static_argnames=("reps",))
+        def chain(corpus, qs, reps):
+            def body(_, carry):
+                cur, acc = carry
+                s, i = fn(corpus, cur)
+                return cur + 1e-30 * jnp.mean(s), acc + s[0, 0]
+            return lax.fori_loop(0, reps, body, (qs, 0.0))[1]
+
+        float(chain(corpus, qs, reps[0]))
+        float(chain(corpus, qs, reps[1]))
+        a = time.perf_counter()
+        float(chain(corpus, qs, reps[0]))
+        t1 = time.perf_counter() - a
+        a = time.perf_counter()
+        float(chain(corpus, qs, reps[1]))
+        t2 = time.perf_counter() - a
+        return (t2 - t1) / (reps[1] - reps[0])
+
+    key = jax.random.PRNGKey(0)
+
+    # -- 1: flat exact 100K x 768 fp32, single query, top-5 ----------------
+    n1 = 100_000 // scale
+    corpus1 = jax.random.normal(key, (n1, 768), jnp.float32)
+    q1 = jax.random.normal(jax.random.PRNGKey(1), (1, 768), jnp.float32)
+    per = timed_chain(
+        lambda c, qs: topk_scan(c, qs, 5, "cosine"), corpus1, q1,
+        (2, 10))
+    ref_s = n1 * REF_NS_PER_VEC_768 / 1e9
+    results.append({
+        "config": f"flat exact cosine top-5, {n1}x768 fp32",
+        "latency_ms": round(per * 1e3, 3),
+        "qps": round(1 / per, 1),
+        "vs_reference": round(ref_s / per, 1)})
+
+    # -- 2: batched 64 queries vs 1M fp32 ----------------------------------
+    n2 = 1_000_000 // scale
+    corpus2 = jax.random.normal(key, (n2, 768), jnp.float32)
+    q2 = jax.random.normal(jax.random.PRNGKey(2), (64, 768), jnp.float32)
+    per = timed_chain(
+        lambda c, qs: topk_scan(c, qs, 10, "cosine",
+                                block_rows=250_000, selection="approx"),
+        corpus2, q2)
+    results.append({
+        "config": f"batched 64-query top-10, {n2}x768 fp32",
+        "batch_ms": round(per * 1e3, 3),
+        "qps": round(64 / per, 1),
+        "vs_reference": round(64 * n2 * REF_NS_PER_VEC_768 / 1e9 / per,
+                              1)})
+
+    # -- 3: predicate-filtered (10% selectivity mask fused) ----------------
+    mask = jnp.asarray(
+        np.random.default_rng(0).random(n2) < 0.1)
+    per = timed_chain(
+        lambda c, qs: topk_scan(c, qs, 10, "cosine", mask,
+                                block_rows=250_000, selection="approx"),
+        corpus2, q2)
+    results.append({
+        "config": f"predicate-filtered (10% pass), {n2}x768",
+        "batch_ms": round(per * 1e3, 3),
+        "qps": round(64 / per, 1),
+        "note": "mask fused into scan; cost independent of selectivity"})
+
+    # -- 4: hybrid graph-bitmask (sparse neighborhood mask) ----------------
+    nbr = np.zeros(n2, bool)
+    nbr[np.random.default_rng(1).choice(n2, 500, replace=False)] = True
+    per = timed_chain(
+        lambda c, qs: topk_scan(c, qs, 10, "cosine",
+                                jnp.asarray(nbr), block_rows=250_000,
+                                selection="approx"), corpus2, q2)
+    results.append({
+        "config": f"hybrid CONNECTED-TO bitmask (500 nbrs), {n2}x768",
+        "batch_ms": round(per * 1e3, 3),
+        "qps": round(64 / per, 1),
+        "note": "exact for any k (reference oversamples 2x + post-filters)"})
+
+    results.append({
+        "config": "sharded 10M int8 (headline)",
+        "note": "see bench.py / BENCH_r*.json"})
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -16,7 +16,7 @@ def main():
 
     people = ["alice", "bob", "carol", "dave", "erin"]
     for name in people:
-        emb = rng.standard_normal(64).astype(np.float32)
+        emb = rng.standard_normal(32).astype(np.float32)
         vec = ", ".join(f"{x:.4f}" for x in emb)
         r.execute(f"ENTITY CREATE '{name}' "
                   f"{{ team: '{'eng' if name < 'd' else 'ops'}' }} "

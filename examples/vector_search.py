@@ -15,7 +15,7 @@ def main():
     rng = np.random.default_rng(0)
 
     # store 10K document embeddings through the engine API (batched)
-    vecs = rng.standard_normal((10_000, 256)).astype(np.float32)
+    vecs = rng.standard_normal((5_000, 128)).astype(np.float32)
     r.vector.batch_store_embeddings(
         [(f"doc:{i}", vecs[i]) for i in range(len(vecs))])
     print(f"stored {r.execute('COUNT EMBEDDINGS').count} embeddings")
@@ -27,8 +27,8 @@ def main():
         print(f"  {hit['key']:>10}  {hit['score']:.4f}")
 
     # metadata-filtered search in an int8-quantized collection
-    r.execute("CREATE COLLECTION news DIMENSION 256 QUANTIZATION int8")
-    for i in range(1_000):
+    r.execute("CREATE COLLECTION news DIMENSION 128 QUANTIZATION int8")
+    for i in range(500):
         r.vector.store_in_collection(
             "news", f"n{i}", vecs[i],
             {"lang": "en" if i % 3 else "de", "year": 2020 + i % 5})

@@ -440,11 +440,10 @@ class QueryRouter:
             return QueryResult.of_rows(
                 [{"label": s.name, "count": len(nodes),
                   "properties": ", ".join(props)}])
-        edges = [self.graph.get_edge(e) for e in range(
-            self.graph.edge_count() + 50)]
-        typed = [e for e in edges if e and e["type"] == s.name]
-        return QueryResult.of_rows(
-            [{"type": s.name, "count": len(typed)}])
+        with self.graph._lock:
+            n = sum(1 for e in self.graph._edges.values()
+                    if e["type"] == s.name)
+        return QueryResult.of_rows([{"type": s.name, "count": n}])
 
     # -- graph -----------------------------------------------------------------
     def _exec_nodecreate(self, s: ast.NodeCreate) -> QueryResult:
@@ -493,31 +492,15 @@ class QueryRouter:
             f"edge {s.edge_id} deleted" if ok else f"no edge {s.edge_id}")
 
     def _exec_edgelist(self, s: ast.EdgeList) -> QueryResult:
-        out = []
-        count = 0
-        eid = 0
-        scanned = 0
-        total = self.graph.edge_count()
-        offset = s.offset
-        while scanned < total:
-            e = self.graph.get_edge(eid)
-            eid += 1
-            if e is None:
-                if eid > total + 100_000:
-                    break
-                continue
-            scanned += 1
-            if s.edge_type is not None and e["type"] != s.edge_type:
-                continue
-            if offset > 0:
-                offset -= 1
-                continue
-            out.append({"id": e["id"], "src": e["src"], "dst": e["dst"],
-                        "type": e["type"]})
-            count += 1
-            if s.limit is not None and count >= s.limit:
-                break
-        return QueryResult.of_rows(out)
+        with self.graph._lock:
+            edges = [{"id": eid, "src": e["src"], "dst": e["dst"],
+                      "type": e["type"]}
+                     for eid, e in sorted(self.graph._edges.items())
+                     if s.edge_type is None or e["type"] == s.edge_type]
+        edges = edges[s.offset:]
+        if s.limit is not None:
+            edges = edges[: s.limit]
+        return QueryResult.of_rows(edges)
 
     def _exec_neighbors(self, s: ast.Neighbors) -> QueryResult:
         nid = _as_id(s.node_id, "node id")
@@ -694,13 +677,12 @@ class QueryRouter:
             if s.target == "nodes":
                 n = len(self.graph.find_nodes(s.label)) if s.label \
                     else self.graph.node_count()
+            elif s.label:
+                with self.graph._lock:
+                    n = sum(1 for e in self.graph._edges.values()
+                            if e["type"] == s.label)
             else:
-                if s.label:
-                    n = sum(1 for i in range(self.graph._next_edge)
-                            if (e := self.graph.get_edge(i)) is not None
-                            and e["type"] == s.label)
-                else:
-                    n = self.graph.edge_count()
+                n = self.graph.edge_count()
             return QueryResult.of_count(n)
         values = []
         if s.target == "nodes":
@@ -709,13 +691,12 @@ class QueryRouter:
                 if isinstance(v, (int, float)) and not isinstance(v, bool):
                     values.append(float(v))
         else:
-            for i in range(self.graph._next_edge):
-                e = self.graph.get_edge(i)
-                if e is None:
-                    continue
+            with self.graph._lock:
+                edges = list(self.graph._edges.values())
+            for e in edges:
                 if s.label and e["type"] != s.label:
                     continue
-                props = e["properties"]
+                props = e["props"]
                 if s.where is not None and \
                         not s.where.evaluate_row(props):
                     continue
@@ -876,16 +857,15 @@ class QueryRouter:
             return QueryResult.of_rows(rows)
         if s.target == "edge":
             out = []
-            for i in range(self.graph._next_edge):
-                e = self.graph.get_edge(i)
-                if e is None:
-                    continue
+            with self.graph._lock:
+                items = sorted(self.graph._edges.items())
+            for eid, e in items:
                 if s.label and e["type"] != s.label:
                     continue
                 if s.where is not None and \
-                        not s.where.evaluate_row(e["properties"]):
+                        not s.where.evaluate_row(e["props"]):
                     continue
-                out.append({"id": e["id"], "src": e["src"],
+                out.append({"id": eid, "src": e["src"],
                             "dst": e["dst"], "type": e["type"]})
                 if s.limit and len(out) >= s.limit:
                     break

@@ -485,25 +485,49 @@ def _filter_from_json(obj) -> "FilterCondition":
 
 
 def main(argv=None) -> int:
+    """CLI entry point. Flags override NEUMANN_* env vars (the
+    reference's ServerConfig env-var pattern, config.rs:195-242):
+    NEUMANN_HOST, NEUMANN_PORT, NEUMANN_API_KEYS (comma-separated),
+    NEUMANN_WAL_DIR, NEUMANN_TLS=1, NEUMANN_RATE_LIMIT."""
     import argparse
+    import os
+    import signal
 
+    env = os.environ
     ap = argparse.ArgumentParser(prog="neumann-tpu-server")
-    ap.add_argument("--host", default="127.0.0.1")
-    ap.add_argument("--port", type=int, default=50051)
-    ap.add_argument("--api-key", action="append", default=None)
-    ap.add_argument("--wal-dir", default=None)
+    ap.add_argument("--host", default=env.get("NEUMANN_HOST",
+                                              "127.0.0.1"))
+    ap.add_argument("--port", type=int,
+                    default=int(env.get("NEUMANN_PORT", "50051")))
+    ap.add_argument("--api-key", action="append",
+                    default=(env["NEUMANN_API_KEYS"].split(",")
+                             if env.get("NEUMANN_API_KEYS") else None))
+    ap.add_argument("--wal-dir", default=env.get("NEUMANN_WAL_DIR"))
+    ap.add_argument("--tls", action="store_true",
+                    default=env.get("NEUMANN_TLS") == "1")
+    ap.add_argument("--rate-limit", type=int,
+                    default=int(env.get("NEUMANN_RATE_LIMIT", "0")))
     args = ap.parse_args(argv)
     router = QueryRouter()
     if args.wal_dir:
-        import os
-
         os.makedirs(args.wal_dir, exist_ok=True)
         router.store.recover(os.path.join(args.wal_dir, "wal.log"))
         router.store.open_durable(os.path.join(args.wal_dir, "wal.log"))
     srv = NeumannServer(router, args.host, args.port,
-                        api_keys=args.api_key)
+                        api_keys=args.api_key,
+                        rate_limit_per_min=args.rate_limit,
+                        tls=args.tls)
     port = srv.serve(block=False)
-    print(f"neumann-tpu server listening on {args.host}:{port}")
+    print(f"neumann-tpu server listening on {args.host}:{port}"
+          + (" (TLS)" if args.tls else ""), flush=True)
+
+    def shutdown(signum, frame):
+        print("shutting down gracefully...", flush=True)
+        srv.stop(grace=5.0)
+        router.store.wal_flush()
+
+    signal.signal(signal.SIGTERM, shutdown)
+    signal.signal(signal.SIGINT, shutdown)
     srv._server.wait_for_termination()
     return 0
 

@@ -810,3 +810,18 @@ def test_raft_single_pending_config_change():
     assert leader.propose_config_change("add_learner", "x1") is not None
     assert leader.propose_config_change("add_learner", "x2") is None
     hub.heal()
+
+
+@pytest.mark.parametrize("seed", list(range(20, 30)))
+def test_dst_seed_sweep(seed):
+    """Broad seeded sweep with a mixed fault schedule per seed."""
+    h = DSTHarness(3, seed=seed)
+    faults = [
+        FaultAction(40 + seed % 7, "drop_rate", rate=0.15),
+        FaultAction(90, "partition",
+                    groups=[{"n0"}, {"n1", "n2"}]),
+        FaultAction(160, "heal"),
+        FaultAction(200, "drop_rate", rate=0.0),
+    ]
+    r = h.run(ticks=320, faults=faults)
+    assert r.ok, (seed, r.violations)
