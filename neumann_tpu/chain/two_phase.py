@@ -139,6 +139,45 @@ class TwoPhaseParticipant:
         if self._wal:
             self._wal(record)
 
+    def recover(self, records: List[dict],
+                coordinator_states: Optional[Dict[str, str]] = None
+                ) -> List[str]:
+        """Rebuild in-doubt state from replayed tx WAL records.
+
+        Prepared-but-unresolved transactions re-acquire their locks (so
+        conflicting work stays blocked) and are returned so the caller
+        can ask the coordinator for the outcome; if
+        `coordinator_states` resolves one (committed/aborted), it is
+        settled immediately. Parity with tx_wal.rs recovery.
+        """
+        in_doubt: Dict[str, List[dict]] = {}
+        for rec in records:
+            tx = rec.get("tx")
+            phase = rec.get("phase")
+            if phase == "prepared":
+                in_doubt[tx] = rec.get("ops_list", [])
+            elif phase in ("committed", "aborted", "vote_no"):
+                in_doubt.pop(tx, None)
+        unresolved = []
+        for tx, ops in in_doubt.items():
+            outcome = (coordinator_states or {}).get(tx)
+            if outcome == "committed":
+                self._ops[tx] = ops
+                for op in ops:
+                    self.locks.try_lock(op["key"], tx)
+                self.handle(Message("tx_commit", "recovery", self.id,
+                                    {"tx": tx}))
+            elif outcome == "aborted":
+                self._log({"phase": "aborted", "tx": tx})
+            else:
+                # stay prepared: hold locks until the coordinator answers
+                self._ops[tx] = ops
+                self._staged[tx] = {}
+                for op in ops:
+                    self.locks.try_lock(op["key"], tx)
+                unresolved.append(tx)
+        return unresolved
+
     def handle(self, msg: Message) -> List[Message]:
         tx = msg.payload.get("tx", "")
         if msg.kind == "tx_prepare":
@@ -158,7 +197,8 @@ class TwoPhaseParticipant:
                                     {"tx": tx, "ok": False})]
             self._ops[tx] = ops
             self._staged[tx] = {}
-            self._log({"phase": "prepared", "tx": tx, "ops": len(ops)})
+            self._log({"phase": "prepared", "tx": tx, "ops": len(ops),
+                       "ops_list": ops})
             return [Message("tx_vote", self.id, msg.src,
                             {"tx": tx, "ok": True})]
         if msg.kind == "tx_commit":

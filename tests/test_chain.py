@@ -825,3 +825,82 @@ def test_dst_seed_sweep(seed):
     ]
     r = h.run(ticks=320, faults=faults)
     assert r.ok, (seed, r.violations)
+
+
+# ------------------------------------------------- snapshot streaming
+
+def test_snapshot_streaming_roundtrip(rng):
+    from neumann_tpu.chain.snapshot_streaming import (
+        SnapshotReceiver,
+        stream_snapshot,
+    )
+
+    blob = rng.integers(0, 256, 700_000, dtype=np.uint8).tobytes()
+    rx = SnapshotReceiver()
+    out = None
+    for chunk in stream_snapshot("s1", blob, chunk_size=100_000):
+        out = rx.receive(chunk)
+    assert out == blob
+
+
+def test_snapshot_streaming_resume_and_tamper(rng):
+    from neumann_tpu.chain.snapshot_streaming import (
+        SnapshotChunk,
+        SnapshotReceiver,
+        stream_snapshot,
+    )
+
+    blob = rng.integers(0, 256, 300_000, dtype=np.uint8).tobytes()
+    rx = SnapshotReceiver()
+    chunks = list(stream_snapshot("s2", blob, chunk_size=100_000))
+    rx.receive(chunks[0])
+    # interruption: resume from the receiver's high-water mark
+    off = rx.resume_offset("s2")
+    assert off == 100_000
+    out = None
+    for chunk in stream_snapshot("s2", blob, chunk_size=100_000,
+                                 resume_from=off):
+        out = rx.receive(chunk)
+    assert out == blob
+    # tampered payload fails the whole-snapshot digest
+    rx2 = SnapshotReceiver()
+    bad = list(stream_snapshot("s3", blob, chunk_size=100_000))
+    tampered = SnapshotChunk(bad[-1].snapshot_id, bad[-1].offset,
+                             bad[-1].total, bad[-1].sha256,
+                             b"\x00" * len(bad[-1].data))
+    rx2.receive(bad[0])
+    rx2.receive(bad[1])
+    with pytest.raises(ChainError):
+        rx2.receive(tampered)
+    # payload survives wire encoding
+    p = bad[0].to_payload()
+    assert SnapshotChunk.from_payload(p).data == bad[0].data
+
+
+# ------------------------------------------------- 2pc recovery
+
+def test_2pc_participant_recovery():
+    wal_records = []
+    store = TensorStore()
+    part = TwoPhaseParticipant("p0", store, wal=wal_records.append)
+    coord = TwoPhaseCoordinator("coord")
+    tx, prepares = coord.begin({
+        "p0": [{"op": "put", "key": "k:1", "fields": {"v": 1}}]})
+    votes = part.handle(prepares[0])
+    # crash after prepare: new participant recovers from the WAL
+    store2 = TensorStore()
+    part2 = TwoPhaseParticipant("p0", store2)
+    unresolved = part2.recover(wal_records)
+    assert unresolved == [tx]
+    # in-doubt tx still holds its lock
+    assert part2.locks.owner_of("k:1") == tx
+    # coordinator answers: commit applies the ops
+    part2.recover(wal_records, coordinator_states={tx: "committed"})
+    assert store2.get("k:1").get("v").value == 1
+    assert part2.locks.owner_of("k:1") is None
+    # an aborted outcome releases without applying
+    store3 = TensorStore()
+    part3 = TwoPhaseParticipant("p0", store3)
+    assert part3.recover(wal_records,
+                         coordinator_states={tx: "aborted"}) == []
+    assert store3.get("k:1") is None
