@@ -52,11 +52,14 @@ def make_sharded_topk(mesh: Mesh, k: int, metric: str = "cosine",
     Outputs are replicated across the mesh.
     """
 
-    def local(corpus_shard, queries, mask_shard, scale_shard=None):
+    def local(corpus_shard, queries, mask_shard, scale_shard=None,
+              sqnorm_shard=None):
         rows = corpus_shard.shape[0]
         if quantized:
             s, i = int8_topk_scan(corpus_shard, scale_shard, queries, k,
-                                  metric, mask_shard)
+                                  metric, mask_shard,
+                                  block_rows=block_rows,
+                                  corpus_sqnorm=sqnorm_shard)
         else:
             s, i = topk_scan(corpus_shard, queries, k, metric, mask_shard,
                              block_rows=block_rows)
@@ -66,9 +69,10 @@ def make_sharded_topk(mesh: Mesh, k: int, metric: str = "cosine",
 
     if quantized:
         fn = jax.shard_map(
-            lambda c, sc, q, m: local(c, q, m, sc),
+            lambda c, sc, sn, q, m: local(c, q, m, sc, sn),
             mesh=mesh,
-            in_specs=(P(axis, None), P(axis), P(None, None), P(axis)),
+            in_specs=(P(axis, None), P(axis), P(axis), P(None, None),
+                      P(axis)),
             out_specs=(P(None, None), P(None, None)),
             check_vma=False,
         )
@@ -118,11 +122,16 @@ class ShardedCorpus:
         sharding = NamedSharding(self.mesh, P(self.axis, None))
         mask_sh = NamedSharding(self.mesh, P(self.axis))
         if self.quantized:
-            from neumann_tpu.ops.quant import scalar_quantize
+            from neumann_tpu.ops.quant import (
+                corpus_sqnorms,
+                scalar_quantize,
+            )
 
             q, scale = scalar_quantize(jnp.asarray(buf))
             self.corpus = jax.device_put(q, sharding)
             self.scale = jax.device_put(scale, mask_sh)
+            self.sqnorm = jax.device_put(
+                jax.jit(corpus_sqnorms)(q, scale), mask_sh)
         else:
             self.corpus = jax.device_put(jnp.asarray(buf), sharding)
         self.mask = jax.device_put(jnp.asarray(m), mask_sh)
@@ -144,7 +153,8 @@ class ShardedCorpus:
                                    self.quantized)
             self._fns[key] = fn
         if self.quantized:
-            s, i = fn(self.corpus, self.scale, jnp.asarray(qp), self.mask)
+            s, i = fn(self.corpus, self.scale, self.sqnorm,
+                      jnp.asarray(qp), self.mask)
         else:
             s, i = fn(self.corpus, jnp.asarray(qp), self.mask)
         return np.asarray(s), np.asarray(i)

@@ -1,0 +1,130 @@
+"""Concurrency stress tests (reference: stress_tests/, 128-thread runs).
+
+Scaled to CI size but structurally the same: many threads hammering the
+same engine, asserting no exceptions, no lost writes, and consistent
+counts under the engines' locking.
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+from neumann_tpu.engines.graph import GraphEngine
+from neumann_tpu.engines.relational import Column, RelationalEngine
+from neumann_tpu.engines.vector import VectorEngine
+from neumann_tpu.store import TensorData, TensorStore
+
+THREADS = 16
+OPS = 40
+
+
+def run_threads(fn):
+    errors = []
+
+    def wrap(tid):
+        try:
+            fn(tid)
+        except Exception as e:  # noqa: BLE001
+            errors.append((tid, repr(e)))
+
+    ts = [threading.Thread(target=wrap, args=(i,))
+          for i in range(THREADS)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors, errors[:3]
+
+
+def test_store_concurrent_put_get_delete():
+    store = TensorStore()
+
+    def work(tid):
+        for i in range(OPS):
+            key = f"t{tid}:k{i}"
+            store.put(key, TensorData.with_values(v=i, owner=tid))
+            got = store.get(key)
+            assert got is not None and got.get("v").value == i
+            if i % 3 == 0:
+                store.delete(key)
+
+    run_threads(work)
+    # every surviving key belongs to its writer
+    for key in store.keys():
+        tid = int(key.split(":")[0][1:])
+        assert store.get(key).get("owner").value == tid
+    assert len(store) == THREADS * (OPS - (OPS + 2) // 3)
+
+
+def test_vector_engine_concurrent_store_and_search(rng):
+    eng = VectorEngine()
+    base = rng.standard_normal((THREADS, 32)).astype(np.float32)
+
+    def work(tid):
+        for i in range(OPS // 2):
+            eng.store_embedding(f"t{tid}:v{i}",
+                                base[tid] + 0.001 * i)
+            res = eng.search_similar(base[tid], 3)
+            assert res  # searches interleaved with writes never fail
+
+    run_threads(work)
+    assert eng.count_embeddings() == THREADS * (OPS // 2)
+    # every thread's own vectors dominate its neighborhood
+    for tid in range(THREADS):
+        top = eng.search_similar(base[tid], 1)[0]
+        assert top.key.startswith(f"t{tid}:")
+
+
+def test_relational_concurrent_inserts():
+    eng = RelationalEngine()
+    eng.create_table("t", [Column("tid", "int"), Column("i", "int")])
+
+    def work(tid):
+        for i in range(OPS):
+            eng.insert("t", {"tid": tid, "i": i})
+
+    run_threads(work)
+    assert eng.row_count("t") == THREADS * OPS
+    # no duplicated or torn rows
+    from neumann_tpu.engines.condition import Condition as C
+
+    for tid in range(THREADS):
+        assert eng.count("t", C.eq("tid", tid)) == OPS
+
+
+def test_graph_concurrent_node_edge_churn():
+    g = GraphEngine()
+    roots = [g.create_node("root", {"tid": i}) for i in range(THREADS)]
+
+    def work(tid):
+        mine = []
+        for i in range(OPS // 2):
+            nid = g.create_node("leaf", {"tid": tid, "i": i})
+            g.create_edge(roots[tid], nid, "owns")
+            mine.append(nid)
+        for nid in mine[::2]:
+            g.delete_node(nid)
+
+    run_threads(work)
+    for tid in range(THREADS):
+        kept = g.neighbors(roots[tid], "out")
+        assert len(kept) == (OPS // 2) - (OPS // 2 + 1) // 2
+        for nid in kept:
+            assert g.get_node(nid)["properties"]["tid"] == tid
+
+
+def test_wal_concurrent_writers(tmp_path):
+    store = TensorStore()
+    store.open_durable(tmp_path / "wal.log", sync_mode="batched")
+
+    def work(tid):
+        for i in range(OPS):
+            store.put(f"w{tid}:{i}", TensorData.with_values(v=i))
+
+    run_threads(work)
+    store.wal_flush()
+    from neumann_tpu.store.wal import TensorWal
+
+    replayed = list(TensorWal.replay(tmp_path / "wal.log"))
+    assert len(replayed) == THREADS * OPS
