@@ -231,14 +231,32 @@ class _Table:
         return np.nonzero(self.alive[: self.n])[0]
 
 
+class QueryDeadline:
+    """Wall-clock guard for long scans (reference: Deadline/search_timeout,
+    relational cursors & timeouts capability)."""
+
+    def __init__(self, timeout_s):
+        import time as _time
+
+        self._expires = (_time.monotonic() + timeout_s
+                         if timeout_s else None)
+
+    def check(self) -> None:
+        import time as _time
+
+        if self._expires is not None and _time.monotonic() > self._expires:
+            raise RelationalError("query timeout exceeded")
+
+
 class RelationalEngine:
     """Optionally store-backed: with a TensorStore attached, schemas live
     at ``_schema:{table}`` and rows at ``table:{name}:{_id}`` (the
     reference's slab-router prefix, slab_router.rs:9-15), so WAL replay
     and snapshots rebuild tables via the put/delete hooks."""
 
-    def __init__(self, store=None):
+    def __init__(self, store=None, query_timeout_s: float = 0.0):
         self.store = store
+        self.query_timeout_s = query_timeout_s
         self._tables: Dict[str, _Table] = {}
         self._lock = threading.RLock()
         self._tx_counter = 0
@@ -616,12 +634,20 @@ class RelationalEngine:
     def select(self, name: str, condition: Optional[Condition] = None,
                columns: Optional[Sequence[str]] = None,
                order_by: Optional[Sequence[Tuple[str, bool]]] = None,
-               limit: Optional[int] = None, offset: int = 0
+               limit: Optional[int] = None, offset: int = 0,
+               timeout_s: Optional[float] = None
                ) -> List[Dict[str, object]]:
+        deadline = QueryDeadline(timeout_s if timeout_s is not None
+                                 else self.query_timeout_s)
         t = self._table(name)
         with t.lock:
             rows = self._match_rows(t, condition)
-            out = [t.row_dict(int(r), None) for r in rows]
+            deadline.check()
+            out = []
+            for j, r in enumerate(rows):
+                if j % 4096 == 0:
+                    deadline.check()
+                out.append(t.row_dict(int(r), None))
         if order_by:
             for col, desc in reversed(list(order_by)):
                 out.sort(key=lambda r: _sort_key(r.get(col)), reverse=desc)

@@ -165,6 +165,12 @@ class Shell:
         elif lower == "doctor":
             return self.doctor()
         try:
+            if ";" in q.rstrip().rstrip(";") and \
+                    not q.lstrip().upper().startswith(
+                        ("MATCH", "MERGE", "CREATE (", "OPTIONAL")):
+                results = self.router.execute_many(q)
+                return "\n".join(format_result(r) for r in results
+                                  if r.kind != "message" or r.message)
             res = self.router.execute(q)
         except NeumannError as e:
             return f"error: {e}"

