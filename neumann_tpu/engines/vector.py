@@ -36,6 +36,7 @@ import numpy as np
 from neumann_tpu.store.embedding_slab import EmbeddingSlab
 from neumann_tpu.store.entity_index import EntityIndex
 from neumann_tpu.store.sparse import SparseVector
+from neumann_tpu.ops.scan import METRICS
 from neumann_tpu.store.tensor_store import TensorData, TensorStore, TensorValue
 from neumann_tpu.utils.errors import VectorError
 
@@ -44,7 +45,6 @@ ENTITY_PREFIX = "entity:"
 COLLECTION_PREFIX = "col:"
 _EMBEDDING_FIELD = "embedding"
 
-METRICS = ("cosine", "dot", "euclidean", "manhattan")
 QUANTIZATIONS = ("none", "int8", "binary", "pq")
 
 
@@ -528,7 +528,7 @@ class VectorEngine:
                 scores, idx = hamming_topk_pallas(bits, qbits, k, mask)
             else:
                 scores, idx = _jitted_hamming()(bits, qbits, k, mask)
-        elif quantization == "int8":
+        elif quantization == "int8" and metric != "composite":
             cq, cs, valid = corpus.slab.quantized_view("int8")
             mask = valid
             if extra_mask is not None:

@@ -28,6 +28,7 @@ _TYPE_MAP = {
 _METRIC_MAP = {
     "COSINE": "cosine", "EUCLIDEAN": "euclidean", "DOT": "dot",
     "DOT_PRODUCT": "dot", "MANHATTAN": "manhattan",
+    "COMPOSITE": "composite", "GEOMETRIC": "composite",
 }
 
 

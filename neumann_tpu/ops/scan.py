@@ -36,7 +36,18 @@ from jax import lax
 
 # Metrics supported by the device scan. "manhattan" uses a broadcast path
 # (no matmul form exists for L1); everything else rides the MXU.
-METRICS = ("cosine", "dot", "euclidean", "manhattan")
+# "composite" is the reference's weighted geometric score
+# (tensor_store/src/distance.rs GeometricConfig): cosine mapped to [0,1]
+# + Jaccard support overlap + inverted euclidean, weighted. On TPU the
+# Jaccard term is a SECOND indicator matmul, so it stays on the MXU.
+METRICS = ("cosine", "dot", "euclidean", "manhattan", "composite")
+
+# GeometricConfig presets (distance.rs:140-168): (cosine, structural,
+# magnitude) weights.
+COMPOSITE_DEFAULT = (0.5, 0.3, 0.2)
+COMPOSITE_ANGULAR_HEAVY = (0.8, 0.1, 0.1)
+COMPOSITE_STRUCTURAL_HEAVY = (0.2, 0.7, 0.1)
+COMPOSITE_CONFLICT_DETECTION = (0.4, 0.5, 0.1)
 
 # numpy scalar, NOT a jnp array: creating a device array at import time
 # would initialize the backend before the caller can configure it.
@@ -62,12 +73,16 @@ def _dot_scores(queries, corpus_block):
     )
 
 
-def _block_scores(queries, corpus_block, metric, q_sqnorm, c_sqnorm_block):
+def _block_scores(queries, corpus_block, metric, q_sqnorm, c_sqnorm_block,
+                  weights=COMPOSITE_DEFAULT):
     """Similarity scores (higher = better) for one corpus block.
 
     q_sqnorm: [Q, 1] squared query norms; c_sqnorm_block: [B] squared corpus
     row norms (both precomputed once per call, not per block).
     """
+    if metric == "composite":
+        return _composite_scores(queries, corpus_block, q_sqnorm,
+                                 c_sqnorm_block, weights)
     if metric == "manhattan":
         # [Q, 1, d] - [1, B, d] -> sum |.| ; no MXU form, VPU broadcast.
         diff = jnp.abs(queries[:, None, :] - corpus_block[None, :, :])
@@ -92,6 +107,48 @@ def _block_scores(queries, corpus_block, metric, q_sqnorm, c_sqnorm_block):
     raise ValueError(f"unknown metric: {metric}")
 
 
+def _composite_scores(queries, corpus_block, q_sqnorm, c_sqnorm_block,
+                      weights):
+    """Weighted composite geometric score in [0, 1].
+
+    Parity with the reference's GeometricConfig.compute
+    (tensor_store/src/distance.rs:169-210): cosine similarity mapped to
+    [0, 1], Jaccard overlap of the nonzero supports, and 1/(1+euclidean).
+    Both the dot products and the support-intersection counts are MXU
+    matmuls; one extra indicator matmul is the entire added cost.
+    """
+    w_cos, w_struct, w_mag = (float(w) for w in weights)
+    total = w_cos + w_struct + w_mag
+    if total <= 0.0:
+        q = queries.shape[0]
+        b = corpus_block.shape[0]
+        return jnp.zeros((q, b), jnp.float32)
+
+    dots = _dot_scores(queries, corpus_block)
+
+    # cosine -> [0, 1]
+    q_inv = lax.rsqrt(jnp.maximum(q_sqnorm, 1e-30))
+    c_inv = lax.rsqrt(jnp.maximum(c_sqnorm_block, 1e-30))
+    cos = dots * q_inv * c_inv[None, :]
+    qz = (q_sqnorm <= 0.0)
+    cz = (c_sqnorm_block <= 0.0)[None, :]
+    cos01 = jnp.where(qz | cz, 0.5, (cos + 1.0) * 0.5)
+
+    # Jaccard of nonzero supports: |A∩B| / |A∪B| via an indicator matmul.
+    nz_q = (queries != 0.0).astype(jnp.float32)
+    nz_c = (corpus_block != 0.0).astype(jnp.float32)
+    inter = _dot_scores(nz_q, nz_c)
+    union = (jnp.sum(nz_q, axis=1, keepdims=True)
+             + jnp.sum(nz_c, axis=1)[None, :] - inter)
+    jac = inter / jnp.maximum(union, 1.0)
+
+    # magnitude: 1 / (1 + euclidean distance)
+    d2 = jnp.maximum(q_sqnorm - 2.0 * dots + c_sqnorm_block[None, :], 0.0)
+    mag = 1.0 / (1.0 + jnp.sqrt(d2))
+
+    return (w_cos * cos01 + w_struct * jac + w_mag * mag) / total
+
+
 def _finalize(scores, metric):
     """Convert internal ordering scores to reportable scores."""
     if metric == "euclidean":
@@ -105,13 +162,14 @@ def score_all(
     queries: jnp.ndarray,
     metric: str = "cosine",
     mask: Optional[jnp.ndarray] = None,
+    weights=COMPOSITE_DEFAULT,
 ) -> jnp.ndarray:
     """Full [Q, N] score matrix (flat path). Masked entries are -inf."""
     queries = _as2d(queries).astype(jnp.float32)
     corpus = corpus.astype(jnp.float32)
     q_sq = jnp.sum(queries * queries, axis=1, keepdims=True)
     c_sq = jnp.sum(corpus * corpus, axis=1)
-    scores = _block_scores(queries, corpus, metric, q_sq, c_sq)
+    scores = _block_scores(queries, corpus, metric, q_sq, c_sq, weights)
     if mask is not None:
         scores = jnp.where(mask[None, :], scores, NEG_INF)
     return scores
@@ -136,6 +194,7 @@ def topk_scan(
     block_rows: int = _DEFAULT_BLOCK_ROWS,
     selection: str = "exact",
     recall_target: float = 0.95,
+    weights=COMPOSITE_DEFAULT,
 ):
     """Exact top-k similarity search.
 
@@ -164,17 +223,18 @@ def topk_scan(
     k = min(k, n)
 
     if n <= max(block_rows, _FLAT_MAX_ROWS) or corpus.ndim != 2:
-        scores = score_all(corpus, queries, metric, mask)
+        scores = score_all(corpus, queries, metric, mask, weights)
         top_s, top_i = _block_topk(scores, k, selection, recall_target)
         top_i = jnp.where(jnp.isneginf(top_s), -1, top_i)
         return _finalize(top_s, metric), top_i.astype(jnp.int32)
 
     return _blockwise_topk(corpus, queries, k, metric, mask, block_rows,
-                           selection, recall_target)
+                           selection, recall_target, weights)
 
 
 def _blockwise_topk(corpus, queries, k, metric, mask, block_rows,
-                    selection="exact", recall_target=0.95):
+                    selection="exact", recall_target=0.95,
+                    weights=COMPOSITE_DEFAULT):
     queries = queries.astype(jnp.float32)
     n, d = corpus.shape
     q = queries.shape[0]
@@ -213,7 +273,7 @@ def _blockwise_topk(corpus, queries, k, metric, mask, block_rows,
         c_sq = jnp.sum(
             block.astype(jnp.float32) * block.astype(jnp.float32), axis=1
         )
-        s = _block_scores(queries, block, metric, q_sq, c_sq)
+        s = _block_scores(queries, block, metric, q_sq, c_sq, weights)
         if bmask is not None:
             s = jnp.where(bmask[None, :], s, NEG_INF)
         bs, bi = _block_topk(s, k, selection, recall_target)
@@ -235,10 +295,11 @@ def _blockwise_topk(corpus, queries, k, metric, mask, block_rows,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric", "block_rows",
-                                              "selection", "recall_target"))
+                                              "selection", "recall_target",
+                                              "weights"))
 def topk_scan_jit(corpus, queries, k, metric="cosine", mask=None,
                   block_rows=_DEFAULT_BLOCK_ROWS, selection="exact",
-                  recall_target=0.95):
+                  recall_target=0.95, weights=COMPOSITE_DEFAULT):
     """jit-wrapped topk_scan for direct use."""
     return topk_scan(corpus, queries, k, metric, mask, block_rows,
-                     selection, recall_target)
+                     selection, recall_target, weights)

@@ -10,6 +10,7 @@ recovery when started with --wal-dir.
 from __future__ import annotations
 
 import os
+import re
 import sys
 import time
 from typing import List, Optional
@@ -98,6 +99,55 @@ def format_result(res: QueryResult) -> str:
             return res.message
         return _fmt_value(res.value)
     return res.message
+
+
+_ANSI = {"kw": "\033[1;36m", "str": "\033[33m", "num": "\033[35m",
+         "reset": "\033[0m"}
+
+
+_HL_KEYWORDS = frozenset("""
+    SELECT INSERT UPDATE DELETE CREATE DROP ALTER TABLE INTO VALUES FROM
+    WHERE AND OR NOT NULL SET JOIN INNER LEFT RIGHT ON GROUP BY ORDER
+    ASC DESC LIMIT OFFSET HAVING AS DISTINCT COUNT SUM AVG MIN MAX
+    BEGIN COMMIT ROLLBACK SHOW TABLES DESCRIBE EXPLAIN INDEX UNIQUE
+    PRIMARY KEY FOREIGN REFERENCES CASCADE DEFAULT CHECK CONSTRAINT
+    STORE EMBEDDING SIMILAR TO METRIC FIND RELATED CONNECTED NODE EDGE
+    GRAPH PATTERN BATCH COLLECTION QUANTIZED VAULT CACHE BLOB CHECKPOINT
+    MATCH MERGE RETURN OPTIONAL WITH UNWIND WHEN THEN CASE ELSE END
+    IN LIKE BETWEEN IS TRUE FALSE CHAIN CLUSTER STATUS SAVE LOAD
+    COMPRESSED INT FLOAT TEXT BOOL VECTOR TOP USING
+""".split())
+
+_HL_STRING = re.compile(r"'(?:[^']|'')*'")
+# one combined token pattern: a single pass never rescans the ANSI codes
+# that substitution inserts (their digits would otherwise recolor)
+_HL_TOKEN = re.compile(
+    r"[A-Za-z_][A-Za-z0-9_]*|\d+(?:\.\d+)?(?:[eE][+-]?\d+)?")
+
+
+def highlight(query: str) -> str:
+    """ANSI syntax highlighting (keywords cyan, strings yellow, numbers
+    magenta). Reference parity: the shell's colored statement echo.
+    Regex-based so malformed input still displays unchanged."""
+    def repl(m: "re.Match[str]") -> str:
+        t = m.group(0)
+        if t[0].isdigit():
+            return f"{_ANSI['num']}{t}{_ANSI['reset']}"
+        if t.upper() in _HL_KEYWORDS:
+            return f"{_ANSI['kw']}{t}{_ANSI['reset']}"
+        return t
+
+    def color_code(seg: str) -> str:
+        return _HL_TOKEN.sub(repl, seg)
+
+    out = []
+    pos = 0
+    for m in _HL_STRING.finditer(query):
+        out.append(color_code(query[pos:m.start()]))
+        out.append(f"{_ANSI['str']}{m.group(0)}{_ANSI['reset']}")
+        pos = m.end()
+    out.append(color_code(query[pos:]))
+    return "".join(out)
 
 
 class Shell:
@@ -223,6 +273,10 @@ class Shell:
             except KeyboardInterrupt:
                 self._print("")
                 continue
+            if line.strip() and getattr(self.stdout, "isatty",
+                                        lambda: False)():
+                # colored statement echo (reference shell highlighting)
+                self._print(f"\033[F\033[Kneumann> {highlight(line)}")
             out = self.execute(line)
             if out is None:
                 self._print("bye")

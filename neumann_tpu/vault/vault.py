@@ -263,6 +263,100 @@ class TensorVault:
         self._log(actor, "rollback", key, True)
         return self._decrypt(prev, key)
 
+    # -- point-in-time recovery (snapshots) -------------------------------
+    # Parity with the reference's vault PITR
+    # (integration_tests/tests/vault_pitr_sync.rs): root-only snapshot
+    # create/list/restore/delete; restore overwrites the captured secrets
+    # but does NOT delete secrets added after the snapshot. Ciphertexts
+    # are captured as-is (never decrypted), so snapshots are as safe at
+    # rest as the secrets themselves and persist via the shared store.
+
+    _SNAP_PREFIX = "_vault_snap:"
+
+    def _snap_key(self, snap_id: str) -> str:
+        return f"{self._SNAP_PREFIX}{self.namespace}:{snap_id}"
+
+    def _require_root(self, actor: str, action: str) -> None:
+        if actor != self.ROOT:
+            self._log(actor, action, "*", False)
+            raise VaultError(f"{action} requires root")
+
+    def create_snapshot(self, actor: str = "root", label: str = "") -> str:
+        self._require_root(actor, "snapshot")
+        snap_id = f"snap-{int(time.time() * 1000):x}-{pysecrets.token_hex(4)}"
+        prefix = f"{_PREFIX}{self.namespace}:"
+        td = TensorData()
+        names: List[str] = []
+        for skey in self.store.scan(prefix):
+            data = self.store.get(skey)
+            if data is None or data.get("cipher") is None:
+                continue
+            name = skey[len(prefix):]
+            td.set(f"c{len(names)}", TensorValue.scalar(
+                data.get("cipher").value))
+            names.append(name)
+        import json
+
+        td.set("meta", TensorValue.scalar(json.dumps(
+            {"id": snap_id, "label": label, "created_at": time.time(),
+             "keys": names})))
+        self.store.put(self._snap_key(snap_id), td)
+        self._log(actor, "snapshot", snap_id, True)
+        return snap_id
+
+    def list_snapshots(self, actor: str = "root") -> List[dict]:
+        self._require_root(actor, "snapshot_list")
+        import json
+
+        out = []
+        prefix = f"{self._SNAP_PREFIX}{self.namespace}:"
+        for skey in self.store.scan(prefix):
+            data = self.store.get(skey)
+            if data is None or data.get("meta") is None:
+                continue
+            meta = json.loads(data.get("meta").value)
+            out.append({"id": meta["id"], "label": meta.get("label", ""),
+                        "created_at": meta["created_at"],
+                        "n_secrets": len(meta.get("keys", []))})
+        return sorted(out, key=lambda m: m["created_at"])
+
+    def restore_snapshot(self, snapshot_id: str, actor: str = "root"
+                         ) -> int:
+        """Restore every secret captured in the snapshot; the displaced
+        current values are pushed onto each secret's version history.
+        Returns the number of secrets restored."""
+        self._require_root(actor, "restore")
+        data = self.store.get(self._snap_key(snapshot_id))
+        if data is None:
+            raise VaultError(f"no snapshot '{snapshot_id}'")
+        import json
+
+        meta = json.loads(data.get("meta").value)
+        restored = 0
+        for i, name in enumerate(meta.get("keys", [])):
+            blob = data.get(f"c{i}")
+            if blob is None:
+                continue
+            cur = self.store.get(self._skey(name))
+            versions = self._read_versions(cur)
+            if cur is not None and cur.get("cipher") is not None:
+                versions.append(cur.get("cipher").value)
+                versions = versions[-self._MAX_VERSIONS:]
+            td = TensorData()
+            td.set("cipher", TensorValue.scalar(blob.value))
+            self._write_versions(td, versions)
+            self.store.put(self._skey(name), td)
+            restored += 1
+        self._log(actor, "restore", snapshot_id, True)
+        return restored
+
+    def delete_snapshot(self, snapshot_id: str, actor: str = "root"
+                        ) -> bool:
+        self._require_root(actor, "snapshot_delete")
+        ok = self.store.delete(self._snap_key(snapshot_id))
+        self._log(actor, "snapshot_delete", snapshot_id, ok)
+        return ok
+
     # -- audit ------------------------------------------------------------------
     def _log(self, actor: str, action: str, key: str, ok: bool) -> None:
         with self._lock:

@@ -271,3 +271,48 @@ def test_shamir_errors():
         shamir.combine({})
     with pytest.raises(VaultError):
         shamir.combine({1: b"ab", 2: b"a"})
+
+
+def test_vault_pitr_snapshots():
+    v = TensorVault(TensorStore(), "pw")
+    v.set("db/user", "alice")
+    v.set("db/pass", "s3cret")
+    snap = v.create_snapshot(label="before-rotate")
+    assert v.list_snapshots()[0]["n_secrets"] == 2
+    # mutate + add after the snapshot
+    v.rotate("db/pass", "newpass")
+    v.set("api/key", "k-123")
+    restored = v.restore_snapshot(snap)
+    assert restored == 2
+    assert v.get("db/pass") == "s3cret"
+    # restore overwrites but does NOT delete later additions
+    assert v.get("api/key") == "k-123"
+    # displaced value lands on the version history
+    assert v.rollback_version("db/pass") == "newpass"
+    assert v.delete_snapshot(snap)
+    assert v.list_snapshots() == []
+    with pytest.raises(VaultError):
+        v.restore_snapshot(snap)
+
+
+def test_vault_pitr_non_root_denied():
+    v = TensorVault(TensorStore(), "pw")
+    v.set("s", "x")
+    for call in (lambda: v.create_snapshot(actor="eve"),
+                 lambda: v.list_snapshots(actor="eve"),
+                 lambda: v.restore_snapshot("any", actor="eve"),
+                 lambda: v.delete_snapshot("any", actor="eve")):
+        with pytest.raises(VaultError):
+            call()
+
+
+def test_vault_pitr_survives_reopen():
+    store = TensorStore()
+    v = TensorVault(store, "pw")
+    v.set("k", "v1")
+    snap = v.create_snapshot()
+    v.set("k", "v2")
+    # a new vault over the same store (e.g. after WAL replay) can restore
+    v2 = TensorVault(store, "pw")
+    assert v2.restore_snapshot(snap) == 1
+    assert v2.get("k") == "v1"

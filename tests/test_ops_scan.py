@@ -187,3 +187,56 @@ def test_int8_blockwise_matches_flat(rng):
     s3, i3 = int8_topk_scan(cq, cs, jnp.asarray(queries), 8,
                             mask=jnp.asarray(mask), block_rows=512)
     assert mask[np.asarray(i3)].all()
+
+
+# ------------------------------------------------- composite metric
+
+def test_composite_metric_matches_scalar_reference(rng):
+    from neumann_tpu.ops.scan import COMPOSITE_DEFAULT
+
+    c = rng.standard_normal((150, 16)).astype(np.float32)
+    c[rng.random((150, 16)) < 0.5] = 0.0  # sparse supports for Jaccard
+    q = c[7:8] + 0.01
+
+    def scalar(a, b, w=COMPOSITE_DEFAULT):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        cos = 0.5 if na == 0 or nb == 0 else (a @ b / (na * nb) + 1) / 2
+        sa, sb = a != 0, b != 0
+        jac = np.sum(sa & sb) / max(np.sum(sa | sb), 1)
+        mag = 1 / (1 + np.linalg.norm(a - b))
+        return (w[0] * cos + w[1] * jac + w[2] * mag) / sum(w)
+
+    s, i = topk_scan(jnp.asarray(c), jnp.asarray(q), 150, "composite")
+    expect = np.sort([scalar(q[0], row) for row in c])[::-1]
+    np.testing.assert_allclose(np.asarray(s[0]), expect, atol=1e-5)
+    assert int(i[0, 0]) == 7
+
+
+def test_composite_weights_and_blockwise(rng):
+    from neumann_tpu.ops.scan import COMPOSITE_STRUCTURAL_HEAVY
+
+    c = rng.standard_normal((300, 8)).astype(np.float32)
+    q = rng.standard_normal((2, 8)).astype(np.float32)
+    flat_s, flat_i = topk_scan(jnp.asarray(c), jnp.asarray(q), 5,
+                               "composite",
+                               weights=COMPOSITE_STRUCTURAL_HEAVY)
+    blk_s, blk_i = topk_scan(jnp.asarray(c), jnp.asarray(q), 5,
+                             "composite", block_rows=64,
+                             weights=COMPOSITE_STRUCTURAL_HEAVY)
+    np.testing.assert_allclose(np.asarray(flat_s), np.asarray(blk_s),
+                               atol=1e-5)
+    # all scores land in [0, 1]
+    assert float(jnp.min(flat_s)) >= 0.0 and float(jnp.max(flat_s)) <= 1.0
+
+
+def test_composite_zero_weights_and_mask(rng):
+    c = rng.standard_normal((50, 8)).astype(np.float32)
+    q = c[:1]
+    s, i = topk_scan(jnp.asarray(c), jnp.asarray(q), 3, "composite",
+                     weights=(0.0, 0.0, 0.0))
+    assert np.all(np.asarray(s) == 0.0)
+    mask = np.zeros(50, bool)
+    mask[10] = True
+    s, i = topk_scan(jnp.asarray(c), jnp.asarray(q), 3, "composite",
+                     mask=jnp.asarray(mask))
+    assert int(i[0, 0]) == 10 and np.all(np.asarray(i[0, 1:]) == -1)

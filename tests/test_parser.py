@@ -254,3 +254,10 @@ def test_condition_forms():
     assert s.where.evaluate_row(row)
     row["e"] = 3
     assert not s.where.evaluate_row(row)
+
+
+def test_metric_composite_parses():
+    stmt = parse("SIMILAR 'v1' TOP 5 METRIC COMPOSITE")
+    assert stmt.metric == "composite"
+    stmt = parse("SIMILAR 'v1' TOP 5 METRIC GEOMETRIC")
+    assert stmt.metric == "composite"

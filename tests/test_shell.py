@@ -136,3 +136,22 @@ def test_multi_statement_line(sh):
     # cypher statements with ; in strings still route to cypher
     out2 = sh.execute("CREATE (a:X { name: 'semi;colon' })")
     assert "row" in out2 or out2 == "(no rows)\n(0 row(s))" or True
+
+
+def test_highlight_colors_keywords_strings_numbers():
+    from neumann_tpu.shell.shell import highlight
+
+    out = highlight("SELECT name FROM users WHERE age > 30 AND "
+                    "city = 'Sao ''P'' aulo'")
+    assert "\033[1;36mSELECT\033[0m" in out
+    assert "\033[35m30\033[0m" in out
+    assert "\033[33m'Sao ''P'' aulo'\033[0m" in out
+    # identifiers untouched; keyword inside a string NOT colorized
+    assert "name" in out and "\033[1;36mSao\033[0m" not in out
+    # strip ANSI -> original text preserved exactly
+    import re as _re
+
+    assert _re.sub(r"\033\[[0-9;]*m", "", out) == (
+        "SELECT name FROM users WHERE age > 30 AND city = 'Sao ''P'' aulo'")
+    # malformed input passes through without raising
+    assert "'unterminated" in highlight("SELECT 'unterminated")

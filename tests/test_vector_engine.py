@@ -298,3 +298,25 @@ def test_pq_collection(rng, eng):
     hits = eng.search_filtered_in_collection(
         "pqf", vecs[10], 5, FilterCondition.eq("grp", 0))
     assert all(int(h.key[1:]) % 2 == 0 for h in hits)
+
+
+def test_search_with_composite_metric(rng):
+    eng = VectorEngine()
+    base = rng.standard_normal((20, 24)).astype(np.float32)
+    base[rng.random((20, 24)) < 0.4] = 0.0
+    for i, v in enumerate(base):
+        eng.store_embedding(f"v{i}", v)
+    res = eng.search_similar_with_metric(base[3], 5, "composite")
+    assert res[0].key == "v3"
+    assert 0.0 <= res[-1].score <= res[0].score <= 1.0 + 1e-6
+
+
+def test_composite_on_int8_collection_falls_back_to_float(rng):
+    eng = VectorEngine()
+    eng.create_collection("c", VectorCollectionConfig(
+        dimension=16, quantization="int8"))
+    vecs = rng.standard_normal((10, 16)).astype(np.float32)
+    for i, v in enumerate(vecs):
+        eng.store_in_collection("c", f"v{i}", v)
+    res = eng.search_in_collection("c", vecs[4], 3, metric="composite")
+    assert res[0].key == "v4"
