@@ -149,8 +149,38 @@ class MemoryTransport:
 # TCP transport: length-delimited frames, background reader thread
 # ---------------------------------------------------------------------------
 
-_FRAME = struct.Struct("<I")
+# frame = [len u32][flags u8][body]; flags bit0 = deflate-compressed body.
+# The reference frames with LZ4 (network.rs TCP backend); zlib is the
+# stdlib equivalent here — same shape (flagged per-frame compression),
+# different codec.
+_FRAME = struct.Struct("<IB")
 _MAX_FRAME = 64 * 1024 * 1024
+_FLAG_COMPRESSED = 1
+
+
+def make_tls_contexts(cert_pem: bytes, key_pem: bytes):
+    """(server_ctx, client_ctx) from PEM cert/key — pair with
+    ``server.generate_self_signed()``. The client context pins the given
+    cert as its only trust root."""
+    import ssl
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".pem", delete=False) as cf:
+        cf.write(cert_pem)
+        cert_path = cf.name
+    with tempfile.NamedTemporaryFile(suffix=".pem", delete=False) as kf:
+        kf.write(key_pem)
+        key_path = kf.name
+    server_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    server_ctx.load_cert_chain(cert_path, key_path)
+    client_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+    client_ctx.load_verify_locations(cert_path)
+    client_ctx.check_hostname = False  # cluster peers pin the cert itself
+    import os
+
+    os.unlink(cert_path)
+    os.unlink(key_path)
+    return server_ctx, client_ctx
 
 
 class TcpTransport:
@@ -158,16 +188,29 @@ class TcpTransport:
 
     listen() accepts peers; connect() dials them; incoming messages go to
     the registered handler (or an internal queue). Framing: [len u32]
-    [Message json]. Reconnects are the caller's concern (cluster layer
-    retries on send failure).
+    [flags u8][Message json]. Optional per-frame deflate compression
+    (bodies >= ``compress_min``), optional TLS (pass the contexts from
+    ``make_tls_contexts``), and per-peer connection pools with automatic
+    one-shot reconnect on send failure — parity with the reference TCP
+    backend's LZ4 framing, rustls TLS, and connection pooling
+    (tensor_chain network backend).
     """
 
     def __init__(self, node_id: str, host: str = "127.0.0.1",
-                 port: int = 0):
+                 port: int = 0, compress: bool = False,
+                 compress_min: int = 512,
+                 tls_server=None, tls_client=None, pool_size: int = 1):
         self.node_id = node_id
+        self.compress = compress
+        self.compress_min = compress_min
+        self._tls_server = tls_server
+        self._tls_client = tls_client
+        self.pool_size = max(1, pool_size)
         self._handler: Optional[Callable[[Message], None]] = None
         self._queue: "queue.Queue[Message]" = queue.Queue()
-        self._conns: Dict[str, socket.socket] = {}
+        self._pools: Dict[str, List[socket.socket]] = {}
+        self._addrs: Dict[str, Tuple[str, int]] = {}
+        self._rr: Dict[str, int] = {}
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
@@ -188,27 +231,38 @@ class TcpTransport:
                 conn, _ = self._sock.accept()
             except OSError:
                 return
+            if self._tls_server is not None:
+                try:
+                    conn = self._tls_server.wrap_socket(conn,
+                                                        server_side=True)
+                except Exception:
+                    conn.close()
+                    continue
             threading.Thread(target=self._read_loop, args=(conn,),
                              daemon=True).start()
 
     def _read_loop(self, conn: socket.socket) -> None:
+        import zlib
+
         try:
             while not self._stop.is_set():
                 hdr = self._read_exact(conn, _FRAME.size)
                 if hdr is None:
                     return
-                (length,) = _FRAME.unpack(hdr)
+                length, flags = _FRAME.unpack(hdr)
                 if length > _MAX_FRAME:
                     raise ChainError("oversized frame")
                 body = self._read_exact(conn, length)
                 if body is None:
                     return
+                if flags & _FLAG_COMPRESSED:
+                    body = zlib.decompress(body, bufsize=_MAX_FRAME)
                 msg = Message.decode(body)
                 if self._handler is not None:
                     self._handler(msg)
                 else:
                     self._queue.put(msg)
-        except (OSError, ChainError, json.JSONDecodeError):
+        except Exception:  # bad frame / peer gone / TLS or zlib error
             return
         finally:
             conn.close()
@@ -223,33 +277,80 @@ class TcpTransport:
             buf += part
         return buf
 
-    def connect(self, peer_id: str, address: Tuple[str, int]) -> None:
+    def _dial(self, address: Tuple[str, int]) -> socket.socket:
         s = socket.create_connection(address, timeout=5.0)
+        if self._tls_client is not None:
+            s = self._tls_client.wrap_socket(s,
+                                             server_hostname=address[0])
+        return s
+
+    def connect(self, peer_id: str, address: Tuple[str, int]) -> None:
+        pool = [self._dial(address) for _ in range(self.pool_size)]
         with self._lock:
-            self._conns[peer_id] = s
+            for old in self._pools.get(peer_id, []):
+                old.close()
+            self._pools[peer_id] = pool
+            self._addrs[peer_id] = tuple(address)
+            self._rr[peer_id] = 0
 
     def disconnect(self, peer_id: str) -> None:
         with self._lock:
-            s = self._conns.pop(peer_id, None)
-        if s is not None:
+            pool = self._pools.pop(peer_id, [])
+            self._addrs.pop(peer_id, None)
+            self._rr.pop(peer_id, None)
+        for s in pool:
             s.close()
 
+    def _frame(self, body: bytes) -> bytes:
+        flags = 0
+        if self.compress and len(body) >= self.compress_min:
+            import zlib
+
+            packed = zlib.compress(body, 6)
+            if len(packed) < len(body):
+                body, flags = packed, _FLAG_COMPRESSED
+        return _FRAME.pack(len(body), flags) + body
+
     def send(self, dst: str, kind: str, payload: dict) -> bool:
-        with self._lock:
-            s = self._conns.get(dst)
-        if s is None:
-            return False
-        body = Message(kind, self.node_id, dst, payload).encode()
-        try:
-            s.sendall(_FRAME.pack(len(body)) + body)
-            return True
-        except OSError:
-            self.disconnect(dst)
-            return False
+        frame = self._frame(
+            Message(kind, self.node_id, dst, payload).encode())
+        for _attempt in range(2):
+            with self._lock:
+                pool = self._pools.get(dst, [])
+                addr = self._addrs.get(dst)
+                if pool:
+                    idx = self._rr.get(dst, 0) % len(pool)
+                    self._rr[dst] = idx + 1
+                    s = pool[idx]
+                else:
+                    s = None
+            if s is None:
+                # pool empty; reconnect once if the peer is still known
+                if addr is None:
+                    return False
+                try:
+                    s = self._dial(addr)
+                except OSError:
+                    return False
+                with self._lock:
+                    if dst not in self._addrs:  # disconnected meanwhile
+                        s.close()
+                        return False
+                    self._pools.setdefault(dst, []).append(s)
+            try:
+                s.sendall(frame)
+                return True
+            except OSError:
+                with self._lock:
+                    p = self._pools.get(dst, [])
+                    if s in p:
+                        p.remove(s)
+                s.close()
+        return False
 
     def broadcast(self, kind: str, payload: dict) -> int:
         with self._lock:
-            peers = list(self._conns)
+            peers = list(self._pools)
         return sum(1 for p in peers if self.send(p, kind, payload))
 
     def recv(self, timeout: Optional[float] = 0.0) -> Optional[Message]:
@@ -264,6 +365,8 @@ class TcpTransport:
         self._stop.set()
         self._sock.close()
         with self._lock:
-            for s in self._conns.values():
-                s.close()
-            self._conns.clear()
+            for pool in self._pools.values():
+                for s in pool:
+                    s.close()
+            self._pools.clear()
+            self._addrs.clear()

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import base64
 import json
+import os
 import threading
 import time
 from concurrent import futures
@@ -132,6 +133,28 @@ class NeumannServer:
         self.metrics = {"requests": 0, "errors": 0,
                         "latency_ms_sum": 0.0}
         self._mlock = threading.Lock()
+        # optional OTLP push (NEUMANN_OTLP_ENDPOINT or enable_otlp())
+        self._otlp = None
+        endpoint = os.environ.get("NEUMANN_OTLP_ENDPOINT")
+        if endpoint:
+            self.enable_otlp(endpoint, float(
+                os.environ.get("NEUMANN_OTLP_INTERVAL", "15")))
+
+    def enable_otlp(self, endpoint: str, interval_s: float = 15.0) -> None:
+        """Periodic OTLP/HTTP push of router QueryMetrics + spans."""
+        from neumann_tpu.utils.observability import set_span_recorder
+        from neumann_tpu.utils.otlp import (
+            OtlpExporter,
+            PeriodicOtlpExporter,
+            SpanRecorder,
+        )
+
+        recorder = SpanRecorder()
+        set_span_recorder(recorder)
+        self._otlp = PeriodicOtlpExporter(
+            OtlpExporter(endpoint), self.router.metrics, recorder,
+            interval_s=interval_s)
+        self._otlp.start()
 
     # ------------------------------------------------------------------
     def serve(self, block: bool = False) -> int:
@@ -141,6 +164,9 @@ class NeumannServer:
         return self.port
 
     def stop(self, grace: float = 1.0) -> None:
+        if self._otlp is not None:
+            self._otlp.stop()  # final flush
+            self._otlp = None
         self._server.stop(grace)
 
     def audit_log(self) -> List[dict]:
@@ -490,7 +516,6 @@ def main(argv=None) -> int:
     NEUMANN_HOST, NEUMANN_PORT, NEUMANN_API_KEYS (comma-separated),
     NEUMANN_WAL_DIR, NEUMANN_TLS=1, NEUMANN_RATE_LIMIT."""
     import argparse
-    import os
     import signal
 
     env = os.environ

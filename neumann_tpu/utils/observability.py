@@ -102,14 +102,29 @@ class IndexTracker:
                     if n >= min_misses]
 
 
+# Optional global span sink (utils/otlp.SpanRecorder); span() records
+# into it when installed so OTLP trace export sees every span.
+_span_recorder = None
+
+
+def set_span_recorder(recorder) -> None:
+    global _span_recorder
+    _span_recorder = recorder
+
+
 @contextmanager
 def span(name: str, **fields):
-    """Lightweight tracing span -> DEBUG log with duration."""
+    """Lightweight tracing span -> DEBUG log with duration (+ OTLP
+    recorder when one is installed)."""
     t0 = time.perf_counter()
+    start_ns = time.time_ns()
     try:
         yield
     finally:
         ms = (time.perf_counter() - t0) * 1e3
+        if _span_recorder is not None:
+            _span_recorder.record(name, start_ns,
+                                  start_ns + int(ms * 1e6), fields)
         if fields:
             extras = " ".join(f"{k}={v}" for k, v in fields.items())
             log.debug("%s %s took %.2f ms", name, extras, ms)

@@ -982,3 +982,76 @@ def test_raft_over_tcp_sockets():
     finally:
         t0.close()
         t1.close()
+
+
+def test_tcp_transport_compression_roundtrip():
+    from neumann_tpu.chain.transport import TcpTransport
+
+    a = TcpTransport("a", compress=True, compress_min=64)
+    b = TcpTransport("b")  # receiver decompresses regardless of config
+    try:
+        a.connect("b", b.address)
+        big = {"blob": "x" * 50_000, "n": 7}
+        assert a.send("b", "big", big)
+        msg = b.recv(timeout=2.0)
+        assert msg.payload == big
+        # small payloads skip compression but still roundtrip
+        assert a.send("b", "small", {"v": 1})
+        assert b.recv(timeout=2.0).payload == {"v": 1}
+    finally:
+        a.close()
+        b.close()
+
+
+def test_tcp_transport_tls():
+    from neumann_tpu.chain.transport import TcpTransport, \
+        make_tls_contexts
+    from neumann_tpu.server.server import generate_self_signed
+
+    cert, key = generate_self_signed("127.0.0.1")
+    sctx, cctx = make_tls_contexts(cert, key)
+    srv = TcpTransport("srv", tls_server=sctx)
+    cli = TcpTransport("cli", tls_client=cctx)
+    try:
+        cli.connect("srv", srv.address)
+        assert cli.send("srv", "secure", {"ok": True})
+        msg = srv.recv(timeout=2.0)
+        assert msg.kind == "secure" and msg.payload == {"ok": True}
+        # plaintext client against the TLS server must NOT deliver
+        plain = TcpTransport("plain")
+        try:
+            try:
+                plain.connect("srv", srv.address)
+                plain.send("srv", "leak", {})
+            except OSError:
+                pass
+            assert srv.recv(timeout=0.3) is None
+        finally:
+            plain.close()
+    finally:
+        srv.close()
+        cli.close()
+
+
+def test_tcp_transport_pool_and_reconnect():
+    from neumann_tpu.chain.transport import TcpTransport
+
+    a = TcpTransport("a", pool_size=3)
+    b = TcpTransport("b")
+    try:
+        a.connect("b", b.address)
+        assert len(a._pools["b"]) == 3
+        for i in range(9):  # round-robins across the pool
+            assert a.send("b", "m", {"i": i})
+        got = sorted(b.recv(timeout=2.0).payload["i"] for _ in range(9))
+        assert got == list(range(9))
+        # kill every pooled socket server-side unseen by the sender;
+        # send() must reconnect via the remembered address
+        for s in list(a._pools["b"]):
+            s.close()
+        a._pools["b"].clear()
+        assert a.send("b", "after", {"x": 1})
+        assert b.recv(timeout=2.0).payload == {"x": 1}
+    finally:
+        a.close()
+        b.close()

@@ -103,3 +103,104 @@ def test_span_logs(caplog):
         with span("test_op", table="t"):
             pass
     assert any("test_op" in rec.message for rec in caplog.records)
+
+
+# ------------------------------------------------- OTLP export
+
+def test_otlp_metrics_json_shape():
+    from neumann_tpu.utils.observability import QueryMetrics
+    from neumann_tpu.utils.otlp import metrics_to_otlp
+
+    m = QueryMetrics()
+    m.record("Select", 1.2)
+    m.record("Select", 250.0, error=True)
+    m.record("Similar", 7.0)
+    body = metrics_to_otlp(m, "svc-x")
+    rm = body["resourceMetrics"][0]
+    attrs = {a["key"]: a["value"] for a in rm["resource"]["attributes"]}
+    assert attrs["service.name"]["stringValue"] == "svc-x"
+    metrics = {mm["name"]: mm for mm in rm["scopeMetrics"][0]["metrics"]}
+    counts = {tuple(a["value"]["stringValue"]
+                    for a in dp["attributes"]): int(dp["asInt"])
+              for dp in metrics["neumann.queries"]["sum"]["dataPoints"]}
+    assert counts[("Select",)] == 2 and counts[("Similar",)] == 1
+    errs = {tuple(a["value"]["stringValue"]
+                  for a in dp["attributes"]): int(dp["asInt"])
+            for dp in metrics["neumann.query.errors"]["sum"]["dataPoints"]}
+    assert errs[("Select",)] == 1
+    hist = metrics["neumann.query.duration"]["histogram"]["dataPoints"]
+    sel = next(d for d in hist
+               if d["attributes"][0]["value"]["stringValue"] == "Select")
+    assert sum(int(c) for c in sel["bucketCounts"]) == 2
+    assert len(sel["bucketCounts"]) == len(sel["explicitBounds"]) + 1
+
+
+def test_otlp_http_push_and_span_recorder():
+    import http.server
+    import json as _json
+    import threading
+
+    from neumann_tpu.utils.observability import (
+        QueryMetrics,
+        set_span_recorder,
+        span,
+    )
+    from neumann_tpu.utils.otlp import OtlpExporter, SpanRecorder
+
+    received = []
+
+    class Collector(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            received.append((self.path, _json.loads(body)))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Collector)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        exp = OtlpExporter(f"http://127.0.0.1:{srv.server_port}")
+        m = QueryMetrics()
+        m.record("Insert", 3.3)
+        assert exp.export_metrics(m)
+
+        rec = SpanRecorder()
+        set_span_recorder(rec)
+        try:
+            with span("unit.work", table="t1"):
+                pass
+        finally:
+            set_span_recorder(None)
+        assert exp.export_spans(rec)
+        paths = [p for p, _ in received]
+        assert "/v1/metrics" in paths and "/v1/traces" in paths
+        traces = next(b for p, b in received if p == "/v1/traces")
+        sp = traces["resourceSpans"][0]["scopeSpans"][0]["spans"][0]
+        assert sp["name"] == "unit.work"
+        assert int(sp["endTimeUnixNano"]) >= int(sp["startTimeUnixNano"])
+        assert len(sp["traceId"]) == 32 and len(sp["spanId"]) == 16
+    finally:
+        srv.shutdown()
+
+
+def test_otlp_file_endpoint_and_collector_down(tmp_path):
+    from neumann_tpu.utils.observability import QueryMetrics
+    from neumann_tpu.utils.otlp import OtlpExporter
+
+    m = QueryMetrics()
+    m.record("Select", 1.0)
+    path = tmp_path / "otlp.jsonl"
+    exp = OtlpExporter(f"file://{path}")
+    assert exp.export_metrics(m)
+    assert exp.export_metrics(m)
+    import json as _json
+
+    lines = [_json.loads(ln) for ln in path.read_text().splitlines()]
+    assert len(lines) == 2 and lines[0]["path"] == "/v1/metrics"
+    # collector down: returns False, never raises
+    down = OtlpExporter("http://127.0.0.1:9", timeout=0.3)
+    assert down.export_metrics(m) is False
