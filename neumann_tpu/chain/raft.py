@@ -60,11 +60,19 @@ class RaftNode:
                  persist: Optional[Callable[[dict], None]] = None):
         self.id = node_id
         # membership: voters count for quorum/elections; learners only
-        # replicate (reference: joint-consensus + learner promotion,
-        # raft.rs membership change capability, single-change-at-a-time)
+        # replicate. Supports BOTH the single-change-at-a-time fast path
+        # and full joint consensus (C_old,new): while `joint_old` is set,
+        # every quorum (election votes, commit acks) must hold a majority
+        # in voters (C_new) AND in joint_old (C_old) — raft.rs /
+        # membership.rs capability.
         self.voters = {p for p in peers} | {node_id}
         self.learners: set = set()
+        self.joint_old: Optional[set] = None
         self._pending_config_index: Optional[int] = None
+        self._joint_enter_index: Optional[int] = None
+        self._joint_leave_index: Optional[int] = None
+        # config at snapshot_index, for recompute after log truncation
+        self._base_config = (set(self.voters), set(), None)
         self.config = config or RaftConfig()
         self._rng = random.Random(_stable_seed(seed, node_id))
         self._persist = persist
@@ -133,21 +141,32 @@ class RaftNode:
     # ------------------------------------------------------------------
     @property
     def peers(self) -> List[str]:
-        """Replication targets: every other voter + all learners."""
-        return sorted((self.voters | self.learners) - {self.id})
+        """Replication targets: every other voter (both configs while
+        joint) + all learners."""
+        return sorted((self.voters | (self.joint_old or set())
+                       | self.learners) - {self.id})
 
     @property
     def voting_peers(self) -> List[str]:
-        return sorted(self.voters - {self.id})
+        return sorted((self.voters | (self.joint_old or set()))
+                      - {self.id})
 
-    def _quorum(self, count: int) -> bool:
-        return count * 2 > len(self.voters)
+    @staticmethod
+    def _majority(acks: set, group: set) -> bool:
+        return len(acks & group) * 2 > len(group)
+
+    def _quorum_set(self, acks: set) -> bool:
+        """Majority of C_new, AND of C_old while in joint consensus."""
+        ok = self._majority(acks, self.voters)
+        if self.joint_old is not None:
+            ok = ok and self._majority(acks, self.joint_old)
+        return ok
 
     # -- membership changes (single change at a time) -------------------
     def propose_config_change(self, op: str, node: str) -> Optional[int]:
         """op: add_learner | promote | remove. Leader-only; refuses
-        while a previous change is uncommitted."""
-        if self.state != LEADER:
+        while a previous change (single or joint) is uncommitted."""
+        if self.state != LEADER or self.joint_old is not None:
             return None
         if self._pending_config_index is not None and \
                 self.commit_index < self._pending_config_index:
@@ -162,8 +181,54 @@ class RaftNode:
                 self.match_index[node] = 0
         return idx
 
+    def propose_joint_change(self, add: Optional[List[str]] = None,
+                             remove: Optional[List[str]] = None
+                             ) -> Optional[int]:
+        """Arbitrary membership change via joint consensus (C_old,new).
+
+        Enters the joint configuration immediately (config-on-append);
+        once the enter entry commits under BOTH majorities, the leader
+        automatically appends the leave entry that finalizes C_new. A
+        leader that removed itself steps down after the leave entry
+        commits. Leader-only; refuses while any change is in flight.
+        """
+        if self.state != LEADER or self.joint_old is not None:
+            return None
+        if self._pending_config_index is not None and \
+                self.commit_index < self._pending_config_index:
+            return None
+        old = set(self.voters)
+        new = (old | set(add or [])) - set(remove or [])
+        if not new:
+            return None  # refusing to configure an empty cluster
+        change = {"op": "joint_enter", "old": sorted(old),
+                  "new": sorted(new)}
+        idx = self.propose({"__config__": change})
+        if idx is None:
+            return None
+        self._apply_config(change)
+        self._joint_enter_index = idx
+        for node in new - old:
+            self.next_index.setdefault(node, self.last_index() + 1)
+            self.match_index.setdefault(node, 0)
+        return idx
+
     def _apply_config(self, change: dict) -> None:
-        op, node = change["op"], change["node"]
+        op = change["op"]
+        if op == "joint_enter":
+            self.joint_old = set(change["old"])
+            self.voters = set(change["new"])
+            self.learners -= self.voters
+            return
+        if op == "joint_leave":
+            self.voters = set(change["new"])
+            gone = (self.joint_old or set()) - self.voters
+            self.joint_old = None
+            for node in gone:
+                self.next_index.pop(node, None)
+                self.match_index.pop(node, None)
+            return
+        node = change["node"]
         if op == "add_learner":
             if node not in self.voters:
                 self.learners.add(node)
@@ -175,6 +240,24 @@ class RaftNode:
             self.learners.discard(node)
             self.next_index.pop(node, None)
             self.match_index.pop(node, None)
+
+    def _config_tuple(self):
+        return (set(self.voters), set(self.learners),
+                set(self.joint_old) if self.joint_old is not None
+                else None)
+
+    def _recompute_config(self) -> None:
+        """Rebuild membership from the snapshot-base config + the
+        config entries still in the log (after conflict truncation)."""
+        voters, learners, joint = self._base_config
+        self.voters = set(voters)
+        self.learners = set(learners)
+        self.joint_old = set(joint) if joint is not None else None
+        for e in self.log:
+            cfg = e.payload.get("__config__") \
+                if isinstance(e.payload, dict) else None
+            if cfg:
+                self._apply_config(cfg)
 
     def propose(self, payload: dict) -> Optional[int]:
         """Leader-only: append an entry; returns its global index."""
@@ -218,6 +301,19 @@ class RaftNode:
             return self.snapshot_index
         term = self.term_at(upto)
         keep = upto - self.snapshot_index
+        # roll the base config forward over the entries being dropped
+        voters, learners, joint = self._base_config
+        base_v, base_l = set(voters), set(learners)
+        base_j = set(joint) if joint is not None else None
+        saved = self._config_tuple()
+        self.voters, self.learners, self.joint_old = base_v, base_l, base_j
+        for e in self.log[:keep]:
+            cfg = e.payload.get("__config__") \
+                if isinstance(e.payload, dict) else None
+            if cfg:
+                self._apply_config(cfg)
+        self._base_config = self._config_tuple()
+        self.voters, self.learners, self.joint_old = saved
         self.log = self.log[keep:]
         self.snapshot_index = upto
         self.snapshot_term = term or 0
@@ -305,10 +401,15 @@ class RaftNode:
     def _append_for(self, peer: str) -> List[Message]:
         nxt = self.next_index.get(peer, self.last_index() + 1)
         if nxt <= self.snapshot_index:
+            base_v, base_l, base_j = self._base_config
             return [Message("install_snapshot", self.id, peer, {
                 "term": self.term,
                 "last_index": self.snapshot_index,
                 "last_term": self.snapshot_term,
+                "config": {"voters": sorted(base_v),
+                           "learners": sorted(base_l),
+                           "joint_old": sorted(base_j)
+                           if base_j is not None else None},
                 "data": self.snapshot_data})]
         prev = nxt - 1
         prev_term = self.term_at(prev)
@@ -324,15 +425,38 @@ class RaftNode:
             "leader_commit": self.commit_index})]
 
     def _advance_commit(self) -> None:
+        everyone = self.voters | (self.joint_old or set())
         for idx in range(self.last_index(), self.commit_index, -1):
             if self.term_at(idx) != self.term:
                 continue  # only commit current-term entries by counting
-            votes = sum(
-                1 for p in self.voters
-                if p == self.id or self.match_index.get(p, 0) >= idx)
-            if self._quorum(votes):
+            acks = {p for p in everyone
+                    if p == self.id
+                    or self.match_index.get(p, 0) >= idx}
+            if self._quorum_set(acks):
                 self.commit_index = idx
                 break
+        self._advance_joint()
+
+    def _advance_joint(self) -> None:
+        """Leader: once the joint-enter entry commits, append the leave
+        entry; once leave commits, finalize (and step down if removed)."""
+        if self.state != LEADER:
+            return
+        if self._joint_enter_index is not None and \
+                self.commit_index >= self._joint_enter_index:
+            self._joint_enter_index = None
+            change = {"op": "joint_leave", "new": sorted(self.voters)}
+            self.log.append(LogEntry(self.term,
+                                     {"__config__": change}))
+            self._persist_state()
+            self._apply_config(change)
+            self._joint_leave_index = self.last_index()
+            self.match_index[self.id] = self.last_index()
+        if self._joint_leave_index is not None and \
+                self.commit_index >= self._joint_leave_index:
+            self._joint_leave_index = None
+            if self.id not in self.voters:
+                self._become_follower(self.term)
 
     # ------------------------------------------------------------------
     # message handling
@@ -363,7 +487,7 @@ class RaftNode:
             return []
         if msg.payload.get("granted"):
             self._pre_votes.add(msg.src)
-            if self._quorum(len(self._pre_votes)):
+            if self._quorum_set(self._pre_votes):
                 return self._start_election(skip_pre_vote=True)
         return []
 
@@ -386,7 +510,7 @@ class RaftNode:
             return []
         if msg.payload.get("granted"):
             self._votes.add(msg.src)
-            if self._quorum(len(self._votes)):
+            if self._quorum_set(self._votes):
                 self._become_leader()
                 return self._broadcast_append()
         return []
@@ -414,6 +538,7 @@ class RaftNode:
             elif existing != e["term"]:
                 pos = idx - self.snapshot_index - 1
                 self.log = self.log[:pos]
+                self._recompute_config()
                 self.log.append(LogEntry(e["term"], e["payload"]))
             else:
                 continue
@@ -431,6 +556,8 @@ class RaftNode:
     def _on_append_resp(self, msg: Message) -> List[Message]:
         if self.state != LEADER:
             return []
+        if msg.src not in self.next_index:
+            return []  # node was removed from the config; stale resp
         p = msg.payload
         if p.get("success"):
             self.match_index[msg.src] = max(
@@ -443,7 +570,10 @@ class RaftNode:
                 out.append(Message("timeout_now", self.id, msg.src,
                                    {"term": self.term}))
                 self._transfer_target = None
-            if self.next_index[msg.src] <= self.last_index():
+            nxt = self.next_index.get(msg.src)
+            if nxt is not None and nxt <= self.last_index():
+                # (may be gone: _advance_commit can finalize a joint
+                # change that removes this node mid-handler)
                 out += self._append_for(msg.src)
             return out
         self.next_index[msg.src] = max(
@@ -461,6 +591,13 @@ class RaftNode:
         self.snapshot_index = p["last_index"]
         self.snapshot_term = p["last_term"]
         self.snapshot_data = p.get("data")
+        cfg = p.get("config")
+        if cfg:
+            self.voters = set(cfg["voters"])
+            self.learners = set(cfg["learners"])
+            self.joint_old = (set(cfg["joint_old"])
+                              if cfg.get("joint_old") is not None else None)
+            self._base_config = self._config_tuple()
         self.log = []
         self.commit_index = max(self.commit_index, p["last_index"])
         self.last_applied = max(self.last_applied, p["last_index"])

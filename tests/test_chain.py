@@ -1055,3 +1055,108 @@ def test_tcp_transport_pool_and_reconnect():
     finally:
         a.close()
         b.close()
+
+
+# ------------------------------------------------- joint consensus
+
+def test_joint_consensus_add_and_remove():
+    """{n0,n1,n2} -> {n0,n1,n3,n4} in one atomic joint change."""
+    hub, nodes, tr = make_cluster(3)
+    pump(nodes, hub, tr, 60)
+    leader = next(n for n in nodes.values() if n.state == "leader")
+    # two fresh nodes join the transport fabric
+    ids = sorted(nodes) + ["n3", "n4"]
+    for nid in ("n3", "n4"):
+        nodes[nid] = RaftNode(nid, [nid], RaftConfig(), seed=10)
+        nodes[nid].voters = set()  # blank config; learns via snapshot/log
+        tr[nid] = hub.register(nid)
+
+    idx = leader.propose_joint_change(add=["n3", "n4"], remove=["n2"])
+    assert idx is not None
+    assert leader.joint_old == {"n0", "n1", "n2"}
+    assert leader.voters == {"n0", "n1", "n3", "n4"}
+    # a second change while joint is in flight must be refused
+    assert leader.propose_joint_change(add=["n9"]) is None
+    assert leader.propose_config_change("remove", "n1") is None
+
+    pump(nodes, hub, tr, 80)
+    # leave entry committed: every surviving voter finalized C_new
+    for nid in ("n0", "n1", "n3", "n4"):
+        assert nodes[nid].voters == {"n0", "n1", "n3", "n4"}, nid
+        assert nodes[nid].joint_old is None, nid
+    # post-change entries commit under the new majority
+    leader2 = next(n for n in nodes.values() if n.state == "leader")
+    leader2.propose({"after": "joint"})
+    pump(nodes, hub, tr, 40)
+    assert any(p.get("after") == "joint"
+               for _, p in nodes["n3"].take_committed())
+
+
+def test_joint_consensus_removed_leader_steps_down():
+    hub, nodes, tr = make_cluster(3)
+    pump(nodes, hub, tr, 60)
+    leader = next(n for n in nodes.values() if n.state == "leader")
+    assert leader.propose_joint_change(remove=[leader.id]) is not None
+    pump(nodes, hub, tr, 100)
+    assert leader.state != "leader"
+    assert leader.id not in leader.voters
+    survivors = [n for n in nodes.values() if n.id != leader.id]
+    assert all(n.voters == {s.id for s in survivors} for n in survivors)
+
+
+def test_joint_phase_requires_both_majorities():
+    """While joint, a C_new-only majority must NOT commit entries.
+
+    Old-config peers are isolated INDIVIDUALLY so pre-vote stops them
+    from electing a rival (a 2-node old-side group legitimately could:
+    it never saw the joint entry)."""
+    hub, nodes, tr = make_cluster(5)
+    pump(nodes, hub, tr, 80)
+    leader = next(n for n in nodes.values() if n.state == "leader")
+    old = ["n0", "n1", "n2", "n3", "n4"]
+    others = [nid for nid in old if nid != leader.id]
+    for nid in ("n5", "n6", "n7"):
+        nodes[nid] = RaftNode(nid, [nid], RaftConfig(), seed=11)
+        nodes[nid].voters = set()
+        tr[nid] = hub.register(nid)
+    # C_old = {n0..n4}; C_new = {leader, n5, n6, n7}
+    idx = leader.propose_joint_change(add=["n5", "n6", "n7"],
+                                      remove=others)
+    assert idx is not None
+    # keep ONE old peer with the leader (2/5 of C_old: no old majority)
+    # while ALL of C_new is reachable (4/4); isolate the other three
+    # old peers each alone so pre-vote denies them a rival election
+    hub.partition({leader.id, others[0], "n5", "n6", "n7"},
+                  {others[1]}, {others[2]}, {others[3]})
+    pump(nodes, hub, tr, 80)
+    assert leader.state == "leader"
+    assert leader.commit_index < idx
+    assert leader.joint_old is not None  # still stuck in joint
+    # heal: old majority reachable again -> enter commits, leave runs
+    hub.heal()
+    pump(nodes, hub, tr, 120)
+    cur_leader = next(n for n in nodes.values() if n.state == "leader")
+    assert cur_leader.joint_old is None
+    assert cur_leader.voters == {leader.id, "n5", "n6", "n7"}
+
+
+def test_joint_config_survives_snapshot_install():
+    """A node that joins via snapshot learns the post-change config."""
+    hub, nodes, tr = make_cluster(3)
+    pump(nodes, hub, tr, 60)
+    leader = next(n for n in nodes.values() if n.state == "leader")
+    leader.propose_joint_change(add=["n3"])
+    pump(nodes, hub, tr, 80)
+    for _ in range(5):
+        leader.propose({"x": 1})
+    pump(nodes, hub, tr, 40)
+    leader.take_committed()  # advances last_applied; compact needs it
+    leader.compact()
+    assert leader.snapshot_index > 0
+    # fresh n4 added via a second change; it must catch up from snapshot
+    nodes["n4"] = RaftNode("n4", ["n4"], RaftConfig(), seed=12)
+    nodes["n4"].voters = set()
+    tr["n4"] = hub.register("n4")
+    leader.propose_joint_change(add=["n4"])
+    pump(nodes, hub, tr, 100)
+    assert "n3" in nodes["n4"].voters and "n4" in nodes["n4"].voters
