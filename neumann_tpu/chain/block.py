@@ -105,16 +105,36 @@ class Chain:
         blk.sign(self._key)
         return blk
 
-    def append(self, block: Block) -> None:
+    def append(self, block: Block,
+               state_embedding=None,
+               similarity_threshold: float = 0.95,
+               enable_fast_path: bool = False) -> bool:
+        """Append after validation. With `enable_fast_path`, a block whose
+        delta embedding has cosine similarity >= `similarity_threshold`
+        with `state_embedding` skips the expensive signature check — the
+        reference's similarity fast-path (tensor_chain/src/raft.rs:77-89:
+        high similarity means semantically consistent, non-conflicting
+        changes). Hash-link and height checks always run. Returns True
+        when the fast path was taken."""
         prev = self._blocks[-1].hash if self._blocks else self.GENESIS_HASH
         if block.prev_hash != prev:
             raise ChainError(
                 f"block {block.height} prev_hash mismatch")
         if block.height != len(self._blocks):
             raise ChainError(f"block height {block.height} out of order")
-        if not block.verify_signature(self._key):
+        fast = False
+        if enable_fast_path and state_embedding is not None and \
+                block.delta_embedding is not None:
+            a = np.asarray(block.delta_embedding, np.float32)
+            b = np.asarray(state_embedding, np.float32)
+            na, nb = float(np.linalg.norm(a)), float(np.linalg.norm(b))
+            if na > 0 and nb > 0 and \
+                    float(a @ b) / (na * nb) >= similarity_threshold:
+                fast = True
+        if not fast and not block.verify_signature(self._key):
             raise ChainError(f"block {block.height} bad signature")
         self._blocks.append(block)
+        return fast
 
     def verify(self) -> bool:
         prev = self.GENESIS_HASH

@@ -46,6 +46,13 @@ class RaftConfig:
     pre_vote: bool = True
     max_entries_per_append: int = 64
     snapshot_threshold: Optional[int] = None  # compact when log longer
+    # geometric tie-breaking (raft.rs:90-98): pre-vote requests carry the
+    # candidate's state embedding; when logs are exactly tied, voters
+    # deny pre-votes to candidates whose embedding is dissimilar to
+    # their own, biasing elections toward semantically close nodes.
+    # Pre-vote denial never affects safety, only candidate selection.
+    enable_geometric_tiebreak: bool = False
+    geometric_tiebreak_threshold: float = 0.9
 
 
 @dataclass
@@ -99,6 +106,8 @@ class RaftNode:
         self.next_index: Dict[str, int] = {}
         self.match_index: Dict[str, int] = {}
         self._transfer_target: Optional[str] = None
+        # optional state embedding for geometric tie-breaking
+        self.state_embedding: Optional[List[float]] = None
 
     # ------------------------------------------------------------------
     # log index helpers (global 1-based indices; snapshot may hide prefix)
@@ -351,10 +360,14 @@ class RaftNode:
         if self.config.pre_vote and not skip_pre_vote:
             self.state = PRE_CANDIDATE
             self._pre_votes = {self.id}
-            return [Message("pre_vote_req", self.id, p, {
-                "term": self.term + 1, "last_index": self.last_index(),
-                "last_term": self.last_term()})
-                for p in self.voting_peers]
+            payload = {"term": self.term + 1,
+                       "last_index": self.last_index(),
+                       "last_term": self.last_term()}
+            if self.config.enable_geometric_tiebreak and \
+                    self.state_embedding is not None:
+                payload["embedding"] = list(self.state_embedding)
+            return [Message("pre_vote_req", self.id, p, dict(payload))
+                    for p in self.voting_peers]
         self.state = CANDIDATE
         self.term += 1
         self.voted_for = self.id
@@ -473,12 +486,26 @@ class RaftNode:
 
     def _on_pre_vote_req(self, msg: Message) -> List[Message]:
         p = msg.payload
-        up_to_date = (p["last_term"], p["last_index"]) >= \
-            (self.last_term(), self.last_index())
+        ours = (self.last_term(), self.last_index())
+        theirs = (p["last_term"], p["last_index"])
+        up_to_date = theirs >= ours
         # grant pre-vote only if we haven't heard from a live leader
         no_leader = self._elapsed >= self.config.election_timeout_min or \
             self.leader_id is None
         grant = p["term"] > self.term and up_to_date and no_leader
+        if grant and theirs == ours and \
+                self.config.enable_geometric_tiebreak and \
+                self.state_embedding is not None and \
+                p.get("embedding") is not None:
+            # exact log tie: prefer candidates with similar state
+            import numpy as _np
+
+            a = _np.asarray(p["embedding"], _np.float32)
+            b = _np.asarray(self.state_embedding, _np.float32)
+            na, nb = float(_np.linalg.norm(a)), float(_np.linalg.norm(b))
+            if na > 0 and nb > 0 and float(a @ b) / (na * nb) < \
+                    self.config.geometric_tiebreak_threshold:
+                grant = False
         return [Message("pre_vote_resp", self.id, msg.src,
                         {"term": p["term"], "granted": grant})]
 

@@ -1,3 +1,9 @@
 """tensor_vault parity: encrypted secrets with graph-edge ACLs."""
 
+from neumann_tpu.vault.anomaly import (  # noqa: F401
+    AgentProfile,
+    AnomalyEvent,
+    AnomalyMonitor,
+    AnomalyThresholds,
+)
 from neumann_tpu.vault.vault import TensorVault, Permission  # noqa: F401

@@ -60,9 +60,13 @@ class TensorVault:
     def __init__(self, store: Optional[TensorStore] = None,
                  master_password: str = "",
                  namespace: str = "default",
-                 rate_limit_per_min: int = 0):
+                 rate_limit_per_min: int = 0,
+                 anomaly_monitor=None):
         if not master_password:
             raise VaultError("master password required")
+        # optional behavioral anomaly detection (vault/anomaly.py)
+        self.anomaly = anomaly_monitor
+        self._anomaly_events: list = []
         self.store = store if store is not None else TensorStore()
         self.namespace = namespace
         self._lock = threading.RLock()
@@ -187,6 +191,7 @@ class TensorVault:
         self._write_versions(td, versions)
         self.store.put(self._skey(key), td)
         self._log(actor, "set", key, True)
+        self._anomaly_check(actor, key)
 
     def get(self, key: str, actor: str = "root") -> str:
         self._rate_check(actor)
@@ -199,6 +204,7 @@ class TensorVault:
         blob = data.get("cipher").value
         out = self._decrypt(blob, key)
         self._log(actor, "get", key, True)
+        self._anomaly_check(actor, key)
         return out
 
     def _decrypt(self, blob: bytes, key: str) -> str:
@@ -262,6 +268,21 @@ class TensorVault:
         self.store.put(self._skey(key), td)
         self._log(actor, "rollback", key, True)
         return self._decrypt(prev, key)
+
+    def _anomaly_check(self, actor: str, key: str) -> None:
+        if self.anomaly is None:
+            return
+        events = self.anomaly.check(actor, key)
+        if events:
+            with self._lock:
+                self._anomaly_events.extend(events)
+                if len(self._anomaly_events) > 1000:
+                    self._anomaly_events = self._anomaly_events[-1000:]
+
+    def drain_anomalies(self) -> list:
+        with self._lock:
+            out, self._anomaly_events = self._anomaly_events, []
+            return out
 
     # -- point-in-time recovery (snapshots) -------------------------------
     # Parity with the reference's vault PITR

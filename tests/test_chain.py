@@ -1160,3 +1160,57 @@ def test_joint_config_survives_snapshot_install():
     leader.propose_joint_change(add=["n4"])
     pump(nodes, hub, tr, 100)
     assert "n3" in nodes["n4"].voters and "n4" in nodes["n4"].voters
+
+
+# ------------------------------------- similarity fast-path / tie-break
+
+def test_block_similarity_fast_path():
+    import numpy as np
+
+    from neumann_tpu.chain.block import Chain
+
+    chain = Chain(signing_key=b"k1")
+    state = np.array([1.0, 0.0, 0.0, 0.0], np.float32)
+    aligned = chain.new_block([{"op": "put"}], "root1",
+                              delta_embedding=[0.99, 0.05, 0, 0])
+    # break the signature: full validation would reject it
+    aligned.signature = "00" * 32
+    fast = chain.append(aligned, state_embedding=state,
+                        enable_fast_path=True)
+    assert fast  # skipped signature check: similarity 0.998 >= 0.95
+    # dissimilar block falls back to full validation -> bad sig rejected
+    ortho = chain.new_block([{"op": "put"}], "root2",
+                            delta_embedding=[0, 1.0, 0, 0])
+    ortho.signature = "00" * 32
+    with pytest.raises(ChainError):
+        chain.append(ortho, state_embedding=state, enable_fast_path=True)
+    # and without the flag even the aligned block is fully validated
+    chain2 = Chain(signing_key=b"k1")
+    blk = chain2.new_block([], "r", delta_embedding=[1, 0, 0, 0])
+    blk.signature = "00" * 32
+    with pytest.raises(ChainError):
+        chain2.append(blk, state_embedding=state)
+
+
+def test_geometric_tiebreak_prefers_similar_candidate():
+    cfg = RaftConfig(enable_geometric_tiebreak=True,
+                     geometric_tiebreak_threshold=0.9)
+    voter = RaftNode("v", ["v", "a", "b"], cfg, seed=1)
+    voter.state_embedding = [1.0, 0.0]
+    voter._elapsed = voter.config.election_timeout_min  # no live leader
+
+    def pre_vote(src, emb):
+        return voter.handle(Message("pre_vote_req", src, "v", {
+            "term": 1, "last_index": 0, "last_term": 0,
+            "embedding": emb}))[0].payload["granted"]
+
+    assert pre_vote("a", [0.99, 0.1]) is True      # similar: granted
+    assert pre_vote("b", [0.0, 1.0]) is False      # orthogonal: denied
+    # candidate with a LONGER log wins regardless of embedding (safety)
+    voter2 = RaftNode("v2", ["v2", "c"], cfg, seed=2)
+    voter2.state_embedding = [1.0, 0.0]
+    voter2._elapsed = voter2.config.election_timeout_min
+    granted = voter2.handle(Message("pre_vote_req", "c", "v2", {
+        "term": 1, "last_index": 5, "last_term": 1,
+        "embedding": [0.0, 1.0]}))[0].payload["granted"]
+    assert granted is True

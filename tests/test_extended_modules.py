@@ -316,3 +316,47 @@ def test_vault_pitr_survives_reopen():
     v2 = TensorVault(store, "pw")
     assert v2.restore_snapshot(snap) == 1
     assert v2.get("k") == "v1"
+
+
+def test_vault_anomaly_monitor():
+    from neumann_tpu.vault.anomaly import AnomalyMonitor, AnomalyThresholds
+
+    mon = AnomalyMonitor(AnomalyThresholds(
+        frequency_spike_limit=5, frequency_window_ms=60_000,
+        bulk_operation_threshold=3, inactive_threshold_ms=1000))
+    t0 = 1_000_000
+    # first access flagged
+    evs = mon.check("agent", "db/pass", now_ms=t0)
+    assert [e.kind for e in evs] == ["first_access"]
+    # repeated access to same secret -> bulk at threshold exactly once
+    kinds = []
+    for i in range(1, 6):
+        kinds += [e.kind for e in mon.check("agent", "db/pass",
+                                            now_ms=t0 + i)]
+    assert kinds.count("bulk_operation") == 1
+    assert kinds.count("frequency_spike") == 1  # 5 ops in window
+    # dormant resumption after inactivity
+    evs = mon.check("agent", "db/pass", now_ms=t0 + 10_000)
+    assert any(e.kind == "inactive_resumed" for e in evs)
+    prof = mon.get_profile("agent")
+    assert prof.total_ops == 7 and "db/pass" in prof.known_secrets
+
+
+def test_vault_anomaly_wired_and_persisted():
+    from neumann_tpu.vault.anomaly import AnomalyMonitor, AnomalyThresholds
+
+    store = TensorStore()
+    mon = AnomalyMonitor(AnomalyThresholds(bulk_operation_threshold=2),
+                         store=store)
+    v = TensorVault(store, "pw", anomaly_monitor=mon)
+    v.set("s1", "x")
+    v.get("s1")
+    v.get("s1")
+    kinds = [e.kind for e in v.drain_anomalies()]
+    assert "first_access" in kinds and "bulk_operation" in kinds
+    assert v.drain_anomalies() == []  # drained
+    # profiles persist through the store and reload
+    assert mon.persist() == 1
+    mon2 = AnomalyMonitor(store=store)
+    assert "root" in mon2.monitored_entities()
+    assert mon2.get_profile("root").total_ops == 3

@@ -245,3 +245,56 @@ def test_compressed_snapshot_roundtrip(tmp_path):
     s2 = TensorStore()
     s2.load_snapshot(comp)  # transparent sniffing
     assert len(s2) == 50 and s2.get("k:7").get("n").value == 7
+
+
+# ------------------------------------------------- regional store
+
+def test_regional_store_locality_reads(tmp_path, rng):
+    from neumann_tpu.parallel.partitioner import VoronoiPartitioner
+    from neumann_tpu.store.regional import RegionalStore
+
+    seeds = np.array([[0, 0], [10, 0], [0, 10]], np.float32)
+    rs = RegionalStore(str(tmp_path / "rgn"), VoronoiPartitioner(seeds),
+                       flush_threshold=8)
+    # 30 vectors clustered around each seed
+    for c, seed in enumerate(seeds):
+        for i in range(10):
+            v = seed + rng.standard_normal(2).astype(np.float32) * 0.1
+            region = rs.put(f"c{c}i{i}", v, f"payload-{c}-{i}".encode())
+            assert region == c
+    rs.flush()
+    # region-aware read: exactly one cluster's keys, payloads intact
+    entries = rs.load_region(1)
+    assert len(entries) == 10
+    assert all(k.startswith("c1") for k, _ in entries)
+    assert dict(entries)["c1i3"] == b"payload-1-3"
+    # knn candidate read pulls the geometrically nearest region(s)
+    cands = rs.knn_candidates(np.array([9.5, 0.2], np.float32), nprobe=1)
+    assert {k[:2] for k, _ in cands} == {"c1"}
+    assert rs.stats()["runs"] >= 2  # multiple flushed runs so far
+    rs.close()
+
+
+def test_regional_store_compaction_and_reopen(tmp_path, rng):
+    from neumann_tpu.parallel.partitioner import VoronoiPartitioner
+    from neumann_tpu.store.regional import RegionalStore
+
+    seeds = np.array([[0.0], [100.0]], np.float32)
+    d = str(tmp_path / "rgn2")
+    rs = RegionalStore(d, VoronoiPartitioner(seeds), flush_threshold=4)
+    for i in range(10):
+        rs.put(f"k{i}", np.array([float(i)], np.float32), b"v1-%d" % i)
+    rs.flush()
+    # overwrite some keys in a later run: later run must win
+    for i in range(3):
+        rs.put(f"k{i}", np.array([float(i)], np.float32), b"v2-%d" % i)
+    rs.flush()
+    removed = rs.compact()
+    assert removed >= 2 and rs.stats()["runs"] == 1
+    got = dict(rs.load_region(0))
+    assert got["k0"] == b"v2-0" and got["k9"] == b"v1-9"
+    rs.close()
+    # reopen from disk: runs rediscovered
+    rs2 = RegionalStore(d, VoronoiPartitioner(seeds))
+    assert dict(rs2.load_region(0))["k1"] == b"v2-1"
+    rs2.close()
