@@ -158,10 +158,12 @@ _MAX_FRAME = 64 * 1024 * 1024
 _FLAG_COMPRESSED = 1
 
 
-def make_tls_contexts(cert_pem: bytes, key_pem: bytes):
+def make_tls_contexts(cert_pem: bytes, key_pem: bytes,
+                      ca_pem: "Optional[bytes]" = None):
     """(server_ctx, client_ctx) from PEM cert/key — pair with
-    ``server.generate_self_signed()``. The client context pins the given
-    cert as its only trust root."""
+    ``server.generate_self_signed()`` or ``vault.pki.PkiEngine``. The
+    client trusts ``ca_pem`` when given (CA-issued certs), otherwise it
+    pins the cert itself (self-signed)."""
     import ssl
     import tempfile
 
@@ -171,15 +173,19 @@ def make_tls_contexts(cert_pem: bytes, key_pem: bytes):
     with tempfile.NamedTemporaryFile(suffix=".pem", delete=False) as kf:
         kf.write(key_pem)
         key_path = kf.name
+    with tempfile.NamedTemporaryFile(suffix=".pem", delete=False) as af:
+        af.write(ca_pem if ca_pem is not None else cert_pem)
+        ca_path = af.name
     server_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
     server_ctx.load_cert_chain(cert_path, key_path)
     client_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
-    client_ctx.load_verify_locations(cert_path)
-    client_ctx.check_hostname = False  # cluster peers pin the cert itself
+    client_ctx.load_verify_locations(ca_path)
+    client_ctx.check_hostname = False  # peers verify by trust root
     import os
 
     os.unlink(cert_path)
     os.unlink(key_path)
+    os.unlink(ca_path)
     return server_ctx, client_ctx
 
 

@@ -6,4 +6,5 @@ from neumann_tpu.vault.anomaly import (  # noqa: F401
     AnomalyMonitor,
     AnomalyThresholds,
 )
+from neumann_tpu.vault.pki import CertInfo, PkiEngine  # noqa: F401
 from neumann_tpu.vault.vault import TensorVault, Permission  # noqa: F401

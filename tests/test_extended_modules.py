@@ -360,3 +360,61 @@ def test_vault_anomaly_wired_and_persisted():
     mon2 = AnomalyMonitor(store=store)
     assert "root" in mon2.monitored_entities()
     assert mon2.get_profile("root").total_ops == 3
+
+
+def test_pki_ca_issue_verify_revoke_crl():
+    from neumann_tpu.vault.pki import PkiEngine
+
+    store = TensorStore()
+    ca_pem = PkiEngine.init_ca(store)
+    assert b"BEGIN CERTIFICATE" in ca_pem
+    # idempotent: second init returns the same CA
+    assert PkiEngine.init_ca(store) == ca_pem
+
+    cert, key, serial = PkiEngine.issue_certificate(
+        store, "node-1.cluster", sans=["127.0.0.1", "node-1.local"])
+    assert b"BEGIN CERTIFICATE" in cert and b"PRIVATE KEY" in key
+    assert PkiEngine.verify_certificate(store, cert)
+    infos = PkiEngine.list_certificates(store)
+    assert len(infos) == 1 and infos[0].subject == "node-1.cluster"
+    assert not infos[0].revoked
+
+    # a cert signed by a DIFFERENT CA must fail verification
+    other = TensorStore()
+    PkiEngine.init_ca(other)
+    rogue, _, _ = PkiEngine.issue_certificate(other, "evil")
+    assert not PkiEngine.verify_certificate(store, rogue)
+
+    # revocation flips verify and lands on the CRL
+    PkiEngine.revoke_certificate(store, serial)
+    assert PkiEngine.is_revoked(store, serial)
+    assert not PkiEngine.verify_certificate(store, cert)
+    crl = PkiEngine.generate_crl(store)
+    from cryptography import x509
+
+    parsed = x509.load_pem_x509_crl(crl)
+    assert len(list(parsed)) == 1
+    with pytest.raises(VaultError):
+        PkiEngine.revoke_certificate(store, "nope")
+
+
+def test_pki_issued_cert_works_for_tls_transport():
+    """PKI-issued certs drive the actual TCP transport TLS path."""
+    from neumann_tpu.chain.transport import TcpTransport, \
+        make_tls_contexts
+    from neumann_tpu.vault.pki import PkiEngine
+
+    store = TensorStore()
+    ca = PkiEngine.init_ca(store)
+    cert, key, _ = PkiEngine.issue_certificate(store, "srv",
+                                               sans=["127.0.0.1"])
+    sctx, cctx = make_tls_contexts(cert, key, ca_pem=ca)
+    srv = TcpTransport("srv", tls_server=sctx)
+    cli = TcpTransport("cli", tls_client=cctx)
+    try:
+        cli.connect("srv", srv.address)
+        assert cli.send("srv", "hello", {"pki": True})
+        assert srv.recv(timeout=2.0).payload == {"pki": True}
+    finally:
+        srv.close()
+        cli.close()
