@@ -1,0 +1,11 @@
+export { NeumannRestClient, NeumannRestError } from "./rest";
+export type {
+  QueryResult,
+  Health,
+  CollectionConfig,
+  Point,
+  ScoredPoint,
+  Filter,
+} from "./rest";
+export { NeumannGrpcClient } from "./grpc";
+export type { GrpcClientOptions } from "./grpc";

@@ -1214,3 +1214,41 @@ def test_geometric_tiebreak_prefers_similar_candidate():
         "term": 1, "last_index": 5, "last_term": 1,
         "embedding": [0.0, 1.0]}))[0].payload["granted"]
     assert granted is True
+
+
+# ------------------------------------------------- bounded model check
+
+def test_model_check_raft_safety_clean():
+    from neumann_tpu.chain.model_check import check_raft
+
+    r = check_raft(n_nodes=2, max_states=4000)
+    assert r.ok, f"{r.violation}\n" + "\n".join(r.trace)
+    assert r.states_explored == 4000  # bounded run completed
+
+
+def test_model_check_falsifies_double_voting():
+    """The checker must FIND the classic election-safety bug when a
+    voter's voted_for check is removed — proof it can falsify."""
+    from neumann_tpu.chain.model_check import check_raft
+
+    def buggy_vote_req(self, msg):
+        p = msg.payload
+        grant = False
+        if p["term"] >= self.term:
+            if (p["last_term"], p["last_index"]) >= \
+                    (self.last_term(), self.last_index()):
+                grant = True          # BUG: voted_for check removed
+                self.voted_for = msg.src
+                self._elapsed = 0
+        return [Message("vote_resp", self.id, msg.src,
+                        {"term": self.term, "granted": grant})]
+
+    orig = RaftNode._on_vote_req
+    RaftNode._on_vote_req = buggy_vote_req
+    try:
+        r = check_raft(n_nodes=2, max_states=10_000)
+    finally:
+        RaftNode._on_vote_req = orig
+    assert not r.ok
+    assert "I1" in r.violation
+    assert len(r.trace) <= 14  # BFS returns a near-minimal trace
