@@ -173,6 +173,43 @@ class NeumannServer:
         return list(self._auth.audit)
 
     # ------------------------------------------------------------------
+    def _reflection_info(self, request_iterator, context):
+        """grpc.reflection.v1alpha bidi stream (generic handler)."""
+        pb2 = _refl_pb()
+        services, by_file, by_symbol = _reflection_state()
+        for req in request_iterator:
+            resp = pb2.ServerReflectionResponse(valid_host=req.host,
+                                                original_request=req)
+            which = req.WhichOneof("message_request")
+            if which == "list_services":
+                resp.list_services_response.service.extend(
+                    pb2.ServiceResponse(name=s) for s in services)
+            elif which == "file_containing_symbol":
+                blob = by_symbol.get(req.file_containing_symbol)
+                if blob is None:
+                    resp.error_response.error_code = 5  # NOT_FOUND
+                    resp.error_response.error_message = (
+                        f"symbol not found: "
+                        f"{req.file_containing_symbol}")
+                else:
+                    resp.file_descriptor_response\
+                        .file_descriptor_proto.append(blob)
+            elif which == "file_by_filename":
+                blob = by_file.get(req.file_by_filename)
+                if blob is None:
+                    resp.error_response.error_code = 5
+                    resp.error_response.error_message = (
+                        f"file not found: {req.file_by_filename}")
+                else:
+                    resp.file_descriptor_response\
+                        .file_descriptor_proto.append(blob)
+            else:
+                resp.error_response.error_code = 12  # UNIMPLEMENTED
+                resp.error_response.error_message = \
+                    f"unsupported reflection request: {which}"
+            yield resp
+
+    # ------------------------------------------------------------------
     def _record(self, t0: float, error: bool) -> None:
         with self._mlock:
             self.metrics["requests"] += 1
@@ -268,9 +305,17 @@ class NeumannServer:
                                    pb.BlobDownloadRequest, pb.BlobChunk,
                                    streaming_out=True),
         }
+        r = {"ServerReflectionInfo": grpc.stream_stream_rpc_method_handler(
+            self._reflection_info,
+            request_deserializer=_refl_pb().ServerReflectionRequest
+            .FromString,
+            response_serializer=_refl_pb().ServerReflectionResponse
+            .SerializeToString)}
         return [
             grpc.method_handlers_generic_handler("neumann.QueryService", q),
             grpc.method_handlers_generic_handler("neumann.Health", h),
+            grpc.method_handlers_generic_handler(
+                "grpc.reflection.v1alpha.ServerReflection", r),
             grpc.method_handlers_generic_handler("neumann.PointsService", p),
             grpc.method_handlers_generic_handler(
                 "neumann.CollectionsService", c),
@@ -459,6 +504,50 @@ class NeumannServer:
                 content_type=(info["content_type"] or "") if first else "",
                 data=data)
             first = False
+
+
+_REFLECTION = None
+
+
+def _refl_pb():
+    from neumann_tpu.server import reflection_pb2
+
+    return reflection_pb2
+
+
+def _reflection_state():
+    """(services, files-by-name, file-bytes-by-symbol) lazily parsed from
+    the vendored FileDescriptorSet (server reflection v1alpha — lets
+    grpcurl/Postman discover the API without local protos)."""
+    global _REFLECTION
+    if _REFLECTION is None:
+        import os as _os
+
+        from google.protobuf import descriptor_pb2
+
+        desc_path = _os.path.join(_os.path.dirname(__file__),
+                                  "neumann.desc")
+        fds = descriptor_pb2.FileDescriptorSet()
+        with open(desc_path, "rb") as f:
+            fds.ParseFromString(f.read())
+        services, by_file, by_symbol = [], {}, {}
+        for fd in fds.file:
+            blob = fd.SerializeToString()
+            by_file[fd.name] = blob
+            pkg = fd.package
+            for svc in fd.service:
+                full = f"{pkg}.{svc.name}" if pkg else svc.name
+                services.append(full)
+                by_symbol[full] = blob
+                for m in svc.method:
+                    by_symbol[f"{full}.{m.name}"] = blob
+            for msg in fd.message_type:
+                by_symbol[f"{pkg}.{msg.name}" if pkg
+                          else msg.name] = blob
+        # the reflection service itself is also discoverable
+        services.append("grpc.reflection.v1alpha.ServerReflection")
+        _REFLECTION = (services, by_file, by_symbol)
+    return _REFLECTION
 
 
 def generate_self_signed(host: str = "127.0.0.1"):

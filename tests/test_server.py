@@ -290,3 +290,63 @@ def test_dashboard_html():
     assert "neumann-tpu" in html and "collections" in html
     assert "store entries" in html
     srv.stop()
+
+
+def test_grpc_server_reflection():
+    """v1alpha reflection: the grpcurl discovery flow end-to-end."""
+    import grpc
+
+    from neumann_tpu.server import reflection_pb2 as rpb
+    from neumann_tpu.server.server import NeumannServer
+
+    srv = NeumannServer(port=0)
+    port = srv.serve()
+    try:
+        ch = grpc.insecure_channel(f"127.0.0.1:{port}")
+        stub = ch.stream_stream(
+            "/grpc.reflection.v1alpha.ServerReflection/"
+            "ServerReflectionInfo",
+            request_serializer=rpb.ServerReflectionRequest
+            .SerializeToString,
+            response_deserializer=rpb.ServerReflectionResponse
+            .FromString)
+        reqs = [
+            rpb.ServerReflectionRequest(list_services=""),
+            rpb.ServerReflectionRequest(
+                file_containing_symbol="neumann.QueryService"),
+            rpb.ServerReflectionRequest(
+                file_by_filename="neumann.proto"),
+            rpb.ServerReflectionRequest(
+                file_containing_symbol="nope.Missing"),
+        ]
+        resps = list(stub(iter(reqs)))
+        names = {s.name for s in resps[0].list_services_response.service}
+        assert {"neumann.QueryService", "neumann.Health",
+                "neumann.PointsService", "neumann.CollectionsService",
+                "neumann.BlobService"} <= names
+        # the served descriptor really describes the API: build a
+        # dynamic stub from it and call Execute (what grpcurl does)
+        from google.protobuf import (
+            descriptor_pb2,
+            descriptor_pool,
+            message_factory,
+        )
+
+        fdp = descriptor_pb2.FileDescriptorProto.FromString(
+            resps[1].file_descriptor_response.file_descriptor_proto[0])
+        pool = descriptor_pool.DescriptorPool()
+        pool.Add(fdp)
+        req_cls = message_factory.GetMessageClass(
+            pool.FindMessageTypeByName("neumann.QueryRequest"))
+        resp_cls = message_factory.GetMessageClass(
+            pool.FindMessageTypeByName("neumann.QueryResponse"))
+        call = ch.unary_unary(
+            "/neumann.QueryService/Execute",
+            request_serializer=req_cls.SerializeToString,
+            response_deserializer=resp_cls.FromString)
+        out = call(req_cls(query="SHOW TABLES"))
+        assert out.kind
+        assert resps[2].file_descriptor_response.file_descriptor_proto
+        assert resps[3].error_response.error_code == 5  # NOT_FOUND
+    finally:
+        srv.stop()
