@@ -83,6 +83,13 @@ class DSTHarness:
             self.transports[f.node].drain()
         elif f.kind == "drop_rate":
             self.hub.drop_probability = f.rate
+        elif f.kind == "joint_remove":
+            # membership change mid-chaos: the current leader (if any)
+            # removes `node` via joint consensus
+            leader = self.current_leader()
+            if leader is not None:
+                self.nodes[leader].propose_joint_change(
+                    remove=[f.node])
 
     def _check_invariants(self) -> None:
         # election safety: at most one leader per term

@@ -1252,3 +1252,25 @@ def test_model_check_falsifies_double_voting():
     assert not r.ok
     assert "I1" in r.violation
     assert len(r.trace) <= 14  # BFS returns a near-minimal trace
+
+
+def test_dst_joint_change_under_message_drops():
+    """Joint membership removal while 15% of messages drop, across
+    seeds: invariants hold and the config converges on survivors."""
+    from neumann_tpu.chain.dst import DSTHarness, FaultAction
+
+    converged_runs = 0
+    for seed in range(6):
+        h = DSTHarness(n_nodes=5, seed=seed)
+        res = h.run(ticks=400, faults=[
+            FaultAction(at_tick=0, kind="drop_rate", rate=0.15),
+            FaultAction(at_tick=120, kind="joint_remove", node="n4"),
+            FaultAction(at_tick=260, kind="drop_rate", rate=0.0),
+        ])
+        assert res.ok, f"seed {seed}: {res.violations}"
+        survivors = [h.nodes[n] for n in ("n0", "n1", "n2", "n3")]
+        if all(n.voters == {"n0", "n1", "n2", "n3"}
+               and n.joint_old is None for n in survivors):
+            converged_runs += 1
+    # the change needs a live leader at tick 120; most seeds converge
+    assert converged_runs >= 3, converged_runs
