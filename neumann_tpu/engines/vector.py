@@ -45,7 +45,7 @@ ENTITY_PREFIX = "entity:"
 COLLECTION_PREFIX = "col:"
 _EMBEDDING_FIELD = "embedding"
 
-QUANTIZATIONS = ("none", "int8", "binary", "pq")
+QUANTIZATIONS = ("none", "int8", "binary", "pq", "tt")
 
 
 # ---------------------------------------------------------------------------
@@ -506,7 +506,51 @@ class VectorEngine:
                                 max(-score, 0.0))))))
                 out.append(row_hits)
             return out
-        if quantization == "binary":
+        if quantization == "tt":
+            # tensor-train storage (tensor_compress TensorMode::
+            # TensorTrain): vectors live as TT cores (10-20x smaller);
+            # search reconstructs the corpus (cheap core matmuls, the
+            # SVD decompose step is version-cached) and runs the normal
+            # device scan, so scores carry TT reconstruction error the
+            # same way int8 mode carries quantization error.
+            from neumann_tpu.compress.tensor_train import (
+                TTConfig,
+                tt_decompose,
+                tt_reconstruct,
+            )
+
+            with corpus.lock:
+                tt_state = getattr(corpus, "_tt", None)
+                version = corpus.slab.version
+            if tt_state is None or tt_state[0] != version:
+                cfg = TTConfig.for_dim(corpus.slab.dim_pad)
+                rows, tts = [], []
+                for key, row in corpus.index.items():
+                    v = corpus.slab.get_row(row)
+                    if v is not None:
+                        padded = np.zeros(corpus.slab.dim_pad, np.float32)
+                        padded[: corpus.dim] = v
+                        rows.append(row)
+                        tts.append(tt_decompose(padded, cfg))
+                tt_state = (version, tts, np.asarray(rows, np.int32))
+                with corpus.lock:
+                    corpus._tt = tt_state
+            _, tts, row_map = tt_state
+            if not tts:
+                return [[] for _ in range(qp.shape[0])]
+            mat = np.stack([tt_reconstruct(t) for t in tts])
+            tt_mask = None
+            if extra_mask is not None:
+                tt_mask = np.asarray(extra_mask)[row_map]
+            valid_np = corpus.slab.valid_mask_host()[row_map]
+            tt_mask = valid_np if tt_mask is None                 else (tt_mask & valid_np)
+            s_tt, i_tt = _jitted_topk()(
+                jnp.asarray(mat), jnp.asarray(qp),
+                min(k, len(row_map)), metric, jnp.asarray(tt_mask))
+            scores = np.asarray(s_tt)
+            idx = np.asarray(i_tt)
+            idx = np.where(idx >= 0, row_map[np.maximum(idx, 0)], -1)
+        elif quantization == "binary":
             import os
 
             from neumann_tpu.ops.quant import binary_quantize

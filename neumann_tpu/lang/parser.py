@@ -29,6 +29,8 @@ _METRIC_MAP = {
     "COSINE": "cosine", "EUCLIDEAN": "euclidean", "DOT": "dot",
     "DOT_PRODUCT": "dot", "MANHATTAN": "manhattan",
     "COMPOSITE": "composite", "GEOMETRIC": "composite",
+    "WEIGHTED_JACCARD": "weighted_jaccard",
+    "WJACCARD": "weighted_jaccard",
 }
 
 

@@ -40,7 +40,8 @@ from jax import lax
 # (tensor_store/src/distance.rs GeometricConfig): cosine mapped to [0,1]
 # + Jaccard support overlap + inverted euclidean, weighted. On TPU the
 # Jaccard term is a SECOND indicator matmul, so it stays on the MXU.
-METRICS = ("cosine", "dot", "euclidean", "manhattan", "composite")
+METRICS = ("cosine", "dot", "euclidean", "manhattan", "composite",
+           "weighted_jaccard")
 
 # GeometricConfig presets (distance.rs:140-168): (cosine, structural,
 # magnitude) weights.
@@ -87,6 +88,17 @@ def _block_scores(queries, corpus_block, metric, q_sqnorm, c_sqnorm_block,
         # [Q, 1, d] - [1, B, d] -> sum |.| ; no MXU form, VPU broadcast.
         diff = jnp.abs(queries[:, None, :] - corpus_block[None, :, :])
         return -jnp.sum(diff, axis=-1)
+    if metric == "weighted_jaccard":
+        # sum(min(|a|,|b|)) / sum(max(|a|,|b|)) in one broadcast pass
+        # (sparse_vector.rs:886-930); min+max = |a|+|b| and
+        # max = (|a|+|b|+||a|-|b||)/2, so one |a-b|-style pass suffices.
+        qa = jnp.abs(queries)[:, None, :]
+        ca = jnp.abs(corpus_block)[None, :, :]
+        tot = jnp.sum(qa, axis=-1) + jnp.sum(ca, axis=-1)  # [Q,B]
+        diff = jnp.sum(jnp.abs(qa - ca), axis=-1)
+        max_sum = (tot + diff) * 0.5
+        min_sum = (tot - diff) * 0.5
+        return jnp.where(max_sum > 0.0, min_sum / max_sum, 1.0)
     dots = _dot_scores(queries, corpus_block)
     if metric == "dot":
         return dots

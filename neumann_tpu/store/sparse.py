@@ -83,6 +83,22 @@ class SparseVector:
             return 1.0
         return len(a & b) / len(a | b)
 
+    def weighted_jaccard(self, other: "SparseVector") -> float:
+        """sum(min(|a|,|b|)) / sum(max(|a|,|b|)) — magnitude-aware
+        overlap (sparse_vector.rs:886-930). 1.0 for two empty vectors."""
+        vals: dict = {}
+        for pos, v in zip(self.positions.tolist(), self.values.tolist()):
+            vals[pos] = (abs(v), 0.0)
+        for pos, v in zip(other.positions.tolist(),
+                          other.values.tolist()):
+            a, _ = vals.get(pos, (0.0, 0.0))
+            vals[pos] = (a, abs(v))
+        min_sum = sum(min(a, b) for a, b in vals.values())
+        max_sum = sum(max(a, b) for a, b in vals.values())
+        if max_sum == 0.0:
+            return 1.0
+        return min_sum / max_sum
+
     def overlap(self, other: "SparseVector") -> float:
         a = set(self.positions.tolist())
         b = set(other.positions.tolist())

@@ -240,3 +240,30 @@ def test_composite_zero_weights_and_mask(rng):
     s, i = topk_scan(jnp.asarray(c), jnp.asarray(q), 3, "composite",
                      mask=jnp.asarray(mask))
     assert int(i[0, 0]) == 10 and np.all(np.asarray(i[0, 1:]) == -1)
+
+
+def test_weighted_jaccard_metric(rng):
+    c = np.abs(rng.standard_normal((80, 12))).astype(np.float32)
+    c[rng.random((80, 12)) < 0.5] = 0.0
+    q = c[5:6]
+
+    def scalar(a, b):
+        mx = np.sum(np.maximum(np.abs(a), np.abs(b)))
+        return 1.0 if mx == 0 else \
+            float(np.sum(np.minimum(np.abs(a), np.abs(b))) / mx)
+
+    s, i = topk_scan(jnp.asarray(c), jnp.asarray(q), 80,
+                     "weighted_jaccard")
+    expect = np.sort([scalar(q[0], row) for row in c])[::-1]
+    np.testing.assert_allclose(np.asarray(s[0]), expect, atol=1e-6)
+    assert int(i[0, 0]) == 5 and abs(float(s[0, 0]) - 1.0) < 1e-6
+    # blockwise path agrees
+    bs, _ = topk_scan(jnp.asarray(c), jnp.asarray(q), 5,
+                      "weighted_jaccard", block_rows=32)
+    np.testing.assert_allclose(np.asarray(bs[0]), expect[:5], atol=1e-6)
+    # negative values compare by magnitude (reference abs semantics)
+    a = np.array([[1.0, -2.0]], np.float32)
+    b = np.array([[-1.0, 2.0]], np.float32)
+    s2, _ = topk_scan(jnp.asarray(b), jnp.asarray(a), 1,
+                      "weighted_jaccard")
+    assert abs(float(s2[0, 0]) - 1.0) < 1e-6

@@ -298,3 +298,18 @@ def test_regional_store_compaction_and_reopen(tmp_path, rng):
     rs2 = RegionalStore(d, VoronoiPartitioner(seeds))
     assert dict(rs2.load_region(0))["k1"] == b"v2-1"
     rs2.close()
+
+
+def test_sparse_weighted_jaccard():
+    from neumann_tpu.store.sparse import SparseVector
+
+    a = SparseVector.from_dense([1.0, 2.0, 3.0])
+    assert abs(a.weighted_jaccard(a) - 1.0) < 1e-6
+    b = SparseVector.from_dense([0.0, 0.0, 0.0])
+    assert abs(b.weighted_jaccard(b) - 1.0) < 1e-6  # both empty
+    c = SparseVector.from_dense([1.0, 0.0, 0.0])
+    d = SparseVector.from_dense([0.0, 1.0, 0.0])
+    assert c.weighted_jaccard(d) == 0.0  # disjoint support
+    e = SparseVector.from_dense([2.0, 2.0, 0.0])
+    f = SparseVector.from_dense([1.0, 2.0, 0.0])
+    assert abs(e.weighted_jaccard(f) - 3.0 / 4.0) < 1e-6

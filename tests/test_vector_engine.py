@@ -320,3 +320,28 @@ def test_composite_on_int8_collection_falls_back_to_float(rng):
         eng.store_in_collection("c", f"v{i}", v)
     res = eng.search_in_collection("c", vecs[4], 3, metric="composite")
     assert res[0].key == "v4"
+
+
+def test_tt_collection_mode(rng):
+    eng = VectorEngine()
+    eng.create_collection("tt", VectorCollectionConfig(
+        dimension=64, quantization="tt"))
+    vecs = rng.standard_normal((30, 64)).astype(np.float32)
+    for i, v in enumerate(vecs):
+        eng.store_in_collection("tt", f"v{i}", v)
+    res = eng.search_in_collection("tt", vecs[7], 5)
+    assert res[0].key == "v7"
+    # TT reconstruction error is small: top score near 1 for cosine
+    assert res[0].score > 0.95
+    # against the fp32 oracle, recall@5 stays high
+    oracle = VectorEngine()
+    for i, v in enumerate(vecs):
+        oracle.store_embedding(f"v{i}", v)
+    for qi in (0, 13, 29):
+        got = {r.key for r in eng.search_in_collection("tt", vecs[qi], 5)}
+        exp = {r.key for r in oracle.search_similar(vecs[qi], 5)}
+        assert len(got & exp) >= 4, (qi, got, exp)
+    # deletes drop out of TT search results too (version-cached codes)
+    eng.delete_from_collection("tt", "v7")
+    res = eng.search_in_collection("tt", vecs[7], 5)
+    assert all(r.key != "v7" for r in res)
