@@ -7,4 +7,14 @@ from neumann_tpu.vault.anomaly import (  # noqa: F401
     AnomalyThresholds,
 )
 from neumann_tpu.vault.pki import CertInfo, PkiEngine  # noqa: F401
+from neumann_tpu.vault.sync import (  # noqa: F401
+    FileSyncTarget,
+    GeoCoordinate,
+    GeoRouter,
+    MemorySyncTarget,
+    RoutingConfig,
+    SyncTarget,
+    TargetGeometry,
+    VaultSync,
+)
 from neumann_tpu.vault.vault import TensorVault, Permission  # noqa: F401

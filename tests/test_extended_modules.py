@@ -418,3 +418,99 @@ def test_pki_issued_cert_works_for_tls_transport():
     finally:
         srv.close()
         cli.close()
+
+
+def test_vault_sync_targets(tmp_path):
+    from neumann_tpu.vault.sync import (
+        FileSyncTarget,
+        MemorySyncTarget,
+        VaultSync,
+    )
+
+    v = TensorVault(TensorStore(), "pw")
+    sync = VaultSync(v)
+    ft = FileSyncTarget("file-t", str(tmp_path / "repl"))
+    mt = MemorySyncTarget("mem-t")
+    sync.register_sync_target(ft)
+    sync.register_sync_target(mt)
+    assert sync.list_sync_targets() == ["file-t", "mem-t"]
+    with pytest.raises(VaultError):
+        sync.register_sync_target(MemorySyncTarget("mem-t"))  # dup
+
+    v.set("db/pass", "s3cret")
+    sync.subscribe_sync("db/pass", "file-t")
+    sync.subscribe_sync("db/pass", "mem-t")
+    assert sync.trigger_sync("db/pass") == 2
+    # ciphertext only: the replicated bytes must NOT contain plaintext
+    blob = (tmp_path / "repl" / "db__pass.bin").read_bytes()
+    assert b"s3cret" not in blob and blob == mt.received["db/pass"]
+    # and it decrypts back with the vault's key
+    assert v._decrypt(blob, "db/pass") == "s3cret"
+
+    sync.unsubscribe_sync("db/pass", "file-t")
+    sync.unsubscribe_sync("db/pass", "mem-t")
+    assert sync.trigger_sync("db/pass") == 0
+    assert sync.sync_health() == [("file-t", True), ("mem-t", True)]
+    with pytest.raises(VaultError):
+        sync.trigger_sync("nope")
+
+
+def test_geo_router_route_exclude_ema():
+    from neumann_tpu.vault.sync import (
+        GeoCoordinate,
+        GeoRouter,
+        RoutingConfig,
+        TargetGeometry,
+    )
+
+    router = GeoRouter(RoutingConfig(sync_fanout=2, max_latency_ms=100))
+    router.update_geometry(TargetGeometry(
+        "us-east", GeoCoordinate(0, 0), avg_latency_ms=20,
+        avg_throughput=100, failure_rate=0.01))
+    router.update_geometry(TargetGeometry(
+        "eu-west", GeoCoordinate(50, 50), avg_latency_ms=80,
+        avg_throughput=90, failure_rate=0.02))
+    router.update_geometry(TargetGeometry(
+        "slow", GeoCoordinate(10, 10), avg_latency_ms=500,
+        avg_throughput=50, failure_rate=0.0))
+
+    d = router.route("k", None, ["us-east", "eu-west", "slow"])
+    assert [g.target_name for g in d.selected_targets] == \
+        ["us-east", "eu-west"]
+    assert [g.target_name for g in d.excluded_targets] == ["slow"]
+
+    # latency EMA converges toward observed results
+    for _ in range(5):
+        router.record_sync_result("us-east", 200.0, True)
+    g = next(x for x in router.geometries()
+             if x.target_name == "us-east")
+    assert g.avg_latency_ms > 140.0 and g.failure_rate < 0.01
+
+
+def test_vault_sync_geo_routed_fanout(tmp_path):
+    from neumann_tpu.vault.sync import (
+        GeoCoordinate,
+        GeoRouter,
+        MemorySyncTarget,
+        RoutingConfig,
+        TargetGeometry,
+        VaultSync,
+    )
+
+    v = TensorVault(TensorStore(), "pw")
+    sync = VaultSync(v)
+    targets = {n: MemorySyncTarget(n) for n in ("a", "b", "c")}
+    for t in targets.values():
+        sync.register_sync_target(t)
+    v.set("k", "val")
+    for n in targets:
+        sync.subscribe_sync("k", n)
+    router = GeoRouter(RoutingConfig(sync_fanout=2))
+    for n, lat in (("a", 10), ("b", 20), ("c", 900)):
+        router.update_geometry(TargetGeometry(
+            n, GeoCoordinate(0, 0), avg_latency_ms=lat))
+    sync.router = router
+    # fanout=2 and c excluded by latency: only a and b receive
+    assert sync.trigger_sync("k") == 2
+    assert "k" in targets["a"].received and "k" in targets["b"].received
+    assert "k" not in targets["c"].received
