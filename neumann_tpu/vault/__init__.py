@@ -7,6 +7,14 @@ from neumann_tpu.vault.anomaly import (  # noqa: F401
     AnomalyThresholds,
 )
 from neumann_tpu.vault.pki import CertInfo, PkiEngine  # noqa: F401
+from neumann_tpu.vault.scoped import (  # noqa: F401
+    DelegationRecord,
+    DynamicSecretMeta,
+    ImpactReport,
+    PasswordConfig,
+    ScopedVault,
+    SecretTemplate,
+)
 from neumann_tpu.vault.sync import (  # noqa: F401
     FileSyncTarget,
     GeoCoordinate,

@@ -284,6 +284,13 @@ class TensorVault:
             out, self._anomaly_events = self._anomaly_events, []
             return out
 
+    def scope(self, actor: str) -> "ScopedVault":
+        """Actor-pinned view with delegation / wrapping / dependencies /
+        dynamic secrets (vault/scoped.py)."""
+        from neumann_tpu.vault.scoped import ScopedVault
+
+        return ScopedVault(self, actor)
+
     # -- point-in-time recovery (snapshots) -------------------------------
     # Parity with the reference's vault PITR
     # (integration_tests/tests/vault_pitr_sync.rs): root-only snapshot

@@ -514,3 +514,83 @@ def test_vault_sync_geo_routed_fanout(tmp_path):
     assert sync.trigger_sync("k") == 2
     assert "k" in targets["a"].received and "k" in targets["b"].received
     assert "k" not in targets["c"].received
+
+
+def test_scoped_lifecycle_and_delegation():
+    from neumann_tpu.vault import Permission
+
+    v = TensorVault(TensorStore(), "pw")
+    scoped = v.scope(v.ROOT)
+    scoped.set("life/secret", "initial")
+    assert scoped.get("life/secret") == "initial"
+    scoped.rotate("life/secret", "rotated")
+    assert scoped.get("life/secret") == "rotated"
+    assert "life/secret" in scoped.list("life/*")
+    assert scoped.delete("life/secret")
+    with pytest.raises(VaultError):
+        scoped.get("life/secret")
+
+    # delegation: parent re-grants its READ access to a child
+    v.set("del/api-key", "key-abc")
+    v.set("del/db-pass", "pass-xyz")
+    v.grant("user:parent", "del/api-key", Permission.READ)
+    v.grant("user:parent", "del/db-pass", Permission.READ)
+    parent = v.scope("user:parent")
+    rec = parent.delegate("user:child", ["del/api-key", "del/db-pass"],
+                          Permission.READ, ttl_seconds=3600)
+    assert rec.child == "user:child"
+    assert v.get("del/api-key", actor="user:child") == "key-abc"
+    # attenuation: parent holds READ, cannot delegate WRITE
+    with pytest.raises(VaultError):
+        parent.delegate("user:child2", ["del/api-key"], Permission.WRITE)
+    revoked = parent.revoke_delegation("user:child")
+    assert set(revoked) == {"del/api-key", "del/db-pass"}
+    with pytest.raises(VaultError):
+        v.get("del/api-key", actor="user:child")
+
+
+def test_scoped_wrapping_and_dependencies():
+    v = TensorVault(TensorStore(), "pw")
+    scoped = v.scope(v.ROOT)
+    scoped.set("wrap/token", "wrapped-value")
+    token = scoped.wrap_secret("wrap/token", 60_000)
+    assert scoped.unwrap_secret(token) == "wrapped-value"
+    with pytest.raises(VaultError):
+        scoped.unwrap_secret(token)  # single use
+
+    scoped.set("dep/parent", "p")
+    scoped.set("dep/child", "c")
+    scoped.set("dep/grandchild", "g")
+    scoped.add_dependency("dep/parent", "dep/child")
+    scoped.add_dependency("dep/child", "dep/grandchild")
+    report = scoped.impact_analysis("dep/parent")
+    assert report.affected_secrets == ["dep/child", "dep/grandchild"]
+    with pytest.raises(VaultError):  # cycle rejected
+        scoped.add_dependency("dep/grandchild", "dep/parent")
+
+
+def test_scoped_dynamic_secrets():
+    from neumann_tpu.vault import SecretTemplate
+
+    v = TensorVault(TensorStore(), "pw")
+    scoped = v.scope(v.ROOT)
+    sid, value = scoped.generate_dynamic_secret(
+        SecretTemplate.password(), ttl_ms=600_000)
+    assert sid and len(value) == 24
+    assert scoped.get_dynamic_secret(sid) == value
+    assert any(m.secret_id == sid
+               for m in scoped.list_dynamic_secrets())
+    scoped.revoke_dynamic_secret(sid)
+    assert not any(m.secret_id == sid
+                   for m in scoped.list_dynamic_secrets())
+    with pytest.raises(VaultError):
+        scoped.get_dynamic_secret(sid)
+    # api-key template + instant expiry
+    sid2, val2 = scoped.generate_dynamic_secret(
+        SecretTemplate.api_key("svc"), ttl_ms=0)
+    assert val2.startswith("svc-")
+    import time as _t
+
+    _t.sleep(0.01)
+    with pytest.raises(VaultError):
+        scoped.get_dynamic_secret(sid2)
