@@ -897,19 +897,22 @@ class QueryRouter:
     def _exec_vault(self, s: ast.Vault) -> QueryResult:
         vault = self._need("vault", "run init_vault(master_password)")
         act = s.action
+        # VAULT statements act as the shell-selected identity
+        # (reference: VAULT IDENTITY builtin); default is root
+        actor = getattr(self, "vault_actor", None) or vault.ROOT
         if act == "set":
-            vault.set(s.key, s.value)
+            vault.set(s.key, s.value, actor=actor)
             return QueryResult.msg(f"secret '{s.key}' stored")
         if act == "get":
-            return QueryResult.of_value(vault.get(s.key))
+            return QueryResult.of_value(vault.get(s.key, actor=actor))
         if act == "delete":
-            ok = vault.delete(s.key)
+            ok = vault.delete(s.key, actor=actor)
             return QueryResult.msg("deleted" if ok else "no such secret")
         if act == "list":
             return QueryResult.of_rows(
-                [{"key": k} for k in vault.list(s.pattern)])
+                [{"key": k} for k in vault.list(s.pattern, actor=actor)])
         if act == "rotate":
-            vault.rotate(s.key, s.value)
+            vault.rotate(s.key, s.value, actor=actor)
             return QueryResult.msg(f"secret '{s.key}' rotated")
         if act == "grant":
             vault.grant(s.entity, s.key)

@@ -37,6 +37,8 @@ Built-ins:
   load '<path>'        load a snapshot file
   wal status           show WAL size and sync mode
   vault init '<pw>'    initialize the secrets vault
+  vault identity '<e>' act as entity <e> for VAULT statements
+  wal truncate         checkpoint the store and truncate the WAL
   cache init           initialize the LLM cache
   blob init            initialize blob storage
   doctor               run diagnostics
@@ -206,6 +208,27 @@ class Shell:
                 return "WAL: disabled (start with --wal-dir)"
             return (f"WAL: {wal.path} ({wal.size_bytes()} bytes, "
                     f"sync={wal.sync_mode})")
+        elif lower == "wal truncate":
+            wal = self.router.store._wal
+            if wal is None:
+                return "WAL: disabled (start with --wal-dir)"
+            if not self.wal_dir:
+                return "WAL: no --wal-dir; cannot checkpoint"
+            # checkpoint-then-truncate: state is snapshotted first so
+            # no durability window opens
+            snap = os.path.join(self.wal_dir, "snapshot.ntpu")
+            self.router.store.save_snapshot(snap)
+            before = wal.size_bytes()
+            wal.truncate()
+            return (f"checkpointed to {snap}; WAL truncated "
+                    f"({before} -> {wal.size_bytes()} bytes)")
+        elif lower.startswith("vault identity"):
+            ident = q[len("vault identity"):].strip().strip("'\"")
+            if not ident:
+                cur = getattr(self.router, "vault_actor", None) or "root"
+                return f"vault identity: {cur}"
+            self.router.vault_actor = ident
+            return f"vault identity set to '{ident}'"
         elif lower.startswith("vault init"):
             pw = q[len("vault init"):].strip().strip("'\"")
             if not pw:
@@ -258,9 +281,34 @@ class Shell:
             for name, detail, st in checks)
 
     # ------------------------------------------------------------------
+    def complete(self, text: str, state: int) -> Optional[str]:
+        """readline tab-completion: keywords, builtins, table and
+        collection names (reference shell completion parity)."""
+        if state == 0:
+            up = text.upper()
+            cands = sorted(
+                {kw for kw in _HL_KEYWORDS if kw.startswith(up)}
+                | {b for b in ("help", "exit", "quit", "clear", "tables",
+                               "save", "load", "doctor", "wal", "vault",
+                               "cache", "blob")
+                   if b.startswith(text.lower())}
+                | {t for t in self.router.relational.list_tables()
+                   if t.startswith(text)}
+                | {c for c in self.router.vector.list_collections()
+                   if c.startswith(text)})
+            self._completions = cands
+        try:
+            return self._completions[state]
+        except IndexError:
+            return None
+
     def run(self) -> None:
         try:
-            import readline  # noqa: F401 — enables line editing
+            import readline
+
+            readline.set_completer(self.complete)
+            readline.set_completer_delims(" \t\n(),=")
+            readline.parse_and_bind("tab: complete")
         except ImportError:
             pass
         self._print(BANNER)

@@ -1,0 +1,55 @@
+"""Every statement in docs/query-language.md must actually parse.
+
+Extracts the ```sql and ```cypher blocks and runs each statement
+through the real parsers, so the reference doc can never drift from
+the implementation.
+"""
+
+import re
+from pathlib import Path
+
+DOC = Path(__file__).resolve().parent.parent / "docs" / \
+    "query-language.md"
+
+
+def _blocks(lang: str):
+    text = DOC.read_text()
+    return re.findall(rf"```{lang}\n(.*?)```", text, re.S)
+
+
+def _statements(block: str):
+    # strip full-line and trailing comments, join continuation lines
+    # (continuations are indented)
+    lines = []
+    for raw in block.splitlines():
+        line = re.sub(r"--.*$", "", raw).rstrip()
+        if not line.strip():
+            continue
+        if line[0].isspace() and lines:
+            lines[-1] += " " + line.strip()
+        else:
+            lines.append(line.strip())
+    return lines
+
+
+def test_sql_examples_parse():
+    from neumann_tpu.lang import parse
+
+    stmts = [s for b in _blocks("sql") for s in _statements(b)]
+    assert len(stmts) > 70
+    failures = []
+    for s in stmts:
+        try:
+            parse(s)
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{s}\n    -> {e}")
+    assert not failures, "\n".join(failures)
+
+
+def test_cypher_examples_parse():
+    from neumann_tpu.lang.cypher import parse_cypher
+
+    stmts = [s for b in _blocks("cypher") for s in _statements(b)]
+    assert len(stmts) >= 5
+    for s in stmts:
+        parse_cypher(s)

@@ -155,3 +155,49 @@ def test_highlight_colors_keywords_strings_numbers():
         "SELECT name FROM users WHERE age > 30 AND city = 'Sao ''P'' aulo'")
     # malformed input passes through without raising
     assert "'unterminated" in highlight("SELECT 'unterminated")
+
+
+def test_wal_truncate_builtin(tmp_path):
+    sh = Shell(wal_dir=str(tmp_path / "w"))
+    sh.execute("CREATE TABLE t (x INT)")
+    for i in range(20):
+        sh.execute(f"INSERT INTO t VALUES ({i})")
+    before = sh.router.store._wal.size_bytes()
+    out = sh.execute("wal truncate")
+    assert "truncated" in out
+    assert sh.router.store._wal.size_bytes() < before
+    # durability holds: a fresh shell over the same dir sees the rows
+    sh2 = Shell(wal_dir=str(tmp_path / "w"))
+    res = sh2.execute("SELECT COUNT(*) FROM t")
+    assert "20" in res
+
+
+def test_vault_identity_builtin():
+    sh = Shell()
+    sh.execute("vault init 'pw'")
+    assert "root" in sh.execute("vault identity")
+    sh.execute("VAULT SET 'k' 'v'")
+    sh.router.vault.grant("alice", "k")  # READ grant
+    assert "alice" in sh.execute("vault identity 'alice'")
+    assert sh.execute("VAULT GET 'k'") == "v"          # granted read
+    out = sh.execute("VAULT SET 'k' 'x'")              # no write grant
+    assert "error" in out.lower()
+    sh.execute("vault identity 'root'")
+    assert sh.execute("VAULT GET 'k'") == "v"
+
+
+def test_shell_completion():
+    sh = Shell()
+    sh.execute("CREATE TABLE customers (id INT)")
+    got = set()
+    i = 0
+    while (c := sh.complete("cust", i)) is not None:
+        got.add(c)
+        i += 1
+    assert "customers" in got
+    got = set()
+    i = 0
+    while (c := sh.complete("SEL", i)) is not None:
+        got.add(c)
+        i += 1
+    assert "SELECT" in got
