@@ -376,3 +376,85 @@ class TcpTransport:
                     s.close()
             self._pools.clear()
             self._addrs.clear()
+
+
+# ---------------------------------------------------------------------------
+# geometric transport: embedding-aware routing over any base transport
+# ---------------------------------------------------------------------------
+
+class GeometricTransport:
+    """Embedding-aware routing layer over any transport (network.rs
+    GeometricTransport trait: send_to_nearest + broadcast_to_region).
+
+    Wraps a MemoryTransport or TcpTransport; callers register peer
+    embeddings (from gossip or config) and route by cosine similarity
+    instead of by name.
+    """
+
+    def __init__(self, base):
+        self.base = base
+        self._embeddings: Dict[str, "object"] = {}
+        self._lock = threading.Lock()
+
+    def update_peer_embedding(self, peer_id: str, embedding) -> None:
+        import numpy as np
+
+        v = np.asarray(embedding, dtype=np.float32)
+        with self._lock:
+            self._embeddings[peer_id] = v
+
+    def remove_peer(self, peer_id: str) -> None:
+        with self._lock:
+            self._embeddings.pop(peer_id, None)
+
+    @staticmethod
+    def _cosine(a, b) -> float:
+        import numpy as np
+
+        na, nb = float(np.linalg.norm(a)), float(np.linalg.norm(b))
+        if na == 0.0 or nb == 0.0:
+            return 0.0
+        return float(a @ b) / (na * nb)
+
+    def nearest_peers(self, embedding, k: int = 1) -> List[str]:
+        import numpy as np
+
+        q = np.asarray(embedding, dtype=np.float32)
+        with self._lock:
+            scored = [(self._cosine(q, v), p)
+                      for p, v in self._embeddings.items()]
+        scored.sort(key=lambda sv: (-sv[0], sv[1]))
+        return [p for _, p in scored[:k]]
+
+    def send_to_nearest(self, embedding, kind: str,
+                        payload: dict) -> Optional[str]:
+        """Send to the peer whose embedding is most similar; returns the
+        chosen peer id (None when no peer is registered or send fails)."""
+        for peer in self.nearest_peers(embedding, k=len(self._embeddings)):
+            if self.base.send(peer, kind, payload):
+                return peer
+        return None
+
+    def broadcast_to_region(self, region_centroid, kind: str,
+                            payload: dict,
+                            similarity_threshold: float = 0.8) -> int:
+        """Send to every peer whose embedding is within the region
+        (cosine >= threshold); returns the delivery count."""
+        import numpy as np
+
+        c = np.asarray(region_centroid, dtype=np.float32)
+        with self._lock:
+            members = [p for p, v in self._embeddings.items()
+                       if self._cosine(c, v) >= similarity_threshold]
+        return sum(1 for p in members
+                   if self.base.send(p, kind, payload))
+
+    # passthrough so GeometricTransport satisfies the Transport surface
+    def send(self, dst: str, kind: str, payload: dict) -> bool:
+        return self.base.send(dst, kind, payload)
+
+    def recv(self, timeout: Optional[float] = 0.0) -> Optional[Message]:
+        return self.base.recv(timeout)
+
+    def broadcast(self, kind: str, payload: dict) -> int:
+        return self.base.broadcast(kind, payload)

@@ -1274,3 +1274,29 @@ def test_dst_joint_change_under_message_drops():
             converged_runs += 1
     # the change needs a live leader at tick 120; most seeds converge
     assert converged_runs >= 3, converged_runs
+
+
+def test_geometric_transport_routing():
+    from neumann_tpu.chain.transport import GeometricTransport
+
+    hub = TransportHub()
+    trs = {n: hub.register(n) for n in ("a", "b", "c", "me")}
+    geo = GeometricTransport(trs["me"])
+    geo.update_peer_embedding("a", [1.0, 0.0])
+    geo.update_peer_embedding("b", [0.7, 0.7])
+    geo.update_peer_embedding("c", [0.0, 1.0])
+
+    # nearest by cosine
+    assert geo.send_to_nearest([0.9, 0.1], "m", {"x": 1}) == "a"
+    assert trs["a"].recv().payload == {"x": 1}
+    # regional broadcast: only peers within the similarity region
+    n = geo.broadcast_to_region([1.0, 1.0], "r", {}, 0.9)
+    assert n == 1  # only b (cos=1.0); a and c are at cos≈0.707
+    assert trs["b"].recv() is not None
+    assert trs["a"].recv() is None and trs["c"].recv() is None
+    # nearest falls through dead peers to the next-best live one
+    hub.partition({"me", "c"}, {"a", "b"})
+    assert geo.send_to_nearest([0.9, 0.1], "m", {}) == "c"
+    geo.remove_peer("c")
+    hub.heal()
+    assert geo.send_to_nearest([0.0, 1.0], "m", {}) == "b"
