@@ -128,3 +128,65 @@ def test_wal_concurrent_writers(tmp_path):
 
     replayed = list(TensorWal.replay(tmp_path / "wal.log"))
     assert len(replayed) == THREADS * OPS
+
+
+# ------------------------------------------------- lock-order detection
+
+def test_lock_order_tracker_detects_inversion():
+    """Synthetic ABBA inversion must be reported even without an actual
+    deadlock occurring."""
+    from neumann_tpu.utils.lockcheck import LockOrderTracker, TrackedLock
+
+    tracker = LockOrderTracker()
+    a = TrackedLock(threading.Lock(), "lock-A", tracker)
+    b = TrackedLock(threading.Lock(), "lock-B", tracker)
+
+    def order_ab():
+        with a:
+            with b:
+                pass
+
+    def order_ba():
+        with b:
+            with a:
+                pass
+
+    t1 = threading.Thread(target=order_ab)
+    t1.start()
+    t1.join()
+    t2 = threading.Thread(target=order_ba)
+    t2.start()
+    t2.join()
+    v = tracker.violations()
+    assert len(v) == 1
+    assert {v[0]["order_a"], v[0]["order_b"]} == \
+        {("lock-A", "lock-B"), ("lock-B", "lock-A")}
+    assert "inversion" in tracker.report()
+
+
+def test_engines_have_no_lock_order_inversions():
+    """Run mixed multi-threaded engine traffic under the tracker: the
+    framework's own locks must form a consistent order."""
+    from neumann_tpu.utils.lockcheck import lock_order_tracking
+
+    with lock_order_tracking() as tracker:
+        # engines constructed INSIDE the patch so their locks are tracked
+        from neumann_tpu.router import QueryRouter
+
+        r = QueryRouter()
+        r.execute("CREATE TABLE t (x INT)")
+        r.init_vault("pw")
+
+        def work(tid):
+            for i in range(10):
+                r.execute(f"INSERT INTO t VALUES ({tid * 100 + i})")
+                r.execute(f"EMBED 'v{tid}:{i}' [1.0, {float(i)}]")
+                r.execute(f"NODE CREATE n {{tid: {tid}}}")
+                r.execute("SELECT COUNT(*) FROM t")
+                r.execute(f"VAULT SET 's{tid}' 'v'")
+            r.execute(f"SIMILAR 'v{tid}:0' TOP 2")
+
+        run_threads(work)
+    # the tracker must have actually seen nested engine locks
+    assert len(tracker.edges) >= 3, tracker.edges
+    assert not tracker.violations(), tracker.report()
