@@ -433,5 +433,10 @@ class Cluster(Statement):
 
 
 @dataclass
+class Explain(Statement):
+    inner: Optional[Statement] = None
+
+
+@dataclass
 class Empty(Statement):
     pass

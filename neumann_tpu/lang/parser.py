@@ -246,6 +246,9 @@ class _Parser:
         self.next()
         return handler()
 
+    def _stmt_explain(self) -> ast.Statement:
+        return ast.Explain(inner=self.statement())
+
     # -- SQL ----------------------------------------------------------------
     def _stmt_select(self) -> ast.Statement:
         distinct = bool(self.accept_kw("DISTINCT"))

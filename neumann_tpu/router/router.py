@@ -1138,5 +1138,88 @@ class QueryRouter:
             return QueryResult.msg("disconnected")
         raise NeumannError(f"cluster action {s.action} unsupported")
 
+    def _exec_explain(self, s: ast.Explain) -> QueryResult:
+        """EXPLAIN <statement>: the execution plan, without executing.
+
+        For SELECT: access path (index vs full scan), join strategy,
+        post-steps. For SIMILAR: device scan shape — corpus size,
+        metric, quantization, selection, mask fusion. Other statements
+        report their target engine.
+        """
+        inner = s.inner
+        kind = type(inner).__name__
+        rows: List[dict] = []
+
+        def step(op: str, detail: str) -> None:
+            rows.append({"step": len(rows) + 1, "operation": op,
+                         "detail": detail})
+
+        if isinstance(inner, ast.Select):
+            tbl = self.relational._table(inner.table)  # validates
+            access = "full scan (vectorized bitmap)"
+            if inner.where is not None:
+                def _cond_cols(c):
+                    if c is None:
+                        return []
+                    out = [c.column] if c.column else []
+                    return out + _cond_cols(c.left) + _cond_cols(c.right)
+
+                for c in _cond_cols(inner.where):
+                    if c in tbl.hash_indexes:
+                        access = f"hash index on {c}"
+                        break
+                    if c in tbl.btree_indexes:
+                        access = f"btree index on {c}"
+                        break
+            step("scan", f"table '{inner.table}' "
+                 f"({self.relational.row_count(inner.table)} rows), "
+                 f"{access}")
+            for j in inner.joins or []:
+                step("join", f"{j.kind} join {j.table} on {j.on_left} = "
+                     f"{j.on_right} (hash build on smaller side)")
+            if inner.group_by:
+                step("aggregate", f"group by {', '.join(inner.group_by)}")
+            if inner.order_by:
+                step("sort", f"order by {inner.order_by}")
+            if inner.limit is not None:
+                step("limit", f"limit {inner.limit} "
+                     f"offset {inner.offset or 0}")
+        elif isinstance(inner, ast.Similar):
+            if inner.collection:
+                cfg = self.vector.collection_config(inner.collection)
+                quant = cfg.quantization
+                n = self.vector.collection_stats(
+                    inner.collection)["count"]
+                where = f"collection '{inner.collection}'"
+            else:
+                quant = "none"
+                n = self.vector.count_embeddings()
+                where = "default corpus"
+            step("scan", f"MXU matmul over {where} ({n} vectors, "
+                 f"quantization={quant}, "
+                 f"metric={inner.metric or 'cosine'})")
+            masks = []
+            if inner.where is not None:
+                masks.append("metadata predicate")
+            if inner.connected_to is not None:
+                masks.append(f"CONNECTED TO '{inner.connected_to}' "
+                             f"graph neighborhood")
+            if masks:
+                step("mask", " + ".join(masks)
+                     + " fused into scan as -inf (exact for any k)")
+            step("select", f"top-{inner.limit} "
+                 "(blockwise approx_max_k + exact cross-block merge)")
+        else:
+            engine = {
+                "Insert": "relational", "Update": "relational",
+                "Delete": "relational", "NodeCreate": "graph",
+                "EdgeCreate": "graph", "Neighbors": "graph",
+                "Path": "graph", "EmbedStore": "vector",
+                "Find": "unified", "Vault": "vault", "Cache": "cache",
+                "Blob": "blob", "Checkpoint": "checkpoint",
+            }.get(kind, "router")
+            step("execute", f"{kind} via {engine} engine")
+        return QueryResult.of_rows(rows)
+
     def _exec_empty(self, s) -> QueryResult:
         return QueryResult.msg("")

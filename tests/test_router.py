@@ -362,3 +362,30 @@ def test_query_result_cache(r):
     r.cache.clear()
     fresh = r.execute("SIMILAR 'a' TOP 2")
     assert len(fresh.results) == 2
+
+
+def test_explain_statements(r):
+    r.execute("CREATE TABLE ex (id INT PRIMARY KEY, name TEXT)")
+    r.execute("CREATE INDEX ex_name ON ex (name)")
+    for i in range(4):
+        r.execute(f"INSERT INTO ex VALUES ({i}, 'n{i}')")
+    plan = r.execute(
+        "EXPLAIN SELECT * FROM ex WHERE name = 'n1' "
+        "ORDER BY id LIMIT 2").rows
+    assert plan[0]["operation"] == "scan"
+    assert "hash index on name" in plan[0]["detail"]
+    assert [p["operation"] for p in plan] == ["scan", "sort", "limit"]
+    # unindexed column: full scan
+    full = r.execute("EXPLAIN SELECT * FROM ex WHERE id > 1").rows
+    assert "hash index on id" in full[0]["detail"]  # PK is indexed
+    # EXPLAIN must NOT execute: row count unchanged by explained insert
+    r.execute("EXPLAIN INSERT INTO ex VALUES (99, 'x')")
+    assert r.execute("SELECT COUNT(*) FROM ex").rows[0]["count(*)"] == 4
+    # similar plan shows the device-scan shape
+    r.execute("EMBED 'e1' [1.0, 0.0]")
+    sim = r.execute("EXPLAIN SIMILAR 'e1' TOP 3 "
+                    "CONNECTED TO 'x'").rows
+    ops = [p["operation"] for p in sim]
+    assert ops == ["scan", "mask", "select"]
+    assert "MXU matmul" in sim[0]["detail"]
+    assert "fused into scan" in sim[1]["detail"]
