@@ -1118,9 +1118,10 @@ class QueryRouter:
         cluster = getattr(self, "cluster", None)
         if s.action == "connect":
             return QueryResult.msg(
-                "single-process build: start nodes with "
-                "neumann_tpu.chain.cluster.ClusterOrchestrator; "
-                f"requested address {s.address!r} noted")
+                "start nodes with `neumann-tpu-node --id .. --port .. "
+                "--peers ..` and connect with "
+                "neumann_tpu.chain.node.ClusterClient"
+                f"(('host', port)); requested address {s.address!r}")
         if cluster is None:
             return QueryResult.msg("not connected to a cluster")
         if s.action == "status":

@@ -1300,3 +1300,72 @@ def test_geometric_transport_routing():
     geo.remove_peer("c")
     hub.heal()
     assert geo.send_to_nearest([0.0, 1.0], "m", {}) == "b"
+
+
+# ------------------------------------------------- TcpClusterNode
+
+def test_tcp_cluster_node_replication_and_client():
+    """Three in-process TcpClusterNodes over REAL sockets: writes route
+    to the leader, replicate to all stores, and a thin client executes
+    queries without running Raft."""
+    import time
+
+    from neumann_tpu.chain.node import ClusterClient, TcpClusterNode
+    from neumann_tpu.store.tensor_store import TensorData
+
+    cfg = RaftConfig(election_timeout_min=3, election_timeout_max=6)
+    nodes = {}
+    # bind all listeners first so peers can dial
+    for i, nid in enumerate(("n0", "n1", "n2")):
+        nodes[nid] = TcpClusterNode(nid, {}, port=0, config=cfg, seed=i)
+    addrs = {nid: n.address for nid, n in nodes.items()}
+    for nid, n in nodes.items():
+        n._peer_addrs = {p: addrs[p] for p in addrs if p != nid}
+        n.raft.voters = set(addrs)
+        n.start(tick_interval_s=0.01)
+    try:
+        deadline = time.time() + 15
+        while time.time() < deadline and not any(
+                n.is_leader() for n in nodes.values()):
+            time.sleep(0.05)
+        leader = next(n for n in nodes.values() if n.is_leader())
+        follower = next(n for n in nodes.values() if not n.is_leader())
+
+        # leader-proposed write replicates everywhere
+        assert leader.propose_put("k1", TensorData.with_values(v=1))
+        # follower write FORWARDS to the leader
+        assert follower.propose_put("k2", TensorData.with_values(v=2))
+        deadline = time.time() + 10
+        while time.time() < deadline and not all(
+                n.store.get("k2") is not None for n in nodes.values()):
+            time.sleep(0.05)
+        for nid, n in nodes.items():
+            assert n.store.get("k1").get("v").value == 1, nid
+            assert n.store.get("k2").get("v").value == 2, nid
+
+        # thin client executes statements on a node
+        client = ClusterClient(follower.address)
+        try:
+            out = client.execute("NODE CREATE city {name: 'berlin'}")
+            assert out["kind"] in ("rows", "value", "message")
+            # strong read routes to the leader: read-your-writes
+            res = client.execute("NODE LIST city", strong=True)
+            assert len(res["rows"]) == 1
+            # follower-local read converges (eventual consistency)
+            deadline = time.time() + 10
+            while time.time() < deadline:
+                if len(client.execute("NODE LIST city")["rows"]) == 1:
+                    break
+                time.sleep(0.05)
+            assert len(client.execute("NODE LIST city")["rows"]) == 1
+            # error path surfaces cleanly
+            try:
+                client.execute("BOGUS STATEMENT")
+                raise AssertionError("expected ChainError")
+            except ChainError as e:
+                assert "BOGUS" in str(e) or "unknown" in str(e)
+        finally:
+            client.close()
+    finally:
+        for n in nodes.values():
+            n.stop()

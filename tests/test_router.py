@@ -273,7 +273,7 @@ def test_chain_statements(r):
 def test_cluster_statements(r):
     out = r.execute("CLUSTER STATUS")
     assert "not connected" in out.message
-    assert "noted" in r.execute("CLUSTER CONNECT 'n2@host:1'").message
+    assert "neumann-tpu-node" in r.execute("CLUSTER CONNECT 'n2@host:1'").message
 
 
 def test_graph_algorithm_statements(r):
