@@ -1369,3 +1369,55 @@ def test_tcp_cluster_node_replication_and_client():
     finally:
         for n in nodes.values():
             n.stop()
+
+
+def test_tcp_cluster_node_leader_failover():
+    """Kill the leader process-equivalent (stop it): survivors elect a
+    new leader and writes keep working."""
+    import time
+
+    from neumann_tpu.chain.node import TcpClusterNode
+    from neumann_tpu.store.tensor_store import TensorData
+
+    cfg = RaftConfig(election_timeout_min=3, election_timeout_max=6)
+    nodes = {}
+    for i, nid in enumerate(("n0", "n1", "n2")):
+        nodes[nid] = TcpClusterNode(nid, {}, port=0, config=cfg, seed=i)
+    addrs = {nid: n.address for nid, n in nodes.items()}
+    for nid, n in nodes.items():
+        n._peer_addrs = {p: addrs[p] for p in addrs if p != nid}
+        n.raft.voters = set(addrs)
+        n.start(tick_interval_s=0.01)
+    try:
+        deadline = time.time() + 15
+        while time.time() < deadline and not any(
+                n.is_leader() for n in nodes.values()):
+            time.sleep(0.05)
+        leader = next(n for n in nodes.values() if n.is_leader())
+        assert leader.propose_put("before", TensorData.with_values(v=1))
+        deadline = time.time() + 10
+        while time.time() < deadline and any(
+                n.store.get("before") is None for n in nodes.values()):
+            time.sleep(0.05)
+
+        # kill the leader; survivors must elect a replacement
+        leader.stop()
+        survivors = [n for n in nodes.values() if n is not leader]
+        deadline = time.time() + 20
+        while time.time() < deadline and not any(
+                n.is_leader() for n in survivors):
+            time.sleep(0.05)
+        new_leader = next(n for n in survivors if n.is_leader())
+        assert new_leader is not leader
+        assert new_leader.propose_put("after",
+                                      TensorData.with_values(v=2))
+        other = next(n for n in survivors if n is not new_leader)
+        deadline = time.time() + 10
+        while time.time() < deadline and other.store.get("after") is None:
+            time.sleep(0.05)
+        assert other.store.get("after").get("v").value == 2
+        assert other.store.get("before").get("v").value == 1
+    finally:
+        for n in nodes.values():
+            if not n._stop.is_set():
+                n.stop()
