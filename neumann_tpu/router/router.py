@@ -168,6 +168,26 @@ class QueryRouter:
             return out
         stmt = parse(query)
         kind = type(stmt).__name__
+        cc = getattr(self, "cluster_client", None)
+        if cc is not None and not isinstance(stmt, (ast.Cluster,
+                                                    ast.Empty)):
+            t0 = _time.perf_counter()
+            try:
+                remote = cc.execute(query, strong=True)
+            except Exception:
+                self.metrics.record(kind,
+                                    (_time.perf_counter() - t0) * 1e3,
+                                    error=True, query=query)
+                raise
+            self.metrics.record(kind, (_time.perf_counter() - t0) * 1e3,
+                                query=query)
+            return QueryResult(
+                kind=remote.get("kind", "message"),
+                message=remote.get("message") or "",
+                rows=remote.get("rows") or [],
+                count=remote.get("count"),
+                results=remote.get("hits") or [],
+                value=remote.get("value"))
         t0 = _time.perf_counter()
         cached = self._try_cache_get(kind, query)
         if cached is not None:
@@ -1117,11 +1137,35 @@ class QueryRouter:
     def _exec_cluster(self, s: ast.Cluster) -> QueryResult:
         cluster = getattr(self, "cluster", None)
         if s.action == "connect":
+            # become a gateway: subsequent statements forward to the
+            # cluster node at this address (reference: shell CLUSTER
+            # CONNECT routes queries through the cluster)
+            from neumann_tpu.chain.node import ClusterClient
+
+            addr = (s.address or "").rpartition("@")[2]  # drop 'id@'
+            host, _, port = addr.rpartition(":")
+            if not host or not port.isdigit():
+                raise NeumannError(
+                    f"CLUSTER CONNECT expects '[id@]host:port', got "
+                    f"{s.address!r}")
+            try:
+                self.cluster_client = ClusterClient((host, int(port)))
+            except OSError as e:
+                raise NeumannError(
+                    f"cannot reach cluster node at {addr}: {e}") from e
             return QueryResult.msg(
-                "start nodes with `neumann-tpu-node --id .. --port .. "
-                "--peers ..` and connect with "
-                "neumann_tpu.chain.node.ClusterClient"
-                f"(('host', port)); requested address {s.address!r}")
+                f"connected to cluster node at {s.address}; statements "
+                "now execute on the cluster (CLUSTER DISCONNECT to "
+                "detach)")
+        if s.action == "disconnect":
+            cc = getattr(self, "cluster_client", None)
+            if cc is not None:
+                cc.close()
+                self.cluster_client = None
+            was = cluster is not None or cc is not None
+            self.cluster = None
+            return QueryResult.msg("disconnected" if was
+                                   else "not connected to a cluster")
         if cluster is None:
             return QueryResult.msg("not connected to a cluster")
         if s.action == "status":
@@ -1134,9 +1178,6 @@ class QueryRouter:
                 for nid, n in cluster.nodes.items()])
         if s.action == "leader":
             return QueryResult.of_value(cluster.leader())
-        if s.action == "disconnect":
-            self.cluster = None
-            return QueryResult.msg("disconnected")
         raise NeumannError(f"cluster action {s.action} unsupported")
 
     def _exec_explain(self, s: ast.Explain) -> QueryResult:

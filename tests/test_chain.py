@@ -1421,3 +1421,54 @@ def test_tcp_cluster_node_leader_failover():
         for n in nodes.values():
             if not n._stop.is_set():
                 n.stop()
+
+
+def test_cluster_connect_gateway():
+    """CLUSTER CONNECT turns a shell/router into a cluster gateway:
+    statements execute on the cluster, all nodes converge."""
+    import time
+
+    from neumann_tpu.chain.node import TcpClusterNode
+    from neumann_tpu.router import QueryRouter
+
+    cfg = RaftConfig(election_timeout_min=3, election_timeout_max=6)
+    nodes = {}
+    for i, nid in enumerate(("n0", "n1", "n2")):
+        nodes[nid] = TcpClusterNode(nid, {}, port=0, config=cfg, seed=i)
+    addrs = {nid: n.address for nid, n in nodes.items()}
+    for nid, n in nodes.items():
+        n._peer_addrs = {p: addrs[p] for p in addrs if p != nid}
+        n.raft.voters = set(addrs)
+        n.start(tick_interval_s=0.01)
+    try:
+        deadline = time.time() + 15
+        while time.time() < deadline and not any(
+                n.is_leader() for n in nodes.values()):
+            time.sleep(0.05)
+
+        r = QueryRouter()
+        host, port = nodes["n0"].address
+        out = r.execute(f"CLUSTER CONNECT '{host}:{port}'")
+        assert "connected" in out.message
+        assert "created" in r.execute(
+            "CREATE TABLE gw (x INT)").message
+        r.execute("INSERT INTO gw VALUES (7)")
+        rows = r.execute("SELECT * FROM gw").rows
+        assert rows == [{"_id": 0, "x": 7}]
+        # the gateway's LOCAL store stayed empty: work ran remotely
+        assert len(r.store) == 0
+        # every cluster node applied the statements
+        deadline = time.time() + 10
+        while time.time() < deadline and not all(
+                n.store.get("table:gw:0") is not None
+                for n in nodes.values()):
+            time.sleep(0.05)
+        for n in nodes.values():
+            assert n.store.get("_schema:gw") is not None
+        assert "disconnected" in r.execute("CLUSTER DISCONNECT").message
+        # detached: statements run locally again
+        r.execute("CREATE TABLE local_t (y INT)")
+        assert len(r.store) > 0
+    finally:
+        for n in nodes.values():
+            n.stop()

@@ -273,7 +273,10 @@ def test_chain_statements(r):
 def test_cluster_statements(r):
     out = r.execute("CLUSTER STATUS")
     assert "not connected" in out.message
-    assert "neumann-tpu-node" in r.execute("CLUSTER CONNECT 'n2@host:1'").message
+    # unreachable address -> clean error, no half-connected state
+    with pytest.raises(NeumannError):
+        r.execute("CLUSTER CONNECT 'n2@127.0.0.1:1'")
+    assert "not connected" in r.execute("CLUSTER DISCONNECT").message
 
 
 def test_graph_algorithm_statements(r):
