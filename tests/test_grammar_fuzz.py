@@ -1,0 +1,118 @@
+"""Grammar-based generative fuzzing: random VALID statements.
+
+Complements tests/test_fuzz.py (hostile garbage): here a seeded
+generator emits structurally random but grammatically plausible
+statements and runs them against one long-lived router. The invariant
+is the reference's fuzzing-suite contract — anything may be refused
+with a clean NeumannError, but nothing may raise an internal exception
+or corrupt the store (checked by replaying queries after the storm).
+"""
+
+import numpy as np
+import pytest
+
+from neumann_tpu.router import QueryRouter
+from neumann_tpu.utils.errors import NeumannError
+
+TYPES = ("INT", "FLOAT", "TEXT", "BOOL")
+OPS = ("=", "!=", "<", "<=", ">", ">=")
+
+
+class Gen:
+    def __init__(self, seed: int):
+        self.rng = np.random.default_rng(seed)
+        self.tables = []
+        self.nodes = []
+        self.keys = []
+
+    def ident(self):
+        return "t" + "".join(
+            self.rng.choice(list("abcdefgh"), 3))
+
+    def value(self, typ):
+        r = self.rng
+        if typ == "INT":
+            return str(int(r.integers(-1000, 1000)))
+        if typ == "FLOAT":
+            return f"{float(r.normal()):.4f}"
+        if typ == "BOOL":
+            return "TRUE" if r.random() < 0.5 else "FALSE"
+        s = "".join(r.choice(list("xyz' _")) for _ in range(
+            int(r.integers(0, 8)))).replace("'", "''")
+        return f"'{s}'"
+
+    def condition(self, cols):
+        name, typ = cols[int(self.rng.integers(0, len(cols)))]
+        return f"{name} {self.rng.choice(OPS)} {self.value(typ)}"
+
+    def statement(self):
+        r = self.rng
+        roll = r.random()
+        if roll < 0.15 or not self.tables:
+            name = self.ident()
+            cols = [(f"c{i}", str(r.choice(TYPES)))
+                    for i in range(int(r.integers(1, 5)))]
+            self.tables.append((name, cols))
+            body = ", ".join(f"{n} {t}" for n, t in cols)
+            return f"CREATE TABLE {name} ({body})"
+        table, cols = self.tables[int(r.integers(0, len(self.tables)))]
+        if roll < 0.40:
+            vals = ", ".join(self.value(t) for _, t in cols)
+            return f"INSERT INTO {table} VALUES ({vals})"
+        if roll < 0.55:
+            return (f"SELECT * FROM {table} WHERE "
+                    f"{self.condition(cols)} LIMIT "
+                    f"{int(r.integers(1, 20))}")
+        if roll < 0.62:
+            n, t = cols[int(r.integers(0, len(cols)))]
+            return (f"UPDATE {table} SET {n} = {self.value(t)} "
+                    f"WHERE {self.condition(cols)}")
+        if roll < 0.68:
+            return f"DELETE FROM {table} WHERE {self.condition(cols)}"
+        if roll < 0.76:
+            label = self.ident()
+            self.nodes.append(label)
+            return (f"NODE CREATE {label} {{v: "
+                    f"{int(r.integers(0, 100))}}}")
+        if roll < 0.82 and self.nodes:
+            a = int(r.integers(0, 50))
+            b = int(r.integers(0, 50))
+            return f"EDGE CREATE {a} -> {b} : rel"
+        if roll < 0.90:
+            key = f"k{int(r.integers(0, 40))}"
+            self.keys.append(key)
+            vec = ", ".join(f"{float(x):.3f}"
+                            for x in r.normal(size=4))
+            return f"EMBED '{key}' [{vec}]"
+        if self.keys:
+            key = self.keys[int(r.integers(0, len(self.keys)))]
+            metric = str(r.choice(["COSINE", "EUCLIDEAN", "DOT",
+                                   "MANHATTAN", "COMPOSITE",
+                                   "WEIGHTED_JACCARD"]))
+            return (f"SIMILAR '{key}' TOP {int(r.integers(1, 8))} "
+                    f"METRIC {metric}")
+        return f"SELECT COUNT(*) FROM {table}"
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_grammar_fuzz_storm(seed):
+    gen = Gen(seed)
+    r = QueryRouter()
+    executed = failed = 0
+    for _ in range(400):
+        stmt = gen.statement()
+        try:
+            r.execute(stmt)
+            executed += 1
+        except NeumannError:
+            failed += 1  # clean refusal is fine
+        # anything else (TypeError, KeyError, ...) fails the test
+    assert executed > 250, (executed, failed)
+    # the store survived the storm: every table still answers queries
+    for table, _cols in gen.tables:
+        res = r.execute(f"SELECT COUNT(*) FROM {table}")
+        assert res.rows[0]["count(*)"] >= 0
+    # and the device corpus is still consistent
+    if gen.keys:
+        hits = r.execute(f"SIMILAR '{gen.keys[-1]}' TOP 3")
+        assert hits.results is not None
