@@ -10,8 +10,7 @@ Quantizing a block's delta to its nearest code both compresses history
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import Dict, List, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

@@ -25,7 +25,6 @@ from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
 from neumann_tpu.chain.raft import RaftConfig, RaftNode
-from neumann_tpu.chain.transport import Message
 
 
 @dataclass

@@ -14,7 +14,6 @@ plus fused validity/predicate masks, matching the single-chip kernels.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

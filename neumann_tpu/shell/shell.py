@@ -12,7 +12,6 @@ from __future__ import annotations
 import os
 import re
 import sys
-import time
 from typing import List, Optional
 
 from neumann_tpu.router import QueryResult, QueryRouter

@@ -19,7 +19,7 @@ from __future__ import annotations
 import threading
 import traceback
 from contextlib import contextmanager
-from typing import Dict, List, Optional, Set, Tuple
+from typing import Dict, List, Tuple
 
 _local = threading.local()
 
