@@ -23,6 +23,7 @@ from neumann_tpu.chain import (
     classify_pairwise,
 )
 from neumann_tpu.chain.block import compute_state_root
+from neumann_tpu.chain.raft import LogEntry
 from neumann_tpu.chain.cluster import ClusterOrchestrator
 from neumann_tpu.chain.consensus import merge_orthogonal
 from neumann_tpu.chain.dst import DSTHarness, FaultAction
@@ -1472,3 +1473,75 @@ def test_cluster_connect_gateway():
     finally:
         for n in nodes.values():
             n.stop()
+
+
+# --------------------------------------------- mutation-hardening units
+
+def test_raft_protocol_precise_behaviors():
+    """Exact protocol obligations caught weak by mutation testing."""
+    cfg = RaftConfig(election_timeout_min=2, election_timeout_max=2,
+                     pre_vote=False)
+    n = RaftNode("a", ["a", "b", "c"], cfg, seed=1)
+    # election increments the term by EXACTLY one
+    t0 = n.term
+    n.tick(); n.tick()
+    assert n.state == "candidate" and n.term == t0 + 1
+
+    # a granted vote makes it leader; add_learner initializes the
+    # learner's next_index to EXACTLY last_index + 1
+    n.handle(Message("vote_resp", "b", "a",
+                     {"term": n.term, "granted": True}))
+    assert n.state == "leader"
+    n.propose({"x": 1})
+    n.propose_config_change("add_learner", "d")
+    assert n.next_index["d"] == n.last_index() + 1
+    assert n.match_index["d"] == 0
+
+
+def test_raft_append_consistency_check_exact():
+    """Log-matching: an append whose prev_term MISMATCHES must be
+    rejected (success=False); a matching one at the same index must be
+    accepted. Guards the inverted-comparison and forced-success
+    mutants."""
+    f = RaftNode("f", ["f", "l"], RaftConfig(), seed=2)
+    # seed the follower with one entry at term 1
+    r = f.handle(Message("append_entries", "l", "f", {
+        "term": 1, "prev_index": 0, "prev_term": 0,
+        "entries": [{"term": 1, "payload": {"v": 1}}],
+        "leader_commit": 0}))
+    assert r[0].payload["success"] is True and r[0].payload["match"] == 1
+    # mismatching prev_term at prev_index=1 -> MUST reject
+    r = f.handle(Message("append_entries", "l", "f", {
+        "term": 2, "prev_index": 1, "prev_term": 9,
+        "entries": [{"term": 2, "payload": {"v": 2}}],
+        "leader_commit": 0}))
+    assert r[0].payload["success"] is False
+    assert f.last_index() == 1  # nothing appended
+    # matching prev_term at the same index -> accepted
+    r = f.handle(Message("append_entries", "l", "f", {
+        "term": 2, "prev_index": 1, "prev_term": 1,
+        "entries": [{"term": 2, "payload": {"v": 2}}],
+        "leader_commit": 0}))
+    assert r[0].payload["success"] is True and f.last_index() == 2
+
+
+def test_raft_pre_vote_grant_conditions_exact():
+    """Pre-vote must be denied when the term is not ahead OR the
+    candidate's log is stale (guards the and->or mutant)."""
+    v = RaftNode("v", ["v", "c"], RaftConfig(), seed=3)
+    v._elapsed = v.config.election_timeout_min  # no live leader
+    v.log.append(LogEntry(1, {"x": 1}))
+    v.term = 1
+
+    def pre(term, last_index, last_term):
+        return v.handle(Message("pre_vote_req", "c", "v", {
+            "term": term, "last_index": last_index,
+            "last_term": last_term}))[0].payload["granted"]
+
+    assert pre(2, 1, 1) is True          # ahead + up-to-date
+    assert pre(1, 1, 1) is False         # term not ahead
+    assert pre(2, 0, 0) is False         # stale log
+    # live leader known and recently heard from -> denied
+    v.leader_id = "c"
+    v._elapsed = 0
+    assert pre(2, 1, 1) is False

@@ -267,3 +267,32 @@ def test_weighted_jaccard_metric(rng):
     s2, _ = topk_scan(jnp.asarray(b), jnp.asarray(a), 1,
                       "weighted_jaccard")
     assert abs(float(s2[0, 0]) - 1.0) < 1e-6
+
+
+def test_composite_unnormalized_weights(rng):
+    """Weights that do NOT sum to 1 must still normalize (the /total
+    term is live — caught by mutation testing)."""
+    c = rng.standard_normal((40, 8)).astype(np.float32)
+    q = rng.standard_normal((1, 8)).astype(np.float32)
+    s1, i1 = topk_scan(jnp.asarray(c), jnp.asarray(q), 40, "composite",
+                       weights=(1.0, 0.6, 0.4))
+    s2, i2 = topk_scan(jnp.asarray(c), jnp.asarray(q), 40, "composite",
+                       weights=(0.5, 0.3, 0.2))
+    # same ratios -> identical normalized scores
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-6)
+    # and the scores stay in [0, 1] (unnormalized sums would exceed 1)
+    assert float(jnp.max(s1)) <= 1.0 + 1e-6
+
+
+def test_blockwise_underfilled_mask_sentinels(rng):
+    """Blockwise path with fewer valid rows than k: losers must carry
+    index -1 and score -inf (caught by mutation testing)."""
+    c = rng.standard_normal((300, 8)).astype(np.float32)
+    mask = np.zeros(300, bool)
+    mask[7] = mask[205] = True  # 2 valid rows, k=5, multiple blocks
+    s, i = topk_scan(jnp.asarray(c), jnp.asarray(c[7:8]), 5, "cosine",
+                     mask=jnp.asarray(mask), block_rows=64)
+    idx = np.asarray(i[0])
+    assert set(idx[:2]) == {7, 205}
+    assert np.all(idx[2:] == -1)
+    assert np.all(np.isneginf(np.asarray(s[0])[2:]))

@@ -38,46 +38,55 @@ _BOOL_SWAPS = {ast.And: ast.Or, ast.Or: ast.And}
 
 
 class _MutationFinder(ast.NodeVisitor):
-    """Collect every (node path, description) where one mutation applies."""
+    """Collect every mutation site. Each site carries an occurrence
+    ordinal so two sites of the same kind on one line stay distinct
+    when the mutant is re-applied to a fresh parse."""
 
     def __init__(self):
-        self.sites = []  # (lineno, kind, apply_fn description)
+        self.sites = []  # (lineno, kind, node, extra, ordinal)
+        self._counts = {}
+
+    def _add(self, lineno, kind, node, extra):
+        key = (lineno, kind, extra)
+        ordinal = self._counts.get(key, 0)
+        self._counts[key] = ordinal + 1
+        self.sites.append((lineno, kind, node, extra, ordinal))
 
     def visit_Compare(self, node: ast.Compare):
         for i, op in enumerate(node.ops):
             if type(op) in _COMPARE_SWAPS:
-                self.sites.append((node.lineno, "compare", node, i))
+                self._add(node.lineno, "compare", node, i)
         self.generic_visit(node)
 
     def visit_BinOp(self, node: ast.BinOp):
         if type(node.op) in _BINOP_SWAPS:
-            self.sites.append((node.lineno, "binop", node, None))
+            self._add(node.lineno, "binop", node, None)
         self.generic_visit(node)
 
     def visit_BoolOp(self, node: ast.BoolOp):
         if type(node.op) in _BOOL_SWAPS:
-            self.sites.append((node.lineno, "boolop", node, None))
+            self._add(node.lineno, "boolop", node, None)
         self.generic_visit(node)
 
     def visit_Constant(self, node: ast.Constant):
         if isinstance(node.value, bool):
-            self.sites.append((getattr(node, "lineno", 0), "bool-const",
-                               node, None))
+            self._add(getattr(node, "lineno", 0), "bool-const", node,
+                      None)
         elif isinstance(node.value, int) and 0 < abs(node.value) < 1000:
-            self.sites.append((node.lineno, "int-const", node, None))
+            self._add(node.lineno, "int-const", node, None)
         self.generic_visit(node)
 
 
 def _apply(site, tree_src: str) -> str:
     """Re-parse and apply the i-th mutation site (indices are stable for
     the same source)."""
-    lineno, kind, _node, extra = site
+    lineno, kind, _node, extra, ordinal = site
     tree = ast.parse(tree_src)
     finder = _MutationFinder()
     finder.visit(tree)
-    # find the matching site in the fresh tree by position
     for s in finder.sites:
-        if s[0] == lineno and s[1] == kind and s[3] == extra:
+        if s[0] == lineno and s[1] == kind and s[3] == extra \
+                and s[4] == ordinal:
             node = s[2]
             break
     else:
@@ -96,7 +105,7 @@ def _apply(site, tree_src: str) -> str:
 
 
 def _describe(site) -> str:
-    lineno, kind, node, extra = site
+    lineno, kind, node, extra, _ordinal = site
     if kind == "compare":
         op = type(node.ops[extra]).__name__
         return f"line {lineno}: {op} -> {_COMPARE_SWAPS[type(node.ops[extra])].__name__}"
