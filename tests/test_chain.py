@@ -1545,3 +1545,46 @@ def test_raft_pre_vote_grant_conditions_exact():
     v.leader_id = "c"
     v._elapsed = 0
     assert pre(2, 1, 1) is False
+
+
+def test_2pc_commit_requires_every_vote():
+    """The coordinator must stay PREPARING until EVERY participant has
+    voted yes — a first-vote commit would be a consistency bug
+    (mutation-found gap)."""
+    coord = TwoPhaseCoordinator("c")
+    tx_id, prepares = coord.begin({"p1": [{"op": "put", "key": "a"}],
+                                   "p2": [{"op": "put", "key": "b"}],
+                                   "p3": [{"op": "put", "key": "c"}]})
+    assert len(prepares) == 3
+    # first yes vote: still preparing, no commit messages
+    out = coord.handle(Message("tx_vote", "p1", "c",
+                               {"tx": tx_id, "ok": True}))
+    assert out == [] and coord.state_of(tx_id) == "preparing"
+    out = coord.handle(Message("tx_vote", "p2", "c",
+                               {"tx": tx_id, "ok": True}))
+    assert out == [] and coord.state_of(tx_id) == "preparing"
+    # the FINAL vote commits and fans out exactly one commit per node
+    out = coord.handle(Message("tx_vote", "p3", "c",
+                               {"tx": tx_id, "ok": True}))
+    assert coord.state_of(tx_id) == "committed"
+    assert sorted(m.dst for m in out) == ["p1", "p2", "p3"]
+    assert all(m.kind == "tx_commit" for m in out)
+
+
+def test_2pc_participant_abort_releases_locks():
+    """tx_abort (and ONLY tx_abort) drops staged state and locks."""
+    from neumann_tpu.store.tensor_store import TensorStore
+
+    store = TensorStore()
+    part = TwoPhaseParticipant("p", store)
+    part.handle(Message("tx_prepare", "c", "p", {
+        "tx": "t1", "ops": [{"op": "put", "key": "k",
+                             "fields": {"v": 1}}]}))
+    assert part.locks.owner_of("k") == "t1"
+    # unknown message kinds are ignored and do NOT release anything
+    assert part.handle(Message("tx_noise", "c", "p", {"tx": "t1"})) == []
+    assert part.locks.owner_of("k") == "t1"
+    out = part.handle(Message("tx_abort", "c", "p", {"tx": "t1"}))
+    assert out[0].kind == "tx_ack"
+    assert part.locks.owner_of("k") is None
+    assert store.get("k") is None  # nothing applied
