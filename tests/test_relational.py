@@ -316,3 +316,60 @@ def test_query_timeout():
     # explicit zero-ish timeout trips on a scan
     with pytest.raises(RelationalError):
         eng.select("t", timeout_s=-1.0)
+
+
+# --------------------------------------------- mutation-hardening units
+
+def test_btree_range_boundary_strictness():
+    """Indexed < / <= / > / >= must respect boundary in/exclusion
+    exactly (mutation-found gap in the btree fast path)."""
+    eng = RelationalEngine()
+    eng.create_table("b", [Column("v", "int")])
+    eng.create_btree_index("b", "v")
+    for v in (1, 2, 3, 4, 5):
+        eng.insert("b", {"v": v})
+    got = lambda c: sorted(r["v"] for r in eng.select("b", c))
+    assert got(C.cmp("v", "<", 3)) == [1, 2]
+    assert got(C.cmp("v", "<=", 3)) == [1, 2, 3]
+    assert got(C.cmp("v", ">", 3)) == [4, 5]
+    assert got(C.cmp("v", ">=", 3)) == [3, 4, 5]
+
+
+def test_foreign_key_to_row_id_zero():
+    """_id 0 is a valid FK target (off-by-one mutation gap)."""
+    eng = RelationalEngine()
+    eng.create_table("parents", [Column("name", "text")])
+    eng.create_table("kids", [
+        Column("name", "text"),
+        Column("parent", "int",
+               references=ForeignKey("parents", "_id"))])
+    eng.insert("parents", {"name": "p0"})  # row id 0
+    eng.insert("kids", {"name": "k", "parent": 0})  # must be accepted
+    assert eng.row_count("kids") == 1
+    with pytest.raises(RelationalError):
+        eng.insert("kids", {"name": "k2", "parent": 99})
+
+
+def test_update_set_null_and_float_null_selects():
+    eng = RelationalEngine()
+    eng.create_table("n", [Column("x", "float"), Column("s", "text")])
+    eng.insert("n", {"x": 1.5, "s": "a"})
+    eng.update("n", C.eq("s", "a"), {"x": None})
+    row = eng.select("n")[0]
+    assert row["x"] is None          # nulled float reads back as NULL
+    assert eng.count("n", C.is_null("x")) == 1
+    eng.update("n", None, {"x": 2.5})
+    assert eng.select("n")[0]["x"] == 2.5
+
+
+def test_group_by_avg_min_max():
+    eng = RelationalEngine()
+    eng.create_table("g", [Column("grp", "text"), Column("v", "int")])
+    for grp, v in (("a", 1), ("a", 3), ("b", 10)):
+        eng.insert("g", {"grp": grp, "v": v})
+    rows = eng.group_by("g", ["grp"], [("avg", "v", "avg_v"),
+                                       ("min", "v", "min_v"),
+                                       ("max", "v", "max_v")])
+    by = {r["grp"]: r for r in rows}
+    assert by["a"]["avg_v"] == 2.0 and by["a"]["min_v"] == 1
+    assert by["a"]["max_v"] == 3 and by["b"]["avg_v"] == 10.0
