@@ -296,3 +296,44 @@ def test_blockwise_underfilled_mask_sentinels(rng):
     assert set(idx[:2]) == {7, 205}
     assert np.all(idx[2:] == -1)
     assert np.all(np.isneginf(np.asarray(s[0])[2:]))
+
+
+def test_int8_euclidean_matches_oracle(rng):
+    """int8 euclidean WITHOUT precomputed norms (the cn2-recompute
+    branch; mutation-found gap)."""
+    from neumann_tpu.ops.quant import scalar_quantize
+
+    c = rng.standard_normal((200, 16)).astype(np.float32)
+    q = rng.standard_normal((2, 16)).astype(np.float32)
+    cq, cs = scalar_quantize(jnp.asarray(c))
+    s, i = int8_topk_scan(cq, cs, jnp.asarray(q), 5, "euclidean")
+    # oracle on the dequantized corpus AND dequantized query (the scan
+    # quantizes queries too; q-quantization error is ~0.3% relative)
+    deq = np.asarray(cq, np.float32) * np.asarray(cs)[:, None]
+    qq, qs = scalar_quantize(jnp.asarray(q))
+    dq = np.asarray(qq, np.float32) * np.asarray(qs)[:, None]
+    for qi in range(2):
+        d = np.linalg.norm(deq - q[qi][None, :], axis=1)
+        exp_idx = np.argsort(d)[:5]
+        np.testing.assert_array_equal(np.asarray(i[qi]), exp_idx)
+        d2 = np.sqrt(np.maximum(
+            np.sum(dq[qi] ** 2) - 2 * deq[np.asarray(i[qi])] @ dq[qi]
+            + np.sum(deq[np.asarray(i[qi])] ** 2, axis=1), 0))
+        np.testing.assert_allclose(np.asarray(s[qi]), -d2, rtol=1e-4,
+                                   atol=1e-4)
+
+
+def test_hamming_blockwise_with_padding(rng):
+    """Blockwise hamming with n NOT a multiple of block_rows exercises
+    the pad branch (mutation-found gap)."""
+    from neumann_tpu.ops.quant import binary_quantize, hamming_topk
+
+    c = rng.standard_normal((150, 64)).astype(np.float32)
+    q = c[33:36]  # Q=3: not a power of two, catches shape mutants
+    cb = binary_quantize(jnp.asarray(c))
+    qb = binary_quantize(jnp.asarray(q))
+    s_blk, i_blk = hamming_topk(cb, qb, 4, block_rows=64)  # 150 = 2*64+22
+    s_flat, i_flat = hamming_topk(cb, qb, 4, block_rows=512)
+    np.testing.assert_array_equal(np.asarray(i_blk), np.asarray(i_flat))
+    np.testing.assert_array_equal(np.asarray(s_blk), np.asarray(s_flat))
+    assert [int(i_blk[j, 0]) for j in range(3)] == [33, 34, 35]
