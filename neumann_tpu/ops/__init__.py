@@ -19,4 +19,6 @@ from neumann_tpu.ops.quant import (  # noqa: F401
     binary_quantize,
     hamming_topk,
     int8_topk_scan,
+    int8_pooled_topk,
+    int8_cosine_row_mult,
 )

@@ -219,6 +219,136 @@ def int8_topk_scan(
 
 
 # ---------------------------------------------------------------------------
+# pooled-bits cosine scan (the fastest int8 path on TPU)
+# ---------------------------------------------------------------------------
+
+def _pick_pool_blocks(n: int, k: int, pool: int, block_rows: int):
+    """Largest power-of-two pool <= `pool` that divides n with n/pool >= k,
+    plus an even block split. Returns (pool, g_per_block, nblocks) or None
+    when no pooled layout fits (caller falls back to the plain scan)."""
+    p = 1 << (max(pool, 1).bit_length() - 1)   # round down to a power of 2
+    while p >= 8:
+        if n % p == 0 and n // p >= k:
+            break
+        p //= 2
+    else:
+        return None
+    g_total = n // p
+    g_target = max(1, min(g_total, block_rows // p))
+    nblocks = max(1, g_total // g_target)
+    while g_total % nblocks:
+        nblocks += 1
+    return p, g_total // nblocks, nblocks
+
+
+def int8_pooled_topk(
+    corpus_q: jnp.ndarray,
+    corpus_scale: jnp.ndarray,
+    queries: jnp.ndarray,
+    k: int,
+    pool: int = 4096,
+    block_rows: int = 1 << 20,
+    mask: Optional[jnp.ndarray] = None,
+    n_valid=None,
+    row_mult: Optional[jnp.ndarray] = None,
+):
+    """Cosine top-k over an int8 corpus via the pooled-bits scan.
+
+    The fastest selection scheme measured on v5e (677 GB/s at Q=256 vs 658
+    for per-block ``lax.approx_max_k`` and 208 for exact ``lax.top_k``):
+
+    1. ``dot_general(qq [Q,d], corpus [G, pool, d]) -> [Q, G, pool]`` —
+       pooling expressed as a free dot dimension so XLA fuses the reduce
+       into the matmul consumer instead of materializing scores (a
+       reshape-then-reduce materializes [Q, B] and collapses to ~420 GB/s).
+    2. scores are shifted to [1, 3), bitcast to int32, and the low
+       log2(pool) mantissa bits are replaced by the within-pool row index:
+       positive-float ordering == int ordering, so ONE max per pool carries
+       both the (slightly truncated) score and its argmax.
+    3. an exact ``lax.top_k`` over the tiny [Q, N/pool] candidate matrix
+       recovers global rows.
+
+    Exactness: per-row scores are exact up to int8 quantization and
+    ~2^(10-log2(pool)) relative mantissa truncation; the only recall loss
+    is two true top-k rows sharing a pool (expected loss ~ C(k,2)/(N/pool)
+    per result — 0.2% at N=10M, pool=4096, k=10). Replaces the reference's
+    SIMD scan loop (vector_engine/src/lib.rs:2144-2168) and its HNSW
+    approximate path (tensor_store/src/hnsw.rs:1845-2238) in one shot.
+
+    Requires n % pool == 0 and n/pool >= k (use ``_pick_pool_blocks`` /
+    fall back to ``int8_topk_scan`` otherwise). ``mask``/``n_valid`` rows
+    are excluded exactly. Cosine only.
+    """
+    queries = _as2d(queries).astype(jnp.float32)
+    n, d = corpus_q.shape
+    picked = _pick_pool_blocks(n, k, pool, block_rows)
+    if picked is None:
+        raise ValueError(
+            f"no pooled layout for n={n}, k={k}, pool<={pool}")
+    pool, g, nblocks = picked
+
+    if row_mult is None:
+        cn2 = corpus_sqnorms(corpus_q, corpus_scale)
+        row_mult = _row_multiplier(corpus_scale, cn2, "cosine")
+    qq, q_scale = scalar_quantize(queries)
+    q_norm2 = jnp.sum((qq.astype(jnp.float32) * q_scale[:, None]) ** 2,
+                      axis=1, keepdims=True)
+    q_inv = lax.rsqrt(jnp.maximum(q_norm2, 1e-30))
+    qmult = jnp.where(q_norm2 > 0, q_scale[:, None] * q_inv, 0.0)
+
+    block_rows = g * pool
+    corpus_b = corpus_q.reshape(nblocks, g, pool, d)
+    rm_b = row_mult.reshape(nblocks, g, pool)
+    mask_b = (None if mask is None
+              else mask.reshape(nblocks, g, pool))
+    nv = None if n_valid is None else jnp.asarray(n_valid, jnp.int32)
+
+    def step(carry, xs):
+        if mask_b is None:
+            bi, block3, rm2 = xs
+            bm = None
+        else:
+            bi, block3, rm2, bm = xs
+        dots = lax.dot_general(
+            qq, block3,
+            dimension_numbers=(((1,), (2,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+        s = dots * qmult[:, :, None] * rm2[None, :, :] + 2.0
+        pi = lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        bits = (lax.bitcast_convert_type(s, jnp.int32) & ~(pool - 1)) | pi
+        alive = None
+        if nv is not None:
+            gi = lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            alive = (bi * block_rows + gi * pool + pi) < nv
+        if bm is not None:
+            alive = bm[None, :, :] if alive is None \
+                else alive & bm[None, :, :]
+        if alive is not None:
+            bits = jnp.where(alive, bits, 0)
+        return carry, jnp.max(bits, axis=2)
+
+    xs = (jnp.arange(nblocks, dtype=jnp.int32), corpus_b, rm_b)
+    if mask_b is not None:
+        xs = xs + (mask_b,)
+    _, allbits = lax.scan(step, 0, xs)
+    allbits = jnp.swapaxes(allbits, 0, 1).reshape(queries.shape[0], -1)
+    tb, pos = lax.top_k(allbits, k)
+    local = tb & (pool - 1)
+    score = lax.bitcast_convert_type(tb & ~(pool - 1), jnp.float32) - 2.0
+    rows = pos * pool + local
+    dead = tb == 0
+    return (jnp.where(dead, NEG_INF, score),
+            jnp.where(dead, -1, rows).astype(jnp.int32))
+
+
+def int8_cosine_row_mult(corpus_q, corpus_scale):
+    """Precompute the per-row cosine multiplier for int8_pooled_topk."""
+    return _row_multiplier(corpus_scale,
+                           corpus_sqnorms(corpus_q, corpus_scale),
+                           "cosine")
+
+
+# ---------------------------------------------------------------------------
 # binary (1-bit) quantization
 # ---------------------------------------------------------------------------
 

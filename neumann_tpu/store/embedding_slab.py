@@ -171,6 +171,14 @@ class EmbeddingSlab:
 
             q, scale = jax.jit(scalar_quantize)(emb)
             out = (q, scale, valid)
+        elif mode == "int8c":
+            import jax
+
+            from neumann_tpu.ops.quant import int8_cosine_row_mult
+
+            q, scale, valid = self.quantized_view("int8")
+            rmult = jax.jit(int8_cosine_row_mult)(q, scale)
+            out = (q, scale, rmult, valid)
         elif mode == "binary":
             import jax
 

@@ -1,0 +1,152 @@
+"""Tests for the pooled-bits int8 cosine scan (ops.quant.int8_pooled_topk)
+and its engine routing.
+
+Golden-oracle strategy per SURVEY.md §4: compare against the exact fp32
+NumPy/int8 scan on random corpora; pooling's only legitimate miss is two
+true top-k rows sharing a pool, so recall thresholds are set from the
+collision odds of each configuration.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from neumann_tpu.ops.quant import (
+    _pick_pool_blocks,
+    int8_pooled_topk,
+    int8_topk_scan,
+    scalar_quantize,
+)
+
+
+def _random_corpus(n, d, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    q, scale = scalar_quantize(jnp.asarray(x))
+    return x, q, scale
+
+
+class TestPickPoolBlocks:
+    def test_divisible(self):
+        assert _pick_pool_blocks(1 << 20, 10, 4096, 1 << 20) == \
+            (4096, 256, 1)
+
+    def test_reduces_pool_for_small_n(self):
+        pool, g, nb = _pick_pool_blocks(1024, 10, 4096, 1 << 20)
+        assert pool <= 102 and 1024 % pool == 0 and 1024 // pool >= 10
+        assert g * nb * pool == 1024
+
+    def test_none_when_k_too_big(self):
+        assert _pick_pool_blocks(64, 60, 4096, 1 << 20) is None
+
+    def test_non_power_of_two_n(self):
+        assert _pick_pool_blocks(1001, 10, 4096, 1 << 20) is None
+
+    def test_block_split_even(self):
+        pool, g, nb = _pick_pool_blocks(1 << 18, 10, 256, 1 << 15)
+        assert pool == 256
+        assert g * nb == (1 << 18) // 256
+        assert (1 << 18) % nb == 0
+
+
+class TestPooledTopk:
+    def test_matches_exact_int8_scan(self):
+        n, d, k = 8192, 64, 10
+        x, cq, scale = _random_corpus(n, d)
+        queries = jnp.asarray(
+            np.random.default_rng(7).normal(size=(8, d)).astype(np.float32))
+        es, ei = int8_topk_scan(cq, scale, queries, k, "cosine")
+        ps, pi = int8_pooled_topk(cq, scale, queries, k, pool=64)
+        ei, pi = np.asarray(ei), np.asarray(pi)
+        es, ps = np.asarray(es), np.asarray(ps)
+        recalls = [len(set(ei[r].tolist()) & set(pi[r].tolist())) / k
+                   for r in range(8)]
+        # 128 pools, k=10 -> expected loss ~ C(10,2)/128/10 = 3.5%
+        assert np.mean(recalls) >= 0.85
+        # scores of agreeing ids match up to mantissa truncation (6 low
+        # bits cleared at pool=64 -> ~1e-6 on [1,3)) + fp noise
+        for r in range(8):
+            common = set(ei[r].tolist()) & set(pi[r].tolist())
+            for cid in common:
+                e = es[r][list(ei[r]).index(cid)]
+                p = ps[r][list(pi[r]).index(cid)]
+                assert abs(e - p) < 5e-4
+
+    def test_top1_always_found(self):
+        # the global argmax can never collide away
+        n, d, k = 4096, 32, 5
+        x, cq, scale = _random_corpus(n, d, seed=3)
+        queries = jnp.asarray(
+            np.random.default_rng(9).normal(size=(4, d)).astype(np.float32))
+        _, ei = int8_topk_scan(cq, scale, queries, 1, "cosine")
+        _, pi = int8_pooled_topk(cq, scale, queries, k, pool=128)
+        for r in range(4):
+            assert int(np.asarray(ei)[r, 0]) == int(np.asarray(pi)[r, 0])
+
+    def test_mask_excludes_rows(self):
+        n, d, k = 2048, 32, 8
+        x, cq, scale = _random_corpus(n, d, seed=5)
+        queries = jnp.asarray(x[:3])  # self-queries
+        mask = np.ones(n, bool)
+        mask[:3] = False              # exclude the exact matches
+        ps, pi = int8_pooled_topk(cq, scale, queries, k, pool=64,
+                                  mask=jnp.asarray(mask))
+        pi = np.asarray(pi)
+        assert not (set(pi.ravel().tolist()) & {0, 1, 2})
+
+    def test_n_valid_excludes_tail(self):
+        n, d, k = 2048, 32, 8
+        x, cq, scale = _random_corpus(n, d, seed=6)
+        queries = jnp.asarray(x[-2:])  # tail rows are the best matches
+        ps, pi = int8_pooled_topk(cq, scale, queries, k, pool=64,
+                                  n_valid=n - 2)
+        pi = np.asarray(pi)
+        assert pi.max() < n - 2
+
+    def test_fewer_valid_than_k(self):
+        n, d, k = 512, 16, 8
+        x, cq, scale = _random_corpus(n, d, seed=8)
+        mask = np.zeros(n, bool)
+        mask[:3] = True
+        queries = jnp.asarray(x[:1])
+        ps, pi = int8_pooled_topk(cq, scale, queries, k, pool=16,
+                                  mask=jnp.asarray(mask))
+        ps, pi = np.asarray(ps), np.asarray(pi)
+        assert (pi[0] >= 0).sum() <= 3
+        assert np.isneginf(ps[0][pi[0] < 0]).all()
+
+    def test_raises_without_layout(self):
+        x, cq, scale = _random_corpus(1001, 16)
+        with pytest.raises(ValueError):
+            int8_pooled_topk(cq, scale, jnp.asarray(x[:1]), 10)
+
+
+class TestEnginePooledRouting:
+    def test_collection_search_uses_pooled(self, monkeypatch):
+        monkeypatch.setenv("NEUMANN_POOLED_MIN_ROWS", "512")
+        monkeypatch.setenv("NEUMANN_POOLED_MIN_POOLS", "4")
+        from neumann_tpu.engines.vector import (
+            VectorCollectionConfig,
+            VectorEngine,
+        )
+        from neumann_tpu.store.tensor_store import TensorStore
+
+        eng = VectorEngine(TensorStore())
+        eng.create_collection("docs", VectorCollectionConfig(
+            dimension=16, quantization="int8"))
+        rng = np.random.default_rng(11)
+        base = np.eye(16, dtype=np.float32)
+        for i in range(1000):
+            v = base[i % 16] * 4.0 + rng.normal(size=16).astype(
+                np.float32) * 0.05
+            eng.store_in_collection("docs", f"doc{i}", v)
+        # capacity 1024, 1000 valid rows: dense enough for the pooled
+        # path; k=2 needs max(4, 8)=8 pools and pick gives 1024/128=8
+        res = eng.search_in_collection("docs", base[3] * 4.0, top_k=2,
+                                       metric="cosine")
+        assert len(res) == 2
+        # all results should be docs congruent to 3 mod 16
+        for r in res:
+            assert int(r.key[3:]) % 16 == 3
+            assert r.score > 0.9
