@@ -188,7 +188,11 @@ class GraphEngine(GraphAlgorithmsMixin):
         with self._lock:
             self._check_unique(label, properties, exclude=None)
             self._check_exists_constraints(label, properties)
+            # reserve the id NOW: the put hook also bumps via max() (for
+            # WAL-replay rebuilds), but waiting for it would let two
+            # threads allocate the same id and overwrite each other
             nid = self._next_node
+            self._next_node = nid + 1
         data = TensorData()
         data.set("_label", TensorValue.scalar(label))
         for k, v in properties.items():
@@ -278,7 +282,10 @@ class GraphEngine(GraphAlgorithmsMixin):
                 raise GraphError(f"no node {src}")
             if dst not in self._nodes:
                 raise GraphError(f"no node {dst}")
+            # reserved here, not in the hook, for the same reason as
+            # create_node: concurrent allocators must never collide
             eid = self._next_edge
+            self._next_edge = eid + 1
         data = TensorData()
         data.set("_src", TensorValue.scalar(src))
         data.set("_dst", TensorValue.scalar(dst))

@@ -63,6 +63,31 @@ def load() -> Optional[ctypes.CDLL]:
         lib.nn_rle_decode.restype = ctypes.c_size_t
         lib.nn_rle_decode.argtypes = [u8p, ctypes.c_size_t, u8p,
                                       ctypes.c_size_t]
+        cp = ctypes.c_char_p
+        lib.nn_oki_new.restype = ctypes.c_void_p
+        lib.nn_oki_new.argtypes = []
+        lib.nn_oki_free.restype = None
+        lib.nn_oki_free.argtypes = [ctypes.c_void_p]
+        lib.nn_oki_insert.restype = ctypes.c_int
+        lib.nn_oki_insert.argtypes = [ctypes.c_void_p, cp,
+                                      ctypes.c_size_t]
+        lib.nn_oki_remove.restype = ctypes.c_int
+        lib.nn_oki_remove.argtypes = [ctypes.c_void_p, cp,
+                                      ctypes.c_size_t]
+        lib.nn_oki_len.restype = ctypes.c_size_t
+        lib.nn_oki_len.argtypes = [ctypes.c_void_p]
+        lib.nn_oki_count_prefix.restype = ctypes.c_size_t
+        lib.nn_oki_count_prefix.argtypes = [ctypes.c_void_p, cp,
+                                            ctypes.c_size_t]
+        lib.nn_oki_scan_prefix.restype = ctypes.c_size_t
+        lib.nn_oki_scan_prefix.argtypes = [ctypes.c_void_p, cp,
+                                           ctypes.c_size_t, cp,
+                                           ctypes.c_size_t]
+        lib.nn_oki_scan_range.restype = ctypes.c_size_t
+        lib.nn_oki_scan_range.argtypes = [ctypes.c_void_p, cp,
+                                          ctypes.c_size_t, cp,
+                                          ctypes.c_size_t, ctypes.c_int,
+                                          cp, ctypes.c_size_t]
         _lib = lib
         return _lib
 

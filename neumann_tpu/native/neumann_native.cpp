@@ -11,8 +11,140 @@
 #include <cstdint>
 #include <cstring>
 #include <cstddef>
+#include <mutex>
+#include <new>
+#include <set>
+#include <string>
+
+// ---------------------------------------------------------------------
+// OrderedKeyIndex: 16-way sharded ordered key sets.
+//
+// The reference's MetadataSlab is 16 sharded BTreeMaps routed by the
+// first key byte with ordered iteration (tensor_store/src/
+// metadata_slab.rs). Here the shard is the HIGH NIBBLE of the first
+// byte, so concatenating shards 0..15 in order yields global
+// lexicographic order without a merge. Values stay in the Python dict;
+// this index makes ordered prefix/range scans O(log n + m).
+// ---------------------------------------------------------------------
+
+namespace {
+
+struct OrderedKeyIndex {
+    std::set<std::string> shards[16];
+    std::mutex mu;
+
+    static size_t shard_of(const char* key, size_t len) {
+        return len ? ((unsigned char)key[0]) >> 4 : 0;
+    }
+};
+
+// Smallest string strictly greater than every string with prefix p
+// (empty => unbounded). Handles trailing 0xFF by shortening.
+static std::string prefix_end(const std::string& p) {
+    std::string e = p;
+    while (!e.empty() && (unsigned char)e.back() == 0xFF) e.pop_back();
+    if (!e.empty()) e.back() = (char)((unsigned char)e.back() + 1);
+    return e;  // empty => no upper bound
+}
+
+// Walk keys in [lo, hi) (hi empty+unbounded=false means empty string
+// bound; use unbounded flag). Appends newline-joined keys to out (up
+// to cap) and returns the total byte length required.
+static size_t collect(OrderedKeyIndex* ix, const std::string& lo,
+                      const std::string& hi, bool unbounded,
+                      char* out, size_t cap) {
+    size_t need = 0;
+    size_t lo_shard = lo.empty() ? 0 : OrderedKeyIndex::shard_of(
+        lo.data(), lo.size());
+    size_t hi_shard = unbounded ? 15 : (hi.empty() ? 0 :
+        OrderedKeyIndex::shard_of(hi.data(), hi.size()));
+    for (size_t s = lo_shard; s <= hi_shard && s < 16; s++) {
+        auto& set = ix->shards[s];
+        auto it = lo.empty() ? set.begin() : set.lower_bound(lo);
+        for (; it != set.end(); ++it) {
+            if (!unbounded && *it >= hi) break;
+            size_t klen = it->size();
+            if (out && need + klen + 1 <= cap) {
+                std::memcpy(out + need, it->data(), klen);
+                out[need + klen] = '\n';
+            }
+            need += klen + 1;
+        }
+    }
+    return need;
+}
+
+}  // namespace
 
 extern "C" {
+
+void* nn_oki_new() {
+    return new (std::nothrow) OrderedKeyIndex();
+}
+
+void nn_oki_free(void* h) {
+    delete (OrderedKeyIndex*)h;
+}
+
+int nn_oki_insert(void* h, const char* key, size_t len) {
+    auto* ix = (OrderedKeyIndex*)h;
+    std::lock_guard<std::mutex> g(ix->mu);
+    return ix->shards[OrderedKeyIndex::shard_of(key, len)]
+        .emplace(key, len).second ? 1 : 0;
+}
+
+int nn_oki_remove(void* h, const char* key, size_t len) {
+    auto* ix = (OrderedKeyIndex*)h;
+    std::lock_guard<std::mutex> g(ix->mu);
+    return ix->shards[OrderedKeyIndex::shard_of(key, len)]
+        .erase(std::string(key, len)) ? 1 : 0;
+}
+
+size_t nn_oki_len(void* h) {
+    auto* ix = (OrderedKeyIndex*)h;
+    std::lock_guard<std::mutex> g(ix->mu);
+    size_t n = 0;
+    for (auto& s : ix->shards) n += s.size();
+    return n;
+}
+
+size_t nn_oki_count_prefix(void* h, const char* p, size_t plen) {
+    auto* ix = (OrderedKeyIndex*)h;
+    std::lock_guard<std::mutex> g(ix->mu);
+    std::string lo(p, plen), hi = prefix_end(lo);
+    size_t n = 0;
+    size_t lo_shard = lo.empty() ? 0 : OrderedKeyIndex::shard_of(
+        lo.data(), lo.size());
+    size_t hi_shard = hi.empty() ? 15 : OrderedKeyIndex::shard_of(
+        hi.data(), hi.size());
+    for (size_t s = lo_shard; s <= hi_shard && s < 16; s++) {
+        auto& set = ix->shards[s];
+        auto it = lo.empty() ? set.begin() : set.lower_bound(lo);
+        auto end = hi.empty() ? set.end() : set.lower_bound(hi);
+        for (; it != end; ++it) n++;
+    }
+    return n;
+}
+
+// Two-call protocol: returns total bytes of newline-joined keys with
+// the given prefix; fills out up to cap bytes when out != NULL.
+size_t nn_oki_scan_prefix(void* h, const char* p, size_t plen,
+                          char* out, size_t cap) {
+    auto* ix = (OrderedKeyIndex*)h;
+    std::lock_guard<std::mutex> g(ix->mu);
+    std::string lo(p, plen), hi = prefix_end(lo);
+    return collect(ix, lo, hi, hi.empty(), out, cap);
+}
+
+// Range [lo, hi); pass hi_unbounded=1 to scan to the end.
+size_t nn_oki_scan_range(void* h, const char* lo, size_t lolen,
+                         const char* hi, size_t hilen, int hi_unbounded,
+                         char* out, size_t cap) {
+    auto* ix = (OrderedKeyIndex*)h;
+    std::lock_guard<std::mutex> g(ix->mu);
+    return collect(ix, std::string(lo, lolen), std::string(hi, hilen),
+                   hi_unbounded != 0, out, cap);
+}
 
 // ---------------------------------------------------------------------
 // CRC32 (IEEE, zlib-compatible), table-driven

@@ -1,0 +1,167 @@
+"""Ordered key index: the TPU build's MetadataSlab.
+
+The reference stores metadata in 16-way sharded BTreeMaps routed by the
+first key byte with ordered iteration (tensor_store/src/metadata_slab.rs).
+Here values live in the TensorStore dict; this index keeps the KEYS
+ordered so prefix/range scans are O(log n + m) instead of
+sort-the-whole-map per scan.
+
+Two implementations behind one class:
+
+* native: C++ sharded ``std::set`` (neumann_tpu/native), called via
+  ctypes with the GIL released — shard is the high nibble of the first
+  byte so concatenating shards yields global lexicographic order.
+* fallback: 16 bisect-maintained sorted lists with the same sharding.
+"""
+
+from __future__ import annotations
+
+import bisect
+import threading
+from typing import List, Optional
+
+from neumann_tpu import native
+
+
+def _shard_of(key: str) -> int:
+    return (key.encode("utf-8", "surrogatepass")[0] >> 4) if key else 0
+
+
+def _prefix_end(prefix: bytes) -> bytes:
+    """Smallest byte string > every string with this prefix ('' = none)."""
+    e = prefix.rstrip(b"\xff")
+    if not e:
+        return b""
+    return e[:-1] + bytes([e[-1] + 1])
+
+
+class OrderedKeyIndex:
+    """Sharded ordered set of string keys with prefix/range scans."""
+
+    def __init__(self, use_native: Optional[bool] = None):
+        if use_native is None:
+            use_native = native.available()
+        self._lib = native.load() if use_native else None
+        if self._lib is not None:
+            self._h = self._lib.nn_oki_new()
+            if not self._h:  # pragma: no cover - allocation failure
+                self._lib = None
+        if self._lib is None:
+            self._shards: List[List[bytes]] = [[] for _ in range(16)]
+            self._lock = threading.Lock()
+
+    @property
+    def is_native(self) -> bool:
+        return self._lib is not None
+
+    def __del__(self):  # pragma: no cover - interpreter teardown order
+        try:
+            if self._lib is not None and self._h:
+                self._lib.nn_oki_free(self._h)
+                self._h = None
+        except Exception:
+            pass
+
+    # -- mutation ---------------------------------------------------------
+    def insert(self, key: str) -> bool:
+        b = key.encode("utf-8", "surrogatepass")
+        if self._lib is not None:
+            return bool(self._lib.nn_oki_insert(self._h, b, len(b)))
+        with self._lock:
+            shard = self._shards[b[0] >> 4 if b else 0]
+            i = bisect.bisect_left(shard, b)
+            if i < len(shard) and shard[i] == b:
+                return False
+            shard.insert(i, b)
+            return True
+
+    def remove(self, key: str) -> bool:
+        b = key.encode("utf-8", "surrogatepass")
+        if self._lib is not None:
+            return bool(self._lib.nn_oki_remove(self._h, b, len(b)))
+        with self._lock:
+            shard = self._shards[b[0] >> 4 if b else 0]
+            i = bisect.bisect_left(shard, b)
+            if i < len(shard) and shard[i] == b:
+                shard.pop(i)
+                return True
+            return False
+
+    def clear(self) -> None:
+        if self._lib is not None:
+            self._lib.nn_oki_free(self._h)
+            self._h = self._lib.nn_oki_new()
+            return
+        with self._lock:
+            self._shards = [[] for _ in range(16)]
+
+    # -- queries ----------------------------------------------------------
+    def __len__(self) -> int:
+        if self._lib is not None:
+            return int(self._lib.nn_oki_len(self._h))
+        with self._lock:
+            return sum(len(s) for s in self._shards)
+
+    def count_prefix(self, prefix: str = "") -> int:
+        b = prefix.encode("utf-8", "surrogatepass")
+        if self._lib is not None:
+            return int(self._lib.nn_oki_count_prefix(self._h, b, len(b)))
+        hi = _prefix_end(b)
+        with self._lock:
+            return self._count_range_locked(b, hi, not hi)
+
+    def scan_prefix(self, prefix: str = "") -> List[str]:
+        b = prefix.encode("utf-8", "surrogatepass")
+        if self._lib is not None:
+            import ctypes
+
+            need = self._lib.nn_oki_scan_prefix(self._h, b, len(b),
+                                                None, 0)
+            if need == 0:
+                return []
+            buf = ctypes.create_string_buffer(need)
+            self._lib.nn_oki_scan_prefix(self._h, b, len(b), buf, need)
+            return [k.decode("utf-8", "surrogatepass")
+                    for k in buf.raw[:need].split(b"\n")[:-1]]
+        hi = _prefix_end(b)
+        with self._lock:
+            return self._scan_range_locked(b, hi, not hi)
+
+    def scan_range(self, lo: str, hi: Optional[str] = None) -> List[str]:
+        """Keys in [lo, hi), ordered; hi=None scans to the end."""
+        lob = lo.encode("utf-8", "surrogatepass")
+        hib = b"" if hi is None else hi.encode("utf-8", "surrogatepass")
+        if self._lib is not None:
+            import ctypes
+
+            unb = 1 if hi is None else 0
+            need = self._lib.nn_oki_scan_range(
+                self._h, lob, len(lob), hib, len(hib), unb, None, 0)
+            if need == 0:
+                return []
+            buf = ctypes.create_string_buffer(need)
+            self._lib.nn_oki_scan_range(self._h, lob, len(lob), hib,
+                                        len(hib), unb, buf, need)
+            return [k.decode("utf-8", "surrogatepass")
+                    for k in buf.raw[:need].split(b"\n")[:-1]]
+        with self._lock:
+            return self._scan_range_locked(lob, hib, hi is None)
+
+    # -- fallback internals -------------------------------------------------
+    def _iter_range_locked(self, lo: bytes, hi: bytes, unbounded: bool):
+        lo_shard = (lo[0] >> 4) if lo else 0
+        hi_shard = 15 if unbounded else ((hi[0] >> 4) if hi else 0)
+        for s in range(lo_shard, min(hi_shard, 15) + 1):
+            shard = self._shards[s]
+            i = bisect.bisect_left(shard, lo) if lo else 0
+            for j in range(i, len(shard)):
+                if not unbounded and shard[j] >= hi:
+                    break
+                yield shard[j]
+
+    def _scan_range_locked(self, lo, hi, unbounded):
+        return [k.decode("utf-8", "surrogatepass")
+                for k in self._iter_range_locked(lo, hi, unbounded)]
+
+    def _count_range_locked(self, lo, hi, unbounded):
+        return sum(1 for _ in self._iter_range_locked(lo, hi, unbounded))

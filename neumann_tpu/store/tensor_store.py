@@ -152,7 +152,13 @@ class TensorStore:
     """
 
     def __init__(self):
+        from neumann_tpu.store.ordered_index import OrderedKeyIndex
+
         self._map: Dict[str, TensorData] = {}
+        # MetadataSlab equivalent: 16-way sharded ordered key index
+        # (tensor_store/src/metadata_slab.rs) so prefix/range scans are
+        # O(log n + m) instead of sorting the whole map per scan
+        self._index = OrderedKeyIndex()
         self._lock = threading.RLock()
         self._wal = None  # set by open_durable
         # listeners let engines keep device slabs in sync with raw puts
@@ -165,6 +171,7 @@ class TensorStore:
             raise StoreError("key must be a non-empty string")
         with self._lock:
             self._map[key] = data
+            self._index.insert(key)
             if self._wal is not None:
                 self._wal.log_put(key, data)
         for hook in self._put_hooks:
@@ -177,8 +184,10 @@ class TensorStore:
     def delete(self, key: str) -> bool:
         with self._lock:
             existed = self._map.pop(key, None) is not None
-            if existed and self._wal is not None:
-                self._wal.log_delete(key)
+            if existed:
+                self._index.remove(key)
+                if self._wal is not None:
+                    self._wal.log_delete(key)
         if existed:
             for hook in self._delete_hooks:
                 hook(key)
@@ -190,13 +199,18 @@ class TensorStore:
 
     def scan(self, prefix: str = "") -> List[str]:
         with self._lock:
-            return sorted(k for k in self._map if k.startswith(prefix))
+            return self._index.scan_prefix(prefix)
+
+    def scan_range(self, lo: str, hi: Optional[str] = None) -> List[str]:
+        """Ordered keys in [lo, hi); hi=None scans to the end."""
+        with self._lock:
+            return self._index.scan_range(lo, hi)
 
     def scan_count(self, prefix: str = "") -> int:
         with self._lock:
             if not prefix:
                 return len(self._map)
-            return sum(1 for k in self._map if k.startswith(prefix))
+            return self._index.count_prefix(prefix)
 
     def keys(self) -> List[str]:
         return self.scan("")
@@ -211,6 +225,7 @@ class TensorStore:
         with self._lock:
             keys = list(self._map)
             self._map.clear()
+            self._index.clear()
         if notify:
             for key in keys:
                 for hook in self._delete_hooks:
@@ -239,6 +254,9 @@ class TensorStore:
         loaded = snapshot.load(path)
         with self._lock:
             self._map = loaded
+            self._index.clear()
+            for key in loaded:
+                self._index.insert(key)
         for key, data in list(loaded.items()):
             for hook in self._put_hooks:
                 hook(key, data)
