@@ -31,8 +31,13 @@ from neumann_tpu.utils.errors import NeumannError
 class RestServer:
     def __init__(self, router: Optional[QueryRouter] = None,
                  host: str = "127.0.0.1", port: int = 0,
-                 api_keys=None):
+                 api_keys=None, grpc_web=None):
+        """grpc_web: a GrpcWebGateway (or NeumannServer, whose gateway is
+        taken) to serve browser gRPC-web traffic on this HTTP port."""
         self.router = router or QueryRouter()
+        if grpc_web is not None and hasattr(grpc_web, "web_gateway"):
+            grpc_web = grpc_web.web_gateway()
+        self._grpc_web = grpc_web
         keys = set(api_keys) if api_keys else None
         outer = self
 
@@ -80,10 +85,41 @@ class RestServer:
                     self._send(500, {"error":
                                      f"{type(e).__name__}: {e}"})
 
+            def _cors(self):
+                self.send_header("Access-Control-Allow-Origin", "*")
+                self.send_header("Access-Control-Allow-Headers",
+                                 "content-type,x-api-key,x-request-id,"
+                                 "x-grpc-web,x-user-agent")
+                self.send_header("Access-Control-Expose-Headers",
+                                 "grpc-status,grpc-message")
+
+            def do_OPTIONS(self):  # CORS preflight for grpc-web
+                self.send_response(204)
+                self._cors()
+                self.send_header("Access-Control-Allow-Methods",
+                                 "POST, GET, OPTIONS")
+                self.end_headers()
+
             def do_GET(self):
                 self._route("GET")
 
             def do_POST(self):
+                from neumann_tpu.server.grpc_web import GrpcWebGateway
+
+                ctype = self.headers.get("Content-Type")
+                if (outer._grpc_web is not None
+                        and GrpcWebGateway.is_grpc_web(ctype)):
+                    length = int(self.headers.get("Content-Length") or 0)
+                    raw = self.rfile.read(length) if length else b""
+                    body, out_type = outer._grpc_web.handle(
+                        self.path, self.headers, raw)
+                    self.send_response(200)
+                    self.send_header("Content-Type", out_type)
+                    self.send_header("Content-Length", str(len(body)))
+                    self._cors()
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
                 self._route("POST")
 
             def do_PUT(self):

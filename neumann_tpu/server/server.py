@@ -118,7 +118,8 @@ class NeumannServer:
         self._auth = _Auth(api_keys, rate_limit_per_min)
         self._server = grpc.server(
             futures.ThreadPoolExecutor(max_workers=max_workers))
-        self._server.add_generic_rpc_handlers(self._handlers())
+        self._generic_handlers = self._handlers()
+        self._server.add_generic_rpc_handlers(self._generic_handlers)
         self.tls_cert = None
         if tls:
             if tls_cert is None or tls_key is None:
@@ -139,6 +140,13 @@ class NeumannServer:
         if endpoint:
             self.enable_otlp(endpoint, float(
                 os.environ.get("NEUMANN_OTLP_INTERVAL", "15")))
+
+    def web_gateway(self):
+        """gRPC-web gateway over this server's handlers (auth/metrics
+        included); mount it on a RestServer for browser clients."""
+        from neumann_tpu.server.grpc_web import GrpcWebGateway
+
+        return GrpcWebGateway(self._generic_handlers)
 
     def enable_otlp(self, endpoint: str, interval_s: float = 15.0) -> None:
         """Periodic OTLP/HTTP push of router QueryMetrics + spans."""
