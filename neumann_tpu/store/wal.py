@@ -142,11 +142,29 @@ class TensorWal:
                 records.append(payload)
                 pos = end
         for payload in records:
-            op = payload[0]
-            (klen,) = struct.unpack_from("<I", payload, 1)
-            key = payload[5: 5 + klen].decode("utf-8")
-            if op == 0:
-                data = codec.decode_data(payload, 5 + klen)
-                yield ("put", key, data)
-            else:
-                yield ("delete", key, None)
+            yield decode_record(payload)
+
+
+def decode_record(payload: bytes) -> Tuple[str, str, "TensorData"]:
+    """Decode one CRC-valid WAL payload to (op, key, data).
+
+    A record that passes the CRC but is structurally malformed (hand-
+    crafted or bit-rotted in a way CRC32 missed) must fail with a clean
+    StoreError, never an IndexError/struct.error — found by the
+    coverage fuzzer, mirroring the reference's wal fuzz targets."""
+    try:
+        op = payload[0]
+        (klen,) = struct.unpack_from("<I", payload, 1)
+        key = payload[5: 5 + klen].decode("utf-8")
+        if len(payload) < 5 + klen:
+            raise StoreError("WAL record key truncated")
+        if op == 0:
+            return ("put", key, codec.decode_data(payload, 5 + klen))
+        if op == 1:
+            return ("delete", key, None)
+        raise StoreError(f"unknown WAL op {op}")
+    except StoreError:
+        raise
+    except Exception as e:
+        raise StoreError(f"malformed WAL record: "
+                         f"{type(e).__name__}: {e}") from e
