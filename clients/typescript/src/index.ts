@@ -9,3 +9,12 @@ export type {
 } from "./rest";
 export { NeumannGrpcClient } from "./grpc";
 export type { GrpcClientOptions } from "./grpc";
+export {
+  NeumannGrpcWebClient,
+  NeumannGrpcWebError,
+} from "./grpcweb";
+export type {
+  GrpcWebClientOptions,
+  WebQueryResult,
+  Hit,
+} from "./grpcweb";

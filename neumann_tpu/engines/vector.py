@@ -593,12 +593,17 @@ class VectorEngine:
                                             256 * 1024))
             min_pools = max(int(os.environ.get("NEUMANN_POOLED_MIN_POOLS",
                                                64)), 4 * k)
-            picked = _pick_pool_blocks(cap, k, 4096, 1 << 20)
+            pool_cap = min(4096, max(8, cap // max(min_pools, 1)))
+            picked = _pick_pool_blocks(cap, k, pool_cap, 1 << 20)
             # pooled selection returns at most one row per pool, so it
             # needs a dense corpus (valid rows cluster in the slab
-            # prefix) and plenty of pools; metadata-filtered searches
-            # keep the approx path (filters may cluster matches).
-            if (metric == "cosine" and extra_mask is None
+            # prefix) and plenty of pools. Metadata filters are computed
+            # host-side, so their density is known: selective filters
+            # (could cluster all matches into few pools) keep the approx
+            # path, dense ones ride the pooled scan.
+            filter_ok = (extra_mask is None
+                         or float(np.mean(extra_mask)) >= 0.5)
+            if (metric == "cosine" and filter_ok
                     and used >= pooled_min and used * 2 >= cap
                     and picked and cap // picked[0] >= min_pools):
                 # pooled-bits scan: fastest cosine path at scale

@@ -23,7 +23,12 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from neumann_tpu.ops.scan import topk_scan
-from neumann_tpu.ops.quant import int8_topk_scan
+from neumann_tpu.ops.quant import (
+    _pick_pool_blocks,
+    _row_multiplier,
+    int8_pooled_topk,
+    int8_topk_scan,
+)
 from neumann_tpu.utils.shapes import round_up
 
 
@@ -55,10 +60,27 @@ def make_sharded_topk(mesh: Mesh, k: int, metric: str = "cosine",
               sqnorm_shard=None):
         rows = corpus_shard.shape[0]
         if quantized:
-            s, i = int8_topk_scan(corpus_shard, scale_shard, queries, k,
-                                  metric, mask_shard,
-                                  block_rows=block_rows,
-                                  corpus_sqnorm=sqnorm_shard)
+            # bound the pool so there are >= 4k pools (pooled selection
+            # returns at most one row per pool)
+            pool_cap = min(4096, max(8, rows // (4 * k)))
+            picked = (metric == "cosine"
+                      and _pick_pool_blocks(rows, k, pool_cap,
+                                            block_rows))
+            if picked and rows // picked[0] >= 4 * k:
+                # shard-local pooled-bits scan (same kernel as the
+                # single-chip headline path); the cross-shard merge
+                # stays the exact all-gather top-k
+                rm = _row_multiplier(scale_shard, sqnorm_shard,
+                                     "cosine")
+                s, i = int8_pooled_topk(
+                    corpus_shard, scale_shard, queries, k,
+                    pool=picked[0], block_rows=block_rows,
+                    mask=mask_shard, row_mult=rm)
+            else:
+                s, i = int8_topk_scan(corpus_shard, scale_shard,
+                                      queries, k, metric, mask_shard,
+                                      block_rows=block_rows,
+                                      corpus_sqnorm=sqnorm_shard)
         else:
             s, i = topk_scan(corpus_shard, queries, k, metric, mask_shard,
                              block_rows=block_rows)
@@ -113,7 +135,10 @@ class ShardedCorpus:
         n, d = vectors.shape
         if d != self.dim:
             raise ValueError(f"dim mismatch {d} != {self.dim}")
-        rows = round_up(max(n, 1), 8 * self.n_shards)
+        # quantized shards align to 256 rows so the pooled-bits layout
+        # applies; padding rows are masked out either way
+        align = (256 if self.quantized else 8) * self.n_shards
+        rows = round_up(max(n, 1), align)
         buf = np.zeros((rows, self.dim_pad), np.float32)
         buf[:n, :d] = vectors
         m = np.zeros(rows, bool)

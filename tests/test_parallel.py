@@ -209,3 +209,26 @@ def test_shard_failure_degrades(rng):
     ex.executors["s1"] = boom
     out = ex.execute("COUNT EMBEDDINGS")
     assert out.count == 100  # two healthy shards still answer
+
+
+def test_sharded_int8_pooled_parity(rng):
+    """Large-enough shards take the pooled-bits branch; results must
+    match the exact unsharded int8 oracle up to pool collisions."""
+    import jax.numpy as jnp
+
+    from neumann_tpu.ops.quant import int8_topk_scan_jit, scalar_quantize
+
+    mesh = make_mesh(8)
+    n, d, k = 8 * 4096, 32, 5
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    sc = ShardedCorpus(mesh, d, quantized=True)
+    sc.load(vecs)
+    queries = vecs[:4]
+    s, i = sc.search(queries, k)
+    assert list(i[:, 0]) == [0, 1, 2, 3]      # self-matches always found
+    cq, scale = scalar_quantize(jnp.asarray(vecs))
+    es, ei = int8_topk_scan_jit(cq, scale, jnp.asarray(queries), k,
+                                "cosine")
+    ei = np.asarray(ei)
+    recall = np.mean([len(set(ei[r]) & set(i[r])) / k for r in range(4)])
+    assert recall >= 0.8
