@@ -842,10 +842,30 @@ class RelationalEngine:
             nn = t.nulls[column][rows]
             return t.data[column][rows][~nn].astype(np.float64)
 
+    def select_with_options(self, name: str,
+                            condition: Optional[Condition] = None,
+                            **options) -> List[Dict[str, object]]:
+        """Name parity with select_with_options
+        (relational_engine/src/lib.rs:3045); our select already takes
+        the options (columns/order_by/limit/offset/timeout_s)."""
+        return self.select(name, condition, **options)
+
     def count(self, name: str, condition: Optional[Condition] = None) -> int:
         t = self._table(name)
         with t.lock:
             return int(len(self._match_rows(t, condition)))
+
+    def count_column(self, name: str, column: str,
+                     condition: Optional[Condition] = None) -> int:
+        """COUNT(column): non-null values among matching rows
+        (relational_engine/src/lib.rs:4480-4694 count_column)."""
+        t = self._table(name)
+        with t.lock:
+            if column not in t.by_name:
+                raise RelationalError(
+                    f"no column {column} in {name}")
+            rows = self._match_rows(t, condition)
+            return int((~t.nulls[column][rows]).sum())
 
     def sum_column(self, name, column, condition=None) -> float:
         return float(self._agg_values(name, column, condition).sum())

@@ -278,3 +278,6 @@ class UnifiedEngine:
     def collect_embeddings(self, keys: Sequence[str]
                            ) -> List[Optional[np.ndarray]]:
         return [self.vector.get_entity_embedding(k) for k in keys]
+
+    # name parity with embed_batch_collect (tensor_unified/src/lib.rs)
+    embed_batch_collect = embed_batch

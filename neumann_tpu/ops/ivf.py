@@ -32,13 +32,28 @@ import numpy as np
 
 @dataclass
 class IVFConfig:
+    """Parity with IVFConfig::{flat,pq,binary}
+    (tensor_store/src/ivf.rs:61-140): per-list storage is Flat f32,
+    PQ codes (ADC scan), or packed sign bits (hamming scan)."""
+
     n_clusters: int = 64
     nprobe: int = 8
     iters: int = 20
+    storage: str = "flat"        # flat | pq | binary
+    pq_subspaces: int = 8
 
     @staticmethod
     def flat(n_clusters: int = 64) -> "IVFConfig":
         return IVFConfig(n_clusters=n_clusters)
+
+    @staticmethod
+    def pq(n_clusters: int = 64, n_subspaces: int = 8) -> "IVFConfig":
+        return IVFConfig(n_clusters=n_clusters, storage="pq",
+                         pq_subspaces=n_subspaces)
+
+    @staticmethod
+    def binary(n_clusters: int = 64) -> "IVFConfig":
+        return IVFConfig(n_clusters=n_clusters, storage="binary")
 
 
 class IVFIndex:
@@ -46,7 +61,10 @@ class IVFIndex:
         self.dim = dim
         self.config = config or IVFConfig()
         self.centroids: Optional[np.ndarray] = None  # [k, d]
-        self._reordered = None     # device [k * stride, d]
+        self._reordered = None     # device [k * stride, d] (flat)
+        self._codes = None         # device [k * stride, M] (pq)
+        self._bits = None          # device [k * stride, W] (binary)
+        self._pq = None
         self._row_ids = None       # np [k * stride] original ids (-1 pad)
         self._stride = 0
         self._n = 0
@@ -81,7 +99,21 @@ class IVFIndex:
             buf[pos] = v[row]
             ids[pos] = row
             offsets[a] += 1
-        self._reordered = jnp.asarray(buf)
+        storage = self.config.storage
+        if storage == "pq":
+            from neumann_tpu.ops.pq import PQCodebook, PQConfig
+
+            self._pq = PQCodebook(v.shape[1], PQConfig(
+                n_subspaces=self.config.pq_subspaces))
+            self._pq.train(v)
+            self._codes = jnp.asarray(
+                self._pq.encode(buf).astype(np.int32))
+        elif storage == "binary":
+            from neumann_tpu.ops.quant import binary_quantize
+
+            self._bits = jnp.asarray(binary_quantize(jnp.asarray(buf)))
+        else:
+            self._reordered = jnp.asarray(buf)
         self._row_ids = ids
         self._stride = stride
         self._n = len(v)
@@ -94,7 +126,8 @@ class IVFIndex:
         import jax.numpy as jnp
         from jax import lax
 
-        if self._reordered is None:
+        if (self._reordered is None and self._codes is None
+                and self._bits is None):
             raise ValueError("add() first")
         nprobe = min(nprobe or self.config.nprobe, len(self.centroids))
         q = np.asarray(queries, np.float32)
@@ -103,46 +136,76 @@ class IVFIndex:
         stride = self._stride
         cj = jnp.asarray(self.centroids)
         valid = jnp.asarray(self._row_ids >= 0)
+        storage = self.config.storage
 
-        @functools.partial(jax.jit, static_argnames=("k", "nprobe"))
-        def run(corpus, cents, valid, qs, k, nprobe):
+        @functools.partial(jax.jit,
+                           static_argnames=("k", "nprobe", "storage"))
+        def run(corpus, cents, valid, qs, aux, k, nprobe, storage):
             qn = qs / jnp.maximum(
                 jnp.linalg.norm(qs, axis=1, keepdims=True), 1e-30)
             cn = cents / jnp.maximum(
                 jnp.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
             _, probe = lax.top_k(qn @ cn.T, nprobe)   # [Q, nprobe]
 
-            def one_query(qvec, probes):
+            def one_query(qvec, probes, qaux):
                 def gather(cidx):
                     block = lax.dynamic_slice(
                         corpus, (cidx * stride, 0),
                         (stride, corpus.shape[1]))
                     vmask = lax.dynamic_slice(valid, (cidx * stride,),
                                               (stride,))
-                    base = cidx * stride
-                    return block, vmask, base
+                    return block, vmask, cidx * stride
                 blocks, vmasks, bases = jax.vmap(gather)(probes)
                 cand = blocks.reshape(-1, corpus.shape[1])
                 cmask = vmasks.reshape(-1)
                 pos = (bases[:, None]
                        + jnp.arange(stride)[None, :]).reshape(-1)
-                cn2 = jnp.maximum(
-                    jnp.linalg.norm(cand, axis=1), 1e-30)
-                scores = (cand @ qvec) / (
-                    cn2 * jnp.maximum(jnp.linalg.norm(qvec), 1e-30))
+                if storage == "pq":
+                    # qaux = [M, 256] ADC table; cand = int32 codes
+                    per = qaux[jnp.arange(cand.shape[1])[None, :], cand]
+                    scores = -jnp.sum(per, axis=1)
+                elif storage == "binary":
+                    # qaux = packed query bits [W]; cand = uint32 words
+                    x = lax.population_count(cand ^ qaux[None, :])
+                    scores = -jnp.sum(x.astype(jnp.int32),
+                                      axis=1).astype(jnp.float32)
+                else:
+                    cn2 = jnp.maximum(
+                        jnp.linalg.norm(cand, axis=1), 1e-30)
+                    scores = (cand @ qvec) / (
+                        cn2 * jnp.maximum(jnp.linalg.norm(qvec), 1e-30))
                 scores = jnp.where(cmask, scores, -jnp.inf)
                 kk = min(k, scores.shape[0])
                 s, i = lax.top_k(scores, kk)
                 return s, pos[i]
 
-            return jax.vmap(one_query)(qs, probe)
+            return jax.vmap(one_query)(qs, probe, aux)
 
-        s, pos = run(self._reordered, cj, valid, jnp.asarray(q), k, nprobe)
+        if storage == "pq":
+            corpus = self._codes
+            aux = jnp.asarray(np.stack(
+                [self._pq.compute_adc_table(qq) for qq in q]))
+        elif storage == "binary":
+            from neumann_tpu.ops.quant import binary_quantize
+
+            corpus = self._bits
+            aux = binary_quantize(jnp.asarray(q))
+        else:
+            corpus = self._reordered
+            aux = jnp.zeros((q.shape[0], 1), jnp.float32)
+        s, pos = run(corpus, cj, valid, jnp.asarray(q), aux, k, nprobe,
+                     storage)
         s = np.asarray(s)
         pos = np.asarray(pos)
         ids = np.where(pos >= 0, self._row_ids[np.maximum(pos, 0)], -1)
         ids = np.where(np.isneginf(s), -1, ids)
         return s, ids.astype(np.int32)
+
+    def search_with_nprobe(self, queries: np.ndarray, k: int,
+                           nprobe: int
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+        """Name parity with IVFIndex::search_with_nprobe (ivf.rs:325)."""
+        return self.search(queries, k, nprobe)
 
     @property
     def n_vectors(self) -> int:

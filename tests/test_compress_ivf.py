@@ -234,3 +234,24 @@ def test_pq_bad_dims():
     pq = PQCodebook(64, PQConfig(n_subspaces=8))
     with pytest.raises(ValueError):
         pq.encode(np.zeros((2, 64), np.float32))
+
+
+def test_ivf_pq_and_binary_storage(rng):
+    """IVFConfig::{pq,binary} parity: quantized list storage still finds
+    true neighbors through the probe + quantized-scan path."""
+    from neumann_tpu.ops.ivf import IVFConfig, IVFIndex
+
+    n, d = 600, 64
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    for cfg in (IVFConfig.pq(n_clusters=8, n_subspaces=8),
+                IVFConfig.binary(n_clusters=8)):
+        ix = IVFIndex(d, cfg)
+        ix.train(vecs)
+        ix.add(vecs)
+        s, ids = ix.search_with_nprobe(vecs[:5], 5, nprobe=8)
+        # full probe => the exact row must appear in the quantized top-5
+        for r in range(5):
+            assert r in set(ids[r].tolist()), (cfg.storage, ids[r])
+        # low nprobe still returns k live results
+        s2, ids2 = ix.search(vecs[:3], 3, nprobe=2)
+        assert (ids2 >= 0).all()
