@@ -26,6 +26,7 @@ def main():
     import jax.numpy as jnp
     from jax import lax
 
+    from neumann_tpu.ops.quant import f32_pooled_topk
     from neumann_tpu.ops.scan import topk_scan
 
     on_tpu = jax.devices()[0].platform == "tpu"
@@ -33,7 +34,7 @@ def main():
 
     results = []
 
-    def timed_chain(fn, corpus, qs, reps=(1, 4)):
+    def timed_chain(fn, corpus, qs, reps=(2, 10)):
         # corpus must be a jit ARGUMENT: closures become compile-request
         # constants and blow the remote compiler's size limit
         @functools.partial(jax.jit, static_argnames=("reps",))
@@ -44,14 +45,15 @@ def main():
                 return cur + 1e-30 * jnp.mean(s), acc + s[0, 0]
             return lax.fori_loop(0, reps, body, (qs, 0.0))[1]
 
-        float(chain(corpus, qs, reps[0]))
-        float(chain(corpus, qs, reps[1]))
-        a = time.perf_counter()
-        float(chain(corpus, qs, reps[0]))
-        t1 = time.perf_counter() - a
-        a = time.perf_counter()
-        float(chain(corpus, qs, reps[1]))
-        t2 = time.perf_counter() - a
+        def timed(r):
+            a = time.perf_counter()
+            float(chain(corpus, qs, r))
+            return time.perf_counter() - a
+
+        timed(reps[0])   # compile
+        timed(reps[1])
+        t1 = min(timed(reps[0]) for _ in range(3))
+        t2 = min(timed(reps[1]) for _ in range(3))
         return (t2 - t1) / (reps[1] - reps[0])
 
     key = jax.random.PRNGKey(0)
@@ -71,15 +73,15 @@ def main():
         "vs_reference": round(ref_s / per, 1)})
 
     # -- 2: batched 64 queries vs 1M fp32 ----------------------------------
-    n2 = 1_000_000 // scale
+    n2 = (1 << 20) // scale   # pow2 like engine slab capacities
     corpus2 = jax.random.normal(key, (n2, 768), jnp.float32)
     q2 = jax.random.normal(jax.random.PRNGKey(2), (64, 768), jnp.float32)
     per = timed_chain(
-        lambda c, qs: topk_scan(c, qs, 10, "cosine",
-                                block_rows=250_000, selection="approx"),
+        lambda c, qs: f32_pooled_topk(c, qs, 10, pool=512,
+                                      block_rows=262_144),
         corpus2, q2)
     results.append({
-        "config": f"batched 64-query top-10, {n2}x768 fp32",
+        "config": f"batched 64-query top-10, {n2}x768 fp32 (pooled)",
         "batch_ms": round(per * 1e3, 3),
         "qps": round(64 / per, 1),
         "vs_reference": round(64 * n2 * REF_NS_PER_VEC_768 / 1e9 / per,
@@ -90,7 +92,7 @@ def main():
         np.random.default_rng(0).random(n2) < 0.1)
     per = timed_chain(
         lambda c, qs: topk_scan(c, qs, 10, "cosine", mask,
-                                block_rows=250_000, selection="approx"),
+                                block_rows=262_144, selection="approx"),
         corpus2, q2)
     results.append({
         "config": f"predicate-filtered (10% pass), {n2}x768",
@@ -103,7 +105,7 @@ def main():
     nbr[np.random.default_rng(1).choice(n2, 500, replace=False)] = True
     per = timed_chain(
         lambda c, qs: topk_scan(c, qs, 10, "cosine",
-                                jnp.asarray(nbr), block_rows=250_000,
+                                jnp.asarray(nbr), block_rows=262_144,
                                 selection="approx"), corpus2, q2)
     results.append({
         "config": f"hybrid CONNECTED-TO bitmask (500 nbrs), {n2}x768",

@@ -302,6 +302,48 @@ def _jitted_int8_pooled():
 
 
 @functools.lru_cache(maxsize=None)
+def _jitted_f32_pooled():
+    import jax
+
+    from neumann_tpu.ops.quant import f32_pooled_topk
+
+    return jax.jit(f32_pooled_topk, static_argnames=("k", "pool",
+                                                     "block_rows"))
+
+
+def _pooled_pool(corpus, k: int, metric: str, extra_mask) -> Optional[int]:
+    """Gate + pool size for the pooled-bits scan, or None to fall back.
+
+    Pooled selection returns at most one row per pool, so it needs a
+    dense corpus (valid rows cluster in the slab prefix) and plenty of
+    pools. Metadata filters are computed host-side, so their density is
+    known: selective filters (which could cluster all matches into few
+    pools) keep the approx path; dense ones ride the pooled scan.
+    """
+    import os
+
+    from neumann_tpu.ops.quant import _pick_pool_blocks
+
+    if metric != "cosine":
+        return None
+    cap = corpus.slab.capacity
+    used = corpus.slab.valid_count()
+    pooled_min = int(os.environ.get("NEUMANN_POOLED_MIN_ROWS",
+                                    256 * 1024))
+    min_pools = max(int(os.environ.get("NEUMANN_POOLED_MIN_POOLS", 64)),
+                    4 * k)
+    if used < pooled_min or used * 2 < cap:
+        return None
+    if extra_mask is not None and float(np.mean(extra_mask)) < 0.5:
+        return None
+    pool_cap = min(4096, max(8, cap // max(min_pools, 1)))
+    picked = _pick_pool_blocks(cap, k, pool_cap, 1 << 20)
+    if picked and cap // picked[0] >= min_pools:
+        return picked[0]
+    return None
+
+
+@functools.lru_cache(maxsize=None)
 def _jitted_hamming():
     import jax
 
@@ -583,29 +625,8 @@ class VectorEngine:
             else:
                 scores, idx = _jitted_hamming()(bits, qbits, k, mask)
         elif quantization == "int8" and metric != "composite":
-            import os
-
-            from neumann_tpu.ops.quant import _pick_pool_blocks
-
-            cap = corpus.slab.capacity
-            used = corpus.slab.valid_count()
-            pooled_min = int(os.environ.get("NEUMANN_POOLED_MIN_ROWS",
-                                            256 * 1024))
-            min_pools = max(int(os.environ.get("NEUMANN_POOLED_MIN_POOLS",
-                                               64)), 4 * k)
-            pool_cap = min(4096, max(8, cap // max(min_pools, 1)))
-            picked = _pick_pool_blocks(cap, k, pool_cap, 1 << 20)
-            # pooled selection returns at most one row per pool, so it
-            # needs a dense corpus (valid rows cluster in the slab
-            # prefix) and plenty of pools. Metadata filters are computed
-            # host-side, so their density is known: selective filters
-            # (could cluster all matches into few pools) keep the approx
-            # path, dense ones ride the pooled scan.
-            filter_ok = (extra_mask is None
-                         or float(np.mean(extra_mask)) >= 0.5)
-            if (metric == "cosine" and filter_ok
-                    and used >= pooled_min and used * 2 >= cap
-                    and picked and cap // picked[0] >= min_pools):
+            pool = _pooled_pool(corpus, k, metric, extra_mask)
+            if pool is not None:
                 # pooled-bits scan: fastest cosine path at scale
                 # (677 GB/s vs 658 approx / 208 exact on v5e)
                 cq, cs, rmult, valid = corpus.slab.quantized_view("int8c")
@@ -613,7 +634,7 @@ class VectorEngine:
                 if extra_mask is not None:
                     mask = jnp.logical_and(mask, jnp.asarray(extra_mask))
                 scores, idx = _jitted_int8_pooled()(
-                    cq, cs, jnp.asarray(qp), k, mask=mask,
+                    cq, cs, jnp.asarray(qp), k, pool=pool, mask=mask,
                     row_mult=rmult)
             else:
                 cq, cs, valid = corpus.slab.quantized_view("int8")
@@ -623,12 +644,23 @@ class VectorEngine:
                 scores, idx = _jitted_int8_topk()(
                     cq, cs, jnp.asarray(qp), k, metric, mask)
         else:
-            emb, valid = corpus.slab.device_view()
-            mask = valid
-            if extra_mask is not None:
-                mask = jnp.logical_and(mask, jnp.asarray(extra_mask))
-            scores, idx = _jitted_topk()(
-                emb, jnp.asarray(qp), k, metric, mask)
+            pool = (_pooled_pool(corpus, k, metric, extra_mask)
+                    if quantization == "none" else None)
+            if pool is not None:
+                emb, rmult, valid = corpus.slab.quantized_view("f32c")
+                mask = valid
+                if extra_mask is not None:
+                    mask = jnp.logical_and(mask, jnp.asarray(extra_mask))
+                scores, idx = _jitted_f32_pooled()(
+                    emb, jnp.asarray(qp), k, pool=pool, mask=mask,
+                    row_mult=rmult)
+            else:
+                emb, valid = corpus.slab.device_view()
+                mask = valid
+                if extra_mask is not None:
+                    mask = jnp.logical_and(mask, jnp.asarray(extra_mask))
+                scores, idx = _jitted_topk()(
+                    emb, jnp.asarray(qp), k, metric, mask)
 
         scores = np.asarray(scores)
         idx = np.asarray(idx)

@@ -348,6 +348,86 @@ def int8_cosine_row_mult(corpus_q, corpus_scale):
                            "cosine")
 
 
+def f32_pooled_topk(
+    corpus: jnp.ndarray,
+    queries: jnp.ndarray,
+    k: int,
+    pool: int = 4096,
+    block_rows: int = 1 << 20,
+    mask: Optional[jnp.ndarray] = None,
+    n_valid=None,
+    row_mult: Optional[jnp.ndarray] = None,
+):
+    """Cosine top-k over an f32 corpus via the pooled-bits scan.
+
+    Same selection scheme as int8_pooled_topk (free-dim dot_general so
+    XLA fuses the pooled max into the matmul consumer; argmax packed in
+    the low mantissa bits), with an f32 matmul. Replaces per-block exact
+    ``lax.top_k`` (the slowest selection measured on v5e) for large
+    unquantized corpora. row_mult defaults to rsqrt of the row norms
+    (precompute it once per corpus version to skip a full extra pass).
+    """
+    queries = _as2d(queries).astype(jnp.float32)
+    n, d = corpus.shape
+    picked = _pick_pool_blocks(n, k, pool, block_rows)
+    if picked is None:
+        raise ValueError(
+            f"no pooled layout for n={n}, k={k}, pool<={pool}")
+    pool, g, nblocks = picked
+
+    if row_mult is None:
+        cn2 = jnp.sum(corpus.astype(jnp.float32) ** 2, axis=1)
+        row_mult = jnp.where(cn2 > 0,
+                             lax.rsqrt(jnp.maximum(cn2, 1e-30)), 0.0)
+    q_norm2 = jnp.sum(queries * queries, axis=1, keepdims=True)
+    qmult = jnp.where(q_norm2 > 0,
+                      lax.rsqrt(jnp.maximum(q_norm2, 1e-30)), 0.0)
+
+    block_rows = g * pool
+    corpus_b = corpus.reshape(nblocks, g, pool, d)
+    rm_b = row_mult.reshape(nblocks, g, pool)
+    mask_b = (None if mask is None
+              else mask.reshape(nblocks, g, pool))
+    nv = None if n_valid is None else jnp.asarray(n_valid, jnp.int32)
+
+    def step(carry, xs):
+        if mask_b is None:
+            bi, block3, rm2 = xs
+            bm = None
+        else:
+            bi, block3, rm2, bm = xs
+        dots = lax.dot_general(
+            queries, block3,
+            dimension_numbers=(((1,), (2,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = dots * qmult[:, :, None] * rm2[None, :, :] + 2.0
+        pi = lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        bits = (lax.bitcast_convert_type(s, jnp.int32) & ~(pool - 1)) | pi
+        alive = None
+        if nv is not None:
+            gi = lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            alive = (bi * block_rows + gi * pool + pi) < nv
+        if bm is not None:
+            alive = bm[None, :, :] if alive is None \
+                else alive & bm[None, :, :]
+        if alive is not None:
+            bits = jnp.where(alive, bits, 0)
+        return carry, jnp.max(bits, axis=2)
+
+    xs = (jnp.arange(nblocks, dtype=jnp.int32), corpus_b, rm_b)
+    if mask_b is not None:
+        xs = xs + (mask_b,)
+    _, allbits = lax.scan(step, 0, xs)
+    allbits = jnp.swapaxes(allbits, 0, 1).reshape(queries.shape[0], -1)
+    tb, pos = lax.top_k(allbits, k)
+    local = tb & (pool - 1)
+    score = lax.bitcast_convert_type(tb & ~(pool - 1), jnp.float32) - 2.0
+    rows = pos * pool + local
+    dead = tb == 0
+    return (jnp.where(dead, NEG_INF, score),
+            jnp.where(dead, -1, rows).astype(jnp.int32))
+
+
 # ---------------------------------------------------------------------------
 # binary (1-bit) quantization
 # ---------------------------------------------------------------------------

@@ -179,6 +179,18 @@ class EmbeddingSlab:
             q, scale, valid = self.quantized_view("int8")
             rmult = jax.jit(int8_cosine_row_mult)(q, scale)
             out = (q, scale, rmult, valid)
+        elif mode == "f32c":
+            import jax
+            import jax.numpy as jnp
+            from jax import lax
+
+            @jax.jit
+            def _rmult(e):
+                cn2 = jnp.sum(e * e, axis=1)
+                return jnp.where(
+                    cn2 > 0, lax.rsqrt(jnp.maximum(cn2, 1e-30)), 0.0)
+
+            out = (emb, _rmult(emb), valid)
         elif mode == "binary":
             import jax
 

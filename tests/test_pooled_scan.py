@@ -150,3 +150,52 @@ class TestEnginePooledRouting:
         for r in res:
             assert int(r.key[3:]) % 16 == 3
             assert r.score > 0.9
+
+
+class TestF32Pooled:
+    def test_matches_exact_scan(self):
+        from neumann_tpu.ops.quant import f32_pooled_topk
+        from neumann_tpu.ops.scan import topk_scan
+
+        n, d, k = 8192, 64, 10
+        rng = np.random.default_rng(21)
+        x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+        queries = jnp.asarray(
+            rng.normal(size=(6, d)).astype(np.float32))
+        es, ei = topk_scan(x, queries, k, "cosine")
+        ps, pi = f32_pooled_topk(x, queries, k, pool=64)
+        ei, pi = np.asarray(ei), np.asarray(pi)
+        es, ps = np.asarray(es), np.asarray(ps)
+        for r in range(6):
+            assert int(ei[r, 0]) == int(pi[r, 0])   # top-1 exact
+            assert abs(es[r, 0] - ps[r, 0]) < 5e-4
+        rec = np.mean([len(set(ei[r].tolist()) & set(pi[r].tolist())) / k
+                       for r in range(6)])
+        assert rec >= 0.85
+
+    def test_engine_flat_collection_pooled(self, monkeypatch):
+        monkeypatch.setenv("NEUMANN_POOLED_MIN_ROWS", "512")
+        monkeypatch.setenv("NEUMANN_POOLED_MIN_POOLS", "4")
+        from neumann_tpu.engines.vector import (
+            VectorCollectionConfig,
+            VectorEngine,
+        )
+        from neumann_tpu.store.tensor_store import TensorStore
+
+        eng = VectorEngine(TensorStore())
+        eng.create_collection("flat", VectorCollectionConfig(dimension=16))
+        rng = np.random.default_rng(13)
+        base = np.eye(16, dtype=np.float32)
+        for i in range(1000):
+            v = base[i % 16] * 4.0 + rng.normal(size=16).astype(
+                np.float32) * 0.05
+            eng.store_in_collection("flat", f"d{i}", v)
+        res = eng.search_in_collection("flat", base[5] * 4.0, top_k=2,
+                                       metric="cosine")
+        assert len(res) == 2
+        for r in res:
+            assert int(r.key[1:]) % 16 == 5 and r.score > 0.9
+        # non-cosine metric must keep the exact path and stay correct
+        res2 = eng.search_in_collection("flat", base[5] * 4.0, top_k=2,
+                                        metric="dot")
+        assert int(res2[0].key[1:]) % 16 == 5
