@@ -38,6 +38,11 @@ class RestServer:
         if grpc_web is not None and hasattr(grpc_web, "web_gateway"):
             grpc_web = grpc_web.web_gateway()
         self._grpc_web = grpc_web
+        from neumann_tpu.server.gamification import ProgressTracker
+
+        self.tracker = ProgressTracker()
+        self.router.metrics.listeners.append(
+            lambda kind, ms, err: self.tracker.record(kind, ms))
         keys = set(api_keys) if api_keys else None
         outer = self
 
@@ -52,7 +57,10 @@ class RestServer:
                 return json.loads(self.rfile.read(length) or b"{}")
 
             def _send(self, code: int, payload) -> None:
-                if isinstance(payload, str):  # pre-rendered HTML
+                if isinstance(payload, tuple):  # (body, content-type)
+                    blob = payload[0].encode("utf-8")
+                    ctype = payload[1]
+                elif isinstance(payload, str):  # pre-rendered HTML
                     blob = payload.encode("utf-8")
                     ctype = "text/html; charset=utf-8"
                 else:
@@ -146,6 +154,15 @@ class RestServer:
         if method == "GET" and parts == ["metrics"]:
             return {"statements": self.router.metrics.snapshot(),
                     "slow_queries": self.router.metrics.slow_queries()}
+        if method == "GET" and parts == ["achievements"]:
+            vec_count = sum(
+                c.count() for by_dim in
+                self.router.vector._corpora.values()
+                for c in by_dim.values())
+            self.tracker.record_embeddings(vec_count)
+            return self.tracker.snapshot()
+        if method == "GET" and parts == ["graph", "viz"]:
+            return (self._graph_svg(), "image/svg+xml")
         if method == "POST" and parts == ["query"]:
             res = self.router.execute(body["query"])
             return {"kind": res.kind, "message": res.message,
@@ -154,6 +171,49 @@ class RestServer:
         if parts and parts[0] == "collections":
             return self._collections(method, parts[1:], body)
         raise NeumannError(f"no route {method} {path}")
+
+    def _graph_svg(self, max_nodes: int = 60) -> str:
+        """Inline SVG graph visualization (the reference's web graph-viz
+        handler role): a sampled circular layout of nodes and edges."""
+        import math
+
+        g = self.router.graph
+        nodes = g.find_nodes(limit=max_nodes)
+        ids = [n["id"] for n in nodes]
+        pos = {}
+        r, cx, cy = 220, 300, 260
+        for i, nid in enumerate(ids):
+            a = 2 * math.pi * i / max(len(ids), 1)
+            pos[nid] = (cx + r * math.cos(a), cy + r * math.sin(a))
+        lines = []
+        shown = set(ids)
+        for nid in ids:
+            for eid in g._out.get(nid, [])[:20]:
+                e = g._edges.get(eid)
+                if e and e["dst"] in shown:
+                    x1, y1 = pos[nid]
+                    x2, y2 = pos[e["dst"]]
+                    lines.append(
+                        f'<line x1="{x1:.0f}" y1="{y1:.0f}" '
+                        f'x2="{x2:.0f}" y2="{y2:.0f}" '
+                        f'stroke="#33404f" stroke-width="1"/>')
+        dots = []
+        for n in nodes:
+            x, y = pos[n["id"]]
+            label = (n.get("label") or "")[:10]
+            dots.append(
+                f'<circle cx="{x:.0f}" cy="{y:.0f}" r="7" '
+                f'fill="#7dd3fc"/>'
+                f'<text x="{x + 9:.0f}" y="{y + 4:.0f}" fill="#94a3b8" '
+                f'font-size="10">{n["id"]}:{label}</text>')
+        return (
+            '<svg xmlns="http://www.w3.org/2000/svg" width="620" '
+            'height="540" style="background:#101418;font-family:'
+            'monospace">'
+            f'<text x="12" y="20" fill="#7dd3fc" font-size="14">graph '
+            f'({g.node_count()} nodes / {g.edge_count()} edges, showing '
+            f'{len(nodes)})</text>'
+            + "".join(lines) + "".join(dots) + "</svg>")
 
     def _dashboard(self) -> str:
         """Web admin status page (the reference's axum dashboard role)."""
@@ -174,6 +234,14 @@ class RestServer:
         slow = "".join(
             f"<li><code>{q['ms']} ms</code> {q['query'][:120]}</li>"
             for q in r.metrics.slow_queries()[-10:])
+        prog = self.tracker.snapshot()
+        tier_color = {"bronze": "#cd7f32", "silver": "#c0c0c0",
+                      "gold": "#fbbf24", "platinum": "#7dd3fc"}
+        badges = " ".join(
+            f'<span title="{a["description"]}" style="border:1px solid '
+            f'{tier_color[a["tier"]]};border-radius:4px;padding:2px 6px;'
+            f'color:{tier_color[a["tier"]]}">{a["name"]}</span>'
+            for a in prog["achievements"] if a["unlocked"])
         import jax
 
         dev = jax.devices()[0].platform
@@ -196,9 +264,17 @@ graph: <code>{r.graph.node_count()}</code> nodes /
 <th>max ms</th></tr>{metrics or '<tr><td colspan=5>none</td></tr>'}
 </table>
 <h2>slow queries</h2><ul>{slow or '<li>none</li>'}</ul>
+<h2>progress</h2>
+<p>level <code>{prog['level']}</code> · {prog['xp']} XP ·
+{len(prog['unlocked'])} achievements · streak
+<code>{prog['streak_days']}d</code></p>
+<p>{badges or 'no achievements yet — run a query'}</p>
+<h2>graph</h2>{self._graph_svg(40)}
 <p>JSON API: <a href="/health" style="color:#7dd3fc">/health</a> ·
 <a href="/metrics" style="color:#7dd3fc">/metrics</a> ·
-<a href="/collections" style="color:#7dd3fc">/collections</a></p>
+<a href="/collections" style="color:#7dd3fc">/collections</a> ·
+<a href="/achievements" style="color:#7dd3fc">/achievements</a> ·
+<a href="/graph/viz" style="color:#7dd3fc">/graph/viz</a></p>
 </body></html>"""
 
     def _collections(self, method: str, parts, body: dict):

@@ -52,6 +52,8 @@ class QueryMetrics:
         self.slow_threshold_ms = slow_threshold_ms
         self._slow_log_size = slow_log_size
         self._lock = threading.Lock()
+        # per-record observers, e.g. the dashboard's progress tracker
+        self.listeners: List = []
 
     def record(self, kind: str, ms: float, error: bool = False,
                query: Optional[str] = None) -> None:
@@ -65,6 +67,11 @@ class QueryMetrics:
                     self._slow = self._slow[-self._slow_log_size:]
                 log.warning("slow query (%.1f ms): %s", ms,
                             (query or kind)[:200])
+        for fn in self.listeners:
+            try:
+                fn(kind, ms, error)
+            except Exception:  # noqa: BLE001 — observers never break queries
+                pass
 
     def snapshot(self) -> Dict[str, dict]:
         with self._lock:
