@@ -112,10 +112,22 @@ class NeumannServer:
                  max_workers: int = 16,
                  tls: bool = False,
                  tls_cert: Optional[bytes] = None,
-                 tls_key: Optional[bytes] = None):
+                 tls_key: Optional[bytes] = None,
+                 memory_budget_bytes: Optional[int] = None):
+        from neumann_tpu.server.memory import (
+            MemoryBudgetConfig,
+            MemoryTracker,
+        )
+
         self.router = router or QueryRouter()
         self.host = host
         self._auth = _Auth(api_keys, rate_limit_per_min)
+        if memory_budget_bytes is None:
+            env = os.environ.get("NEUMANN_MEMORY_BUDGET")
+            memory_budget_bytes = int(env) if env else None
+        self.memory = MemoryTracker(MemoryBudgetConfig(
+            max_bytes=memory_budget_bytes)) if memory_budget_bytes \
+            else None
         self._server = grpc.server(
             futures.ThreadPoolExecutor(max_workers=max_workers))
         self._generic_handlers = self._handlers()
@@ -230,6 +242,14 @@ class NeumannServer:
         def handler(request, context):
             t0 = time.time()
             key = self._auth.check(context)
+            reserved = 0
+            if self.memory is not None and hasattr(request, "ByteSize"):
+                # request + working set estimate (memory.rs load shedding)
+                reserved = request.ByteSize() * 4 + 4096
+                if not self.memory.try_allocate(reserved):
+                    self._record(t0, True)
+                    context.abort(grpc.StatusCode.RESOURCE_EXHAUSTED,
+                                  "server over memory budget")
             try:
                 out = fn(request, context)
                 self._record(t0, False)
@@ -246,6 +266,9 @@ class NeumannServer:
                 self._auth.log(key, fn.__name__, ok=False, detail=str(e))
                 context.abort(grpc.StatusCode.INTERNAL,
                               f"{type(e).__name__}: {e}")
+            finally:
+                if reserved:
+                    self.memory.release(reserved)
         des = req_cls.FromString
         ser = resp_cls.SerializeToString
         if streaming_out and streaming_in:
