@@ -255,3 +255,31 @@ def test_ivf_pq_and_binary_storage(rng):
         # low nprobe still returns k live results
         s2, ids2 = ix.search(vecs[:3], 3, nprobe=2)
         assert (ids2 >= 0).all()
+
+
+def test_device_ivf_int8(rng):
+    """DeviceIVFInt8: host ingestion, device layout, recall vs brute."""
+    import jax.numpy as jnp
+
+    from neumann_tpu.ops.ivf import DeviceIVFInt8
+    from neumann_tpu.ops.quant import int8_topk_scan_jit, scalar_quantize
+
+    n, d, k = 4000, 64, 5
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    cq, scale = scalar_quantize(jnp.asarray(vecs))
+    cq_h, scale_h = np.asarray(cq), np.asarray(scale)
+    ix = DeviceIVFInt8(d, n_clusters=16, nprobe=16, iters=8)
+    ix.build(cq_h, scale_h, sample_rows=1000)
+    # full probe == brute force over int8: exact match expected
+    qs = vecs[:6]
+    s, ids = ix.search(qs, k, nprobe=16)
+    es, ei = int8_topk_scan_jit(cq, scale, jnp.asarray(qs), k, "cosine")
+    ei = np.asarray(ei)
+    for r in range(6):
+        # the oracle quantizes QUERIES to int8 while DeviceIVFInt8 keeps
+        # them f32, so deep ranks may flip on near-ties
+        assert len(set(ids[r].tolist()) & set(ei[r].tolist())) >= k - 1, r
+        assert ids[r][0] == ei[r][0], r
+    # low nprobe still finds the self-match (its own cluster probes first)
+    s2, ids2 = ix.search(vecs[:6], 1, nprobe=2)
+    assert list(ids2[:, 0]) == list(range(6))

@@ -127,3 +127,78 @@ def test_rest_achievements_and_viz(rest):
     r, body = _get(rest.port, "/")
     html = body.decode()
     assert "progress" in html and "<svg" in html
+
+
+def test_tier_xp_values():
+    from neumann_tpu.server.gamification import TIER_XP
+
+    p = UserProgress()
+    assert p.unlock("queries_10000") == TIER_XP["gold"] == 400
+    p2 = UserProgress()
+    assert p2.unlock("streak_30") == 1000    # platinum
+
+
+def test_streak_threshold_exact():
+    p = UserProgress()
+    for day in range(1, 8):
+        p.update_streak(day)
+    assert p.streak_days == 7 and "streak_7" in p.unlocked
+    p2 = UserProgress()
+    for day in range(1, 7):
+        p2.update_streak(day)
+    assert "streak_7" not in p2.unlocked
+
+
+def test_level_progress_math():
+    p = UserProgress()
+    p.xp = 250                      # level 2 spans [100, 300)
+    assert p.level == 2
+    lp = p.level_progress()
+    assert lp == {"level": 2, "xp": 250, "into_level": 150,
+                  "needed": 200}
+
+
+def test_query_threshold_exact():
+    t = ProgressTracker()
+    for _ in range(99):
+        t.record("Select", 5.0)
+    assert "queries_100" not in t.progress.unlocked
+    t.record("Select", 5.0)
+    assert "queries_100" in t.progress.unlocked
+
+
+def test_engine_kind_matching_exact():
+    t = ProgressTracker()
+    t.record("NotAKind", 5.0)
+    assert t.progress.engines_used == set()
+    t.record("Select", 5.0)
+    assert t.progress.engines_used == {"relational"}
+
+
+def test_embedding_threshold_exact():
+    t = ProgressTracker()
+    t.record_embeddings(999)
+    assert "embeddings_1000" not in t.progress.unlocked
+    t.record_embeddings(1000)
+    assert "embeddings_1000" in t.progress.unlocked
+
+
+def test_catalog_thresholds_recorded():
+    assert get_achievement("streak_7").threshold == 7
+    assert get_achievement("queries_100").threshold == 100
+    assert get_achievement("embeddings_1000").threshold == 1000
+
+
+def test_streak_gap_of_two_resets():
+    p = UserProgress()
+    p.update_streak(1)
+    p.update_streak(2)
+    assert p.streak_days == 2
+    p.update_streak(4)          # gap of exactly 2 days resets
+    assert p.streak_days == 1
+
+
+def test_all_engines_requires_exactly_three():
+    t = ProgressTracker()
+    t.record("Select", 5.0)     # one engine only
+    assert "all_engines" not in t.progress.unlocked

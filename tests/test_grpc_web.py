@@ -175,3 +175,16 @@ def test_rest_json_still_routes(stack):
 
     assert json.loads(resp.read())["rows"]
     conn.close()
+
+
+def test_decode_empty_payload_frame():
+    # a 5-byte frame (empty payload) at the end of the buffer counts
+    assert decode_frames(encode_frame(0x80, b"")) == [(0x80, b"")]
+
+
+def test_percent_encode_boundaries():
+    from neumann_tpu.server.grpc_web import _percent_encode
+
+    # space and tilde pass through; %, DEL, control, non-ASCII encode
+    assert _percent_encode(" a~%\x19\x7fé") == \
+        " a~%25%19%7F%C3%A9"

@@ -125,3 +125,71 @@ class TestTemporal:
             v, actor="ghost",
             config=TemporalConfig(bucket_seconds=1.0))
         assert rep_none.buckets == []
+
+
+class TestTemporalMath:
+    def test_autocorrelation_exact_value(self):
+        series = [1.0, 2.0, 1.0, 2.0]
+        # mean 1.5, var 1.0; lag 2: ((-.5)(-.5) + (.5)(.5)) = 0.5
+        assert autocorrelation(series, 2) == pytest.approx(0.5)
+        assert autocorrelation(series, 0) == 0.0
+        assert autocorrelation(series, 4) == 0.0
+        assert autocorrelation([3.0, 3.0, 3.0], 1) == 0.0
+
+    def test_period_two_detected(self):
+        series = [9, 1] * 8
+        assert find_dominant_period(series) == 2
+
+    def test_drift_exact_rates(self):
+        d = detect_drift([2, 4, 6, 6], 0.1)
+        assert d.early_rate == pytest.approx(3.0)
+        assert d.late_rate == pytest.approx(6.0)
+        assert d.relative_change == pytest.approx(1.0)
+
+    def test_config_frozen_reports(self):
+        from neumann_tpu.vault.temporal import (
+            DriftDetection,
+            SeasonalPattern,
+        )
+
+        with pytest.raises(Exception):
+            SeasonalPattern(2, 0.5).strength = 1.0
+        with pytest.raises(Exception):
+            DriftDetection(True, 1, 2, 1).drifting = False
+
+    def test_bucketize_span(self):
+        from neumann_tpu.vault.temporal import bucketize
+
+        assert bucketize([0.0, 0.5, 1.0, 2.2], 1.0) == [2, 1, 1]
+        assert bucketize([], 1.0) == []
+
+
+class TestMutationKills:
+    def test_budget_defaults_and_boundaries(self):
+        assert MemoryBudgetConfig().max_bytes == 1 << 30
+        t = MemoryTracker(MemoryBudgetConfig(max_bytes=100))
+        assert t.try_allocate(100)          # exactly at budget: allowed
+        assert not t.is_over_budget()       # at budget != over budget
+        t2 = MemoryTracker(MemoryBudgetConfig(max_bytes=100,
+                                              load_shedding=False))
+        t2.try_allocate(100)
+        assert not t2.is_over_budget()
+
+    def test_reservation_propagates_exceptions(self):
+        t = MemoryTracker(MemoryBudgetConfig(max_bytes=100))
+        with pytest.raises(RuntimeError):
+            with Reservation(t, 10):
+                raise RuntimeError("boom")
+        assert t.current_usage() == 0
+
+    def test_autocorrelation_vs_numpy_oracle(self):
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        series = rng.normal(size=32).tolist()
+        for lag in (1, 3, 7):
+            x = np.asarray(series)
+            m = x.mean()
+            want = float(((x[:-lag] - m) * (x[lag:] - m)).sum()
+                         / ((x - m) ** 2).sum())
+            assert autocorrelation(series, lag) == pytest.approx(want)

@@ -141,3 +141,21 @@ class TestStoreIntegration:
         st2.put("old:x", TensorData.with_values(v=9))
         st2.load_snapshot(tmp_path / "s.ntpu")
         assert st2.scan("k:") == [f"k:{i}" for i in range(5)]
+
+
+def test_remove_past_end_of_shard():
+    """bisect at end-of-shard must not index out of range (mutation
+    kill: i < len vs <=)."""
+    ix = OrderedKeyIndex(use_native=False)
+    ix.insert("p")               # shard 7 (0x70 >> 4)
+    assert not ix.remove("z")    # same shard, sorts after everything
+    assert ix.scan_prefix("") == ["p"]
+
+
+def test_fallback_shard_count_and_top_shard():
+    ix = OrderedKeyIndex(use_native=False)
+    assert len(ix._shards) == 16
+    ix.insert("\U0001F600")      # utf-8 first byte 0xF0 -> shard 15
+    ix.insert("a")
+    assert ix.scan_prefix("") == ["a", "\U0001F600"]
+    assert ix.scan_range("a", None) == ["a", "\U0001F600"]
