@@ -757,14 +757,24 @@ class VectorEngine:
         """Build an IVF index over the default namespace. Returns #rows."""
         from neumann_tpu.ops.ivf import IVFConfig, IVFIndex
 
+        dim, corpus, row_map, mat = self._gather_rows()
+        idx = IVFIndex(dim, IVFConfig(
+            n_clusters=min(n_clusters, len(mat)), nprobe=nprobe))
+        idx.train(mat[: min(len(mat), 100_000)])
+        idx.add(mat)
+        with self._lock:
+            self._ivf = (idx, corpus, row_map)
+        return len(mat)
+
+    def _gather_rows(self):
+        """(dim, corpus, row_ids, matrix) over the default namespace."""
         with self._lock:
             corpora = self._corpora.get("", {})
             if not corpora:
                 raise VectorError("no embeddings to index")
             dim, corpus = max(corpora.items(),
                               key=lambda kv: kv[1].count())
-        rows = []
-        vecs = []
+        rows, vecs = [], []
         for key, row in corpus.index.items():
             v = corpus.slab.get_row(row)
             if v is not None:
@@ -772,18 +782,42 @@ class VectorEngine:
                 vecs.append(v)
         if not vecs:
             raise VectorError("no embeddings to index")
-        mat = np.stack(vecs)
-        idx = IVFIndex(dim, IVFConfig(
-            n_clusters=min(n_clusters, len(vecs)), nprobe=nprobe))
-        idx.train(mat[: min(len(mat), 100_000)])
-        idx.add(mat)
-        with self._lock:
-            self._ivf = (idx, corpus, np.asarray(rows))
-        return len(vecs)
+        return dim, corpus, np.asarray(rows), np.stack(vecs)
 
-    # drop-in names for the reference's HNSW API
-    def build_hnsw_index(self, **kw) -> int:
-        return self.build_ivf_index(**kw)
+    def build_hnsw_index(self, m: int = 16, ef_construction: int = 200,
+                         ef_search: int = 50,
+                         metric: Optional[str] = None,
+                         storage: str = "dense", **kw) -> int:
+        """Build a genuine HNSW graph index over the default namespace.
+
+        Parity with vector_engine/src/lib.rs build_hnsw_index /
+        tensor_store/src/hnsw.rs. `storage` selects the per-node
+        embedding mode: dense | quantized | binary | auto
+        (EmbeddingStorage parity). The bulk device scan remains the
+        default SIMILAR path; this host-side graph serves
+        incremental / single-query workloads. Extra kwargs accepted
+        for IVF-call compatibility (n_clusters/nprobe are ignored).
+        """
+        from neumann_tpu.ops.hnsw import HNSWConfig, HNSWIndex
+
+        dim, corpus, row_map, mat = self._gather_rows()
+        cfg = HNSWConfig(m=m, ef_construction=ef_construction,
+                         ef_search=ef_search,
+                         metric=metric or self.config.default_metric)
+        if cfg.metric not in ("cosine", "euclidean", "dot"):
+            raise VectorError(
+                f"HNSW supports cosine/euclidean/dot, not {cfg.metric}")
+        idx = HNSWIndex(dim, cfg)
+        ins = {"dense": idx.insert, "quantized": idx.insert_quantized,
+               "binary": idx.insert_binary,
+               "auto": idx.insert_auto}.get(storage)
+        if ins is None:
+            raise VectorError(f"unknown HNSW storage '{storage}'")
+        for v in mat:
+            ins(v)
+        with self._lock:
+            self._hnsw = (idx, corpus, row_map)
+        return len(mat)
 
     def _ivf_search(self, query, top_k: int, nprobe: Optional[int]
                     ) -> List[SearchResult]:
@@ -806,10 +840,39 @@ class VectorEngine:
                                ) -> List[SearchResult]:
         return self._ivf_search(query, top_k, nprobe)
 
-    def search_with_hnsw(self, query, top_k: int) -> List[SearchResult]:
-        return self._ivf_search(query, top_k, None)
+    def search_with_hnsw(self, query, top_k: int,
+                         ef: Optional[int] = None) -> List[SearchResult]:
+        """Graph-walk ANN search (hnsw.rs search / search_with_ef).
+
+        Uses the HNSW graph if built; otherwise falls through to an
+        IVF index built via the compat path."""
+        state = getattr(self, "_hnsw", None)
+        if state is None:
+            return self._ivf_search(query, top_k, None)
+        idx, corpus, row_map = state
+        q = self._validate_vec(query, idx.dim)
+        hits = (idx.search_with_ef(q, top_k, ef) if ef
+                else idx.search(q, top_k))
+        out = []
+        for nid, score in hits:
+            key = corpus.index.key_of(int(row_map[nid]))
+            if key is not None:
+                out.append(SearchResult(key, float(score)))
+        return out
+
+    def search_with_hnsw_ef(self, query, top_k: int, ef: int
+                            ) -> List[SearchResult]:
+        return self.search_with_hnsw(query, top_k, ef=ef)
 
     def save_index(self, path) -> None:
+        """Persist whichever ANN index is built (HNSW preferred)."""
+        hnsw = getattr(self, "_hnsw", None)
+        if hnsw is not None:
+            idx, corpus, row_map = hnsw
+            np.savez_compressed(
+                path, hnsw_blob=np.frombuffer(idx.to_bytes(), np.uint8),
+                row_map=row_map)
+            return
         state = getattr(self, "_ivf", None)
         if state is None:
             raise VectorError("no index built")
@@ -820,12 +883,27 @@ class VectorEngine:
             row_ids=idx._row_ids, stride=idx._stride, n=idx._n,
             dim=idx.dim, nprobe=idx.config.nprobe, row_map=row_map)
 
+    def _load_hnsw_index(self, blob) -> int:
+        from neumann_tpu.ops.hnsw import HNSWIndex
+
+        idx = HNSWIndex.from_bytes(blob["hnsw_blob"].tobytes())
+        with self._lock:
+            corpus = self._corpora.get("", {}).get(idx.dim)
+        if corpus is None:
+            raise VectorError(
+                f"no dimension-{idx.dim} embeddings loaded to map the "
+                f"index onto")
+        self._hnsw = (idx, corpus, blob["row_map"])
+        return len(idx)
+
     def load_index(self, path) -> int:
         from neumann_tpu.ops.ivf import IVFConfig, IVFIndex
 
         import jax.numpy as jnp
 
         blob = np.load(path)
+        if "hnsw_blob" in blob.files:
+            return self._load_hnsw_index(blob)
         dim = int(blob["dim"])
         idx = IVFIndex(dim, IVFConfig(
             n_clusters=len(blob["centroids"]),

@@ -14,7 +14,8 @@ import threading
 from typing import Optional
 
 _HERE = os.path.dirname(__file__)
-_SRC = os.path.join(_HERE, "neumann_native.cpp")
+_SRCS = [os.path.join(_HERE, "neumann_native.cpp"),
+         os.path.join(_HERE, "hnsw_native.cpp")]
 _SO = os.path.join(_HERE, "libneumann_native.so")
 
 _lock = threading.Lock()
@@ -32,9 +33,11 @@ def load() -> Optional[ctypes.CDLL]:
         _tried = True
         try:
             if (not os.path.exists(_SO)
-                    or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                    or any(os.path.getmtime(_SO) < os.path.getmtime(s)
+                           for s in _SRCS)):
                 subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _SO],
+                    ["g++", "-O3", "-shared", "-fPIC", *_SRCS,
+                     "-o", _SO],
                     check=True, capture_output=True, timeout=120)
             lib = ctypes.CDLL(_SO)
         except (OSError, subprocess.SubprocessError):
@@ -88,6 +91,38 @@ def load() -> Optional[ctypes.CDLL]:
                                           ctypes.c_size_t, cp,
                                           ctypes.c_size_t, ctypes.c_int,
                                           cp, ctypes.c_size_t]
+        f32p = ctypes.POINTER(ctypes.c_float)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        vp = ctypes.c_void_p
+        lib.nn_hnsw_new.restype = vp
+        lib.nn_hnsw_new.argtypes = [ctypes.c_int] * 5 + [
+            ctypes.c_uint64, ctypes.c_uint64]
+        lib.nn_hnsw_free.restype = None
+        lib.nn_hnsw_free.argtypes = [vp]
+        lib.nn_hnsw_len.restype = ctypes.c_size_t
+        lib.nn_hnsw_len.argtypes = [vp]
+        for name in ("nn_hnsw_insert", "nn_hnsw_insert_quantized",
+                     "nn_hnsw_insert_binary"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [vp, f32p]
+        lib.nn_hnsw_insert_sparse.restype = ctypes.c_int64
+        lib.nn_hnsw_insert_sparse.argtypes = [vp, u32p, f32p,
+                                              ctypes.c_uint32]
+        lib.nn_hnsw_kind.restype = ctypes.c_int
+        lib.nn_hnsw_kind.argtypes = [vp, ctypes.c_int64]
+        lib.nn_hnsw_get.restype = ctypes.c_int
+        lib.nn_hnsw_get.argtypes = [vp, ctypes.c_int64, f32p]
+        lib.nn_hnsw_memory_bytes.restype = ctypes.c_uint64
+        lib.nn_hnsw_memory_bytes.argtypes = [vp]
+        lib.nn_hnsw_search.restype = ctypes.c_size_t
+        lib.nn_hnsw_search.argtypes = [vp, f32p, ctypes.c_size_t,
+                                       ctypes.c_size_t, i64p, f32p]
+        lib.nn_hnsw_serialize.restype = ctypes.c_size_t
+        lib.nn_hnsw_serialize.argtypes = [vp, u8p, ctypes.c_size_t]
+        lib.nn_hnsw_deserialize.restype = vp
+        lib.nn_hnsw_deserialize.argtypes = [u8p, ctypes.c_size_t]
         _lib = lib
         return _lib
 

@@ -1,0 +1,273 @@
+"""HNSW index tests: recall vs exact oracle, storage modes, metrics,
+serialization, native/fallback parity, engine integration.
+
+Mirrors the reference's HNSW test coverage (tensor_store/src/hnsw.rs
+tests + integration_tests/tests/hnsw_index.rs): golden recall against a
+NumPy oracle, per-node storage modes, config presets, save/load.
+"""
+
+import numpy as np
+import pytest
+
+import neumann_tpu.native as native
+from neumann_tpu.ops.hnsw import HNSWConfig, HNSWIndex
+from neumann_tpu.store.sparse import SparseVector
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+@pytest.fixture
+def corpus(rng):
+    return rng.standard_normal((1200, 48)).astype(np.float32)
+
+
+def exact_topk(corpus, q, k, metric="cosine"):
+    if metric == "cosine":
+        cn = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
+        scores = cn @ (q / np.linalg.norm(q))
+    elif metric == "dot":
+        scores = corpus @ q
+    else:
+        scores = -np.linalg.norm(corpus - q, axis=1)
+    return np.argsort(-scores)[:k]
+
+
+def build(corpus, cfg=None, insert="insert"):
+    ix = HNSWIndex(corpus.shape[1], cfg)
+    for v in corpus:
+        getattr(ix, insert)(v)
+    return ix
+
+
+def recall(ix, corpus, rng, k=10, ef=100, n_queries=40,
+           metric="cosine"):
+    hits = 0
+    for qi in range(n_queries):
+        q = corpus[qi] + 0.05 * rng.standard_normal(
+            corpus.shape[1]).astype(np.float32)
+        got = {i for i, _ in ix.search_with_ef(q, k, ef)}
+        want = set(exact_topk(corpus, q, k, metric).tolist())
+        hits += len(got & want)
+    return hits / (n_queries * k)
+
+
+def test_recall_vs_oracle(corpus, rng):
+    ix = build(corpus)
+    assert len(ix) == len(corpus)
+    assert recall(ix, corpus, rng) >= 0.95
+
+
+def test_self_query_top1(corpus):
+    ix = build(corpus)
+    top = ix.search(corpus[17], 5)
+    assert top[0][0] == 17
+    assert top[0][1] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_ef_tradeoff(corpus, rng):
+    """Higher ef must not reduce recall (monotone search quality)."""
+    ix = build(corpus, HNSWConfig.high_speed())
+    lo = recall(ix, corpus, rng, ef=10)
+    hi = recall(ix, corpus, rng, ef=200)
+    assert hi >= lo
+    assert hi >= 0.9
+
+
+def test_metrics(corpus):
+    for metric in ("euclidean", "dot"):
+        ix = build(corpus[:300], HNSWConfig(metric=metric))
+        top = ix.search(corpus[9], 3)
+        assert top[0][0] == 9
+        if metric == "euclidean":
+            # similarity = 1/(1+d), self distance 0 => 1.0
+            assert top[0][1] == pytest.approx(1.0, abs=1e-5)
+        else:
+            want = float(corpus[9] @ corpus[9])
+            assert top[0][1] == pytest.approx(want, rel=1e-4)
+
+
+def test_quantized_storage(corpus, rng):
+    ix = build(corpus, insert="insert_quantized")
+    stats = ix.memory_stats()
+    assert stats["quantized_count"] == len(corpus)
+    assert stats["dense_count"] == 0
+    assert recall(ix, corpus, rng) >= 0.9
+    # reconstruction error bounded by the u8 step size
+    got = ix.get(3)
+    step = (corpus[3].max() - corpus[3].min()) / 255
+    assert np.max(np.abs(got - corpus[3])) <= step
+
+
+def test_binary_storage(corpus):
+    ix = build(corpus[:400], insert="insert_binary")
+    assert ix.memory_stats()["binary_count"] == 400
+    # sign pattern survives: searching with the stored vector's signs
+    q = np.where(corpus[5] > 0, 1.0, -1.0).astype(np.float32)
+    assert ix.search(q, 3)[0][0] == 5
+    assert set(np.unique(ix.get(5))) <= {-1.0, 1.0}
+
+
+def test_sparse_and_auto(rng):
+    d = 64
+    dense = rng.standard_normal((200, d)).astype(np.float32)
+    sparse_mask = np.arange(d) % 4 == 0
+    sparse_vecs = np.where(sparse_mask, dense, 0.0).astype(np.float32)
+    ix = HNSWIndex(d)
+    for v in sparse_vecs[:100]:
+        ix.insert_auto(v)          # 75% zeros -> sparse storage
+    for v in dense[100:150]:
+        ix.insert_auto(v)          # dense
+    stats = ix.memory_stats()
+    assert stats["sparse_count"] == 100
+    assert stats["dense_count"] == 50
+    sp = SparseVector.from_dense(sparse_vecs[7])
+    assert ix.search_sparse(sp, 3)[0][0] == 7
+
+
+def test_tt_storage(corpus):
+    ix = HNSWIndex(corpus.shape[1])
+    for v in corpus[:50]:
+        ix.insert(v)
+    tid = ix.insert_tt(corpus[50])
+    stats = ix.memory_stats()
+    assert stats["tt_count"] == 1
+    assert stats["dense_count"] == 50
+    # TT reconstruction is lossy but close; self-query still wins
+    assert ix.search(corpus[50], 1)[0][0] == tid
+
+
+def test_max_nodes_capacity():
+    ix = HNSWIndex(8, HNSWConfig(max_nodes=3))
+    for i in range(3):
+        ix.insert(np.full(8, float(i + 1), np.float32))
+    with pytest.raises(OverflowError):
+        ix.insert(np.ones(8, np.float32))
+
+
+def test_input_validation():
+    ix = HNSWIndex(8)
+    with pytest.raises(ValueError):
+        ix.insert(np.ones(9, np.float32))
+    with pytest.raises(ValueError):
+        ix.insert(np.full(8, np.nan, np.float32))
+    with pytest.raises(ValueError):
+        HNSWConfig(metric="hamming")
+    with pytest.raises(ValueError):
+        HNSWIndex(0)
+    sp = SparseVector(np.array([99], np.int32),
+                      np.array([1.0], np.float32), 100)
+    with pytest.raises(ValueError):
+        ix.insert_sparse(sp)
+
+
+def test_config_presets():
+    hr, hs = HNSWConfig.high_recall(), HNSWConfig.high_speed()
+    assert (hr.m, hr.m0, hr.ef_construction, hr.ef_search) == (
+        32, 64, 400, 200)
+    assert (hs.m, hs.m0, hs.ef_construction, hs.ef_search) == (
+        8, 16, 100, 20)
+    assert HNSWConfig().m0 == 32            # default m0 = 2*m
+    assert HNSWConfig(m=4).ml == pytest.approx(1 / np.log(4))
+    assert HNSWConfig().with_metric("dot").metric == "dot"
+
+
+def test_serialization_roundtrip(corpus, tmp_path):
+    ix = HNSWIndex(corpus.shape[1])
+    for i, v in enumerate(corpus[:200]):
+        (ix.insert_quantized if i % 2 else ix.insert)(v)
+    path = tmp_path / "ix.hnsw"
+    ix.save(path)
+    ix2 = HNSWIndex.load(path)
+    assert len(ix2) == 200
+    assert ix2.config.m == ix.config.m
+    assert ix2.memory_stats()["quantized_count"] == 100
+    assert ix.search(corpus[3], 5) == ix2.search(corpus[3], 5)
+
+
+def test_from_bytes_rejects_garbage():
+    with pytest.raises(ValueError):
+        HNSWIndex.from_bytes(b"nonsense")
+    with pytest.raises(ValueError):
+        HNSWIndex.from_bytes(b"NHNW" + b"\x00" * 20 + b"garbage!")
+
+
+@pytest.fixture
+def no_native(monkeypatch):
+    monkeypatch.setattr(native, "load", lambda: None)
+
+
+def test_fallback_matches_native(corpus, rng, no_native):
+    """Pure-Python path implements the identical algorithm."""
+    ix = build(corpus[:400])
+    assert ix._py is not None
+    assert recall(ix, corpus[:400], rng) >= 0.95
+
+
+def test_cross_format_native_to_py(corpus, monkeypatch):
+    if not native.available():
+        pytest.skip("no native lib")
+    ix = build(corpus[:150])
+    blob = ix.to_bytes()
+    want = ix.search(corpus[4], 5)
+    monkeypatch.setattr(native, "load", lambda: None)
+    ix2 = HNSWIndex.from_bytes(blob)
+    assert ix2._py is not None
+    got = ix2.search(corpus[4], 5)
+    assert [i for i, _ in got] == [i for i, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert a == pytest.approx(b, abs=1e-5)
+
+
+def test_cross_format_py_to_native(corpus, monkeypatch):
+    if not native.available():
+        pytest.skip("no native lib")
+    monkeypatch.setattr(native, "load", lambda: None)
+    ix = build(corpus[:150])
+    blob = ix.to_bytes()
+    want = ix.search(corpus[4], 5)
+    monkeypatch.undo()
+    ix2 = HNSWIndex.from_bytes(blob)
+    assert ix2._py is None
+    got = ix2.search(corpus[4], 5)
+    assert [i for i, _ in got] == [i for i, _ in want]
+
+
+# ---------------------------------------------------------------- engine
+
+def test_engine_hnsw_index(rng, tmp_path):
+    from neumann_tpu.engines.vector import VectorEngine, VectorError
+
+    eng = VectorEngine()
+    vecs = rng.standard_normal((300, 32)).astype(np.float32)
+    eng.batch_store_embeddings([(f"v{i}", vecs[i]) for i in range(300)])
+    n = eng.build_hnsw_index(m=16, ef_construction=100)
+    assert n == 300
+    res = eng.search_with_hnsw(vecs[17], 5)
+    assert res[0].key == "v17"
+    res_ef = eng.search_with_hnsw_ef(vecs[17], 5, ef=200)
+    assert res_ef[0].key == "v17"
+    # save/load roundtrip through the engine
+    path = tmp_path / "index.npz"
+    eng.save_index(path)
+    eng2 = VectorEngine()
+    eng2.batch_store_embeddings([(f"v{i}", vecs[i]) for i in range(300)])
+    assert eng2.load_index(path) == 300
+    assert eng2.search_with_hnsw(vecs[17], 3)[0].key == "v17"
+    with pytest.raises(VectorError):
+        eng.build_hnsw_index(storage="bogus")
+
+
+def test_engine_hnsw_storage_modes(rng):
+    from neumann_tpu.engines.vector import VectorEngine
+
+    eng = VectorEngine()
+    vecs = rng.standard_normal((120, 16)).astype(np.float32)
+    eng.batch_store_embeddings([(f"v{i}", vecs[i]) for i in range(120)])
+    eng.build_hnsw_index(storage="quantized")
+    assert eng.search_with_hnsw(vecs[8], 3)[0].key == "v8"
+    eng.build_hnsw_index(storage="binary")
+    q = np.where(vecs[8] > 0, 1.0, -1.0).astype(np.float32)
+    assert eng.search_with_hnsw(q, 3)[0].key == "v8"
