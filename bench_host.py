@@ -1,0 +1,326 @@
+"""Host-path benchmarks mirroring the reference's BASELINE.md rows.
+
+The reference's published numbers are Rust/criterion on Apple M-series
+(BASELINE.md): storage core put/get/scan, WAL, snapshots, relational
+insert/scan/lookup/join/aggregates, graph BFS, parser throughput, chain
+commits, and conflict checks. This suite measures our equivalents so
+BENCHMARKS.md can compare line by line — the device path (SIMILAR
+scans) is covered by bench.py / bench_all.py; this file is everything
+that runs on the host (plus the consensus pair-scan, which we run on
+device as one matmul).
+
+Usage: python bench_host.py [--quick]   # prints one JSON line per row
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+QUICK = "--quick" in sys.argv
+
+
+def rate(n, seconds):
+    return n / seconds if seconds > 0 else float("inf")
+
+
+def timeit(fn, *args, reps=1):
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        fn(*args)
+    return (time.perf_counter() - t0) / reps
+
+
+ROWS = []
+
+
+def report(name, value, unit, ref=None, note=""):
+    row = {"metric": name, "value": round(value, 1), "unit": unit}
+    if ref is not None:
+        row["vs_reference"] = round(value / ref, 2)
+    if note:
+        row["note"] = note
+    ROWS.append(row)
+    print(json.dumps(row))
+
+
+def bench_store():
+    from neumann_tpu.store.tensor_store import (
+        TensorData, TensorStore, TensorValue)
+
+    n = 20_000 if QUICK else 200_000
+    store = TensorStore()
+    datas = [TensorData.with_values(v=TensorValue.scalar(i))
+             for i in range(n)]
+    keys = [f"user:{i}" for i in range(n)]
+
+    t0 = time.perf_counter()
+    for k, d in zip(keys, datas):
+        store.put(k, d)
+    report("store put", rate(n, time.perf_counter() - t0), "ops/s",
+           ref=2_000_000, note="reference: in-memory writes 2.0M/s")
+
+    t0 = time.perf_counter()
+    for k in keys:
+        store.get(k)
+    report("store get", rate(n, time.perf_counter() - t0), "ops/s",
+           ref=3_800_000, note="reference: in-memory reads 3.8M/s")
+
+    t = timeit(lambda: store.scan("user:1"), reps=5)
+    m = store.scan_count("user:1")
+    report("store scan (prefix)", rate(m, t), "keys/s",
+           note=f"{m} keys; reference: 1K keys in 191us = 5.2M/s")
+    t = timeit(lambda: store.scan_count("user:1"), reps=5)
+    report("store scan_count", 1e6 * t, "us", note="reference: 41us")
+    return store, keys
+
+
+def bench_wal(tmp):
+    from neumann_tpu.store.tensor_store import (
+        TensorData, TensorStore, TensorValue)
+
+    n = 5_000 if QUICK else 50_000
+    emb = np.random.default_rng(0).standard_normal(128).astype(
+        np.float32)
+
+    store = TensorStore()
+    store.open_durable(tmp / "wal_batched.log", sync_mode="batched")
+    data = TensorData.with_values(e=TensorValue.vector(emb))
+    t0 = time.perf_counter()
+    for i in range(n):
+        store.put(f"emb:{i}", data)
+    store.wal_flush()
+    report("WAL durable put (128d, group commit)",
+           rate(n, time.perf_counter() - t0), "ops/s", ref=1_400_000,
+           note="reference: 1.4M/s batched")
+
+    ns = 200 if QUICK else 1_000
+    store2 = TensorStore()
+    store2.open_durable(tmp / "wal_imm.log", sync_mode="immediate")
+    t0 = time.perf_counter()
+    for i in range(ns):
+        store2.put(f"emb:{i}", data)
+    report("WAL durable put (fsync per write)",
+           rate(ns, time.perf_counter() - t0), "ops/s", ref=260,
+           note="reference: 260/s")
+
+    store3 = TensorStore()
+    t = timeit(lambda: store3.recover(tmp / "wal_batched.log"))
+    report("WAL replay", rate(n, t), "records/s", ref=25_000_000,
+           note="reference: 25M records/s")
+
+
+def bench_snapshot(tmp):
+    from neumann_tpu.store.tensor_store import (
+        TensorData, TensorStore, TensorValue)
+
+    n = 10_000
+    store = TensorStore()
+    for i in range(n):
+        store.put(f"k:{i}", TensorData.with_values(
+            a=TensorValue.scalar(i), b=TensorValue.scalar(f"val{i}")))
+    t = timeit(lambda: store.save_snapshot(tmp / "snap.ntpu"))
+    report("snapshot save 10K items", 1e3 * t, "ms", note="ref: 12.6ms")
+    fresh = TensorStore()
+    t = timeit(lambda: fresh.load_snapshot(tmp / "snap.ntpu"))
+    report("snapshot load 10K items", 1e3 * t, "ms", note="ref: 10.7ms")
+
+
+def bench_relational():
+    from neumann_tpu.engines.condition import Condition
+    from neumann_tpu.engines.relational import Column, RelationalEngine
+
+    n = 5_000
+    eng = RelationalEngine()
+    cols = [Column("id", "int"), Column("name", "text"),
+            Column("score", "float")]
+    eng.create_table("users", cols)
+    rows = [{"id": i, "name": f"user{i}", "score": float(i % 100)}
+            for i in range(n)]
+
+    t0 = time.perf_counter()
+    for r in rows:
+        eng.insert("users", r)
+    report("relational insert", rate(n, time.perf_counter() - t0),
+           "rows/s", ref=320_000, note="reference: 320K rows/s")
+
+    eng.create_table("users2", cols)
+    t = timeit(lambda: eng.insert_many("users2", rows))
+    report("relational batch insert", rate(n, t), "rows/s",
+           ref=688_000, note="reference: 688K rows/s")
+
+    t = timeit(lambda: eng.select("users", None), reps=5)
+    report("relational full scan 5K", rate(n, t), "rows/s",
+           ref=949_000, note="reference: 949K rows/s")
+
+    eng.create_index("users", "id")
+    t = timeit(lambda: eng.select("users", Condition.eq("id", 2500)),
+               reps=50)
+    report("relational indexed lookup", 1e6 * t, "us",
+           note="reference: 2.93us")
+
+    nj = 2_000 if QUICK else 10_000
+    eng.create_table("a", [Column("k", "int"), Column("x", "int")])
+    eng.create_table("b", [Column("k", "int"), Column("y", "int")])
+    eng.insert_many("a", [{"k": i % 1000, "x": i} for i in range(nj)])
+    eng.insert_many("b", [{"k": i % 1000, "y": i} for i in range(nj)])
+    t = timeit(lambda: eng.join("a", "b", "k", "k"))
+    out_rows = len(eng.join("a", "b", "k", "k"))
+    report(f"inner join {nj}x{nj}", rate(out_rows, t), "rows/s",
+           ref=2_200_000, note=f"{out_rows} output rows; ref 2.2M/s")
+
+    nm = 100_000 if QUICK else 1_000_000
+    eng.create_table("big", [Column("v", "int")])
+    eng.insert_many("big", [{"v": int(x)} for x in range(nm)])
+    t = timeit(lambda: eng.count("big", None), reps=3)
+    report(f"COUNT(*) over {nm} rows", 1e3 * t, "ms",
+           note="reference: 2.1ms @1M")
+    t = timeit(lambda: eng.sum_column("big", "v"), reps=3)
+    report(f"SUM over {nm} rows", 1e3 * t, "ms",
+           note="reference: 8.5ms @1M")
+
+
+def bench_graph():
+    from neumann_tpu.engines.graph import GraphEngine
+
+    n = 2_000 if QUICK else 10_000
+    eng = GraphEngine()
+    ids = eng.batch_create_nodes([("person", {"i": i})
+                                  for i in range(n)])
+    rng = np.random.default_rng(0)
+    edges = [(ids[rng.integers(n)], ids[rng.integers(n)], "knows", None)
+             for _ in range(4 * n)]
+    t0 = time.perf_counter()
+    eng.batch_create_edges(edges)
+    report("graph batch edge insert",
+           rate(4 * n, time.perf_counter() - t0), "edges/s")
+
+    t0 = time.perf_counter()
+    visited = eng.traverse(ids[0])
+    dt = time.perf_counter() - t0
+    report("graph BFS traverse", 1e9 * dt / max(len(visited), 1),
+           "ns/node", note=f"{len(visited)} nodes; reference: 3us/node")
+
+
+def bench_parser():
+    from neumann_tpu.lang.parser import parse
+
+    stmts = [
+        "SELECT name, score FROM users WHERE id = 42",
+        "INSERT INTO users VALUES (1, 'alice', 3.5)",
+        "SIMILAR 'user:alice' TOP 10",
+        "NODE CREATE person {name: 'bob'}",
+        "FIND ENTITY WHERE age > 30 LIMIT 5",
+    ]
+    n = 2_000 if QUICK else 20_000
+    t0 = time.perf_counter()
+    for i in range(n):
+        parse(stmts[i % len(stmts)])
+    report("parser (cold)", rate(n, time.perf_counter() - t0),
+           "queries/s", ref=1_900_000, note="reference: 1.9M/s")
+
+    from neumann_tpu.lang.parser import parse_cached
+
+    t0 = time.perf_counter()
+    for i in range(10 * n):
+        parse_cached(stmts[i % len(stmts)])
+    report("parser (statement cache, router path)",
+           rate(10 * n, time.perf_counter() - t0), "queries/s",
+           ref=1_900_000, note="repeated statements skip the parse")
+
+
+def bench_chain():
+    from neumann_tpu.chain.tensor_chain import TensorChain
+    from neumann_tpu.store.tensor_store import (
+        TensorData, TensorStore, TensorValue)
+
+    chain = TensorChain(TensorStore())
+    n = 100 if QUICK else 500
+    t0 = time.perf_counter()
+    for i in range(n):
+        tx = chain.begin()
+        tx.put(f"k:{i}", TensorData.with_values(
+            v=TensorValue.scalar(i)))
+        chain.commit(tx)
+    report("chain tx commit (single put)",
+           1e6 * (time.perf_counter() - t0) / n, "us",
+           note="reference: 432us")
+
+
+def bench_consensus():
+    """Conflict pair checks: two device matmuls over ALL pairs.
+
+    Timed with the rep-difference chain (like bench.py): the dev
+    tunnel's host<->device transfer would otherwise dominate and the
+    reference number is compute-only too."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from neumann_tpu.chain.consensus import pairwise_codes_kernel
+
+    b, d = (512, 256) if QUICK else (4096, 768)
+    rng = np.random.default_rng(0)
+    deltas = jnp.asarray(rng.standard_normal((b, d)).astype(np.float32))
+    inc = np.zeros((b, 600), np.float32)
+    for i in range(b):
+        inc[i, i % 600] = 1.0
+        inc[i, (i + 1) % 600] = 1.0
+    inc = jnp.asarray(inc)
+    th = tuple(np.float32(x) for x in (0.95, 0.5, 0.1, 0.3))
+
+    @functools.partial(jax.jit, static_argnames="reps")
+    def chain(dl, a, reps):
+        def body(i, carry):
+            cur, acc = carry
+            codes = pairwise_codes_kernel(cur, a, *th)
+            s = jnp.sum(codes.astype(jnp.int32))
+            cur = cur + 1e-30 * s.astype(jnp.float32)
+            return cur, acc + s
+        _, acc = lax.fori_loop(0, reps, body, (dl, jnp.int32(0)))
+        return acc
+
+    def timed(r):
+        t0 = time.perf_counter()
+        int(chain(deltas, inc, r))
+        return time.perf_counter() - t0
+
+    # the tunnel's sync jitter is tens of ms; grow the rep spread until
+    # the difference clearly rises above it
+    r1, r2 = 2, 64
+    timed(r1)
+    while True:
+        timed(r2)
+        t = min((timed(r2) - timed(r1)) / (r2 - r1) for _ in range(3))
+        if t * (r2 - r1) > 0.05 or r2 >= 4096:
+            break
+        r2 *= 4
+    t = max(t, 1e-12)
+    pairs = b * (b - 1) / 2
+    report("conflict pair checks", rate(pairs, t), "pairs/s",
+           ref=52_000_000,
+           note=f"batch {b}x{d}d dense; reference: 52M/s @99% sparse")
+
+
+def main():
+    import tempfile
+    from pathlib import Path
+
+    with tempfile.TemporaryDirectory() as td:
+        tmp = Path(td)
+        bench_store()
+        bench_wal(tmp)
+        bench_snapshot(tmp)
+    bench_relational()
+    bench_graph()
+    bench_parser()
+    bench_chain()
+    bench_consensus()
+    print(json.dumps({"metric": "host-path suite", "rows": len(ROWS)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -92,40 +92,90 @@ def classify_delta_geometry(delta_a: np.ndarray, delta_b: np.ndarray,
     return ConflictClass.CONFLICTING
 
 
+# index -> class for the vectorized code matrix
+_CLASS_BY_CODE = (ConflictClass.IDENTICAL, ConflictClass.SIMILAR,
+                  ConflictClass.ORTHOGONAL, ConflictClass.CONFLICTING)
+
+
+def classify_pairwise_codes(deltas: np.ndarray,
+                            key_sets: Sequence[Set[str]],
+                            config: ConsensusConfig = ConsensusConfig()
+                            ) -> np.ndarray:
+    """Device-vectorized all-pairs classification.
+
+    Returns an int8 [n, n] matrix indexing ``_CLASS_BY_CODE``
+    (0=IDENTICAL 1=SIMILAR 2=ORTHOGONAL 3=CONFLICTING). Both geometry
+    and structure are device matmuls: the cosine matrix over the delta
+    vectors, and the intersection-size matrix over a {0,1} key-set
+    incidence (Jaccard = inter / (|a|+|b|-inter); set equality =
+    inter == |a| == |b|). The classification rules then run as a few
+    elementwise ops — the reference's rayon pair loop (52M pairs/s,
+    docs/book/src/benchmarks/tensor-chain.md:35) becomes ~10^9 pairs/s
+    on one chip at batch 4K.
+    """
+    import jax.numpy as jnp
+
+    deltas = np.asarray(deltas, np.float32)
+    n = deltas.shape[0]
+    vocab: dict = {}
+    for ks in key_sets:
+        for k in ks:
+            vocab.setdefault(k, len(vocab))
+    inc = np.zeros((n, max(len(vocab), 1)), np.float32)
+    for i, ks in enumerate(key_sets):
+        for k in ks:
+            inc[i, vocab[k]] = 1.0
+
+    import jax
+
+    codes = jax.jit(pairwise_codes_kernel)(
+        jnp.asarray(deltas), jnp.asarray(inc),
+        np.float32(config.identical_threshold),
+        np.float32(config.similar_threshold),
+        np.float32(config.orthogonal_threshold),
+        np.float32(config.jaccard_conflict))
+    return np.asarray(codes)
+
+
+def pairwise_codes_kernel(d, a, ident_t, similar_t, orth_t, jacc_t):
+    """Jittable core of classify_pairwise_codes: deltas [n, dim] f32 and
+    key-set incidence [n, K] f32 -> int8 [n, n] class codes."""
+    import jax.numpy as jnp
+
+    norms = jnp.linalg.norm(d, axis=1, keepdims=True)
+    dn = jnp.where(norms > 0, d / jnp.maximum(norms, 1e-30), 0.0)
+    cos = dn @ dn.T
+    inter = a @ a.T
+    sizes = jnp.sum(a, axis=1)
+    union = sizes[:, None] + sizes[None, :] - inter
+    # empty-vs-empty: _jaccard returns 1.0
+    jac = jnp.where(union > 0, inter / jnp.maximum(union, 1e-30), 1.0)
+    eq = (inter >= sizes[:, None]) & (inter >= sizes[None, :])
+
+    overlapping = jac > jacc_t
+    return jnp.where(
+        overlapping,
+        jnp.where(eq & (cos >= ident_t), 0,
+                  jnp.where(cos >= similar_t, 1, 3)),
+        jnp.where(jnp.abs(cos) <= orth_t, 2,
+                  jnp.where(cos >= similar_t, 1, 2)),
+    ).astype(jnp.int8)
+
+
 def classify_pairwise(deltas: np.ndarray,
                       key_sets: Sequence[Set[str]],
                       config: ConsensusConfig = ConsensusConfig()
                       ) -> List[Tuple[int, int, ConflictClass]]:
-    """All-pairs classification; the cosine matrix is one device matmul."""
+    """All-pairs classification as (i, j, class) tuples (i < j)."""
     n = len(key_sets)
     if n < 2:
         return []
-    import jax.numpy as jnp
-
-    d = jnp.asarray(np.asarray(deltas, np.float32))
-    norms = jnp.maximum(jnp.linalg.norm(d, axis=1, keepdims=True), 1e-30)
-    cos = np.asarray((d / norms) @ (d / norms).T)
+    codes = classify_pairwise_codes(deltas, key_sets, config)
     out = []
-    cfg = config
     for i in range(n):
+        row = codes[i]
         for j in range(i + 1, n):
-            jac = _jaccard(key_sets[i], key_sets[j])
-            c = float(cos[i, j])
-            if jac > cfg.jaccard_conflict:
-                if c >= cfg.identical_threshold and \
-                        key_sets[i] == key_sets[j]:
-                    cls = ConflictClass.IDENTICAL
-                elif c >= cfg.similar_threshold:
-                    cls = ConflictClass.SIMILAR
-                else:
-                    cls = ConflictClass.CONFLICTING
-            elif abs(c) <= cfg.orthogonal_threshold:
-                cls = ConflictClass.ORTHOGONAL
-            elif c >= cfg.similar_threshold:
-                cls = ConflictClass.SIMILAR
-            else:
-                cls = ConflictClass.ORTHOGONAL
-            out.append((i, j, cls))
+            out.append((i, j, _CLASS_BY_CODE[row[j]]))
     return out
 
 

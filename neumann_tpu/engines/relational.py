@@ -18,6 +18,7 @@ and filtered there.
 
 from __future__ import annotations
 
+import functools
 import threading
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -958,6 +959,12 @@ class RelationalEngine:
                         out.append(merged(lr, rr))
                 return out
 
+            fast = self._join_fast(lt, rt, left, right, left_col,
+                                   right_col, how,
+                                   np.asarray(lrows), np.asarray(rrows))
+            if fast is not None:
+                return fast
+
             def key_of(t: _Table, col: str, r: int):
                 if col == "_id":
                     return r
@@ -985,6 +992,120 @@ class RelationalEngine:
                     if rr not in matched_r:
                         out.append(merged(None, rr))
             return out
+
+    @staticmethod
+    def _join_keys(t: _Table, col: str, rows: np.ndarray):
+        """(keys, valid) for a typed join column, or None -> dict path."""
+        if col == "_id":
+            return rows.astype(np.int64), np.ones(len(rows), bool)
+        c = t.by_name.get(col)
+        if c is None or c.ctype not in ("int", "float", "bool"):
+            return None
+        keys = t.data[col][rows]
+        valid = ~t.nulls[col][rows]
+        if c.ctype == "float":
+            valid &= ~np.isnan(keys)   # NaN keys never match (SQL null
+        return keys, valid             # semantics, like the dict path)
+
+    def _join_fast(self, lt: _Table, rt: _Table, left: str, right: str,
+                   left_col: str, right_col: str, how: str,
+                   lrows: np.ndarray, rrows: np.ndarray):
+        """Vectorized sort-merge pair generation + columnar
+        materialization for numeric keys. Returns None when a key
+        column is text/vector (object dtype) — the dict path handles
+        those. Output row order matches the dict path exactly."""
+        lk = self._join_keys(lt, left_col, lrows)
+        rk = self._join_keys(rt, right_col, rrows)
+        if lk is None or rk is None:
+            return None
+        lkeys, lvalid = lk
+        rkeys, rvalid = rk
+        rrows_v = rrows[rvalid]
+        rkeys_v = rkeys[rvalid]
+        order = np.argsort(rkeys_v, kind="stable")
+        rk_sorted = rkeys_v[order]
+        lo = np.searchsorted(rk_sorted, lkeys, side="left")
+        hi = np.searchsorted(rk_sorted, lkeys, side="right")
+        counts = np.where(lvalid, hi - lo, 0)
+        pad_unmatched = how in ("left", "full")
+        eff = np.maximum(counts, 1) if pad_unmatched else counts
+        total = int(eff.sum())
+        l_pos = np.repeat(np.arange(len(lrows)), eff)
+        starts = np.repeat(lo, eff)
+        cum = np.cumsum(eff) - eff
+        offs = np.arange(total) - np.repeat(cum, eff)
+        matched = np.repeat(counts > 0, eff)
+        r_pos = np.where(matched,
+                         np.minimum(starts + offs,
+                                    max(len(order) - 1, 0)), 0)
+        out_l = lrows[l_pos]
+        out_r = (np.where(matched, rrows_v[order[r_pos]], -1)
+                 if len(order) else np.full(total, -1, np.int64))
+        l_has = np.ones(total, bool)
+        tail_r = None
+        if how in ("right", "full"):
+            hit = np.zeros(len(rrows_v), bool)
+            if len(order):
+                hit[order[r_pos[matched]]] = True
+            tail = np.concatenate([rrows_v[~hit], rrows[~rvalid]])
+            tail.sort()
+            tail_r = tail
+        recs = self._materialize_join(lt, rt, left, right, out_l, out_r,
+                                      l_has, matched)
+        if tail_r is not None and len(tail_r):
+            recs.extend(self._materialize_join(
+                lt, rt, left, right,
+                np.full(len(tail_r), -1, np.int64), tail_r,
+                np.zeros(len(tail_r), bool),
+                np.ones(len(tail_r), bool)))
+        return recs
+
+    @staticmethod
+    def _side_columns(t: _Table, prefix: str, rows: np.ndarray,
+                      has: np.ndarray):
+        """Per-column Python value lists for the output rows; rows
+        where has=False yield None (and no _id key, matching
+        row_dict-vs-null-side behavior of the dict path)."""
+        safe = np.where(has, rows, 0)
+        ids = rows.tolist()
+        cols = [(f"{prefix}._id", ids)]
+        all_present = bool(has.all())
+        for c in t.columns:
+            vals = t.data[c.name][safe]
+            nulls = t.nulls[c.name][safe]
+            if c.ctype in ("int", "float", "bool"):
+                pv = vals.tolist()          # C-speed Python conversion
+            else:
+                pv = list(vals)
+            if nulls.any() or not all_present:
+                dead = nulls if all_present else (nulls | ~has)
+                pv = [None if d else v for v, d in zip(pv, dead)]
+            cols.append((f"{prefix}.{c.name}", pv))
+        return cols
+
+    def _materialize_join(self, lt, rt, left, right, out_l, out_r,
+                          l_has, r_has):
+        lcols = self._side_columns(lt, left, out_l, l_has)
+        rcols = self._side_columns(rt, right, out_r, r_has)
+        names = [n for n, _ in lcols] + [n for n, _ in rcols]
+        l_id_name, r_id_name = lcols[0][0], rcols[0][0]
+        columns = [v for _, v in lcols] + [v for _, v in rcols]
+        all_l = bool(l_has.all())
+        all_r = bool(r_has.all())
+        if all_l and all_r:
+            # codegen'd dict-literal builder (the namedtuple technique):
+            # BUILD_MAP bytecode is ~3x dict(zip(names, tup)) per row,
+            # and this loop is the join's hot spot at 100K+ output rows
+            return _row_builder(tuple(names))(columns)
+        recs = []
+        for i, tup in enumerate(zip(*columns)):
+            rec = dict(zip(names, tup))
+            if not l_has[i]:
+                del rec[l_id_name]          # null side carries no _id
+            if not r_has[i]:
+                del rec[r_id_name]
+            recs.append(rec)
+        return recs
 
     def natural_join(self, left: str, right: str) -> List[Dict[str, object]]:
         lt, rt = self._table(left), self._table(right)
@@ -1099,6 +1220,20 @@ def _hashable(v):
     if isinstance(v, np.generic):
         return v.item()
     return v
+
+
+@functools.lru_cache(maxsize=256)
+def _row_builder(names: tuple):
+    """Compile `columns -> [ {name: value, ...}, ... ]` for a fixed key
+    tuple. A generated dict-literal comprehension (BUILD_MAP bytecode)
+    is ~3x faster per row than dict(zip(names, tup)) — same trick the
+    stdlib uses for namedtuple. Keys are repr-escaped; values come
+    positionally from the column lists."""
+    vars_ = [f"v{i}" for i in range(len(names))]
+    body = ", ".join(f"{n!r}: {v}" for n, v in zip(names, vars_))
+    src = (f"lambda cols: [{{{body}}} "
+           f"for ({', '.join(vars_)},) in zip(*cols)]")
+    return eval(src)  # noqa: S307 — inputs are column names we created
 
 
 def _sort_key(v):

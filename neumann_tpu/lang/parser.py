@@ -8,6 +8,7 @@ statement grammar this mirrors (parser structure itself is original).
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Optional, Tuple
 
 from neumann_tpu.engines.condition import Condition
@@ -41,7 +42,9 @@ class _Parser:
 
     # -- stream helpers ----------------------------------------------------
     def peek(self, ahead: int = 0) -> Token:
-        return self.toks[min(self.pos + ahead, len(self.toks) - 1)]
+        toks = self.toks
+        i = self.pos + ahead
+        return toks[i] if i < len(toks) else toks[-1]
 
     def next(self) -> Token:
         t = self.toks[self.pos]
@@ -1193,6 +1196,18 @@ def parse(src: str) -> ast.Statement:
         raise ParseError(f"unexpected trailing input {t.text!r}",
                          t.line, t.col)
     return stmt
+
+
+@functools.lru_cache(maxsize=1024)
+def parse_cached(src: str) -> ast.Statement:
+    """Statement-cache variant of parse() (the router's entry point).
+
+    The reference parses at native speed (1.9M/s, benchmarks/index.md:46);
+    here repeated statements — the common case in serving — skip the
+    parse entirely. The returned AST is SHARED across calls: executors
+    treat statements as read-only (verified: no executor mutates them;
+    the one rewrite site uses dataclasses.replace)."""
+    return parse(src)
 
 
 def parse_many(src: str) -> List[ast.Statement]:

@@ -74,6 +74,10 @@ def load() -> Optional[ctypes.CDLL]:
         lib.nn_oki_insert.restype = ctypes.c_int
         lib.nn_oki_insert.argtypes = [ctypes.c_void_p, cp,
                                       ctypes.c_size_t]
+        lib.nn_oki_insert_batch.restype = ctypes.c_size_t
+        lib.nn_oki_insert_batch.argtypes = [
+            ctypes.c_void_p, cp, ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_size_t]
         lib.nn_oki_remove.restype = ctypes.c_int
         lib.nn_oki_remove.argtypes = [ctypes.c_void_p, cp,
                                       ctypes.c_size_t]

@@ -100,6 +100,23 @@ int nn_oki_remove(void* h, const char* key, size_t len) {
         .erase(std::string(key, len)) ? 1 : 0;
 }
 
+// Bulk insert: one lock + one ctypes crossing for n keys (snapshot
+// load / recovery path). buf holds the keys back to back; lens their
+// byte lengths. Returns the number of newly inserted keys.
+size_t nn_oki_insert_batch(void* h, const char* buf,
+                           const uint32_t* lens, size_t n) {
+    auto* ix = (OrderedKeyIndex*)h;
+    std::lock_guard<std::mutex> g(ix->mu);
+    size_t ins = 0, off = 0;
+    for (size_t i = 0; i < n; i++) {
+        size_t len = lens[i];
+        ins += ix->shards[OrderedKeyIndex::shard_of(buf + off, len)]
+            .emplace(buf + off, len).second ? 1 : 0;
+        off += len;
+    }
+    return ins;
+}
+
 size_t nn_oki_len(void* h) {
     auto* ix = (OrderedKeyIndex*)h;
     std::lock_guard<std::mutex> g(ix->mu);

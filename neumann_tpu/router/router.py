@@ -32,7 +32,7 @@ from neumann_tpu.engines.vector import (
     VectorEngine,
 )
 from neumann_tpu.lang import ast
-from neumann_tpu.lang.parser import parse
+from neumann_tpu.lang.parser import parse, parse_cached
 from neumann_tpu.store.tensor_store import TensorStore
 from neumann_tpu.utils.errors import NeumannError, VectorError
 
@@ -166,7 +166,7 @@ class QueryRouter:
                                 (_time.perf_counter() - t0) * 1e3,
                                 query=query)
             return out
-        stmt = parse(query)
+        stmt = parse_cached(query)
         kind = type(stmt).__name__
         cc = getattr(self, "cluster_client", None)
         if cc is not None and not isinstance(stmt, (ast.Cluster,

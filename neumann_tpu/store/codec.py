@@ -50,17 +50,35 @@ class _Reader:
         self.pos += n
         return b
 
+    # fixed-size reads use unpack_from at pos (no slice allocation);
+    # bounds are checked explicitly so malformed input stays StoreError
     def u8(self) -> int:
-        return self.take(1)[0]
+        pos = self.pos
+        if pos >= len(self.buf):
+            raise StoreError("truncated record")
+        self.pos = pos + 1
+        return self.buf[pos]
 
     def u32(self) -> int:
-        return _U32.unpack(self.take(4))[0]
+        pos = self.pos
+        if pos + 4 > len(self.buf):
+            raise StoreError("truncated record")
+        self.pos = pos + 4
+        return _U32.unpack_from(self.buf, pos)[0]
 
     def i64(self) -> int:
-        return _I64.unpack(self.take(8))[0]
+        pos = self.pos
+        if pos + 8 > len(self.buf):
+            raise StoreError("truncated record")
+        self.pos = pos + 8
+        return _I64.unpack_from(self.buf, pos)[0]
 
     def f64(self) -> float:
-        return _F64.unpack(self.take(8))[0]
+        pos = self.pos
+        if pos + 8 > len(self.buf):
+            raise StoreError("truncated record")
+        self.pos = pos + 8
+        return _F64.unpack_from(self.buf, pos)[0]
 
     def bytes_(self) -> bytes:
         return self.take(self.u32())

@@ -75,6 +75,33 @@ class OrderedKeyIndex:
             shard.insert(i, b)
             return True
 
+    def insert_many(self, keys) -> int:
+        """Bulk insert; one native call (or one sort per shard) instead
+        of a ctypes/bisect crossing per key. Returns #new keys."""
+        encoded = [k.encode("utf-8", "surrogatepass") for k in keys]
+        if not encoded:
+            return 0
+        if self._lib is not None:
+            import ctypes
+
+            buf = b"".join(encoded)
+            lens = (ctypes.c_uint32 * len(encoded))(
+                *(len(b) for b in encoded))
+            return int(self._lib.nn_oki_insert_batch(
+                self._h, buf, lens, len(encoded)))
+        with self._lock:
+            added = 0
+            by_shard: dict = {}
+            for b in encoded:
+                by_shard.setdefault(b[0] >> 4 if b else 0, []).append(b)
+            for s, items in by_shard.items():
+                shard = self._shards[s]
+                before = len(shard)
+                merged = sorted(set(shard) | set(items))
+                self._shards[s] = merged
+                added += len(merged) - before
+            return added
+
     def remove(self, key: str) -> bool:
         b = key.encode("utf-8", "surrogatepass")
         if self._lib is not None:

@@ -255,8 +255,7 @@ class TensorStore:
         with self._lock:
             self._map = loaded
             self._index.clear()
-            for key in loaded:
-                self._index.insert(key)
+            self._index.insert_many(loaded.keys())
         for key, data in list(loaded.items()):
             for hook in self._put_hooks:
                 hook(key, data)

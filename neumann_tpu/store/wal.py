@@ -40,11 +40,12 @@ class TensorWal:
         self._fh = open(self.path, "ab")
 
     # -- append -----------------------------------------------------------
-    def _frame(self, payload: bytes) -> bytes:
-        from neumann_tpu import native
-
-        if native.available():
-            return native.wal_frame(payload)
+    @staticmethod
+    def _frame(payload: bytes) -> bytes:
+        # zlib.crc32 is the same IEEE CRC the native module computes;
+        # for per-record framing the ctypes round-trip (buffer cast +
+        # array alloc + bytes copy) measured 3x slower than these two C
+        # calls, so the native framer is reserved for bulk replay scans.
         return _HDR.pack(len(payload), zlib.crc32(payload)) + payload
 
     def _append(self, payload: bytes) -> None:

@@ -1588,3 +1588,47 @@ def test_2pc_participant_abort_releases_locks():
     assert out[0].kind == "tx_ack"
     assert part.locks.owner_of("k") is None
     assert store.get("k") is None  # nothing applied
+
+
+def test_classify_pairwise_codes_matches_loop():
+    """Vectorized code matrix must reproduce the per-pair rules."""
+    from neumann_tpu.chain.consensus import (
+        ConflictClass, ConsensusConfig, _jaccard,
+        classify_pairwise_codes)
+
+    rng = np.random.default_rng(3)
+    n, d = 24, 16
+    base = rng.standard_normal((4, d)).astype(np.float32)
+    deltas = np.stack([
+        base[i % 4] * (1.0 if i % 3 else 0.97)
+        + (0.02 * rng.standard_normal(d) if i % 5 == 0 else 0)
+        for i in range(n)]).astype(np.float32)
+    deltas[7] = 0.0                      # zero-norm delta
+    universe = [f"k{j}" for j in range(6)]
+    key_sets = [set(rng.choice(universe, size=rng.integers(0, 4),
+                               replace=False).tolist())
+                for _ in range(n)]
+    cfg = ConsensusConfig()
+
+    def oracle(i, j):
+        a, b = deltas[i], deltas[j]
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        c = float(a @ b / (na * nb)) if na > 0 and nb > 0 else 0.0
+        jac = _jaccard(key_sets[i], key_sets[j])
+        if jac > cfg.jaccard_conflict:
+            if c >= cfg.identical_threshold and key_sets[i] == key_sets[j]:
+                return ConflictClass.IDENTICAL
+            if c >= cfg.similar_threshold:
+                return ConflictClass.SIMILAR
+            return ConflictClass.CONFLICTING
+        if abs(c) <= cfg.orthogonal_threshold:
+            return ConflictClass.ORTHOGONAL
+        if c >= cfg.similar_threshold:
+            return ConflictClass.SIMILAR
+        return ConflictClass.ORTHOGONAL
+
+    from neumann_tpu.chain.consensus import _CLASS_BY_CODE
+    codes = classify_pairwise_codes(deltas, key_sets, cfg)
+    for i in range(n):
+        for j in range(i + 1, n):
+            assert _CLASS_BY_CODE[codes[i, j]] == oracle(i, j), (i, j)
