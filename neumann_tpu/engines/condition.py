@@ -87,11 +87,49 @@ class Condition:
     def not_(self) -> "Condition":
         return Condition("not", left=self)
 
+    # -- introspection / serialization --------------------------------------
+    def columns(self) -> set:
+        """All column names referenced anywhere in this tree."""
+        out = set()
+        if self.column is not None:
+            out.add(self.column)
+        for side in (self.left, self.right):
+            if side is not None:
+                out |= side.columns()
+        return out
+
+    def to_dict(self) -> dict:
+        d: dict = {"op": self.op}
+        if self.column is not None:
+            d["column"] = self.column
+        if self.value is not None:
+            v = self.value
+            d["value"] = list(v) if isinstance(v, tuple) else v
+        if self.left is not None:
+            d["left"] = self.left.to_dict()
+        if self.right is not None:
+            d["right"] = self.right.to_dict()
+        return d
+
+    @staticmethod
+    def from_dict(d: dict) -> "Condition":
+        v = d.get("value")
+        if d["op"] == "in" and isinstance(v, list):
+            v = tuple(v)
+        return Condition(
+            d["op"], d.get("column"), v,
+            Condition.from_dict(d["left"]) if d.get("left") else None,
+            Condition.from_dict(d["right"]) if d.get("right") else None)
+
     # -- row evaluation ------------------------------------------------------
     def evaluate_row(self, row: Dict[str, object]) -> bool:
         op = self.op
         if op == "true":
             return True
+        if op == "exists":
+            raise ValueError("unresolved subquery condition (EXISTS)")
+        if type(self.value).__name__ == "Subquery":
+            raise ValueError("unresolved subquery condition")
         if op == "and":
             return self.left.evaluate_row(row) and self.right.evaluate_row(row)
         if op == "or":
@@ -139,6 +177,8 @@ class Condition:
         op = self.op
         if op == "true":
             return np.ones(n, bool)
+        if op == "exists" or type(self.value).__name__ == "Subquery":
+            raise ValueError("unresolved subquery condition")
         if op == "and":
             return self.left.evaluate_columnar(columns, nulls, n) & \
                 self.right.evaluate_columnar(columns, nulls, n)

@@ -29,7 +29,7 @@ from neumann_tpu.engines.condition import Condition
 from neumann_tpu.utils.errors import RelationalError
 
 COLUMN_TYPES = ("int", "float", "text", "bool", "vector")
-_FK_ACTIONS = ("restrict", "cascade", "set_null")
+_FK_ACTIONS = ("restrict", "cascade", "set_null", "set_default")
 
 
 @dataclass(frozen=True)
@@ -37,6 +37,7 @@ class ForeignKey:
     table: str
     column: str
     on_delete: str = "restrict"
+    on_update: str = "restrict"
 
 
 @dataclass
@@ -48,13 +49,16 @@ class Column:
     primary_key: bool = False
     default: object = None
     references: Optional[ForeignKey] = None
+    check: Optional[Condition] = None
 
     def validate(self) -> None:
         if self.ctype not in COLUMN_TYPES:
             raise RelationalError(f"unknown column type {self.ctype}")
-        if self.references and self.references.on_delete not in _FK_ACTIONS:
-            raise RelationalError(
-                f"bad FK action {self.references.on_delete}")
+        if self.references:
+            for act in (self.references.on_delete,
+                        self.references.on_update):
+                if act not in _FK_ACTIONS:
+                    raise RelationalError(f"bad FK action {act}")
 
 
 _DTYPES = {"int": np.int64, "float": np.float64, "bool": np.bool_}
@@ -117,7 +121,9 @@ class _BTreeIndex:
 
 
 class _Table:
-    def __init__(self, name: str, columns: List[Column]):
+    def __init__(self, name: str, columns: List[Column],
+                 checks: Optional[List[Condition]] = None,
+                 composite_uniques: Optional[List[Sequence[str]]] = None):
         self.name = name
         names = [c.name for c in columns]
         if len(set(names)) != len(names):
@@ -147,6 +153,17 @@ class _Table:
         for c in columns:
             if c.primary_key or c.unique:
                 self.hash_indexes[c.name] = _HashIndex()
+        # CHECK constraints + composite UNIQUE / PRIMARY KEY groups
+        self.checks: List[Condition] = list(checks or [])
+        self.composite_uniques: List[Tuple[str, ...]] = []
+        for group in composite_uniques or []:
+            for g in group:
+                if g not in self.by_name:
+                    raise RelationalError(
+                        f"unique constraint on unknown column {g}")
+            self.composite_uniques.append(tuple(group))
+            # index the first column so the uniqueness probe is selective
+            self.hash_indexes.setdefault(group[0], _HashIndex())
 
     @staticmethod
     def _empty(ctype: str, cap: int) -> np.ndarray:
@@ -296,11 +313,15 @@ class RelationalEngine:
                  "unique": c.unique, "primary_key": c.primary_key,
                  "default": c.default,
                  "references": ([c.references.table, c.references.column,
-                                 c.references.on_delete]
-                                if c.references else None)}
+                                 c.references.on_delete,
+                                 c.references.on_update]
+                                if c.references else None),
+                 "check": c.check.to_dict() if c.check else None}
                 for c in t.columns],
             "hash_indexes": sorted(t.hash_indexes),
             "btree_indexes": sorted(t.btree_indexes),
+            "checks": [ch.to_dict() for ch in t.checks],
+            "uniques": [list(g) for g in t.composite_uniques],
         }
         td = TensorData()
         td.set("spec", TensorValue.scalar(json.dumps(spec)))
@@ -350,8 +371,14 @@ class RelationalEngine:
                             c["name"], c["ctype"], nullable=c["nullable"],
                             unique=c["unique"],
                             primary_key=c["primary_key"],
-                            default=c["default"], references=fk))
-                    self._tables[name] = _Table(name, cols)
+                            default=c["default"], references=fk,
+                            check=(Condition.from_dict(c["check"])
+                                   if c.get("check") else None)))
+                    self._tables[name] = _Table(
+                        name, cols,
+                        checks=[Condition.from_dict(ch)
+                                for ch in spec.get("checks", [])],
+                        composite_uniques=spec.get("uniques"))
                 t = self._tables[name]
                 for col in spec.get("hash_indexes", []):
                     if col not in t.hash_indexes and col in t.by_name:
@@ -435,7 +462,12 @@ class RelationalEngine:
     # ------------------------------------------------------------------
     # DDL
     # ------------------------------------------------------------------
-    def create_table(self, name: str, columns: List[Column]) -> None:
+    def create_table(self, name: str, columns: List[Column],
+                     checks: Optional[List[Condition]] = None,
+                     uniques: Optional[List[Sequence[str]]] = None
+                     ) -> None:
+        """checks: table-level CHECK conditions; uniques: composite
+        UNIQUE / PRIMARY KEY column groups."""
         with self._lock:
             if name in self._tables:
                 raise RelationalError(f"table '{name}' already exists")
@@ -444,7 +476,8 @@ class RelationalEngine:
                         c.references.table not in self._tables:
                     raise RelationalError(
                         f"FK references unknown table {c.references.table}")
-            t = _Table(name, columns)
+            t = _Table(name, columns, checks=checks,
+                       composite_uniques=uniques)
             self._tables[name] = t
         self._persist_schema(t)
 
@@ -522,6 +555,36 @@ class RelationalEngine:
                         raise RelationalError(
                             f"FK violation: {c.references.table}."
                             f"{c.references.column} = {v!r} not found")
+            if c.check is not None and not self._check_passes(
+                    c.check, values):
+                raise RelationalError(
+                    f"CHECK constraint failed on column {c.name}")
+        for check in t.checks:
+            if not self._check_passes(check, values):
+                raise RelationalError("CHECK constraint failed")
+        for group in t.composite_uniques:
+            vals = tuple(values.get(g) for g in group)
+            if any(v is None for v in vals):
+                continue          # SQL: NULLs never conflict
+            probe = t.hash_indexes[group[0]]
+            for h in probe.lookup(_hashable(vals[0])):
+                if h == skip_row:
+                    continue
+                h = int(h)
+                if all(not t.nulls[g][h]
+                       and _hashable(t.data[g][h]) == _hashable(vg)
+                       for g, vg in zip(group, vals)):
+                    raise RelationalError(
+                        f"duplicate value for unique columns "
+                        f"({', '.join(group)})")
+
+    @staticmethod
+    def _check_passes(check: Condition, values: Dict[str, object]) -> bool:
+        # SQL CHECK semantics: only a definite FALSE rejects; a NULL
+        # input makes the predicate unknown, which passes
+        if any(values.get(col) is None for col in check.columns()):
+            return True
+        return check.evaluate_row(values)
 
     def _fk_target_exists(self, ref: _Table, col: str, value) -> bool:
         if col == "_id":
@@ -650,8 +713,15 @@ class RelationalEngine:
                     deadline.check()
                 out.append(t.row_dict(int(r), None))
         if order_by:
-            for col, desc in reversed(list(order_by)):
-                out.sort(key=lambda r: _sort_key(r.get(col)), reverse=desc)
+            # specs: (col, desc) or (col, desc, nulls_first); default
+            # placement is SQL's NULLS LAST asc / NULLS FIRST desc
+            for spec in reversed(list(order_by)):
+                col, desc = spec[0], spec[1]
+                nf = spec[2] if len(spec) > 2 else desc
+                out.sort(
+                    key=lambda r: ((r.get(col) is None) ^ nf ^ desc,
+                                   _sort_key(r.get(col))),
+                    reverse=desc)
         if offset:
             out = out[offset:]
         if limit is not None:
@@ -709,6 +779,11 @@ class RelationalEngine:
                 for k, v in updates.items():
                     newvals[k] = t.coerce(t.by_name[k], v)
                 self._check_insert(t, newvals, skip_row=r)
+                changed = {
+                    k: (current[k], newvals[k]) for k in updates
+                    if _hashable(current[k]) != _hashable(newvals[k])}
+                if changed:
+                    self._apply_on_update_actions(t, r, changed)
                 for k, v in updates.items():
                     c = t.by_name[k]
                     old = None if t.nulls[k][r] else t.data[k][r]
@@ -765,13 +840,12 @@ class RelationalEngine:
             if action == "cascade":
                 for h in hits:
                     self._delete_row(other, int(h))
-            elif action == "set_null":
+            elif action in ("set_null", "set_default"):
+                repl = (other.coerce(c, c.default)
+                        if action == "set_default" else None)
                 for h in hits:
                     h = int(h)
-                    hidx = other.hash_indexes.get(c.name)
-                    if hidx is not None and not other.nulls[c.name][h]:
-                        hidx.remove(_hashable(other.data[c.name][h]), h)
-                    other.nulls[c.name][h] = True
+                    self._set_fk_value(other, c, h, repl)
         for c in t.columns:
             hidx = t.hash_indexes.get(c.name)
             if hidx is not None and not t.nulls[c.name][r]:
@@ -781,6 +855,56 @@ class RelationalEngine:
                 bidx.invalidate()
         t.alive[r] = False
         self._persist_delete(t, r)
+
+    def _set_fk_value(self, t: _Table, c: Column, r: int, value) -> None:
+        """Referential-action write (SET NULL / SET DEFAULT / CASCADE
+        on update): keep indexes consistent and persist the row."""
+        hidx = t.hash_indexes.get(c.name)
+        if hidx is not None and not t.nulls[c.name][r]:
+            hidx.remove(_hashable(t.data[c.name][r]), r)
+        if value is None:
+            t.nulls[c.name][r] = True
+        else:
+            t.nulls[c.name][r] = False
+            t.data[c.name][r] = value
+            if hidx is not None:
+                hidx.add(_hashable(value), r)
+        bidx = t.btree_indexes.get(c.name)
+        if bidx is not None:
+            bidx.invalidate()
+        self._persist_row(t, r)
+
+    def _apply_on_update_actions(self, t: _Table, r: int,
+                                 changed: Dict[str, tuple]) -> None:
+        """Referential ON UPDATE actions when a referenced column of
+        row r changes. changed: {col: (old, new)}."""
+        with self._lock:
+            referrers = [
+                (other, c) for other in self._tables.values()
+                for c in other.columns
+                if c.references and c.references.table == t.name
+                and c.references.column in changed]
+        for other, c in referrers:
+            old, new = changed[c.references.column]
+            if old is None:
+                continue
+            hits = [int(h) for h in self._match_rows(
+                other, Condition.eq(c.name, _hashable(old)))]
+            if not hits:
+                continue
+            action = c.references.on_update
+            if action == "restrict":
+                raise RelationalError(
+                    f"update restricted: {other.name}.{c.name} "
+                    f"references {t.name}.{c.references.column}")
+            for h in hits:
+                if action == "cascade":
+                    self._set_fk_value(other, c, h, new)
+                elif action == "set_null":
+                    self._set_fk_value(other, c, h, None)
+                else:  # set_default
+                    self._set_fk_value(other, c, h,
+                                       other.coerce(c, c.default))
 
     # ------------------------------------------------------------------
     # indexes

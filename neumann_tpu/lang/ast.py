@@ -32,7 +32,9 @@ class ColumnDef(Statement):
     unique: bool = False
     primary_key: bool = False
     default: object = None
-    references: Optional[Tuple[str, str, str]] = None  # table, col, action
+    # table, col, on_delete action, on_update action
+    references: Optional[Tuple[str, str, str, str]] = None
+    check: Optional[Condition] = None
 
 
 @dataclass
@@ -40,6 +42,18 @@ class CreateTable(Statement):
     table: str
     columns: List[ColumnDef] = field(default_factory=list)
     if_not_exists: bool = False
+    checks: List[Condition] = field(default_factory=list)
+    # composite UNIQUE / PRIMARY KEY column groups (table constraints)
+    uniques: List[List[str]] = field(default_factory=list)
+
+
+@dataclass
+class Subquery:
+    """A (SELECT ...) appearing as a value inside a condition
+    (IN / EXISTS / scalar comparison). The router resolves these to
+    concrete values before handing conditions to the engines."""
+
+    select: "Select"
 
 
 @dataclass
@@ -69,6 +83,7 @@ class Insert(Statement):
     table: str
     columns: Optional[List[str]] = None
     rows: List[List[object]] = field(default_factory=list)
+    select: Optional["Select"] = None   # INSERT INTO t ... SELECT ...
 
 
 @dataclass
@@ -76,6 +91,9 @@ class SelectItem(Statement):
     expr: str                 # column name, * or aggregate fn name
     agg: Optional[str] = None  # count/sum/avg/min/max
     alias: Optional[str] = None
+    # scalar expression tree (lang.expr.Expr) for computed items:
+    # arithmetic / CASE / CAST; None for plain columns and aggregates
+    tree: Optional[object] = None
 
 
 @dataclass
@@ -84,6 +102,7 @@ class JoinClause(Statement):
     how: str                 # inner/left/right/full/cross/natural
     left_col: Optional[str] = None
     right_col: Optional[str] = None
+    using: Optional[List[str]] = None   # JOIN ... USING (cols)
 
 
 @dataclass
@@ -94,7 +113,9 @@ class Select(Statement):
     joins: List[JoinClause] = field(default_factory=list)
     group_by: List[str] = field(default_factory=list)
     having: Optional[Condition] = None
-    order_by: List[Tuple[str, bool]] = field(default_factory=list)
+    # (col, desc) or (col, desc, nulls_first); 2-tuples keep the SQL
+    # default placement (NULLS LAST asc / NULLS FIRST desc)
+    order_by: List[Tuple] = field(default_factory=list)
     limit: Optional[int] = None
     offset: int = 0
     distinct: bool = False

@@ -171,8 +171,27 @@ class _Parser:
         return props
 
     # -- conditions --------------------------------------------------------
-    def condition(self) -> Condition:
-        return self._or_expr()
+    _allow_aggs = False      # HAVING may reference aggregate results
+
+    def condition(self, allow_aggs: bool = False) -> Condition:
+        prev = self._allow_aggs
+        self._allow_aggs = allow_aggs
+        try:
+            return self._or_expr()
+        finally:
+            self._allow_aggs = prev
+
+    def _subselect(self) -> "ast.Subquery":
+        """'(' already consumed; parses SELECT ... ')'."""
+        self.expect_kw("SELECT")
+        sub = self._stmt_select()
+        self.expect_punct(")")
+        return ast.Subquery(sub)
+
+    def _at_subquery(self) -> bool:
+        nxt = self.peek(1)
+        return (self.at_punct("(") and nxt.kind == "ident"
+                and nxt.text.upper() == "SELECT")
 
     def _or_expr(self) -> Condition:
         left = self._and_expr()
@@ -191,13 +210,36 @@ class _Parser:
             return self._not_expr().not_()
         return self._primary_cond()
 
+    def _parse_in(self, col: str) -> Condition:
+        self.expect_punct("(")
+        if self.at_kw("SELECT"):
+            sub = self._subselect()
+            return Condition("in", col, sub)
+        vals = [self.value()]
+        while self.accept_punct(","):
+            vals.append(self.value())
+        self.expect_punct(")")
+        return Condition.in_(col, vals)
+
     def _primary_cond(self) -> Condition:
+        if self.at_kw("EXISTS") and self.peek(1).kind == "punct" \
+                and self.peek(1).text == "(":
+            self.next()
+            self.next()
+            return Condition("exists", value=self._subselect())
         if self.accept_punct("("):
             c = self._or_expr()
             self.expect_punct(")")
             return c
         t = self.peek()
         col = self.ident("column name")
+        # HAVING may compare aggregate results: COUNT(*) / SUM(col) ...
+        if self._allow_aggs and col.upper() in (
+                "COUNT", "SUM", "AVG", "MIN", "MAX") and self.at_punct("("):
+            self.next()
+            arg = "*" if self.accept_punct("*") else self.ident()
+            self.expect_punct(")")
+            col = f"{col.lower()}({arg})"
         # dotted names (table.col)
         while self.at_punct("."):
             self.next()
@@ -208,13 +250,17 @@ class _Parser:
                 return Condition.is_not_null(col)
             self.expect_kw("NULL")
             return Condition.is_null(col)
+        if self.accept_kw("NOT"):
+            if self.accept_kw("IN"):
+                return self._parse_in(col).not_()
+            if self.accept_kw("LIKE"):
+                return Condition.like(
+                    col, self.string("LIKE pattern")).not_()
+            bad = self.peek()
+            raise ParseError("expected IN or LIKE after NOT",
+                             bad.line, bad.col)
         if self.accept_kw("IN"):
-            self.expect_punct("(")
-            vals = [self.value()]
-            while self.accept_punct(","):
-                vals.append(self.value())
-            self.expect_punct(")")
-            return Condition.in_(col, vals)
+            return self._parse_in(col)
         if self.accept_kw("LIKE"):
             return Condition.like(col, self.string("LIKE pattern"))
         if self.accept_kw("BETWEEN"):
@@ -230,6 +276,9 @@ class _Parser:
                 f"expected comparison after {col!r}, got "
                 f"{op_tok.text or 'EOF'!r}", op_tok.line, op_tok.col)
         op = self.next().text
+        if self._at_subquery():
+            self.next()
+            return Condition.cmp(col, op, self._subselect())
         return Condition.cmp(col, op, self.value())
 
     # ======================================================================
@@ -286,8 +335,8 @@ class _Parser:
             while self.accept_punct(","):
                 group_by.append(gb_ident())
             if self.accept_kw("HAVING"):
-                having = self.condition()
-        order_by: List[Tuple[str, bool]] = []
+                having = self.condition(allow_aggs=True)
+        order_by: List[Tuple] = []
         if self.accept_kw("ORDER"):
             self.expect_kw("BY")
             while True:
@@ -299,11 +348,22 @@ class _Parser:
                     desc = True
                 else:
                     self.accept_kw("ASC")
-                order_by.append((col, desc))
+                if self.accept_kw("NULLS"):
+                    nulls_first = self.expect_kw("FIRST",
+                                                 "LAST") == "FIRST"
+                    order_by.append((col, desc, nulls_first))
+                else:
+                    order_by.append((col, desc))
                 if not self.accept_punct(","):
                     break
-        limit = self.int_() if self.accept_kw("LIMIT") else None
-        offset = self.int_() if self.accept_kw("OFFSET") else 0
+        limit = None
+        offset = 0
+        while self.at_kw("LIMIT", "OFFSET"):     # either order
+            if self.accept_kw("LIMIT"):
+                limit = self.int_()
+            else:
+                self.expect_kw("OFFSET")
+                offset = self.int_()
         stmt = ast.Select(table=table, items=items, where=where,
                           joins=joins, group_by=group_by, having=having,
                           order_by=order_by, limit=limit, offset=offset,
@@ -313,13 +373,16 @@ class _Parser:
         return stmt
 
     def _select_item(self) -> ast.SelectItem:
+        from neumann_tpu.lang.expr import Col
+
         if self.at_punct("*"):
             self.next()
             return ast.SelectItem("*")
         t = self.peek()
-        name = self.ident("column or function")
-        up = name.upper()
-        if up in ("COUNT", "SUM", "AVG", "MIN", "MAX") and self.at_punct("("):
+        up = t.text.upper() if t.kind == "ident" else ""
+        if up in ("COUNT", "SUM", "AVG", "MIN", "MAX") and \
+                self.peek(1).kind == "punct" and self.peek(1).text == "(":
+            self.next()
             self.next()
             if self.at_punct("*"):
                 self.next()
@@ -329,15 +392,97 @@ class _Parser:
             self.expect_punct(")")
             alias = self.ident() if self.accept_kw("AS") else None
             return ast.SelectItem(arg, agg=up.lower(), alias=alias)
+        tree = self._expr()
+        alias = self.ident() if self.accept_kw("AS") else None
+        if isinstance(tree, Col):       # plain column: engine projects it
+            return ast.SelectItem(tree.name, alias=alias)
+        return ast.SelectItem(tree.label(), alias=alias, tree=tree)
+
+    # -- scalar expressions (functions.md:83-160: arithmetic, CASE, CAST)
+    def _expr(self):
+        from neumann_tpu.lang.expr import Bin
+
+        left = self._expr_term()
+        while self.peek().kind == "punct" and self.peek().text in "+-":
+            op = self.next().text
+            left = Bin(op, left, self._expr_term())
+        return left
+
+    def _expr_term(self):
+        from neumann_tpu.lang.expr import Bin
+
+        left = self._expr_factor()
+        while self.peek().kind == "punct" and \
+                self.peek().text in ("*", "/", "%"):
+            op = self.next().text
+            left = Bin(op, left, self._expr_factor())
+        return left
+
+    def _expr_factor(self):
+        from neumann_tpu.lang.expr import Bin, Case, Cast, Col, Lit
+
+        t = self.peek()
+        if t.kind == "punct" and t.text == "(":
+            self.next()
+            e = self._expr()
+            self.expect_punct(")")
+            return e
+        if t.kind == "punct" and t.text == "-":
+            self.next()
+            return Bin("-", Lit(0), self._expr_factor())
+        if t.kind == "number":
+            return Lit(self.next().value)
+        if t.kind == "string":
+            return Lit(self.next().value)
+        if t.kind != "ident":
+            raise ParseError(f"expected expression, got "
+                             f"{t.text or 'EOF'!r}", t.line, t.col)
+        up = t.text.upper()
+        if up in ("TRUE", "FALSE"):
+            self.next()
+            return Lit(up == "TRUE")
+        if up == "NULL":
+            self.next()
+            return Lit(None)
+        if up == "CASE":
+            self.next()
+            whens = []
+            while self.accept_kw("WHEN"):
+                cond = self.condition()
+                self.expect_kw("THEN")
+                whens.append((cond, self._expr()))
+            if not whens:
+                raise ParseError("CASE requires at least one WHEN",
+                                 t.line, t.col)
+            else_ = self._expr() if self.accept_kw("ELSE") else None
+            self.expect_kw("END")
+            return Case(tuple(whens), else_)
+        if up == "CAST":
+            self.next()
+            self.expect_punct("(")
+            e = self._expr()
+            self.expect_kw("AS")
+            tt = self.peek()
+            type_kw = self.ident("type").upper()
+            if type_kw not in _TYPE_MAP:
+                raise ParseError(f"unknown CAST type {type_kw}",
+                                 tt.line, tt.col)
+            if self.accept_punct("("):      # VARCHAR(20) etc.
+                self.number()
+                if self.accept_punct(","):
+                    self.number()
+                self.expect_punct(")")
+            self.expect_punct(")")
+            return Cast(e, _TYPE_MAP[type_kw])
+        name = self.ident("column name")
         while self.at_punct("."):
             self.next()
             name = f"{name}.{self.ident()}"
-        alias = self.ident() if self.accept_kw("AS") else None
-        return ast.SelectItem(name, alias=alias)
+        return Col(name)
 
     _ALIAS_STOP = ("JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS",
                    "NATURAL", "WHERE", "GROUP", "HAVING", "ORDER",
-                   "LIMIT", "OFFSET", "ON", "AS")
+                   "LIMIT", "OFFSET", "ON", "AS", "USING")
 
     def _maybe_alias(self) -> Optional[str]:
         if self.accept_kw("AS"):
@@ -372,17 +517,26 @@ class _Parser:
             if alias:
                 aliases[alias] = table
         left_col = right_col = None
+        using = None
         if how not in ("cross", "natural"):
-            self.expect_kw("ON")
-            a = self._qualified()
-            self.expect_punct("=")
-            b = self._qualified()
-            left_col, right_col = a[1], b[1]
-            # normalize sides: (left_table.col = right_table.col)
-            if a[0] == table:
-                left_col, right_col = b[1], a[1]
+            if self.accept_kw("USING"):
+                self.expect_punct("(")
+                using = [self.ident("join column")]
+                while self.accept_punct(","):
+                    using.append(self.ident("join column"))
+                self.expect_punct(")")
+                left_col = right_col = using[0]
+            else:
+                self.expect_kw("ON")
+                a = self._qualified()
+                self.expect_punct("=")
+                b = self._qualified()
+                left_col, right_col = a[1], b[1]
+                # normalize sides: (left_table.col = right_table.col)
+                if a[0] == table:
+                    left_col, right_col = b[1], a[1]
         return ast.JoinClause(table=table, how=how, left_col=left_col,
-                              right_col=right_col)
+                              right_col=right_col, using=using)
 
     def _qualified(self) -> Tuple[Optional[str], str]:
         name = self.ident()
@@ -399,6 +553,9 @@ class _Parser:
             while self.accept_punct(","):
                 columns.append(self.ident())
             self.expect_punct(")")
+        if self.accept_kw("SELECT"):            # INSERT INTO t SELECT ...
+            return ast.Insert(table=table, columns=columns,
+                              select=self._stmt_select())
         self.expect_kw("VALUES")
         rows: List[List[object]] = []
         while True:
@@ -457,13 +614,73 @@ class _Parser:
         table = self.ident("table name")
         self.expect_punct("(")
         cols: List[ast.ColumnDef] = []
+        checks: List[Condition] = []
+        uniques: List[List[str]] = []
+
+        def col_list() -> List[str]:
+            self.expect_punct("(")
+            names = [self.ident("column name")]
+            while self.accept_punct(","):
+                names.append(self.ident("column name"))
+            self.expect_punct(")")
+            return names
+
         while True:
-            cols.append(self._column_def())
+            # table-level constraints (query-language.md: PRIMARY KEY /
+            # UNIQUE / FOREIGN KEY / CHECK after the column defs)
+            if self.accept_kw("CONSTRAINT"):
+                self.ident("constraint name")   # named; name unused
+            if self.at_kw("PRIMARY"):
+                self.next()
+                self.expect_kw("KEY")
+                pk_cols = col_list()
+                if len(pk_cols) == 1:
+                    for c in cols:
+                        if c.name == pk_cols[0]:
+                            c.primary_key = True
+                            c.nullable = False
+                else:
+                    uniques.append(pk_cols)
+                    for c in cols:
+                        if c.name in pk_cols:
+                            c.nullable = False
+            elif self.at_kw("UNIQUE") and self.peek(1).kind == "punct" \
+                    and self.peek(1).text == "(":
+                self.next()
+                u_cols = col_list()
+                if len(u_cols) == 1:
+                    for c in cols:
+                        if c.name == u_cols[0]:
+                            c.unique = True
+                else:
+                    uniques.append(u_cols)
+            elif self.at_kw("FOREIGN"):
+                self.next()
+                self.expect_kw("KEY")
+                fk_cols = col_list()
+                self.expect_kw("REFERENCES")
+                ref = self._references_clause()
+                if len(fk_cols) != 1:
+                    t = self.peek()
+                    raise ParseError(
+                        "composite FOREIGN KEY is not supported",
+                        t.line, t.col)
+                for c in cols:
+                    if c.name == fk_cols[0]:
+                        c.references = ref
+            elif self.at_kw("CHECK"):
+                self.next()
+                self.expect_punct("(")
+                checks.append(self.condition())
+                self.expect_punct(")")
+            else:
+                cols.append(self._column_def())
             if not self.accept_punct(","):
                 break
         self.expect_punct(")")
         return ast.CreateTable(table=table, columns=cols,
-                               if_not_exists=if_not_exists)
+                               if_not_exists=if_not_exists,
+                               checks=checks, uniques=uniques)
 
     def _column_def(self) -> ast.ColumnDef:
         name = self.ident("column name")
@@ -492,28 +709,45 @@ class _Parser:
                 col.nullable = False
             elif self.accept_kw("DEFAULT"):
                 col.default = self.value()
-            elif self.accept_kw("REFERENCES"):
-                rtable = self.ident("referenced table")
+            elif self.accept_kw("CHECK"):
                 self.expect_punct("(")
-                rcol = self.ident("referenced column")
+                col.check = self.condition()
                 self.expect_punct(")")
-                action = "restrict"
-                if self.accept_kw("ON"):
-                    self.expect_kw("DELETE")
-                    if self.accept_kw("CASCADE"):
-                        action = "cascade"
-                    elif self.accept_kw("RESTRICT"):
-                        action = "restrict"
-                    elif self.accept_kw("SET"):
-                        self.expect_kw("NULL")
-                        action = "set_null"
-                    elif self.accept_kw("NO"):
-                        self.expect_kw("ACTION")
-                        action = "restrict"
-                col.references = (rtable, rcol, action)
+            elif self.accept_kw("REFERENCES"):
+                col.references = self._references_clause()
             else:
                 break
         return col
+
+    def _fk_action(self) -> str:
+        if self.accept_kw("CASCADE"):
+            return "cascade"
+        if self.accept_kw("RESTRICT"):
+            return "restrict"
+        if self.accept_kw("SET"):
+            if self.accept_kw("DEFAULT"):
+                return "set_default"
+            self.expect_kw("NULL")
+            return "set_null"
+        self.expect_kw("NO")
+        self.expect_kw("ACTION")
+        return "restrict"   # NO ACTION == RESTRICT here (no deferral)
+
+    def _references_clause(self) -> tuple:
+        """REFERENCES table(col) [ON DELETE act] [ON UPDATE act] ->
+        (table, col, on_delete, on_update)."""
+        rtable = self.ident("referenced table")
+        self.expect_punct("(")
+        rcol = self.ident("referenced column")
+        self.expect_punct(")")
+        on_delete = on_update = "restrict"
+        while self.accept_kw("ON"):
+            if self.accept_kw("DELETE"):
+                on_delete = self._fk_action()
+            else:
+                self.expect_kw("UPDATE")
+                on_update = self._fk_action()
+        return (rtable, rcol, on_delete, on_update)
 
     def _create_index(self, unique: bool, btree: bool = False
                       ) -> ast.Statement:
@@ -1247,9 +1481,26 @@ def _rewrite_aliases(stmt: "ast.Select", aliases: Dict[str, str]) -> None:
 
         return _replace(c, left=left, right=right, **kwargs)
 
+    def fix_tree(e):
+        from neumann_tpu.lang import expr as E
+
+        if isinstance(e, E.Col):
+            return E.Col(fix_name(e.name))
+        if isinstance(e, E.Bin):
+            return E.Bin(e.op, fix_tree(e.left), fix_tree(e.right))
+        if isinstance(e, E.Case):
+            return E.Case(tuple((fix_cond(c), fix_tree(r))
+                                for c, r in e.whens),
+                          fix_tree(e.else_) if e.else_ else None)
+        if isinstance(e, E.Cast):
+            return E.Cast(fix_tree(e.expr), e.ctype)
+        return e
+
     for item in stmt.items:
         item.expr = fix_name(item.expr)
+        if item.tree is not None:
+            item.tree = fix_tree(item.tree)
     stmt.where = fix_cond(stmt.where)
     stmt.having = fix_cond(stmt.having)
     stmt.group_by = [fix_name(g) for g in stmt.group_by]
-    stmt.order_by = [(fix_name(c), d) for c, d in stmt.order_by]
+    stmt.order_by = [(fix_name(sp[0]), *sp[1:]) for sp in stmt.order_by]

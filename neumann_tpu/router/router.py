@@ -297,12 +297,13 @@ class QueryRouter:
         for c in s.columns:
             fk = None
             if c.references:
-                fk = ForeignKey(c.references[0], c.references[1],
-                                c.references[2])
+                fk = ForeignKey(*c.references)
             cols.append(Column(c.name, c.ctype, nullable=c.nullable,
                                unique=c.unique, primary_key=c.primary_key,
-                               default=c.default, references=fk))
-        self.relational.create_table(s.table, cols)
+                               default=c.default, references=fk,
+                               check=c.check))
+        self.relational.create_table(s.table, cols, checks=s.checks,
+                                     uniques=s.uniques)
         return QueryResult.msg(f"table '{s.table}' created")
 
     def _exec_droptable(self, s: ast.DropTable) -> QueryResult:
@@ -329,7 +330,109 @@ class QueryRouter:
         return QueryResult.msg("named indexes are addressed as "
                                "DROP INDEX ON table(column)")
 
+    # -- subquery resolution (IN / EXISTS / scalar comparisons) ------------
+    def _resolve_subqueries(self, cond: Optional[Condition]
+                            ) -> Optional[Condition]:
+        """Replace ast.Subquery values with concrete results before the
+        condition reaches the engines (non-correlated subqueries)."""
+        if cond is None:
+            return None
+        from dataclasses import replace as _replace
+
+        if cond.op == "exists":
+            rows = self._subquery_rows(cond.value)
+            t = Condition.true()
+            return t if rows else t.not_()
+        changed = {}
+        if isinstance(cond.value, ast.Subquery):
+            rows = self._subquery_rows(cond.value)
+            vals = [next(iter(r.values()), None) for r in rows]
+            if cond.op == "in":
+                changed["value"] = tuple(v for v in vals
+                                         if v is not None)
+            else:                       # scalar comparison
+                if len(vals) > 1:
+                    raise NeumannError(
+                        "scalar subquery returned more than one row")
+                if not vals or vals[0] is None:
+                    return Condition.true().not_()  # NULL -> no match
+                changed["value"] = vals[0]
+        left = self._resolve_subqueries(cond.left)
+        right = self._resolve_subqueries(cond.right)
+        if changed or left is not cond.left or right is not cond.right:
+            return _replace(cond, left=left, right=right, **changed)
+        return cond
+
+    def _subquery_rows(self, sub: "ast.Subquery") -> List[dict]:
+        return self._exec_select(sub.select).rows
+
+    # shared ORDER BY: specs are (col, desc) or (col, desc, nulls_first);
+    # the 2-tuple default matches SQL (NULLS LAST asc, NULLS FIRST desc)
+    @staticmethod
+    def _sort_rows(rows: List[dict], order_by) -> None:
+        for spec in reversed(list(order_by)):
+            col, desc = spec[0], spec[1]
+            nf = spec[2] if len(spec) > 2 else desc
+            rows.sort(
+                key=lambda r: ((r.get(col) is None) ^ nf ^ desc,
+                               r.get(col) is None, r.get(col)),
+                reverse=desc)
+
+    @staticmethod
+    def _project_items(rows, items, unq=None):
+        """Project select items onto fetched rows: plain columns,
+        AS aliases, and expression trees (arith/CASE/CAST)."""
+        if all(i.expr == "*" and i.tree is None for i in items):
+            return rows
+        u = unq or (lambda n: n)
+        plan = []
+        for it in items:
+            if it.expr == "*" and it.tree is None:
+                plan.append(("star", None, None))
+            elif it.tree is not None:
+                tree = it.tree.map_cols(u) if unq is not None else it.tree
+                plan.append(("expr", it.alias or it.expr, tree))
+            else:
+                name = u(it.expr)
+                plan.append(("col", it.alias or name, name))
+        out = []
+        for r in rows:
+            rec = {}
+            for kind, key, arg in plan:
+                if kind == "star":
+                    rec.update(r)
+                elif kind == "col":
+                    rec[key] = r.get(arg)
+                else:
+                    rec[key] = arg.evaluate(r)
+            out.append(rec)
+        return out
+
     def _exec_insert(self, s: ast.Insert) -> QueryResult:
+        if s.select is not None:          # INSERT INTO t ... SELECT ...
+            src = self._exec_select(s.select).rows
+            if s.columns is not None:
+                rows = []
+                for r in src:
+                    vals = list(r.values())
+                    if len(vals) != len(s.columns):
+                        raise NeumannError(
+                            "column/value count mismatch")
+                    rows.append(dict(zip(s.columns, vals)))
+            else:
+                schema = self.relational.describe(s.table)
+                names = [c["name"] for c in schema]
+                rows = []
+                for r in src:
+                    vals = list(r.values())
+                    if len(vals) != len(names):
+                        raise NeumannError(
+                            "column/value count mismatch")
+                    rows.append(dict(zip(names, vals)))
+            ids = self.relational.insert_many(s.table, rows)
+            return QueryResult("count", count=len(ids),
+                               message=f"inserted {len(ids)} row(s)",
+                               value=ids)
         rows = []
         for values in s.rows:
             if s.columns is not None:
@@ -348,6 +451,8 @@ class QueryRouter:
                            value=ids)
 
     def _exec_select(self, s: ast.Select) -> QueryResult:
+        where = self._resolve_subqueries(s.where)
+        having = self._resolve_subqueries(s.having)
         # aggregates without GROUP BY
         aggs = [i for i in s.items if i.agg]
         if aggs and not s.group_by:
@@ -355,21 +460,37 @@ class QueryRouter:
             for item in aggs:
                 alias = item.alias or f"{item.agg}({item.expr})"
                 if item.agg == "count":
-                    out[alias] = self.relational.count(s.table, s.where)
+                    out[alias] = self.relational.count(s.table, where)
                 else:
                     fn = getattr(self.relational, f"{item.agg}_column")
-                    out[alias] = fn(s.table, item.expr, s.where)
+                    out[alias] = fn(s.table, item.expr, where)
             return QueryResult.of_rows([out])
         if s.group_by:
             agg_spec = [(i.agg or "count", i.expr if i.expr != "*" else "",
                          i.alias or f"{i.agg}({i.expr})")
                         for i in s.items if i.agg]
+            # HAVING may reference aggregates not in the select list:
+            # compute them under their canonical alias, strip after
+            hidden = []
+            if having is not None:
+                import re as _re
+
+                present = {a[2] for a in agg_spec}
+                for col in having.columns():
+                    m = _re.fullmatch(
+                        r"(count|sum|avg|min|max)\((.*)\)", col)
+                    if m and col not in present:
+                        fn, arg = m.group(1), m.group(2)
+                        agg_spec.append(
+                            (fn, "" if arg == "*" else arg, col))
+                        hidden.append(col)
             rows = self.relational.group_by(s.table, s.group_by, agg_spec,
-                                            s.where, s.having)
+                                            where, having)
+            if hidden:
+                rows = [{k: v for k, v in r.items() if k not in hidden}
+                        for r in rows]
             if s.order_by:
-                for col, desc in reversed(s.order_by):
-                    rows.sort(key=lambda r: (r.get(col) is None,
-                                             r.get(col)), reverse=desc)
+                self._sort_rows(rows, s.order_by)
             if s.offset:
                 rows = rows[s.offset:]
             if s.limit is not None:
@@ -387,21 +508,23 @@ class QueryRouter:
                 else:
                     rows = self.relational.join(base, j.table, j.left_col,
                                                 j.right_col, j.how)
-            if s.where is not None:
-                rows = [r for r in rows if s.where.evaluate_row(r)]
+                if j.using and len(j.using) > 1:
+                    # USING (a, b, ...): equality on every listed column
+                    rows = [r for r in rows
+                            if all(r.get(f"{base}.{c}") is not None
+                                   and r.get(f"{base}.{c}")
+                                   == r.get(f"{j.table}.{c}")
+                                   for c in j.using[1:])]
+            if where is not None:
+                rows = [r for r in rows if where.evaluate_row(r)]
             if s.order_by:
-                for col, desc in reversed(s.order_by):
-                    rows.sort(key=lambda r: (r.get(col) is None,
-                                             r.get(col)), reverse=desc)
+                self._sort_rows(rows, s.order_by)
             if s.limit is not None:
                 rows = rows[s.offset: s.offset + s.limit]
             elif s.offset:
                 rows = rows[s.offset:]
-            cols = None
-            if not any(i.expr == "*" for i in s.items):
-                cols = [i.expr for i in s.items]
-                rows = [{k: r.get(k) for k in cols} for r in rows]
-            return QueryResult.of_rows(rows)
+            return QueryResult.of_rows(
+                self._project_items(rows, s.items))
         def _unqualify(name):
             # single-table queries may still alias-qualify columns
             return name[len(s.table) + 1:] \
@@ -418,13 +541,19 @@ class QueryRouter:
             return _replace(c, left=_unqualify_cond(c.left),
                             right=_unqualify_cond(c.right), **kw)
 
+        needs_project = any(i.tree is not None or i.alias
+                            for i in s.items)
         cols = None
-        if not any(i.expr == "*" for i in s.items):
+        if not needs_project and not any(i.expr == "*"
+                                         for i in s.items):
             cols = [_unqualify(i.expr) for i in s.items]
         rows = self.relational.select(
-            s.table, _unqualify_cond(s.where), columns=cols,
-            order_by=[( _unqualify(c), d) for c, d in s.order_by] or None,
+            s.table, _unqualify_cond(where), columns=cols,
+            order_by=[(_unqualify(sp[0]), *sp[1:])
+                      for sp in s.order_by] or None,
             limit=s.limit, offset=s.offset)
+        if needs_project:
+            rows = self._project_items(rows, s.items, unq=_unqualify)
         if s.distinct:
             seen = set()
             uniq = []
@@ -438,12 +567,15 @@ class QueryRouter:
 
     def _exec_update(self, s: ast.Update) -> QueryResult:
         self._auto_ckpt("update", s.table)
-        n = self.relational.update(s.table, s.where, s.updates)
+        n = self.relational.update(s.table,
+                                   self._resolve_subqueries(s.where),
+                                   s.updates)
         return QueryResult("count", count=n, message=f"updated {n} row(s)")
 
     def _exec_delete(self, s: ast.Delete) -> QueryResult:
         self._auto_ckpt("delete", s.table)
-        n = self.relational.delete(s.table, s.where)
+        n = self.relational.delete(s.table,
+                                   self._resolve_subqueries(s.where))
         return QueryResult("count", count=n, message=f"deleted {n} row(s)")
 
     def _exec_showtables(self, s) -> QueryResult:

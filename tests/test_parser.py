@@ -73,7 +73,7 @@ def test_create_table():
     assert s.if_not_exists
     cols = {c.name: c for c in s.columns}
     assert cols["id"].primary_key and not cols["id"].nullable
-    assert cols["user_id"].references == ("users", "id", "cascade")
+    assert cols["user_id"].references == ("users", "id", "cascade", "restrict")
     assert cols["total"].default == 0.0
     assert cols["note"].ctype == "text" and cols["note"].unique
     assert cols["ok"].ctype == "bool"
