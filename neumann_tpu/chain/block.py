@@ -39,6 +39,10 @@ class Block:
     state_root: str = ""
     delta_embedding: Optional[List[float]] = None
     signature: str = ""
+    # nearest global-codebook archetype for the delta (compressed
+    # history, tensor_chain codebook.rs); set after append, like the
+    # signature it is not part of the hashed header
+    codebook_code: Optional[int] = None
 
     def header_bytes(self) -> bytes:
         return json.dumps({
@@ -67,6 +71,7 @@ class Block:
                 "transactions": self.transactions,
                 "state_root": self.state_root,
                 "delta_embedding": self.delta_embedding,
+                "codebook_code": self.codebook_code,
                 "signature": self.signature, "hash": self.hash}
 
 

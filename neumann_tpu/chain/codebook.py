@@ -87,3 +87,91 @@ class LocalCodebook:
             return 0.0
         return float(np.linalg.norm(self.codes - self.base.codes)
                      / max(np.linalg.norm(self.base.codes), 1e-30))
+
+
+class CodebookManager:
+    """Chain-attached codebook lifecycle (tensor_chain commit path,
+    lib.rs:1040-1049: quantize each block's delta; the reference's
+    SHOW CODEBOOK / ANALYZE CODEBOOK TRANSITIONS statements read this
+    state — its router stubs those with zeros; here they are real).
+
+    The global book trains itself from the first `train_after` block
+    deltas, then every commit quantizes its delta (code recorded on the
+    block), EMA-adapts the per-domain local book, and logs a transition
+    validity record (anomalous = far from every archetype)."""
+
+    def __init__(self, n_codes: int = 16, train_after: int = 16):
+        self.n_codes = n_codes
+        self.train_after = train_after
+        self.global_book: Optional[GlobalCodebook] = None
+        self.locals: dict = {}
+        self._buffer: list = []        # (height, delta) pre-training
+        self.transitions: list = []    # {height, code, dist, valid}
+
+    def observe(self, delta, height: int,
+                domain: str = "default") -> Optional[int]:
+        delta = np.asarray(delta, np.float32)
+        if self.global_book is None:
+            self._buffer.append((height, delta))
+            if len(self._buffer) < self.train_after:
+                return None
+            dims = {d.shape[0] for _, d in self._buffer}
+            dim = max(dims)
+            train = np.stack([d for _, d in self._buffer
+                              if d.shape[0] == dim])
+            gb = GlobalCodebook(dim, self.n_codes)
+            gb.train(train)
+            self.global_book = gb
+            # replay buffered blocks so early history carries codes
+            last = None
+            for h, d in self._buffer:
+                last = self._record(h, d, domain)
+            self._buffer.clear()
+            return last
+        return self._record(height, delta, domain)
+
+    def _record(self, height: int, delta: np.ndarray, domain: str
+                ) -> Optional[int]:
+        gb = self.global_book
+        if delta.shape[0] != gb.dim:
+            return None                # mixed-dim delta: skip quantize
+        code, dist = gb.quantize(delta)
+        lb = self.locals.get(domain)
+        if lb is None:
+            lb = self.locals[domain] = LocalCodebook(gb)
+        lb.observe(delta)
+        self.transitions.append({
+            "height": height, "code": code, "dist": dist,
+            "valid": not gb.is_anomalous(delta)})
+        return code
+
+    def info(self, scope: str, domain: Optional[str] = None) -> dict:
+        gb = self.global_book
+        out = {"scope": scope, "domain": domain,
+               "entry_count": (gb.n_codes if gb and gb.codes is not None
+                               else 0),
+               "dimension": gb.dim if gb else 0,
+               "trained": gb is not None,
+               "pending_deltas": len(self._buffer)}
+        if scope == "local":
+            lb = self.locals.get(domain or "default")
+            out["entry_count"] = (len(lb.codes) if lb is not None
+                                  and lb.codes is not None else 0)
+            out["drift_from_global"] = (lb.drift_from_global()
+                                        if lb is not None else 0.0)
+            out["usage_total"] = (int(lb.usage.sum())
+                                  if lb is not None else 0)
+        return out
+
+    def analyze_transitions(self) -> dict:
+        total = len(self.transitions)
+        valid = sum(1 for t in self.transitions if t["valid"])
+        dists = [t["dist"] for t in self.transitions]
+        return {
+            "total_transitions": total,
+            "valid_transitions": valid,
+            "invalid_transitions": total - valid,
+            "avg_quantization_distance": (float(np.mean(dists))
+                                          if dists else 0.0),
+            "avg_validity_score": (valid / total) if total else 0.0,
+        }

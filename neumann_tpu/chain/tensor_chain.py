@@ -81,10 +81,13 @@ class TensorChain:
                  embedding_dim: int = 64,
                  consensus: Optional[ConsensusConfig] = None,
                  signing_key: bytes = b"neumann"):
+        from neumann_tpu.chain.codebook import CodebookManager
+
         self.store = store if store is not None else TensorStore()
         self.chain = Chain(signing_key)
         self.embedding_dim = embedding_dim
         self.consensus = consensus or ConsensusConfig()
+        self.codebooks = CodebookManager()
         self._pending: Dict[int, TransactionWorkspace] = {}
         self._tx_ids = itertools.count(1)
         self._lock = threading.RLock()
@@ -167,6 +170,19 @@ class TensorChain:
                     state_root=root,
                     delta_embedding=delta)
                 self.chain.append(block)
+                # quantize the delta against the chain codebooks
+                # (lib.rs:1040-1049); the code compresses history and
+                # feeds transition-validity analysis. Early blocks get
+                # their codes backfilled once the global book trains.
+                self.codebooks.observe(delta, block.height)
+                sync = getattr(self, "_code_sync", 0)
+                trans = self.codebooks.transitions
+                while sync < len(trans):
+                    blk = self.chain.get_block(trans[sync]["height"])
+                    if blk is not None:
+                        blk.codebook_code = trans[sync]["code"]
+                    sync += 1
+                self._code_sync = sync
             except Exception:
                 for key, data in before.items():
                     if data is None:

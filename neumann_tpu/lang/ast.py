@@ -363,13 +363,24 @@ class EntityConnect(Statement):
 
 
 @dataclass
+class EntityBatchCreate(Statement):
+    """ENTITY BATCH CREATE [{key: 'k1', props...}, ...]"""
+
+    items: List[Dict[str, object]] = field(default_factory=list)
+
+
+@dataclass
 class Find(Statement):
-    target: str = "node"      # node/edge/rows
+    target: str = "node"      # node/edge/rows/path
     label: Optional[str] = None    # label / edge type / table
     where: Optional[Condition] = None
     similar_to: Optional[object] = None   # key or vector
     connected_to: Optional[str] = None
     limit: Optional[int] = None
+    # FIND PATH from -[edge]-> to (each part optional)
+    path_from: Optional[str] = None
+    path_edge: Optional[str] = None
+    path_to: Optional[str] = None
 
 
 # === vault / cache / blob / checkpoint / chain / cluster ===================

@@ -813,9 +813,21 @@ class _Parser:
         if self.accept_kw("VECTOR"):
             self.expect_kw("INDEX")
             return ast.ShowCollections()
+        if self.accept_kw("CODEBOOK"):
+            if self.accept_kw("GLOBAL"):
+                return ast.Chain(action="show_codebook_global")
+            self.expect_kw("LOCAL")
+            return ast.Chain(action="show_codebook_local",
+                             key=self.string("codebook domain"))
         t = self.peek()
-        raise ParseError("expected TABLES, EMBEDDINGS or COLLECTIONS",
-                         t.line, t.col)
+        raise ParseError(
+            "expected TABLES, EMBEDDINGS, COLLECTIONS or CODEBOOK",
+            t.line, t.col)
+
+    def _stmt_analyze(self) -> ast.Statement:
+        self.expect_kw("CODEBOOK")
+        self.expect_kw("TRANSITIONS")
+        return ast.Chain(action="analyze_transitions")
 
     def _stmt_describe(self) -> ast.Statement:
         target = "table"
@@ -1191,7 +1203,25 @@ class _Parser:
 
     # -- unified ---------------------------------------------------------------
     def _stmt_entity(self) -> ast.Statement:
-        act = self.expect_kw("CREATE", "GET", "UPDATE", "DELETE", "CONNECT")
+        act = self.expect_kw("CREATE", "GET", "UPDATE", "DELETE",
+                             "CONNECT", "BATCH")
+        if act == "BATCH":
+            self.expect_kw("CREATE")
+            self.expect_punct("[")
+            items = []
+            if not self.at_punct("]"):
+                while True:
+                    t = self.peek()
+                    props = self.property_map()
+                    if "key" not in props:
+                        raise ParseError(
+                            "each batch entity needs a 'key' property",
+                            t.line, t.col)
+                    items.append(props)
+                    if not self.accept_punct(","):
+                        break
+            self.expect_punct("]")
+            return ast.EntityBatchCreate(items=items)
         if act in ("CREATE", "UPDATE"):
             key = self.string("entity key")
             props = self.property_map() if self.at_punct("{") else {}
@@ -1214,11 +1244,24 @@ class _Parser:
 
     def _stmt_find(self) -> ast.Statement:
         stmt = ast.Find()
-        target = self.expect_kw("NODE", "EDGE", "ROWS", "ENTITY")
+        target = self.expect_kw("NODE", "EDGE", "ROWS", "ENTITY", "PATH")
         stmt.target = target.lower()
         if target == "ROWS":
             self.expect_kw("FROM")
             stmt.label = self.ident("table name")
+        elif target == "PATH":
+            # FIND PATH from_label -[edge_type]-> to_label
+            if self.peek().kind == "ident" and not self.at_punct("-"):
+                stmt.path_from = self.ident()
+            self.expect_punct("-")
+            self.expect_punct("[")
+            if not self.at_punct("]"):
+                stmt.path_edge = self.ident("edge type")
+            self.expect_punct("]")
+            self.expect_punct("->")
+            if self.peek().kind == "ident" and not self.at_kw(
+                    "WHERE", "LIMIT"):
+                stmt.path_to = self.ident()
         elif self.peek().kind in ("ident", "string") and not self.at_kw(
                 "WHERE", "SIMILAR", "CONNECTED", "LIMIT"):
             stmt.label = self.ident()

@@ -1003,7 +1003,73 @@ class QueryRouter:
         return QueryResult("value", value=eid,
                            message=f"'{s.src}' -> '{s.dst}' connected")
 
+    def _exec_entitybatchcreate(self, s: ast.EntityBatchCreate
+                                ) -> QueryResult:
+        # all-or-nothing: validate first (reference embed_batch
+        # semantics, tensor_unified/src/lib.rs batch operations)
+        for i, item in enumerate(s.items):
+            if not item.get("key"):
+                raise NeumannError(f"batch entity {i} missing key")
+        ids = []
+        for item in s.items:
+            props = {k: v for k, v in item.items() if k != "key"}
+            ids.append(self.unified.create_entity(str(item["key"]),
+                                                  props, None))
+        return QueryResult("value", value=ids,
+                           message=f"created {len(ids)} entities")
+
+    def _find_paths(self, s: ast.Find) -> QueryResult:
+        """FIND PATH from -[edge]-> to: shortest paths between nodes
+        of the endpoint labels, every hop matching the edge type
+        (tensor_unified/src/lib.rs find_paths)."""
+        limit = min(s.limit or 100, 1000)
+
+        def ids_of(label):
+            return [n["id"] for n in self.graph.find_nodes(label,
+                                                           limit=None)]
+
+        def hops_ok(path):
+            if s.path_edge is None:
+                return True
+            return all(
+                bool(self.graph.edges_between(a, b, s.path_edge))
+                for a, b in zip(path, path[1:]))
+
+        rows = []
+        if s.path_from and s.path_to:
+            for a in ids_of(s.path_from):
+                for b in ids_of(s.path_to):
+                    if len(rows) >= limit:
+                        break
+                    if a == b:
+                        continue
+                    path = self.graph.find_path(a, b)
+                    if path and hops_ok(path):
+                        rows.append({"from": a, "to": b, "path": path,
+                                     "length": len(path) - 1})
+        else:
+            # single-ended: direct connections from/to the given label
+            want = s.path_from or s.path_to
+            end = "src" if s.path_from else "dst"
+            with self.graph._lock:
+                items = sorted(self.graph._edges.items())
+                labels = {nid: n["label"]
+                          for nid, n in self.graph._nodes.items()}
+            for eid, e in items:
+                if s.path_edge and e["type"] != s.path_edge:
+                    continue
+                if want is not None and labels.get(e[end]) != want:
+                    continue
+                rows.append({"from": e["src"], "to": e["dst"],
+                             "path": [e["src"], e["dst"]],
+                             "length": 1})
+                if len(rows) >= limit:
+                    break
+        return QueryResult.of_rows(rows[:limit])
+
     def _exec_find(self, s: ast.Find) -> QueryResult:
+        if s.target == "path":
+            return self._find_paths(s)
         if s.target == "rows":
             rows = self.relational.select(s.label, s.where, limit=s.limit)
             return QueryResult.of_rows(rows)
@@ -1264,6 +1330,14 @@ class QueryRouter:
         if s.action == "drift":
             return QueryResult.of_rows(
                 [chain.drift(s.from_height, s.to_height)])
+        if s.action == "show_codebook_global":
+            return QueryResult.of_rows([chain.codebooks.info("global")])
+        if s.action == "show_codebook_local":
+            return QueryResult.of_rows(
+                [chain.codebooks.info("local", s.key)])
+        if s.action == "analyze_transitions":
+            return QueryResult.of_rows(
+                [chain.codebooks.analyze_transitions()])
         raise NeumannError(f"chain action {s.action} unsupported")
 
     def _exec_cluster(self, s: ast.Cluster) -> QueryResult:
