@@ -316,6 +316,25 @@ class NeumannClient:
                  "quantization": c.quantization}
                 for c in resp.collections]
 
+    def get_collection(self, name: str) -> dict:
+        pb = self._pb
+        resp = self._call("neumann.CollectionsService", "Get",
+                          pb.GetCollectionRequest(name=name),
+                          pb.GetCollectionResponse)
+        if resp.error:
+            raise NeumannError(resp.error)
+        c = resp.collection
+        return {"name": c.name, "count": c.count,
+                "dimension": c.dimension, "metric": c.metric,
+                "quantization": c.quantization}
+
+    def delete_collection(self, name: str) -> bool:
+        pb = self._pb
+        resp = self._call("neumann.CollectionsService", "Delete",
+                          pb.DropCollectionRequest(name=name),
+                          pb.DropCollectionResponse)
+        return resp.ok
+
     # -- blobs ---------------------------------------------------------------
     def upload_blob(self, name: str, data: bytes,
                     content_type: Optional[str] = None,
@@ -347,3 +366,25 @@ class NeumannClient:
                                 artifact_id=artifact_id),
                             pb.BlobChunk, streaming=True)
         return b"".join(c.data for c in chunks)
+
+    def delete_blob(self, artifact_id: str) -> bool:
+        pb = self._pb
+        resp = self._call("neumann.BlobService", "Delete",
+                          pb.BlobDeleteRequest(artifact_id=artifact_id),
+                          pb.BlobDeleteResponse)
+        return resp.ok
+
+    def blob_metadata(self, artifact_id: str) -> dict:
+        pb = self._pb
+        info = self._call("neumann.BlobService", "GetMetadata",
+                          pb.BlobMetadataRequest(
+                              artifact_id=artifact_id),
+                          pb.ArtifactInfo)
+        if info.error:
+            raise NeumannError(info.error)
+        return {"id": info.id, "name": info.name, "size": info.size,
+                "checksum": info.checksum,
+                "content_type": info.content_type,
+                "creator": info.creator, "created": info.created,
+                "tags": list(info.tags), "links": list(info.links),
+                "chunks": info.chunks}

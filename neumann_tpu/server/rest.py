@@ -286,6 +286,10 @@ graph: <code>{r.graph.node_count()}</code> nodes /
             return {"collections": [vec.collection_stats(n)
                                     for n in vec.list_collections()]}
         name = parts[0] if parts else None
+        if method == "GET" and len(parts) == 1:
+            if name not in vec.list_collections():
+                raise NeumannError(f"no collection '{name}'")
+            return {"result": vec.collection_stats(name)}
         if method == "PUT" and len(parts) == 1:
             vec.create_collection(name, VectorCollectionConfig(
                 dimension=body.get("dimension"),

@@ -329,12 +329,20 @@ class NeumannServer:
             "List": self._wrap(self._col_list, pb.ListCollectionsRequest,
                                pb.ListCollectionsResponse),
         }
+        c["Get"] = self._wrap(self._col_get, pb.GetCollectionRequest,
+                              pb.GetCollectionResponse)
+        c["Delete"] = c["Drop"]     # reference proto names it Delete
         b = {
             "Upload": self._wrap(self._blob_upload, pb.BlobChunk,
                                  pb.BlobUploadResponse, streaming_in=True),
             "Download": self._wrap(self._blob_download,
                                    pb.BlobDownloadRequest, pb.BlobChunk,
                                    streaming_out=True),
+            "Delete": self._wrap(self._blob_delete, pb.BlobDeleteRequest,
+                                 pb.BlobDeleteResponse),
+            "GetMetadata": self._wrap(self._blob_metadata,
+                                      pb.BlobMetadataRequest,
+                                      pb.ArtifactInfo),
         }
         r = {"ServerReflectionInfo": grpc.stream_stream_rpc_method_handler(
             self._reflection_info,
@@ -498,6 +506,16 @@ class NeumannServer:
         return pb.DropCollectionResponse(
             ok=self.router.vector.drop_collection(request.name))
 
+    def _col_get(self, request, context):
+        if request.name not in self.router.vector.list_collections():
+            return pb.GetCollectionResponse(
+                error=f"no collection '{request.name}'")
+        st = self.router.vector.collection_stats(request.name)
+        return pb.GetCollectionResponse(collection=pb.CollectionInfo(
+            name=request.name, count=st["count"],
+            dimension=st["dimension"] or 0, metric=st["metric"],
+            quantization=st["quantization"]))
+
     def _col_list(self, request, context):
         out = pb.ListCollectionsResponse()
         for name in self.router.vector.list_collections():
@@ -523,6 +541,24 @@ class NeumannServer:
         if writer is None:
             return pb.BlobUploadResponse(error="empty upload")
         return pb.BlobUploadResponse(artifact_id=writer.finish())
+
+    def _blob_delete(self, request, context):
+        if self.router.blob is None:
+            self.router.init_blob()
+        return pb.BlobDeleteResponse(
+            ok=self.router.blob.delete(request.artifact_id))
+
+    def _blob_metadata(self, request, context):
+        if self.router.blob is None:
+            self.router.init_blob()
+        info = self.router.blob.info(request.artifact_id)
+        return pb.ArtifactInfo(
+            id=info["id"], name=info["name"], size=int(info["size"]),
+            checksum=info["checksum"],
+            content_type=info["content_type"] or "",
+            creator=info["creator"] or "",
+            created=float(info["created"]), tags=info["tags"],
+            links=info["links"], chunks=int(info["chunks"]))
 
     def _blob_download(self, request, context):
         if self.router.blob is None:

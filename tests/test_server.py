@@ -350,3 +350,24 @@ def test_grpc_server_reflection():
         assert resps[3].error_response.error_code == 5  # NOT_FOUND
     finally:
         srv.stop()
+
+
+def test_blob_metadata_and_delete(cli):
+    data = b"hello blob"
+    aid = cli.upload_blob("x.txt", data, content_type="text/plain")
+    info = cli.blob_metadata(aid)
+    assert info["name"] == "x.txt" and info["size"] == len(data)
+    assert info["content_type"] == "text/plain" and info["chunks"] >= 1
+    assert cli.delete_blob(aid)
+    assert not cli.delete_blob(aid)
+
+
+def test_collection_get_and_delete(cli):
+    cli.create_collection("g", dimension=3, metric="cosine")
+    info = cli.get_collection("g")
+    assert info == {"name": "g", "count": 0, "dimension": 3,
+                    "metric": "cosine", "quantization": "none"}
+    with pytest.raises(NeumannError):
+        cli.get_collection("missing")
+    assert cli.delete_collection("g")
+    assert "g" not in [c["name"] for c in cli.list_collections()]
