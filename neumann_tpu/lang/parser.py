@@ -1420,14 +1420,16 @@ class _Parser:
 
     def _stmt_rollback(self) -> ast.Statement:
         if self.accept_kw("CHAIN"):
-            self.expect_kw("TO")
-            return ast.Chain(action="rollback", height=self.int_())
+            if self.accept_kw("TO"):
+                return ast.Chain(action="rollback", height=self.int_())
+            # bare ROLLBACK CHAIN: abort the open transaction
+            return ast.Chain(action="abort")
         self.expect_kw("TO")
         return ast.Rollback(target=self.string("checkpoint"))
 
     def _stmt_begin(self) -> ast.Statement:
         self.expect_kw("CHAIN")
-        self.expect_kw("TRANSACTION")
+        self.accept_kw("TRANSACTION")    # optional, like the reference
         return ast.Chain(action="begin")
 
     def _stmt_commit(self) -> ast.Statement:

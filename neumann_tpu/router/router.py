@@ -1306,6 +1306,14 @@ class QueryRouter:
             self._chain_tx = None
             return QueryResult.msg(f"committed block {h - 1} "
                                    f"(height {h})")
+        if s.action == "abort":
+            tx = getattr(self, "_chain_tx", None)
+            if tx is None:
+                raise NeumannError("no open chain transaction")
+            chain.rollback(tx)
+            self._chain_tx = None
+            return QueryResult.msg(f"chain transaction {tx.tx_id} "
+                                   f"aborted")
         if s.action == "rollback":
             n = chain.rollback_to(s.height or 0)
             return QueryResult.msg(f"chain rolled back {n} block(s)")

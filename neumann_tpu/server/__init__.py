@@ -7,3 +7,5 @@ neumann_client (remote + embedded modes).
 
 from neumann_tpu.server.server import NeumannServer  # noqa: F401
 from neumann_tpu.server.client import NeumannClient  # noqa: F401
+from neumann_tpu.server.retry import RetryConfig  # noqa: F401
+from neumann_tpu.server.transaction import Transaction  # noqa: F401

@@ -95,6 +95,12 @@ class NeumannClient:
         if self._channel is not None:
             self._channel.close()
 
+    def transaction(self):
+        """Chain-transaction context manager (server/transaction.py)."""
+        from neumann_tpu.server.transaction import Transaction
+
+        return Transaction(self)
+
     def __enter__(self):
         return self
 
