@@ -188,17 +188,32 @@ class Shell:
             return "\033[2J\033[H"
         if lower == "tables":
             q = "SHOW TABLES"
-        elif lower.startswith("save "):
-            rest = q[5:].strip()
-            compressed = rest.lower().endswith(" compressed")
-            if compressed:
+        elif lower == "save" or lower.startswith("save "):
+            rest = q[4:].strip()
+            # both orders accepted: SAVE COMPRESSED '<path>' (reference
+            # builtin form) and SAVE '<path>' COMPRESSED
+            compressed = False
+            if rest.lower().startswith("compressed"):
+                compressed = True
+                rest = rest[len("compressed"):].strip()
+            elif rest.lower().endswith(" compressed"):
+                compressed = True
                 rest = rest[: -len(" compressed")].strip()
             path = rest.strip("'\"")
+            if not path:
+                if not self.wal_dir:
+                    return "usage: save [compressed] '<path>'"
+                path = os.path.join(self.wal_dir, "snapshot.ntpu")
             self.router.store.save_snapshot(path, compressed=compressed)
             return f"saved to {path}" + (" (compressed)" if compressed
                                          else "")
-        elif lower.startswith("load "):
-            path = q[5:].strip().strip("'\"")
+        elif lower == "load" or lower.startswith("load "):
+            path = q[4:].strip().strip("'\"")
+            if not path:
+                path = (os.path.join(self.wal_dir, "snapshot.ntpu")
+                        if self.wal_dir else "")
+                if not path or not os.path.exists(path):
+                    return "usage: load '<path>'"
             self.router.store.load_snapshot(path)
             return f"loaded {len(self.router.store)} entries from {path}"
         elif lower == "wal status":

@@ -201,3 +201,21 @@ def test_shell_completion():
         got.add(c)
         i += 1
     assert "SELECT" in got
+
+
+def test_save_load_forms(tmp_path):
+    sh = Shell(wal_dir=str(tmp_path))
+    sh.execute("CREATE TABLE t (a INT)")
+    sh.execute("INSERT INTO t VALUES (1)")
+    # bare SAVE/LOAD default to the wal-dir snapshot
+    assert "snapshot.ntpu" in sh.execute("SAVE")
+    assert "compressed" in sh.execute("SAVE COMPRESSED")
+    # both argument orders work
+    assert "compressed" in sh.execute(f"SAVE COMPRESSED '{tmp_path}/a.ntpz'")
+    assert "compressed" in sh.execute(f"SAVE '{tmp_path}/b.ntpz' COMPRESSED")
+    assert "loaded" in sh.execute("LOAD")
+    # no wal-dir and no path -> usage, not a parser error
+    bare = Shell()
+    assert bare.execute("SAVE").startswith("usage")
+    assert bare.execute("LOAD").startswith("usage")
+    assert "loaded" in bare.execute(f"LOAD '{tmp_path}/a.ntpz'")
