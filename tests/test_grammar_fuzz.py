@@ -45,6 +45,26 @@ class Gen:
         name, typ = cols[int(self.rng.integers(0, len(cols)))]
         return f"{name} {self.rng.choice(OPS)} {self.value(typ)}"
 
+    def expr(self, cols, depth=0):
+        """Random scalar select-item expression (arith/CASE/CAST)."""
+        r = self.rng
+        numeric = [c for c in cols if c[1] in ("INT", "FLOAT")]
+        if not numeric:
+            numeric = cols
+        name, typ = numeric[int(r.integers(0, len(numeric)))]
+        roll = r.random()
+        if depth >= 2 or roll < 0.3:
+            return name
+        if roll < 0.6:
+            op = str(r.choice(["+", "-", "*"]))
+            return (f"({self.expr(cols, depth + 1)} {op} "
+                    f"{self.value('INT')})")
+        if roll < 0.8:
+            return (f"CASE WHEN {self.condition(cols)} THEN "
+                    f"{self.value(typ)} ELSE {self.value(typ)} END")
+        cast_t = str(r.choice(["INT", "FLOAT", "TEXT"]))
+        return f"CAST({name} AS {cast_t})"
+
     def statement(self):
         r = self.rng
         roll = r.random()
@@ -59,10 +79,32 @@ class Gen:
         if roll < 0.40:
             vals = ", ".join(self.value(t) for _, t in cols)
             return f"INSERT INTO {table} VALUES ({vals})"
-        if roll < 0.55:
+        if roll < 0.49:
             return (f"SELECT * FROM {table} WHERE "
                     f"{self.condition(cols)} LIMIT "
                     f"{int(r.integers(1, 20))}")
+        if roll < 0.53:
+            # expression select items (arith / CASE / CAST)
+            item = self.expr(cols)
+            n0 = cols[0][0]
+            nulls = str(r.choice(["", " NULLS FIRST", " NULLS LAST"]))
+            return (f"SELECT {item} AS e, {n0} FROM {table} "
+                    f"ORDER BY {n0}{nulls} LIMIT "
+                    f"{int(r.integers(1, 10))}")
+        if roll < 0.55:
+            # subquery forms against a random other table
+            other, ocols = self.tables[int(r.integers(0,
+                                                      len(self.tables)))]
+            sub = f"SELECT {ocols[0][0]} FROM {other}"
+            form = r.random()
+            if form < 0.4:
+                return (f"SELECT * FROM {table} WHERE {cols[0][0]} "
+                        f"IN ({sub}) LIMIT 5")
+            if form < 0.7:
+                return (f"SELECT * FROM {table} WHERE EXISTS ({sub}) "
+                        f"LIMIT 5")
+            return (f"SELECT * FROM {table} WHERE {cols[0][0]} "
+                    f"NOT IN ({sub}) LIMIT 5")
         if roll < 0.62:
             n, t = cols[int(r.integers(0, len(cols)))]
             return (f"UPDATE {table} SET {n} = {self.value(t)} "
