@@ -271,3 +271,137 @@ def test_engine_hnsw_storage_modes(rng):
     eng.build_hnsw_index(storage="binary")
     q = np.where(vecs[8] > 0, 1.0, -1.0).astype(np.float32)
     assert eng.search_with_hnsw(q, 3)[0].key == "v8"
+
+
+def test_search_edge_inputs(corpus):
+    ix = build(corpus[:100])
+    assert ix.search(corpus[0], 0) == []            # k = 0
+    empty = HNSWIndex(corpus.shape[1])
+    assert empty.search(corpus[0], 5) == []         # empty index
+    sp = SparseVector(np.array([corpus.shape[1]], np.int32),
+                      np.array([1.0], np.float32), corpus.shape[1] + 1)
+    with pytest.raises(ValueError):                 # position == dim
+        ix.insert_sparse(sp)
+
+
+def test_fallback_exact_with_exhaustive_ef(corpus, rng, no_native):
+    """With ef = n the walk is exhaustive, so results must EXACTLY
+    match the brute-force oracle — kills ranking/heap mutants in the
+    pure-Python search."""
+    n = 150
+    ix = build(corpus[:n])
+    for qi in range(30):
+        q = corpus[qi] + 0.05 * rng.standard_normal(
+            corpus.shape[1]).astype(np.float32)
+        got = [i for i, _ in ix.search_with_ef(q, 5, n)]
+        want = exact_topk(corpus[:n], q, 5).tolist()
+        assert got == want, qi
+
+
+def test_fallback_storage_modes(corpus, no_native):
+    ix = HNSWIndex(corpus.shape[1])
+    for v in corpus[:60]:
+        ix.insert_quantized(v)
+    got = ix.get(3)
+    step = (corpus[3].max() - corpus[3].min()) / 255
+    assert np.max(np.abs(got - corpus[3])) <= step
+    ib = HNSWIndex(corpus.shape[1])
+    for v in corpus[:60]:
+        ib.insert_binary(v)
+    assert set(np.unique(ib.get(5))) <= {-1.0, 1.0}
+    q = np.where(corpus[5] > 0, 1.0, -1.0).astype(np.float32)
+    assert ib.search(q, 3)[0][0] == 5
+
+
+def test_cross_format_all_kinds(corpus, rng, monkeypatch):
+    """Round-trip every storage kind (incl. binary/sparse payloads and
+    multiple TT ids) through both serializers, both directions."""
+    if not native.available():
+        pytest.skip("no native lib")
+    d = corpus.shape[1]
+
+    def build_mixed():
+        ix = HNSWIndex(d)
+        for i, v in enumerate(corpus[:80]):
+            if i % 4 == 0:
+                ix.insert(v)
+            elif i % 4 == 1:
+                ix.insert_quantized(v)
+            elif i % 4 == 2:
+                ix.insert_binary(v)
+            else:
+                sparse = np.where(np.arange(d) % 3 == 0, v,
+                                  0.0).astype(np.float32)
+                ix.insert_sparse(SparseVector.from_dense(sparse))
+        ix.insert_tt(corpus[80])
+        ix.insert_tt(corpus[81])
+        return ix
+
+    native_ix = build_mixed()
+    blob = native_ix.to_bytes()
+    want = native_ix.search(corpus[7], 6)
+    monkeypatch.setattr(native, "load", lambda: None)
+    py_ix = HNSWIndex.from_bytes(blob)
+    assert py_ix._py is not None
+    assert py_ix.search(corpus[7], 6) == [
+        (i, pytest.approx(s, abs=1e-5)) for i, s in want]
+    assert py_ix.memory_stats()["tt_count"] == 2
+    # reconstructions agree for every kind
+    for nid in (0, 1, 2, 3, 80):
+        assert np.allclose(py_ix.get(nid), native_ix.get(nid),
+                           atol=1e-6)
+    # py-serialized blob loads back in native with identical results
+    py_built = build_mixed()
+    blob2 = py_built.to_bytes()
+    want2 = py_built.search(corpus[7], 6)
+    monkeypatch.undo()
+    native_back = HNSWIndex.from_bytes(blob2)
+    assert native_back._py is None
+    got2 = native_back.search(corpus[7], 6)
+    assert [i for i, _ in got2] == [i for i, _ in want2]
+    assert native_back.memory_stats()["tt_count"] == 2
+
+
+def test_fallback_euclidean_and_dot(corpus, no_native):
+    for metric in ("euclidean", "dot"):
+        ix = build(corpus[:200], HNSWConfig(metric=metric))
+        assert ix._py is not None
+        top = ix.search(corpus[9], 3)
+        assert top[0][0] == 9
+        if metric == "euclidean":
+            assert top[0][1] == pytest.approx(1.0, abs=1e-5)
+            # ranking matches the oracle exhaustively
+            got = [i for i, _ in ix.search_with_ef(corpus[2], 5, 200)]
+            assert got == exact_topk(corpus[:200], corpus[2], 5,
+                                     "euclidean").tolist()
+
+
+def test_fallback_graph_degree_invariant(corpus, no_native):
+    """Every neighbor list respects the layer cap (m0 at layer 0,
+    m above) after pruning."""
+    cfg = HNSWConfig(m=6, ef_construction=40)
+    ix = build(corpus[:300], cfg)
+    py = ix._py
+    for nid in range(len(py.dense)):
+        for layer, lst in enumerate(py.nbrs[nid]):
+            cap = cfg.m0 if layer == 0 else cfg.m
+            assert len(lst) <= cap, (nid, layer, len(lst))
+
+
+def test_cross_format_binary_dim64(rng, monkeypatch):
+    """words = ceil(dim/64) padding: exact at the 64-dim boundary."""
+    if not native.available():
+        pytest.skip("no native lib")
+    vecs = rng.standard_normal((60, 64)).astype(np.float32)
+    monkeypatch.setattr(native, "load", lambda: None)
+    ix = HNSWIndex(64)
+    for v in vecs:
+        ix.insert_binary(v)
+    blob = ix.to_bytes()
+    q = np.where(vecs[7] > 0, 1.0, -1.0).astype(np.float32)
+    want = ix.search(q, 3)
+    monkeypatch.undo()
+    back = HNSWIndex.from_bytes(blob)
+    assert back._py is None
+    assert [i for i, _ in back.search(q, 3)] == [i for i, _ in want]
+    assert np.allclose(back.get(7), ix.get(7))

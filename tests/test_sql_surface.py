@@ -234,3 +234,33 @@ def test_expression_alias_in_join(r):
                      "JOIN orders o ON u.id = o.user_id "
                      "WHERE o.total > 100").rows
     assert rows == [{"users.name": "Alice", "dbl": 240.0}]
+
+
+def test_expression_operators_unit():
+    """Direct Expr-tree coverage: each arithmetic op's value, CASE
+    without ELSE, CAST conversions, and tree immutability."""
+    from neumann_tpu.lang.expr import Bin, Case, Cast, Col, Lit
+    from neumann_tpu.engines.condition import Condition
+
+    row = {"a": 7, "b": 2}
+    assert Bin("-", Col("a"), Col("b")).evaluate(row) == 5
+    assert Bin("/", Col("a"), Col("b")).evaluate(row) == 3.5
+    assert Bin("%", Col("a"), Col("b")).evaluate(row) == 1
+    assert Bin("+", Col("a"), Lit(1)).evaluate(row) == 8
+    assert Bin("*", Col("b"), Lit(3)).evaluate(row) == 6
+    # CASE with no ELSE yields NULL when nothing matches
+    c = Case(((Condition.eq("a", 999), Lit("x")),))
+    assert c.evaluate(row) is None
+    assert Cast(Lit("5"), "int").evaluate(row) == 5
+    assert Cast(Lit(1), "bool").evaluate(row) is True
+    assert Cast(Lit("true"), "bool").evaluate(row) is True
+    assert Cast(Lit("no"), "bool").evaluate(row) is False
+    with pytest.raises(NeumannError):
+        Cast(Lit("xyz"), "int").evaluate(row)
+    # expression nodes are frozen (shared across cached statements)
+    import dataclasses
+
+    for node in (Col("a"), Lit(1), Bin("+", Lit(1), Lit(2)), c,
+                 Cast(Lit(1), "int")):
+        with pytest.raises(dataclasses.FrozenInstanceError):
+            node.op_x = 1  # type: ignore[attr-defined]
