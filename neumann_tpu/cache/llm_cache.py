@@ -1,10 +1,13 @@
-"""LLM response cache: exact O(1) -> semantic device-scan -> stats.
+"""LLM response cache: exact O(1) -> semantic HNSW -> stats.
 
 Capability parity with tensor_cache (tensor_cache/src/lib.rs:186-226 get
 flow): layer 1 exact hash lookup; layer 2 semantic similarity over cached
-query embeddings (the reference walks an HNSW — here it's the same masked
-MXU scan as every other search); TTL expiry via a min-heap; LRU/LFU/cost
-eviction; token counting and cost-savings accounting.
+query embeddings via the host HNSW graph (ops/hnsw.py — same structure
+the reference walks; a per-lookup device dispatch would cost more than
+the whole O(log n) walk at cache sizes); TTL expiry via a min-heap;
+LRU/LFU/cost eviction; token counting and cost-savings accounting.
+Deleted/re-put entries tombstone their HNSW node; the index rebuilds
+itself when more than half the nodes are dead.
 
 Embeddings come from a pluggable embedder (default: deterministic feature
 hashing — the reference similarly ships a tokenizer-based default rather
@@ -22,9 +25,7 @@ from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 
-from neumann_tpu.engines.vector import VectorCollectionConfig, VectorEngine
-
-_SEM_COLLECTION = "_llm_cache"
+from neumann_tpu.ops.hnsw import HNSWConfig, HNSWIndex
 
 
 def default_embedder(text: str, dim: int = 256) -> np.ndarray:
@@ -83,8 +84,7 @@ class LLMCache:
                  default_ttl_s: Optional[float] = None,
                  semantic_threshold: float = 0.9,
                  eviction: str = "lru",
-                 embedder: Callable[[str], np.ndarray] = default_embedder,
-                 vector: Optional[VectorEngine] = None):
+                 embedder: Callable[[str], np.ndarray] = default_embedder):
         if eviction not in ("lru", "lfu", "cost", "hybrid"):
             raise ValueError(f"bad eviction strategy {eviction}")
         self.capacity = capacity
@@ -95,10 +95,61 @@ class LLMCache:
         self._lock = threading.RLock()
         self._exact: Dict[str, _Entry] = {}
         self._ttl_heap: List[Tuple[float, str]] = []
-        self._vector = vector or VectorEngine()
-        self._vector.create_collection(
-            _SEM_COLLECTION, VectorCollectionConfig(metric="cosine"))
+        # semantic layer: host HNSW over query embeddings (tombstoned
+        # nodes accumulate until a rebuild — see _maybe_rebuild)
+        self._hnsw: Optional[HNSWIndex] = None
+        self._hnsw_keys: List[str] = []      # node id -> cache key
+        self._node_of: Dict[str, int] = {}   # live key -> node id
         self.stats = CacheStats()
+
+    # -- semantic index management -------------------------------------
+    def _index_put(self, key: str, emb: np.ndarray) -> None:
+        emb = np.asarray(emb, np.float32).ravel()
+        if self._hnsw is None:
+            self._hnsw = HNSWIndex(len(emb), HNSWConfig())
+        if len(emb) != self._hnsw.dim:
+            raise ValueError(
+                f"dimension mismatch: expected {self._hnsw.dim}, "
+                f"got {len(emb)}")
+        if key in self._node_of:             # re-put: old node dies
+            del self._node_of[key]
+        nid = self._hnsw.insert(emb)
+        assert nid == len(self._hnsw_keys)
+        self._hnsw_keys.append(key)
+        self._node_of[key] = nid
+        self._maybe_rebuild()
+
+    def _index_search(self, emb: np.ndarray, k: int = 4):
+        """[(key, score)] over LIVE nodes only, best first."""
+        if self._hnsw is None or not self._node_of:
+            return []
+        emb = np.asarray(emb, np.float32).ravel()
+        if len(emb) != self._hnsw.dim:
+            raise ValueError(
+                f"dimension mismatch: expected {self._hnsw.dim}, "
+                f"got {len(emb)}")
+        out = []
+        for nid, score in self._hnsw.search(emb, k):
+            key = self._hnsw_keys[nid]
+            if self._node_of.get(key) == nid:
+                out.append((key, score))
+        return out
+
+    def _maybe_rebuild(self) -> None:
+        n = len(self._hnsw_keys)
+        dead = n - len(self._node_of)
+        if n >= 64 and dead * 2 > n:
+            old = self._hnsw
+            fresh = HNSWIndex(old.dim, old.config)
+            keys = []
+            node_of = {}
+            for key, nid in self._node_of.items():
+                vec = old.get(nid)
+                node_of[key] = fresh.insert(vec)
+                keys.append(key)
+            self._hnsw = fresh
+            self._hnsw_keys = keys
+            self._node_of = node_of
 
     # ------------------------------------------------------------------
     def _norm(self, query: str) -> str:
@@ -115,7 +166,7 @@ class LLMCache:
 
     def _remove(self, key: str) -> None:
         self._exact.pop(key, None)
-        self._vector.delete_from_collection(_SEM_COLLECTION, key)
+        self._node_of.pop(key, None)    # HNSW node tombstoned
 
     def _evict_one(self) -> None:
         if not self._exact:
@@ -156,8 +207,7 @@ class LLMCache:
             if expires is not None:
                 heapq.heappush(self._ttl_heap, (expires, key))
             emb = embedding if embedding is not None else self.embedder(key)
-            self._vector.store_in_collection(_SEM_COLLECTION, key,
-                                             np.asarray(emb, np.float32))
+            self._index_put(key, emb)
             self.stats.insertions += 1
 
     def get(self, query: str,
@@ -173,14 +223,15 @@ class LLMCache:
                 self.stats.exact_hits += 1
                 self.stats.tokens_saved += count_tokens(e.response)
                 return e.response
-            # semantic layer
+            # semantic layer: HNSW walk over live query embeddings
             emb = self.embedder(key)
-            results = self._vector.search_in_collection(
-                _SEM_COLLECTION, emb, 1)
+            results = self._index_search(emb)
             thr = threshold if threshold is not None \
                 else self.semantic_threshold
-            if results and results[0].score >= thr:
-                hit = self._exact.get(results[0].key)
+            for rkey, score in results:
+                if score < thr:
+                    break
+                hit = self._exact.get(rkey)
                 if hit is not None:
                     hit.last_access = time.time()
                     hit.access_count += 1

@@ -594,3 +594,36 @@ def test_scoped_dynamic_secrets():
     _t.sleep(0.01)
     with pytest.raises(VaultError):
         scoped.get_dynamic_secret(sid2)
+
+
+def test_cache_semantic_hnsw_rebuild():
+    """Tombstoned semantic nodes trigger an index rebuild, and
+    lookups never resurrect deleted entries."""
+    from neumann_tpu.cache import LLMCache
+
+    c = LLMCache(semantic_threshold=0.3)
+    for i in range(100):
+        c.put(f"question number {i} about topic", f"answer {i}")
+    # delete most entries -> dead > half -> rebuild on next put
+    for i in range(80):
+        c._remove(c._norm(f"question number {i} about topic"))
+    c.put("fresh question entirely", "fresh answer")
+    assert len(c._hnsw_keys) == len(c._node_of) == 21
+    # deleted entries never resurface (a semantic hit may legitimately
+    # match a similar LIVE entry, but never a deleted one)
+    hit = c.get("question number 3 about topic")
+    assert hit is None or hit in {f"answer {i}" for i in range(80, 100)}
+    assert c.get_exact("question number 3 about topic") is None
+    assert c.get("question number 95 about topic") == "answer 95"
+    # re-put with a new response: lookup must see the new value
+    c.put("question number 95 about topic", "answer 95 v2")
+    assert c.get("question number 95 about topics") == "answer 95 v2"
+
+
+def test_cache_semantic_dim_mismatch():
+    from neumann_tpu.cache import LLMCache
+
+    c = LLMCache()
+    c.put("a query", "resp", embedding=np.ones(8, np.float32))
+    with pytest.raises(ValueError):
+        c.put("another", "resp", embedding=np.ones(9, np.float32))
