@@ -287,6 +287,15 @@ def int8_pooled_topk(
             f"no pooled layout for n={n}, k={k}, pool<={pool}")
     pool, g, nblocks = picked
 
+    # pad tiny batches to a full 8-sublane tile: a [1, d] query makes
+    # XLA tile the [Q, G, pool] product pathologically (measured 15.4ms
+    # vs 10.4ms at Q=8 over 10M x 768 — tools/exp_q1_latency.py); the
+    # zero rows cost nothing and are sliced off below
+    q_orig = queries.shape[0]
+    if q_orig < 8:
+        queries = jnp.concatenate(
+            [queries, jnp.zeros((8 - q_orig, d), queries.dtype)])
+
     if row_mult is None:
         cn2 = corpus_sqnorms(corpus_q, corpus_scale)
         row_mult = _row_multiplier(corpus_scale, cn2, "cosine")
@@ -337,8 +346,8 @@ def int8_pooled_topk(
     score = lax.bitcast_convert_type(tb & ~(pool - 1), jnp.float32) - 2.0
     rows = pos * pool + local
     dead = tb == 0
-    return (jnp.where(dead, NEG_INF, score),
-            jnp.where(dead, -1, rows).astype(jnp.int32))
+    return (jnp.where(dead, NEG_INF, score)[:q_orig],
+            jnp.where(dead, -1, rows).astype(jnp.int32)[:q_orig])
 
 
 def int8_cosine_row_mult(corpus_q, corpus_scale):
@@ -374,6 +383,12 @@ def f32_pooled_topk(
         raise ValueError(
             f"no pooled layout for n={n}, k={k}, pool<={pool}")
     pool, g, nblocks = picked
+
+    # pad tiny batches to a full 8-sublane tile (see int8_pooled_topk)
+    q_orig = queries.shape[0]
+    if q_orig < 8:
+        queries = jnp.concatenate(
+            [queries, jnp.zeros((8 - q_orig, d), queries.dtype)])
 
     if row_mult is None:
         cn2 = jnp.sum(corpus.astype(jnp.float32) ** 2, axis=1)
@@ -424,8 +439,8 @@ def f32_pooled_topk(
     score = lax.bitcast_convert_type(tb & ~(pool - 1), jnp.float32) - 2.0
     rows = pos * pool + local
     dead = tb == 0
-    return (jnp.where(dead, NEG_INF, score),
-            jnp.where(dead, -1, rows).astype(jnp.int32))
+    return (jnp.where(dead, NEG_INF, score)[:q_orig],
+            jnp.where(dead, -1, rows).astype(jnp.int32)[:q_orig])
 
 
 # ---------------------------------------------------------------------------
