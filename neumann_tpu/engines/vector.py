@@ -334,13 +334,22 @@ def _pooled_pool(corpus, k: int, metric: str, extra_mask) -> Optional[int]:
                     4 * k)
     if used < pooled_min or used * 2 < cap:
         return None
-    if extra_mask is not None and float(np.mean(extra_mask)) < 0.5:
-        return None
     pool_cap = min(4096, max(8, cap // max(min_pools, 1)))
     picked = _pick_pool_blocks(cap, k, pool_cap, 1 << 20)
-    if picked and cap // picked[0] >= min_pools:
-        return picked[0]
-    return None
+    if not picked or cap // picked[0] < min_pools:
+        return None
+    pool = picked[0]
+    if extra_mask is not None:
+        # pooled selection yields ONE candidate per pool, so a filter
+        # is safe exactly when its matches spread over enough pools —
+        # check the actual occupancy, not the density (a 10%-selective
+        # random filter still fills every pool; an adversarial
+        # contiguous one doesn't)
+        m = np.asarray(extra_mask, bool)[:cap]
+        nonempty = int(m.reshape(-1, pool).any(axis=1).sum())
+        if nonempty < max(min_pools, 8 * k):
+            return None
+    return pool
 
 
 @functools.lru_cache(maxsize=None)

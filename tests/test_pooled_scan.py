@@ -199,3 +199,42 @@ class TestF32Pooled:
         res2 = eng.search_in_collection("flat", base[5] * 4.0, top_k=2,
                                         metric="dot")
         assert int(res2[0].key[1:]) % 16 == 5
+
+
+def test_masked_pooled_gate_occupancy(rng, monkeypatch):
+    """The pooled gate admits filters by pool OCCUPANCY: a spread-out
+    sparse mask rides the pooled scan with exact-vs-oracle results; an
+    adversarial contiguous mask falls back to the exact path."""
+    from neumann_tpu.engines import vector as V
+    from neumann_tpu.engines.vector import FilterCondition, VectorEngine
+
+    monkeypatch.setenv("NEUMANN_POOLED_MIN_ROWS", "1024")
+    n, d = 8192, 32
+    eng = VectorEngine()
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    for i in range(n):
+        eng.store_embedding(f"v{i}", vecs[i],
+                            metadata={"grp": i % 10})
+
+    corpus = eng._corpora[""][d]
+    # spread mask (10%): occupancy high -> pooled path admitted
+    spread = np.zeros(corpus.slab.capacity, bool)
+    spread[: n][np.arange(n) % 10 == 3] = True
+    assert V._pooled_pool(corpus, 5, "cosine", spread) is not None
+    # contiguous mask: few pools -> gate refuses
+    tight = np.zeros(corpus.slab.capacity, bool)
+    tight[:200] = True
+    assert V._pooled_pool(corpus, 5, "cosine", tight) is None
+
+    # end-to-end: filtered results match the oracle on the masked set
+    res = eng.search_similar_filtered(vecs[3], 5,
+                                      FilterCondition.eq("grp", 3))
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qn = vecs[3] / np.linalg.norm(vecs[3])
+    scores = vn @ qn
+    eligible = np.arange(n) % 10 == 3
+    scores = np.where(eligible, scores, -np.inf)
+    want = [f"v{i}" for i in np.argsort(-scores)[:5]]
+    got = [h.key for h in res]
+    assert len(set(got) & set(want)) >= 4   # pooled may drop 1 collision
+    assert all(int(k[1:]) % 10 == 3 for k in got)  # mask never leaks
