@@ -49,6 +49,20 @@ class OrderedKeyIndex:
         if self._lib is None:
             self._shards: List[List[bytes]] = [[] for _ in range(16)]
             self._lock = threading.Lock()
+        # write-behind buffer: puts append here (one list append), and
+        # any read/remove flushes via one bulk insert — ordered scans
+        # are rarer than puts, so the per-put ctypes/bisect crossing
+        # moves off the hot write path
+        self._pending: List[str] = []
+        self._pending_lock = threading.Lock()
+
+    def _flush(self) -> None:
+        if not self._pending:
+            return
+        with self._pending_lock:
+            pending, self._pending = self._pending, []
+        if pending:
+            self.insert_many(pending)
 
     @property
     def is_native(self) -> bool:
@@ -63,6 +77,12 @@ class OrderedKeyIndex:
             pass
 
     # -- mutation ---------------------------------------------------------
+    def insert_lazy(self, key: str) -> None:
+        """Buffer an insert; flushed in bulk before the next ordered
+        read (the TensorStore put path)."""
+        with self._pending_lock:
+            self._pending.append(key)
+
     def insert(self, key: str) -> bool:
         b = key.encode("utf-8", "surrogatepass")
         if self._lib is not None:
@@ -103,6 +123,7 @@ class OrderedKeyIndex:
             return added
 
     def remove(self, key: str) -> bool:
+        self._flush()
         b = key.encode("utf-8", "surrogatepass")
         if self._lib is not None:
             return bool(self._lib.nn_oki_remove(self._h, b, len(b)))
@@ -115,6 +136,8 @@ class OrderedKeyIndex:
             return False
 
     def clear(self) -> None:
+        with self._pending_lock:
+            self._pending = []
         if self._lib is not None:
             self._lib.nn_oki_free(self._h)
             self._h = self._lib.nn_oki_new()
@@ -124,12 +147,14 @@ class OrderedKeyIndex:
 
     # -- queries ----------------------------------------------------------
     def __len__(self) -> int:
+        self._flush()
         if self._lib is not None:
             return int(self._lib.nn_oki_len(self._h))
         with self._lock:
             return sum(len(s) for s in self._shards)
 
     def count_prefix(self, prefix: str = "") -> int:
+        self._flush()
         b = prefix.encode("utf-8", "surrogatepass")
         if self._lib is not None:
             return int(self._lib.nn_oki_count_prefix(self._h, b, len(b)))
@@ -138,6 +163,7 @@ class OrderedKeyIndex:
             return self._count_range_locked(b, hi, not hi)
 
     def scan_prefix(self, prefix: str = "") -> List[str]:
+        self._flush()
         b = prefix.encode("utf-8", "surrogatepass")
         if self._lib is not None:
             import ctypes
@@ -156,6 +182,7 @@ class OrderedKeyIndex:
 
     def scan_range(self, lo: str, hi: Optional[str] = None) -> List[str]:
         """Keys in [lo, hi), ordered; hi=None scans to the end."""
+        self._flush()
         lob = lo.encode("utf-8", "surrogatepass")
         hib = b"" if hi is None else hi.encode("utf-8", "surrogatepass")
         if self._lib is not None:

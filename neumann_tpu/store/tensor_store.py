@@ -171,7 +171,7 @@ class TensorStore:
             raise StoreError("key must be a non-empty string")
         with self._lock:
             self._map[key] = data
-            self._index.insert(key)
+            self._index.insert_lazy(key)
             if self._wal is not None:
                 self._wal.log_put(key, data)
         for hook in self._put_hooks:
