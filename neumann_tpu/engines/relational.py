@@ -707,11 +707,29 @@ class RelationalEngine:
         with t.lock:
             rows = self._match_rows(t, condition)
             deadline.check()
-            out = []
-            for j, r in enumerate(rows):
-                if j % 4096 == 0:
-                    deadline.check()
-                out.append(t.row_dict(int(r), None))
+            if len(rows) <= 32:
+                # tiny results (indexed lookups): per-row path beats
+                # the columnar gather's fixed overhead
+                out = [t.row_dict(int(r), None) for r in rows]
+            else:
+                # columnar materialization: gather each column once
+                # and build rows with the codegen'd dict builder (~4x
+                # the per-row row_dict path; same builder as the join)
+                rows = np.asarray(rows, np.int64)
+                names = ["_id"] + [c.name for c in t.columns]
+                cols: List[list] = [rows.tolist()]
+                for c in t.columns:
+                    vals = t.data[c.name][rows]
+                    nulls = t.nulls[c.name][rows]
+                    pv = (vals.tolist()
+                          if c.ctype in ("int", "float", "bool")
+                          else list(vals))
+                    if nulls.any():
+                        pv = [None if d else v
+                              for v, d in zip(pv, nulls)]
+                    cols.append(pv)
+                deadline.check()
+                out = _row_builder(tuple(names))(cols)
         if order_by:
             # specs: (col, desc) or (col, desc, nulls_first); default
             # placement is SQL's NULLS LAST asc / NULLS FIRST desc
