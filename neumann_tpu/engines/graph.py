@@ -152,6 +152,22 @@ class GraphEngine(GraphAlgorithmsMixin):
     def _bump_edges(self) -> None:
         self._edge_version += 1
         self._edge_cache = None
+        self._adj_cache = {}
+
+    def _adjacency(self, direction: str, edge_type: Optional[str]
+                   ) -> Dict[int, List[int]]:
+        """Version-cached full adjacency for one (direction, type) view
+        — turns traversal's per-node edge-dict walks into dict lookups."""
+        cache = getattr(self, "_adj_cache", None)
+        if cache is None:
+            cache = self._adj_cache = {}
+        key = (direction, edge_type)
+        adj = cache.get(key)
+        if adj is None:
+            adj = {nid: self._neighbor_ids(nid, direction, edge_type)
+                   for nid in self._nodes}
+            cache[key] = adj
+        return adj
 
     # -- property indexing ---------------------------------------------------
     def _index_node(self, nid: int, props: dict) -> None:
@@ -376,21 +392,24 @@ class GraphEngine(GraphAlgorithmsMixin):
     def traverse(self, start: int, filter: Optional[TraversalFilter] = None,
                  order: str = "bfs") -> List[Tuple[int, int]]:
         """Returns [(node_id, depth)] in visit order."""
+        from collections import deque
+
         f = filter or TraversalFilter()
         with self._lock:
             if start not in self._nodes:
                 raise GraphError(f"no node {start}")
             visited = {start}
             result = [(start, 0)]
-            frontier: List[Tuple[int, int]] = [(start, 0)]
+            frontier = deque([(start, 0)])
+            adj = self._adjacency(f.direction, f.edge_type)
             while frontier:
                 if order == "bfs":
-                    nid, depth = frontier.pop(0)
+                    nid, depth = frontier.popleft()
                 else:
                     nid, depth = frontier.pop()
                 if f.max_depth and depth >= f.max_depth:
                     continue
-                for nb in self._neighbor_ids(nid, f.direction, f.edge_type):
+                for nb in adj.get(nid, ()):
                     if nb in visited:
                         continue
                     node = self._nodes.get(nb)
