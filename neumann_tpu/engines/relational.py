@@ -639,11 +639,69 @@ class RelationalEngine:
     def insert_many(self, name: str, rows: Sequence[Dict[str, object]]
                     ) -> List[int]:
         t = self._table(name)
-        out = []
         with t.lock:
-            for row in rows:
-                out.append(self._insert_locked(t, row))
-        return out
+            if self._can_bulk_insert(t):
+                try:
+                    return self._bulk_insert_locked(t, rows)
+                except _BulkFallback:
+                    pass
+            return [self._insert_locked(t, row) for row in rows]
+
+    @staticmethod
+    def _can_bulk_insert(t: _Table) -> bool:
+        """Constraint- and index-free tables take the columnar path."""
+        return (not t.checks and not t.composite_uniques
+                and not t.hash_indexes and not t.btree_indexes
+                and all(c.nullable and not c.unique
+                        and not c.primary_key and c.references is None
+                        and c.check is None for c in t.columns))
+
+    def _bulk_insert_locked(self, t: _Table,
+                            rows: Sequence[Dict[str, object]]
+                            ) -> List[int]:
+        n = len(rows)
+        if n == 0:
+            return []
+        allowed = set(t.by_name)
+        for r in rows:
+            for k in r:
+                if k not in allowed and k != "_id":
+                    raise RelationalError(
+                        f"unknown column {k} in table {t.name}")
+        base = t.n
+        t._grow(base + n)
+        for c in t.columns:
+            raw = [r.get(c.name, c.default) for r in rows]
+            if c.ctype in _DTYPES and not any(v is None for v in raw):
+                arr = np.asarray(raw)
+                kind = arr.dtype.kind
+                ok = ((c.ctype == "int" and kind in "iub")
+                      or (c.ctype == "float" and kind in "iufb")
+                      or (c.ctype == "bool" and kind == "b"))
+                if not ok:
+                    raise _BulkFallback()     # odd types: exact path
+                if c.ctype == "int" and kind == "f":
+                    raise _BulkFallback()
+                t.data[c.name][base:base + n] = arr.astype(
+                    _DTYPES[c.ctype])
+                t.nulls[c.name][base:base + n] = False
+            else:
+                # per-value coercion (text/vector columns or NULLs)
+                col_arr = t.data[c.name]
+                null_arr = t.nulls[c.name]
+                for i, v in enumerate(raw):
+                    cv = t.coerce(c, v)
+                    if cv is None:
+                        null_arr[base + i] = True
+                    else:
+                        null_arr[base + i] = False
+                        col_arr[base + i] = cv
+        t.alive[base:base + n] = True
+        t.n = base + n
+        if self.store is not None:
+            for r in range(base, base + n):
+                self._persist_row(t, r)
+        return list(range(base, base + n))
 
     # -- selection -------------------------------------------------------
     def _match_rows(self, t: _Table, condition: Optional[Condition]
@@ -1356,6 +1414,11 @@ class RelationalEngine:
     def rollback(self, tx_id: int) -> None:
         self._tx(tx_id)
         del self._txs[tx_id]
+
+
+class _BulkFallback(Exception):
+    """Internal: bulk insert hit a value mix the columnar path can't
+    coerce faithfully; retry row-by-row."""
 
 
 def _hashable(v):

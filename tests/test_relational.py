@@ -373,3 +373,32 @@ def test_group_by_avg_min_max():
     by = {r["grp"]: r for r in rows}
     assert by["a"]["avg_v"] == 2.0 and by["a"]["min_v"] == 1
     assert by["a"]["max_v"] == 3 and by["b"]["avg_v"] == 10.0
+
+
+def test_bulk_insert_fast_path_semantics():
+    """Columnar bulk insert must match row-by-row semantics exactly:
+    NULLs, bools in int columns, float-for-int rejection, text/vector
+    columns, unknown-column errors."""
+    eng = RelationalEngine()
+    eng.create_table("b", [Column("i", "int"), Column("f", "float"),
+                           Column("t", "text"), Column("bl", "bool")])
+    ids = eng.insert_many("b", [
+        {"i": 1, "f": 1.5, "t": "x", "bl": True},
+        {"i": True, "f": 2, "t": None, "bl": False},
+        {"i": None, "f": None, "t": "z", "bl": None},
+    ])
+    assert ids == [0, 1, 2]
+    rows = eng.select("b", None)
+    assert rows[1]["i"] == 1 and rows[1]["f"] == 2.0
+    assert rows[1]["t"] is None and rows[2]["i"] is None
+    # non-integral float for an int column: falls back and raises
+    with pytest.raises(RelationalError):
+        eng.insert_many("b", [{"i": 2.5}])
+    with pytest.raises(RelationalError):
+        eng.insert_many("b", [{"nope": 1}])
+    assert eng.row_count("b") == 3
+    # constraint tables never take the bulk path: PK duplicates raise
+    eng.create_table("c", [Column("k", "int", primary_key=True)])
+    eng.insert_many("c", [{"k": 1}, {"k": 2}])
+    with pytest.raises(RelationalError):
+        eng.insert_many("c", [{"k": 3}, {"k": 1}])
