@@ -151,6 +151,24 @@ def highlight(query: str) -> str:
     return "".join(out)
 
 
+def _split_script(src: str) -> List[str]:
+    """Split a .nql script into statements: `--` comment lines drop,
+    statements end at a line ending in `;` (or at EOF)."""
+    stmts: List[str] = []
+    buf: List[str] = []
+    for line in src.splitlines():
+        stripped = line.strip()
+        if not stripped or stripped.startswith("--"):
+            continue
+        buf.append(line)
+        if stripped.endswith(";"):
+            stmts.append("\n".join(buf).strip().rstrip(";").strip())
+            buf = []
+    if buf:
+        stmts.append("\n".join(buf).strip())
+    return [s for s in stmts if s]
+
+
 class Shell:
     def __init__(self, wal_dir: Optional[str] = None,
                  router: Optional[QueryRouter] = None,
@@ -180,8 +198,23 @@ class Shell:
         if not q:
             return ""
         lower = q.lower().rstrip(";").strip()
-        if lower in ("exit", "quit"):
+        if lower in ("exit", "quit", "\\q"):
             return None
+        if lower.startswith("\\i ") or lower.startswith("\\i\t"):
+            # \i <path>: run a statement script (reference shell builtin)
+            path = q[2:].strip().strip("'\"")
+            try:
+                with open(path, encoding="utf-8") as f:
+                    src = f.read()
+            except OSError as e:
+                return f"error: cannot read {path}: {e}"
+            outputs = []
+            for stmt in _split_script(src):
+                res = self.execute(stmt)
+                if res:
+                    outputs.append(res)
+            return "\n".join(outputs) if outputs else \
+                f"ran {path} (no output)"
         if lower == "help":
             return HELP
         if lower == "clear":

@@ -219,3 +219,16 @@ def test_save_load_forms(tmp_path):
     assert bare.execute("SAVE").startswith("usage")
     assert bare.execute("LOAD").startswith("usage")
     assert "loaded" in bare.execute(f"LOAD '{tmp_path}/a.ntpz'")
+
+
+def test_script_execution(tmp_path):
+    """\\i runs a statement script; the shipped sample loads clean."""
+    sh = Shell(wal_dir=str(tmp_path))
+    out = sh.execute("\\i samples/knowledge-base.nql")
+    assert "error" not in out.lower()
+    assert sh.execute("SELECT COUNT(*) FROM people")
+    assert "4" in sh.execute("SELECT COUNT(*) FROM people")
+    # \q exits like the reference shell
+    assert sh.execute("\\q") is None
+    # missing file is a clean error
+    assert sh.execute("\\i /nope/missing.nql").startswith("error")
