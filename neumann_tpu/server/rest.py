@@ -277,6 +277,11 @@ graph: <code>{r.graph.node_count()}</code> nodes /
 <a href="/graph/viz" style="color:#7dd3fc">/graph/viz</a></p>
 </body></html>"""
 
+    def _collection_vector(self, name: str, pid: str):
+        data = self.router.store.get(f"col:{name}:{pid}")
+        emb = data.get("embedding") if data else None
+        return emb.to_dense().tolist() if emb is not None else None
+
     def _collections(self, method: str, parts, body: dict):
         from neumann_tpu.engines.vector import VectorCollectionConfig
         from neumann_tpu.server.server import _filter_from_json
@@ -329,6 +334,30 @@ graph: <code>{r.graph.node_count()}</code> nodes /
                 n = sum(1 for pid in body.get("ids", [])
                         if vec.delete_from_collection(name, str(pid)))
                 return {"deleted": n}
+            if method == "POST" and len(parts) == 3 and \
+                    parts[2] == "get":
+                out = []
+                for pid in body.get("ids", []):
+                    v = self._collection_vector(name, str(pid))
+                    if v is not None:
+                        out.append({"id": str(pid), "vector": v})
+                return {"points": out}
+            if method == "POST" and len(parts) == 3 and \
+                    parts[2] == "scroll":
+                prefix = f"col:{name}:"
+                keys = sorted(k[len(prefix):]
+                              for k in self.router.store.scan(prefix))
+                offset = body.get("offset")
+                if offset:
+                    keys = [k for k in keys if k > str(offset)]
+                limit = int(body.get("limit", 100))
+                page = keys[:limit]
+                pts = [{"id": pid,
+                        "vector": self._collection_vector(name, pid)
+                        or []} for pid in page]
+                return {"points": pts,
+                        "next_offset": (page[-1]
+                                        if len(keys) > limit else None)}
         raise NeumannError(f"no route {method} /{'/'.join(parts)}")
 
     # ------------------------------------------------------------------

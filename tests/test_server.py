@@ -371,3 +371,47 @@ def test_collection_get_and_delete(cli):
         cli.get_collection("missing")
     assert cli.delete_collection("g")
     assert "g" not in [c["name"] for c in cli.list_collections()]
+
+
+def test_rest_points_get_and_scroll():
+    import json
+    import urllib.request
+
+    from neumann_tpu.router.router import QueryRouter
+    from neumann_tpu.server.rest import RestServer
+
+    r = QueryRouter()
+    rs = RestServer(r, port=0)
+    port = rs.serve()
+    try:
+        base = f"http://127.0.0.1:{port}"
+
+        def post(path, body):
+            req = urllib.request.Request(
+                base + path, data=json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"})
+            return json.load(urllib.request.urlopen(req))
+
+        def put(path, body):
+            req = urllib.request.Request(
+                base + path, data=json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"},
+                method="PUT")
+            return json.load(urllib.request.urlopen(req))
+
+        put("/collections/kc", {"dimension": 3})
+        put("/collections/kc/points", {"points": [
+            {"id": f"p{i}", "vector": [i, 0, 1]} for i in range(5)]})
+        got = post("/collections/kc/points/get",
+                   {"ids": ["p1", "p3", "zz"]})
+        assert [p["id"] for p in got["points"]] == ["p1", "p3"]
+        assert got["points"][0]["vector"] == [1.0, 0.0, 1.0]
+        page1 = post("/collections/kc/points/scroll", {"limit": 3})
+        assert len(page1["points"]) == 3 and page1["next_offset"]
+        page2 = post("/collections/kc/points/scroll",
+                     {"limit": 3, "offset": page1["next_offset"]})
+        ids = [p["id"] for p in page1["points"] + page2["points"]]
+        assert sorted(ids) == [f"p{i}" for i in range(5)]
+        assert page2["next_offset"] is None
+    finally:
+        rs.stop()
