@@ -508,12 +508,28 @@ class RelationalEngine:
         t = self._table(name)
         out = []
         for c in t.columns:
+            ref = None
+            if c.references:
+                ref = f"{c.references.table}.{c.references.column}"
+                acts = []
+                if c.references.on_delete != "restrict":
+                    acts.append(f"on delete {c.references.on_delete}")
+                if c.references.on_update != "restrict":
+                    acts.append(f"on update {c.references.on_update}")
+                if acts:
+                    ref += f" ({', '.join(acts)})"
             out.append({
                 "name": c.name, "type": c.ctype, "nullable": c.nullable,
                 "unique": c.unique, "primary_key": c.primary_key,
-                "references": (f"{c.references.table}.{c.references.column}"
-                               if c.references else None)})
+                "references": ref,
+                "check": (c.check.to_dict() if c.check else None)})
         return out
+
+    def table_constraints(self, name: str) -> Dict[str, list]:
+        """Table-level CHECK and composite-unique constraint specs."""
+        t = self._table(name)
+        return {"checks": [ch.to_dict() for ch in t.checks],
+                "uniques": [list(g) for g in t.composite_uniques]}
 
     def table_exists(self, name: str) -> bool:
         with self._lock:
