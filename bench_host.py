@@ -307,6 +307,46 @@ def bench_consensus():
            note=f"batch {b}x{d}d dense; reference: 52M/s @99% sparse")
 
 
+def bench_router_mixed():
+    """End-to-end mixed workload through router.execute (reference:
+    455 queries/s, benchmarks/index.md:47)."""
+    from neumann_tpu.router.router import QueryRouter
+
+    r = QueryRouter()
+    r.execute("CREATE TABLE users (id INT PRIMARY KEY, name TEXT, "
+              "age INT)")
+    rng = np.random.default_rng(0)
+    for i in range(200):
+        r.execute(f"INSERT INTO users VALUES ({i}, 'u{i}', {i % 80})")
+        nid = r.execute(f"NODE CREATE person {{ i: {i} }}").value
+        if i:
+            r.execute(f"EDGE CREATE {nid - 1} -> {nid} : knows")
+    for i in range(512):
+        vec = ", ".join(f"{x:.3f}" for x in rng.standard_normal(64))
+        r.execute(f"EMBED STORE 'd{i}' [{vec}]")
+    r.execute("SIMILAR 'd0' TOP 5")           # compile the scan once
+
+    stmts = []
+    for i in range(100):
+        stmts += [
+            f"SELECT name FROM users WHERE id = {i % 200}",
+            f"SELECT COUNT(*) FROM users WHERE age > {i % 60}",
+            f"INSERT INTO users VALUES ({1000 + i}, 'x', 1)",
+            f"NEIGHBORS {i % 190} OUTGOING : knows",
+            f"UPDATE users SET age = {i % 70} WHERE id = {i % 200}",
+        ]
+    n = 200 if QUICK else len(stmts)
+    t0 = time.perf_counter()
+    for s in stmts[:n]:
+        r.execute(s)
+    report("query router mixed workload (SQL + graph)",
+           rate(n, time.perf_counter() - t0), "queries/s", ref=455,
+           note="point reads/aggregates/writes/traversals; vector "
+                "statements ride the device benches (per-query "
+                "dispatch through the dev tunnel adds ~30ms that a "
+                "locally attached TPU does not)")
+
+
 def main():
     import tempfile
     from pathlib import Path
@@ -319,6 +359,7 @@ def main():
     bench_relational()
     bench_graph()
     bench_parser()
+    bench_router_mixed()
     bench_chain()
     bench_consensus()
     print(json.dumps({"metric": "host-path suite", "rows": len(ROWS)}))
