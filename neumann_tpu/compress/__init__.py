@@ -1,4 +1,5 @@
-"""tensor_compress parity: TT decomposition, varint/delta/RLE codecs."""
+"""tensor_compress parity: TT decomposition, streaming TT archive,
+varint/delta/RLE codecs."""
 
 from neumann_tpu.compress.tensor_train import (  # noqa: F401
     TTConfig,
@@ -15,4 +16,9 @@ from neumann_tpu.compress.codecs import (  # noqa: F401
     rle_encode,
     varint_decode,
     varint_encode,
+)
+from neumann_tpu.compress.streaming_tt import (  # noqa: F401
+    StreamingTTWriter,
+    stream_dense,
+    stream_tt,
 )

@@ -283,3 +283,47 @@ def test_device_ivf_int8(rng):
     # low nprobe still finds the self-match (its own cluster probes first)
     s2, ids2 = ix.search(vecs[:6], 1, nprobe=2)
     assert list(ids2[:, 0]) == list(range(6))
+
+
+def test_streaming_tt_roundtrip(tmp_path, rng):
+    """NTTS append/stream: bounded-memory archive at TT compression."""
+    from neumann_tpu.compress.streaming_tt import (
+        StreamingTTWriter, stream_dense, stream_tt)
+    from neumann_tpu.utils.errors import NeumannError
+
+    d = 256
+    # low-rank structured vectors (outer products) compress under TT;
+    # full-rank noise would not (tensor_train.py docstring)
+    vecs = np.stack([
+        np.outer(rng.standard_normal(16),
+                 rng.standard_normal(16)).ravel()
+        for _ in range(20)]).astype(np.float32)
+    path = tmp_path / "arch.ntts"
+    with StreamingTTWriter(path, d) as w:
+        for i in range(12):
+            w.add(f"v{i}", vecs[i])
+    # append mode continues the same file
+    with StreamingTTWriter(path, d) as w:
+        for i in range(12, 20):
+            w.add(f"v{i}", vecs[i])
+        w.flush()
+    got = list(stream_dense(path))
+    assert [k for k, _ in got] == [f"v{i}" for i in range(20)]
+    for i, (_, dense) in enumerate(got):
+        cos = float(dense @ vecs[i] / (np.linalg.norm(dense)
+                                       * np.linalg.norm(vecs[i])))
+        assert cos > 0.98, (i, cos)
+    # compressed footprint beats raw f32
+    assert path.stat().st_size < vecs.nbytes
+    # torn tail: truncate mid-record, stream stops cleanly
+    raw = path.read_bytes()
+    path.write_bytes(raw[: len(raw) - 7])
+    assert len(list(stream_tt(path))) == 19
+    # corrupt a crc: stream stops at the bad record
+    bad = bytearray(raw)
+    bad[-1] ^= 0xFF
+    path.write_bytes(bytes(bad))
+    assert len(list(stream_tt(path))) == 19
+    # dim mismatch on append refused
+    with pytest.raises(NeumannError):
+        StreamingTTWriter(path, d + 1)
