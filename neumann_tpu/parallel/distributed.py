@@ -47,6 +47,10 @@ class QueryPlanner:
             k = self._extract_k(q)
             return QueryPlan("scatter_gather", list(self.shards),
                              merge="top_k", k=k)
+        if q.startswith(("SELECT COUNT(", "SELECT SUM(")):
+            # single-aggregate selects sum across shards
+            return QueryPlan("scatter_gather", list(self.shards),
+                             merge="aggregate")
         if q.startswith(("SELECT", "FIND", "MATCH", "NODE LIST",
                          "EDGE LIST", "SHOW")):
             return QueryPlan("scatter_gather", list(self.shards),
@@ -103,7 +107,13 @@ class ResultMerger:
             hits.sort(key=lambda h: -h["score"])
             return QueryResult("similar", results=hits[: plan.k])
         if plan.merge == "aggregate":
-            total = sum(r.count or 0 for r in results)
+            total = 0
+            for r in results:
+                if r.rows and len(r.rows) == 1 and len(r.rows[0]) == 1:
+                    # SELECT COUNT(*)/SUM(col): one single-value row
+                    total += next(iter(r.rows[0].values())) or 0
+                else:
+                    total += r.count or 0
             return QueryResult.of_count(total)
         if plan.merge in ("concat", "union"):
             rows = [row for r in results for row in r.rows]
