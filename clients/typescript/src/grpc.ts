@@ -7,7 +7,7 @@
  *
  * Parity with the reference's neumann-client surface: Execute /
  * ExecuteBatch / ExecutePaginated / ExecuteStream, Health.Check,
- * Points Upsert/Get/Delete/Query/Scroll, Collections Create/Drop/List,
+ * Points Upsert/Get/Delete/Query/Scroll, Collections Create/Get/Drop/List,
  * Blob streaming Upload/Download, API-key metadata, TLS.
  */
 
@@ -177,6 +177,11 @@ export class NeumannGrpcClient {
                       { name, dimension, metric, quantization });
   }
 
+  getCollection(name: string):
+      Promise<{ collection: unknown; error: string }> {
+    return this.unary(this.collections, "Get", { name });
+  }
+
   dropCollection(name: string): Promise<{ ok: boolean }> {
     return this.unary(this.collections, "Drop", { name });
   }
@@ -215,6 +220,18 @@ export class NeumannGrpcClient {
       call.on("end", () => resolve(Buffer.concat(chunks)));
       call.on("error", reject);
     });
+  }
+
+  deleteBlob(artifactId: string): Promise<{ ok: boolean }> {
+    return this.unary(this.blob, "Delete", { artifact_id: artifactId });
+  }
+
+  blobMetadata(artifactId: string): Promise<{
+    id: string; name: string; size: number; checksum: string;
+    content_type: string; tags: string[]; links: string[];
+  }> {
+    return this.unary(this.blob, "GetMetadata",
+                      { artifact_id: artifactId });
   }
 
   close(): void {

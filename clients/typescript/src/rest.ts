@@ -136,4 +136,25 @@ export class NeumannRestClient {
       `/collections/${encodeURIComponent(collection)}/points/delete`,
       { ids });
   }
+
+  getCollection(name: string): Promise<{ result: unknown }> {
+    return this.call("GET",
+                     `/collections/${encodeURIComponent(name)}`);
+  }
+
+  getPoints(collection: string, ids: Array<string | number>):
+      Promise<{ points: Point[] }> {
+    return this.call(
+      "POST",
+      `/collections/${encodeURIComponent(collection)}/points/get`,
+      { ids });
+  }
+
+  scrollPoints(collection: string, limit = 100, offset?: string):
+      Promise<{ points: Point[]; next_offset: string | null }> {
+    return this.call(
+      "POST",
+      `/collections/${encodeURIComponent(collection)}/points/scroll`,
+      { limit, offset });
+  }
 }
