@@ -123,6 +123,8 @@ def load() -> Optional[ctypes.CDLL]:
         lib.nn_hnsw_search.restype = ctypes.c_size_t
         lib.nn_hnsw_search.argtypes = [vp, f32p, ctypes.c_size_t,
                                        ctypes.c_size_t, i64p, f32p]
+        lib.nn_hnsw_stats.restype = None
+        lib.nn_hnsw_stats.argtypes = [vp, u64p]
         lib.nn_hnsw_serialize.restype = ctypes.c_size_t
         lib.nn_hnsw_serialize.argtypes = [vp, u8p, ctypes.c_size_t]
         lib.nn_hnsw_deserialize.restype = vp

@@ -67,6 +67,11 @@ struct Hnsw {
     int64_t entry = -1;
     int32_t top_level = -1;
     std::mutex mu;
+    // access instrumentation (HNSWStatsSnapshot parity,
+    // tensor_store/src/instrumentation.rs:359-373)
+    uint64_t n_searches = 0;
+    uint64_t n_inserts = 0;
+    uint64_t n_dist = 0;
 
     std::vector<Node> nodes;
     std::vector<float> pool_f32;
@@ -134,7 +139,8 @@ struct Hnsw {
     }
 
     float distance(const float* q, float qnorm, float qsumsq,
-                   const Node& nd) const {
+                   const Node& nd) {
+        n_dist++;
         float d = dot_node(q, nd);
         switch (metric) {
             case METRIC_COSINE: {
@@ -196,7 +202,7 @@ struct FarFirst {
 };
 
 // search one layer: returns up to ef nearest as a near-sorted vector
-static std::vector<Cand> search_layer(const Hnsw* h, const float* q,
+static std::vector<Cand> search_layer(Hnsw* h, const float* q,
                                       float qn, float qs, uint32_t ep,
                                       size_t ef, int layer,
                                       std::vector<uint8_t>& visited) {
@@ -233,7 +239,7 @@ static std::vector<Cand> search_layer(const Hnsw* h, const float* q,
 // Heuristic neighbor selection (paper's SELECT-NEIGHBORS-HEURISTIC):
 // keep a candidate only if it is closer to the base than to every
 // already-kept neighbor — preserves graph diversity across clusters.
-static std::vector<uint32_t> select_neighbors(const Hnsw* h,
+static std::vector<uint32_t> select_neighbors(Hnsw* h,
                                               std::vector<Cand> cands,
                                               size_t m,
                                               std::vector<float>& scratch) {
@@ -376,6 +382,7 @@ static int64_t insert_node(Hnsw* h, uint8_t kind, const float* dense,
     nd.sumsq = (float)ss;
     nd.norm = (float)std::sqrt(ss);
 
+    h->n_inserts++;
     int64_t id = (int64_t)h->nodes.size();
     h->nodes.push_back(nd);
     h->nbrs.emplace_back((size_t)nd.level + 1);
@@ -519,6 +526,7 @@ size_t nn_hnsw_search(void* h, const float* q, size_t k, size_t ef,
     auto* x = (Hnsw*)h;
     std::lock_guard<std::mutex> g(x->mu);
     if (x->entry < 0 || k == 0) return 0;
+    x->n_searches++;
     double ss = 0;
     for (int i = 0; i < x->dim; i++) ss += (double)q[i] * q[i];
     float qs = (float)ss, qn = (float)std::sqrt(ss);
@@ -557,6 +565,15 @@ size_t nn_hnsw_search(void* h, const float* q, size_t k, size_t ef,
         }
     }
     return n;
+}
+
+// out3 = [searches, inserts, distance_calculations]
+void nn_hnsw_stats(void* h, uint64_t* out3) {
+    auto* x = (Hnsw*)h;
+    std::lock_guard<std::mutex> g(x->mu);
+    out3[0] = x->n_searches;
+    out3[1] = x->n_inserts;
+    out3[2] = x->n_dist;
 }
 
 // Two-call serialize protocol: returns total bytes; fills out if cap

@@ -86,6 +86,9 @@ class _PyHnsw:
     def __init__(self, dim: int, cfg: HNSWConfig, seed: int):
         self.dim = dim
         self.cfg = cfg
+        self.n_searches = 0
+        self.n_inserts = 0
+        self.n_dist = 0
         self.rng = np.random.default_rng(seed)
         self.entry = -1
         self.top_level = -1
@@ -105,6 +108,7 @@ class _PyHnsw:
         return min(63, max(0, int(-math.log(u or 1e-12) * self.cfg.ml)))
 
     def _dist(self, q: np.ndarray, qn: float, qs: float, i: int) -> float:
+        self.n_dist += 1
         d = float(q @ self.dense[i])
         if self.cfg.metric == "cosine":
             denom = qn * self.norms[i]
@@ -177,6 +181,7 @@ class _PyHnsw:
                ) -> int:
         if self.cfg.max_nodes and len(self) >= self.cfg.max_nodes:
             return -1
+        self.n_inserts += 1
         level = self._random_level()
         nid = len(self.dense)
         self.kinds.append(kind)
@@ -220,6 +225,7 @@ class _PyHnsw:
                ) -> List[Tuple[int, float]]:
         if self.entry < 0 or k <= 0:
             return []
+        self.n_searches += 1
         qs = float(q @ q)
         qn = math.sqrt(qs)
         ep = self.entry
@@ -419,6 +425,22 @@ class HNSWIndex:
                                  out.ctypes.data_as(_F32P)) != 0:
             return None
         return out
+
+    def access_stats(self) -> dict:
+        """HNSWStatsSnapshot parity (instrumentation.rs:359-373):
+        searches, inserts, query-path distance calculations."""
+        if self._py is not None:
+            s, i, d = (self._py.n_searches, self._py.n_inserts,
+                       self._py.n_dist)
+        else:
+            import ctypes as ct
+
+            out = (ct.c_uint64 * 3)()
+            self._lib.nn_hnsw_stats(self._h, out)
+            s, i, d = int(out[0]), int(out[1]), int(out[2])
+        return {"total_searches": s, "total_inserts": i,
+                "distance_calculations": d,
+                "avg_distances_per_search": (d / s) if s else 0.0}
 
     def memory_stats(self) -> dict:
         """HNSWMemoryStats parity (hnsw.rs:1484-1503)."""

@@ -405,3 +405,24 @@ def test_cross_format_binary_dim64(rng, monkeypatch):
     assert back._py is None
     assert [i for i, _ in back.search(q, 3)] == [i for i, _ in want]
     assert np.allclose(back.get(7), ix.get(7))
+
+
+def test_access_stats(corpus):
+    ix = build(corpus[:200])
+    assert ix.access_stats()["total_inserts"] == 200
+    for _ in range(10):
+        ix.search(corpus[0], 5)
+    st = ix.access_stats()
+    assert st["total_searches"] == 10
+    assert st["distance_calculations"] > 0
+    assert st["avg_distances_per_search"] > 0
+    # graph walk beats brute force: far fewer distance calcs than N*searches
+    assert st["avg_distances_per_search"] < 200
+
+
+def test_access_stats_fallback(corpus, no_native):
+    ix = build(corpus[:100])
+    ix.search(corpus[1], 3)
+    st = ix.access_stats()
+    assert st["total_inserts"] == 100 and st["total_searches"] == 1
+    assert st["distance_calculations"] > 0
