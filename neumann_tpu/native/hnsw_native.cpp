@@ -71,7 +71,8 @@ struct Hnsw {
     // tensor_store/src/instrumentation.rs:359-373)
     uint64_t n_searches = 0;
     uint64_t n_inserts = 0;
-    uint64_t n_dist = 0;
+    uint64_t n_dist = 0;          // all distance computations
+    uint64_t n_search_dist = 0;   // query-path subset
 
     std::vector<Node> nodes;
     std::vector<float> pool_f32;
@@ -527,6 +528,7 @@ size_t nn_hnsw_search(void* h, const float* q, size_t k, size_t ef,
     std::lock_guard<std::mutex> g(x->mu);
     if (x->entry < 0 || k == 0) return 0;
     x->n_searches++;
+    uint64_t dist_before = x->n_dist;
     double ss = 0;
     for (int i = 0; i < x->dim; i++) ss += (double)q[i] * q[i];
     float qs = (float)ss, qn = (float)std::sqrt(ss);
@@ -549,6 +551,7 @@ size_t nn_hnsw_search(void* h, const float* q, size_t k, size_t ef,
     std::vector<uint8_t> visited(x->nodes.size(), 0);
     if (ef < k) ef = k;
     auto found = search_layer(x, q, qn, qs, ep, ef, 0, visited);
+    x->n_search_dist += x->n_dist - dist_before;
     size_t n = std::min(k, found.size());
     for (size_t i = 0; i < n; i++) {
         out_ids[i] = found[i].id;
@@ -567,13 +570,14 @@ size_t nn_hnsw_search(void* h, const float* q, size_t k, size_t ef,
     return n;
 }
 
-// out3 = [searches, inserts, distance_calculations]
-void nn_hnsw_stats(void* h, uint64_t* out3) {
+// out4 = [searches, inserts, total distance calcs, query-path calcs]
+void nn_hnsw_stats(void* h, uint64_t* out4) {
     auto* x = (Hnsw*)h;
     std::lock_guard<std::mutex> g(x->mu);
-    out3[0] = x->n_searches;
-    out3[1] = x->n_inserts;
-    out3[2] = x->n_dist;
+    out4[0] = x->n_searches;
+    out4[1] = x->n_inserts;
+    out4[2] = x->n_dist;
+    out4[3] = x->n_search_dist;
 }
 
 // Two-call serialize protocol: returns total bytes; fills out if cap

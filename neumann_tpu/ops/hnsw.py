@@ -89,6 +89,7 @@ class _PyHnsw:
         self.n_searches = 0
         self.n_inserts = 0
         self.n_dist = 0
+        self.n_search_dist = 0
         self.rng = np.random.default_rng(seed)
         self.entry = -1
         self.top_level = -1
@@ -226,6 +227,7 @@ class _PyHnsw:
         if self.entry < 0 or k <= 0:
             return []
         self.n_searches += 1
+        dist_before = self.n_dist
         qs = float(q @ q)
         qn = math.sqrt(qs)
         ep = self.entry
@@ -239,6 +241,7 @@ class _PyHnsw:
                     if dn < d:
                         d, ep, moved = dn, nb, True
         found = self._search_layer(q, qn, qs, ep, max(ef, k), 0)
+        self.n_search_dist += self.n_dist - dist_before
         return [(i, _similarity(self.cfg.metric, d))
                 for d, i in found[:k]]
 
@@ -430,17 +433,18 @@ class HNSWIndex:
         """HNSWStatsSnapshot parity (instrumentation.rs:359-373):
         searches, inserts, query-path distance calculations."""
         if self._py is not None:
-            s, i, d = (self._py.n_searches, self._py.n_inserts,
-                       self._py.n_dist)
+            s, i, d, sd = (self._py.n_searches, self._py.n_inserts,
+                           self._py.n_dist, self._py.n_search_dist)
         else:
             import ctypes as ct
 
-            out = (ct.c_uint64 * 3)()
+            out = (ct.c_uint64 * 4)()
             self._lib.nn_hnsw_stats(self._h, out)
-            s, i, d = int(out[0]), int(out[1]), int(out[2])
+            s, i, d, sd = (int(out[0]), int(out[1]), int(out[2]),
+                           int(out[3]))
         return {"total_searches": s, "total_inserts": i,
                 "distance_calculations": d,
-                "avg_distances_per_search": (d / s) if s else 0.0}
+                "avg_distances_per_search": (sd / s) if s else 0.0}
 
     def memory_stats(self) -> dict:
         """HNSWMemoryStats parity (hnsw.rs:1484-1503)."""

@@ -408,16 +408,17 @@ def test_cross_format_binary_dim64(rng, monkeypatch):
 
 
 def test_access_stats(corpus):
-    ix = build(corpus[:200])
-    assert ix.access_stats()["total_inserts"] == 200
+    ix = build(corpus)                  # 1200 nodes
+    assert ix.access_stats()["total_inserts"] == len(corpus)
     for _ in range(10):
         ix.search(corpus[0], 5)
     st = ix.access_stats()
     assert st["total_searches"] == 10
     assert st["distance_calculations"] > 0
     assert st["avg_distances_per_search"] > 0
-    # graph walk beats brute force: far fewer distance calcs than N*searches
-    assert st["avg_distances_per_search"] < 200
+    # the walk beats one brute-force pass per search (random high-dim
+    # data at small N is HNSW's worst case; the margin grows with N)
+    assert st["avg_distances_per_search"] < len(corpus)
 
 
 def test_access_stats_fallback(corpus, no_native):
