@@ -163,6 +163,35 @@ class TieredStore:
             return {"hot": len(self._hot), "cold": len(self._cold_index),
                     "cold_bytes": self._segment._size}
 
+    @staticmethod
+    def _shard_of(key: str) -> int:
+        return hash(key) & 15
+
+    def hot_shards(self, limit: int = 16):
+        """Most-accessed shards as (shard, access_count), descending
+        (tiered.rs hot_shards: sampled instrumentation rollup)."""
+        with self._lock:
+            counts = [0] * 16
+            for key, (count, _ts) in self._access.items():
+                counts[self._shard_of(key)] += count
+        ranked = sorted(enumerate(counts), key=lambda kv: -kv[1])
+        return [(s, c) for s, c in ranked[:limit] if c > 0]
+
+    def cold_shards(self, threshold_s: float):
+        """Shards with no access within the threshold (tiered.rs
+        cold_shards) — candidates for migrate_cold."""
+        import time as _time
+
+        now = _time.monotonic()
+        with self._lock:
+            latest = [None] * 16
+            for key, (_count, ts) in self._access.items():
+                s = self._shard_of(key)
+                if latest[s] is None or ts > latest[s]:
+                    latest[s] = ts
+        return [s for s, ts in enumerate(latest)
+                if ts is None or now - ts > threshold_s]
+
     def compact(self) -> None:
         """Rewrite the cold segment dropping dead space."""
         with self._lock:

@@ -204,3 +204,21 @@ def test_otlp_file_endpoint_and_collector_down(tmp_path):
     # collector down: returns False, never raises
     down = OtlpExporter("http://127.0.0.1:9", timeout=0.3)
     assert down.export_metrics(m) is False
+
+
+def test_hot_cold_shards(tmp_path):
+    from neumann_tpu.store.tensor_store import TensorData, TensorValue
+    from neumann_tpu.store.tiered import TieredStore
+
+    ts = TieredStore(str(tmp_path))
+    for i in range(64):
+        ts.put(f"k{i}", TensorData.with_values(v=TensorValue.scalar(i)))
+    for _ in range(20):
+        ts.get("k7")                      # make k7's shard hot
+    hot = ts.hot_shards(3)
+    assert hot and hot[0][1] >= 20
+    assert hot == sorted(hot, key=lambda kv: -kv[1])
+    # nothing has been idle yet with a huge threshold
+    assert ts.cold_shards(threshold_s=3600.0) == []
+    # with a zero threshold everything is "cold"
+    assert len(ts.cold_shards(threshold_s=-1.0)) == 16
