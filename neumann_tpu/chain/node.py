@@ -339,13 +339,25 @@ def main(argv=None) -> int:
     """CLI entry: run one cluster node until SIGINT."""
     import argparse
 
+    import os
+
+    # flags override the NEUMANN_* env vars the reference's ops docs
+    # use for container deployment (operations/configuration.md)
+    env = os.environ
     ap = argparse.ArgumentParser(prog="neumann-tpu-node")
-    ap.add_argument("--id", required=True)
-    ap.add_argument("--host", default="127.0.0.1")
-    ap.add_argument("--port", type=int, required=True)
-    ap.add_argument("--peers", default="",
+    ap.add_argument("--id", default=env.get("NEUMANN_NODE_ID"),
+                    required="NEUMANN_NODE_ID" not in env)
+    ap.add_argument("--host",
+                    default=env.get("NEUMANN_CLUSTER_BIND_ADDR",
+                                    "127.0.0.1"))
+    ap.add_argument("--port", type=int,
+                    default=(int(env["NEUMANN_CLUSTER_PORT"])
+                             if "NEUMANN_CLUSTER_PORT" in env
+                             else None),
+                    required="NEUMANN_CLUSTER_PORT" not in env)
+    ap.add_argument("--peers", default=env.get("NEUMANN_PEERS", ""),
                     help="comma-separated id=host:port")
-    ap.add_argument("--wal-dir")
+    ap.add_argument("--wal-dir", default=env.get("NEUMANN_DATA_DIR"))
     args = ap.parse_args(argv)
     peers: Dict[str, Tuple[str, int]] = {}
     for item in filter(None, args.peers.split(",")):
