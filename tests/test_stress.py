@@ -190,3 +190,39 @@ def test_engines_have_no_lock_order_inversions():
     # the tracker must have actually seen nested engine locks
     assert len(tracker.edges) >= 3, tracker.edges
     assert not tracker.violations(), tracker.report()
+
+
+def test_new_paths_have_no_lock_order_inversions():
+    """Lock-order check over the paths added this round: bulk insert,
+    columnar select, joins, subqueries, HNSW build/search, cache
+    semantic layer, adjacency-cached traversals."""
+    from neumann_tpu.utils.lockcheck import lock_order_tracking
+
+    with lock_order_tracking() as tracker:
+        from neumann_tpu.router import QueryRouter
+
+        r = QueryRouter()
+        r.execute("CREATE TABLE a (k INT, v INT)")
+        r.execute("CREATE TABLE b (k INT, w INT)")
+        r.execute("CACHE INIT")
+
+        def work(tid):
+            base = tid * 1000
+            r.execute("INSERT INTO a VALUES " + ", ".join(
+                f"({base + i}, {i})" for i in range(20)))
+            r.execute(f"INSERT INTO b VALUES ({base}, 1)")
+            r.execute("SELECT a.k, b.w FROM a JOIN b ON a.k = b.k")
+            r.execute("SELECT * FROM a WHERE k IN "
+                      "(SELECT k FROM b) LIMIT 3")
+            r.execute(f"EMBED 'h{tid}' [1.0, {float(tid)}]")
+            nid = r.execute(f"NODE CREATE p {{ t: {tid} }}").value
+            if nid:
+                r.execute(f"EDGE CREATE {nid - 1} -> {nid} : e")
+            r.execute(f"NEIGHBORS {nid} BOTH")
+            r.execute(f"CACHE PUT 'q{tid}' 'resp{tid}'")
+            r.execute(f"CACHE SEMANTIC GET 'q{tid}' THRESHOLD 0.5")
+
+        run_threads(work)
+        r.vector.build_hnsw_index()
+        r.vector.search_with_hnsw([1.0, 0.0], 2)
+    assert not tracker.violations(), tracker.report()
