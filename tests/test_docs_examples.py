@@ -6,6 +6,8 @@ the implementation.
 """
 
 import re
+
+import pytest
 from pathlib import Path
 
 DOC = Path(__file__).resolve().parent.parent / "docs" / \
@@ -53,3 +55,14 @@ def test_cypher_examples_parse():
     assert len(stmts) >= 5
     for s in stmts:
         parse_cypher(s)
+
+
+@pytest.mark.parametrize("example", [
+    "basic_relational", "graph_traversal", "unified_query",
+    "vector_search", "sdk_tour",
+])
+def test_examples_run_clean(example, capsys):
+    """Every shipped example executes end-to-end without raising."""
+    import runpy
+
+    runpy.run_path(f"examples/{example}.py", run_name="__main__")
