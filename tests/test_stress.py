@@ -215,10 +215,10 @@ def test_new_paths_have_no_lock_order_inversions():
             r.execute("SELECT * FROM a WHERE k IN "
                       "(SELECT k FROM b) LIMIT 3")
             r.execute(f"EMBED 'h{tid}' [1.0, {float(tid)}]")
-            nid = r.execute(f"NODE CREATE p {{ t: {tid} }}").value
-            if nid:
-                r.execute(f"EDGE CREATE {nid - 1} -> {nid} : e")
-            r.execute(f"NEIGHBORS {nid} BOTH")
+            a = r.execute(f"NODE CREATE p {{ t: {tid} }}").value
+            b = r.execute(f"NODE CREATE p {{ t: {tid} }}").value
+            r.execute(f"EDGE CREATE {a} -> {b} : e")
+            r.execute(f"NEIGHBORS {a} BOTH")
             r.execute(f"CACHE PUT 'q{tid}' 'resp{tid}'")
             r.execute(f"CACHE SEMANTIC GET 'q{tid}' THRESHOLD 0.5")
 
