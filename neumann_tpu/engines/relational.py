@@ -266,6 +266,20 @@ class QueryDeadline:
             raise RelationalError("query timeout exceeded")
 
 
+class _NoDeadline:
+    """Shared no-op guard for the (default) no-timeout path — skips a
+    per-select allocation on point lookups."""
+
+    __slots__ = ()
+
+    @staticmethod
+    def check() -> None:
+        return None
+
+
+_NO_DEADLINE = _NoDeadline()
+
+
 class RelationalEngine:
     """Optionally store-backed: with a TensorStore attached, schemas live
     at ``_schema:{table}`` and rows at ``table:{name}:{_id}`` (the
@@ -775,8 +789,10 @@ class RelationalEngine:
                limit: Optional[int] = None, offset: int = 0,
                timeout_s: Optional[float] = None
                ) -> List[Dict[str, object]]:
-        deadline = QueryDeadline(timeout_s if timeout_s is not None
-                                 else self.query_timeout_s)
+        eff_timeout = (timeout_s if timeout_s is not None
+                       else self.query_timeout_s)
+        deadline = QueryDeadline(eff_timeout) if eff_timeout \
+            else _NO_DEADLINE
         t = self._table(name)
         with t.lock:
             rows = self._match_rows(t, condition)
