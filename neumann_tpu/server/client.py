@@ -147,6 +147,10 @@ class NeumannClient:
                     f"rpc {path} failed: {code.name}: {e.details()}") \
                     from e
 
+    def query(self, query: str, **kw) -> "ClientResult":
+        """Alias for execute() (the reference SDK documents both)."""
+        return self.execute(query, **kw)
+
     # -- query API ---------------------------------------------------------
     def execute(self, query: str,
                 request_id: Optional[str] = None) -> ClientResult:
