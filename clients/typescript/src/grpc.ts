@@ -98,6 +98,11 @@ export class NeumannGrpcClient {
     };
   }
 
+  /** Alias for execute() (the reference SDK documents both). */
+  query(q: string, requestId = ""): ReturnType<NeumannGrpcClient["execute"]> {
+    return this.execute(q, requestId);
+  }
+
   executeBatch(queries: string[]): Promise<{ results: QueryResponse[] }> {
     return this.unary(this.query, "ExecuteBatch", {
       queries: queries.map((q) => ({ query: q, request_id: "" })),
@@ -112,6 +117,50 @@ export class NeumannGrpcClient {
 
   closeCursor(cursor: string): Promise<{ closed: boolean }> {
     return this.unary(this.query, "CloseCursor", { cursor });
+  }
+
+  /** Drain every page of a paginated query into one row list. */
+  async executeAllPages(q: string, pageSize = 100):
+      Promise<Array<Record<string, unknown>>> {
+    const rows: Array<Record<string, unknown>> = [];
+    let cursor = "";
+    for (;;) {
+      const page = await this.executePaginated(q, pageSize, cursor);
+      for (const r of page.rows ?? []) rows.push(JSON.parse(r.json));
+      if (!page.next_cursor) return rows;
+      cursor = page.next_cursor;
+    }
+  }
+
+  /** Begin a chain transaction; commit()/rollback() close it. */
+  async beginTransaction(): Promise<{
+    execute: (q: string) => ReturnType<NeumannGrpcClient["execute"]>;
+    commit: () => Promise<void>;
+    rollback: () => Promise<void>;
+  }> {
+    await this.execute("BEGIN CHAIN TRANSACTION");
+    return {
+      execute: (q: string) => this.execute(q),
+      commit: async () => { await this.execute("COMMIT CHAIN"); },
+      rollback: async () => { await this.execute("ROLLBACK CHAIN"); },
+    };
+  }
+
+  /** Run fn inside a chain transaction: commit on success, rollback
+   *  on throw (reference SDK's withTransaction). */
+  async withTransaction<T>(
+      fn: (tx: { execute: (q: string) =>
+        ReturnType<NeumannGrpcClient["execute"]> }) => Promise<T>,
+  ): Promise<T> {
+    const tx = await this.beginTransaction();
+    try {
+      const out = await fn(tx);
+      await tx.commit();
+      return out;
+    } catch (e) {
+      await tx.rollback();
+      throw e;
+    }
   }
 
   /** Server-streamed rows for large results. */
