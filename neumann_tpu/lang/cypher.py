@@ -240,7 +240,10 @@ class _CypherParser:
                             self.next()
                             rel.max_hops = int(t2.text[1:])
                         else:
-                            rel.max_hops = 5       # open-ended "*n.."
+                            # open-ended "*n..": "n.." lexed as the
+                            # number "n." plus a lone "." to consume
+                            self.accept_punct(".")
+                            rel.max_hops = 5
                     else:
                         rel.min_hops = int(t.value)
                         rel.max_hops = rel.min_hops
@@ -258,6 +261,11 @@ class _CypherParser:
                         rel.max_hops = int(t2.text[1:])
                     else:
                         self.expect_punct(".")
+                        t3 = self.peek()
+                        if t3.kind != "number":
+                            raise ParseError(
+                                f"expected hop bound after '..', got "
+                                f"{t3.text or 'EOF'!r}", t3.line, t3.col)
                         rel.max_hops = int(self.next().value)
             if self.at_punct("{"):
                 rel.props = self.props()

@@ -146,3 +146,21 @@ def test_match_create(r):
                      "RETURN a.name, b.name, k.since").rows
     assert rows == [{"a.name": "Alice", "b.name": "Bob",
                      "k.since": 2020}]
+
+
+def test_variable_length_open_ended_and_malformed():
+    """*n.. walks to max depth; malformed bounds are clean errors
+    (found by the coverage-guided fuzzer)."""
+    router = QueryRouter()
+    for i in range(4):
+        router.execute(f"CREATE (n:P {{ i: {i} }})")
+    for i in range(3):
+        router.execute(f"MATCH (a:P), (b:P) WHERE a.i = {i} AND "
+                       f"b.i = {i + 1} CREATE (a)-[:K]->(b)")
+    rows = router.execute(
+        "MATCH (a:P)-[:K*2..]->(b) WHERE a.i = 0 RETURN b.i").rows
+    assert sorted(x["b.i"] for x in rows) == [2, 3]
+    from neumann_tpu.utils.errors import NeumannError
+
+    with pytest.raises(NeumannError):
+        router.execute("MATCH (a:P)-[:K*..]->(b) RETURN b")
