@@ -661,6 +661,10 @@ void* nn_hnsw_deserialize(const uint8_t* data, size_t size) {
         !take(p, end, &entry) || !take(p, end, &top_level) ||
         !take(p, end, &n))
         return nullptr;
+    // every record is >= 21 bytes; a corrupt count must not reserve
+    if (n > size / 21 + 1) return nullptr;
+    if (top_level < -1 || top_level > 63) return nullptr;
+    if (metric < 0 || metric > 2) return nullptr;
     auto* h = (Hnsw*)nn_hnsw_new(dim, m, m0, efc, metric, max_nodes, 1);
     if (!h) return nullptr;
     h->rng = rng;
@@ -672,6 +676,10 @@ void* nn_hnsw_deserialize(const uint8_t* data, size_t size) {
             !take(p, end, &nd.scale) || !take(p, end, &nd.bias) ||
             !take(p, end, &nd.norm) || !take(p, end, &nd.sumsq))
             goto fail;
+        // level drives allocations (nbrs gets level+1 layers): the
+        // writer only emits 0..63, so anything else is corruption —
+        // without this check a poisoned byte demands a ~48GB alloc
+        if (nd.level < 0 || nd.level > 63) goto fail;
         switch (nd.kind) {
             case KIND_F32: {
                 size_t bytes = (size_t)dim * 4;
@@ -700,6 +708,7 @@ void* nn_hnsw_deserialize(const uint8_t* data, size_t size) {
             }
             case KIND_SPARSE: {
                 if (!take(p, end, &nd.nnz)) goto fail;
+                if (nd.nnz > (uint32_t)dim) goto fail;
                 size_t bytes = (size_t)nd.nnz * 4;
                 if (p + 2 * bytes > end) goto fail;
                 nd.off = h->pool_sp_idx.size();

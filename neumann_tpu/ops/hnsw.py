@@ -487,6 +487,8 @@ class HNSWIndex:
         counts = struct.unpack("<4I", data[4:20])
         ntt, = struct.unpack("<I", data[20:24])
         pos = 24
+        if pos + 8 * ntt > len(data):
+            raise ValueError("corrupt HNSW blob: bad tt count")
         tt_ids = set(struct.unpack(f"<{ntt}q",
                                    data[pos:pos + 8 * ntt]))
         pos += 8 * ntt
@@ -504,7 +506,10 @@ class HNSWIndex:
             ix._py = None
             hdr = _parse_header(core)
         else:
-            py = _py_deserialize(core)
+            try:
+                py = _py_deserialize(core)
+            except (struct.error, IndexError) as e:
+                raise ValueError(f"corrupt HNSW blob: {e}") from None
             ix = cls.__new__(cls)
             ix._lib = None
             ix._h = None
@@ -542,7 +547,9 @@ def _parse_header(core: bytes) -> tuple:
         raise ValueError("corrupt HNSW core blob")
     dim, m, m0, efc, metric_id, max_nodes, _rng, _entry, _top, _n = \
         _HDR.unpack_from(core, 4)
-    metric = {v: k for k, v in _METRIC_IDS.items()}[metric_id]
+    metric = {v: k for k, v in _METRIC_IDS.items()}.get(metric_id)
+    if metric is None:
+        raise ValueError(f"corrupt HNSW blob: bad metric {metric_id}")
     cfg = HNSWConfig(m=m, m0=m0, ef_construction=efc,
                      max_nodes=max_nodes, metric=metric)
     return dim, cfg
@@ -595,6 +602,8 @@ def _py_deserialize(core: bytes) -> _PyHnsw:
         kind, level, scale, bias, norm, sumsq = node.unpack_from(
             core, pos)
         pos += node.size
+        if not 0 <= level <= 63:
+            raise ValueError("corrupt HNSW blob: bad level")
         if kind == KIND_F32:
             v = np.frombuffer(core, "<f4", dim, pos).copy()
             pos += 4 * dim

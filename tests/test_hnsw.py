@@ -427,3 +427,33 @@ def test_access_stats_fallback(corpus, no_native):
     st = ix.access_stats()
     assert st["total_inserts"] == 100 and st["total_searches"] == 1
     assert st["distance_calculations"] > 0
+
+
+@pytest.mark.parametrize("force_fallback", [False, True])
+def test_corrupt_blob_hardening(corpus, monkeypatch, force_fallback):
+    """Hostile/corrupt blobs must fail FAST and cleanly on both
+    deserializers (a fuzzed level byte previously demanded a ~48GB
+    allocation)."""
+    import time
+
+    if force_fallback:
+        monkeypatch.setattr(native, "load", lambda: None)
+    elif not native.available():
+        pytest.skip("no native lib")
+    ix = HNSWIndex(16)
+    for v in corpus[:20, :16]:
+        ix.insert(np.ascontiguousarray(v))
+    blob = bytearray(ix.to_bytes())
+    rng = np.random.default_rng(11)
+    worst = 0.0
+    for _ in range(150):
+        b = bytearray(blob)
+        for _ in range(int(rng.integers(1, 8))):
+            b[int(rng.integers(len(b)))] = int(rng.integers(256))
+        t0 = time.perf_counter()
+        try:
+            HNSWIndex.from_bytes(bytes(b))
+        except (ValueError, OverflowError):
+            pass                          # clean refusal only
+        worst = max(worst, time.perf_counter() - t0)
+    assert worst < 0.5, worst
