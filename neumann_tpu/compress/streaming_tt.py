@@ -133,6 +133,8 @@ def stream_tt(path) -> Iterator[Tuple[str, TTVector]]:
                 if len(shp) < _CORE.size:
                     return
                 r1, m, r2 = _CORE.unpack(shp)
+                if r1 * m * r2 > (1 << 24):
+                    return           # corrupt shape: would demand GBs
                 data = f.read(4 * r1 * m * r2)
                 if len(data) < 4 * r1 * m * r2:
                     return

@@ -50,7 +50,11 @@ def load(path) -> Dict[str, TensorData]:
     with open(path, "rb") as fh:
         buf = fh.read()
     if buf[:4] == MAGIC_Z:
-        buf = zlib.decompress(buf[4:])
+        try:
+            buf = zlib.decompress(buf[4:])
+        except zlib.error as e:
+            raise StoreError(f"corrupt compressed snapshot: {e}") \
+                from None
     if len(buf) < _HDR.size + 4:
         raise StoreError("snapshot truncated")
     magic, version, count = _HDR.unpack_from(buf, 0)
@@ -64,13 +68,26 @@ def load(path) -> Dict[str, TensorData]:
         raise StoreError("snapshot checksum mismatch")
     out: Dict[str, TensorData] = {}
     pos = 0
-    for _ in range(count):
-        (klen,) = struct.unpack_from("<I", body, pos)
-        pos += 4
-        key = body[pos: pos + klen].decode("utf-8")
-        pos += klen
-        (plen,) = struct.unpack_from("<I", body, pos)
-        pos += 4
-        out[key] = codec.decode_data(body[pos: pos + plen])
-        pos += plen
+    # `count` sits in the header OUTSIDE the CRC-covered body, so it
+    # must be validated structurally like everything it gates
+    try:
+        for _ in range(count):
+            if pos + 4 > len(body):
+                raise StoreError("snapshot truncated (count)")
+            (klen,) = struct.unpack_from("<I", body, pos)
+            pos += 4
+            if pos + klen > len(body):
+                raise StoreError("snapshot truncated (key)")
+            key = body[pos: pos + klen].decode("utf-8", "replace")
+            pos += klen
+            if pos + 4 > len(body):
+                raise StoreError("snapshot truncated (len)")
+            (plen,) = struct.unpack_from("<I", body, pos)
+            pos += 4
+            if pos + plen > len(body):
+                raise StoreError("snapshot truncated (payload)")
+            out[key] = codec.decode_data(body[pos: pos + plen])
+            pos += plen
+    except struct.error as e:
+        raise StoreError(f"corrupt snapshot: {e}") from None
     return out

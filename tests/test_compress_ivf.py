@@ -327,3 +327,33 @@ def test_streaming_tt_roundtrip(tmp_path, rng):
     # dim mismatch on append refused
     with pytest.raises(NeumannError):
         StreamingTTWriter(path, d + 1)
+
+
+def test_streaming_tt_corruption_hardening(tmp_path, rng):
+    """Corrupt NTTS bytes stop the stream cleanly and fast — a corrupt
+    core shape must not demand a giant allocation."""
+    import time
+
+    from neumann_tpu.compress.streaming_tt import (
+        StreamingTTWriter, stream_tt)
+
+    with StreamingTTWriter(tmp_path / "t.ntts", 64) as w:
+        for i in range(8):
+            w.add(f"v{i}", np.outer(np.ones(8),
+                                    np.arange(8)).ravel()
+                  .astype(np.float32))
+    blob = (tmp_path / "t.ntts").read_bytes()
+    r = np.random.default_rng(9)
+    for _ in range(150):
+        b = bytearray(blob)
+        for _ in range(int(r.integers(1, 6))):
+            b[int(r.integers(len(b)))] = int(r.integers(256))
+        (tmp_path / "c.ntts").write_bytes(bytes(b))
+        t0 = time.perf_counter()
+        try:
+            list(stream_tt(tmp_path / "c.ntts"))
+        except Exception as e:
+            from neumann_tpu.utils.errors import NeumannError
+
+            assert isinstance(e, (NeumannError, ValueError)), e
+        assert time.perf_counter() - t0 < 0.5

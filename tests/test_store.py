@@ -313,3 +313,36 @@ def test_sparse_weighted_jaccard():
     e = SparseVector.from_dense([2.0, 2.0, 0.0])
     f = SparseVector.from_dense([1.0, 2.0, 0.0])
     assert abs(e.weighted_jaccard(f) - 3.0 / 4.0) < 1e-6
+
+
+def test_snapshot_corruption_hardening(tmp_path):
+    """Any corrupted snapshot byte (including the header fields outside
+    the CRC-covered body) fails fast with StoreError, never a raw
+    struct/zlib/unicode error."""
+    import time
+
+    import numpy as np
+
+    from neumann_tpu.store import snapshot
+
+    store = TensorStore()
+    for i in range(40):
+        store.put(f"k:{i}", TensorData.with_values(
+            a=TensorValue.scalar(i),
+            b=TensorValue.vector(np.ones(8, np.float32))))
+    store.save_snapshot(tmp_path / "s.ntpu")
+    store.save_snapshot(tmp_path / "s.ntpz", compressed=True)
+    rng = np.random.default_rng(3)
+    for name in ("s.ntpu", "s.ntpz"):
+        blob = (tmp_path / name).read_bytes()
+        for _ in range(120):
+            b = bytearray(blob)
+            for _ in range(int(rng.integers(1, 6))):
+                b[int(rng.integers(len(b)))] = int(rng.integers(256))
+            (tmp_path / "c").write_bytes(bytes(b))
+            t0 = time.perf_counter()
+            try:
+                snapshot.load(tmp_path / "c")
+            except StoreError:
+                pass
+            assert time.perf_counter() - t0 < 0.5
