@@ -910,26 +910,37 @@ class VectorEngine:
 
         import jax.numpy as jnp
 
-        blob = np.load(path)
-        if "hnsw_blob" in blob.files:
-            return self._load_hnsw_index(blob)
-        dim = int(blob["dim"])
-        idx = IVFIndex(dim, IVFConfig(
-            n_clusters=len(blob["centroids"]),
-            nprobe=int(blob["nprobe"])))
-        idx.centroids = blob["centroids"]
-        idx._reordered = jnp.asarray(blob["reordered"])
-        idx._row_ids = blob["row_ids"]
-        idx._stride = int(blob["stride"])
-        idx._n = int(blob["n"])
-        with self._lock:
-            corpus = self._corpora.get("", {}).get(dim)
-        if corpus is None:
-            raise VectorError(
-                f"no dimension-{dim} embeddings loaded to map the index "
-                f"onto")
-        self._ivf = (idx, corpus, blob["row_map"])
-        return idx._n
+        try:
+            blob = np.load(path)
+            files = blob.files
+        except Exception as e:       # zip/crc/pickle-layer corruption
+            raise VectorError(f"corrupt index file {path}: {e}") \
+                from None
+        try:
+            if "hnsw_blob" in files:
+                return self._load_hnsw_index(blob)
+            dim = int(blob["dim"])
+            idx = IVFIndex(dim, IVFConfig(
+                n_clusters=len(blob["centroids"]),
+                nprobe=int(blob["nprobe"])))
+            idx.centroids = blob["centroids"]
+            idx._reordered = jnp.asarray(blob["reordered"])
+            idx._row_ids = blob["row_ids"]
+            idx._stride = int(blob["stride"])
+            idx._n = int(blob["n"])
+            with self._lock:
+                corpus = self._corpora.get("", {}).get(dim)
+            if corpus is None:
+                raise VectorError(
+                    f"no dimension-{dim} embeddings loaded to map the "
+                    f"index onto")
+            self._ivf = (idx, corpus, blob["row_map"])
+            return idx._n
+        except VectorError:
+            raise
+        except Exception as e:       # missing keys / mangled arrays
+            raise VectorError(f"corrupt index file {path}: {e}") \
+                from None
 
     # ------------------------------------------------------------------
     # entity embeddings (unified engine support)

@@ -345,3 +345,24 @@ def test_tt_collection_mode(rng):
     eng.delete_from_collection("tt", "v7")
     res = eng.search_in_collection("tt", vecs[7], 5)
     assert all(r.key != "v7" for r in res)
+
+
+def test_load_index_corruption_hardening(rng, eng, tmp_path):
+    """Corrupt index files always fail with VectorError, never raw
+    zipfile/struct/key errors."""
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    eng.batch_store_embeddings([(f"v{i}", vecs[i]) for i in range(200)])
+    eng.build_ivf_index(n_clusters=4)
+    path = tmp_path / "ix.npz"
+    eng.save_index(path)
+    blob = bytearray(path.read_bytes())
+    r = np.random.default_rng(2)
+    for _ in range(60):
+        b = bytearray(blob)
+        for _ in range(int(r.integers(1, 6))):
+            b[int(r.integers(len(b)))] = int(r.integers(256))
+        (tmp_path / "c.npz").write_bytes(bytes(b))
+        try:
+            eng.load_index(tmp_path / "c.npz")
+        except VectorError:
+            pass
