@@ -262,7 +262,15 @@ class TcpTransport:
                 if body is None:
                     return
                 if flags & _FLAG_COMPRESSED:
-                    body = zlib.decompress(body, bufsize=_MAX_FRAME)
+                    # decompressobj + max_length caps the OUTPUT size —
+                    # zlib.decompress(bufsize=...) is only an initial
+                    # buffer hint, so a deflate bomb inside a small
+                    # frame could otherwise expand to gigabytes
+                    d = zlib.decompressobj()
+                    body = d.decompress(body, _MAX_FRAME)
+                    if d.unconsumed_tail:
+                        raise ChainError(
+                            "decompressed frame exceeds limit")
                 msg = Message.decode(body)
                 if self._handler is not None:
                     self._handler(msg)

@@ -1632,3 +1632,45 @@ def test_classify_pairwise_codes_matches_loop():
     for i in range(n):
         for j in range(i + 1, n):
             assert _CLASS_BY_CODE[codes[i, j]] == oracle(i, j), (i, j)
+
+
+def test_tcp_transport_hostile_frames():
+    """Garbage frames, oversized headers, and deflate bombs must not
+    kill or balloon the node: decompression output is capped at
+    _MAX_FRAME and bad peers just lose their connection."""
+    import socket
+    import time
+    import tracemalloc
+    import zlib
+
+    from neumann_tpu.chain.transport import TcpTransport, _FRAME
+
+    srv = TcpTransport("srv", port=0)
+    port = srv.address[1]
+
+    def attack(data):
+        try:
+            s = socket.create_connection(("127.0.0.1", port))
+            s.sendall(data)
+            s.close()
+        except OSError:
+            pass
+
+    bomb = zlib.compress(b"\x00" * (256 << 20), 9)   # 256MB -> ~256KB
+    tracemalloc.start()
+    attack(b"\xde\xad\xbe\xef" * 64)                 # garbage
+    attack(_FRAME.pack(1 << 30, 0))                  # oversized header
+    attack(_FRAME.pack(len(bomb), 1) + bomb)         # deflate bomb
+    time.sleep(1.0)
+    _cur, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < 200e6, peak                        # capped, not 256MB+
+    cli = TcpTransport("cli", port=0)
+    try:
+        cli.connect("srv", ("127.0.0.1", port))
+        cli.send("srv", "ping", {"x": 1})
+        msg = srv.recv(timeout=2.0)
+        assert msg is not None and msg.kind == "ping"
+    finally:
+        srv.close()
+        cli.close()
