@@ -50,10 +50,15 @@ class RestServer:
             def log_message(self, *a):  # quiet
                 pass
 
+            _MAX_BODY = 64 * 1024 * 1024
+
             def _body(self):
                 length = int(self.headers.get("Content-Length") or 0)
                 if not length:
                     return {}
+                if length > self._MAX_BODY:
+                    raise NeumannError(
+                        f"request body too large ({length} bytes)")
                 return json.loads(self.rfile.read(length) or b"{}")
 
             def _send(self, code: int, payload) -> None:
@@ -118,6 +123,10 @@ class RestServer:
                 if (outer._grpc_web is not None
                         and GrpcWebGateway.is_grpc_web(ctype)):
                     length = int(self.headers.get("Content-Length") or 0)
+                    if length > self._MAX_BODY:
+                        self.send_response(413)
+                        self.end_headers()
+                        return
                     raw = self.rfile.read(length) if length else b""
                     body, out_type = outer._grpc_web.handle(
                         self.path, self.headers, raw)

@@ -202,6 +202,27 @@ def test_rest_api(tmp_path):
     srv.stop()
 
 
+def test_rest_body_size_cap():
+    import json
+    import urllib.request
+
+    from neumann_tpu.server.rest import RestServer
+
+    srv = RestServer(port=0)
+    port = srv.serve()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/query", data=b"{}",
+        headers={"Content-Type": "application/json",
+                 "Content-Length": str(1 << 31)})
+    try:
+        urllib.request.urlopen(req, timeout=5)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "too large" in json.loads(e.read())["error"]
+    srv.stop()
+
+
 def test_rest_auth():
     import json
     import urllib.request
