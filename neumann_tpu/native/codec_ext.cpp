@@ -1,0 +1,642 @@
+// CPython extension: native binary codec for TensorData / TensorValue.
+//
+// Speeds up the host durability paths that are Python-call-bound:
+// WAL record encode (log_put / append_batch), WAL replay decode,
+// and snapshot body encode/decode. Byte format is identical to
+// neumann_tpu/store/codec.py (the pure-Python fallback) — the two
+// implementations round-trip each other and the on-disk format is
+// unchanged.
+//
+// Parity note: the reference's tensor_store uses bincode + serde in
+// Rust for the same role (tensor_store/src/wal.rs, snapshot.rs); this
+// is the equivalent native fast path for the Python host runtime.
+//
+// Built at first use by neumann_tpu/native/pycodec.py with
+//   g++ -O3 -shared -fPIC -I<python-include> codec_ext.cpp -lz
+// and initialised via init(TensorValue, TensorData, helpers...).
+//
+// Error mapping: malformed input raises ValueError; the Python
+// wrappers convert to StoreError. Torn/corrupt WAL tails are NOT
+// errors — decode_wal stops cleanly, matching replay semantics.
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+
+#include <stdint.h>
+#include <string.h>
+#include <stdlib.h>
+#include <zlib.h>
+
+// ---- module state (set once by init()) --------------------------------
+static PyObject *g_tv_cls;            // TensorValue class
+static PyObject *g_td_cls;            // TensorData class
+static PyObject *g_vec_from_bytes;    // bytes -> np.ndarray f32 (copy)
+static PyObject *g_sparse_from_parts; // (pos_bytes, val_bytes, dim) -> SparseVector
+static PyObject *g_as_f4_bytes;       // any -> bytes ("<f4" cast fallback)
+static PyObject *g_sparse_parts;      // SparseVector -> (dim, pos_bytes, val_bytes)
+
+static PyObject *s_kind, *s_value, *s_fields;       // attribute names
+static PyObject *k_scalar, *k_vector, *k_sparse,    // kind strings
+                *k_pointer, *k_pointers;
+static PyObject *s_put, *s_delete;                  // WAL op strings
+
+// ---- instance construction (bypasses frozen-dataclass __init__) -------
+
+static PyObject *new_instance(PyObject *cls) {
+    PyTypeObject *tp = (PyTypeObject *)cls;
+    return tp->tp_alloc(tp, 0);
+}
+
+// Steals `value`. Borrows `kind`.
+static PyObject *make_tv(PyObject *kind, PyObject *value) {
+    if (!value) return NULL;
+    PyObject *obj = new_instance(g_tv_cls);
+    if (!obj) { Py_DECREF(value); return NULL; }
+    PyObject *d = PyObject_GenericGetDict(obj, NULL);
+    if (!d) { Py_DECREF(obj); Py_DECREF(value); return NULL; }
+    int rc = PyDict_SetItem(d, s_kind, kind);
+    if (rc == 0) rc = PyDict_SetItem(d, s_value, value);
+    Py_DECREF(d);
+    Py_DECREF(value);
+    if (rc != 0) { Py_DECREF(obj); return NULL; }
+    return obj;
+}
+
+// Steals `fields`.
+static PyObject *make_td(PyObject *fields) {
+    if (!fields) return NULL;
+    PyObject *obj = new_instance(g_td_cls);
+    if (!obj) { Py_DECREF(fields); return NULL; }
+    PyObject *d = PyObject_GenericGetDict(obj, NULL);
+    if (!d) { Py_DECREF(obj); Py_DECREF(fields); return NULL; }
+    int rc = PyDict_SetItem(d, s_fields, fields);
+    Py_DECREF(d);
+    Py_DECREF(fields);
+    if (rc != 0) { Py_DECREF(obj); return NULL; }
+    return obj;
+}
+
+// ---- bounded reader ---------------------------------------------------
+
+typedef struct {
+    const unsigned char *p;
+    Py_ssize_t len, pos;
+} Rd;
+
+static int rd_need(Rd *r, Py_ssize_t n) {
+    if (n < 0 || r->pos + n > r->len) {
+        PyErr_SetString(PyExc_ValueError, "truncated record");
+        return 0;
+    }
+    return 1;
+}
+
+static int rd_u8(Rd *r, unsigned *out) {
+    if (!rd_need(r, 1)) return 0;
+    *out = r->p[r->pos++];
+    return 1;
+}
+
+static int rd_u32(Rd *r, uint32_t *out) {
+    if (!rd_need(r, 4)) return 0;
+    uint32_t v;
+    memcpy(&v, r->p + r->pos, 4);
+    r->pos += 4;
+    *out = v;  // x86/arm64 little-endian
+    return 1;
+}
+
+static int rd_i64(Rd *r, int64_t *out) {
+    if (!rd_need(r, 8)) return 0;
+    memcpy(out, r->p + r->pos, 8);
+    r->pos += 8;
+    return 1;
+}
+
+static int rd_f64(Rd *r, double *out) {
+    if (!rd_need(r, 8)) return 0;
+    memcpy(out, r->p + r->pos, 8);
+    r->pos += 8;
+    return 1;
+}
+
+// length-prefixed bytes: returns pointer into the buffer (no copy)
+static int rd_span(Rd *r, const char **ptr, Py_ssize_t *n) {
+    uint32_t len;
+    if (!rd_u32(r, &len)) return 0;
+    if (!rd_need(r, (Py_ssize_t)len)) return 0;
+    *ptr = (const char *)(r->p + r->pos);
+    *n = (Py_ssize_t)len;
+    r->pos += len;
+    return 1;
+}
+
+static PyObject *rd_str(Rd *r) {
+    const char *p; Py_ssize_t n;
+    if (!rd_span(r, &p, &n)) return NULL;
+    return PyUnicode_DecodeUTF8(p, n, NULL);
+}
+
+// ---- value / data decode ---------------------------------------------
+
+static PyObject *decode_value_c(Rd *r) {
+    unsigned tag;
+    if (!rd_u8(r, &tag)) return NULL;
+    switch (tag) {
+    case 0:
+        return make_tv(k_scalar, Py_NewRef(Py_None));
+    case 1: {
+        unsigned b;
+        if (!rd_u8(r, &b)) return NULL;
+        return make_tv(k_scalar, Py_NewRef(b ? Py_True : Py_False));
+    }
+    case 2: {
+        int64_t v;
+        if (!rd_i64(r, &v)) return NULL;
+        return make_tv(k_scalar, PyLong_FromLongLong(v));
+    }
+    case 3: {
+        double v;
+        if (!rd_f64(r, &v)) return NULL;
+        return make_tv(k_scalar, PyFloat_FromDouble(v));
+    }
+    case 4:
+        return make_tv(k_scalar, rd_str(r));
+    case 5: {
+        const char *p; Py_ssize_t n;
+        if (!rd_span(r, &p, &n)) return NULL;
+        return make_tv(k_scalar, PyBytes_FromStringAndSize(p, n));
+    }
+    case 6: {
+        const char *p; Py_ssize_t n;
+        if (!rd_span(r, &p, &n)) return NULL;
+        PyObject *b = PyBytes_FromStringAndSize(p, n);
+        if (!b) return NULL;
+        PyObject *arr = PyObject_CallOneArg(g_vec_from_bytes, b);
+        Py_DECREF(b);
+        return make_tv(k_vector, arr);
+    }
+    case 7: {
+        uint32_t dim;
+        const char *pp, *vp; Py_ssize_t pn, vn;
+        if (!rd_u32(r, &dim)) return NULL;
+        if (!rd_span(r, &pp, &pn)) return NULL;
+        if (!rd_span(r, &vp, &vn)) return NULL;
+        PyObject *pb = PyBytes_FromStringAndSize(pp, pn);
+        PyObject *vb = PyBytes_FromStringAndSize(vp, vn);
+        PyObject *sv = NULL;
+        if (pb && vb)
+            sv = PyObject_CallFunction(g_sparse_from_parts, "OOI",
+                                       pb, vb, (unsigned int)dim);
+        Py_XDECREF(pb);
+        Py_XDECREF(vb);
+        return make_tv(k_sparse, sv);
+    }
+    case 8:
+        return make_tv(k_pointer, rd_str(r));
+    case 9: {
+        uint32_t n;
+        if (!rd_u32(r, &n)) return NULL;
+        // each pointer needs >= 4 bytes (its length prefix)
+        if ((Py_ssize_t)n > (r->len - r->pos) / 4 + 1) {
+            PyErr_SetString(PyExc_ValueError, "truncated record");
+            return NULL;
+        }
+        PyObject *lst = PyList_New((Py_ssize_t)n);
+        if (!lst) return NULL;
+        for (uint32_t i = 0; i < n; i++) {
+            PyObject *s = rd_str(r);
+            if (!s) { Py_DECREF(lst); return NULL; }
+            PyList_SET_ITEM(lst, i, s);
+        }
+        return make_tv(k_pointers, lst);
+    }
+    default:
+        PyErr_Format(PyExc_ValueError, "bad value tag %u", tag);
+        return NULL;
+    }
+}
+
+static PyObject *decode_data_c(Rd *r) {
+    uint32_t n;
+    if (!rd_u32(r, &n)) return NULL;
+    // each field needs >= 5 bytes (name length prefix + value tag)
+    if ((Py_ssize_t)n > (r->len - r->pos) / 5 + 1) {
+        PyErr_SetString(PyExc_ValueError, "truncated record");
+        return NULL;
+    }
+    PyObject *fields = PyDict_New();
+    if (!fields) return NULL;
+    for (uint32_t i = 0; i < n; i++) {
+        PyObject *name = rd_str(r);
+        if (!name) { Py_DECREF(fields); return NULL; }
+        PyObject *val = decode_value_c(r);
+        if (!val) { Py_DECREF(name); Py_DECREF(fields); return NULL; }
+        int rc = PyDict_SetItem(fields, name, val);
+        Py_DECREF(name);
+        Py_DECREF(val);
+        if (rc != 0) { Py_DECREF(fields); return NULL; }
+    }
+    return make_td(fields);
+}
+
+// decode_data(buf, pos=0) -> TensorData
+static PyObject *py_decode_data(PyObject *self, PyObject *args) {
+    Py_buffer view;
+    Py_ssize_t pos = 0;
+    if (!PyArg_ParseTuple(args, "y*|n", &view, &pos)) return NULL;
+    Rd r = {(const unsigned char *)view.buf, view.len, pos};
+    PyObject *out = (pos >= 0 && pos <= view.len)
+        ? decode_data_c(&r)
+        : (PyErr_SetString(PyExc_ValueError, "bad offset"), (PyObject*)NULL);
+    PyBuffer_Release(&view);
+    return out;
+}
+
+// decode_wal(buf) -> list[(op:str, key:str, TensorData|None)]
+// Stops cleanly at the first torn or CRC-mismatched frame; raises
+// ValueError on a CRC-valid but structurally malformed record.
+static PyObject *py_decode_wal(PyObject *self, PyObject *args) {
+    Py_buffer view;
+    if (!PyArg_ParseTuple(args, "y*", &view)) return NULL;
+    const unsigned char *buf = (const unsigned char *)view.buf;
+    Py_ssize_t len = view.len, pos = 0;
+    PyObject *out = PyList_New(0);
+    if (!out) { PyBuffer_Release(&view); return NULL; }
+    while (pos + 8 <= len) {
+        uint32_t flen, crc;
+        memcpy(&flen, buf + pos, 4);
+        memcpy(&crc, buf + pos + 4, 4);
+        if ((Py_ssize_t)flen > len - pos - 8) break;      // torn tail
+        const unsigned char *payload = buf + pos + 8;
+        if ((uint32_t)crc32(0, payload, flen) != crc) break;  // corrupt
+        Rd r = {payload, (Py_ssize_t)flen, 0};
+        unsigned op;
+        PyObject *rec = NULL;
+        if (!rd_u8(&r, &op)) goto fail;
+        if (op == 0) {
+            PyObject *key = rd_str(&r);
+            if (!key) goto fail;
+            PyObject *td = decode_data_c(&r);
+            if (!td) { Py_DECREF(key); goto fail; }
+            rec = PyTuple_Pack(3, s_put, key, td);
+            Py_DECREF(key);
+            Py_DECREF(td);
+        } else if (op == 1) {
+            PyObject *key = rd_str(&r);
+            if (!key) goto fail;
+            rec = PyTuple_Pack(3, s_delete, key, Py_None);
+            Py_DECREF(key);
+        } else {
+            PyErr_Format(PyExc_ValueError, "unknown WAL op %u", op);
+            goto fail;
+        }
+        if (!rec || PyList_Append(out, rec) != 0) {
+            Py_XDECREF(rec);
+            goto fail;
+        }
+        Py_DECREF(rec);
+        pos += 8 + (Py_ssize_t)flen;
+    }
+    PyBuffer_Release(&view);
+    return out;
+fail:
+    Py_DECREF(out);
+    PyBuffer_Release(&view);
+    return NULL;
+}
+
+// decode_snapshot_body(body, count) -> dict[str, TensorData]
+static PyObject *py_decode_snapshot_body(PyObject *self, PyObject *args) {
+    Py_buffer view;
+    Py_ssize_t count;
+    if (!PyArg_ParseTuple(args, "y*n", &view, &count)) return NULL;
+    Rd r = {(const unsigned char *)view.buf, view.len, 0};
+    PyObject *out = PyDict_New();
+    if (!out) { PyBuffer_Release(&view); return NULL; }
+    for (Py_ssize_t i = 0; i < count; i++) {
+        const char *kp; Py_ssize_t kn;
+        if (!rd_span(&r, &kp, &kn)) goto fail;
+        PyObject *key = PyUnicode_DecodeUTF8(kp, kn, "replace");
+        if (!key) goto fail;
+        uint32_t plen;
+        if (!rd_u32(&r, &plen) || !rd_need(&r, (Py_ssize_t)plen)) {
+            Py_DECREF(key);
+            goto fail;
+        }
+        Rd pr = {r.p + r.pos, (Py_ssize_t)plen, 0};
+        r.pos += plen;
+        PyObject *td = decode_data_c(&pr);
+        if (!td) { Py_DECREF(key); goto fail; }
+        int rc = PyDict_SetItem(out, key, td);
+        Py_DECREF(key);
+        Py_DECREF(td);
+        if (rc != 0) goto fail;
+    }
+    PyBuffer_Release(&view);
+    return out;
+fail:
+    Py_DECREF(out);
+    PyBuffer_Release(&view);
+    return NULL;
+}
+
+// ---- growable write buffer -------------------------------------------
+
+typedef struct {
+    unsigned char *b;
+    size_t len, cap;
+} Wr;
+
+static int wr_reserve(Wr *w, size_t extra) {
+    if (w->len + extra <= w->cap) return 1;
+    size_t cap = w->cap ? w->cap * 2 : 256;
+    while (cap < w->len + extra) cap *= 2;
+    unsigned char *nb = (unsigned char *)realloc(w->b, cap);
+    if (!nb) { PyErr_NoMemory(); return 0; }
+    w->b = nb;
+    w->cap = cap;
+    return 1;
+}
+
+static int wr_put(Wr *w, const void *p, size_t n) {
+    if (!wr_reserve(w, n)) return 0;
+    memcpy(w->b + w->len, p, n);
+    w->len += n;
+    return 1;
+}
+
+static int wr_u8(Wr *w, unsigned char v) { return wr_put(w, &v, 1); }
+static int wr_u32(Wr *w, uint32_t v) { return wr_put(w, &v, 4); }
+
+static int wr_pystr(Wr *w, PyObject *s) {
+    Py_ssize_t n;
+    const char *p = PyUnicode_AsUTF8AndSize(s, &n);
+    if (!p) return 0;
+    return wr_u32(w, (uint32_t)n) && wr_put(w, p, (size_t)n);
+}
+
+static int wr_pybytes_span(Wr *w, PyObject *b) {
+    char *p; Py_ssize_t n;
+    if (PyBytes_AsStringAndSize(b, &p, &n) != 0) return 0;
+    return wr_u32(w, (uint32_t)n) && wr_put(w, p, (size_t)n);
+}
+
+// ---- value / data encode ---------------------------------------------
+
+static int kind_is(PyObject *k, PyObject *cached) {
+    if (k == cached) return 1;
+    if (!PyUnicode_Check(k)) return 0;
+    return PyUnicode_Compare(k, cached) == 0;
+}
+
+static int encode_f4_payload(Wr *w, PyObject *value) {
+    // fast path: contiguous float32 buffer (ndarray)
+    Py_buffer bv;
+    if (PyObject_GetBuffer(value, &bv, PyBUF_CONTIG_RO | PyBUF_FORMAT)
+            == 0) {
+        if (bv.itemsize == 4 && bv.format && bv.format[0] == 'f'
+                && bv.format[1] == '\0') {
+            int ok = wr_u32(w, (uint32_t)bv.len)
+                && wr_put(w, bv.buf, (size_t)bv.len);
+            PyBuffer_Release(&bv);
+            return ok;
+        }
+        PyBuffer_Release(&bv);
+    } else {
+        PyErr_Clear();
+    }
+    PyObject *b = PyObject_CallOneArg(g_as_f4_bytes, value);
+    if (!b) return 0;
+    int ok = wr_pybytes_span(w, b);
+    Py_DECREF(b);
+    return ok;
+}
+
+static int encode_value_c(Wr *w, PyObject *tv) {
+    PyObject *kind = PyObject_GetAttr(tv, s_kind);
+    if (!kind) return 0;
+    PyObject *value = PyObject_GetAttr(tv, s_value);
+    if (!value) { Py_DECREF(kind); return 0; }
+    int ok = 0;
+    if (kind_is(kind, k_scalar)) {
+        if (value == Py_None) {
+            ok = wr_u8(w, 0);
+        } else if (PyBool_Check(value)) {
+            ok = wr_u8(w, 1) && wr_u8(w, value == Py_True ? 1 : 0);
+        } else if (PyLong_Check(value)) {
+            int64_t v = PyLong_AsLongLong(value);
+            if (v == -1 && PyErr_Occurred()) goto done;
+            ok = wr_u8(w, 2) && wr_put(w, &v, 8);
+        } else if (PyFloat_Check(value)) {
+            double v = PyFloat_AS_DOUBLE(value);
+            ok = wr_u8(w, 3) && wr_put(w, &v, 8);
+        } else if (PyUnicode_Check(value)) {
+            ok = wr_u8(w, 4) && wr_pystr(w, value);
+        } else if (PyBytes_Check(value)) {
+            ok = wr_u8(w, 5) && wr_pybytes_span(w, value);
+        } else {
+            PyErr_Format(PyExc_ValueError, "unencodable scalar type %s",
+                         Py_TYPE(value)->tp_name);
+        }
+    } else if (kind_is(kind, k_vector)) {
+        ok = wr_u8(w, 6) && encode_f4_payload(w, value);
+    } else if (kind_is(kind, k_sparse)) {
+        PyObject *parts = PyObject_CallOneArg(g_sparse_parts, value);
+        if (!parts) goto done;
+        PyObject *dim, *pb, *vb;
+        if (!PyArg_ParseTuple(parts, "OOO", &dim, &pb, &vb)) {
+            Py_DECREF(parts);
+            goto done;
+        }
+        uint32_t d = (uint32_t)PyLong_AsUnsignedLongMask(dim);
+        ok = wr_u8(w, 7) && wr_u32(w, d) && wr_pybytes_span(w, pb)
+            && wr_pybytes_span(w, vb);
+        Py_DECREF(parts);
+    } else if (kind_is(kind, k_pointer)) {
+        ok = wr_u8(w, 8) && wr_pystr(w, value);
+    } else if (kind_is(kind, k_pointers)) {
+        PyObject *seq = PySequence_Fast(value, "pointers not a sequence");
+        if (!seq) goto done;
+        Py_ssize_t n = PySequence_Fast_GET_SIZE(seq);
+        ok = wr_u8(w, 9) && wr_u32(w, (uint32_t)n);
+        for (Py_ssize_t i = 0; ok && i < n; i++)
+            ok = wr_pystr(w, PySequence_Fast_GET_ITEM(seq, i));
+        Py_DECREF(seq);
+    } else {
+        PyErr_Format(PyExc_ValueError, "unencodable value kind %R", kind);
+    }
+done:
+    Py_DECREF(kind);
+    Py_DECREF(value);
+    return ok;
+}
+
+static int encode_data_c(Wr *w, PyObject *td) {
+    PyObject *fields = PyObject_GetAttr(td, s_fields);
+    if (!fields) return 0;
+    if (!PyDict_Check(fields)) {
+        Py_DECREF(fields);
+        PyErr_SetString(PyExc_ValueError, "fields is not a dict");
+        return 0;
+    }
+    if (!wr_u32(w, (uint32_t)PyDict_GET_SIZE(fields))) {
+        Py_DECREF(fields);
+        return 0;
+    }
+    Py_ssize_t p = 0;
+    PyObject *name, *val;
+    while (PyDict_Next(fields, &p, &name, &val)) {
+        if (!PyUnicode_Check(name)) {
+            PyErr_SetString(PyExc_ValueError, "field name not a str");
+            Py_DECREF(fields);
+            return 0;
+        }
+        if (!wr_pystr(w, name) || !encode_value_c(w, val)) {
+            Py_DECREF(fields);
+            return 0;
+        }
+    }
+    Py_DECREF(fields);
+    return 1;
+}
+
+static PyObject *wr_to_bytes(Wr *w) {
+    PyObject *out = PyBytes_FromStringAndSize((const char *)w->b,
+                                              (Py_ssize_t)w->len);
+    free(w->b);
+    return out;
+}
+
+// encode_data(td) -> bytes
+static PyObject *py_encode_data(PyObject *self, PyObject *td) {
+    Wr w = {NULL, 0, 0};
+    if (!encode_data_c(&w, td)) { free(w.b); return NULL; }
+    return wr_to_bytes(&w);
+}
+
+// payload = op u8 + klen u32 + key + [data]; frame = len u32 + crc u32
+static int encode_frame_c(Wr *w, long op, PyObject *key, PyObject *td) {
+    size_t hdr_at = w->len;
+    if (!wr_u32(w, 0) || !wr_u32(w, 0)) return 0;  // patched below
+    size_t start = w->len;
+    if (!wr_u8(w, (unsigned char)op) || !wr_pystr(w, key)) return 0;
+    if (op == 0 && !encode_data_c(w, td)) return 0;
+    uint32_t flen = (uint32_t)(w->len - start);
+    uint32_t crc = (uint32_t)crc32(0, w->b + start, flen);
+    memcpy(w->b + hdr_at, &flen, 4);
+    memcpy(w->b + hdr_at + 4, &crc, 4);
+    return 1;
+}
+
+// encode_frame(op:int, key:str, td|None) -> bytes
+static PyObject *py_encode_frame(PyObject *self, PyObject *args) {
+    long op;
+    PyObject *key, *td = Py_None;
+    if (!PyArg_ParseTuple(args, "lU|O", &op, &key, &td)) return NULL;
+    Wr w = {NULL, 0, 0};
+    if (!encode_frame_c(&w, op, key, td)) { free(w.b); return NULL; }
+    return wr_to_bytes(&w);
+}
+
+// encode_frames(iterable of (op:int, key:str, td|None)) -> bytes
+static PyObject *py_encode_frames(PyObject *self, PyObject *entries) {
+    PyObject *seq = PySequence_Fast(entries, "entries not a sequence");
+    if (!seq) return NULL;
+    Wr w = {NULL, 0, 0};
+    Py_ssize_t n = PySequence_Fast_GET_SIZE(seq);
+    for (Py_ssize_t i = 0; i < n; i++) {
+        PyObject *e = PySequence_Fast_GET_ITEM(seq, i);
+        long op;
+        PyObject *key, *td = Py_None;
+        if (!PyArg_ParseTuple(e, "lU|O", &op, &key, &td)
+                || !encode_frame_c(&w, op, key, td)) {
+            free(w.b);
+            Py_DECREF(seq);
+            return NULL;
+        }
+    }
+    Py_DECREF(seq);
+    return wr_to_bytes(&w);
+}
+
+// encode_snapshot_body(iterable of (key:str, td)) -> bytes
+static PyObject *py_encode_snapshot_body(PyObject *self, PyObject *items) {
+    PyObject *seq = PySequence_Fast(items, "items not a sequence");
+    if (!seq) return NULL;
+    Wr w = {NULL, 0, 0};
+    Py_ssize_t n = PySequence_Fast_GET_SIZE(seq);
+    for (Py_ssize_t i = 0; i < n; i++) {
+        PyObject *e = PySequence_Fast_GET_ITEM(seq, i);
+        PyObject *key, *td;
+        if (!PyArg_ParseTuple(e, "UO", &key, &td)) {
+            free(w.b);
+            Py_DECREF(seq);
+            return NULL;
+        }
+        size_t plen_at;
+        uint32_t plen;
+        if (!wr_pystr(&w, key) || !wr_u32(&w, 0)) goto fail;
+        plen_at = w.len - 4;
+        if (!encode_data_c(&w, td)) goto fail;
+        plen = (uint32_t)(w.len - plen_at - 4);
+        memcpy(w.b + plen_at, &plen, 4);
+        continue;
+    fail:
+        free(w.b);
+        Py_DECREF(seq);
+        return NULL;
+    }
+    Py_DECREF(seq);
+    return wr_to_bytes(&w);
+}
+
+// ---- init -------------------------------------------------------------
+
+static PyObject *py_init(PyObject *self, PyObject *args) {
+    PyObject *tv, *td, *vfb, *sfp, *afb, *sp;
+    if (!PyArg_ParseTuple(args, "OOOOOO", &tv, &td, &vfb, &sfp, &afb,
+                          &sp))
+        return NULL;
+    Py_XSETREF(g_tv_cls, Py_NewRef(tv));
+    Py_XSETREF(g_td_cls, Py_NewRef(td));
+    Py_XSETREF(g_vec_from_bytes, Py_NewRef(vfb));
+    Py_XSETREF(g_sparse_from_parts, Py_NewRef(sfp));
+    Py_XSETREF(g_as_f4_bytes, Py_NewRef(afb));
+    Py_XSETREF(g_sparse_parts, Py_NewRef(sp));
+    Py_RETURN_NONE;
+}
+
+static PyMethodDef methods[] = {
+    {"init", py_init, METH_VARARGS,
+     "init(TensorValue, TensorData, vec_from_bytes, sparse_from_parts, "
+     "as_f4_bytes, sparse_parts)"},
+    {"decode_data", py_decode_data, METH_VARARGS, NULL},
+    {"decode_wal", py_decode_wal, METH_VARARGS, NULL},
+    {"decode_snapshot_body", py_decode_snapshot_body, METH_VARARGS, NULL},
+    {"encode_data", py_encode_data, METH_O, NULL},
+    {"encode_frame", py_encode_frame, METH_VARARGS, NULL},
+    {"encode_frames", py_encode_frames, METH_O, NULL},
+    {"encode_snapshot_body", py_encode_snapshot_body, METH_O, NULL},
+    {NULL, NULL, 0, NULL},
+};
+
+static struct PyModuleDef moddef = {
+    PyModuleDef_HEAD_INIT, "_neumann_codec",
+    "Native binary codec for the tensor store (WAL + snapshots).",
+    -1, methods,
+};
+
+extern "C" PyMODINIT_FUNC PyInit__neumann_codec(void) {
+    s_kind = PyUnicode_InternFromString("kind");
+    s_value = PyUnicode_InternFromString("value");
+    s_fields = PyUnicode_InternFromString("fields");
+    k_scalar = PyUnicode_InternFromString("scalar");
+    k_vector = PyUnicode_InternFromString("vector");
+    k_sparse = PyUnicode_InternFromString("sparse");
+    k_pointer = PyUnicode_InternFromString("pointer");
+    k_pointers = PyUnicode_InternFromString("pointers");
+    s_put = PyUnicode_InternFromString("put");
+    s_delete = PyUnicode_InternFromString("delete");
+    return PyModule_Create(&moddef);
+}

@@ -27,6 +27,16 @@ _I64 = struct.Struct("<q")
 _F64 = struct.Struct("<d")
 
 
+def _native():
+    """The C codec extension, or None (pure-Python fallback below).
+
+    Both produce the identical byte format; the extension is ~4-7x
+    faster on the per-record paths (WAL append/replay, snapshots)."""
+    from neumann_tpu.native import pycodec
+
+    return pycodec.load()
+
+
 def _pack_bytes(out: bytearray, b: bytes) -> None:
     out += _U32.pack(len(b))
     out += b
@@ -161,6 +171,12 @@ def decode_value(r: _Reader) -> TensorValue:
 
 
 def encode_data(data: TensorData) -> bytes:
+    ext = _native()
+    if ext is not None:
+        try:
+            return ext.encode_data(data)
+        except (ValueError, OverflowError, TypeError) as e:
+            raise StoreError(str(e)) from None
     out = bytearray()
     out += _U32.pack(len(data.fields))
     for name, value in data.fields.items():
@@ -170,6 +186,12 @@ def encode_data(data: TensorData) -> bytes:
 
 
 def decode_data(buf: bytes, pos: int = 0) -> TensorData:
+    ext = _native()
+    if ext is not None:
+        try:
+            return ext.decode_data(buf, pos)
+        except ValueError as e:
+            raise StoreError(str(e)) from None
     r = _Reader(buf, pos)
     n = r.u32()
     td = TensorData()

@@ -24,14 +24,21 @@ _HDR = struct.Struct("<4sII")  # magic, version, count
 def save(entries: Dict[str, TensorData], path,
          compressed: bool = False) -> None:
     path = os.fspath(path)
-    body = bytearray()
-    for key, data in entries.items():
-        kb = key.encode("utf-8")
-        body += struct.pack("<I", len(kb))
-        body += kb
-        payload = codec.encode_data(data)
-        body += struct.pack("<I", len(payload))
-        body += payload
+    ext = codec._native()
+    if ext is not None:
+        try:
+            body = ext.encode_snapshot_body(list(entries.items()))
+        except (ValueError, OverflowError, TypeError) as e:
+            raise StoreError(str(e)) from None
+    else:
+        body = bytearray()
+        for key, data in entries.items():
+            kb = key.encode("utf-8")
+            body += struct.pack("<I", len(kb))
+            body += kb
+            payload = codec.encode_data(data)
+            body += struct.pack("<I", len(payload))
+            body += payload
     blob = _HDR.pack(MAGIC, VERSION, len(entries)) + struct.pack(
         "<I", zlib.crc32(bytes(body))) + bytes(body)
     if compressed:
@@ -66,6 +73,12 @@ def load(path) -> Dict[str, TensorData]:
     body = buf[_HDR.size + 4:]
     if zlib.crc32(body) != crc:
         raise StoreError("snapshot checksum mismatch")
+    ext = codec._native()
+    if ext is not None:
+        try:
+            return ext.decode_snapshot_body(body, count)
+        except ValueError as e:
+            raise StoreError(f"corrupt snapshot: {e}") from None
     out: Dict[str, TensorData] = {}
     pos = 0
     # `count` sits in the header OUTSIDE the CRC-covered body, so it

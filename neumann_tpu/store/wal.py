@@ -36,6 +36,7 @@ class TensorWal:
         self.batch_max_entries = batch_max_entries
         self._lock = threading.Lock()
         self._pending = 0
+        self._ext = codec._native()   # None -> pure-Python framing
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
         self._fh = open(self.path, "ab")
 
@@ -48,9 +49,9 @@ class TensorWal:
         # calls, so the native framer is reserved for bulk replay scans.
         return _HDR.pack(len(payload), zlib.crc32(payload)) + payload
 
-    def _append(self, payload: bytes) -> None:
+    def _append_frame(self, frame: bytes) -> None:
         with self._lock:
-            self._fh.write(self._frame(payload))
+            self._fh.write(frame)
             self._pending += 1
             if self.sync_mode == "immediate":
                 self._sync_locked()
@@ -58,7 +59,18 @@ class TensorWal:
                   and self._pending >= self.batch_max_entries):
                 self._sync_locked()
 
+    def _append(self, payload: bytes) -> None:
+        self._append_frame(self._frame(payload))
+
     def log_put(self, key: str, data: TensorData) -> None:
+        ext = self._ext
+        if ext is not None:
+            try:
+                frame = ext.encode_frame(0, key, data)
+            except (ValueError, OverflowError, TypeError) as e:
+                raise StoreError(str(e)) from None
+            self._append_frame(frame)
+            return
         out = bytearray([0])
         kb = key.encode("utf-8")
         out += struct.pack("<I", len(kb))
@@ -67,20 +79,33 @@ class TensorWal:
         self._append(bytes(out))
 
     def log_delete(self, key: str) -> None:
+        ext = self._ext
+        if ext is not None:
+            self._append_frame(ext.encode_frame(1, key))
+            return
         kb = key.encode("utf-8")
         self._append(bytes(bytearray([1]) + struct.pack("<I", len(kb)) + kb))
 
     def append_batch(self, entries) -> None:
         """Group commit: one write + one fsync for many records."""
-        frames = bytearray()
-        for op, key, data in entries:
-            out = bytearray([0 if op == "put" else 1])
-            kb = key.encode("utf-8")
-            out += struct.pack("<I", len(kb))
-            out += kb
-            if op == "put":
-                out += codec.encode_data(data)
-            frames += self._frame(bytes(out))
+        ext = self._ext
+        if ext is not None:
+            try:
+                frames = ext.encode_frames(
+                    [(0 if op == "put" else 1, key, data)
+                     for op, key, data in entries])
+            except (ValueError, OverflowError, TypeError) as e:
+                raise StoreError(str(e)) from None
+        else:
+            frames = bytearray()
+            for op, key, data in entries:
+                out = bytearray([0 if op == "put" else 1])
+                kb = key.encode("utf-8")
+                out += struct.pack("<I", len(kb))
+                out += kb
+                if op == "put":
+                    out += codec.encode_data(data)
+                frames += self._frame(bytes(out))
         with self._lock:
             self._fh.write(frames)
             self._sync_locked()
@@ -121,6 +146,20 @@ class TensorWal:
             return
         with open(path, "rb") as fh:
             buf = fh.read()
+
+        ext = codec._native()
+        if ext is not None:
+            # one C pass: framing + CRC + record decode. A CRC-valid
+            # but malformed record raises before any entry is yielded
+            # (the pure-Python path yields the prefix first; both end
+            # in StoreError and such records never come from our
+            # writer — only from crafted input).
+            try:
+                yield from ext.decode_wal(buf)
+            except ValueError as e:
+                raise StoreError(
+                    f"malformed WAL record: {e}") from None
+            return
 
         from neumann_tpu import native
 

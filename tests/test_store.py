@@ -346,3 +346,142 @@ def test_snapshot_corruption_hardening(tmp_path):
             except StoreError:
                 pass
             assert time.perf_counter() - t0 < 0.5
+
+
+# -- native codec extension parity -------------------------------------
+
+def _force_python_codec(monkeypatch):
+    from neumann_tpu.store import codec
+
+    monkeypatch.setattr(codec, "_native", lambda: None)
+
+
+def _rich_data(i=0):
+    return TensorData.with_values(
+        name=f"entity-{i}", score=float(i), count=i, flag=True,
+        nothing=TensorValue.scalar(None), blob=TensorValue.scalar(b"\xff\x00"),
+        vec=TensorValue.vector(np.arange(6, dtype=np.float32)),
+        sp=TensorValue.sparse(SparseVector(
+            np.array([1, 4], np.int32),
+            np.array([0.5, -2.0], np.float32), 8)),
+        ptr=TensorValue.pointer("doc:1"),
+        ptrs=TensorValue.pointers(["a:1", "b:2"]))
+
+
+def _assert_same_data(a, b):
+    assert set(a.fields) == set(b.fields)
+    for k in a.fields:
+        va, vb = a.fields[k], b.fields[k]
+        assert va.kind == vb.kind
+        if va.kind == "vector":
+            np.testing.assert_array_equal(va.value, vb.value)
+            assert vb.value.dtype == np.float32
+        elif va.kind == "sparse":
+            np.testing.assert_array_equal(va.value.positions,
+                                          vb.value.positions)
+            np.testing.assert_array_equal(va.value.values, vb.value.values)
+            assert va.value.dim == vb.value.dim
+        else:
+            assert va.value == vb.value
+            assert type(va.value) is type(vb.value)
+
+
+def test_codec_native_python_byte_identical(monkeypatch):
+    from neumann_tpu.native import pycodec
+    from neumann_tpu.store import codec
+
+    if pycodec.load() is None:
+        pytest.skip("no toolchain")
+    td = _rich_data(7)
+    native_bytes = codec.encode_data(td)
+    _force_python_codec(monkeypatch)
+    python_bytes = codec.encode_data(td)
+    assert native_bytes == python_bytes
+    _assert_same_data(codec.decode_data(native_bytes), td)
+
+
+def test_codec_cross_decode(monkeypatch):
+    """Python-encoded bytes decode natively and vice versa."""
+    from neumann_tpu.native import pycodec
+    from neumann_tpu.store import codec
+
+    ext = pycodec.load()
+    if ext is None:
+        pytest.skip("no toolchain")
+    td = _rich_data(3)
+    _assert_same_data(ext.decode_data(codec.encode_data(td)), td)
+    _force_python_codec(monkeypatch)
+    _assert_same_data(codec.decode_data(ext.encode_data(td)), td)
+
+
+def test_wal_cross_implementation(tmp_path, monkeypatch):
+    """A WAL written by the native framer replays on the pure-Python
+    path, and one written pure-Python replays natively."""
+    from neumann_tpu.native import pycodec
+    from neumann_tpu.store import codec
+
+    if pycodec.load() is None:
+        pytest.skip("no toolchain")
+    w = TensorWal(tmp_path / "native.wal", sync_mode="manual")
+    assert w._ext is not None
+    w.log_put("k:1", _rich_data(1))
+    w.log_delete("k:2")
+    w.append_batch([("put", "k:3", _rich_data(3)), ("delete", "k:4", None)])
+    w.flush()
+
+    _force_python_codec(monkeypatch)
+    w2 = TensorWal(tmp_path / "python.wal", sync_mode="manual")
+    assert w2._ext is None
+    w2.log_put("k:1", _rich_data(1))
+    w2.log_delete("k:2")
+    w2.append_batch([("put", "k:3", _rich_data(3)),
+                     ("delete", "k:4", None)])
+    w2.flush()
+
+    assert (tmp_path / "native.wal").read_bytes() == \
+        (tmp_path / "python.wal").read_bytes()
+
+    # python replay of the native file (monkeypatch still active)
+    ops_py = list(TensorWal.replay(tmp_path / "native.wal"))
+    monkeypatch.undo()
+    ops_native = list(TensorWal.replay(tmp_path / "python.wal"))
+    assert [o[:2] for o in ops_py] == [o[:2] for o in ops_native] == [
+        ("put", "k:1"), ("delete", "k:2"), ("put", "k:3"),
+        ("delete", "k:4")]
+    _assert_same_data(ops_py[0][2], ops_native[0][2])
+
+
+def test_snapshot_cross_implementation(tmp_path, monkeypatch):
+    from neumann_tpu.native import pycodec
+    from neumann_tpu.store import codec, snapshot
+
+    if pycodec.load() is None:
+        pytest.skip("no toolchain")
+    entries = {f"k:{i}": _rich_data(i) for i in range(20)}
+    snapshot.save(entries, tmp_path / "n.snap")
+    _force_python_codec(monkeypatch)
+    snapshot.save(entries, tmp_path / "p.snap")
+    assert (tmp_path / "n.snap").read_bytes() == \
+        (tmp_path / "p.snap").read_bytes()
+    loaded_py = snapshot.load(tmp_path / "n.snap")
+    monkeypatch.undo()
+    loaded_native = snapshot.load(tmp_path / "p.snap")
+    assert set(loaded_py) == set(loaded_native) == set(entries)
+    for k in entries:
+        _assert_same_data(loaded_py[k], entries[k])
+        _assert_same_data(loaded_native[k], entries[k])
+
+
+def test_codec_native_error_mapping():
+    from neumann_tpu.native import pycodec
+    from neumann_tpu.store import codec
+
+    if pycodec.load() is None:
+        pytest.skip("no toolchain")
+    with pytest.raises(StoreError):
+        codec.decode_data(b"\xff\xff\xff\xff")
+    with pytest.raises(StoreError):
+        codec.encode_data(TensorData.with_values(
+            bad=TensorValue("scalar", object())))
+    with pytest.raises(StoreError):   # > 64-bit int overflows the i64 tag
+        codec.encode_data(TensorData.with_values(big=1 << 80))
