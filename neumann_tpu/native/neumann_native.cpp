@@ -16,6 +16,9 @@
 #include <set>
 #include <string>
 
+#include <ext/pb_ds/assoc_container.hpp>
+#include <ext/pb_ds/tree_policy.hpp>
+
 // ---------------------------------------------------------------------
 // OrderedKeyIndex: 16-way sharded ordered key sets.
 //
@@ -29,8 +32,16 @@
 
 namespace {
 
+// Order-statistics tree: like std::set<std::string> but with
+// order_of_key() rank queries in O(log n), so prefix/range COUNTS are
+// two rank lookups instead of an O(m) walk (the reference's
+// MetadataSlab count path is similarly sub-linear).
+using KeySet = __gnu_pbds::tree<
+    std::string, __gnu_pbds::null_type, std::less<std::string>,
+    __gnu_pbds::rb_tree_tag, __gnu_pbds::tree_order_statistics_node_update>;
+
 struct OrderedKeyIndex {
-    std::set<std::string> shards[16];
+    KeySet shards[16];
     std::mutex mu;
 
     static size_t shard_of(const char* key, size_t len) {
@@ -90,7 +101,7 @@ int nn_oki_insert(void* h, const char* key, size_t len) {
     auto* ix = (OrderedKeyIndex*)h;
     std::lock_guard<std::mutex> g(ix->mu);
     return ix->shards[OrderedKeyIndex::shard_of(key, len)]
-        .emplace(key, len).second ? 1 : 0;
+        .insert(std::string(key, len)).second ? 1 : 0;
 }
 
 int nn_oki_remove(void* h, const char* key, size_t len) {
@@ -111,7 +122,7 @@ size_t nn_oki_insert_batch(void* h, const char* buf,
     for (size_t i = 0; i < n; i++) {
         size_t len = lens[i];
         ins += ix->shards[OrderedKeyIndex::shard_of(buf + off, len)]
-            .emplace(buf + off, len).second ? 1 : 0;
+            .insert(std::string(buf + off, len)).second ? 1 : 0;
         off += len;
     }
     return ins;
@@ -136,9 +147,9 @@ size_t nn_oki_count_prefix(void* h, const char* p, size_t plen) {
         hi.data(), hi.size());
     for (size_t s = lo_shard; s <= hi_shard && s < 16; s++) {
         auto& set = ix->shards[s];
-        auto it = lo.empty() ? set.begin() : set.lower_bound(lo);
-        auto end = hi.empty() ? set.end() : set.lower_bound(hi);
-        for (; it != end; ++it) n++;
+        size_t lo_rank = lo.empty() ? 0 : set.order_of_key(lo);
+        size_t hi_rank = hi.empty() ? set.size() : set.order_of_key(hi);
+        n += hi_rank - lo_rank;
     }
     return n;
 }
