@@ -159,7 +159,9 @@ class TensorStore:
         # (tensor_store/src/metadata_slab.rs) so prefix/range scans are
         # O(log n + m) instead of sorting the whole map per scan
         self._index = OrderedKeyIndex()
-        self._lock = threading.RLock()
+        # plain Lock (not RLock): no method calls another mutator
+        # while holding it, and Lock is ~2x cheaper per acquire
+        self._lock = threading.Lock()
         self._wal = None  # set by open_durable
         # listeners let engines keep device slabs in sync with raw puts
         self._put_hooks: List[Callable[[str, TensorData], None]] = []
@@ -171,15 +173,22 @@ class TensorStore:
             raise StoreError("key must be a non-empty string")
         with self._lock:
             self._map[key] = data
-            self._index.insert_lazy(key)
+            # inlined OrderedKeyIndex.insert_lazy: list.append is
+            # GIL-atomic and the next flush swaps under _pending_lock,
+            # so buffering the key is safe without taking that lock
+            self._index._pending.append(key)
             if self._wal is not None:
                 self._wal.log_put(key, data)
-        for hook in self._put_hooks:
-            hook(key, data)
+        if self._put_hooks:
+            for hook in self._put_hooks:
+                hook(key, data)
 
     def get(self, key: str) -> Optional[TensorData]:
-        with self._lock:
-            return self._map.get(key)
+        # Lock-free read (DashMap-style): dict.get is GIL-atomic and
+        # every writer mutates _map with single atomic ops (item
+        # assignment / pop / clear / rebind), so a reader sees either
+        # the old or the new state — the lock added latency, not safety.
+        return self._map.get(key)
 
     def delete(self, key: str) -> bool:
         with self._lock:
@@ -194,8 +203,7 @@ class TensorStore:
         return existed
 
     def exists(self, key: str) -> bool:
-        with self._lock:
-            return key in self._map
+        return key in self._map   # GIL-atomic, see get()
 
     def scan(self, prefix: str = "") -> List[str]:
         with self._lock:
