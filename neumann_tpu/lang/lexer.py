@@ -53,6 +53,18 @@ _MASTER = re.compile(
 
 
 def tokenize(src: str) -> List[Token]:
+    # ASCII sources take the native tokenizer (~10x); non-ASCII input
+    # keeps the regex path so unicode identifier semantics are exact
+    if src.isascii():
+        from neumann_tpu.native import pylexer
+
+        ext = pylexer.load()
+        if ext is not None:
+            try:
+                return ext.tokenize(src)
+            except ValueError as e:
+                msg, line, col = e.args
+                raise ParseError(msg, line, col) from None
     toks: List[Token] = []
     append = toks.append
     match = _MASTER.match

@@ -36,69 +36,92 @@ _METRIC_MAP = {
 
 
 class _Parser:
+    # Cursor caching: `cur` is toks[pos] and `cur_up` its uppercased
+    # text for ident tokens (None otherwise). The helpers below hit
+    # these attributes instead of re-indexing + re-uppercasing on every
+    # peek — at_kw/accept_kw run ~20x per statement and this halves
+    # cold-parse time. Nothing assigns self.pos outside next().
+
     def __init__(self, src: str):
         self.toks = tokenize(src)
         self.pos = 0
+        t = self.toks[0]
+        self.cur = t
+        self.cur_up = t.text.upper() if t.kind == "ident" else None
 
     # -- stream helpers ----------------------------------------------------
     def peek(self, ahead: int = 0) -> Token:
+        if ahead == 0:
+            return self.cur
         toks = self.toks
         i = self.pos + ahead
         return toks[i] if i < len(toks) else toks[-1]
 
     def next(self) -> Token:
-        t = self.toks[self.pos]
+        t = self.cur
         if t.kind != "eof":
             self.pos += 1
+            c = self.toks[self.pos]
+            self.cur = c
+            self.cur_up = c.text.upper() if c.kind == "ident" else None
         return t
 
     def at_kw(self, *kws: str) -> bool:
-        t = self.peek()
-        return t.kind == "ident" and t.text.upper() in kws
+        up = self.cur_up
+        return up is not None and up in kws
 
     def accept_kw(self, *kws: str) -> Optional[str]:
-        if self.at_kw(*kws):
-            return self.next().text.upper()
+        up = self.cur_up
+        if up is not None and up in kws:
+            self.next()
+            return up
         return None
 
     def expect_kw(self, *kws: str) -> str:
-        t = self.peek()
-        if not self.at_kw(*kws):
-            raise ParseError(
-                f"expected {' or '.join(kws)}, got {t.text or 'EOF'!r}",
-                t.line, t.col)
-        return self.next().text.upper()
+        up = self.cur_up
+        if up is not None and up in kws:
+            self.next()
+            return up
+        t = self.cur
+        raise ParseError(
+            f"expected {' or '.join(kws)}, got {t.text or 'EOF'!r}",
+            t.line, t.col)
 
     def at_punct(self, p: str) -> bool:
-        t = self.peek()
+        t = self.cur
         return t.kind == "punct" and t.text == p
 
     def accept_punct(self, p: str) -> bool:
-        if self.at_punct(p):
+        t = self.cur
+        if t.kind == "punct" and t.text == p:
             self.next()
             return True
         return False
 
     def expect_punct(self, p: str) -> None:
-        t = self.peek()
-        if not self.at_punct(p):
-            raise ParseError(f"expected {p!r}, got {t.text or 'EOF'!r}",
-                             t.line, t.col)
-        self.next()
+        t = self.cur
+        if t.kind == "punct" and t.text == p:
+            self.next()
+            return
+        raise ParseError(f"expected {p!r}, got {t.text or 'EOF'!r}",
+                         t.line, t.col)
 
     def ident(self, what: str = "identifier") -> str:
-        t = self.peek()
+        t = self.cur
         if t.kind == "ident":
-            return self.next().text
+            self.next()
+            return t.text
         if t.kind == "string":
-            return self.next().value
+            self.next()
+            return t.value
         raise ParseError(f"expected {what}, got {t.text or 'EOF'!r}",
                          t.line, t.col)
 
     def string(self, what: str = "string") -> str:
-        t = self.peek()
+        t = self.cur
         if t.kind == "string":
-            return self.next().value
+            self.next()
+            return t.value
         raise ParseError(f"expected {what}, got {t.text or 'EOF'!r}",
                          t.line, t.col)
 
