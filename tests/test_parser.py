@@ -261,3 +261,50 @@ def test_metric_composite_parses():
     assert stmt.metric == "composite"
     stmt = parse("SIMILAR 'v1' TOP 5 METRIC GEOMETRIC")
     assert stmt.metric == "composite"
+
+
+def test_native_lexer_matches_python_lexer():
+    """Differential check: the C tokenizer and the regex lexer must
+    produce identical token streams (or both reject) on random ASCII
+    input and on the tricky literal forms."""
+    import random
+    import string
+
+    import neumann_tpu.lang.lexer as L
+    from neumann_tpu.native import pylexer
+
+    ext = pylexer.load()
+    if ext is None:
+        pytest.skip("no toolchain")
+
+    def python_tokens(src):
+        real = pylexer.load
+        pylexer.load = lambda: None
+        try:
+            return [tuple(t) for t in L.tokenize(src)]
+        finally:
+            pylexer.load = real
+
+    cases = [
+        "SELECT a, b FROM t WHERE x >= 1.5 AND y != 'it''s' -- c",
+        "INSERT INTO t VALUES (.5, 1., 1e3, 1E-2, 2e+10, '')",
+        "a->b <= >= != <> ()[]{},:;=<>*.+-/%",
+        "'multi\nline' AFTER", "5..7", "", " \t\r\n ",
+        "123456789012345678901234567890",
+    ]
+    rng = random.Random(7)
+    alphabet = string.ascii_letters + string.digits + \
+        " '.,;:()[]{}<>=!+-*/%\n\t_e"
+    cases += ["".join(rng.choice(alphabet)
+                      for _ in range(rng.randrange(0, 50)))
+              for _ in range(500)]
+    for src in cases:
+        try:
+            a = [tuple(t) for t in ext.tokenize(src)]
+        except ValueError:
+            a = None
+        try:
+            b = python_tokens(src)
+        except Exception:
+            b = None
+        assert a == b or (a is None and b is None), repr(src)
