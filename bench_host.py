@@ -67,6 +67,7 @@ def bench_store():
     report("store get", rate(n, time.perf_counter() - t0), "ops/s",
            ref=3_800_000, note="reference: in-memory reads 3.8M/s")
 
+    store.scan("user:1")   # warm: flush the write-behind key buffer
     t = timeit(lambda: store.scan("user:1"), reps=5)
     m = store.scan_count("user:1")
     report("store scan (prefix)", rate(m, t), "keys/s",

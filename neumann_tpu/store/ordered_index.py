@@ -55,6 +55,10 @@ class OrderedKeyIndex:
         # moves off the hot write path
         self._pending: List[str] = []
         self._pending_lock = threading.Lock()
+        # keys containing "\n" would corrupt the native scan protocol
+        # (newline-joined buffers), so they overflow to this sorted
+        # Python-side list and are merged into results
+        self._nl: List[bytes] = []
 
     def _flush(self) -> None:
         if not self._pending:
@@ -86,6 +90,8 @@ class OrderedKeyIndex:
     def insert(self, key: str) -> bool:
         b = key.encode("utf-8", "surrogatepass")
         if self._lib is not None:
+            if b"\n" in b:
+                return self._nl_insert(b)
             return bool(self._lib.nn_oki_insert(self._h, b, len(b)))
         with self._lock:
             shard = self._shards[b[0] >> 4 if b else 0]
@@ -104,10 +110,21 @@ class OrderedKeyIndex:
         if self._lib is not None:
             import ctypes
 
+            added = 0
+            if any(b"\n" in b for b in encoded):
+                keep = []
+                for b in encoded:
+                    if b"\n" in b:
+                        added += self._nl_insert(b)
+                    else:
+                        keep.append(b)
+                encoded = keep
+                if not encoded:
+                    return added
             buf = b"".join(encoded)
             lens = (ctypes.c_uint32 * len(encoded))(
                 *(len(b) for b in encoded))
-            return int(self._lib.nn_oki_insert_batch(
+            return added + int(self._lib.nn_oki_insert_batch(
                 self._h, buf, lens, len(encoded)))
         with self._lock:
             added = 0
@@ -126,6 +143,8 @@ class OrderedKeyIndex:
         self._flush()
         b = key.encode("utf-8", "surrogatepass")
         if self._lib is not None:
+            if b"\n" in b:
+                return self._nl_remove(b)
             return bool(self._lib.nn_oki_remove(self._h, b, len(b)))
         with self._lock:
             shard = self._shards[b[0] >> 4 if b else 0]
@@ -138,6 +157,7 @@ class OrderedKeyIndex:
     def clear(self) -> None:
         with self._pending_lock:
             self._pending = []
+        self._nl = []
         if self._lib is not None:
             self._lib.nn_oki_free(self._h)
             self._h = self._lib.nn_oki_new()
@@ -149,7 +169,7 @@ class OrderedKeyIndex:
     def __len__(self) -> int:
         self._flush()
         if self._lib is not None:
-            return int(self._lib.nn_oki_len(self._h))
+            return int(self._lib.nn_oki_len(self._h)) + len(self._nl)
         with self._lock:
             return sum(len(s) for s in self._shards)
 
@@ -157,7 +177,11 @@ class OrderedKeyIndex:
         self._flush()
         b = prefix.encode("utf-8", "surrogatepass")
         if self._lib is not None:
-            return int(self._lib.nn_oki_count_prefix(self._h, b, len(b)))
+            n = int(self._lib.nn_oki_count_prefix(self._h, b, len(b)))
+            if self._nl:
+                hi = _prefix_end(b)
+                n += len(self._nl_range(b, hi, not hi))
+            return n
         hi = _prefix_end(b)
         with self._lock:
             return self._count_range_locked(b, hi, not hi)
@@ -171,11 +195,21 @@ class OrderedKeyIndex:
             need = self._lib.nn_oki_scan_prefix(self._h, b, len(b),
                                                 None, 0)
             if need == 0:
+                if self._nl:
+                    hi = _prefix_end(b)
+                    return self._nl_merge([], b, hi, not hi)
                 return []
             buf = ctypes.create_string_buffer(need)
             self._lib.nn_oki_scan_prefix(self._h, b, len(b), buf, need)
-            return [k.decode("utf-8", "surrogatepass")
-                    for k in buf.raw[:need].split(b"\n")[:-1]]
+            # one whole-buffer decode + str split is ~4x a per-key
+            # decode ("\n" is a single byte, so UTF-8 decoding is
+            # unaffected by the joins)
+            out = buf.raw[:need].decode(
+                "utf-8", "surrogatepass").split("\n")[:-1]
+            if self._nl:
+                hi = _prefix_end(b)
+                out = self._nl_merge(out, b, hi, not hi)
+            return out
         hi = _prefix_end(b)
         with self._lock:
             return self._scan_range_locked(b, hi, not hi)
@@ -192,14 +226,52 @@ class OrderedKeyIndex:
             need = self._lib.nn_oki_scan_range(
                 self._h, lob, len(lob), hib, len(hib), unb, None, 0)
             if need == 0:
+                if self._nl:
+                    return self._nl_merge([], lob, hib, hi is None)
                 return []
             buf = ctypes.create_string_buffer(need)
             self._lib.nn_oki_scan_range(self._h, lob, len(lob), hib,
                                         len(hib), unb, buf, need)
-            return [k.decode("utf-8", "surrogatepass")
-                    for k in buf.raw[:need].split(b"\n")[:-1]]
+            out = buf.raw[:need].decode(
+                "utf-8", "surrogatepass").split("\n")[:-1]
+            if self._nl:
+                out = self._nl_merge(out, lob, hib, hi is None)
+            return out
         with self._lock:
             return self._scan_range_locked(lob, hib, hi is None)
+
+    # -- newline-key overflow (native path only) --------------------------
+    def _nl_insert(self, b: bytes) -> bool:
+        i = bisect.bisect_left(self._nl, b)
+        if i < len(self._nl) and self._nl[i] == b:
+            return False
+        self._nl.insert(i, b)
+        return True
+
+    def _nl_remove(self, b: bytes) -> bool:
+        i = bisect.bisect_left(self._nl, b)
+        if i < len(self._nl) and self._nl[i] == b:
+            self._nl.pop(i)
+            return True
+        return False
+
+    def _nl_range(self, lo: bytes, hi: bytes,
+                  unbounded: bool) -> List[bytes]:
+        i = bisect.bisect_left(self._nl, lo) if lo else 0
+        out = []
+        for j in range(i, len(self._nl)):
+            if not unbounded and self._nl[j] >= hi:
+                break
+            out.append(self._nl[j])
+        return out
+
+    def _nl_merge(self, keys: List[str], lo: bytes, hi: bytes,
+                  unbounded: bool) -> List[str]:
+        extra = [b.decode("utf-8", "surrogatepass")
+                 for b in self._nl_range(lo, hi, unbounded)]
+        if not extra:
+            return keys
+        return sorted(keys + extra)
 
     # -- fallback internals -------------------------------------------------
     def _iter_range_locked(self, lo: bytes, hi: bytes, unbounded: bool):

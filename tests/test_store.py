@@ -485,3 +485,37 @@ def test_codec_native_error_mapping():
             bad=TensorValue("scalar", object())))
     with pytest.raises(StoreError):   # > 64-bit int overflows the i64 tag
         codec.encode_data(TensorData.with_values(big=1 << 80))
+
+
+def test_ordered_index_newline_keys():
+    """Keys containing newlines must survive the native scan protocol
+    (they overflow to a Python-side sorted list) and match the pure-
+    Python fallback's behavior."""
+    from neumann_tpu.store.ordered_index import OrderedKeyIndex
+
+    for use_native in (None, False):
+        ix = OrderedKeyIndex(use_native=use_native)
+        ix.insert_many(["a:1", "a:2", "a:mid\nend", "b:1"])
+        assert ix.insert("c:\n\n")
+        assert not ix.insert("c:\n\n")
+        assert len(ix) == 5
+        assert ix.count_prefix("a:") == 3
+        assert ix.scan_prefix("a:") == ["a:1", "a:2", "a:mid\nend"]
+        assert ix.scan_range("b:", None) == ["b:1", "c:\n\n"]
+        assert ix.remove("a:mid\nend")
+        assert ix.count_prefix("a:") == 2
+        ix.clear()
+        assert len(ix) == 0 and ix.scan_prefix("") == []
+
+
+def test_store_newline_keys_roundtrip(tmp_path):
+    s = TensorStore()
+    s.put("weird\nkey", TensorData.with_values(v=1))
+    s.put("plain", TensorData.with_values(v=2))
+    assert s.scan_count("") == 2
+    assert "weird\nkey" in s.scan("")
+    s.save_snapshot(tmp_path / "s.snap")
+    s2 = TensorStore()
+    s2.load_snapshot(tmp_path / "s.snap")
+    assert s2.get("weird\nkey").get("v").value == 1
+    assert "weird\nkey" in s2.scan("weird")
