@@ -591,6 +591,68 @@ static PyObject *py_encode_snapshot_body(PyObject *self, PyObject *items) {
     return wr_to_bytes(&w);
 }
 
+// rows_from_columns(names, columns) -> list[dict]
+// Builds row dicts from parallel column sequences at C speed — the
+// hot materialization loop of joins and SELECT output. Matches the
+// codegen'd dict-literal builder's zip semantics (shortest column
+// bounds the row count).
+static PyObject *py_rows_from_columns(PyObject *self, PyObject *args) {
+    PyObject *names_o, *cols_o;
+    if (!PyArg_ParseTuple(args, "OO", &names_o, &cols_o)) return NULL;
+    PyObject *names = PySequence_Fast(names_o, "names not a sequence");
+    if (!names) return NULL;
+    PyObject *cols = PySequence_Fast(cols_o, "columns not a sequence");
+    if (!cols) { Py_DECREF(names); return NULL; }
+    Py_ssize_t k = PySequence_Fast_GET_SIZE(names);
+    if (PySequence_Fast_GET_SIZE(cols) != k) {
+        PyErr_SetString(PyExc_ValueError, "names/columns length mismatch");
+        Py_DECREF(names);
+        Py_DECREF(cols);
+        return NULL;
+    }
+    PyObject **fast_cols =
+        (PyObject **)PyMem_Malloc(sizeof(PyObject *) * (k ? k : 1));
+    if (!fast_cols) {
+        Py_DECREF(names);
+        Py_DECREF(cols);
+        return PyErr_NoMemory();
+    }
+    Py_ssize_t n = (k == 0) ? 0 : PY_SSIZE_T_MAX;
+    Py_ssize_t made = 0;
+    PyObject *out = NULL;
+    for (Py_ssize_t j = 0; j < k; j++) {
+        PyObject *f = PySequence_Fast(PySequence_Fast_GET_ITEM(cols, j),
+                                      "column not a sequence");
+        if (!f) goto done;
+        fast_cols[j] = f;
+        made++;
+        Py_ssize_t len = PySequence_Fast_GET_SIZE(f);
+        if (len < n) n = len;
+    }
+    out = PyList_New(n);
+    if (!out) goto done;
+    for (Py_ssize_t i = 0; i < n; i++) {
+        PyObject *d = PyDict_New();
+        if (!d) { Py_CLEAR(out); goto done; }
+        for (Py_ssize_t j = 0; j < k; j++) {
+            if (PyDict_SetItem(
+                    d, PySequence_Fast_GET_ITEM(names, j),
+                    PySequence_Fast_GET_ITEM(fast_cols[j], i)) != 0) {
+                Py_DECREF(d);
+                Py_CLEAR(out);
+                goto done;
+            }
+        }
+        PyList_SET_ITEM(out, i, d);
+    }
+done:
+    for (Py_ssize_t j = 0; j < made; j++) Py_DECREF(fast_cols[j]);
+    PyMem_Free(fast_cols);
+    Py_DECREF(names);
+    Py_DECREF(cols);
+    return out;
+}
+
 // ---- init -------------------------------------------------------------
 
 static PyObject *py_init(PyObject *self, PyObject *args) {
@@ -618,6 +680,7 @@ static PyMethodDef methods[] = {
     {"encode_frame", py_encode_frame, METH_VARARGS, NULL},
     {"encode_frames", py_encode_frames, METH_O, NULL},
     {"encode_snapshot_body", py_encode_snapshot_body, METH_O, NULL},
+    {"rows_from_columns", py_rows_from_columns, METH_VARARGS, NULL},
     {NULL, NULL, 0, NULL},
 };
 

@@ -517,14 +517,25 @@ class QueryRouter:
                                    for c in j.using[1:])]
             if where is not None:
                 rows = [r for r in rows if where.evaluate_row(r)]
+            # ORDER BY may name a select-list alias (or an expression's
+            # label) — those keys only exist after projection, so sort
+            # late in that case (SQL gives aliases precedence here)
+            aliases = {i.alias for i in s.items if i.alias} | {
+                i.expr for i in s.items
+                if i.tree is not None and not i.alias}
+            late = bool(s.order_by) and any(
+                sp[0] in aliases for sp in s.order_by)
+            if late:
+                rows = self._project_items(rows, s.items)
             if s.order_by:
                 self._sort_rows(rows, s.order_by)
             if s.limit is not None:
                 rows = rows[s.offset: s.offset + s.limit]
             elif s.offset:
                 rows = rows[s.offset:]
-            return QueryResult.of_rows(
-                self._project_items(rows, s.items))
+            if not late:
+                rows = self._project_items(rows, s.items)
+            return QueryResult.of_rows(rows)
         def _unqualify(name):
             # single-table queries may still alias-qualify columns
             return name[len(s.table) + 1:] \
@@ -547,13 +558,27 @@ class QueryRouter:
         if not needs_project and not any(i.expr == "*"
                                          for i in s.items):
             cols = [_unqualify(i.expr) for i in s.items]
+        # an ORDER BY naming a select-list alias (or an expression's
+        # label) can only be sorted AFTER projection — the engine sees
+        # table columns only, so sorting there silently no-ops and
+        # LIMIT/OFFSET would slice unsorted rows
+        aliases = {i.alias for i in s.items if i.alias} | {
+            i.expr for i in s.items if i.tree is not None and not i.alias}
+        specs = [(_unqualify(sp[0]), *sp[1:]) for sp in s.order_by]
+        late = any(sp[0] in aliases for sp in specs)
         rows = self.relational.select(
             s.table, _unqualify_cond(where), columns=cols,
-            order_by=[(_unqualify(sp[0]), *sp[1:])
-                      for sp in s.order_by] or None,
-            limit=s.limit, offset=s.offset)
+            order_by=None if late else (specs or None),
+            limit=None if late else s.limit,
+            offset=0 if late else s.offset)
         if needs_project:
             rows = self._project_items(rows, s.items, unq=_unqualify)
+        if late:
+            self._sort_rows(rows, specs)
+            if s.offset:
+                rows = rows[s.offset:]
+            if s.limit is not None:
+                rows = rows[: s.limit]
         if s.distinct:
             seen = set()
             uniq = []

@@ -264,3 +264,39 @@ def test_expression_operators_unit():
                  Cast(Lit(1), "int")):
         with pytest.raises(dataclasses.FrozenInstanceError):
             node.op_x = 1  # type: ignore[attr-defined]
+
+
+def test_order_by_select_alias(r):
+    r.execute("CREATE TABLE ob (name TEXT, sal FLOAT)")
+    r.execute(
+        "INSERT INTO ob VALUES ('ana', 10.5), ('bo', 8.0), ('cy', 12.0)")
+    # alias of a plain column
+    assert [r["s"] for r in r.execute(
+        "SELECT name, sal AS s FROM ob ORDER BY s DESC").rows] == \
+        [12.0, 10.5, 8.0]
+    # alias of an expression, with LIMIT applied after the sort
+    assert r.execute(
+        "SELECT name, sal*2 AS dbl FROM ob ORDER BY dbl DESC LIMIT 1"
+    ).rows == [{"name": "cy", "dbl": 24.0}]
+    # OFFSET after the late sort
+    assert r.execute(
+        "SELECT name, sal*2 AS dbl FROM ob ORDER BY dbl LIMIT 1 OFFSET 1"
+    ).rows == [{"name": "ana", "dbl": 21.0}]
+    # ordering by a non-projected table column still works
+    assert [r["n"] for r in r.execute(
+        "SELECT name AS n FROM ob ORDER BY sal").rows] == \
+        ["bo", "ana", "cy"]
+
+
+def test_order_by_alias_in_join(r):
+    r.execute("CREATE TABLE oj_e (name TEXT, dept INT, sal FLOAT)")
+    r.execute("CREATE TABLE oj_d (id INT, dn TEXT)")
+    r.execute("INSERT INTO oj_e VALUES ('ana', 1, 10.5), "
+                   "('bo', 2, 8.0), ('cy', 1, 12.0)")
+    r.execute("INSERT INTO oj_d VALUES (1, 'eng'), (2, 'ops')")
+    out = r.execute(
+        "SELECT oj_e.name AS who, oj_e.sal*10 AS pay FROM oj_e "
+        "JOIN oj_d ON oj_e.dept = oj_d.id ORDER BY pay DESC").rows
+    assert out == [{"who": "cy", "pay": 120.0},
+                   {"who": "ana", "pay": 105.0},
+                   {"who": "bo", "pay": 80.0}]
