@@ -519,3 +519,53 @@ def test_store_newline_keys_roundtrip(tmp_path):
     s2.load_snapshot(tmp_path / "s.snap")
     assert s2.get("weird\nkey").get("v").value == 1
     assert "weird\nkey" in s2.scan("weird")
+
+
+def test_native_codec_corruption_fuzz():
+    """The C decoders must survive random and mutated input with clean
+    exceptions — never a crash or an unexpected exception type."""
+    import random
+
+    from neumann_tpu.native import pycodec
+
+    m = pycodec.load()
+    if m is None:
+        pytest.skip("no toolchain")
+    td = _rich_data(1)
+    frame = m.encode_frame(0, "key:x", td)
+    body = m.encode_snapshot_body([("k", td)] * 3)
+    rng = random.Random(42)
+
+    def attempt(fn, *a):
+        try:
+            fn(*a)
+        except (ValueError, OverflowError):
+            pass
+
+    for _ in range(400):
+        blob = bytes(rng.randrange(256)
+                     for _ in range(rng.randrange(0, 100)))
+        attempt(m.decode_data, blob)
+        attempt(m.decode_wal, blob)
+        attempt(m.decode_snapshot_body, blob, rng.randrange(0, 8))
+    for base in (frame, body):
+        for _ in range(400):
+            b = bytearray(base)
+            for _ in range(rng.randrange(1, 5)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            attempt(m.decode_data, bytes(b))
+            attempt(m.decode_wal, bytes(b))
+            attempt(m.decode_snapshot_body, bytes(b), 3)
+        for cut in range(0, len(base), 7):
+            attempt(m.decode_wal, base[:cut])
+    attempt(m.decode_snapshot_body, body, 2**31 - 1)
+    # encode-side hostility maps to StoreError via the wrappers
+    from neumann_tpu.store import codec
+
+    class Weird:
+        pass
+
+    for bad in (TensorData.with_values(x=Weird()),
+                TensorData.with_values(big=1 << 200)):
+        with pytest.raises(StoreError):
+            codec.encode_data(bad)
