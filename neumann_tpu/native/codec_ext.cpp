@@ -22,6 +22,10 @@
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
 
+#define NPY_NO_DEPRECATED_API NPY_1_7_API_VERSION
+#define PY_ARRAY_UNIQUE_SYMBOL NEUMANN_CODEC_ARRAY_API
+#include <numpy/arrayobject.h>
+
 #include <stdint.h>
 #include <string.h>
 #include <stdlib.h>
@@ -31,11 +35,13 @@
 static PyObject *g_tv_cls;            // TensorValue class
 static PyObject *g_td_cls;            // TensorData class
 static PyObject *g_vec_from_bytes;    // bytes -> np.ndarray f32 (copy)
-static PyObject *g_sparse_from_parts; // (pos_bytes, val_bytes, dim) -> SparseVector
+static PyObject *g_sparse_from_parts; // SparseVector class
 static PyObject *g_as_f4_bytes;       // any -> bytes ("<f4" cast fallback)
 static PyObject *g_sparse_parts;      // SparseVector -> (dim, pos_bytes, val_bytes)
 
 static PyObject *s_kind, *s_value, *s_fields;       // attribute names
+static PyObject *d_kind, *d_value, *d_fields;       // slot descriptors
+                                                    // (NULL -> dict path)
 static PyObject *k_scalar, *k_vector, *k_sparse,    // kind strings
                 *k_pointer, *k_pointers;
 static PyObject *s_put, *s_delete;                  // WAL op strings
@@ -47,16 +53,27 @@ static PyObject *new_instance(PyObject *cls) {
     return tp->tp_alloc(tp, 0);
 }
 
+// Set one attribute on a fresh instance, bypassing the (frozen)
+// __setattr__: through the slot's member descriptor when the class
+// uses __slots__ (descr != NULL), else via the instance dict.
+static int set_attr_raw(PyObject *obj, PyObject *descr, PyObject *name,
+                        PyObject *val) {
+    if (descr != NULL)
+        return Py_TYPE(descr)->tp_descr_set(descr, obj, val);
+    PyObject *d = PyObject_GenericGetDict(obj, NULL);
+    if (!d) return -1;
+    int rc = PyDict_SetItem(d, name, val);
+    Py_DECREF(d);
+    return rc;
+}
+
 // Steals `value`. Borrows `kind`.
 static PyObject *make_tv(PyObject *kind, PyObject *value) {
     if (!value) return NULL;
     PyObject *obj = new_instance(g_tv_cls);
     if (!obj) { Py_DECREF(value); return NULL; }
-    PyObject *d = PyObject_GenericGetDict(obj, NULL);
-    if (!d) { Py_DECREF(obj); Py_DECREF(value); return NULL; }
-    int rc = PyDict_SetItem(d, s_kind, kind);
-    if (rc == 0) rc = PyDict_SetItem(d, s_value, value);
-    Py_DECREF(d);
+    int rc = set_attr_raw(obj, d_kind, s_kind, kind);
+    if (rc == 0) rc = set_attr_raw(obj, d_value, s_value, value);
     Py_DECREF(value);
     if (rc != 0) { Py_DECREF(obj); return NULL; }
     return obj;
@@ -67,10 +84,7 @@ static PyObject *make_td(PyObject *fields) {
     if (!fields) return NULL;
     PyObject *obj = new_instance(g_td_cls);
     if (!obj) { Py_DECREF(fields); return NULL; }
-    PyObject *d = PyObject_GenericGetDict(obj, NULL);
-    if (!d) { Py_DECREF(obj); Py_DECREF(fields); return NULL; }
-    int rc = PyDict_SetItem(d, s_fields, fields);
-    Py_DECREF(d);
+    int rc = set_attr_raw(obj, d_fields, s_fields, fields);
     Py_DECREF(fields);
     if (rc != 0) { Py_DECREF(obj); return NULL; }
     return obj;
@@ -170,10 +184,15 @@ static PyObject *decode_value_c(Rd *r) {
     case 6: {
         const char *p; Py_ssize_t n;
         if (!rd_span(r, &p, &n)) return NULL;
-        PyObject *b = PyBytes_FromStringAndSize(p, n);
-        if (!b) return NULL;
-        PyObject *arr = PyObject_CallOneArg(g_vec_from_bytes, b);
-        Py_DECREF(b);
+        if (n % 4) {   // parity with np.frombuffer: reject ragged data
+            PyErr_SetString(PyExc_ValueError,
+                            "vector payload not a multiple of 4 bytes");
+            return NULL;
+        }
+        npy_intp len = (npy_intp)(n / 4);
+        PyObject *arr = PyArray_SimpleNew(1, &len, NPY_FLOAT32);
+        if (!arr) return NULL;
+        memcpy(PyArray_DATA((PyArrayObject *)arr), p, (size_t)len * 4);
         return make_tv(k_vector, arr);
     }
     case 7: {
@@ -182,14 +201,25 @@ static PyObject *decode_value_c(Rd *r) {
         if (!rd_u32(r, &dim)) return NULL;
         if (!rd_span(r, &pp, &pn)) return NULL;
         if (!rd_span(r, &vp, &vn)) return NULL;
-        PyObject *pb = PyBytes_FromStringAndSize(pp, pn);
-        PyObject *vb = PyBytes_FromStringAndSize(vp, vn);
+        if ((pn % 4) || (vn % 4)) {
+            PyErr_SetString(PyExc_ValueError,
+                            "sparse payload not a multiple of 4 bytes");
+            return NULL;
+        }
+        npy_intp plen = (npy_intp)(pn / 4), vlen = (npy_intp)(vn / 4);
+        PyObject *pa = PyArray_SimpleNew(1, &plen, NPY_INT32);
+        PyObject *va = PyArray_SimpleNew(1, &vlen, NPY_FLOAT32);
         PyObject *sv = NULL;
-        if (pb && vb)
+        if (pa && va) {
+            memcpy(PyArray_DATA((PyArrayObject *)pa), pp,
+                   (size_t)plen * 4);
+            memcpy(PyArray_DATA((PyArrayObject *)va), vp,
+                   (size_t)vlen * 4);
             sv = PyObject_CallFunction(g_sparse_from_parts, "OOI",
-                                       pb, vb, (unsigned int)dim);
-        Py_XDECREF(pb);
-        Py_XDECREF(vb);
+                                       pa, va, (unsigned int)dim);
+        }
+        Py_XDECREF(pa);
+        Py_XDECREF(va);
         return make_tv(k_sparse, sv);
     }
     case 8:
@@ -662,6 +692,18 @@ static PyObject *py_init(PyObject *self, PyObject *args) {
         return NULL;
     Py_XSETREF(g_tv_cls, Py_NewRef(tv));
     Py_XSETREF(g_td_cls, Py_NewRef(td));
+    // cache slot member descriptors when the classes define __slots__;
+    // a data descriptor on the class named like the field IS the slot
+    Py_CLEAR(d_kind); Py_CLEAR(d_value); Py_CLEAR(d_fields);
+    PyObject *descr = PyObject_GetAttr(tv, s_kind);
+    if (descr && Py_TYPE(descr)->tp_descr_set) d_kind = descr;
+    else { Py_XDECREF(descr); PyErr_Clear(); }
+    descr = PyObject_GetAttr(tv, s_value);
+    if (descr && Py_TYPE(descr)->tp_descr_set) d_value = descr;
+    else { Py_XDECREF(descr); PyErr_Clear(); }
+    descr = PyObject_GetAttr(td, s_fields);
+    if (descr && Py_TYPE(descr)->tp_descr_set) d_fields = descr;
+    else { Py_XDECREF(descr); PyErr_Clear(); }
     Py_XSETREF(g_vec_from_bytes, Py_NewRef(vfb));
     Py_XSETREF(g_sparse_from_parts, Py_NewRef(sfp));
     Py_XSETREF(g_as_f4_bytes, Py_NewRef(afb));
@@ -691,6 +733,7 @@ static struct PyModuleDef moddef = {
 };
 
 extern "C" PyMODINIT_FUNC PyInit__neumann_codec(void) {
+    import_array();
     s_kind = PyUnicode_InternFromString("kind");
     s_value = PyUnicode_InternFromString("value");
     s_fields = PyUnicode_InternFromString("fields");

@@ -33,11 +33,10 @@ def _vec_from_bytes(b):
     return np.frombuffer(b, "<f4").copy()
 
 
-def _sparse_from_parts(pos_b, val_b, dim):
+def _sparse_cls():
     from neumann_tpu.store.sparse import SparseVector
 
-    return SparseVector(np.frombuffer(pos_b, "<i4").copy(),
-                        np.frombuffer(val_b, "<f4").copy(), dim)
+    return SparseVector
 
 
 def _as_f4_bytes(v):
@@ -66,9 +65,10 @@ def load():
             if (not os.path.exists(_SO)
                     or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
                 inc = sysconfig.get_paths()["include"]
+                np_inc = np.get_include()
                 subprocess.run(
                     ["g++", "-O3", "-shared", "-fPIC", f"-I{inc}",
-                     _SRC, "-lz", "-o", _SO],
+                     f"-I{np_inc}", _SRC, "-lz", "-o", _SO],
                     check=True, capture_output=True, timeout=120)
             spec = importlib.util.spec_from_file_location(
                 "_neumann_codec", _SO)
@@ -79,7 +79,7 @@ def load():
         from neumann_tpu.store.tensor_store import TensorData, TensorValue
 
         mod.init(TensorValue, TensorData, _vec_from_bytes,
-                 _sparse_from_parts, _as_f4_bytes, _sparse_parts)
+                 _sparse_cls(), _as_f4_bytes, _sparse_parts)
         _mod = mod
         return _mod
 

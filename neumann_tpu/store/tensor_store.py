@@ -27,9 +27,13 @@ from neumann_tpu.utils.errors import StoreError
 ScalarValue = Union[None, bool, int, float, str, bytes]
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, slots=True)
 class TensorValue:
-    """Tagged union matching TensorValue (tensor_store/src/lib.rs:324-338)."""
+    """Tagged union matching TensorValue (tensor_store/src/lib.rs:324-338).
+
+    slots=True: a store holds one of these per field per entity, so the
+    56-byte instance dict per value is real memory at 1M+ rows, and
+    slot construction is measurably faster on every put/decode path."""
 
     kind: str  # "scalar" | "vector" | "sparse" | "pointer" | "pointers"
     value: object
@@ -110,7 +114,7 @@ class TensorValue:
         return self.value == other.value
 
 
-@dataclass
+@dataclass(slots=True)
 class TensorData:
     """A named bag of TensorValues — one stored entity."""
 
