@@ -30,6 +30,54 @@ def compute_state_root(entries: Dict[str, bytes]) -> str:
     return h.hexdigest()
 
 
+def entry_digest(key: str, payload: bytes) -> int:
+    """Per-entry hash for the incremental root, as a 256-bit int."""
+    kb = key.encode("utf-8")
+    h = hashlib.sha256()
+    h.update(len(kb).to_bytes(4, "little"))
+    h.update(kb)
+    h.update(hashlib.sha256(payload).digest())
+    return int.from_bytes(h.digest(), "big")
+
+
+class StateRootTracker:
+    """Incremental order-independent state root (XOR-homomorphic
+    hashing, the LtHash idea): the accumulator is the XOR of a 256-bit
+    hash per live entry, updated in O(1) per put/delete via store
+    hooks. The reference recomputes its root incrementally too
+    (tensor_chain/src/state_root.rs); the previous implementation here
+    re-encoded the whole store on every commit, which made commit
+    latency grow linearly with store size."""
+
+    __slots__ = ("_acc", "_hashes")
+
+    def __init__(self):
+        self._acc = 0
+        self._hashes: Dict[str, int] = {}
+
+    def seed(self, items) -> None:
+        """Initialize from (key, payload_bytes) pairs."""
+        for key, payload in items:
+            self.on_put_payload(key, payload)
+
+    def on_put_payload(self, key: str, payload: bytes) -> None:
+        nh = entry_digest(key, payload)
+        old = self._hashes.get(key)
+        if old is not None:
+            self._acc ^= old
+        self._acc ^= nh
+        self._hashes[key] = nh
+
+    def on_delete(self, key: str) -> None:
+        old = self._hashes.pop(key, None)
+        if old is not None:
+            self._acc ^= old
+
+    def root(self) -> str:
+        return hashlib.sha256(
+            self._acc.to_bytes(32, "big")).hexdigest()
+
+
 @dataclass
 class Block:
     height: int

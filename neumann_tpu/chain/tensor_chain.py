@@ -16,7 +16,7 @@ from typing import Dict, List, Optional, Set
 
 import numpy as np
 
-from neumann_tpu.chain.block import Chain, compute_state_root
+from neumann_tpu.chain.block import Chain, StateRootTracker
 from neumann_tpu.chain.consensus import (
     ConflictClass,
     ConsensusConfig,
@@ -91,6 +91,17 @@ class TensorChain:
         self._pending: Dict[int, TransactionWorkspace] = {}
         self._tx_ids = itertools.count(1)
         self._lock = threading.RLock()
+        # incremental state root: seed from the current store, then
+        # stay fresh through the store's put/delete hooks (covers
+        # both tx commits and out-of-band store writes)
+        self._root_tracker = StateRootTracker()
+        self._root_tracker.seed(
+            (key, codec.encode_data(self.store.get(key)))
+            for key in self.store.keys())
+        self.store.on_put(
+            lambda key, data: self._root_tracker.on_put_payload(
+                key, codec.encode_data(data)))
+        self.store.on_delete(self._root_tracker.on_delete)
 
     # -- tx lifecycle ------------------------------------------------------
     def begin(self) -> TransactionWorkspace:
@@ -197,11 +208,7 @@ class TensorChain:
 
     # -- chain views --------------------------------------------------------
     def _state_root(self) -> str:
-        entries = {}
-        for key in self.store.keys():
-            data = self.store.get(key)
-            entries[key] = codec.encode_data(data)
-        return compute_state_root(entries)
+        return self._root_tracker.root()
 
     @property
     def height(self) -> int:

@@ -1311,6 +1311,68 @@ class QueryRouter:
 
         self.chain = TensorChain(self.store, embedding_dim, **kw)
 
+    # -- statement-level chain transactions ----------------------------
+    # Statements between BEGIN CHAIN TRANSACTION and COMMIT/ROLLBACK
+    # write through the engines as usual, but every store mutation is
+    # journaled with its prior value (the store is the authoritative
+    # state; engine device slabs resync through the store's hooks), so
+    # ROLLBACK CHAIN restores the pre-transaction state and COMMIT
+    # CHAIN records the touched keys in the block. Parity:
+    # tensor_chain/src/transaction.rs workspace semantics at the
+    # query-router level. The journal is router-scoped, like the
+    # transaction itself.
+
+    def _tx_journal_start(self) -> None:
+        store = self.store
+        undo: list = []
+        self._tx_undo = undo
+        self._tx_ops: list = []
+        orig_put, orig_delete = store.put, store.delete
+
+        def tx_put(key, data, _p=orig_put, _s=store):
+            undo.append(("put", key, _s.get(key)))
+            self._tx_ops.append({"op": "put", "key": key})
+            _p(key, data)
+
+        def tx_delete(key, _d=orig_delete, _s=store):
+            old = _s.get(key)
+            ok = _d(key)
+            if ok:
+                undo.append(("delete", key, old))
+                self._tx_ops.append({"op": "delete", "key": key})
+            return ok
+
+        store.put = tx_put
+        store.delete = tx_delete
+        self._tx_orig = (orig_put, orig_delete)
+
+    def _tx_journal_detach(self) -> None:
+        store = self.store
+        for attr in ("put", "delete"):
+            store.__dict__.pop(attr, None)
+        self._tx_orig = None
+
+    def _tx_journal_stop(self, commit_into=None) -> None:
+        self._tx_journal_detach()
+        if commit_into is not None:
+            commit_into.ops.extend(self._tx_ops)
+        self._tx_undo = []
+        self._tx_ops = []
+
+    def _tx_journal_abort(self) -> None:
+        self._tx_journal_detach()
+        store = self.store
+        for kind, key, old in reversed(getattr(self, "_tx_undo", [])):
+            if kind == "put":
+                if old is None:
+                    store.delete(key)
+                else:
+                    store.put(key, old)
+            else:                          # a delete: restore the row
+                store.put(key, old)
+        self._tx_undo = []
+        self._tx_ops = []
+
     def _exec_chain(self, s: ast.Chain) -> QueryResult:
         chain = getattr(self, "chain", None)
         if s.action == "begin":
@@ -1318,6 +1380,7 @@ class QueryRouter:
                 self.init_chain()
                 chain = self.chain
             self._chain_tx = chain.begin()
+            self._tx_journal_start()
             return QueryResult.msg(
                 f"chain transaction {self._chain_tx.tx_id} started")
         if chain is None:
@@ -1327,6 +1390,7 @@ class QueryRouter:
             tx = getattr(self, "_chain_tx", None)
             if tx is None:
                 raise NeumannError("no open chain transaction")
+            self._tx_journal_stop(commit_into=tx)
             h = chain.commit(tx)
             self._chain_tx = None
             return QueryResult.msg(f"committed block {h - 1} "
@@ -1335,6 +1399,7 @@ class QueryRouter:
             tx = getattr(self, "_chain_tx", None)
             if tx is None:
                 raise NeumannError("no open chain transaction")
+            self._tx_journal_abort()
             chain.rollback(tx)
             self._chain_tx = None
             return QueryResult.msg(f"chain transaction {tx.tx_id} "

@@ -1674,3 +1674,123 @@ def test_tcp_transport_hostile_frames():
     finally:
         srv.close()
         cli.close()
+
+
+def test_incremental_state_root_consistency():
+    """The O(1)-per-op root tracker must equal a fresh seed of the
+    final store state through puts, overwrites, deletes, and
+    out-of-band (non-transactional) store writes."""
+    from neumann_tpu.chain.block import StateRootTracker
+    from neumann_tpu.chain.tensor_chain import TensorChain
+    from neumann_tpu.store import TensorData, TensorStore, codec
+
+    store = TensorStore()
+    chain = TensorChain(store)
+
+    def fresh_root():
+        t = StateRootTracker()
+        t.seed((k, codec.encode_data(store.get(k)))
+               for k in store.keys())
+        return t.root()
+
+    roots = set()
+    tx = chain.begin()
+    tx.put("a:1", TensorData.with_values(v=1))
+    tx.put("b:1", TensorData.with_values(v=2))
+    chain.commit(tx)
+    assert chain._state_root() == fresh_root()
+    roots.add(chain._state_root())
+
+    store.put("oob:1", TensorData.with_values(x=1))     # out-of-band
+    assert chain._state_root() == fresh_root()
+    roots.add(chain._state_root())
+
+    store.put("oob:1", TensorData.with_values(x=2))     # overwrite
+    assert chain._state_root() == fresh_root()
+    roots.add(chain._state_root())
+
+    store.delete("oob:1")
+    tx = chain.begin()
+    tx.delete("a:1")
+    chain.commit(tx)
+    assert chain._state_root() == fresh_root()
+    roots.add(chain._state_root())
+    assert len(roots) == 4   # every state change moved the root
+
+
+def test_state_root_commit_is_o1_not_o_n():
+    """Commit latency must not grow with store size."""
+    import time
+
+    from neumann_tpu.chain.tensor_chain import TensorChain
+    from neumann_tpu.store import TensorData, TensorStore
+
+    chain = TensorChain(TensorStore())
+
+    def one(i):
+        tx = chain.begin()
+        tx.put(f"k:{i}", TensorData.with_values(v=i))
+        chain.commit(tx)
+
+    for i in range(40):
+        one(i)              # warm: codebook training, codec build
+    t0 = time.perf_counter()
+    for i in range(40, 60):
+        one(i)
+    small = time.perf_counter() - t0
+    for i in range(60, 3000):
+        one(i)
+    t0 = time.perf_counter()
+    for i in range(3000, 3020):
+        one(i)
+    large = time.perf_counter() - t0
+    # O(n) roots made this ratio ~50x at 3K keys; allow generous noise
+    assert large < small * 5, (small, large)
+
+
+def test_statement_level_chain_transaction_rollback(router=None):
+    """Statements between BEGIN CHAIN TRANSACTION and ROLLBACK CHAIN
+    must be undone across all engines (the store is authoritative and
+    engine slabs resync through its hooks)."""
+    from neumann_tpu.router import QueryRouter
+
+    r = QueryRouter()
+    r.execute("CREATE TABLE acct (name TEXT, bal INT)")
+    r.execute("INSERT INTO acct VALUES ('a', 100), ('b', 50)")
+
+    r.execute("BEGIN CHAIN TRANSACTION")
+    r.execute("UPDATE acct SET bal = 0 WHERE name = 'a'")
+    r.execute("INSERT INTO acct VALUES ('c', 7)")
+    r.execute("DELETE FROM acct WHERE name = 'b'")
+    r.execute("EMBED STORE 'tx-vec' [1.0, 0.0]")
+    r.execute("ROLLBACK CHAIN")
+
+    rows = r.execute("SELECT name, bal FROM acct ORDER BY name").rows
+    assert rows == [{"name": "a", "bal": 100}, {"name": "b", "bal": 50}]
+    assert "emb:tx-vec" not in r.store.scan("")
+    # and the root matches a fresh recomputation (nothing leaked)
+    from neumann_tpu.chain.block import StateRootTracker
+    from neumann_tpu.store import codec
+
+    t = StateRootTracker()
+    t.seed((k, codec.encode_data(r.store.get(k)))
+           for k in r.store.keys())
+    assert r.chain._state_root() == t.root()
+
+
+def test_statement_level_chain_transaction_commit_records_ops():
+    from neumann_tpu.router import QueryRouter
+
+    r = QueryRouter()
+    r.execute("CREATE TABLE t2 (v INT)")
+    r.execute("BEGIN CHAIN TRANSACTION")
+    r.execute("INSERT INTO t2 VALUES (1)")
+    r.execute("INSERT INTO t2 VALUES (2)")
+    r.execute("COMMIT CHAIN")
+    blk = r.chain.tip()
+    keys = [op["key"] for tx in blk.transactions for op in tx["ops"]]
+    assert keys == ["table:t2:0", "table:t2:1"]
+    assert r.execute("SELECT COUNT(*) FROM t2").rows == [
+        {"count(*)": 2}]
+    # journal hooks are detached after commit
+    assert "put" not in r.store.__dict__
