@@ -1100,8 +1100,10 @@ class RelationalEngine:
             rows = self._match_rows(t, condition)
             return int((~t.nulls[column][rows]).sum())
 
-    def sum_column(self, name, column, condition=None) -> float:
-        return float(self._agg_values(name, column, condition).sum())
+    def sum_column(self, name, column, condition=None
+                   ) -> Optional[float]:
+        v = self._agg_values(name, column, condition)
+        return float(v.sum()) if len(v) else None   # SUM of none: NULL
 
     def avg_column(self, name, column, condition=None) -> Optional[float]:
         v = self._agg_values(name, column, condition)
@@ -1138,7 +1140,9 @@ class RelationalEngine:
                     g: k for g, k in zip(group_cols, key)}
                 for func, col, alias in aggs:
                     if func == "count":
-                        rec[alias] = len(members)
+                        # COUNT(*) counts rows; COUNT(col) non-nulls
+                        rec[alias] = len(members) if not col else sum(
+                            1 for m in members if not t.nulls[col][m])
                         continue
                     vals = [float(t.data[col][m]) for m in members
                             if not t.nulls[col][m]]

@@ -35,6 +35,15 @@ _METRIC_MAP = {
 }
 
 
+_ARITH = ("+", "-", "*", "/", "%")
+
+
+def _tree_cols(tree) -> set:
+    out: set = set()
+    tree.map_cols(lambda n: (out.add(n), n)[1])
+    return out
+
+
 class _Parser:
     # Cursor caching: `cur` is toks[pos] and `cur_up` its uppercased
     # text for ident tokens (None otherwise). The helpers below hit
@@ -292,6 +301,12 @@ class _Parser:
             hi = self.value()
             return Condition.cmp(col, ">=", lo).and_(
                 Condition.cmp(col, "<=", hi))
+        if self.cur.kind == "punct" and self.cur.text in _ARITH:
+            # arithmetic LHS: `a + b > 5`, `price * qty >= total`
+            from neumann_tpu.lang.expr import Col as _Col
+
+            ltree = self._expr_continue(_Col(col))
+            return self._expr_cond_tail(ltree)
         op_tok = self.peek()
         if op_tok.kind != "punct" or op_tok.text not in (
                 "=", "!=", "<>", "<", "<=", ">", ">="):
@@ -302,7 +317,47 @@ class _Parser:
         if self._at_subquery():
             self.next()
             return Condition.cmp(col, op, self._subselect())
+        t, t2 = self.peek(), self.peek(1)
+        if ((t.kind == "punct" and t.text == "(")
+                or (t.kind in ("number", "ident")
+                    and t2.kind == "punct" and t2.text in _ARITH)):
+            # arithmetic RHS: `a = b + 1`, `a > (2 * 3)`
+            from neumann_tpu.lang.expr import Col as _Col
+
+            rtree = self._expr()
+            cols = _tree_cols(rtree)
+            if not cols:
+                return Condition.cmp(col, op, rtree.evaluate({}))
+            return Condition(
+                {"<>": "!=", "==": "="}.get(op, op),
+                expr=(_Col(col), rtree))
         return Condition.cmp(col, op, self.value())
+
+    def _expr_continue(self, left):
+        """Finish an arithmetic expression whose first factor is
+        already parsed (precedence: * / % bind before + -)."""
+        from neumann_tpu.lang.expr import Bin
+
+        while self.cur.kind == "punct" and self.cur.text in (
+                "*", "/", "%"):
+            op = self.next().text
+            left = Bin(op, left, self._expr_factor())
+        while self.cur.kind == "punct" and self.cur.text in ("+", "-"):
+            op = self.next().text
+            left = Bin(op, left, self._expr_term())
+        return left
+
+    def _expr_cond_tail(self, ltree) -> Condition:
+        op_tok = self.peek()
+        if op_tok.kind != "punct" or op_tok.text not in (
+                "=", "!=", "<>", "<", "<=", ">", ">="):
+            raise ParseError(
+                f"expected comparison after expression, got "
+                f"{op_tok.text or 'EOF'!r}", op_tok.line, op_tok.col)
+        op = {"<>": "!=", "==": "="}.get(self.next().text)  \
+            or op_tok.text
+        rtree = self._expr()
+        return Condition(op, expr=(ltree, rtree))
 
     # ======================================================================
     # statements

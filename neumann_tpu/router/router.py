@@ -460,7 +460,12 @@ class QueryRouter:
             for item in aggs:
                 alias = item.alias or f"{item.agg}({item.expr})"
                 if item.agg == "count":
-                    out[alias] = self.relational.count(s.table, where)
+                    # COUNT(*) counts rows; COUNT(col) non-null values
+                    out[alias] = (
+                        self.relational.count(s.table, where)
+                        if item.expr in ("*", "")
+                        else self.relational.count_column(
+                            s.table, item.expr, where))
                 else:
                     fn = getattr(self.relational, f"{item.agg}_column")
                     out[alias] = fn(s.table, item.expr, where)

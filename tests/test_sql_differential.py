@@ -1,0 +1,95 @@
+"""Differential SQL semantics tests against SQLite.
+
+Runs generated SELECTs on both engines over the same data and compares
+result multisets. Known, intentional divergences are filtered:
+
+* ``SELECT *`` includes the ``_id`` rowid column (stripped here).
+* A bare identifier on a comparison's right side is a string literal
+  (``WHERE c = b`` means ``c = 'b'``), matching the reference's
+  query-language semantics, so those predicates aren't generated.
+* Default NULL ordering follows the NULLS-FIRST-on-DESC convention
+  rather than SQLite's; ordered comparisons fall back to multisets.
+"""
+
+import itertools
+import random
+import sqlite3
+
+import pytest
+
+from neumann_tpu.router import QueryRouter
+from neumann_tpu.utils.errors import NeumannError, ParseError
+
+PREDS = [
+    "a > 1", "a = 1", "a != 1", "a <= 0", "b IS NULL", "b IS NOT NULL",
+    "c = 'x'", "c != 'x'", "c LIKE 'a%'", "c LIKE '%c'", "c LIKE 'a_c'",
+    "a IN (1, 2)", "a NOT IN (1, 2)", "a BETWEEN 0 AND 2",
+    "a > 1 AND b < 7", "a > 1 OR b = 5", "NOT a = 1",
+    "NOT (a = 1 OR b = 5)", "d > 0", "a + b > 5", "a * 2 = 2",
+    "a IS NULL", "c IS NULL OR a = 0", "a - b < 0", "a + d > 1",
+    "NOT a IN (1, 2)", "NOT c LIKE 'a%'",
+]
+PROJS = [
+    "a", "a, b", "COUNT(*)", "COUNT(a)", "COUNT(c)", "SUM(a)",
+    "AVG(d)", "MIN(a), MAX(a)", "a + 1 AS ap", "a - b AS am",
+    "CASE WHEN a > 1 THEN 'hi' ELSE 'lo' END AS cw",
+]
+
+
+@pytest.fixture(scope="module")
+def engines():
+    rng = random.Random(0)
+    r = QueryRouter()
+    db = sqlite3.connect(":memory:")
+    ddl = "CREATE TABLE t (a INT, b INT, c TEXT, d FLOAT)"
+    r.execute(ddl)
+    db.execute(ddl)
+    for _ in range(40):
+        a = rng.choice([None, 0, 1, 2, 3, -1, 100])
+        b = rng.choice([None, 0, 5, 7])
+        c = rng.choice([None, "x", "y", "abc", "aXc", ""])
+        d = rng.choice([None, 0.0, 1.5, -2.25])
+        vals = ", ".join(
+            "NULL" if v is None else
+            (f"'{v}'" if isinstance(v, str) else repr(v))
+            for v in (a, b, c, d))
+        r.execute(f"INSERT INTO t VALUES ({vals})")
+        db.execute(f"INSERT INTO t VALUES ({vals})")
+    return r, db
+
+
+def _norm(v):
+    return round(v, 6) if isinstance(v, float) else v
+
+
+def test_select_semantics_match_sqlite(engines):
+    r, db = engines
+    mismatches = []
+    for proj, pred in itertools.product(PROJS, PREDS):
+        q = f"SELECT {proj} FROM t WHERE {pred}"
+        try:
+            ours = [tuple(_norm(v) for k, v in row.items() if k != "_id")
+                    for row in r.execute(q).rows]
+        except (NeumannError, ParseError) as e:
+            mismatches.append((q, f"raised {type(e).__name__}: {e}"))
+            continue
+        theirs = [tuple(_norm(v) for v in row) for row in db.execute(q)]
+        if sorted(ours, key=repr) != sorted(theirs, key=repr):
+            mismatches.append((q, ours[:4], theirs[:4]))
+    assert not mismatches, mismatches[:6]
+
+
+def test_count_column_skips_nulls(engines):
+    r, _ = engines
+    star = r.execute("SELECT COUNT(*) FROM t").rows[0]["count(*)"]
+    col = r.execute("SELECT COUNT(a) FROM t").rows[0]["count(a)"]
+    nulls = r.execute(
+        "SELECT COUNT(*) FROM t WHERE a IS NULL").rows[0]["count(*)"]
+    assert col == star - nulls
+
+
+def test_empty_set_aggregates_are_null(engines):
+    r, _ = engines
+    row = r.execute("SELECT SUM(a), AVG(a), MIN(a), MAX(a) FROM t "
+                    "WHERE a > 100000").rows[0]
+    assert list(row.values()) == [None, None, None, None]
