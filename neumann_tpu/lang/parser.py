@@ -467,6 +467,8 @@ class _Parser:
                 arg = "*"
             else:
                 arg = self.ident()
+                while self.accept_punct("."):    # qualified: SUM(e.sal)
+                    arg = f"{arg}.{self.ident('column name')}"
             self.expect_punct(")")
             alias = self.ident() if self.accept_kw("AS") else None
             return ast.SelectItem(arg, agg=up.lower(), alias=alias)

@@ -450,11 +450,118 @@ class QueryRouter:
                            message=f"inserted {len(ids)} row(s)",
                            value=ids)
 
+    @staticmethod
+    def _agg_over_rows(aggs, rows) -> dict:
+        """Aggregate select items over materialized row dicts (the
+        joined-rows path; plain-table aggregates stay on the engine's
+        columnar fast path). SQL NULL rules: COUNT(col) skips NULLs,
+        SUM/AVG/MIN/MAX of an empty set are NULL."""
+        out = {}
+        for item in aggs:
+            alias = item.alias or f"{item.agg}({item.expr})"
+            if item.agg == "count" and item.expr in ("*", ""):
+                out[alias] = len(rows)
+                continue
+            vals = [r.get(item.expr) for r in rows]
+            vals = [v for v in vals if v is not None]
+            if item.agg == "count":
+                out[alias] = len(vals)
+            elif not vals:
+                out[alias] = None
+            elif item.agg == "sum":
+                out[alias] = float(sum(vals))
+            elif item.agg == "avg":
+                out[alias] = float(sum(vals)) / len(vals)
+            elif item.agg == "min":
+                out[alias] = min(vals)
+            elif item.agg == "max":
+                out[alias] = max(vals)
+        return out
+
+    def _group_over_rows(self, s, rows, having) -> list:
+        """GROUP BY over materialized (joined) row dicts."""
+        groups: dict = {}
+        for r in rows:
+            key = tuple(r.get(g) for g in s.group_by)
+            groups.setdefault(key, []).append(r)
+        aggs = [i for i in s.items if i.agg]
+        out = []
+        for key, members in groups.items():
+            rec = dict(zip(s.group_by, key))
+            rec.update(self._agg_over_rows(aggs, members))
+            out.append(rec)
+        if having is not None:
+            import re as _re
+
+            # HAVING refs canonical agg names (count(*), sum(col)...):
+            # alias them from select items, or compute hidden ones
+            canon = [(f"{i.agg}({i.expr})", i.alias)
+                     for i in aggs if i.alias]
+            hidden = []
+            present = {c for c, _ in canon} | {
+                f"{i.agg}({i.expr})" for i in aggs}
+            for col in having.columns():
+                m = _re.fullmatch(r"(count|sum|avg|min|max)\((.*)\)",
+                                  col)
+                if m and col not in present:
+                    hidden.append((col, m.group(1),
+                                   m.group(2)))
+            kept = []
+            for rec, members in zip(out, groups.values()):
+                probe = dict(rec)
+                for cname, alias in canon:
+                    probe.setdefault(cname, rec.get(alias))
+                for cname, fn, arg in hidden:
+                    item = ast.SelectItem(arg, agg=fn)
+                    probe[cname] = self._agg_over_rows(
+                        [item], members)[cname]
+                if having.evaluate_row(probe):
+                    kept.append(rec)
+            out = kept
+        return out
+
+    def _joined_rows(self, s, where) -> list:
+        """Materialize the FROM ... JOIN ... chain, WHERE-filtered."""
+        rows = None
+        base = s.table
+        for j in s.joins:
+            if j.how == "natural":
+                rows = self.relational.natural_join(base, j.table)
+            elif j.how == "cross":
+                rows = self.relational.join(base, j.table, "_id",
+                                            "_id", "cross")
+            else:
+                rows = self.relational.join(base, j.table, j.left_col,
+                                            j.right_col, j.how)
+            if j.using and len(j.using) > 1:
+                # USING (a, b, ...): equality on every listed column
+                rows = [r for r in rows
+                        if all(r.get(f"{base}.{c}") is not None
+                               and r.get(f"{base}.{c}")
+                               == r.get(f"{j.table}.{c}")
+                               for c in j.using[1:])]
+        if where is not None:
+            rows = [r for r in rows if where.evaluate_row(r)]
+        return rows
+
     def _exec_select(self, s: ast.Select) -> QueryResult:
         where = self._resolve_subqueries(s.where)
         having = self._resolve_subqueries(s.having)
         # aggregates without GROUP BY
         aggs = [i for i in s.items if i.agg]
+        if s.joins and (aggs or s.group_by):
+            # aggregate/group over the JOINED rows, not the base table
+            rows = self._joined_rows(s, where)
+            if s.group_by:
+                out = self._group_over_rows(s, rows, having)
+                if s.order_by:
+                    self._sort_rows(out, s.order_by)
+                if s.offset:
+                    out = out[s.offset:]
+                if s.limit is not None:
+                    out = out[: s.limit]
+                return QueryResult.of_rows(out)
+            return QueryResult.of_rows([self._agg_over_rows(aggs, rows)])
         if aggs and not s.group_by:
             out = {}
             for item in aggs:
@@ -502,26 +609,7 @@ class QueryRouter:
                 rows = rows[: s.limit]
             return QueryResult.of_rows(rows)
         if s.joins:
-            rows = None
-            base = s.table
-            for j in s.joins:
-                if j.how == "natural":
-                    rows = self.relational.natural_join(base, j.table)
-                elif j.how == "cross":
-                    rows = self.relational.join(base, j.table, "_id",
-                                                "_id", "cross")
-                else:
-                    rows = self.relational.join(base, j.table, j.left_col,
-                                                j.right_col, j.how)
-                if j.using and len(j.using) > 1:
-                    # USING (a, b, ...): equality on every listed column
-                    rows = [r for r in rows
-                            if all(r.get(f"{base}.{c}") is not None
-                                   and r.get(f"{base}.{c}")
-                                   == r.get(f"{j.table}.{c}")
-                                   for c in j.using[1:])]
-            if where is not None:
-                rows = [r for r in rows if where.evaluate_row(r)]
+            rows = self._joined_rows(s, where)
             # ORDER BY may name a select-list alias (or an expression's
             # label) — those keys only exist after projection, so sort
             # late in that case (SQL gives aliases precedence here)

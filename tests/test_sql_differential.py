@@ -93,3 +93,44 @@ def test_empty_set_aggregates_are_null(engines):
     row = r.execute("SELECT SUM(a), AVG(a), MIN(a), MAX(a) FROM t "
                     "WHERE a > 100000").rows[0]
     assert list(row.values()) == [None, None, None, None]
+
+
+def test_aggregates_over_joins_match_sqlite():
+    """COUNT/SUM/GROUP BY over a JOIN must aggregate the joined rows,
+    not the base table."""
+    r = QueryRouter()
+    db = sqlite3.connect(":memory:")
+    for ddl in ["CREATE TABLE e (name TEXT, dept INT, sal FLOAT)",
+                "CREATE TABLE d (id INT, dn TEXT)"]:
+        r.execute(ddl)
+        db.execute(ddl)
+    rng = random.Random(3)
+    for _ in range(25):
+        name = rng.choice(["a", "b", "c", None])
+        dept = rng.choice([1, 2, 3, None])
+        sal = rng.choice([10.0, 20.5, None])
+        vals = ", ".join("NULL" if v is None else
+                         (f"'{v}'" if isinstance(v, str) else repr(v))
+                         for v in (name, dept, sal))
+        r.execute(f"INSERT INTO e VALUES ({vals})")
+        db.execute(f"INSERT INTO e VALUES ({vals})")
+    for i, dn in [(1, "eng"), (2, "ops"), (4, "hr")]:
+        r.execute(f"INSERT INTO d VALUES ({i}, '{dn}')")
+        db.execute(f"INSERT INTO d VALUES ({i}, '{dn}')")
+    queries = [
+        "SELECT COUNT(*) FROM e JOIN d ON e.dept = d.id",
+        "SELECT SUM(e.sal) FROM e JOIN d ON e.dept = d.id",
+        "SELECT COUNT(e.sal) FROM e JOIN d ON e.dept = d.id",
+        "SELECT d.dn, COUNT(*) FROM e JOIN d ON e.dept = d.id "
+        "GROUP BY d.dn",
+        "SELECT d.dn, SUM(e.sal) FROM e JOIN d ON e.dept = d.id "
+        "GROUP BY d.dn HAVING COUNT(*) > 2",
+        "SELECT COUNT(*) FROM e JOIN d ON e.dept = d.id "
+        "WHERE e.sal > 10",
+    ]
+    for q in queries:
+        ours = [tuple(_norm(v) for k, v in row.items() if k != "_id")
+                for row in r.execute(q).rows]
+        theirs = [tuple(_norm(v) for v in row) for row in db.execute(q)]
+        assert sorted(ours, key=repr) == sorted(theirs, key=repr), \
+            (q, ours, theirs)
