@@ -885,6 +885,8 @@ class RelationalEngine:
                            for c in t.columns}
                 newvals = dict(current)
                 for k, v in updates.items():
+                    if hasattr(v, "evaluate"):   # SET col = <expression>
+                        v = v.evaluate(current)
                     newvals[k] = t.coerce(t.by_name[k], v)
                 self._check_insert(t, newvals, skip_row=r)
                 changed = {

@@ -656,7 +656,16 @@ class _Parser:
         while True:
             col = self.ident()
             self.expect_punct("=")
-            updates[col] = self.value()
+            t, t2 = self.peek(), self.peek(1)
+            if ((t.kind == "punct" and t.text == "(")
+                    or (t.kind in ("number", "ident")
+                        and t2.kind == "punct" and t2.text in _ARITH)):
+                # expression RHS: SET a = a + 10, SET b = (x * 2)
+                tree = self._expr()
+                updates[col] = (tree.evaluate({})
+                                if not _tree_cols(tree) else tree)
+            else:
+                updates[col] = self.value()
             if not self.accept_punct(","):
                 break
         where = self.condition() if self.accept_kw("WHERE") else None

@@ -134,3 +134,44 @@ def test_aggregates_over_joins_match_sqlite():
         theirs = [tuple(_norm(v) for v in row) for row in db.execute(q)]
         assert sorted(ours, key=repr) == sorted(theirs, key=repr), \
             (q, ours, theirs)
+
+
+def test_update_delete_match_sqlite():
+    """Mutations with 3VL predicates and SET expressions leave both
+    engines in the same state."""
+    mutations = [
+        "UPDATE t SET b = 99 WHERE a = 1",
+        "UPDATE t SET c = 'z' WHERE b IS NULL",
+        "UPDATE t SET a = a + 10 WHERE a >= 2",
+        "UPDATE t SET b = NULL WHERE c = 'x'",
+        "UPDATE t SET a = a * 2, b = b - 1 WHERE a IN (1, 2)",
+        "DELETE FROM t WHERE a NOT IN (1, 2)",
+        "DELETE FROM t WHERE NOT b = 5",
+        "DELETE FROM t WHERE a + b > 8",
+    ]
+    for m in mutations:
+        rng = random.Random(5)
+        r = QueryRouter()
+        db = sqlite3.connect(":memory:")
+        ddl = "CREATE TABLE t (a INT, b INT, c TEXT)"
+        r.execute(ddl)
+        db.execute(ddl)
+        for _ in range(25):
+            a = rng.choice([None, 0, 1, 2, 3])
+            b = rng.choice([None, 5, 7])
+            c = rng.choice([None, "x", "y"])
+            vals = ", ".join(
+                "NULL" if v is None else
+                (f"'{v}'" if isinstance(v, str) else repr(v))
+                for v in (a, b, c))
+            r.execute(f"INSERT INTO t VALUES ({vals})")
+            db.execute(f"INSERT INTO t VALUES ({vals})")
+        r.execute(m)
+        db.execute(m)
+        ours = sorted((tuple(v for k, v in row.items() if k != "_id")
+                       for row in r.execute("SELECT * FROM t").rows),
+                      key=repr)
+        theirs = sorted((tuple(row)
+                         for row in db.execute("SELECT * FROM t")),
+                        key=repr)
+        assert ours == theirs, (m, ours[:5], theirs[:5])
