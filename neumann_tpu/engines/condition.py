@@ -297,19 +297,19 @@ class Condition:
             out = np.zeros(n, bool)
             for v in self.value:
                 out |= self._cmp_vec(col, "=", v)
-            return out & valid, null.copy()
+            return out & valid, null    # unknown masks are read-only
         if op == "like":
             rx = _like_to_regex(self.value)
             out = np.fromiter(
                 (isinstance(v, str) and bool(rx.match(v)) for v in col),
                 bool, count=n)
-            return out & valid, null.copy()
+            return out & valid, null
         if col.dtype == object and null.any() and op not in ("=", "!="):
             # ordered compares on object columns choke on None; substitute
             # the probe value at null slots (result ANDed out by `valid`)
             col = col.copy()
             col[null] = self.value
-        return self._cmp_vec(col, op, self.value) & valid, null.copy()
+        return self._cmp_vec(col, op, self.value) & valid, null
 
     @staticmethod
     def _cmp_scalar(a, op: str, b) -> bool:

@@ -26,6 +26,26 @@ from neumann_tpu.utils.errors import StoreError
 
 ScalarValue = Union[None, bool, int, float, str, bytes]
 
+# native fast constructor for scalar TensorValues (codec extension);
+# resolved lazily to avoid a circular import with native.pycodec
+_fast_scalar = None
+_fast_scalar_tried = False
+
+
+def _get_fast_scalar():
+    global _fast_scalar, _fast_scalar_tried
+    if not _fast_scalar_tried:
+        _fast_scalar_tried = True
+        try:
+            from neumann_tpu.native import pycodec
+
+            m = pycodec.load()
+            if m is not None:
+                _fast_scalar = m.make_scalar
+        except Exception:
+            pass
+    return _fast_scalar
+
 
 @dataclass(frozen=True, slots=True)
 class TensorValue:
@@ -41,6 +61,9 @@ class TensorValue:
     # -- constructors ---------------------------------------------------
     @staticmethod
     def scalar(v: ScalarValue) -> "TensorValue":
+        f = _fast_scalar or _get_fast_scalar()
+        if f is not None:
+            return f(v)
         return TensorValue("scalar", v)
 
     @staticmethod
