@@ -152,7 +152,16 @@ class BlobStore:
             if chunk is None:
                 raise BlobError(
                     f"missing chunk {chunk_key} of '{artifact_id}'")
-            yield chunk.get("data").value
+            payload = chunk.get("data").value
+            # chunks are content-addressed (the key IS the sha256), so
+            # verifying on read costs one hash and turns silent bit-rot
+            # into a clean error (tensor_blob integrity.rs semantics)
+            if hashlib.sha256(payload).hexdigest() != \
+                    chunk_key[len(_CHUNK):]:
+                raise BlobError(
+                    f"corrupt chunk {chunk_key} of '{artifact_id}' "
+                    f"(content hash mismatch)")
+            yield payload
 
     def delete(self, artifact_id: str) -> bool:
         try:
