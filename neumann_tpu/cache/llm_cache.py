@@ -17,6 +17,7 @@ than calling a model).
 from __future__ import annotations
 
 import hashlib
+import functools
 import heapq
 import threading
 import time
@@ -92,7 +93,7 @@ class LLMCache:
         self.semantic_threshold = semantic_threshold
         self.eviction = eviction
         self.embedder = embedder
-        self._lock = threading.RLock()
+        self._lock = threading.Lock()   # no method re-enters
         self._exact: Dict[str, _Entry] = {}
         self._ttl_heap: List[Tuple[float, str]] = []
         # semantic layer: host HNSW over query embeddings (tombstoned
@@ -152,7 +153,11 @@ class LLMCache:
             self._node_of = node_of
 
     # ------------------------------------------------------------------
-    def _norm(self, query: str) -> str:
+    @staticmethod
+    @functools.lru_cache(maxsize=4096)
+    def _norm(query: str) -> str:
+        # memoized: cache queries repeat by definition, and the
+        # lower/split/join rebuild was half the exact-hit cost
         return " ".join(query.lower().split())
 
     def _expire_due(self) -> None:
@@ -215,13 +220,15 @@ class LLMCache:
         """Exact layer first, then semantic similarity layer."""
         key = self._norm(query)
         with self._lock:
-            self._expire_due()
+            heap = self._ttl_heap
+            if heap and heap[0][0] <= time.time():
+                self._expire_due()
             e = self._exact.get(key)
             if e is not None:
                 e.last_access = time.time()
                 e.access_count += 1
                 self.stats.exact_hits += 1
-                self.stats.tokens_saved += count_tokens(e.response)
+                self.stats.tokens_saved += e.cost   # counted at put
                 return e.response
             # semantic layer: HNSW walk over live query embeddings
             emb = self.embedder(key)
@@ -236,7 +243,7 @@ class LLMCache:
                     hit.last_access = time.time()
                     hit.access_count += 1
                     self.stats.semantic_hits += 1
-                    self.stats.tokens_saved += count_tokens(hit.response)
+                    self.stats.tokens_saved += hit.cost
                     return hit.response
             self.stats.misses += 1
             return None
@@ -252,7 +259,7 @@ class LLMCache:
             e.last_access = time.time()
             e.access_count += 1
             self.stats.exact_hits += 1
-            self.stats.tokens_saved += count_tokens(e.response)
+            self.stats.tokens_saved += e.cost       # counted at put
             return e.response
 
     def evict(self, n: int = 1) -> int:
