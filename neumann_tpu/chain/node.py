@@ -69,14 +69,24 @@ class TcpClusterNode:
                  query_executor: Optional[Callable[[str], object]] = None):
         self.id = node_id
         self.store = TensorStore()
+        # Durability: the Raft WAL is the SINGLE durable log (term, vote,
+        # log entries, compaction snapshots). The state machine (store)
+        # is a pure function of snapshot + log, so restart = restore the
+        # snapshot then deterministically re-apply committed entries —
+        # no separate store WAL, no two-log atomicity gap, no
+        # double-applied statements (raft_wal.rs capability).
+        self.raft_wal = None
         if wal_dir:
             import os
 
             os.makedirs(wal_dir, exist_ok=True)
-            self.store.recover(os.path.join(wal_dir, "wal.log"))
-            self.store.open_durable(os.path.join(wal_dir, "wal.log"))
+            from neumann_tpu.chain.raft_wal import RaftWal
+
+            self.raft_wal = RaftWal(os.path.join(wal_dir, "raft.wal"))
         self.raft = RaftNode(node_id, [node_id, *peers],
-                             config or RaftConfig(), seed=seed)
+                             config or RaftConfig(), seed=seed,
+                             wal=self.raft_wal)
+        self.compact_threshold = 2048
         self.transport = TcpTransport(node_id, host=host, port=port,
                                       compress=compress,
                                       tls_server=tls_server,
@@ -90,7 +100,14 @@ class TcpClusterNode:
                 router.execute(q))
             self.router = router
         self.query_executor = query_executor
-        self._applied_index = 0
+        # restore the state machine from the raft snapshot (router is
+        # built first so store hooks repopulate the engines)
+        self._applied_index = self.raft.snapshot_index
+        snap = self.raft.snapshot_data
+        if snap and "store" in snap:
+            import base64
+
+            self.store.restore_from_bytes(base64.b64decode(snap["store"]))
         self._lock = threading.RLock()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -142,6 +159,8 @@ class TcpClusterNode:
             self._thread.join(timeout=2.0)
         self.transport.close()
         self.store.wal_flush()
+        if self.raft_wal is not None:
+            self.raft_wal.close()
 
     # -- client API ----------------------------------------------------------
     def is_leader(self) -> bool:
@@ -261,6 +280,16 @@ class TcpClusterNode:
 
     def _apply_committed(self) -> None:
         with self._lock:
+            # a leader-installed snapshot jumped us past entries we never
+            # saw: reset the state machine from the snapshot data first
+            if self.raft.snapshot_index > self._applied_index:
+                snap = self.raft.snapshot_data
+                if snap and "store" in snap:
+                    import base64
+
+                    self.store.restore_from_bytes(
+                        base64.b64decode(snap["store"]))
+                self._applied_index = self.raft.snapshot_index
             entries = self.raft.take_committed()
         for idx, payload in entries:
             op = payload.get("op")
@@ -285,6 +314,23 @@ class TcpClusterNode:
                         reply_to, "cluster_query_result",
                         {"qid": qid, "result": result, "error": err})
             self._applied_index = idx
+        self._maybe_compact()
+
+    def _maybe_compact(self) -> None:
+        """Snapshot the store + drop the applied log prefix once the
+        log outgrows the threshold; rotates the raft WAL atomically."""
+        if self.raft_wal is None:
+            return
+        with self._lock:
+            if len(self.raft.log) <= self.compact_threshold or \
+                    self.raft.last_applied <= self.raft.snapshot_index:
+                return
+            import base64
+
+            data = {"store": base64.b64encode(
+                self.store.snapshot_bytes()).decode("ascii")}
+            self.raft.compact(upto=self.raft.last_applied,
+                              snapshot_data=data)
 
 
 def _result_to_jsonable(res) -> dict:

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import random
 from dataclasses import dataclass, field
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 from neumann_tpu.chain.transport import Message
 
@@ -64,7 +64,7 @@ class LogEntry:
 class RaftNode:
     def __init__(self, node_id: str, peers: List[str],
                  config: Optional[RaftConfig] = None, seed: int = 0,
-                 persist: Optional[Callable[[dict], None]] = None):
+                 wal=None):
         self.id = node_id
         # membership: voters count for quorum/elections; learners only
         # replicate. Supports BOTH the single-change-at-a-time fast path
@@ -82,7 +82,7 @@ class RaftNode:
         self._base_config = (set(self.voters), set(), None)
         self.config = config or RaftConfig()
         self._rng = random.Random(_stable_seed(seed, node_id))
-        self._persist = persist
+        self._wal = wal
 
         # persistent state
         self.term = 0
@@ -108,6 +108,30 @@ class RaftNode:
         self._transfer_target: Optional[str] = None
         # optional state embedding for geometric tie-breaking
         self.state_embedding: Optional[List[float]] = None
+
+        if self._wal is not None:
+            rec = self._wal.load()
+            if rec is not None:
+                self._restore(rec)
+
+    def _restore(self, rec) -> None:
+        """Rebuild persistent state from a RecoveredRaftState."""
+        self.term = rec.term
+        self.voted_for = rec.voted_for
+        self.snapshot_index = rec.snapshot_index
+        self.snapshot_term = rec.snapshot_term
+        self.snapshot_data = rec.snapshot_data
+        if rec.config is not None:
+            self._base_config = (
+                set(rec.config["voters"]),
+                set(rec.config.get("learners") or ()),
+                set(rec.config["joint_old"])
+                if rec.config.get("joint_old") is not None else None)
+        self.log = [LogEntry(e["term"], e["payload"]) for e in rec.log]
+        self._recompute_config()
+        # the snapshot only ever covers committed, applied state
+        self.commit_index = self.snapshot_index
+        self.last_applied = self.snapshot_index
 
     # ------------------------------------------------------------------
     # log index helpers (global 1-based indices; snapshot may hide prefix)
@@ -140,10 +164,32 @@ class RaftNode:
         return self._rng.randint(self.config.election_timeout_min,
                                  self.config.election_timeout_max)
 
-    def _persist_state(self) -> None:
-        if self._persist is not None:
-            self._persist({"term": self.term, "voted_for": self.voted_for,
-                           "log_len": self.last_index()})
+    def _wal_hard(self) -> None:
+        """Record currentTerm/votedFor. Durable at the next sync()."""
+        if self._wal is not None:
+            self._wal.save_hard_state(self.term, self.voted_for)
+
+    def _wal_append_tail(self, n: int = 1) -> None:
+        """Record the n entries just appended to the log tail."""
+        if self._wal is not None and n > 0:
+            self._wal.append(self.last_index() - n + 1, self.log[-n:])
+
+    def _wal_snapshot(self) -> None:
+        """Rewrite the WAL at a compaction point (atomic rotation)."""
+        if self._wal is None:
+            return
+        bv, bl, bj = self._base_config
+        self._wal.save_snapshot(
+            self.snapshot_index, self.snapshot_term,
+            {"voters": sorted(bv), "learners": sorted(bl),
+             "joint_old": sorted(bj) if bj is not None else None},
+            self.snapshot_data, self.log, self.term, self.voted_for)
+
+    def _wal_sync(self) -> None:
+        """Durability barrier: called before outbound messages leave.
+        A vote grant or append ack is never sent unsynced."""
+        if self._wal is not None:
+            self._wal.sync()
 
     # ------------------------------------------------------------------
     # public API
@@ -273,11 +319,12 @@ class RaftNode:
         if self.state != LEADER:
             return None
         self.log.append(LogEntry(self.term, payload))
-        self._persist_state()
+        self._wal_append_tail()
         idx = self.last_index()
         self.match_index[self.id] = idx
         if not self.voting_peers:
             self._advance_commit()
+        self._wal_sync()
         return idx
 
     def take_committed(self) -> List[Tuple[int, dict]]:
@@ -327,6 +374,7 @@ class RaftNode:
         self.snapshot_index = upto
         self.snapshot_term = term or 0
         self.snapshot_data = snapshot_data
+        self._wal_snapshot()
         return upto
 
     # ------------------------------------------------------------------
@@ -342,9 +390,11 @@ class RaftNode:
             if self.config.snapshot_threshold and \
                     len(self.log) > self.config.snapshot_threshold:
                 self.compact()
+            self._wal_sync()
             return out
         if self._elapsed >= self._timeout:
             out += self._start_election()
+        self._wal_sync()
         return out
 
     def _start_election(self, skip_pre_vote: bool = False) -> List[Message]:
@@ -354,7 +404,7 @@ class RaftNode:
             # single-voter cluster: win immediately
             self.term += 1
             self.voted_for = self.id
-            self._persist_state()
+            self._wal_hard()
             self._become_leader()
             return []
         if self.config.pre_vote and not skip_pre_vote:
@@ -371,7 +421,7 @@ class RaftNode:
         self.state = CANDIDATE
         self.term += 1
         self.voted_for = self.id
-        self._persist_state()
+        self._wal_hard()
         self._votes = {self.id}
         return [Message("vote_req", self.id, p, {
             "term": self.term, "last_index": self.last_index(),
@@ -389,8 +439,8 @@ class RaftNode:
         self.match_index[self.id] = self.last_index()
         # no-op entry to commit entries from prior terms promptly
         self.log.append(LogEntry(self.term, {"noop": True}))
+        self._wal_append_tail()
         self.match_index[self.id] = self.last_index()
-        self._persist_state()
         if not self.voting_peers:
             self._advance_commit()
 
@@ -399,7 +449,7 @@ class RaftNode:
         if term > self.term:
             self.term = term
             self.voted_for = None
-            self._persist_state()
+            self._wal_hard()
         self.state = FOLLOWER
         self.leader_id = leader
         self._elapsed = 0
@@ -461,7 +511,7 @@ class RaftNode:
             change = {"op": "joint_leave", "new": sorted(self.voters)}
             self.log.append(LogEntry(self.term,
                                      {"__config__": change}))
-            self._persist_state()
+            self._wal_append_tail()
             self._apply_config(change)
             self._joint_leave_index = self.last_index()
             self.match_index[self.id] = self.last_index()
@@ -482,7 +532,12 @@ class RaftNode:
         if term > self.term and msg.kind not in ("pre_vote_req",
                                                  "pre_vote_resp"):
             self._become_follower(term)
-        return handler(msg)
+        out = handler(msg)
+        # durability barrier: a granted vote / successful append ack is
+        # fsynced before the caller can put it on the wire (raft_wal.rs
+        # fsync-before-transition capability)
+        self._wal_sync()
+        return out
 
     def _on_pre_vote_req(self, msg: Message) -> List[Message]:
         p = msg.payload
@@ -528,7 +583,7 @@ class RaftNode:
                 grant = True
                 self.voted_for = msg.src
                 self._elapsed = 0
-                self._persist_state()
+                self._wal_hard()
         return [Message("vote_resp", self.id, msg.src,
                         {"term": self.term, "granted": grant})]
 
@@ -557,6 +612,7 @@ class RaftNode:
                              "match": min(prev - 1, self.last_index())})]
         # append, truncating conflicts
         idx = prev
+        first_new = None
         for e in p["entries"]:
             idx += 1
             existing = self.term_at(idx)
@@ -566,14 +622,21 @@ class RaftNode:
                 pos = idx - self.snapshot_index - 1
                 self.log = self.log[:pos]
                 self._recompute_config()
+                if self._wal is not None:
+                    self._wal.truncate_suffix(idx)
                 self.log.append(LogEntry(e["term"], e["payload"]))
             else:
                 continue
+            if first_new is None:
+                first_new = idx
             cfg = e["payload"].get("__config__") \
                 if isinstance(e["payload"], dict) else None
             if cfg:
                 self._apply_config(cfg)
-        self._persist_state()
+        if first_new is not None and self._wal is not None:
+            self._wal.append(
+                first_new,
+                self.log[first_new - self.snapshot_index - 1:])
         if p["leader_commit"] > self.commit_index:
             self.commit_index = min(p["leader_commit"], self.last_index())
         return [Message("append_resp", self.id, msg.src,
@@ -628,7 +691,7 @@ class RaftNode:
         self.log = []
         self.commit_index = max(self.commit_index, p["last_index"])
         self.last_applied = max(self.last_applied, p["last_index"])
-        self._persist_state()
+        self._wal_snapshot()
         return [Message("append_resp", self.id, msg.src,
                         {"term": self.term, "success": True,
                          "match": self.snapshot_index})]

@@ -48,6 +48,29 @@ class EmbeddingSlab:
         self._device_valid = None  # jnp [capacity] bool
         self._device_version = -1
         self._quant_cache = {}     # mode -> (version, arrays)
+        # named watchers: rows mutated since watch(name) was (re)armed.
+        # Lets an index built at version V know exactly which rows went
+        # stale (auto-IVF routing) without diffing the whole slab.
+        self._watchers: dict = {}
+
+    # -- watchers ----------------------------------------------------------
+    def watch(self, name: str) -> int:
+        """(Re)arm a watcher; returns the version it starts from."""
+        with self._lock:
+            self._watchers[name] = set()
+            return self._version
+
+    def watched(self, name: str) -> np.ndarray:
+        """Sorted row ids mutated since watch(name). Empty if unarmed."""
+        with self._lock:
+            rows = self._watchers.get(name)
+            if not rows:
+                return np.empty(0, np.int64)
+            return np.fromiter(sorted(rows), np.int64, count=len(rows))
+
+    def watch_count(self, name: str) -> int:
+        with self._lock:
+            return len(self._watchers.get(name, ()))
 
     # -- host mutations ----------------------------------------------------
     @property
@@ -85,6 +108,8 @@ class EmbeddingSlab:
             self._host[row, self.dim:] = 0.0
             self._valid[row] = True
             self._dirty.add(row)
+            for w in self._watchers.values():
+                w.add(row)
             self._version += 1
 
     def set_rows(self, rows: np.ndarray, vecs: np.ndarray) -> None:
@@ -100,6 +125,8 @@ class EmbeddingSlab:
                 self._host[rows, self.dim:] = 0.0
                 self._valid[rows] = True
                 self._dirty.update(int(r) for r in rows)
+                for w in self._watchers.values():
+                    w.update(int(r) for r in rows)
                 self._version += 1
 
     def clear_row(self, row: int) -> None:
@@ -108,6 +135,8 @@ class EmbeddingSlab:
                 self._valid[row] = False
                 self._host[row] = 0.0
                 self._dirty.add(row)
+                for w in self._watchers.values():
+                    w.add(row)
                 self._version += 1
 
     def get_row(self, row: int) -> Optional[np.ndarray]:
@@ -119,6 +148,34 @@ class EmbeddingSlab:
     def valid_mask_host(self) -> np.ndarray:
         with self._lock:
             return self._valid.copy()
+
+    def rows_matrix(self, rows: np.ndarray
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Snapshot (matrix [m, dim_pad] f32, valid [m]) of given rows."""
+        rows = np.asarray(rows, np.int64)
+        with self._lock:
+            rows = rows[rows < self._capacity]
+            return self._host[rows].copy(), self._valid[rows].copy()
+
+    def host_int8(self, chunk_rows: int = 1 << 20
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+        """Host-side int8 quantization of the whole slab (for IVF
+        builds: the f32 corpus never has to be materialized in HBM).
+        Invalid rows are zero -> scale 1, all-zero codes."""
+        with self._lock:
+            host = self._host
+            n = self._capacity
+        q = np.empty((n, self.dim_pad), np.int8)
+        scale = np.empty(n, np.float32)
+        for s in range(0, n, chunk_rows):
+            e = min(n, s + chunk_rows)
+            blk = host[s:e]
+            am = np.max(np.abs(blk), axis=1)
+            sc = np.where(am > 0, am / 127.0, 1.0).astype(np.float32)
+            q[s:e] = np.clip(np.round(blk / sc[:, None]), -127,
+                             127).astype(np.int8)
+            scale[s:e] = sc
+        return q, scale
 
     @property
     def version(self) -> int:

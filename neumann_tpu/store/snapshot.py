@@ -21,9 +21,9 @@ VERSION = 1
 _HDR = struct.Struct("<4sII")  # magic, version, count
 
 
-def save(entries: Dict[str, TensorData], path,
-         compressed: bool = False) -> None:
-    path = os.fspath(path)
+def dumps(entries: Dict[str, TensorData],
+          compressed: bool = False) -> bytes:
+    """Serialize a store map to snapshot bytes (no file involved)."""
     ext = codec._native()
     if ext is not None:
         try:
@@ -43,6 +43,13 @@ def save(entries: Dict[str, TensorData], path,
         "<I", zlib.crc32(bytes(body))) + bytes(body)
     if compressed:
         blob = MAGIC_Z + zlib.compress(blob, level=6)
+    return blob
+
+
+def save(entries: Dict[str, TensorData], path,
+         compressed: bool = False) -> None:
+    path = os.fspath(path)
+    blob = dumps(entries, compressed=compressed)
     tmp = path + ".tmp"
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(tmp, "wb") as fh:
@@ -55,7 +62,11 @@ def save(entries: Dict[str, TensorData], path,
 def load(path) -> Dict[str, TensorData]:
     path = os.fspath(path)
     with open(path, "rb") as fh:
-        buf = fh.read()
+        return loads(fh.read())
+
+
+def loads(buf: bytes) -> Dict[str, TensorData]:
+    """Deserialize snapshot bytes produced by dumps()."""
     if buf[:4] == MAGIC_Z:
         try:
             buf = zlib.decompress(buf[4:])

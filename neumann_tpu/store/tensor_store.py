@@ -283,6 +283,31 @@ class TensorStore:
     def save_snapshot_compressed(self, path) -> None:
         self.save_snapshot(path, compressed=True)
 
+    def snapshot_bytes(self, compressed: bool = True) -> bytes:
+        """Serialize the full store to snapshot bytes (for raft
+        compaction / snapshot transfer; tensor_chain snapshot_bytes
+        capability)."""
+        from neumann_tpu.store import snapshot
+
+        with self._lock:
+            return snapshot.dumps(self._map, compressed=compressed)
+
+    def restore_from_bytes(self, buf: bytes) -> None:
+        """Replace all state with a snapshot produced by
+        snapshot_bytes(). Fires delete hooks for dropped keys and put
+        hooks for loaded ones so engine device mirrors follow."""
+        from neumann_tpu.store import snapshot
+
+        loaded = snapshot.loads(buf)
+        self.clear(notify=True)
+        with self._lock:
+            self._map = loaded
+            self._index.clear()
+            self._index.insert_many(loaded.keys())
+        for key, data in list(loaded.items()):
+            for hook in self._put_hooks:
+                hook(key, data)
+
     def load_snapshot(self, path) -> None:
         from neumann_tpu.store import snapshot
 

@@ -180,3 +180,78 @@ def test_multiprocess_leader_kill_and_rejoin(tmp_path):
     finally:
         for n in nodes.values():
             n.stop()
+
+
+def test_multiprocess_follower_sigkill_and_restart(tmp_path):
+    """SIGKILL a FOLLOWER mid-workload; its raft WAL must bring it back
+    with its vote/log intact (no double-vote => still exactly one
+    leader), and it must converge on all acknowledged writes."""
+    ports = _free_ports(3)
+    ids = ["f0", "f1", "f2"]
+    peer_str = {nid: ",".join(f"{p}=127.0.0.1:{ports[j]}"
+                              for j, p in enumerate(ids) if p != nid)
+                for nid in ids}
+    nodes = {nid: _Node(nid, ports[i], peer_str[nid],
+                        str(tmp_path / nid))
+             for i, nid in enumerate(ids)}
+    addrs = {nid: ("127.0.0.1", ports[i]) for i, nid in enumerate(ids)}
+    try:
+        deadline = time.time() + 60
+        leader_id = None
+        while time.time() < deadline and leader_id is None:
+            for nid, n in nodes.items():
+                assert n.proc.poll() is None, (
+                    f"{nid} died at startup:\n" + "".join(n.lines[-20:]))
+                if n.state() == "leader":
+                    leader_id = nid
+            time.sleep(0.3)
+        assert leader_id, "no leader elected"
+        follower_id = next(nid for nid in ids if nid != leader_id)
+
+        pool = list(addrs.values())
+        _insert_with_retry(pool, "CREATE TABLE fj (id INT)")
+        acked = []
+        for i in range(6):
+            _insert_with_retry(pool, f"INSERT INTO fj VALUES ({i})")
+            acked.append(i)
+
+        # -- nemesis: SIGKILL a follower, keep writing on the quorum ---
+        nodes[follower_id].kill()
+        pool = [addrs[nid] for nid in ids if nid != follower_id]
+        for i in range(6, 12):
+            _insert_with_retry(pool, f"INSERT INTO fj VALUES ({i})",
+                               deadline_s=60.0)
+            acked.append(i)
+
+        # -- restart the follower from its WAL dir ---------------------
+        nodes[follower_id + "r"] = _Node(
+            follower_id, ports[ids.index(follower_id)],
+            peer_str[follower_id], str(tmp_path / follower_id))
+
+        def rows_on(addr):
+            c = ClusterClient(addr)
+            try:
+                return sorted(r["id"] for r in
+                              c.execute("SELECT * FROM fj")["rows"])
+            finally:
+                c.close()
+
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            try:
+                if rows_on(addrs[follower_id]) == acked:
+                    break
+            except (ChainError, OSError):
+                pass
+            time.sleep(1.0)
+        assert rows_on(addrs[follower_id]) == acked, \
+            "restarted follower did not converge (or double-applied)"
+        # exactly one leader in the final cluster (no double-vote
+        # split-brain after the restart)
+        time.sleep(2.0)
+        states = [n.state() for k, n in nodes.items()
+                  if n.proc.poll() is None]
+        assert states.count("leader") == 1, states
+    finally:
+        for n in nodes.values():
+            n.stop()
