@@ -15,6 +15,7 @@ import threading
 import time
 from typing import Callable, Dict, List, Optional
 
+from neumann_tpu.chain.integration import ClusterProtocolMixin
 from neumann_tpu.chain.raft import LEADER, RaftConfig, RaftNode
 from neumann_tpu.chain.transport import Message, TransportHub
 from neumann_tpu.store import codec
@@ -22,26 +23,44 @@ from neumann_tpu.store.tensor_store import TensorData, TensorStore
 from neumann_tpu.utils.errors import ChainError
 
 
-class ClusterNode:
+class ClusterNode(ClusterProtocolMixin):
     def __init__(self, node_id: str, peer_ids: List[str],
                  hub: TransportHub,
                  store: Optional[TensorStore] = None,
                  config: Optional[RaftConfig] = None, seed: int = 0,
-                 query_executor: Optional[Callable[[str], object]] = None):
+                 query_executor: Optional[Callable[[str], object]] = None,
+                 gossip: bool = True, gossip_config=None,
+                 auto_remove_faulty: bool = False,
+                 faulty_grace_ticks: int = 10, wal=None):
         self.id = node_id
         self.store = store if store is not None else TensorStore()
-        self.raft = RaftNode(node_id, peer_ids, config, seed=seed)
+        self.raft = RaftNode(node_id, peer_ids, config, seed=seed,
+                             wal=wal)
         self.transport = hub.register(node_id)
         self.query_executor = query_executor
         self._applied_index = 0
         self._lock = threading.RLock()
         self._pending_queries: Dict[str, object] = {}
+        self._init_protocol(peer_ids, seed=seed, gossip=gossip,
+                            gossip_config=gossip_config,
+                            auto_remove_faulty=auto_remove_faulty,
+                            faulty_grace_ticks=faulty_grace_ticks)
+
+    def _send(self, dst: str, kind: str, payload: dict) -> None:
+        self.transport.send(dst, kind, payload)
+
+    def _deliver_raft(self, msg: Message) -> None:
+        with self._lock:
+            outbound = self.raft.handle(msg)
+        for m in outbound:
+            self._send_msg(m)
 
     # -- client API --------------------------------------------------------
     def propose_put(self, key: str, data: TensorData) -> bool:
-        """Propose a replicated put; returns False if not leader."""
-        payload = {"op": "put", "key": key,
-                   "data": codec.encode_data(data).hex()}
+        """Propose a replicated put; returns False if not leader.
+        Rides the wire (and the WAL) delta-coded once a registry is
+        replicated (enable_delta_replication)."""
+        payload = self._encode_put(key, data)
         with self._lock:
             return self.raft.propose(payload) is not None
 
@@ -73,11 +92,12 @@ class ClusterNode:
 
     # -- pump --------------------------------------------------------------
     def pump(self) -> None:
-        """One step: tick raft, handle inbound, apply committed."""
+        """One step: tick raft + gossip, handle inbound, apply."""
         with self._lock:
             outbound = self.raft.tick()
         for m in outbound:
-            self.transport.hub.deliver(m)
+            self._send_msg(m)
+        self._protocol_tick()
         while True:
             msg = self.transport.recv()
             if msg is None:
@@ -86,6 +106,8 @@ class ClusterNode:
         self._apply_committed()
 
     def _handle(self, msg: Message) -> None:
+        if self._protocol_handle(msg):
+            return
         if msg.kind == "cluster_query":
             if self.query_executor is not None:
                 result = self.query_executor(msg.payload["query"])
@@ -100,15 +122,25 @@ class ClusterNode:
                 self._pending_queries[str(time.time())] = \
                     msg.payload.get("result")
             return
-        with self._lock:
-            outbound = self.raft.handle(msg)
-        for m in outbound:
-            self.transport.hub.deliver(m)
+        self._deliver_raft(msg)
 
     def _apply_committed(self) -> None:
         with self._lock:
+            # leader-installed snapshot jumped past entries we never
+            # saw: reset the state machine from the snapshot data
+            if self.raft.snapshot_index > self._applied_index:
+                snap = self.raft.snapshot_data
+                if snap and "store" in snap:
+                    import base64
+
+                    self.store.restore_from_bytes(
+                        base64.b64decode(snap["store"]))
+                self._applied_index = self.raft.snapshot_index
             entries = self.raft.take_committed()
         for idx, payload in entries:
+            if self._apply_protocol_entry(payload):
+                self._applied_index = idx
+                continue
             op = payload.get("op")
             if op == "put":
                 data = codec.decode_data(bytes.fromhex(payload["data"]))

@@ -142,6 +142,18 @@ class GossipNode:
                 out.append(Message("ping", self.id, target,
                                    {"members":
                                     self._membership_payload()}))
+        # slow resurrection probe of a FAULTY peer: partitions heal, and
+        # without this no one would ever ping a faulty member again (a
+        # healed side only learns of the heal when probed)
+        if self._tick % (self.config.probe_interval * 3) == 0:
+            faulty = [p for p in self.members
+                      if p != self.id
+                      and self.members[p].status == FAULTY]
+            if faulty:
+                target = self._rng.choice(faulty)
+                out.append(Message("ping", self.id, target,
+                                   {"members":
+                                    self._membership_payload()}))
         return out
 
     def handle(self, msg: Message) -> List[Message]:
@@ -153,10 +165,27 @@ class GossipNode:
             # rank-based gossip re-infects FAULTY forever)
             view = self._membership_payload()
             self._mark(msg.src, ALIVE)
-            return [Message("ack", self.id, msg.src, {"members": view})]
+            ack = {"members": view}
+            if msg.payload.get("on_behalf") is not None:
+                ack["on_behalf"] = msg.payload["on_behalf"]
+            return [Message("ack", self.id, msg.src, ack)]
         if msg.kind == "ack":
             self._awaiting_ack.pop(msg.src, None)
             self._mark(msg.src, ALIVE)
+            # SWIM indirect-probe completion: we pinged on behalf of the
+            # original prober, so relay the ack back to it — suspicion
+            # clears via the ack path, not just slow dissemination
+            behalf = msg.payload.get("on_behalf")
+            if behalf is not None and behalf != self.id:
+                return [Message("ack_relay", self.id, behalf,
+                                {"target": msg.src,
+                                 "members": self._membership_payload()})]
+            return []
+        if msg.kind == "ack_relay":
+            target = msg.payload.get("target")
+            if target is not None:
+                self._awaiting_ack.pop(target, None)
+                self._mark(target, ALIVE)
             return []
         if msg.kind == "ping_req":
             target = msg.payload["target"]

@@ -25,6 +25,7 @@ import time
 import uuid
 from typing import Callable, Dict, List, Optional, Tuple
 
+from neumann_tpu.chain.integration import ClusterProtocolMixin
 from neumann_tpu.chain.raft import LEADER, RaftConfig, RaftNode
 from neumann_tpu.chain.transport import Message, TcpTransport
 from neumann_tpu.store import codec
@@ -58,7 +59,7 @@ def _is_replicated_statement(query: str) -> bool:
         return False
 
 
-class TcpClusterNode:
+class TcpClusterNode(ClusterProtocolMixin):
     def __init__(self, node_id: str,
                  peers: Dict[str, Tuple[str, int]],
                  host: str = "127.0.0.1", port: int = 0,
@@ -66,7 +67,10 @@ class TcpClusterNode:
                  config: Optional[RaftConfig] = None, seed: int = 0,
                  compress: bool = True,
                  tls_server=None, tls_client=None,
-                 query_executor: Optional[Callable[[str], object]] = None):
+                 query_executor: Optional[Callable[[str], object]] = None,
+                 gossip: bool = True,
+                 auto_remove_faulty: bool = False,
+                 faulty_grace_ticks: int = 40):
         self.id = node_id
         self.store = TensorStore()
         # Durability: the Raft WAL is the SINGLE durable log (term, vote,
@@ -111,6 +115,9 @@ class TcpClusterNode:
         self._lock = threading.RLock()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        self._init_protocol(list(peers), seed=seed, gossip=gossip,
+                            auto_remove_faulty=auto_remove_faulty,
+                            faulty_grace_ticks=faulty_grace_ticks)
         # leader-side: log index -> (reply node, qid) for replicated
         # statements awaiting commit before the client gets its answer
         self._stmt_replies: Dict[int, Tuple[str, Optional[str]]] = {}
@@ -144,6 +151,7 @@ class TcpClusterNode:
             with self._lock:
                 outbound = self.raft.tick()
             self._send_all(outbound)
+            self._protocol_tick()
             deadline = time.time() + tick_interval_s
             while time.time() < deadline:
                 msg = self.transport.recv(
@@ -170,10 +178,9 @@ class TcpClusterNode:
         return self.raft.leader_id
 
     def propose_put(self, key: str, data: TensorData) -> bool:
-        """Replicated put: proposes locally when leader, else forwards."""
-        payload = {"op": "put", "key": key,
-                   "data": codec.encode_data(data).hex()}
-        return self._propose_or_forward(payload)
+        """Replicated put: proposes locally when leader, else forwards.
+        Delta-coded once a registry is replicated."""
+        return self._propose_or_forward(self._encode_put(key, data))
 
     def propose_delete(self, key: str) -> bool:
         return self._propose_or_forward({"op": "delete", "key": key})
@@ -191,9 +198,19 @@ class TcpClusterNode:
     # -- message handling -------------------------------------------------------
     def _send_all(self, msgs: List[Message]) -> None:
         for m in msgs:
-            self.transport.send(m.dst, m.kind, m.payload)
+            self._send_msg(m)
+
+    def _send(self, dst: str, kind: str, payload: dict) -> None:
+        self.transport.send(dst, kind, payload)
+
+    def _deliver_raft(self, msg: Message) -> None:
+        with self._lock:
+            outbound = self.raft.handle(msg)
+        self._send_all(outbound)
 
     def _handle(self, msg: Message) -> None:
+        if self._protocol_handle(msg):
+            return
         if msg.kind == "cluster_forward":
             with self._lock:
                 if self.raft.state == LEADER:
@@ -292,6 +309,9 @@ class TcpClusterNode:
                 self._applied_index = self.raft.snapshot_index
             entries = self.raft.take_committed()
         for idx, payload in entries:
+            if self._apply_protocol_entry(payload):
+                self._applied_index = idx
+                continue
             op = payload.get("op")
             if op == "put":
                 data = codec.decode_data(bytes.fromhex(payload["data"]))
