@@ -378,12 +378,23 @@ def test_2pc_commit():
 
 def test_2pc_abort_on_lock_conflict():
     coord, parts, stores = make_2pc()
-    # pre-lock k:1 on p0 under another tx
+    # pre-lock k:1 on p0 under another tx that never releases
     assert parts["p0"].locks.try_lock("k:1", "other-tx")
     tx, prepares = coord.begin({
         "p0": [{"op": "put", "key": "k:1", "fields": {"v": 1}}],
         "p1": [{"op": "put", "key": "k:2", "fields": {"v": 2}}]})
     route_2pc(coord, parts, prepares)
+    # hardened semantics: the participant WAITS for the lock (deadlock-
+    # aware); the holder never releases, so the wait times out, votes
+    # no, and the coordinator aborts
+    assert coord.state_of(tx) == "preparing"
+    for _ in range(40):
+        msgs = coord.tick()
+        for p in parts.values():
+            msgs += p.tick()
+        route_2pc(coord, parts, msgs)
+        if coord.state_of(tx) == "aborted":
+            break
     assert coord.state_of(tx) == "aborted"
     assert stores["p0"].get("k:1") is None
     assert stores["p1"].get("k:2") is None  # atomicity across shards
