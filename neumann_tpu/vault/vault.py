@@ -61,7 +61,8 @@ class TensorVault:
                  master_password: str = "",
                  namespace: str = "default",
                  rate_limit_per_min: int = 0,
-                 anomaly_monitor=None):
+                 anomaly_monitor=None,
+                 obfuscate: bool = False):
         if not master_password:
             raise VaultError("master password required")
         # optional behavioral anomaly detection (vault/anomaly.py)
@@ -78,6 +79,28 @@ class TensorVault:
         key = self._derive_key(master_password.encode(), salt)
         self._aead: Optional[AESGCM] = AESGCM(key)
         self._key = bytearray(key)
+        # attribute-based policies + per-namespace quotas
+        # (tensor_vault/src/{policy,quota}.rs capability)
+        from neumann_tpu.vault.policy import PolicyEngine
+        from neumann_tpu.vault.quota import QuotaManager
+
+        self.policies = PolicyEngine(self.store, namespace)
+        self.quotas = QuotaManager(self.store, namespace)
+        # optional metadata/name obfuscation (obfuscation.rs)
+        self._obf = None
+        if obfuscate:
+            from neumann_tpu.vault.obfuscation import ObfuscationLayer
+
+            self._obf = ObfuscationLayer(bytes(self._key))
+        self._ensure_canary()
+        # seal state persists: a sealed vault stays sealed on reopen
+        # until unseal() verifies the password (seal.rs capability)
+        self._sealed = False
+        st = self.store.get(self._seal_state_key())
+        if st is not None and st.get("sealed") is not None \
+                and st.get("sealed").value:
+            self._zeroize()
+            self._sealed = True
 
     # -- key management --------------------------------------------------
     def _load_or_create_salt(self) -> bytes:
@@ -100,23 +123,206 @@ class TensorVault:
     def close(self) -> None:
         """Zeroize key material."""
         with self._lock:
-            for i in range(len(self._key)):
-                self._key[i] = 0
-            self._aead = None
+            self._zeroize()
+
+    def _zeroize(self) -> None:
+        for i in range(len(self._key)):
+            self._key[i] = 0
+        self._aead = None
 
     def _cipher(self) -> AESGCM:
+        if self._sealed:
+            raise VaultError("vault is sealed")
         if self._aead is None:
             raise VaultError("vault is closed")
         return self._aead
+
+    # -- seal / unseal (tensor_vault/src/seal.rs capability) ---------------
+    _CANARY_AAD = b"neumann-vault-canary"
+
+    def _seal_state_key(self) -> str:
+        return f"_vault_meta:sealed:{self.namespace}"
+
+    def _canary_key(self) -> str:
+        return f"_vault_meta:check:{self.namespace}"
+
+    def _ensure_canary(self) -> None:
+        """A known plaintext encrypted under the master key, so
+        unseal() can verify a password without touching secrets."""
+        if self.store.get(self._canary_key()) is not None:
+            return
+        nonce = os.urandom(12)
+        ct = self._aead.encrypt(nonce, b"ok", self._CANARY_AAD)
+        td = TensorData()
+        td.set("canary", TensorValue.scalar(nonce + ct))
+        self.store.put(self._canary_key(), td)
+
+    def _persist_seal_state(self, sealed: bool) -> None:
+        td = TensorData()
+        td.set("sealed", TensorValue.scalar(bool(sealed)))
+        self.store.put(self._seal_state_key(), td)
+
+    def is_sealed(self) -> bool:
+        return self._sealed
+
+    def seal(self, actor: str = "root") -> None:
+        """Zeroize key material and refuse every operation until
+        unseal(). Survives restarts (state persists in the store)."""
+        self._require_root(actor, "seal")
+        with self._lock:
+            self._zeroize()
+            self._sealed = True
+            self._persist_seal_state(True)
+        self._log(actor, "seal", "*", True)
+
+    def unseal(self, master_password: str, actor: str = "root") -> None:
+        """Re-derive the key and verify it against the canary; the
+        vault stays sealed on a wrong password."""
+        self._require_root(actor, "unseal")
+        with self._lock:
+            salt = self._load_or_create_salt()
+            key = self._derive_key(master_password.encode(), salt)
+            aead = AESGCM(key)
+            data = self.store.get(self._canary_key())
+            if data is not None:
+                blob = data.get("canary").value
+                try:
+                    if aead.decrypt(blob[:12], blob[12:],
+                                    self._CANARY_AAD) != b"ok":
+                        raise VaultError("bad canary")
+                except Exception:
+                    self._log(actor, "unseal", "*", False)
+                    raise VaultError("unseal failed: wrong password") \
+                        from None
+            self._aead = aead
+            self._key = bytearray(key)
+            if self._obf is not None:
+                from neumann_tpu.vault.obfuscation import (
+                    ObfuscationLayer,
+                )
+
+                self._obf = ObfuscationLayer(key)
+            self._sealed = False
+            self._persist_seal_state(False)
+        self._log(actor, "unseal", "*", True)
+
+    # -- master-key rotation (tensor_vault/src/rotation.rs + key.rs) -------
+    def rotate_master_key(self, new_password: str,
+                          actor: str = "root") -> int:
+        """Re-encrypt EVERY secret version and snapshot under a key
+        derived from the new password + a fresh salt. Returns the
+        number of ciphertexts rewritten."""
+        self._require_root(actor, "rotate_master")
+        with self._lock:
+            old = self._cipher()
+            new_salt = os.urandom(16)
+            new_key = self._derive_key(new_password.encode(), new_salt)
+            new_aead = AESGCM(new_key)
+
+            def recrypt(blob: bytes, aad_old: bytes,
+                        aad_new: bytes) -> bytes:
+                pt = old.decrypt(blob[:12], blob[12:], aad_old)
+                nonce = os.urandom(12)
+                return nonce + new_aead.encrypt(nonce, pt, aad_new)
+
+            # with obfuscation on, storage suffixes are MACs of the
+            # master key, so the rotation also REKEYS them (the
+            # encrypted name index supplies the logical names)
+            new_obf = None
+            suffix_map = {}
+            if self._obf is not None:
+                from neumann_tpu.vault.obfuscation import (
+                    ObfuscationLayer,
+                )
+
+                new_obf = ObfuscationLayer(new_key)
+                for name in self._index_names():
+                    suffix_map[self._obf.obfuscate_key(name)] = \
+                        new_obf.obfuscate_key(name)
+
+            rewritten = 0
+            prefix = f"{_PREFIX}{self.namespace}:"
+            for skey in list(self.store.scan(prefix)):
+                data = self.store.get(skey)
+                if data is None or data.get("cipher") is None:
+                    continue
+                suffix = skey[len(prefix):]
+                new_suffix = suffix_map.get(suffix, suffix)
+                aad_old = self._aad(suffix)
+                aad_new = self._aad(new_suffix)
+                td = TensorData()
+                td.set("cipher", TensorValue.scalar(recrypt(
+                    data.get("cipher").value, aad_old, aad_new)))
+                versions = [recrypt(b, aad_old, aad_new)
+                            for b in self._read_versions(data)]
+                self._write_versions(td, versions)
+                if new_suffix != suffix:
+                    self.store.delete(skey)
+                self.store.put(prefix + new_suffix, td)
+                rewritten += 1 + len(versions)
+            # snapshots hold ciphertexts too (PITR must survive the
+            # rotation); obfuscated entries whose secret was deleted
+            # before the rotation have unrecoverable names BY DESIGN
+            # and drop out of the snapshot
+            import json as _json
+
+            snap_prefix = f"{self._SNAP_PREFIX}{self.namespace}:"
+            for skey in list(self.store.scan(snap_prefix)):
+                data = self.store.get(skey)
+                if data is None or data.get("meta") is None:
+                    continue
+                meta = _json.loads(data.get("meta").value)
+                td = TensorData()
+                kept = []
+                for i, suffix in enumerate(meta.get("keys", [])):
+                    blob = data.get(f"c{i}")
+                    if blob is None:
+                        continue
+                    if self._obf is not None and suffix not in suffix_map:
+                        continue
+                    new_suffix = suffix_map.get(suffix, suffix)
+                    td.set(f"c{len(kept)}", TensorValue.scalar(recrypt(
+                        blob.value, self._aad(suffix),
+                        self._aad(new_suffix))))
+                    kept.append(new_suffix)
+                    rewritten += 1
+                meta["keys"] = kept
+                td.set("meta", TensorValue.scalar(_json.dumps(meta)))
+                self.store.put(skey, td)
+
+            # swap salt, canary, and live key LAST (any decrypt error
+            # above aborts before the old key is discarded)
+            td = TensorData()
+            td.set("salt", TensorValue.scalar(new_salt))
+            self.store.put(_SALT_KEY, td)
+            self.store.delete(self._canary_key())
+            self._aead = new_aead
+            self._key = bytearray(new_key)
+            if new_obf is not None:
+                names = self._index_names()      # old layer decrypts
+                self._obf = new_obf
+                td = TensorData()
+                td.set("ix", TensorValue.scalar(
+                    self._obf.encrypt_metadata({"names": names})))
+                self.store.put(self._index_key(), td)
+            self._ensure_canary()
+        self._log(actor, "rotate_master", "*", True)
+        return rewritten
 
     # -- access control -----------------------------------------------------
     def _check(self, actor: str, key: str, need: Permission) -> None:
         if actor == self.ROOT:
             return
         grant = self._grants.get((actor, key))
-        if grant is None or not grant.live() or grant.level < need:
-            self._log(actor, "denied", key, False)
-            raise VaultError(f"'{actor}' lacks {need.name} on '{key}'")
+        if grant is not None and grant.live() and grant.level >= need:
+            return
+        # no direct grant: attribute-based policies may still allow
+        # (tensor_vault/src/policy.rs)
+        pol = self.policies.permission_for(actor, key)
+        if pol is not None and pol >= int(need):
+            return
+        self._log(actor, "denied", key, False)
+        raise VaultError(f"'{actor}' lacks {need.name} on '{key}'")
 
     def _rate_check(self, actor: str) -> None:
         if not self._rate_limit:
@@ -150,8 +356,42 @@ class TensorVault:
                     if k == key and g.live()]
 
     # -- secret CRUD ----------------------------------------------------------
+    def _suffix(self, key: str) -> str:
+        """Storage-name for a logical secret name (MAC'd when the
+        obfuscation layer is on, so the store leaks no names)."""
+        return (self._obf.obfuscate_key(key) if self._obf is not None
+                else key)
+
     def _skey(self, key: str) -> str:
-        return f"{_PREFIX}{self.namespace}:{key}"
+        return f"{_PREFIX}{self.namespace}:{self._suffix(key)}"
+
+    def _aad(self, suffix: str) -> bytes:
+        return f"{self.namespace}:{suffix}".encode("utf-8")
+
+    # encrypted name index: with obfuscation on, list() cannot read
+    # names from storage keys, so they live in one AEAD blob
+    def _index_key(self) -> str:
+        return f"_vault_meta:obfindex:{self.namespace}"
+
+    def _index_names(self) -> list:
+        data = self.store.get(self._index_key())
+        if data is None or data.get("ix") is None:
+            return []
+        return self._obf.decrypt_metadata(
+            data.get("ix").value).get("names", [])
+
+    def _index_update(self, add=None, remove=None) -> None:
+        if self._obf is None:
+            return
+        names = set(self._index_names())
+        if add:
+            names.add(add)
+        if remove:
+            names.discard(remove)
+        td = TensorData()
+        td.set("ix", TensorValue.scalar(
+            self._obf.encrypt_metadata({"names": sorted(names)})))
+        self.store.put(self._index_key(), td)
 
     _MAX_VERSIONS = 10
 
@@ -178,10 +418,15 @@ class TensorVault:
         self._rate_check(actor)
         if actor != self.ROOT:
             self._check(actor, key, Permission.WRITE)
+        self.quotas.record_op()
         nonce = os.urandom(12)
-        ct = self._cipher().encrypt(nonce, value.encode("utf-8"),
-                                    key.encode("utf-8"))
+        pt = value.encode("utf-8")
+        if self._obf is not None:
+            pt = self._obf.pad(pt)      # length hiding
+        ct = self._cipher().encrypt(nonce, pt,
+                                    self._aad(self._suffix(key)))
         data = self.store.get(self._skey(key))
+        self.quotas.check_write(len(ct) + 12, is_new_secret=data is None)
         versions = self._read_versions(data)
         if data is not None and data.get("cipher") is not None:
             versions.append(data.get("cipher").value)
@@ -190,6 +435,7 @@ class TensorVault:
         td.set("cipher", TensorValue.scalar(nonce + ct))
         self._write_versions(td, versions)
         self.store.put(self._skey(key), td)
+        self._index_update(add=key)
         self._log(actor, "set", key, True)
         self._anomaly_check(actor, key)
 
@@ -197,6 +443,7 @@ class TensorVault:
         self._rate_check(actor)
         if actor != self.ROOT:
             self._check(actor, key, Permission.READ)
+        self.quotas.record_op()
         data = self.store.get(self._skey(key))
         if data is None:
             self._log(actor, "get", key, False)
@@ -209,24 +456,32 @@ class TensorVault:
 
     def _decrypt(self, blob: bytes, key: str) -> str:
         nonce, ct = blob[:12], blob[12:]
+        aead = self._cipher()       # sealed/closed raise as themselves
         try:
-            return self._cipher().decrypt(nonce, ct,
-                                          key.encode("utf-8")).decode()
+            pt = aead.decrypt(nonce, ct, self._aad(self._suffix(key)))
         except Exception as e:
             raise VaultError("decryption failed (wrong key or tamper)") \
                 from e
+        if self._obf is not None:
+            pt = self._obf.unpad(pt)
+        return pt.decode("utf-8")
 
     def delete(self, key: str, actor: str = "root") -> bool:
         if actor != self.ROOT:
             self._check(actor, key, Permission.ADMIN)
         ok = self.store.delete(self._skey(key))
+        if ok:
+            self._index_update(remove=key)
         self._log(actor, "delete", key, ok)
         return ok
 
     def list(self, pattern: Optional[str] = None, actor: str = "root"
              ) -> List[str]:
-        prefix = f"{_PREFIX}{self.namespace}:"
-        keys = [k[len(prefix):] for k in self.store.scan(prefix)]
+        if self._obf is not None:
+            keys = self._index_names()
+        else:
+            prefix = f"{_PREFIX}{self.namespace}:"
+            keys = [k[len(prefix):] for k in self.store.scan(prefix)]
         if actor != self.ROOT:
             keys = [k for k in keys
                     if (g := self._grants.get((actor, k))) is not None
@@ -361,11 +616,15 @@ class TensorVault:
 
         meta = json.loads(data.get("meta").value)
         restored = 0
-        for i, name in enumerate(meta.get("keys", [])):
+        prefix = f"{_PREFIX}{self.namespace}:"
+        for i, suffix in enumerate(meta.get("keys", [])):
             blob = data.get(f"c{i}")
             if blob is None:
                 continue
-            cur = self.store.get(self._skey(name))
+            # keys in the snapshot are STORAGE suffixes (obfuscated
+            # names stay obfuscated; never re-MAC them)
+            skey = prefix + suffix
+            cur = self.store.get(skey)
             versions = self._read_versions(cur)
             if cur is not None and cur.get("cipher") is not None:
                 versions.append(cur.get("cipher").value)
@@ -373,7 +632,7 @@ class TensorVault:
             td = TensorData()
             td.set("cipher", TensorValue.scalar(blob.value))
             self._write_versions(td, versions)
-            self.store.put(self._skey(name), td)
+            self.store.put(skey, td)
             restored += 1
         self._log(actor, "restore", snapshot_id, True)
         return restored
