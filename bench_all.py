@@ -30,7 +30,8 @@ def main():
     from neumann_tpu.ops.scan import topk_scan
 
     on_tpu = jax.devices()[0].platform == "tpu"
-    scale = 1 if on_tpu else 100  # CPU smoke mode shrinks corpora
+    scale = 1 if on_tpu else 64  # CPU smoke mode shrinks corpora
+    # (pow2 divisor so pooled layouts still exist at smoke sizes)
 
     results = []
 
@@ -117,9 +118,71 @@ def main():
         "note": "500 nbrs spread over ~450 of 2048 pools; pooled "
                 "selection stays valid (occupancy-gated)"})
 
-    results.append({
-        "config": "sharded 10M int8 (headline)",
-        "note": "see bench.py / BENCH_r*.json"})
+    # -- 5/6: sharded scan over the device mesh ----------------------------
+    # On the 8-virtual-device CPU mesh this measures the REAL sharded
+    # program (shard-local pooled scan + ICI all-gather merge) and its
+    # scaling vs the identical 1-shard program; on v5e-8 the same
+    # program divides the 10M-corpus single-chip scan time by the shard
+    # count (per-shard HBM reads are 1/8), which is the p99 claim.
+    devs = jax.devices()
+    if len(devs) >= 2:
+        from neumann_tpu.parallel import make_mesh
+        from neumann_tpu.parallel.sharded_search import (
+            ShardedCorpus,
+            make_sharded_topk,
+        )
+
+        n6 = (1 << 21) // scale
+        rng6 = np.random.default_rng(6)
+        vecs6 = rng6.standard_normal((n6, 768)).astype(np.float32)
+        q6 = rng6.standard_normal((8, 768)).astype(np.float32)
+
+        def sharded_per_iter(n_shards):
+            mesh = make_mesh(n_shards)
+            sc = ShardedCorpus(mesh, 768, quantized=True)
+            sc.load(vecs6)
+            fn = make_sharded_topk(mesh, 10, "cosine",
+                                   quantized=True)
+            qp = jnp.asarray(
+                np.pad(q6, ((0, 0), (0, sc.dim_pad - 768))))
+
+            @functools.partial(jax.jit, static_argnames="reps")
+            def chain6(c, s, sn, m, qs, reps):
+                def body(_, carry):
+                    cur, acc = carry
+                    ss, _ = fn(c, s, sn, cur, m)
+                    return cur + 1e-30 * ss[0, 0], acc + ss[0, 0]
+                return lax.fori_loop(0, reps, body, (qs, 0.0))[1]
+
+            def timed(r):
+                a = time.perf_counter()
+                float(chain6(sc.corpus, sc.scale, sc.sqnorm, sc.mask,
+                             qp, r))
+                return time.perf_counter() - a
+
+            timed(2)
+            timed(10)
+            t1 = min(timed(2) for _ in range(3))
+            t2 = min(timed(10) for _ in range(3))
+            return (t2 - t1) / 8, sc.corpus.shape[0] // n_shards
+
+        per8, rows8 = sharded_per_iter(len(devs))
+        per1, _ = sharded_per_iter(1)
+        results.append({
+            "config": f"sharded int8 top-10, {n6}x768 over "
+                      f"{len(devs)} devices (8-query batch)",
+            "batch_ms": round(per8 * 1e3, 3),
+            "batch_ms_1shard": round(per1 * 1e3, 3),
+            "scaling_x": round(per1 / per8, 2),
+            "rows_per_shard": rows8,
+            "note": "shard-local pooled scan + all-gather top-k merge; "
+                    "on v5e-8 per-shard HBM reads are 1/8 of the "
+                    "single-chip scan -> ~1.4 ms + merge for 10M int8"})
+    else:
+        results.append({
+            "config": "sharded 10M int8 (headline)",
+            "note": "see bench.py / BENCH_r*.json; run under the "
+                    "8-device virtual mesh for the sharded entry"})
     print(json.dumps(results, indent=1))
 
 

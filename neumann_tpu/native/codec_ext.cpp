@@ -31,6 +31,8 @@
 #include <stdlib.h>
 #include <zlib.h>
 
+static inline uint32_t fast_crc(const unsigned char *p, size_t n);
+
 // ---- module state (set once by init()) --------------------------------
 static PyObject *g_tv_cls;            // TensorValue class
 static PyObject *g_td_cls;            // TensorData class
@@ -299,7 +301,7 @@ static PyObject *py_decode_wal(PyObject *self, PyObject *args) {
         memcpy(&crc, buf + pos + 4, 4);
         if ((Py_ssize_t)flen > len - pos - 8) break;      // torn tail
         const unsigned char *payload = buf + pos + 8;
-        if ((uint32_t)crc32(0, payload, flen) != crc) break;  // corrupt
+        if (fast_crc(payload, flen) != crc) break;  // corrupt
         Rd r = {payload, (Py_ssize_t)flen, 0};
         unsigned op;
         PyObject *rec = NULL;
@@ -333,6 +335,389 @@ static PyObject *py_decode_wal(PyObject *self, PyObject *args) {
 fail:
     Py_DECREF(out);
     PyBuffer_Release(&view);
+    return NULL;
+}
+
+// ---- WAL overlay: replay without materializing Python objects --------
+//
+// wal_overlay(buf) parses every frame ONCE in C++ into a hash map of
+// key -> final payload span (or tombstone). No Python object is
+// created per record, so replay runs at reference-class record rates
+// (tensor_store wal.rs replay); records materialize lazily when the
+// store first touches them (overlay_pop) — the same promote-on-read
+// idea as the reference's cold tier (tensor_store/src/tiered.rs).
+
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+// slicing-by-16 CRC32 (IEEE, zlib-compatible): ~2-4x zlib's rate; the
+// module init self-checks it against zlib and falls back on mismatch.
+static uint32_t s16_tab[16][256];
+static int s16_ok = 0;
+
+#if defined(__x86_64__)
+static uint32_t crc32_pclmul(uint32_t, const unsigned char *, size_t);
+static int pclmul_ok = 0;
+#endif
+
+static void s16_init(void) {
+    for (uint32_t i = 0; i < 256; i++) {
+        uint32_t c = i;
+        for (int k = 0; k < 8; k++)
+            c = (c & 1) ? 0xEDB88320u ^ (c >> 1) : c >> 1;
+        s16_tab[0][i] = c;
+    }
+    for (int j = 1; j < 16; j++)
+        for (uint32_t i = 0; i < 256; i++)
+            s16_tab[j][i] = (s16_tab[j - 1][i] >> 8)
+                ^ s16_tab[0][s16_tab[j - 1][i] & 0xffu];
+    unsigned char tv[257];
+    for (int i = 0; i < 257; i++) tv[i] = (unsigned char)(i * 131 + 7);
+    uint32_t want = (uint32_t)crc32(0, tv, sizeof tv);
+    extern uint32_t s16_crc(uint32_t, const unsigned char *, size_t);
+    s16_ok = (s16_crc(0, tv, sizeof tv) == want);
+#if defined(__x86_64__)
+    if (__builtin_cpu_supports("pclmul")
+        && __builtin_cpu_supports("sse4.1"))
+        pclmul_ok = (crc32_pclmul(0, tv, sizeof tv) == want);
+#endif
+}
+
+uint32_t s16_crc(uint32_t init, const unsigned char *p, size_t n) {
+    uint32_t c = init ^ 0xFFFFFFFFu;
+    while (n >= 16) {
+        uint32_t a, b, d, e;
+        memcpy(&a, p, 4); memcpy(&b, p + 4, 4);
+        memcpy(&d, p + 8, 4); memcpy(&e, p + 12, 4);
+        a ^= c;
+        c = s16_tab[15][a & 0xff] ^ s16_tab[14][(a >> 8) & 0xff]
+          ^ s16_tab[13][(a >> 16) & 0xff] ^ s16_tab[12][a >> 24]
+          ^ s16_tab[11][b & 0xff] ^ s16_tab[10][(b >> 8) & 0xff]
+          ^ s16_tab[9][(b >> 16) & 0xff] ^ s16_tab[8][b >> 24]
+          ^ s16_tab[7][d & 0xff] ^ s16_tab[6][(d >> 8) & 0xff]
+          ^ s16_tab[5][(d >> 16) & 0xff] ^ s16_tab[4][d >> 24]
+          ^ s16_tab[3][e & 0xff] ^ s16_tab[2][(e >> 8) & 0xff]
+          ^ s16_tab[1][(e >> 16) & 0xff] ^ s16_tab[0][e >> 24];
+        p += 16; n -= 16;
+    }
+    while (n--)
+        c = s16_tab[0][(c ^ *p++) & 0xff] ^ (c >> 8);
+    return c ^ 0xFFFFFFFFu;
+}
+
+#if defined(__x86_64__)
+#include <immintrin.h>
+__attribute__((target("pclmul,sse4.1")))
+static uint32_t crc32_pclmul(uint32_t crc0, const unsigned char *buf, size_t len) {
+    // Reflected CRC-32 (IEEE 802.3, zlib-compatible) via PCLMULQDQ
+    // folding. Constants from the Intel "Fast CRC Computation" paper.
+    static const uint64_t k1 = 0x0154442bd4ULL; // x^(4*128+32) mod P
+    static const uint64_t k2 = 0x01c6e41596ULL; // x^(4*128-32) mod P
+    static const uint64_t k3 = 0x01751997d0ULL; // x^(128+32) mod P
+    static const uint64_t k4 = 0x00ccaa009eULL; // x^(128-32) mod P
+    static const uint64_t k5 = 0x0163cd6124ULL; // x^64 mod P
+    static const uint64_t poly = 0x01db710641ULL;
+    static const uint64_t mu   = 0x01f7011641ULL;
+    if (len < 64) return (uint32_t)crc32(crc0, buf, len);
+    uint32_t c = ~crc0;
+    __m128i x0 = _mm_loadu_si128((const __m128i*)buf);
+    __m128i x1 = _mm_loadu_si128((const __m128i*)(buf+16));
+    __m128i x2 = _mm_loadu_si128((const __m128i*)(buf+32));
+    __m128i x3 = _mm_loadu_si128((const __m128i*)(buf+48));
+    x0 = _mm_xor_si128(x0, _mm_cvtsi32_si128((int)c));
+    buf += 64; len -= 64;
+    const __m128i K12 = _mm_set_epi64x((long long)k2, (long long)k1);
+    while (len >= 64) {
+        __m128i y0 = _mm_loadu_si128((const __m128i*)buf);
+        __m128i y1 = _mm_loadu_si128((const __m128i*)(buf+16));
+        __m128i y2 = _mm_loadu_si128((const __m128i*)(buf+32));
+        __m128i y3 = _mm_loadu_si128((const __m128i*)(buf+48));
+        x0 = _mm_xor_si128(_mm_xor_si128(
+                 _mm_clmulepi64_si128(x0, K12, 0x00),
+                 _mm_clmulepi64_si128(x0, K12, 0x11)), y0);
+        x1 = _mm_xor_si128(_mm_xor_si128(
+                 _mm_clmulepi64_si128(x1, K12, 0x00),
+                 _mm_clmulepi64_si128(x1, K12, 0x11)), y1);
+        x2 = _mm_xor_si128(_mm_xor_si128(
+                 _mm_clmulepi64_si128(x2, K12, 0x00),
+                 _mm_clmulepi64_si128(x2, K12, 0x11)), y2);
+        x3 = _mm_xor_si128(_mm_xor_si128(
+                 _mm_clmulepi64_si128(x3, K12, 0x00),
+                 _mm_clmulepi64_si128(x3, K12, 0x11)), y3);
+        buf += 64; len -= 64;
+    }
+    const __m128i K34 = _mm_set_epi64x((long long)k4, (long long)k3);
+    __m128i x = _mm_xor_si128(_mm_xor_si128(
+                    _mm_clmulepi64_si128(x0, K34, 0x00),
+                    _mm_clmulepi64_si128(x0, K34, 0x11)), x1);
+    x = _mm_xor_si128(_mm_xor_si128(
+            _mm_clmulepi64_si128(x, K34, 0x00),
+            _mm_clmulepi64_si128(x, K34, 0x11)), x2);
+    x = _mm_xor_si128(_mm_xor_si128(
+            _mm_clmulepi64_si128(x, K34, 0x00),
+            _mm_clmulepi64_si128(x, K34, 0x11)), x3);
+    while (len >= 16) {
+        __m128i y = _mm_loadu_si128((const __m128i*)buf);
+        x = _mm_xor_si128(_mm_xor_si128(
+                _mm_clmulepi64_si128(x, K34, 0x00),
+                _mm_clmulepi64_si128(x, K34, 0x11)), y);
+        buf += 16; len -= 16;
+    }
+    // fold 128 -> 64 bits
+    __m128i t = _mm_clmulepi64_si128(x, K34, 0x10);
+    x = _mm_xor_si128(_mm_srli_si128(x, 8), t);
+    const __m128i K5 = _mm_set_epi64x(0, (long long)k5);
+    t = _mm_clmulepi64_si128(_mm_and_si128(x, _mm_set_epi32(0,0,0,-1)), K5, 0x00);
+    x = _mm_xor_si128(_mm_srli_si128(x, 4), t);
+    // Barrett reduction 64 -> 32
+    const __m128i Kmp = _mm_set_epi64x((long long)poly, (long long)mu);
+    t = _mm_clmulepi64_si128(_mm_and_si128(x, _mm_set_epi32(0,0,0,-1)), Kmp, 0x00);
+    t = _mm_clmulepi64_si128(_mm_and_si128(t, _mm_set_epi32(0,0,0,-1)), Kmp, 0x10);
+    x = _mm_xor_si128(x, t);
+    c = (uint32_t)_mm_extract_epi32(x, 1);
+    c = ~c;
+    if (len) c = (uint32_t)crc32(c, buf, len);
+    return c;
+}
+
+#endif
+
+static inline uint32_t fast_crc(const unsigned char *p, size_t n) {
+#if defined(__x86_64__)
+    if (pclmul_ok && n >= 64) return crc32_pclmul(0, p, n);
+#endif
+    return s16_ok ? s16_crc(0, p, n) : (uint32_t)crc32(0, p, n);
+}
+
+struct WalOverlay {
+    PyObject *buf;            // owned ref to the WAL bytes
+    // key -> payload offset of the TensorData bytes, or -1 tombstone
+    std::unordered_map<std::string, Py_ssize_t> map;
+    size_t tombstones;
+};
+
+static void overlay_destroy(PyObject *cap) {
+    WalOverlay *ov = (WalOverlay *)PyCapsule_GetPointer(cap,
+                                                        "neumann.walov");
+    if (ov) {
+        Py_XDECREF(ov->buf);
+        delete ov;
+    }
+}
+
+// wal_overlay(buf_bytes) -> (capsule, n_records)
+static PyObject *py_wal_overlay(PyObject *self, PyObject *args) {
+    PyObject *bufobj;
+    if (!PyArg_ParseTuple(args, "S", &bufobj)) return NULL;
+    const unsigned char *buf =
+        (const unsigned char *)PyBytes_AS_STRING(bufobj);
+    Py_ssize_t len = PyBytes_GET_SIZE(bufobj), pos = 0;
+    WalOverlay *ov = new WalOverlay();
+    ov->buf = Py_NewRef(bufobj);
+    ov->tombstones = 0;
+    // typical frame ~100-600B; over-reserving is cheap vs rehashing
+    ov->map.reserve((size_t)(len / 64) + 16);
+    long n = 0;
+    while (pos + 8 <= len) {
+        uint32_t flen, crc;
+        memcpy(&flen, buf + pos, 4);
+        memcpy(&crc, buf + pos + 4, 4);
+        if ((Py_ssize_t)flen > len - pos - 8) break;      // torn tail
+        const unsigned char *payload = buf + pos + 8;
+        if (fast_crc(payload, flen) != crc) break;        // corrupt
+        if (flen < 5) goto malformed;
+        {
+            unsigned op = payload[0];
+            uint32_t klen;
+            memcpy(&klen, payload + 1, 4);
+            if ((Py_ssize_t)klen > (Py_ssize_t)flen - 5) goto malformed;
+            std::string key((const char *)payload + 5, klen);
+            if (op == 0) {
+                auto it = ov->map.find(key);
+                if (it != ov->map.end() && it->second < 0)
+                    ov->tombstones--;
+                ov->map[std::move(key)] = pos + 8 + 5 + klen;
+            } else if (op == 1) {
+                auto it = ov->map.find(key);
+                if (it == ov->map.end() || it->second >= 0)
+                    ov->tombstones++;
+                ov->map[std::move(key)] = -1;
+            } else {
+                goto malformed;
+            }
+        }
+        n++;
+        pos += 8 + (Py_ssize_t)flen;
+    }
+    return Py_BuildValue(
+        "(Nl)", PyCapsule_New(ov, "neumann.walov", overlay_destroy), n);
+malformed:
+    Py_DECREF(ov->buf);
+    delete ov;
+    PyErr_SetString(PyExc_ValueError, "malformed WAL record");
+    return NULL;
+}
+
+static WalOverlay *overlay_of(PyObject *cap) {
+    return (WalOverlay *)PyCapsule_GetPointer(cap, "neumann.walov");
+}
+
+// overlay_pop(capsule, key) -> (code, td) code: 0 absent, 1 put, 2 del
+static PyObject *py_overlay_pop(PyObject *self, PyObject *args) {
+    PyObject *cap;
+    const char *key;
+    Py_ssize_t klen;
+    if (!PyArg_ParseTuple(args, "Os#", &cap, &key, &klen)) return NULL;
+    WalOverlay *ov = overlay_of(cap);
+    if (!ov) return NULL;
+    auto it = ov->map.find(std::string(key, klen));
+    if (it == ov->map.end())
+        return Py_BuildValue("(iO)", 0, Py_None);
+    Py_ssize_t p = it->second;
+    if (p < 0) ov->tombstones--;
+    ov->map.erase(it);
+    if (p < 0)
+        return Py_BuildValue("(iO)", 2, Py_None);
+    Rd r = {(const unsigned char *)PyBytes_AS_STRING(ov->buf),
+            PyBytes_GET_SIZE(ov->buf), p};
+    PyObject *td = decode_data_c(&r);
+    if (!td) return NULL;
+    return Py_BuildValue("(iN)", 1, td);
+}
+
+// overlay_keys(capsule) -> (put_keys_list, tombstone_keys_list)
+static PyObject *py_overlay_keys(PyObject *self, PyObject *args) {
+    PyObject *cap;
+    if (!PyArg_ParseTuple(args, "O", &cap)) return NULL;
+    WalOverlay *ov = overlay_of(cap);
+    if (!ov) return NULL;
+    PyObject *puts = PyList_New(0), *dels = PyList_New(0);
+    if (!puts || !dels) { Py_XDECREF(puts); Py_XDECREF(dels); return NULL; }
+    for (auto &kv : ov->map) {
+        PyObject *k = PyUnicode_DecodeUTF8(kv.first.data(),
+                                           kv.first.size(), "replace");
+        if (!k || PyList_Append(kv.second < 0 ? dels : puts, k) < 0) {
+            Py_XDECREF(k); Py_DECREF(puts); Py_DECREF(dels);
+            return NULL;
+        }
+        Py_DECREF(k);
+    }
+    return Py_BuildValue("(NN)", puts, dels);
+}
+
+// overlay_tombstones(capsule) -> list of tombstoned keys (only)
+static PyObject *py_overlay_tombstones(PyObject *self, PyObject *args) {
+    PyObject *cap;
+    if (!PyArg_ParseTuple(args, "O", &cap)) return NULL;
+    WalOverlay *ov = overlay_of(cap);
+    if (!ov) return NULL;
+    PyObject *dels = PyList_New(0);
+    if (!dels) return NULL;
+    for (auto &kv : ov->map) {
+        if (kv.second >= 0) continue;
+        PyObject *k = PyUnicode_DecodeUTF8(kv.first.data(),
+                                           kv.first.size(), "replace");
+        if (!k || PyList_Append(dels, k) < 0) {
+            Py_XDECREF(k); Py_DECREF(dels); return NULL;
+        }
+        Py_DECREF(k);
+    }
+    return dels;
+}
+
+// crc_fast_ok() -> bool (did the sliced CRC pass its self-check?)
+static PyObject *py_crc_fast_ok(PyObject *self, PyObject *args) {
+    return PyBool_FromLong(s16_ok);
+}
+
+// overlay_count(capsule) -> live put count
+static PyObject *py_overlay_count(PyObject *self, PyObject *args) {
+    PyObject *cap;
+    if (!PyArg_ParseTuple(args, "O", &cap)) return NULL;
+    WalOverlay *ov = overlay_of(cap);
+    if (!ov) return NULL;
+    return PyLong_FromSize_t(ov->map.size() - ov->tombstones);
+}
+
+// wal_apply(buf_bytes, lazy_cls) -> (dict, n_records)
+// Bulk replay: one C pass over the frames; the returned dict maps each
+// key to its FINAL state — a lazy wrapper (slot-only, no per-record
+// field decode) for puts, None for deletes. The caller merges it into
+// the store map, so a malformed record aborts before any mutation.
+static PyObject *py_wal_apply(PyObject *self, PyObject *args) {
+    PyObject *bufobj, *lazy_cls;
+    if (!PyArg_ParseTuple(args, "SO", &bufobj, &lazy_cls)) return NULL;
+    const unsigned char *buf =
+        (const unsigned char *)PyBytes_AS_STRING(bufobj);
+    Py_ssize_t len = PyBytes_GET_SIZE(bufobj), pos = 0;
+    // slot member descriptors of the lazy class (set bypasses __init__)
+    PyObject *d_lbuf = PyObject_GetAttrString(lazy_cls, "_buf");
+    PyObject *d_lpos = PyObject_GetAttrString(lazy_cls, "_pos");
+    PyObject *d_lmat = PyObject_GetAttrString(lazy_cls, "_mat");
+    PyObject *out = PyDict_New();
+    long n = 0;
+    if (!d_lbuf || !d_lpos || !d_lmat || !out) goto fail;
+    while (pos + 8 <= len) {
+        uint32_t flen, crc;
+        memcpy(&flen, buf + pos, 4);
+        memcpy(&crc, buf + pos + 4, 4);
+        if ((Py_ssize_t)flen > len - pos - 8) break;      // torn tail
+        const unsigned char *payload = buf + pos + 8;
+        if (fast_crc(payload, flen) != crc) break;
+        {
+            Rd r = {payload, (Py_ssize_t)flen, 0};
+            unsigned op;
+            if (!rd_u8(&r, &op)) goto fail;
+            PyObject *key = rd_str(&r);
+            if (!key) goto fail;
+            if (op == 0) {
+                PyObject *obj = new_instance(lazy_cls);
+                PyObject *p = obj ? PyLong_FromSsize_t(
+                    pos + 8 + r.pos) : NULL;
+                if (!obj || !p
+                    || Py_TYPE(d_lbuf)->tp_descr_set(d_lbuf, obj,
+                                                     bufobj) < 0
+                    || Py_TYPE(d_lpos)->tp_descr_set(d_lpos, obj,
+                                                     p) < 0
+                    || Py_TYPE(d_lmat)->tp_descr_set(d_lmat, obj,
+                                                     Py_None) < 0
+                    || PyDict_SetItem(out, key, obj) < 0) {
+                    Py_XDECREF(p);
+                    Py_XDECREF(obj);
+                    Py_DECREF(key);
+                    goto fail;
+                }
+                Py_DECREF(p);
+                Py_DECREF(obj);
+            } else if (op == 1) {
+                if (PyDict_SetItem(out, key, Py_None) < 0) {
+                    Py_DECREF(key);
+                    goto fail;
+                }
+            } else {
+                PyErr_Format(PyExc_ValueError, "unknown WAL op %u",
+                             op);
+                Py_DECREF(key);
+                goto fail;
+            }
+            Py_DECREF(key);
+        }
+        n++;
+        pos += 8 + (Py_ssize_t)flen;
+    }
+    Py_DECREF(d_lbuf);
+    Py_DECREF(d_lpos);
+    Py_DECREF(d_lmat);
+    {
+        PyObject *res = Py_BuildValue("(Nl)", out, n);
+        return res;
+    }
+fail:
+    Py_XDECREF(d_lbuf);
+    Py_XDECREF(d_lpos);
+    Py_XDECREF(d_lmat);
+    Py_XDECREF(out);
     return NULL;
 }
 
@@ -553,7 +938,7 @@ static int encode_frame_c(Wr *w, long op, PyObject *key, PyObject *td) {
     if (!wr_u8(w, (unsigned char)op) || !wr_pystr(w, key)) return 0;
     if (op == 0 && !encode_data_c(w, td)) return 0;
     uint32_t flen = (uint32_t)(w->len - start);
-    uint32_t crc = (uint32_t)crc32(0, w->b + start, flen);
+    uint32_t crc = fast_crc(w->b + start, flen);
     memcpy(w->b + hdr_at, &flen, 4);
     memcpy(w->b + hdr_at + 4, &crc, 4);
     return 1;
@@ -724,6 +1109,13 @@ static PyMethodDef methods[] = {
      "as_f4_bytes, sparse_parts)"},
     {"decode_data", py_decode_data, METH_VARARGS, NULL},
     {"decode_wal", py_decode_wal, METH_VARARGS, NULL},
+    {"wal_apply", py_wal_apply, METH_VARARGS, NULL},
+    {"wal_overlay", py_wal_overlay, METH_VARARGS, NULL},
+    {"overlay_pop", py_overlay_pop, METH_VARARGS, NULL},
+    {"overlay_keys", py_overlay_keys, METH_VARARGS, NULL},
+    {"overlay_count", py_overlay_count, METH_VARARGS, NULL},
+    {"crc_fast_ok", py_crc_fast_ok, METH_NOARGS, NULL},
+    {"overlay_tombstones", py_overlay_tombstones, METH_VARARGS, NULL},
     {"decode_snapshot_body", py_decode_snapshot_body, METH_VARARGS, NULL},
     {"encode_data", py_encode_data, METH_O, NULL},
     {"encode_frame", py_encode_frame, METH_VARARGS, NULL},
@@ -742,6 +1134,7 @@ static struct PyModuleDef moddef = {
 
 extern "C" PyMODINIT_FUNC PyInit__neumann_codec(void) {
     import_array();
+    s16_init();
     s_kind = PyUnicode_InternFromString("kind");
     s_value = PyUnicode_InternFromString("value");
     s_fields = PyUnicode_InternFromString("fields");

@@ -226,12 +226,16 @@ class DeviceIVFInt8:
     latency target (north star: p99 < 5 ms on 10M x 768).
 
     A brute scan reads the whole corpus (~12 ms at 10M int8 on one v5e
-    chip); an nprobe search reads only nprobe/n_clusters of it. The
-    padded cluster-sorted layout lives on device as int8 (HBM budget:
-    corpus x (1 + imbalance)); ingestion takes HOST vectors so the
-    original corpus never has to coexist with the layout in HBM —
-    assignment streams through the chip in chunks, the reorder happens
-    in host RAM, and one transfer uploads the layout.
+    chip); an nprobe search reads only ~nprobe/n_clusters of it.
+
+    Layout: WINDOWED cluster-sorted — rows sorted by cluster id into a
+    buffer of EXACTLY corpus size (no per-cluster padding, so a skewed
+    cluster histogram can't blow up HBM like a padded layout would).
+    Each probe reads a fixed-width window starting at its cluster's
+    offset (clamped); the window covers the whole cluster and may spill
+    into neighbors — spillover rows are real corpus rows scored
+    correctly, so they only ADD candidates. Duplicate candidates from
+    overlapping windows are deduped host-side.
     """
 
     def __init__(self, dim: int, n_clusters: int = 1024,
@@ -241,16 +245,36 @@ class DeviceIVFInt8:
         self.nprobe = nprobe
         self.iters = iters
         self.centroids = None      # device [k, d] f32 (unit norm)
-        self._buf = None           # device [k*stride, d] int8
-        self._rmult = None         # device [k*stride] f32 (0 = pad)
-        self._row_ids = None       # host  [k*stride] int32 (-1 = pad)
-        self._stride = 0
+        self._buf = None           # device [n, d] int8, cluster-sorted
+        self._rmult = None         # device [n] f32 (0 = invalid row)
+        self._starts = None        # device [k] int32 window starts
+        self._row_ids = None       # host  [n] int32 (sorted order)
+        self._window = 0
         self._n = 0
+
+    @classmethod
+    def from_device_layout(cls, dim, centroids, buf, rmult, starts,
+                           row_ids, window, nprobe=32):
+        """Assemble from an already cluster-sorted device corpus (used
+        when the corpus is born sorted and host staging is too slow)."""
+        ivf = cls(dim, n_clusters=int(centroids.shape[0]), nprobe=nprobe)
+        ivf.centroids = centroids
+        ivf._buf = buf
+        ivf._rmult = rmult
+        ivf._starts = starts
+        ivf._row_ids = row_ids
+        ivf._window = int(window)
+        ivf._n = int(buf.shape[0])
+        return ivf
 
     def build(self, corpus_q: np.ndarray, corpus_scale: np.ndarray,
               sample_rows: int = 200_000, seed: int = 0,
-              chunk_rows: int = 1 << 20) -> None:
-        """corpus_q int8 [N, d] and per-row scale, both on HOST."""
+              chunk_rows: int = 1 << 20,
+              sample_mask: Optional[np.ndarray] = None) -> None:
+        """corpus_q int8 [N, d] and per-row scale, both on HOST.
+        sample_mask limits the k-means training sample to true rows
+        (e.g. the slab valid mask — padding rows would otherwise pull
+        centroids toward zero)."""
         import jax
         import jax.numpy as jnp
         from jax import lax
@@ -259,7 +283,12 @@ class DeviceIVFInt8:
 
         n, d = corpus_q.shape
         rng = np.random.default_rng(seed)
-        pick = rng.choice(n, size=min(sample_rows, n), replace=False)
+        pool = (np.flatnonzero(sample_mask)
+                if sample_mask is not None else np.arange(n))
+        if pool.size == 0:
+            pool = np.arange(n)
+        pick = rng.choice(pool, size=min(sample_rows, pool.size),
+                          replace=False)
         sample = corpus_q[pick].astype(np.float32) \
             * corpus_scale[pick][:, None]
         sample /= np.maximum(
@@ -284,28 +313,31 @@ class DeviceIVFInt8:
             assign[s:e] = np.asarray(
                 assign_chunk(jnp.asarray(corpus_q[s:e]), self.centroids))
 
-        buf, ids, stride = _padded_layout(corpus_q, assign,
-                                          self.n_clusters)
-        # per-row cosine multiplier in padded order (scale x rsqrt(norm));
-        # padding rows keep 0 -> masked at search time
+        # windowed cluster-sorted layout: buffer is exactly corpus-sized
+        counts = np.bincount(assign, minlength=self.n_clusters)
+        order = np.argsort(assign, kind="stable").astype(np.int32)
+        starts = np.zeros(self.n_clusters, np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        window = int(min(n, ((max(int(counts.max()), 1) + 7) // 8) * 8))
+        starts = np.clip(starts, 0, max(0, n - window)).astype(np.int32)
+
+        # per-row cosine multiplier in sorted order (scale x rsqrt(norm));
+        # all-zero (invalid) rows keep 0 -> masked at search time
         sq = np.einsum("ij,ij->i", corpus_q.astype(np.float32),
                        corpus_q.astype(np.float32)) * corpus_scale ** 2
         rm = np.where(sq > 0, corpus_scale / np.sqrt(np.maximum(sq, 1e-30)),
                       0.0).astype(np.float32)
-        rm_pad = np.zeros(len(ids), np.float32)
-        rm_pad[ids >= 0] = rm[ids[ids >= 0]]
-        self._buf = jnp.asarray(buf)
-        self._rmult = jnp.asarray(rm_pad)
-        self._row_ids = ids
-        self._stride = stride
+        self._buf = jnp.asarray(corpus_q[order])
+        self._rmult = jnp.asarray(rm[order])
+        self._starts = jnp.asarray(starts)
+        self._row_ids = order
+        self._window = window
         self._n = n
 
     def search(self, queries: np.ndarray, k: int,
                nprobe: Optional[int] = None
                ) -> Tuple[np.ndarray, np.ndarray]:
-        import jax
         import jax.numpy as jnp
-        from jax import lax
 
         if self._buf is None:
             raise ValueError("build() first")
@@ -313,38 +345,76 @@ class DeviceIVFInt8:
         q = np.asarray(queries, np.float32)
         if q.ndim == 1:
             q = q[None, :]
-        stride = self._stride
-
-        @functools.partial(jax.jit, static_argnames=("k", "nprobe"))
-        def run(buf, rmult, cents, qs, k, nprobe):
-            qn = qs / jnp.maximum(
-                jnp.linalg.norm(qs, axis=1, keepdims=True), 1e-30)
-            _, probe = lax.top_k(qn @ cents.T, nprobe)
-
-            def one_query(qvec, probes):
-                def gather(cidx):
-                    block = lax.dynamic_slice(
-                        buf, (cidx * stride, 0), (stride, buf.shape[1]))
-                    rm = lax.dynamic_slice(rmult, (cidx * stride,),
-                                           (stride,))
-                    return block, rm, cidx * stride
-                blocks, rms, bases = jax.vmap(gather)(probes)
-                cand = blocks.reshape(-1, buf.shape[1])
-                rm = rms.reshape(-1)
-                pos = (bases[:, None]
-                       + jnp.arange(stride)[None, :]).reshape(-1)
-                dots = (cand.astype(jnp.float32) @ qvec)
-                scores = jnp.where(rm > 0, dots * rm, -jnp.inf)
-                kk = min(k, scores.shape[0])
-                s, i = lax.top_k(scores, kk)
-                return s, pos[i]
-
-            return jax.vmap(one_query)(qn, probe)
-
-        s, pos = run(self._buf, self._rmult, self.centroids,
-                     jnp.asarray(q), k, nprobe)
+        # oversample on device: overlapping windows can yield the same
+        # position twice; dedup below keeps the best k unique rows
+        kk = min(2 * k + 8, self._window * nprobe)
+        s, pos = windowed_ivf_topk(
+            self._buf, self._rmult, self.centroids, self._starts,
+            jnp.asarray(q), kk, nprobe, self._window)
         s = np.asarray(s)
         pos = np.asarray(pos)
-        ids = np.where(pos >= 0, self._row_ids[np.maximum(pos, 0)], -1)
-        ids = np.where(np.isneginf(s), -1, ids)
-        return s, ids.astype(np.int32)
+        nq = s.shape[0]
+        out_s = np.full((nq, k), -np.inf, np.float32)
+        out_i = np.full((nq, k), -1, np.int32)
+        for r in range(nq):
+            seen: set = set()
+            w = 0
+            for j in range(kk):
+                if w >= k or not np.isfinite(s[r, j]):
+                    break
+                p = int(pos[r, j])
+                if p in seen:
+                    continue
+                seen.add(p)
+                out_s[r, w] = s[r, j]
+                out_i[r, w] = self._row_ids[p]
+                w += 1
+        return out_s, out_i
+
+
+@functools.lru_cache(maxsize=None)
+def _windowed_core(k: int, nprobe: int, window: int):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def run(buf, rmult, cents, starts, qs):
+        qn = qs / jnp.maximum(
+            jnp.linalg.norm(qs, axis=1, keepdims=True), 1e-30)
+        _, probe = lax.top_k(qn @ cents.T, nprobe)
+
+        def one_query(qvec, probes):
+            def gather(cidx):
+                base = starts[cidx]
+                block = lax.dynamic_slice(
+                    buf, (base, 0), (window, buf.shape[1]))
+                rm = lax.dynamic_slice(rmult, (base,), (window,))
+                return block, rm, base
+            blocks, rms, bases = jax.vmap(gather)(probes)
+            cand = blocks.reshape(-1, buf.shape[1])
+            rm = rms.reshape(-1)
+            pos = (bases[:, None]
+                   + jnp.arange(window, dtype=jnp.int32)[None, :]
+                   ).reshape(-1)
+            # int8 fits exactly in bf16; bf16 halves the materialized
+            # convert bytes and runs the MXU at full rate
+            dots = jnp.dot(cand.astype(jnp.bfloat16),
+                           qvec.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+            scores = jnp.where(rm > 0, dots * rm, -jnp.inf)
+            s, i = lax.top_k(scores, min(k, scores.shape[0]))
+            return s, pos[i]
+
+        return jax.vmap(one_query)(qn, probe)
+
+    return run
+
+
+def windowed_ivf_topk(buf, rmult, cents, starts, qs, k: int,
+                      nprobe: int, window: int):
+    """Jitted windowed-IVF top-k core (shared by DeviceIVFInt8.search
+    and the latency bench). Returns (scores, positions-in-sorted-buf);
+    positions may repeat across overlapping windows — callers dedup."""
+    return _windowed_core(k, nprobe, window)(buf, rmult, cents,
+                                             starts, qs)

@@ -1,0 +1,132 @@
+"""Auto IVF routing in the vector engine (VectorEngineConfig.ivf_auto).
+
+Large cosine corpora route single/small-batch queries through a device
+IVF-nprobe index (sub-linear HBM reads — the p99<5ms path at 10M rows,
+BASELINE.md target block) instead of the brute MXU scan. Rows mutated
+after the index build are rescanned exactly and merged, so results
+always reflect current data (capability spec:
+vector_engine/src/lib.rs:3429-3512 auto strategy pick)."""
+
+import numpy as np
+import pytest
+
+from neumann_tpu.engines.vector import (
+    SearchResult,
+    VectorEngine,
+    VectorEngineConfig,
+)
+
+
+def _clustered(n, d, k_clusters, rng):
+    cents = rng.standard_normal((k_clusters, d)).astype(np.float32) * 3
+    assign = rng.integers(0, k_clusters, n)
+    v = cents[assign] + 0.3 * rng.standard_normal((n, d)).astype(
+        np.float32)
+    return v.astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def engine_and_data():
+    rng = np.random.default_rng(42)
+    n, d = 12_000, 64
+    vecs = _clustered(n, d, 48, rng)
+    cfg = VectorEngineConfig(
+        ivf_auto_threshold=5_000, ivf_auto_clusters=48,
+        ivf_auto_nprobe=12, ivf_auto_max_batch=8)
+    eng = VectorEngine(config=cfg)
+    eng.batch_store_embeddings(
+        [(f"k{i}", vecs[i]) for i in range(n)])
+    return eng, vecs
+
+
+def _brute_top(vecs, q, k):
+    vn = vecs / np.maximum(
+        np.linalg.norm(vecs, axis=1, keepdims=True), 1e-30)
+    qn = q / max(np.linalg.norm(q), 1e-30)
+    return np.argsort(-(vn @ qn))[:k]
+
+
+def test_auto_route_triggers_and_recalls(engine_and_data):
+    eng, vecs = engine_and_data
+    hits = eng.search_similar(vecs[7], 10)
+    # the index exists now: the corpus is over the threshold
+    corpus = eng._corpora[""][64]
+    assert getattr(corpus, "_auto_ivf", None) is not None
+    assert hits[0].key == "k7" and hits[0].score > 0.98
+    # recall@10 vs exact oracle over several queries
+    recs = []
+    for qi in (3, 1000, 5000, 11999):
+        want = {f"k{i}" for i in _brute_top(vecs, vecs[qi], 10)}
+        got = {h.key for h in eng.search_similar(vecs[qi], 10)}
+        recs.append(len(want & got) / 10)
+    assert np.mean(recs) >= 0.9, recs
+
+
+def test_large_batches_still_brute(engine_and_data):
+    eng, vecs = engine_and_data
+    # batch > ivf_auto_max_batch takes the throughput-optimal scan
+    out = eng.batch_search(vecs[:16], 5)
+    assert len(out) == 16 and out[3][0].key == "k3"
+
+
+def test_mutations_after_build_are_exact(engine_and_data):
+    eng, vecs = engine_and_data
+    d = vecs.shape[1]
+    q = np.asarray(vecs[100])
+    # plant a new best match AFTER the index was built. Its score comes
+    # from the exact f32 delta rescan; k100 (== q) scores ~1.0 through
+    # the int8/bf16 index, so allow the tie either way round.
+    eng.store_embedding("planted", q * 2.0)
+    hits = eng.search_similar(q, 5)
+    planted = next(h for h in hits[:2] if h.key == "planted")
+    assert planted.score > 0.9999     # exact f32 rescan, not int8
+    # update an existing row to become another best match
+    eng.store_embedding("k500", q * 1.5)
+    hits = eng.search_similar(q, 5)
+    assert {"planted", "k500"} <= {h.key for h in hits[:3]}
+    # delete them: neither may come back (stale candidates dropped)
+    eng.delete_embedding("planted")
+    eng.delete_embedding("k500")
+    hits = eng.search_similar(q, 5)
+    keys = {h.key for h in hits}
+    assert "planted" not in keys and "k500" not in keys
+    assert hits[0].key == "k100"
+
+
+def test_rebuild_after_heavy_churn(engine_and_data):
+    eng, vecs = engine_and_data
+    corpus = eng._corpora[""][64]
+    eng.search_similar(vecs[0], 3)
+    old = corpus._auto_ivf
+    # churn more than max(1024, rebuild_frac*n) rows -> rebuild
+    rng = np.random.default_rng(1)
+    upd = rng.standard_normal((1100, 64)).astype(np.float32)
+    eng.batch_store_embeddings(
+        [(f"k{i}", upd[j]) for j, i in enumerate(range(2000, 3100))])
+    eng.search_similar(vecs[0], 3)
+    assert corpus._auto_ivf is not old
+    assert corpus.slab.watch_count("auto_ivf") == 0
+
+
+def test_filtered_and_noncosine_fall_back(engine_and_data):
+    eng, vecs = engine_and_data
+    from neumann_tpu.engines.vector import FilterCondition
+
+    # metadata filter -> brute path with fused mask (no metadata set,
+    # so an exists-filter matches nothing)
+    out = eng.search_similar_filtered(
+        vecs[0], 5, FilterCondition.exists("tag"))
+    assert out == []
+    # euclidean metric never routes through the cosine IVF
+    hits = eng.search_similar_with_metric(vecs[8], 3, "euclidean")
+    assert hits[0].key == "k8"
+
+
+def test_disabled_flag():
+    cfg = VectorEngineConfig(ivf_auto=False, ivf_auto_threshold=10)
+    eng = VectorEngine(config=cfg)
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal((50, 8)).astype(np.float32)
+    eng.batch_store_embeddings([(f"x{i}", v[i]) for i in range(50)])
+    assert eng.search_similar(v[4], 3)[0].key == "x4"
+    assert getattr(eng._corpora[""][8], "_auto_ivf", None) is None

@@ -1,0 +1,126 @@
+"""WAL overlay recovery: C++ replay map + promote-on-read laziness
+(the host path closing BASELINE.md's 25M records/s replay row; see
+store/tensor_store.py recover)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from neumann_tpu.store import codec
+from neumann_tpu.store.tensor_store import (
+    LazyTensorData,
+    TensorData,
+    TensorStore,
+    TensorValue,
+)
+from neumann_tpu.store.wal import TensorWal
+
+native = pytest.mark.skipif(codec._native() is None,
+                            reason="no native codec")
+
+
+def _write_wal(path, n=200, deletes=()):
+    w = TensorWal(path, sync_mode="manual")
+    for i in range(n):
+        td = TensorData()
+        td.set("v", TensorValue.scalar(i))
+        td.set("embedding", TensorValue.vector(
+            np.full(8, float(i), np.float32)))
+        w.log_put(f"k{i}", td)
+    for i in deletes:
+        w.log_delete(f"k{i}")
+    w.flush()
+    w.close()
+
+
+@native
+def test_overlay_recover_semantics(tmp_path):
+    p = str(tmp_path / "wal.log")
+    _write_wal(p, 200, deletes=[0, 5, 7])
+    s = TensorStore()
+    n = s.recover(p)
+    assert n == 203
+    # overlay holds the records without materializing them
+    assert s._ov_cap is not None
+    assert len(s) == 197
+    assert s.scan_count() == 197
+    # promote-on-read
+    d = s.get("k42")
+    assert d.get("v").value == 42
+    assert np.allclose(d.get("embedding").to_dense(), 42.0)
+    assert s.get("k5") is None and not s.exists("k5")
+    assert s.exists("k60")
+    # scan sees unmaterialized keys
+    keys = s.scan("k")
+    assert len(keys) == 197 and "k42" in keys and "k5" not in keys
+    # overwrite + delete interact with the overlay correctly
+    s.put("k60", TensorData().set("v", TensorValue.scalar(-1)))
+    assert s.get("k60").get("v").value == -1
+    assert s.delete("k61") and s.get("k61") is None
+    assert len(s) == 196
+    # snapshot materializes everything and round-trips
+    blob = s.snapshot_bytes()
+    s2 = TensorStore()
+    s2.restore_from_bytes(blob)
+    assert len(s2) == 196
+    assert s2.get("k42").get("v").value == 42
+
+
+@native
+def test_overlay_last_write_wins(tmp_path):
+    p = str(tmp_path / "wal.log")
+    w = TensorWal(p, sync_mode="manual")
+    w.log_put("a", TensorData().set("v", TensorValue.scalar(1)))
+    w.log_delete("a")
+    w.log_put("a", TensorData().set("v", TensorValue.scalar(2)))
+    w.log_put("b", TensorData().set("v", TensorValue.scalar(3)))
+    w.log_delete("b")
+    w.flush()
+    w.close()
+    s = TensorStore()
+    assert s.recover(p) == 5
+    assert s.get("a").get("v").value == 2
+    assert s.get("b") is None
+    assert len(s) == 1
+
+
+@native
+def test_overlay_torn_tail(tmp_path):
+    p = str(tmp_path / "wal.log")
+    _write_wal(p, 50)
+    with open(p, "ab") as fh:
+        fh.write(b"\x99\x88\x77")      # torn frame
+    s = TensorStore()
+    assert s.recover(p) == 50
+    assert s.get("k49") is not None
+
+
+@native
+def test_recover_with_hooks_uses_lazy_records(tmp_path):
+    """Engines registered before recovery still see every record (the
+    lazy wal_apply path fires put hooks with decode-on-touch data)."""
+    p = str(tmp_path / "wal.log")
+    _write_wal(p, 30, deletes=[3])
+    s = TensorStore()
+    seen = {}
+    s.on_put(lambda k, d: seen.__setitem__(k, d))
+    n = s.recover(p)
+    assert n == 31
+    assert len(seen) == 29 and "k3" not in seen
+    assert isinstance(seen["k7"], LazyTensorData)
+    assert seen["k7"].get("v").value == 7     # decodes on touch
+    assert len(s) == 29
+
+
+@native
+def test_lazy_tensor_data_mutation():
+    td = TensorData().set("x", TensorValue.scalar(5))
+    blob = codec.encode_data(td)
+    lazy = LazyTensorData(blob, 0)
+    assert lazy.get("x").value == 5
+    lazy.set("y", TensorValue.scalar(6))
+    assert lazy.get("y").value == 6 and lazy.get("x").value == 5
+    # encodes like a normal TensorData
+    rt = codec.decode_data(codec.encode_data(lazy))
+    assert rt.get("y").value == 6
