@@ -72,6 +72,14 @@ class ClusterProtocolMixin:
         self.local_writes: Dict[str, TensorData] = {}
         self.merge_reports: List[dict] = []
         self._known_faulty: set = set()
+        self._offer_seq = 0
+        self._last_offer_tick = -10**9
+        # leader-side: offers answered only after their resolution
+        # entries COMMIT (a deposed leader's proposals may vanish, so
+        # an early merge_done could lose the offered writes)
+        self._handled_offers: Dict[str, dict] = {}
+        self._pending_merge_replies: List[tuple] = []
+        self._outstanding_offers: Dict[str, set] = {}
 
     # -- outbound ----------------------------------------------------------
     def _send_msg(self, m: Message) -> None:
@@ -118,7 +126,14 @@ class ClusterProtocolMixin:
             return True
         if msg.kind == "merge_done":
             with self._lock:
-                self.local_writes.clear()
+                # clear only the keys that offer covered: writes made
+                # AFTER it was sent still need their own merge
+                covered = self._outstanding_offers.pop(
+                    msg.payload.get("oid"), None)
+                if covered is None:
+                    covered = set(self.local_writes)
+                for k in covered:
+                    self.local_writes.pop(k, None)
                 self.merge_reports.append(msg.payload.get("report", {}))
             return True
         return False
@@ -133,6 +148,46 @@ class ClusterProtocolMixin:
             self._send(m.dst, m.kind, m.payload)
         self._check_heals()
         self._drive_membership()
+        self._flush_merge_replies()
+        # liveness: unacknowledged local writes re-offer periodically
+        # (the previous offer may have hit a deposed leader)
+        with self._lock:
+            stale = (self.local_writes
+                     and self._protocol_ticks - self._last_offer_tick
+                     > 25)
+            leader = self.raft.leader_id
+        if stale:
+            target = leader
+            if target is None and self.gossip is not None:
+                alive = self.gossip.alive_peers()
+                if alive:
+                    target = alive[0]
+            if target is not None:
+                self._offer_merge(target)
+
+    def _flush_merge_replies(self) -> None:
+        from neumann_tpu.chain.raft import LEADER
+
+        if not self._pending_merge_replies:
+            return
+        with self._lock:
+            is_leader = self.raft.state == LEADER
+            commit = self.raft.commit_index
+            pending = self._pending_merge_replies
+            done, keep = [], []
+            for reply_to, oid, report, upto in pending:
+                if not is_leader:
+                    # deposed: our proposals may never commit — drop;
+                    # the offerer re-offers to the real leader
+                    self._handled_offers.pop(oid, None)
+                elif commit >= upto:
+                    done.append((reply_to, oid, report))
+                else:
+                    keep.append((reply_to, oid, report, upto))
+            self._pending_merge_replies = keep
+        for reply_to, oid, report in done:
+            self._send(reply_to, "merge_done",
+                       {"oid": oid, "report": report})
 
     # -- failure detection -> membership ----------------------------------
     def _drive_membership(self) -> None:
@@ -195,10 +250,20 @@ class ClusterProtocolMixin:
         with self._lock:
             items = [{"key": k, "data": codec.encode_data(d).hex()}
                      for k, d in self.local_writes.items()]
+            self._offer_seq += 1
+            oid = f"{self.id}:{self._offer_seq}"
+            self._last_offer_tick = self._protocol_ticks
+            self._outstanding_offers[oid] = {
+                it["key"] for it in items}
         if not items:
             return
-        self._send(via, "merge_offer",
-                   {"items": items, "reply_to": self.id})
+        payload = {"items": items, "reply_to": self.id, "oid": oid}
+        if via == self.id:
+            # the leader itself holds eventual writes: merge locally
+            self._on_merge_offer(Message("merge_offer", self.id,
+                                         self.id, payload))
+        else:
+            self._send(via, "merge_offer", payload)
 
     def _on_merge_offer(self, msg: Message) -> None:
         """Leader-side 6-phase resolution, with RESOLVE riding the log."""
@@ -210,22 +275,27 @@ class ClusterProtocolMixin:
         from neumann_tpu.chain.raft import LEADER
 
         reply_to = msg.payload.get("reply_to", msg.src)
+        oid = msg.payload.get("oid", f"{reply_to}:?")
         with self._lock:
             is_leader = self.raft.state == LEADER
             leader = self.raft.leader_id
+            already = self._handled_offers.get(oid)
         if not is_leader:
             if leader is not None and leader != self.id:
                 self._send(leader, "merge_offer", msg.payload)
             return
+        if already is not None:
+            return   # duplicate offer: the pending reply covers it
         report = {"merged": [], "took_leader": [], "took_offer": [],
                   "conflicts": []}
         cfg = ConsensusConfig()
+        idxs: list = []
         for item in msg.payload.get("items", []):
             key = item["key"]
             offered = codec.decode_data(bytes.fromhex(item["data"]))
             ours = self.store.get(key)
             if ours is None:
-                self._propose_resolution(key, offered)
+                idxs.append(self._propose_resolution(key, offered))
                 report["took_offer"].append(key)
                 continue
             le = self._emb_of(ours)
@@ -234,11 +304,16 @@ class ClusterProtocolMixin:
                 # no comparable embeddings: leader's copy wins, but the
                 # conflict is surfaced (and re-proposed so the offering
                 # side converges back to the leader's value)
-                self._propose_resolution(key, ours)
+                idxs.append(self._propose_resolution(key, ours))
                 report["conflicts"].append(key)
                 continue
             cls = classify_delta_geometry(le, re, cfg)
             if cls == ConflictClass.IDENTICAL:
+                # STILL propose: "ours" may exist only in this node's
+                # unreplicated eventual-mode store (e.g. the leader
+                # itself took a local write) — every resolution rides
+                # the log so all stores converge
+                idxs.append(self._propose_resolution(key, ours))
                 report["took_leader"].append(key)
             elif cls == ConflictClass.ORTHOGONAL:
                 merged = TensorData()
@@ -249,17 +324,24 @@ class ClusterProtocolMixin:
                             name not in merged.fields:
                         merged.set(name, val)
                 merged.set("embedding", TensorValue.vector(le + re))
-                self._propose_resolution(key, merged)
+                idxs.append(self._propose_resolution(key, merged))
                 report["merged"].append(key)
             elif cls == ConflictClass.SIMILAR:
-                self._propose_resolution(key, ours)
+                idxs.append(self._propose_resolution(key, ours))
                 report["took_leader"].append(key)
             else:
-                self._propose_resolution(key, ours)
+                idxs.append(self._propose_resolution(key, ours))
                 report["conflicts"].append(key)
+        if any(i is None for i in idxs):
+            return   # lost leadership mid-offer; offerer will retry
         with self._lock:
             self.merge_reports.append(report)
-        self._send(reply_to, "merge_done", {"report": report})
+            upto = max([i for i in idxs if i is not None],
+                       default=self.raft.commit_index)
+            self._handled_offers[oid] = report
+            self._pending_merge_replies.append(
+                (reply_to, oid, report, upto))
+        self._flush_merge_replies()
 
     @staticmethod
     def _emb_of(data: TensorData) -> Optional[np.ndarray]:
@@ -268,9 +350,9 @@ class ClusterProtocolMixin:
             return None
         return emb.to_dense()
 
-    def _propose_resolution(self, key: str, data: TensorData) -> None:
+    def _propose_resolution(self, key: str, data: TensorData):
         with self._lock:
-            self.raft.propose(self._encode_put(key, data))
+            return self.raft.propose(self._encode_put(key, data))
 
     # -- delta replication -------------------------------------------------
     def enable_delta_replication(self, dim: int,

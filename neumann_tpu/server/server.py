@@ -353,6 +353,11 @@ class NeumannServer:
         return [
             grpc.method_handlers_generic_handler("neumann.QueryService", q),
             grpc.method_handlers_generic_handler("neumann.Health", h),
+            # v1 is wire-identical to v1alpha (same message fields; only
+            # the service name changed), so one handler serves both —
+            # modern grpcurl probes v1 first (tonic serves both too)
+            grpc.method_handlers_generic_handler(
+                "grpc.reflection.v1.ServerReflection", r),
             grpc.method_handlers_generic_handler(
                 "grpc.reflection.v1alpha.ServerReflection", r),
             grpc.method_handlers_generic_handler("neumann.PointsService", p),

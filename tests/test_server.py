@@ -436,3 +436,29 @@ def test_rest_points_get_and_scroll():
         assert page2["next_offset"] is None
     finally:
         rs.stop()
+
+
+def test_grpc_server_reflection_v1():
+    """Modern grpcurl probes grpc.reflection.v1 first; the server
+    serves the same (wire-identical) handler under both names."""
+    import grpc
+
+    from neumann_tpu.server import reflection_pb2 as rpb
+    from neumann_tpu.server.server import NeumannServer
+
+    srv = NeumannServer(port=0)
+    port = srv.serve()
+    try:
+        ch = grpc.insecure_channel(f"127.0.0.1:{port}")
+        stub = ch.stream_stream(
+            "/grpc.reflection.v1.ServerReflection/ServerReflectionInfo",
+            request_serializer=rpb.ServerReflectionRequest
+            .SerializeToString,
+            response_deserializer=rpb.ServerReflectionResponse
+            .FromString)
+        resps = list(stub(iter([
+            rpb.ServerReflectionRequest(list_services="")])))
+        names = {s.name for s in resps[0].list_services_response.service}
+        assert "neumann.QueryService" in names
+    finally:
+        srv.stop()
