@@ -52,13 +52,25 @@ _MASTER = re.compile(
 )
 
 
+_EXT = None
+_EXT_TRIED = False
+
+
+def _ext():
+    global _EXT, _EXT_TRIED
+    if not _EXT_TRIED:
+        _EXT_TRIED = True
+        from neumann_tpu.native import pylexer
+
+        _EXT = pylexer.load()
+    return _EXT
+
+
 def tokenize(src: str) -> List[Token]:
     # ASCII sources take the native tokenizer (~10x); non-ASCII input
     # keeps the regex path so unicode identifier semantics are exact
     if src.isascii():
-        from neumann_tpu.native import pylexer
-
-        ext = pylexer.load()
+        ext = _EXT if _EXT_TRIED else _ext()
         if ext is not None:
             try:
                 return ext.tokenize(src)

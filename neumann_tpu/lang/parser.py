@@ -8,6 +8,7 @@ statement grammar this mirrors (parser structure itself is original).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Dict, List, Optional, Tuple
 
@@ -51,8 +52,8 @@ class _Parser:
     # peek — at_kw/accept_kw run ~20x per statement and this halves
     # cold-parse time. Nothing assigns self.pos outside next().
 
-    def __init__(self, src: str):
-        self.toks = tokenize(src)
+    def __init__(self, src: str, toks=None):
+        self.toks = toks if toks is not None else tokenize(src)
         self.pos = 0
         t = self.toks[0]
         self.cur = t
@@ -1570,12 +1571,209 @@ def parse(src: str) -> ast.Statement:
 def parse_cached(src: str) -> ast.Statement:
     """Statement-cache variant of parse() (the router's entry point).
 
-    The reference parses at native speed (1.9M/s, benchmarks/index.md:46);
-    here repeated statements — the common case in serving — skip the
-    parse entirely. The returned AST is SHARED across calls: executors
-    treat statements as read-only (verified: no executor mutates them;
-    the one rewrite site uses dataclasses.replace)."""
-    return parse(src)
+    Two cache tiers. Exact: repeated statements skip everything (the
+    returned AST is SHARED across calls: executors treat statements as
+    read-only; the one rewrite site uses dataclasses.replace). On an
+    exact miss, the PARAMETERIZED tier kicks in: the statement's
+    literals are stripped into a shape key, the AST template for that
+    shape is cached once, and fresh literals substitute along the
+    template's literal spine — so workloads whose statements differ
+    only in values (bulk INSERTs, point lookups) cold-"parse" at
+    template-substitution speed instead of full parse speed (the
+    reference parses at native 1.9M/s, benchmarks/index.md:46)."""
+    return parse_param(src)
+
+
+# -- parameterized statement templates ----------------------------------
+#
+# Literal tokens are replaced by value-preserving marker subclasses
+# (_IntLit(5) IS the int 5, plus a slot id), so the template parse
+# behaves byte-for-byte like a real parse — any parser branch that
+# inspects a literal's value sees the true value. After parsing, the
+# AST is scanned for the markers; if every slot is found, a builder is
+# compiled that reconstructs ONLY the spine from the root to each
+# literal (all other subtrees are shared). If any slot vanished (value
+# folded into an ndarray, arithmetic, string surgery), the shape is
+# marked unparameterizable and always takes the direct parse.
+
+
+class _IntLit(int):
+    slot: int
+
+
+class _FloatLit(float):
+    slot: int
+
+
+class _StrLit(str):
+    slot: int
+
+
+_MARKS = (_IntLit, _FloatLit, _StrLit)
+_PLAIN = {_IntLit: int, _FloatLit: float, _StrLit: str}
+
+
+def _mark(value, slot):
+    if isinstance(value, bool):      # bool is int; never parameterize
+        return None
+    for mk in _MARKS:
+        if type(value) is _PLAIN[mk]:
+            m = mk(value)
+            m.slot = slot
+            return m
+    return None
+
+
+def _compile_subst(node, found):
+    """Returns builder(vals)->subtree, or None when the subtree holds
+    no markers (callers then share `node`). Records slots in `found`.
+    Builders bypass dataclass __init__ (prototype __dict__ copy + hot
+    field patch) — the whole point is to be much cheaper than parsing.
+    """
+    t = type(node)
+    if t in _MARKS:
+        found.add(node.slot)
+        plain = _PLAIN[t]
+        return lambda vals, i=node.slot, c=plain: c(vals[i])
+    if dataclasses.is_dataclass(node) and not isinstance(node, type):
+        subs = [(f.name, _compile_subst(getattr(node, f.name), found))
+                for f in dataclasses.fields(node)]
+        hot = [(n, b) for n, b in subs if b is not None]
+        if not hot:
+            return None
+        cls = t
+        if hasattr(node, "__dict__"):
+            proto = dict(node.__dict__)
+
+            def build(vals, cls=cls, proto=proto, hot=hot):
+                obj = object.__new__(cls)
+                d = obj.__dict__      # mutate in place: rebinding
+                d.update(proto)       # __dict__ trips frozen __setattr__
+                for n, b in hot:
+                    d[n] = b(vals)
+                return obj
+        else:   # slotted dataclass: construct via kwargs
+            def build(vals, cls=cls, node=node, subs=subs):
+                return cls(**{n: (getattr(node, n) if b is None
+                                  else b(vals)) for n, b in subs})
+        return build
+    if t is list or t is tuple:
+        subs = [_compile_subst(x, found) for x in node]
+        hot = [(i, b) for i, b in enumerate(subs) if b is not None]
+        if not hot:
+            return None
+        if t is list:
+            def build_seq(vals, node=node, hot=hot):
+                out = list(node)
+                for i, b in hot:
+                    out[i] = b(vals)
+                return out
+        else:
+            def build_seq(vals, node=node, hot=hot):
+                out = list(node)
+                for i, b in hot:
+                    out[i] = b(vals)
+                return tuple(out)
+        return build_seq
+    if t is dict:
+        subs = {k: (_compile_subst(k, found), _compile_subst(v, found))
+                for k, v in node.items()}
+        if all(kb is None and vb is None
+               for kb, vb in subs.values()):
+            return None
+
+        def build_map(vals, node=node, subs=subs):
+            return {(k if subs[k][0] is None else subs[k][0](vals)):
+                    (v if subs[k][1] is None else subs[k][1](vals))
+                    for k, v in node.items()}
+        return build_map
+    return None
+
+
+_UNPARAM = object()
+_template_cache: Dict[tuple, object] = {}
+_TEMPLATE_CACHE_MAX = 2048
+# shape-key markers: one interned singleton per literal type (the key
+# must distinguish INSERT .. (1) from (1.5) from ('1'))
+_KI, _KF, _KS = "\x00i", "\x00f", "\x00s"
+_LITKINDS = frozenset(("number", "string"))
+
+
+def parse_param(src: str) -> ast.Statement:
+    """parse() with the parameterized-template fast path. The hit path
+    is one native shape() pass (key + literal values, no Token objects)
+    plus a spine rebuild; tokens and template compilation only happen
+    on a shape miss."""
+    from neumann_tpu.lang import lexer as _lx
+
+    ext = _lx._EXT if _lx._EXT_TRIED else _lx._ext()
+    if ext is not None and src.isascii():
+        try:
+            key, vals = ext.shape(src)
+        except ValueError:
+            return _parse_tokens(tokenize(src))  # full ParseError path
+        if not vals:
+            return _parse_tokens(tokenize(src))
+        entry = _template_cache.get(key)
+        if entry is not None:
+            if entry is _UNPARAM:
+                return _parse_tokens(tokenize(src))
+            return entry(vals)
+        toks = tokenize(src)
+    else:
+        toks = tokenize(src)
+        key = tuple(
+            (t.text if t.kind not in _LITKINDS
+             else (_KS if t.kind == "string"
+                   else (_KI if type(t.value) is int else _KF)))
+            for t in toks)
+        vals = [t.value for t in toks if t.kind in _LITKINDS]
+        if not vals:
+            return _parse_tokens(toks)
+        entry = _template_cache.get(key)
+        if entry is not None:
+            if entry is _UNPARAM:
+                return _parse_tokens(toks)
+            return entry(vals)
+
+    # template miss: parse once with value-preserving markers
+    marked = []
+    i = 0
+    for t in toks:
+        if t.kind in ("number", "string"):
+            m = _mark(t.value, i)
+            if m is None:          # exotic literal type
+                _template_cache[key] = _UNPARAM
+                return _parse_tokens(toks)
+            marked.append(Token(t.kind, t.text, m, t.line, t.col))
+            i += 1
+        else:
+            marked.append(t)
+    stmt = _parse_tokens(marked)   # ParseError: don't cache
+    found: set = set()
+    builder = _compile_subst(stmt, found)
+    if found != set(range(len(vals))) or builder is None:
+        entry = _UNPARAM   # a literal vanished into the AST
+    else:
+        entry = builder
+    if len(_template_cache) >= _TEMPLATE_CACHE_MAX:
+        _template_cache.clear()
+    _template_cache[key] = entry
+    if entry is _UNPARAM:
+        return _parse_tokens(toks)
+    return stmt          # first hit: markers ARE the right values
+
+
+def _parse_tokens(toks) -> ast.Statement:
+    p = _Parser("", toks=toks)
+    stmt = p.statement()
+    while p.accept_punct(";"):
+        pass
+    t = p.peek()
+    if t.kind != "eof":
+        raise ParseError(f"unexpected trailing input {t.text!r}",
+                         t.line, t.col)
+    return stmt
 
 
 def parse_many(src: str) -> List[ast.Statement]:

@@ -249,6 +249,172 @@ fail:
     return NULL;
 }
 
+// shape(src) -> (key_tuple, vals_list): the parameterized-statement
+// shape key in ONE pass with zero Token objects. Literal tokens
+// contribute a type marker ("\x00i"/"\x00f"/"\x00s") to the key and
+// their value to vals; everything else contributes its text. Lex
+// errors raise the same ValueError triple as tokenize.
+static PyObject *k_mark_i, *k_mark_f, *k_mark_s;
+
+static PyObject *py_shape(PyObject *self, PyObject *arg) {
+    if (!PyUnicode_Check(arg)) {
+        PyErr_SetString(PyExc_TypeError, "expected str");
+        return NULL;
+    }
+    Py_ssize_t n;
+    const char *s = PyUnicode_AsUTF8AndSize(arg, &n);
+    if (!s) return NULL;
+    PyObject *key = PyList_New(0);
+    PyObject *vals = PyList_New(0);
+    if (!key || !vals) { Py_XDECREF(key); Py_XDECREF(vals); return NULL; }
+
+    Py_ssize_t pos = 0, line = 1, line_start = 0;
+    while (pos < n) {
+        unsigned char c = (unsigned char)s[pos];
+        if (c == ' ' || c == '\t' || c == '\r' || c == '\n') {
+            if (c == '\n') { line++; line_start = pos + 1; }
+            pos++;
+            continue;
+        }
+        if (c == '-' && pos + 1 < n && s[pos + 1] == '-') {
+            pos += 2;
+            while (pos < n && s[pos] != '\n') pos++;
+            continue;
+        }
+        Py_ssize_t tok_line = line, tok_col = pos - line_start + 1;
+        if (c == '\'') {
+            Py_ssize_t p = pos + 1;
+            int has_escape = 0;
+            for (;;) {
+                if (p >= n) {
+                    lex_err("unterminated string", tok_line, tok_col);
+                    goto fail;
+                }
+                if (s[p] == '\'') {
+                    if (p + 1 < n && s[p + 1] == '\'') {
+                        has_escape = 1;
+                        p += 2;
+                        continue;
+                    }
+                    break;
+                }
+                if (s[p] == '\n') { line++; line_start = p + 1; }
+                p++;
+            }
+            PyObject *body;
+            if (!has_escape) {
+                body = PyUnicode_FromStringAndSize(s + pos + 1,
+                                                   p - pos - 1);
+            } else {
+                Py_ssize_t blen = p - pos - 1;
+                char *tmp = (char *)PyMem_Malloc(blen ? blen : 1);
+                if (!tmp) { PyErr_NoMemory(); goto fail; }
+                Py_ssize_t w = 0;
+                for (Py_ssize_t i = pos + 1; i < p; i++) {
+                    tmp[w++] = s[i];
+                    if (s[i] == '\'' && i + 1 < p && s[i + 1] == '\'')
+                        i++;
+                }
+                body = PyUnicode_FromStringAndSize(tmp, w);
+                PyMem_Free(tmp);
+            }
+            if (!body) goto fail;
+            if (PyList_Append(key, k_mark_s) != 0
+                || PyList_Append(vals, body) != 0) {
+                Py_DECREF(body);
+                goto fail;
+            }
+            Py_DECREF(body);
+            pos = p + 1;
+        } else if (is_digit(c)
+                   || (c == '.' && pos + 1 < n && is_digit(
+                           (unsigned char)s[pos + 1]))) {
+            Py_ssize_t p = pos;
+            int is_float = 0;
+            while (p < n && is_digit((unsigned char)s[p])) p++;
+            if (p < n && s[p] == '.') {
+                is_float = 1;
+                p++;
+                while (p < n && is_digit((unsigned char)s[p])) p++;
+            }
+            if (p < n && (s[p] == 'e' || s[p] == 'E')) {
+                is_float = 1;
+                p++;
+                if (p < n && (s[p] == '+' || s[p] == '-')) p++;
+                Py_ssize_t dstart = p;
+                while (p < n && is_digit((unsigned char)s[p])) p++;
+                if (p == dstart) {
+                    lex_err("bad number", tok_line, tok_col);
+                    goto fail;
+                }
+            }
+            char buf[64];
+            Py_ssize_t tl = p - pos;
+            PyObject *value = NULL;
+            if (tl < (Py_ssize_t)sizeof(buf)) {
+                memcpy(buf, s + pos, tl);
+                buf[tl] = 0;
+                value = is_float
+                    ? PyFloat_FromDouble(
+                          PyOS_string_to_double(buf, NULL, NULL))
+                    : PyLong_FromString(buf, NULL, 10);
+            }
+            if (!value) goto fail;
+            if (PyList_Append(key, is_float ? k_mark_f : k_mark_i) != 0
+                || PyList_Append(vals, value) != 0) {
+                Py_DECREF(value);
+                goto fail;
+            }
+            Py_DECREF(value);
+            pos = p;
+        } else if (is_ident_start(c)) {
+            Py_ssize_t p = pos + 1;
+            while (p < n && is_ident_cont((unsigned char)s[p])) p++;
+            PyObject *text = PyUnicode_FromStringAndSize(s + pos,
+                                                         p - pos);
+            if (!text || PyList_Append(key, text) != 0) {
+                Py_XDECREF(text);
+                goto fail;
+            }
+            Py_DECREF(text);
+            pos = p;
+        } else {
+            Py_ssize_t plen = 0;
+            if (pos + 1 < n) {
+                char d = s[pos + 1];
+                if ((c == '-' && d == '>') || (c == '<' && d == '=')
+                        || (c == '>' && d == '=')
+                        || (c == '!' && d == '=')
+                        || (c == '<' && d == '>'))
+                    plen = 2;
+            }
+            if (!plen && strchr("()[]{},:;=<>*.+-/%", c) && c != '\0')
+                plen = 1;
+            if (!plen) {
+                lex_err("unexpected character", tok_line, tok_col);
+                goto fail;
+            }
+            PyObject *text = PyUnicode_FromStringAndSize(s + pos, plen);
+            if (!text || PyList_Append(key, text) != 0) {
+                Py_XDECREF(text);
+                goto fail;
+            }
+            Py_DECREF(text);
+            pos += plen;
+        }
+    }
+    {
+        PyObject *ktup = PyList_AsTuple(key);
+        Py_DECREF(key);
+        if (!ktup) { Py_DECREF(vals); return NULL; }
+        return Py_BuildValue("(NN)", ktup, vals);
+    }
+fail:
+    Py_DECREF(key);
+    Py_DECREF(vals);
+    return NULL;
+}
+
 static PyObject *py_init(PyObject *self, PyObject *arg) {
     Py_XSETREF(g_token_cls, Py_NewRef(arg));
     Py_RETURN_NONE;
@@ -257,6 +423,7 @@ static PyObject *py_init(PyObject *self, PyObject *arg) {
 static PyMethodDef methods[] = {
     {"init", py_init, METH_O, "init(Token_class)"},
     {"tokenize", py_tokenize, METH_O, NULL},
+    {"shape", py_shape, METH_O, NULL},
     {NULL, NULL, 0, NULL},
 };
 
@@ -266,6 +433,10 @@ static struct PyModuleDef moddef = {
 };
 
 extern "C" PyMODINIT_FUNC PyInit__neumann_lexer(void) {
+    // NB: explicit lengths — the markers start with a NUL byte
+    k_mark_i = PyUnicode_FromStringAndSize("\x00i", 2);
+    k_mark_f = PyUnicode_FromStringAndSize("\x00f", 2);
+    k_mark_s = PyUnicode_FromStringAndSize("\x00s", 2);
     k_ident = PyUnicode_InternFromString("ident");
     k_string = PyUnicode_InternFromString("string");
     k_number = PyUnicode_InternFromString("number");
