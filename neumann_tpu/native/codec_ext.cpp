@@ -640,6 +640,57 @@ static PyObject *py_overlay_count(PyObject *self, PyObject *args) {
     return PyLong_FromSize_t(ov->map.size() - ov->tombstones);
 }
 
+// snapshot_lazy(body_bytes, count, lazy_cls) -> dict[str, lazy]
+// Snapshot-body load without materializing records: each entry becomes
+// a slot-only lazy wrapper over (body, payload offset) — same
+// promote-on-read economics as the WAL overlay, but snapshots already
+// need the name->record dict so a Python dict of wrappers is right.
+static PyObject *py_snapshot_lazy(PyObject *self, PyObject *args) {
+    PyObject *bufobj, *lazy_cls;
+    Py_ssize_t count;
+    if (!PyArg_ParseTuple(args, "SnO", &bufobj, &count, &lazy_cls))
+        return NULL;
+    const unsigned char *buf =
+        (const unsigned char *)PyBytes_AS_STRING(bufobj);
+    Py_ssize_t len = PyBytes_GET_SIZE(bufobj);
+    PyObject *d_lbuf = PyObject_GetAttrString(lazy_cls, "_buf");
+    PyObject *d_lpos = PyObject_GetAttrString(lazy_cls, "_pos");
+    PyObject *d_lmat = PyObject_GetAttrString(lazy_cls, "_mat");
+    PyObject *out = PyDict_New();
+    Rd r = {buf, len, 0};
+    if (!d_lbuf || !d_lpos || !d_lmat || !out) goto fail;
+    for (Py_ssize_t i = 0; i < count; i++) {
+        const char *kp; Py_ssize_t kn;
+        uint32_t plen;
+        if (!rd_span(&r, &kp, &kn)) goto fail;
+        if (!rd_u32(&r, &plen) || !rd_need(&r, (Py_ssize_t)plen))
+            goto fail;
+        {
+            PyObject *key = PyUnicode_DecodeUTF8(kp, kn, "replace");
+            PyObject *obj = key ? new_instance(lazy_cls) : NULL;
+            PyObject *p = obj ? PyLong_FromSsize_t(r.pos) : NULL;
+            if (!key || !obj || !p
+                || Py_TYPE(d_lbuf)->tp_descr_set(d_lbuf, obj,
+                                                 bufobj) < 0
+                || Py_TYPE(d_lpos)->tp_descr_set(d_lpos, obj, p) < 0
+                || Py_TYPE(d_lmat)->tp_descr_set(d_lmat, obj,
+                                                 Py_None) < 0
+                || PyDict_SetItem(out, key, obj) < 0) {
+                Py_XDECREF(p); Py_XDECREF(obj); Py_XDECREF(key);
+                goto fail;
+            }
+            Py_DECREF(p); Py_DECREF(obj); Py_DECREF(key);
+        }
+        r.pos += plen;
+    }
+    Py_DECREF(d_lbuf); Py_DECREF(d_lpos); Py_DECREF(d_lmat);
+    return out;
+fail:
+    Py_XDECREF(d_lbuf); Py_XDECREF(d_lpos); Py_XDECREF(d_lmat);
+    Py_XDECREF(out);
+    return NULL;
+}
+
 // wal_apply(buf_bytes, lazy_cls) -> (dict, n_records)
 // Bulk replay: one C pass over the frames; the returned dict maps each
 // key to its FINAL state — a lazy wrapper (slot-only, no per-record
@@ -1111,6 +1162,7 @@ static PyMethodDef methods[] = {
     {"decode_wal", py_decode_wal, METH_VARARGS, NULL},
     {"wal_apply", py_wal_apply, METH_VARARGS, NULL},
     {"wal_overlay", py_wal_overlay, METH_VARARGS, NULL},
+    {"snapshot_lazy", py_snapshot_lazy, METH_VARARGS, NULL},
     {"overlay_pop", py_overlay_pop, METH_VARARGS, NULL},
     {"overlay_keys", py_overlay_keys, METH_VARARGS, NULL},
     {"overlay_count", py_overlay_count, METH_VARARGS, NULL},

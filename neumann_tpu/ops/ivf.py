@@ -313,13 +313,21 @@ class DeviceIVFInt8:
             assign[s:e] = np.asarray(
                 assign_chunk(jnp.asarray(corpus_q[s:e]), self.centroids))
 
-        # windowed cluster-sorted layout: buffer is exactly corpus-sized
+        # windowed cluster-sorted layout: buffer is exactly corpus-sized.
+        # Starts round DOWN to 128 rows and the window pads up by 128,
+        # so every probe is whole 128-row blocks — the layout the Pallas
+        # probe kernel's scalar-prefetch block indexing needs (and
+        # harmless for the XLA path: extra rows are real rows).
         counts = np.bincount(assign, minlength=self.n_clusters)
         order = np.argsort(assign, kind="stable").astype(np.int32)
         starts = np.zeros(self.n_clusters, np.int64)
         np.cumsum(counts[:-1], out=starts[1:])
-        window = int(min(n, ((max(int(counts.max()), 1) + 7) // 8) * 8))
-        starts = np.clip(starts, 0, max(0, n - window)).astype(np.int32)
+        window = int(((max(int(counts.max()), 1) + 127) // 128) * 128
+                     + 128)
+        n_pad = ((n + 127) // 128) * 128
+        window = min(window, n_pad)
+        starts = ((np.clip(starts, 0, max(0, n_pad - window))
+                   // 128) * 128).astype(np.int32)
 
         # per-row cosine multiplier in sorted order (scale x rsqrt(norm));
         # all-zero (invalid) rows keep 0 -> masked at search time
@@ -327,8 +335,15 @@ class DeviceIVFInt8:
                        corpus_q.astype(np.float32)) * corpus_scale ** 2
         rm = np.where(sq > 0, corpus_scale / np.sqrt(np.maximum(sq, 1e-30)),
                       0.0).astype(np.float32)
-        self._buf = jnp.asarray(corpus_q[order])
-        self._rmult = jnp.asarray(rm[order])
+        buf_sorted = corpus_q[order]
+        rm_sorted = rm[order]
+        if n_pad != n:       # pad to whole 128-row blocks (rm 0 = masked)
+            buf_sorted = np.concatenate(
+                [buf_sorted, np.zeros((n_pad - n, d), corpus_q.dtype)])
+            rm_sorted = np.concatenate(
+                [rm_sorted, np.zeros(n_pad - n, np.float32)])
+        self._buf = jnp.asarray(buf_sorted)
+        self._rmult = jnp.asarray(rm_sorted)
         self._starts = jnp.asarray(starts)
         self._row_ids = order
         self._window = window
@@ -350,7 +365,8 @@ class DeviceIVFInt8:
         kk = min(2 * k + 8, self._window * nprobe)
         s, pos = windowed_ivf_topk(
             self._buf, self._rmult, self.centroids, self._starts,
-            jnp.asarray(q), kk, nprobe, self._window)
+            jnp.asarray(q), kk, nprobe, self._window,
+            aligned128=True)
         s = np.asarray(s)
         pos = np.asarray(pos)
         nq = s.shape[0]
@@ -412,9 +428,23 @@ def _windowed_core(k: int, nprobe: int, window: int):
 
 
 def windowed_ivf_topk(buf, rmult, cents, starts, qs, k: int,
-                      nprobe: int, window: int):
+                      nprobe: int, window: int,
+                      aligned128: bool = False):
     """Jitted windowed-IVF top-k core (shared by DeviceIVFInt8.search
     and the latency bench). Returns (scores, positions-in-sorted-buf);
-    positions may repeat across overlapping windows — callers dedup."""
+    positions may repeat across overlapping windows — callers dedup.
+
+    aligned128: the layout guarantees 128-aligned starts + window —
+    with NEUMANN_PALLAS=1 the fused Pallas probe kernel takes over
+    (scalar-prefetch block loads; no bf16 gather materialization)."""
+    import os
+
+    if aligned128 and window % 128 == 0 and             os.environ.get("NEUMANN_PALLAS") == "1":
+        from neumann_tpu.ops.pallas_kernels import (
+            ivf_windowed_topk_pallas,
+        )
+
+        return ivf_windowed_topk_pallas(buf, rmult, cents, starts,
+                                        qs, k, nprobe, window)
     return _windowed_core(k, nprobe, window)(buf, rmult, cents,
                                              starts, qs)

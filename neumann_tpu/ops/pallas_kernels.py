@@ -195,3 +195,90 @@ def int8_dot_scores(corpus_q, row_mult, queries_q, q_mult,
                                memory_space=pltpu.VMEM),
         interpret=not _on_tpu(),
     )(queries_q, corpus_q, q_mult, row_mult)
+
+
+# ---------------------------------------------------------------------------
+# windowed-IVF probe scoring (the p99 single-query path)
+# ---------------------------------------------------------------------------
+#
+# The XLA path (ops/ivf.windowed_ivf_topk) gathers [nprobe, window, d]
+# int8 candidates with vmapped dynamic_slice and materializes a bf16
+# convert of the whole gather before the matvec — ~3x the fundamental
+# HBM traffic. This kernel uses scalar-prefetch block indexing: the
+# probe list drives WHICH 128-row corpus blocks stream into VMEM, and
+# the dot + dequant-multiplier + mask all fuse in registers. Only the
+# int8 bytes ever leave HBM.
+
+def _ivf_probe_kernel(sb_ref, q_ref, c_ref, rm_ref, out_ref):
+    """sb_ref: scalar-prefetched [nprobe] block starts (unused in the
+    body — it drives the index maps). c_ref [128, d] i8, rm_ref
+    [1, 128] f32, q_ref [Q, d] bf16 -> out_ref [Q, 128] f32."""
+    dots = lax.dot_general(
+        q_ref[:], c_ref[:].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    rm = rm_ref[:]
+    out_ref[:] = jnp.where(rm > 0, dots * rm, -jnp.inf)
+
+
+@functools.partial(jax.jit, static_argnames=("window",))
+def ivf_probe_scores_pallas(buf, rmult2d, start_blocks, queries,
+                            window: int):
+    """Scores for every probed window row.
+
+    buf [N, d] int8 (N a multiple of 128); rmult2d [1, N] f32;
+    start_blocks [nprobe] int32 = window start // 128 (the IVF layout
+    128-aligns starts); queries [Q, d] f32. Returns
+    [Q, nprobe * window] f32 with invalid rows at -inf.
+    """
+    n, d = buf.shape
+    nprobe = start_blocks.shape[0]
+    q = queries.shape[0]
+    wb = window // 128
+    grid = (nprobe, wb)
+    qb = queries.astype(jnp.bfloat16)
+    return pl.pallas_call(
+        _ivf_probe_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((q, d), lambda p, j, sb: (0, 0)),
+                pl.BlockSpec((128, d), lambda p, j, sb: (sb[p] + j, 0)),
+                pl.BlockSpec((1, 128), lambda p, j, sb: (0, sb[p] + j)),
+            ],
+            out_specs=pl.BlockSpec(
+                (q, 128), lambda p, j, sb: (0, p * (window // 128) + j)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((q, nprobe * window),
+                                       jnp.float32),
+        interpret=not _on_tpu(),
+    )(start_blocks, qb, buf, rmult2d)
+
+
+def ivf_windowed_topk_pallas(buf, rmult, cents, starts, queries,
+                             k: int, nprobe: int, window: int):
+    """Drop-in for ops.ivf.windowed_ivf_topk via the Pallas kernel.
+
+    Requires starts to be 128-aligned and window a multiple of 128
+    (DeviceIVFInt8 lays the corpus out that way when NEUMANN_PALLAS=1;
+    the generic layout falls back to the XLA path otherwise).
+    Returns (scores [Q, k], positions [Q, k]) like the XLA core.
+    """
+    qn = queries / jnp.maximum(
+        jnp.linalg.norm(queries, axis=1, keepdims=True), 1e-30)
+    _, probe = lax.top_k(qn @ cents.T, nprobe)          # [Q, nprobe]
+    rm2 = rmult[None, :]
+
+    def one_query(qv, probes):
+        sb = (starts[probes] // 128).astype(jnp.int32)
+        scores = ivf_probe_scores_pallas(
+            buf, rm2, sb, qv[None, :], window)[0]       # [nprobe*window]
+        pos = ((sb * 128)[:, None]
+               + lax.broadcasted_iota(jnp.int32, (nprobe, window), 1)
+               ).reshape(-1)
+        s, i = lax.top_k(scores, k)
+        return s, pos[i]
+
+    return jax.vmap(one_query)(qn, probe)

@@ -85,6 +85,15 @@ def loads(buf: bytes) -> Dict[str, TensorData]:
     if zlib.crc32(body) != crc:
         raise StoreError("snapshot checksum mismatch")
     ext = codec._native()
+    if ext is not None and hasattr(ext, "snapshot_lazy"):
+        from neumann_tpu.store.tensor_store import LazyTensorData
+
+        try:
+            # records decode on first access (promote-on-read): load
+            # becomes a structure pass + slot-only wrappers
+            return ext.snapshot_lazy(body, count, LazyTensorData)
+        except ValueError as e:
+            raise StoreError(f"corrupt snapshot: {e}") from None
     if ext is not None:
         try:
             return ext.decode_snapshot_body(body, count)

@@ -401,7 +401,7 @@ class TensorStore:
         with self._lock:
             self._map = loaded
             self._index.clear()
-            self._index.insert_many(loaded.keys())
+            self._index._pending.extend(loaded.keys())
         for key, data in list(loaded.items()):
             for hook in self._put_hooks:
                 hook(key, data)
@@ -413,7 +413,9 @@ class TensorStore:
         with self._lock:
             self._map = loaded
             self._index.clear()
-            self._index.insert_many(loaded.keys())
+            # write-behind: the next ordered scan bulk-flushes (same
+            # policy as put), so load cost is the structure pass only
+            self._index._pending.extend(loaded.keys())
         for key, data in list(loaded.items()):
             for hook in self._put_hooks:
                 hook(key, data)

@@ -67,3 +67,59 @@ def test_int8_dot_scores(rng):
         (np.asarray(qq, np.int64) @ np.asarray(cq, np.int64).T
          ).astype(np.float32) * q_mult * row_mult
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_ivf_probe_kernel_matches_xla_core():
+    """The Pallas probe kernel must agree with the XLA windowed core
+    on the 128-aligned layout (interpret mode on the CPU mesh)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from neumann_tpu.ops.ivf import DeviceIVFInt8, _windowed_core
+    from neumann_tpu.ops.pallas_kernels import ivf_windowed_topk_pallas
+
+    rng = np.random.default_rng(0)
+    n, d, kc = 4096, 128, 8
+    cents = rng.standard_normal((kc, d)).astype(np.float32) * 3
+    assign = rng.integers(0, kc, n)
+    v = (cents[assign] + 0.3 * rng.standard_normal((n, d))).astype(
+        np.float32)
+    am = np.max(np.abs(v), axis=1)
+    scale = np.where(am > 0, am / 127.0, 1.0).astype(np.float32)
+    q8 = np.clip(np.round(v / scale[:, None]), -127, 127).astype(np.int8)
+
+    ivf = DeviceIVFInt8(d, n_clusters=kc, nprobe=4)
+    ivf.build(q8, scale)
+    assert ivf._window % 128 == 0
+    assert int(np.asarray(ivf._starts).max()) % 128 == 0
+
+    queries = jnp.asarray(v[:3])
+    s_x, p_x = _windowed_core(10, 4, ivf._window)(
+        ivf._buf, ivf._rmult, ivf.centroids, ivf._starts, queries)
+    s_p, p_p = ivf_windowed_topk_pallas(
+        ivf._buf, ivf._rmult, ivf.centroids, ivf._starts, queries,
+        10, 4, ivf._window)
+    s_x, p_x = np.asarray(s_x), np.asarray(p_x)
+    s_p, p_p = np.asarray(s_p), np.asarray(p_p)
+    for r in range(3):
+        # same candidates (scores may differ in bf16 ulps)
+        assert set(p_p[r].tolist()) == set(p_x[r].tolist()), r
+    np.testing.assert_allclose(s_p, s_x, atol=5e-3)
+
+
+def test_ivf_search_with_pallas_flag(monkeypatch):
+    import numpy as np
+
+    from neumann_tpu.ops.ivf import DeviceIVFInt8
+
+    rng = np.random.default_rng(1)
+    n, d = 2048, 64
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    am = np.max(np.abs(v), axis=1)
+    scale = (am / 127.0).astype(np.float32)
+    q8 = np.clip(np.round(v / scale[:, None]), -127, 127).astype(np.int8)
+    ivf = DeviceIVFInt8(d, n_clusters=8, nprobe=8)   # probe all
+    ivf.build(q8, scale)
+    monkeypatch.setenv("NEUMANN_PALLAS", "1")
+    s, ids = ivf.search(v[5], 5)
+    assert ids[0][0] == 5 and s[0][0] > 0.98
