@@ -65,8 +65,8 @@ def main():
         n, d, q, k = 10_000_000, 768, 256, 10
         n_centers = 4096
         block_rows = 1 << 20
-        pool = 4096
-        oracle_rows = 1 << 20
+        pool = 2048      # clustered corpora collide more per pool than
+        oracle_rows = 1 << 20   # random ones; 2048 buys recall ~free
         nprobe = 64
     else:  # CPU smoke fallback so the bench always runs
         n, d, q, k = 100_000, 128, 16, 10
@@ -90,9 +90,12 @@ def main():
     counts = rng.multinomial(n, np.ones(n_centers) / n_centers)
     offsets = np.cumsum(counts)
     starts = np.concatenate([[0], offsets[:-1]])
-    window = int(min(n, ((int(counts.max()) + 7) // 8) * 8))
+    # 128-aligned windows: whole-block probes, which also lets the
+    # fused Pallas probe kernel (scalar-prefetch block indexing) run
+    window = int(min(n, ((int(counts.max()) + 127) // 128) * 128 + 128))
     starts_dev = jnp.asarray(
-        np.clip(starts, 0, max(0, n - window)).astype(np.int32))
+        ((np.clip(starts, 0, max(0, n - window)) // 128) * 128)
+        .astype(np.int32))
     offsets_dev = jnp.asarray(offsets.astype(np.int32))
 
     # generate the corpus on device in chunks (a one-shot generation
@@ -172,37 +175,62 @@ def main():
     bp99 = float(np.percentile(singles, 99) * 1e3)
 
     # ---------------- single-query IVF latency ------------------------
+    # Measured twice: the XLA windowed core and (when Mosaic is up) the
+    # fused Pallas probe kernel; the faster one is the headline p99.
     cents_n = centers / jnp.linalg.norm(centers, axis=1, keepdims=True)
 
-    @functools.partial(jax.jit, static_argnames=("reps",))
-    def ivf_chain(buf, rmult, cents, st, qs, reps):
-        def body(i, carry):
-            cur, acc = carry
-            s, pos = windowed_ivf_topk(buf, rmult, cents, st, cur,
-                                       k, nprobe, window)
-            cur = cur + 1e-30 * (s[0, 0]
-                                 + pos[0, 0].astype(jnp.float32) * 1e-6)
-            return cur, acc + s[0, 0]
-        _, acc = lax.fori_loop(0, reps, body, (qs[:1], 0.0))
-        return acc
+    def measure_ivf(core):
+        @functools.partial(jax.jit, static_argnames=("reps",))
+        def ivf_chain(buf, rmult, cents, st, qs, reps):
+            def body(i, carry):
+                cur, acc = carry
+                s, pos = core(buf, rmult, cents, st, cur)
+                cur = cur + 1e-30 * (
+                    s[0, 0] + pos[0, 0].astype(jnp.float32) * 1e-6)
+                return cur, acc + s[0, 0]
+            _, acc = lax.fori_loop(0, reps, body, (qs[:1], 0.0))
+            return acc
 
-    def ivf_timed(reps):
-        t0 = time.perf_counter()
-        float(ivf_chain(corpus_q, rmult, cents_n, starts_dev,
-                        queries, reps))
-        return time.perf_counter() - t0
+        def ivf_timed(reps):
+            t0 = time.perf_counter()
+            float(ivf_chain(corpus_q, rmult, cents_n, starts_dev,
+                            queries, reps))
+            return time.perf_counter() - t0
 
-    ri1, ri2 = 4, 44
-    ivf_timed(ri1)
-    ivf_timed(ri2)
-    ivf_singles = []
-    for _ in range(7):
-        a = ivf_timed(ri1)
-        b = ivf_timed(ri2)
-        ivf_singles.append((b - a) / (ri2 - ri1))
-    ivf_singles = [s for s in ivf_singles if s > 0] or [float("nan")]
-    ip50 = float(np.percentile(ivf_singles, 50) * 1e3)
-    ip99 = float(np.percentile(ivf_singles, 99) * 1e3)
+        ri1, ri2 = 4, 44
+        ivf_timed(ri1)
+        ivf_timed(ri2)
+        singles_ = []
+        for _ in range(7):
+            a = ivf_timed(ri1)
+            b = ivf_timed(ri2)
+            singles_.append((b - a) / (ri2 - ri1))
+        singles_ = [s for s in singles_ if s > 0] or [float("nan")]
+        return (float(np.percentile(singles_, 50) * 1e3),
+                float(np.percentile(singles_, 99) * 1e3))
+
+    def xla_core(buf, rmult, cents, st, qs):
+        return windowed_ivf_topk(buf, rmult, cents, st, qs,
+                                 k, nprobe, window)
+
+    ip50, ip99 = measure_ivf(xla_core)
+    ivf_path = "xla"
+    xla_p99 = ip99
+    if window % 128 == 0:
+        try:
+            from neumann_tpu.ops.pallas_kernels import (
+                ivf_windowed_topk_pallas,
+            )
+
+            def pallas_core(buf, rmult, cents, st, qs):
+                return ivf_windowed_topk_pallas(
+                    buf, rmult, cents, st, qs, k, nprobe, window)
+
+            pp50, pp99 = measure_ivf(pallas_core)
+            if pp99 < ip99:
+                ip50, ip99, ivf_path = pp50, pp99, "pallas"
+        except Exception:
+            pass     # Mosaic unavailable: XLA numbers stand
 
     # IVF recall@10 vs the exact full-corpus int8 scan (positions are
     # row ids: the corpus is born cluster-sorted)
@@ -273,6 +301,8 @@ def main():
         "ivf_recall_at_10": round(ivf_recall, 4),
         "ivf_nprobe": nprobe,
         "ivf_window": window,
+        "ivf_path": ivf_path,
+        "ivf_p99_ms_xla": round(xla_p99, 3),
         "p50_ms_brute": round(bp50, 3),  # single-query full scan
         "p99_ms_brute": round(bp99, 3),
         "recall_at_10_vs_fp32": round(recall, 4),
