@@ -236,7 +236,20 @@ def bench_parser():
     report("parser (cold)", rate(n, time.perf_counter() - t0),
            "queries/s", ref=1_900_000, note="reference: 1.9M/s")
 
-    from neumann_tpu.lang.parser import parse_cached
+    from neumann_tpu.lang.parser import parse_cached, parse_param
+
+    # distinct literals, repeated SHAPE: the parameterized-template
+    # tier (bulk INSERT / point-lookup workloads land here)
+    shaped = [f"INSERT INTO pbench VALUES ({i}, 'name{i}', {i % 7})"
+              for i in range(n)]
+    parse_param(shaped[0])
+    t0 = time.perf_counter()
+    for s in shaped:
+        parse_param(s)
+    report("parser (cold, seen shape — parameterized template)",
+           rate(n, time.perf_counter() - t0), "queries/s",
+           ref=1_900_000,
+           note="literal-spine rebuild off the cached shape template")
 
     t0 = time.perf_counter()
     for i in range(10 * n):

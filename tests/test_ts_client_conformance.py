@@ -203,3 +203,51 @@ def test_filter_ops_match_engine(stack):
                                 "in_")} | {"in", "and", "or"}
     # every TS op exists on the engine
     assert ts_ops <= engine_ops, ts_ops - engine_ops
+
+
+def test_grpc_ts_services_and_methods_exist(stack):
+    """grpc.ts loads the vendored proto at runtime and calls methods by
+    name; audit that every service/method it references is served by
+    the live gRPC server (and that the vendored proto parses)."""
+    srv, rest = stack
+    src = _ts_source("grpc.ts")
+    services = set(re.findall(r"new neumann\.(\w+)\(", src))
+    assert {"QueryService", "Health", "PointsService",
+            "CollectionsService", "BlobService"} <= services
+    methods = set(re.findall(
+        r'this\.unary[^(]*\(\s*this\.(\w+),\s*"(\w+)"', src))
+    # the vendored proto must define every (service, method) pair
+    proto = open("clients/typescript/proto/neumann.proto").read()
+    svc_bodies = dict(re.findall(r"service (\w+) \{(.*?)\}", proto,
+                                 re.S))
+    field_of = {"query": "QueryService", "health": "Health",
+                "points": "PointsService",
+                "collections": "CollectionsService",
+                "blob": "BlobService"}
+    checked = 0
+    for attr, method in methods:
+        svc = field_of.get(attr)
+        if svc is None:
+            continue
+        body = svc_bodies.get(svc, "")
+        assert re.search(rf"rpc {method}\b", body), \
+            f"{svc}.{method} used by grpc.ts missing from proto"
+        checked += 1
+    assert checked >= 3, f"only {checked} methods audited"
+    # and the live server serves every service grpc.ts constructs
+    import grpc
+
+    from neumann_tpu.server import reflection_pb2 as rpb
+
+    port = srv.serve()
+    ch = grpc.insecure_channel(f"127.0.0.1:{port}")
+    stub = ch.stream_stream(
+        "/grpc.reflection.v1.ServerReflection/ServerReflectionInfo",
+        request_serializer=rpb.ServerReflectionRequest
+        .SerializeToString,
+        response_deserializer=rpb.ServerReflectionResponse.FromString)
+    resps = list(stub(iter([
+        rpb.ServerReflectionRequest(list_services="")])))
+    served = {s.name.split(".")[-1]
+              for s in resps[0].list_services_response.service}
+    assert services <= served, services - served
