@@ -266,6 +266,13 @@ def bench_chain():
 
     chain = TensorChain(TensorStore())
     n = 100 if QUICK else 500
+    # warmup: first commits pay one-time imports + a jax compile for
+    # the consensus kernel (criterion warms up too)
+    for i in range(50):
+        tx = chain.begin()
+        tx.put(f"warm:{i}", TensorData.with_values(
+            v=TensorValue.scalar(i)))
+        chain.commit(tx)
     t0 = time.perf_counter()
     for i in range(n):
         tx = chain.begin()
