@@ -1376,9 +1376,15 @@ class _Parser:
     # -- vault / cache / blob ----------------------------------------------------
     def _stmt_vault(self) -> ast.Statement:
         act = self.expect_kw("INIT", "SET", "GET", "DELETE", "LIST",
-                             "ROTATE", "GRANT", "REVOKE")
+                             "ROTATE", "GRANT", "REVOKE", "SEAL",
+                             "UNSEAL")
         stmt = ast.Vault(action=act.lower())
-        if act == "SET" or act == "ROTATE":
+        if act == "UNSEAL":
+            stmt.value = self.string("master password")
+        elif act == "ROTATE" and self.accept_kw("MASTER"):
+            stmt.action = "rotate_master"
+            stmt.value = self.string("new master password")
+        elif act == "SET" or act == "ROTATE":
             stmt.key = self.string("secret key")
             stmt.value = self.string("secret value")
         elif act in ("GET", "DELETE"):

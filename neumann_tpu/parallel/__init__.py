@@ -9,6 +9,7 @@ rows and the merge is a single ICI all-gather + top-k — no host hops.
 from neumann_tpu.parallel.mesh import make_mesh  # noqa: F401
 from neumann_tpu.parallel.sharded_search import (  # noqa: F401
     ShardedCorpus,
+    ShardedIVFCorpus,
     make_sharded_topk,
 )
 from neumann_tpu.parallel.partitioner import (  # noqa: F401

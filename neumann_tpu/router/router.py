@@ -1256,6 +1256,16 @@ class QueryRouter:
         if act == "revoke":
             vault.revoke(s.entity, s.key)
             return QueryResult.msg(f"revoked '{s.entity}' on '{s.key}'")
+        if act == "seal":
+            vault.seal(actor=actor)
+            return QueryResult.msg("vault sealed")
+        if act == "unseal":
+            vault.unseal(s.value, actor=actor)
+            return QueryResult.msg("vault unsealed")
+        if act == "rotate_master":
+            n = vault.rotate_master_key(s.value, actor=actor)
+            return QueryResult.msg(
+                f"master key rotated ({n} ciphertexts re-encrypted)")
         raise NeumannError(f"vault action {act} unsupported")
 
     def _exec_cache(self, s: ast.Cache) -> QueryResult:

@@ -25,4 +25,11 @@ from neumann_tpu.vault.sync import (  # noqa: F401
     TargetGeometry,
     VaultSync,
 )
+from neumann_tpu.vault.obfuscation import ObfuscationLayer  # noqa: F401
+from neumann_tpu.vault.policy import PolicyEngine, PolicyTemplate  # noqa: F401
+from neumann_tpu.vault.quota import QuotaManager, ResourceQuota  # noqa: F401
+from neumann_tpu.vault.rotation import (  # noqa: F401
+    RotationManager,
+    RotationPolicy,
+)
 from neumann_tpu.vault.vault import TensorVault, Permission  # noqa: F401

@@ -201,3 +201,78 @@ def test_obfuscated_vault_master_rotation_rekeys_names():
     v2 = TensorVault(store, "pw2", obfuscate=True)
     assert sorted(v2.list()) == ["name-a", "name-b"]
     assert v2.get("name-b") == "vb"
+
+
+# ---------------------------------------------------- rotation policies
+
+def test_rotation_policies_drive_auto_rotation():
+    from neumann_tpu.vault.rotation import RotationManager, RotationPolicy
+
+    v = TensorVault(TensorStore(), "pw")
+    v.set("db/pass", "orig-pw")
+    v.set("api/token", "orig-tk")
+    v.set("ops/manual", "orig-manual")
+    mgr = RotationManager(v)
+    t0 = 1000.0
+    mgr.define(RotationPolicy("db/pass", interval_s=60,
+                              generator="password",
+                              gen_config={"length": 20},
+                              notify_before_s=10, last_rotated=t0))
+    mgr.define(RotationPolicy("api/token", interval_s=120,
+                              generator="token", last_rotated=t0))
+    mgr.define(RotationPolicy("ops/manual", interval_s=60,
+                              generator="none", last_rotated=t0))
+    assert len(mgr.list()) == 3
+    assert mgr.due(now=t0 + 30) == []
+    assert mgr.pending_notifications(now=t0 + 55) == ["db/pass"]
+    assert set(mgr.due(now=t0 + 61)) == {"db/pass", "ops/manual"}
+
+    out = mgr.rotate_due(now=t0 + 61)
+    assert out == {"db/pass": "rotated", "ops/manual": "manual"}
+    assert v.get("db/pass") != "orig-pw"
+    assert len(v.get("db/pass")) == 20
+    assert v.get("ops/manual") == "orig-manual"    # manual untouched
+    assert v.rollback_version("db/pass") == "orig-pw"   # history kept
+    # token rotates at its own cadence
+    out = mgr.rotate_due(now=t0 + 121)
+    assert out["api/token"] == "rotated"
+    assert v.get("api/token").startswith("ntk_")
+    # rotated policies reschedule; manual ones stay due until rotated
+    assert mgr.due(now=t0 + 121) == ["ops/manual"]
+    assert mgr.remove("db/pass")
+
+
+def test_rotation_policy_validation():
+    from neumann_tpu.vault.rotation import RotationManager, RotationPolicy
+
+    v = TensorVault(TensorStore(), "pw")
+    mgr = RotationManager(v)
+    with pytest.raises(VaultError):
+        mgr.define(RotationPolicy("x", interval_s=0))
+    with pytest.raises(VaultError):
+        mgr.define(RotationPolicy("x", interval_s=5, generator="wat"))
+    with pytest.raises(VaultError):
+        mgr.define(RotationPolicy("x", interval_s=5), actor="mallory")
+
+
+# -------------------------------------------- statement surface (router)
+
+def test_vault_statements_seal_unseal_rotate_master():
+    from neumann_tpu.router import QueryRouter
+
+    r = QueryRouter()
+    r.init_vault("pw")
+    r.execute("VAULT SET 'a' 'v1'")
+    assert r.execute("VAULT SEAL").message == "vault sealed"
+    with pytest.raises(Exception):
+        r.execute("VAULT GET 'a'")
+    with pytest.raises(Exception):
+        r.execute("VAULT UNSEAL 'wrong'")
+    assert "unsealed" in r.execute("VAULT UNSEAL 'pw'").message
+    assert r.execute("VAULT GET 'a'").value == "v1"
+    msg = r.execute("VAULT ROTATE MASTER 'pw2'").message
+    assert "rotated" in msg
+    assert r.execute("VAULT GET 'a'").value == "v1"
+    # plain per-secret rotate still parses (MASTER is the disambiguator)
+    r.execute("VAULT ROTATE 'a' 'v2'")
+    assert r.execute("VAULT GET 'a'").value == "v2"
