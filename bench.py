@@ -39,11 +39,21 @@ Prints ONE JSON line.
 
 import functools
 import json
+import sys
 import time
 
 import numpy as np
 
 REF_NS_PER_VEC_768 = 367.0  # vector-engine.md:32
+
+_T0 = time.time()
+
+
+def _phase(msg):
+    """Progress to stderr (stdout carries only the JSON line); most of
+    the wall time is remote AOT compiles through the dev tunnel."""
+    print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
 
 
 def main():
@@ -119,6 +129,7 @@ def main():
         sc = lax.dynamic_update_slice(sc, cs, (start,))
         return c, sc
 
+    _phase("generating corpus")
     done = 0
     while done < n:
         rows = min(chunk_rows, n - done)
@@ -154,6 +165,7 @@ def main():
         float(chain(corpus_q, scale, rmult, queries, reps, nq))
         return time.perf_counter() - t0
 
+    _phase("brute batched scan: compiling")
     r1, r2 = 2, 12
     timed(r1, q)  # compile both rep counts
     timed(r2, q)
@@ -162,6 +174,8 @@ def main():
     batched_s = (t2 - t1) / (r2 - r1)
     qps = q / batched_s
 
+    _phase(f"brute batched done ({q / ((t2 - t1) / (r2 - r1)):.0f} "
+           "QPS); single-query brute")
     # brute single-query per-iter latency across trials
     timed(r1, 1)
     timed(r2, 1)
@@ -213,6 +227,7 @@ def main():
         return windowed_ivf_topk(buf, rmult, cents, st, qs,
                                  k, nprobe, window)
 
+    _phase("IVF single-query (XLA core)")
     ip50, ip99 = measure_ivf(xla_core)
     ivf_path = "xla"
     xla_p99 = ip99
@@ -226,6 +241,7 @@ def main():
                 return ivf_windowed_topk_pallas(
                     buf, rmult, cents, st, qs, k, nprobe, window)
 
+            _phase(f"IVF XLA p99 {ip99:.2f} ms; Pallas core")
             pp50, pp99 = measure_ivf(pallas_core)
             if pp99 < ip99:
                 ip50, ip99, ivf_path = pp50, pp99, "pallas"
@@ -234,7 +250,8 @@ def main():
 
     # IVF recall@10 vs the exact full-corpus int8 scan (positions are
     # row ids: the corpus is born cluster-sorted)
-    nq_rec = min(q, 64)
+    _phase("recall oracles")
+    nq_rec = min(q, 32)
     from neumann_tpu.ops.quant import int8_topk_scan_jit
 
     valid = jnp.arange(n_pad) < n
