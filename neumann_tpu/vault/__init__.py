@@ -25,6 +25,14 @@ from neumann_tpu.vault.sync import (  # noqa: F401
     TargetGeometry,
     VaultSync,
 )
+from neumann_tpu.vault.intel import (  # noqa: F401
+    AccessTensor,
+    AccessTensorConfig,
+    GraphIntel,
+    HeatKernelTrust,
+    SecretSimilarity,
+    SecurityAudit,
+)
 from neumann_tpu.vault.obfuscation import ObfuscationLayer  # noqa: F401
 from neumann_tpu.vault.policy import PolicyEngine, PolicyTemplate  # noqa: F401
 from neumann_tpu.vault.quota import QuotaManager, ResourceQuota  # noqa: F401
