@@ -178,6 +178,29 @@ def main():
             "note": "shard-local pooled scan + all-gather top-k merge; "
                     "on v5e-8 per-shard HBM reads are 1/8 of the "
                     "single-chip scan -> ~1.4 ms + merge for 10M int8"})
+
+        # -- 7: sharded windowed IVF (multi-chip p99 path) -----------------
+        from neumann_tpu.parallel.sharded_search import ShardedIVFCorpus
+
+        mesh7 = make_mesh(len(devs))
+        ivf7 = ShardedIVFCorpus(mesh7, 768,
+                                n_clusters=8 * len(devs), nprobe=4,
+                                iters=4)
+        ivf7.load(vecs6[: min(n6, 1 << 17)])
+        q7 = vecs6[:1]
+        ivf7.search(q7, 10)        # compile
+        t0 = time.perf_counter()
+        reps7 = 20
+        for _ in range(reps7):
+            ivf7.search(q7, 10)
+        per7 = (time.perf_counter() - t0) / reps7
+        results.append({
+            "config": f"sharded windowed IVF top-10 over "
+                      f"{len(devs)} devices (single query)",
+            "query_ms": round(per7 * 1e3, 3),
+            "note": "cluster-sharded probes on every shard + one "
+                    "all-gather merge (includes host dispatch; the "
+                    "jitted step alone is what rides serving batchers)"})
     else:
         results.append({
             "config": "sharded 10M int8 (headline)",
