@@ -27,6 +27,7 @@ from neumann_tpu.vault.sync import (  # noqa: F401
 )
 from neumann_tpu.vault.intel import (  # noqa: F401
     AccessTensor,
+    AccessTopology,
     AccessTensorConfig,
     GraphIntel,
     HeatKernelTrust,

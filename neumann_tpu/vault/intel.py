@@ -345,3 +345,110 @@ class SecretSimilarity:
             if len(out) >= k:
                 break
         return out
+
+
+# ---------------------------------------------------------------------------
+# access topology (tensor_vault/src/topology.rs)
+# ---------------------------------------------------------------------------
+
+class AccessTopology:
+    """The permission structure as a dense [entities, secrets, 3]
+    tensor (read/write/admin channels), with optional Tensor-Train
+    compression for large matrices and batch permission checks."""
+
+    def __init__(self, vault, enable_tt: bool = True,
+                 compression_threshold: int = 10_000):
+        from fnmatch import fnmatch
+
+        from neumann_tpu.vault.vault import Permission
+
+        ents: Dict[str, int] = {}
+        secs: Dict[str, int] = {}
+        with vault._lock:
+            grants = [((e, k), g) for (e, k), g in
+                      vault._grants.items() if g.live()]
+        keys = vault.list()
+        for (e, k), _ in grants:
+            ents.setdefault(e, len(ents))
+            secs.setdefault(k, len(secs))
+        policies = vault.policies.list()
+        for tpl in policies:
+            for k in keys:
+                if fnmatch(k, tpl.secret_pattern):
+                    secs.setdefault(k, len(secs))
+        self.entities = list(ents)
+        self.secrets = list(secs)
+        ne, ns = max(len(ents), 1), max(len(secs), 1)
+        m = np.zeros((ne, ns, 3), np.float32)
+        for (e, k), g in grants:
+            lvl = int(g.level)
+            ei, si = ents[e], secs[k]
+            m[ei, si, 0] = 1.0
+            if lvl >= int(Permission.WRITE):
+                m[ei, si, 1] = 1.0
+            if lvl >= int(Permission.ADMIN):
+                m[ei, si, 2] = 1.0
+        for tpl in policies:
+            for e, ei in ents.items():
+                if not fnmatch(e, tpl.match_pattern):
+                    continue
+                for k, si in secs.items():
+                    if fnmatch(k, tpl.secret_pattern):
+                        m[ei, si, 0] = 1.0
+                        if tpl.permission >= int(Permission.WRITE):
+                            m[ei, si, 1] = 1.0
+                        if tpl.permission >= int(Permission.ADMIN):
+                            m[ei, si, 2] = 1.0
+        self.matrix = m
+        self._tt = None
+        if enable_tt and m.size >= compression_threshold:
+            from neumann_tpu.compress.tensor_train import (
+                TTConfig,
+                tt_decompose,
+            )
+
+            flat = m.reshape(-1)
+            self._tt = tt_decompose(flat, TTConfig.for_dim(flat.size))
+
+    # -- queries -----------------------------------------------------------
+    def check(self, entity: str, secret: str) -> dict:
+        if entity not in self.entities or secret not in self.secrets:
+            return {"entity": entity, "secret": secret,
+                    "has_read": False, "has_write": False,
+                    "has_admin": False}
+        v = self.matrix[self.entities.index(entity),
+                        self.secrets.index(secret)]
+        return {"entity": entity, "secret": secret,
+                "has_read": bool(v[0] > 0.5),
+                "has_write": bool(v[1] > 0.5),
+                "has_admin": bool(v[2] > 0.5)}
+
+    def batch_check(self, pairs) -> List[dict]:
+        return [self.check(e, s) for e, s in pairs]
+
+    def compression_stats(self) -> dict:
+        if self._tt is None:
+            return {"compressed": False, "ratio": 1.0}
+        raw = self.matrix.size * 4
+        tt = sum(c.size for c in self._tt.cores) * 4
+        return {"compressed": True,
+                "ratio": raw / max(tt, 1),
+                "raw_bytes": raw, "tt_bytes": tt}
+
+    def diff(self, other: "AccessTopology") -> dict:
+        """Permission drift between two topologies (policy reviews)."""
+        out = {"added": [], "removed": []}
+        chans = ("read", "write", "admin")
+        all_e = sorted(set(self.entities) | set(other.entities))
+        all_s = sorted(set(self.secrets) | set(other.secrets))
+        for e in all_e:
+            for s in all_s:
+                a = self.check(e, s)
+                b = other.check(e, s)
+                for c in chans:
+                    av, bv = a[f"has_{c}"], b[f"has_{c}"]
+                    if av and not bv:
+                        out["removed"].append((e, s, c))
+                    elif bv and not av:
+                        out["added"].append((e, s, c))
+        return out

@@ -120,3 +120,34 @@ def test_secret_similarity(busy_vault):
     assert sim.similar("nope") == []
     # scores are cosines in [-1, 1]
     assert all(-1.001 <= s <= 1.001 for _, s in out)
+
+
+def test_access_topology_matrix_and_diff(busy_vault):
+    from neumann_tpu.vault.intel import AccessTopology
+
+    topo = AccessTopology(busy_vault, enable_tt=False)
+    c = topo.check("alice", "db/main")
+    assert c["has_read"] and c["has_write"] and c["has_admin"]
+    c = topo.check("bob", "db/main")
+    assert c["has_read"] and not c["has_write"]
+    assert not topo.check("nobody", "db/main")["has_read"]
+    out = topo.batch_check([("alice", "db/main"), ("eve", "db/main")])
+    assert out[0]["has_admin"] and not out[1]["has_read"]
+
+    # drift: grant carol, rebuild, diff shows the addition
+    busy_vault.grant("carol", "api/key")
+    topo2 = AccessTopology(busy_vault, enable_tt=False)
+    d = topo.diff(topo2)
+    assert ("carol", "api/key", "read") in d["added"]
+    assert d["removed"] == []
+
+
+def test_access_topology_tt_compression(busy_vault):
+    from neumann_tpu.vault.intel import AccessTopology
+
+    topo = AccessTopology(busy_vault, enable_tt=True,
+                          compression_threshold=1)
+    stats = topo.compression_stats()
+    assert stats["compressed"] and stats["ratio"] > 0
+    # queries still exact on the uncompressed view
+    assert topo.check("alice", "db/main")["has_admin"]
