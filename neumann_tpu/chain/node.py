@@ -424,6 +424,14 @@ def main(argv=None) -> int:
     ap.add_argument("--peers", default=env.get("NEUMANN_PEERS", ""),
                     help="comma-separated id=host:port")
     ap.add_argument("--wal-dir", default=env.get("NEUMANN_DATA_DIR"))
+    ap.add_argument("--auto-remove-faulty", action="store_true",
+                    default=env.get("NEUMANN_AUTO_REMOVE_FAULTY")
+                    == "1",
+                    help="gossip failure detection drives Raft "
+                         "membership (remove after grace, re-add as "
+                         "learner + promote on heal)")
+    ap.add_argument("--faulty-grace-ticks", type=int,
+                    default=int(env.get("NEUMANN_FAULTY_GRACE", "40")))
     args = ap.parse_args(argv)
     peers: Dict[str, Tuple[str, int]] = {}
     for item in filter(None, args.peers.split(",")):
@@ -431,7 +439,9 @@ def main(argv=None) -> int:
         h, p = addr.rsplit(":", 1)
         peers[pid] = (h, int(p))
     node = TcpClusterNode(args.id, peers, host=args.host,
-                          port=args.port, wal_dir=args.wal_dir)
+                          port=args.port, wal_dir=args.wal_dir,
+                          auto_remove_faulty=args.auto_remove_faulty,
+                          faulty_grace_ticks=args.faulty_grace_ticks)
     node.start()
     print(f"node {args.id} listening on {node.address}; "
           f"peers: {sorted(peers)}", flush=True)
@@ -441,7 +451,9 @@ def main(argv=None) -> int:
             print(f"[{args.id}] state={node.raft.state} "
                   f"term={node.raft.term} "
                   f"applied={node._applied_index} "
-                  f"store={len(node.store)}", flush=True)
+                  f"store={len(node.store)} "
+                  f"voters={','.join(sorted(node.raft.voters))}",
+                  flush=True)
     except KeyboardInterrupt:
         node.stop()
     return 0

@@ -255,3 +255,88 @@ def test_multiprocess_follower_sigkill_and_restart(tmp_path):
     finally:
         for n in nodes.values():
             n.stop()
+
+
+def test_multiprocess_gossip_driven_membership(tmp_path):
+    """Over real sockets: SIGKILL a follower with --auto-remove-faulty;
+    SWIM detection must shrink the Raft config to the 2 survivors, and
+    the restarted node must be re-added (learner -> voter) on heal."""
+    ports = _free_ports(3)
+    ids = ["g0", "g1", "g2"]
+    peer_str = {nid: ",".join(f"{p}=127.0.0.1:{ports[j]}"
+                              for j, p in enumerate(ids) if p != nid)
+                for nid in ids}
+
+    def spawn(nid):
+        i = ids.index(nid)
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PYTHONPATH"] = "/root/repo"
+        env.pop("XLA_FLAGS", None)
+        n = _Node.__new__(_Node)
+        n.nid = nid
+        n.port = ports[i]
+        n.proc = subprocess.Popen(
+            [sys.executable, "-m", "neumann_tpu.chain.node",
+             "--id", nid, "--port", str(ports[i]),
+             "--peers", peer_str[nid],
+             "--wal-dir", str(tmp_path / nid),
+             "--auto-remove-faulty", "--faulty-grace-ticks", "20"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env)
+        n.lines = []
+        n._t = threading.Thread(target=n._pump, daemon=True)
+        n._t.start()
+        return n
+
+    nodes = {nid: spawn(nid) for nid in ids}
+
+    def voters_of(n):
+        for line in reversed(n.lines):
+            m = re.search(r"voters=([\w,]+)", line)
+            if m:
+                return set(m.group(1).split(","))
+        return None
+
+    try:
+        deadline = time.time() + 60
+        leader_id = None
+        while time.time() < deadline and leader_id is None:
+            for nid, n in nodes.items():
+                assert n.proc.poll() is None, "".join(n.lines[-20:])
+                if n.state() == "leader":
+                    leader_id = nid
+            time.sleep(0.3)
+        assert leader_id, "no leader elected"
+        victim = next(nid for nid in ids if nid != leader_id)
+        nodes[victim].kill()
+
+        # SWIM marks the victim faulty; the leader removes it
+        deadline = time.time() + 120
+        shrunk = False
+        while time.time() < deadline and not shrunk:
+            for nid in ids:
+                if nid == victim:
+                    continue
+                v = voters_of(nodes[nid])
+                if v is not None and victim not in v and len(v) == 2:
+                    shrunk = True
+            time.sleep(0.5)
+        assert shrunk, "faulty voter never removed from the config"
+
+        # heal: restart the victim; it must come back as a voter
+        nodes[victim + "r"] = spawn(victim)
+        deadline = time.time() + 180
+        regrown = False
+        while time.time() < deadline and not regrown:
+            for key, n in nodes.items():
+                if n.proc.poll() is not None:
+                    continue
+                v = voters_of(n)
+                if v is not None and victim in v and len(v) == 3:
+                    regrown = True
+            time.sleep(0.5)
+        assert regrown, "healed node never promoted back to voter"
+    finally:
+        for n in nodes.values():
+            n.stop()
