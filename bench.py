@@ -145,7 +145,11 @@ def main():
         kq2, (q, d), jnp.float32)
 
     # ---------------- batched brute throughput ------------------------
-    @functools.partial(jax.jit, static_argnames=("reps", "nq"))
+    # reps is a RUNTIME argument (fori_loop with traced bounds): one
+    # compiled program serves every rep count — remote AOT compiles of
+    # the 10M-row scan are minutes each and highly variable, so the
+    # old per-rep-count static compile doubled the wall time
+    @functools.partial(jax.jit, static_argnames=("nq",))
     def chain(corpus_q, scale, rmult, qs, reps, nq):
         def body(i, carry):
             cur, acc = carry
@@ -162,13 +166,14 @@ def main():
 
     def timed(reps, nq):
         t0 = time.perf_counter()
-        float(chain(corpus_q, scale, rmult, queries, reps, nq))
+        float(chain(corpus_q, scale, rmult, queries, jnp.int32(reps),
+                    nq))
         return time.perf_counter() - t0
 
     _phase("brute batched scan: compiling")
     r1, r2 = 2, 12
-    timed(r1, q)  # compile both rep counts
-    timed(r2, q)
+    timed(r1, q)  # one compile serves all rep counts
+    timed(r2, q)  # warm both shapes'/cache paths
     t1 = min(timed(r1, q) for _ in range(3))
     t2 = min(timed(r2, q) for _ in range(3))
     batched_s = (t2 - t1) / (r2 - r1)
@@ -194,7 +199,7 @@ def main():
     cents_n = centers / jnp.linalg.norm(centers, axis=1, keepdims=True)
 
     def measure_ivf(core):
-        @functools.partial(jax.jit, static_argnames=("reps",))
+        @jax.jit
         def ivf_chain(buf, rmult, cents, st, qs, reps):
             def body(i, carry):
                 cur, acc = carry
@@ -208,7 +213,7 @@ def main():
         def ivf_timed(reps):
             t0 = time.perf_counter()
             float(ivf_chain(corpus_q, rmult, cents_n, starts_dev,
-                            queries, reps))
+                            queries, jnp.int32(reps)))
             return time.perf_counter() - t0
 
         ri1, ri2 = 4, 44
