@@ -363,10 +363,20 @@ class DeviceIVFInt8:
         # oversample on device: overlapping windows can yield the same
         # position twice; dedup below keeps the best k unique rows
         kk = min(2 * k + 8, self._window * nprobe)
-        s, pos = windowed_ivf_topk(
-            self._buf, self._rmult, self.centroids, self._starts,
-            jnp.asarray(q), kk, nprobe, self._window,
-            aligned128=True)
+        # chunk the query batch: each query's probe gather materializes
+        # [nprobe, window, d] candidates in HBM, so a wide vmap would
+        # blow memory at 10M scale (measured: Q=64 -> ~32 GB)
+        chunk = max(1, 4)
+        s_parts, p_parts = [], []
+        for s0 in range(0, q.shape[0], chunk):
+            sc, pc = windowed_ivf_topk(
+                self._buf, self._rmult, self.centroids, self._starts,
+                jnp.asarray(q[s0: s0 + chunk]), kk, nprobe,
+                self._window, aligned128=True)
+            s_parts.append(np.asarray(sc))
+            p_parts.append(np.asarray(pc))
+        s = np.concatenate(s_parts, axis=0)
+        pos = np.concatenate(p_parts, axis=0)
         s = np.asarray(s)
         pos = np.asarray(pos)
         nq = s.shape[0]
