@@ -77,7 +77,7 @@ def main():
         block_rows = 1 << 20
         pool = 2048      # clustered corpora collide more per pool than
         oracle_rows = 1 << 20   # random ones; 2048 buys recall ~free
-        nprobe = 64
+        nprobe = 96
     else:  # CPU smoke fallback so the bench always runs
         n, d, q, k = 100_000, 128, 16, 10
         n_centers = 256
@@ -256,7 +256,7 @@ def main():
     # IVF recall@10 vs the exact full-corpus int8 scan (positions are
     # row ids: the corpus is born cluster-sorted)
     _phase("recall oracles")
-    nq_rec = min(q, 32)
+    nq_rec = min(q, 64)
     from neumann_tpu.ops.quant import int8_topk_scan_jit
 
     valid = jnp.arange(n_pad) < n
@@ -311,6 +311,16 @@ def main():
     recall = float(np.mean([
         len(set(fi[r].tolist()) & set(qi[r].tolist())) / k
         for r in range(nq_rec)]))
+    # selection recall: pooled top-k vs the EXACT scan over the same
+    # int8 data — isolates pooling loss from int8-vs-fp32 quantization
+    # (the reference stores f32; at 10Mx768 one 16 GB chip cannot)
+    _, ei = int8_topk_scan_jit(
+        sub_q, sub_scale, queries[:nq_rec], k, "cosine",
+        block_rows=block_rows)
+    ei = np.asarray(ei)
+    sel_recall = float(np.mean([
+        len(set(ei[r].tolist()) & set(qi[r].tolist())) / k
+        for r in range(nq_rec)]))
 
     ref_qps = 1e9 / (REF_NS_PER_VEC_768 * n)   # reference rate on this n
     print(json.dumps({
@@ -328,6 +338,7 @@ def main():
         "p50_ms_brute": round(bp50, 3),  # single-query full scan
         "p99_ms_brute": round(bp99, 3),
         "recall_at_10_vs_fp32": round(recall, 4),
+        "selection_recall_at_10": round(sel_recall, 4),
         "batch": q,
         "platform": dev.platform,
         "scan_GBps": round(n_pad * d / batched_s / 1e9, 1),
