@@ -80,6 +80,20 @@ class ClusterProtocolMixin:
         self._handled_offers: Dict[str, dict] = {}
         self._pending_merge_replies: List[tuple] = []
         self._outstanding_offers: Dict[str, set] = {}
+        # geometric membership: each node carries an identity embedding
+        # (derived from its id, like signing.derive_embedding); gossip
+        # piggybacks it, and semantically-near peers are preferred for
+        # merge offers (geometric_membership.rs + GeometricTransport
+        # send_to_nearest capability). Also powers the raft pre-vote
+        # geometric tie-break when enabled in RaftConfig.
+        from neumann_tpu.chain.geometric import GeometricMembership
+        from neumann_tpu.chain.signing import derive_embedding
+
+        my_emb = derive_embedding(self.id.encode("utf-8"), dim=16)
+        self.geom = GeometricMembership(self.id, my_emb)
+        if getattr(self.raft.config, "enable_geometric_tiebreak",
+                   False):
+            self.raft.state_embedding = my_emb.tolist()
 
     # -- outbound ----------------------------------------------------------
     def _send_msg(self, m: Message) -> None:
@@ -104,10 +118,15 @@ class ClusterProtocolMixin:
         """Returns True when the message was consumed here."""
         if msg.kind in GOSSIP_KINDS:
             if self.gossip is not None:
+                geo = msg.payload.get("geo")
+                if geo is not None:
+                    self.geom.upsert_peer(msg.src, geo)
                 with self._lock:
                     out = self.gossip.handle(msg)
                 for m in out:
-                    self._send(m.dst, m.kind, m.payload)
+                    p = dict(m.payload)
+                    p["geo"] = self.geom.embedding.tolist()
+                    self._send(m.dst, m.kind, p)
                 self._check_heals()
             return True
         if msg.kind == "snap_chunk":
@@ -145,7 +164,9 @@ class ClusterProtocolMixin:
         with self._lock:
             out = self.gossip.tick()
         for m in out:
-            self._send(m.dst, m.kind, m.payload)
+            p = dict(m.payload)
+            p["geo"] = self.geom.embedding.tolist()
+            self._send(m.dst, m.kind, p)
         self._check_heals()
         self._drive_membership()
         self._flush_merge_replies()
@@ -160,7 +181,12 @@ class ClusterProtocolMixin:
             target = leader
             if target is None and self.gossip is not None:
                 alive = self.gossip.alive_peers()
-                if alive:
+                # prefer the semantically nearest alive peer
+                ranked = [p for p in self.geom.rank_peers()
+                          if p in alive]
+                if ranked:
+                    target = ranked[0]
+                elif alive:
                     target = alive[0]
             if target is not None:
                 self._offer_merge(target)

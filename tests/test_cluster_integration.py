@@ -206,3 +206,16 @@ def test_snapshot_streaming_for_lagging_follower():
         got = lagnode.store.get(f"k{i}")
         assert got is not None, f"k{i} missing after snapshot install"
         assert got.get("embedding").to_dense()[0] == float(i)
+
+
+def test_geometric_membership_rides_gossip():
+    """Identity embeddings piggyback on gossip; every node ends up
+    knowing its peers' embeddings and can rank them by similarity."""
+    hub, ids, nodes = _mk_cluster(3)
+    _elect(nodes)
+    _pump(nodes, 60)
+    for nid, node in nodes.items():
+        known = set(node.geom._peers)
+        assert set(ids) - {nid} <= known, (nid, known)
+        ranked = node.geom.rank_peers()
+        assert len(ranked) == 2
