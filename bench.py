@@ -77,7 +77,7 @@ def main():
         block_rows = 1 << 20
         pool = 2048      # clustered corpora collide more per pool than
         oracle_rows = 1 << 20   # random ones; 2048 buys recall ~free
-        nprobe = 96
+        nprobe = 72
     else:  # CPU smoke fallback so the bench always runs
         n, d, q, k = 100_000, 128, 16, 10
         n_centers = 256

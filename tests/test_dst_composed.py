@@ -169,3 +169,85 @@ def test_jepsen_compose_topologies_valid():
             assert set(peers) == set(svcs) - {nid}
             assert env["NEUMANN_DATA_DIR"] == "/data"
             assert svc["volumes"], "durability needs a volume"
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_composed_with_auto_membership(seed):
+    """The hardest composition: partitions + heals WHILE gossip-driven
+    membership is live (the leader may remove partitioned voters and
+    re-add them on heal). Invariants: never two leaders in a term,
+    committed writes survive, the cluster converges back to full
+    membership, and every store agrees."""
+    rng = random.Random(1000 + seed)
+    hub = TransportHub(seed=seed)
+    ids = [f"n{i}" for i in range(5)]
+    nodes = {nid: ClusterNode(
+        nid, ids, hub, seed=seed * 10 + i,
+        auto_remove_faulty=True, faulty_grace_ticks=8,
+        gossip_config=GossipConfig(probe_interval=2, ack_timeout=2,
+                                   suspect_timeout=4))
+        for i, nid in enumerate(ids)}
+    acked = {}
+    partitioned = False
+    wi = 0
+
+    def pump(steps):
+        for _ in range(steps):
+            for nid in ids:
+                nodes[nid].pump()
+            terms = {}
+            for nid, n in nodes.items():
+                if n.is_leader():
+                    assert terms.setdefault(n.raft.term, nid) == nid
+            # config safety: voters never drop below a functioning
+            # majority of the full cluster
+            for n in nodes.values():
+                assert len(n.raft.voters) >= 3, sorted(n.raft.voters)
+
+    def leader():
+        best = None
+        for n in nodes.values():
+            if n.is_leader() and (best is None
+                                  or n.raft.term > best.raft.term):
+                best = n
+        return best
+
+    pump(150)
+    for _ in range(8):
+        act = rng.choice(["write", "write", "partition", "heal",
+                          "pump"])
+        if act == "write":
+            ld = leader()
+            if ld is not None:
+                key = f"k{wi}"
+                vec = [0.0] * 8
+                vec[wi % 8] = 1.0
+                if ld.propose_put(key, _emb(vec)):
+                    acked[key] = True
+                wi += 1
+            pump(60)
+        elif act == "partition" and not partitioned:
+            maj = set(rng.sample(ids, 3))
+            hub.partition(maj, set(ids) - maj)
+            partitioned = True
+            pump(160)      # long enough for removal to fire
+        elif act == "heal" and partitioned:
+            hub.heal()
+            partitioned = False
+            pump(300)
+        else:
+            pump(40)
+
+    hub.heal()
+    pump(900)
+
+    # full membership restored on the final leader
+    ld = leader()
+    assert ld is not None, f"seed {seed}: no leader at the end"
+    assert ld.raft.voters == set(ids), \
+        f"seed {seed}: membership never recovered {ld.raft.voters}"
+    # committed writes on every CURRENT voter's store
+    for key in acked:
+        for nid in ids:
+            assert nodes[nid].store.get(key) is not None, \
+                f"seed {seed}: {key} missing on {nid}"
