@@ -130,3 +130,70 @@ def test_disabled_flag():
     eng.batch_store_embeddings([(f"x{i}", v[i]) for i in range(50)])
     assert eng.search_similar(v[4], 3)[0].key == "x4"
     assert getattr(eng._corpora[""][8], "_auto_ivf", None) is None
+
+
+def test_auto_ivf_concurrent_search_and_writes():
+    """Searches run while writers churn rows: no exceptions, results
+    always map to live keys, and a freshly planted best match is
+    visible once writes settle (delta-rescan correctness under
+    threads)."""
+    import threading
+
+    rng = np.random.default_rng(9)
+    n, d = 6000, 32
+    vecs = _clustered(n, d, 16, rng)
+    cfg = VectorEngineConfig(ivf_auto_threshold=2_000,
+                             ivf_auto_clusters=16, ivf_auto_nprobe=8)
+    eng = VectorEngine(config=cfg)
+    eng.batch_store_embeddings([(f"k{i}", vecs[i]) for i in range(n)])
+    eng.search_similar(vecs[0], 3)            # build the index
+    errors = []
+    stop = threading.Event()
+
+    def searcher(tid):
+        r = np.random.default_rng(tid)
+        try:
+            while not stop.is_set():
+                q = vecs[int(r.integers(0, n))]
+                hits = eng.search_similar(q, 5)
+                for h in hits:
+                    if eng.get_embedding(h.key) is None and \
+                            not h.key.startswith("churn"):
+                        # deleted concurrently is fine; a key that
+                        # never existed is not
+                        assert h.key.startswith(("k", "churn")), h.key
+        except Exception as e:    # pragma: no cover
+            errors.append((tid, repr(e)))
+
+    def writer(tid):
+        r = np.random.default_rng(100 + tid)
+        try:
+            i = 0
+            while not stop.is_set():
+                v = r.standard_normal(d).astype(np.float32)
+                eng.store_embedding(f"churn{tid}-{i % 50}", v)
+                if r.random() < 0.3:
+                    eng.delete_embedding(
+                        f"churn{tid}-{int(r.integers(0, 50))}")
+                i += 1
+        except Exception as e:    # pragma: no cover
+            errors.append((tid, repr(e)))
+
+    threads = [threading.Thread(target=searcher, args=(t,))
+               for t in range(4)]
+    threads += [threading.Thread(target=writer, args=(t,))
+                for t in range(2)]
+    for t in threads:
+        t.start()
+    import time
+
+    time.sleep(1.5)
+    stop.set()
+    for t in threads:
+        t.join(timeout=10)
+    assert not errors, errors[:3]
+    # settled correctness: plant an exact match and find it
+    q = vecs[123]
+    eng.store_embedding("planted-final", q * 3.0)
+    hits = eng.search_similar(q, 3)
+    assert any(h.key in ("planted-final", "k123") for h in hits[:2])

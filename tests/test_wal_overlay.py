@@ -124,3 +124,66 @@ def test_lazy_tensor_data_mutation():
     # encodes like a normal TensorData
     rt = codec.decode_data(codec.encode_data(lazy))
     assert rt.get("y").value == 6
+
+
+@native
+def test_overlay_concurrent_promotion_stress(tmp_path):
+    """16 threads hammer get/put/delete/scan/len while records are
+    still unmaterialized in the C++ overlay: every read must see either
+    the recovered value or a later write, never a crash or a miss."""
+    import threading
+
+    p = str(tmp_path / "wal.log")
+    _write_wal(p, 2000)
+    s = TensorStore()
+    assert s.recover(p) == 2000
+    errors = []
+    stop = threading.Event()
+
+    def reader(tid):
+        rng = np.random.default_rng(tid)
+        try:
+            while not stop.is_set():
+                i = int(rng.integers(0, 2000))
+                d = s.get(f"k{i}")
+                if d is not None:
+                    v = d.get("v").value
+                    if v != i and not isinstance(v, str):
+                        errors.append((tid, i, v))
+        except Exception as e:   # pragma: no cover
+            errors.append((tid, repr(e)))
+
+    def writer(tid):
+        rng = np.random.default_rng(100 + tid)
+        try:
+            while not stop.is_set():
+                i = int(rng.integers(0, 2000))
+                r = rng.random()
+                if r < 0.4:
+                    s.put(f"k{i}", TensorData().set(
+                        "v", TensorValue.scalar(f"w{tid}")))
+                elif r < 0.6:
+                    s.delete(f"k{i}")
+                elif r < 0.8:
+                    s.scan_count("k")
+                else:
+                    len(s)
+        except Exception as e:   # pragma: no cover
+            errors.append((tid, repr(e)))
+
+    threads = [threading.Thread(target=reader, args=(t,))
+               for t in range(10)]
+    threads += [threading.Thread(target=writer, args=(t,))
+                for t in range(6)]
+    for t in threads:
+        t.start()
+    import time as _t
+
+    _t.sleep(1.5)
+    stop.set()
+    for t in threads:
+        t.join(timeout=5)
+    assert not errors, errors[:5]
+    # the store remains coherent: every surviving key materializes
+    for k in s.scan("k"):
+        assert s.get(k) is not None
