@@ -233,3 +233,75 @@ def target_sparse(data: bytes) -> None:
     sv = SparseVector.from_dense(arr.tolist())
     sv.dot(sv)
     sv.cosine_similarity(sv)
+
+
+def target_parse_param(data: bytes) -> None:
+    """Parameterized-template parser: must agree with parse() (or both
+    reject) on arbitrary input (round-2 lang/parser.parse_param)."""
+    from neumann_tpu.lang.parser import parse, parse_param
+
+    src = data.decode("utf-8", "replace")
+    try:
+        want = repr(parse(src))
+    except Exception:
+        try:
+            parse_param(src)
+        except Exception:
+            return
+        raise AssertionError("parse_param accepted what parse rejects")
+    got = repr(parse_param(src))
+    if got != want:
+        raise AssertionError("parse_param diverged")
+
+
+def target_raft_wal(data: bytes, _tmp=[]) -> None:
+    """Raft WAL replay over hostile bytes: load() must never raise
+    (torn/corrupt tails truncate cleanly)."""
+    import os
+    import tempfile
+
+    from neumann_tpu.chain.raft_wal import RaftWal
+
+    if not _tmp:
+        _tmp.append(tempfile.mkdtemp(prefix="covfuzz-rwal-"))
+    p = os.path.join(_tmp[0], "w")
+    with open(p, "wb") as fh:
+        fh.write(data)
+    RaftWal(p).load()
+
+
+def target_snapshot(data: bytes) -> None:
+    """Snapshot loads over hostile bytes -> StoreError only."""
+    from neumann_tpu.store import snapshot
+
+    snapshot.loads(data)
+
+
+def target_obfuscation(data: bytes) -> None:
+    """Padding/metadata decoders over hostile bytes -> VaultError."""
+    from neumann_tpu.vault.obfuscation import ObfuscationLayer
+
+    ObfuscationLayer.unpad(data)
+
+
+def target_wal_overlay(data: bytes) -> None:
+    """C++ overlay replay over hostile bytes: parse must stop cleanly
+    or raise ValueError; surviving records must decode or StoreError."""
+    from neumann_tpu.store import codec
+    from neumann_tpu.utils.errors import StoreError
+
+    ext = codec._native()
+    if ext is None:
+        return
+    try:
+        cap, n = ext.wal_overlay(bytes(data))
+    except ValueError:
+        return
+    puts, dels = ext.overlay_keys(cap)
+    for k in puts[:8]:
+        code, td = ext.overlay_pop(cap, k)
+        if code == 1:
+            try:
+                list(td.fields.items())
+            except StoreError:
+                pass

@@ -119,3 +119,53 @@ def test_replay_stops_at_corruption(tmp_path):
     corrupted[pos + 9] ^= 0xFF
     path.write_bytes(bytes(corrupted))
     assert [k for _, k, _ in TensorWal.replay(path)] == ["a"]
+
+
+def test_covfuzz_round2_targets():
+    """Round-2 surfaces under the coverage-guided fuzzer: param parser,
+    raft WAL, snapshots, obfuscation, the C++ WAL overlay."""
+    import os
+
+    from neumann_tpu.chain.raft_wal import RaftWal
+    from neumann_tpu.store import codec, snapshot
+    from neumann_tpu.store.tensor_store import TensorData, TensorValue
+    from neumann_tpu.utils.errors import StoreError, VaultError
+
+    # seeds: valid artifacts to mutate from
+    td = TensorData().set("v", TensorValue.scalar(1))
+    snap_seed = snapshot.dumps({"k": td})
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    w = RaftWal(os.path.join(d, "w"))
+    w.save_hard_state(2, "n1")
+
+    class E:
+        term, payload = 1, {"v": 1}
+    w.append(1, [E()])
+    w.sync()
+    rwal_seed = open(os.path.join(d, "w"), "rb").read()
+
+    from neumann_tpu.store.wal import TensorWal
+
+    p = os.path.join(d, "tw")
+    tw = TensorWal(p, sync_mode="manual")
+    tw.log_put("k", td)
+    tw.flush()
+    tw.close()
+    overlay_seed = open(p, "rb").read()
+
+    runs = [
+        (covfuzz.target_parse_param,
+         [b"INSERT INTO t VALUES (1, 'a')",
+          b"SELECT * FROM t WHERE x = 5 LIMIT 2"], (Exception,)),
+        (covfuzz.target_raft_wal, [rwal_seed], ()),
+        (covfuzz.target_snapshot, [snap_seed], (StoreError,)),
+        (covfuzz.target_obfuscation, [b"\x02\x00\x00\x00hi" + b"\0" * 250],
+         (VaultError,)),
+        (covfuzz.target_wal_overlay, [overlay_seed], (StoreError,)),
+    ]
+    for target, seeds, allowed in runs:
+        stats = covfuzz.fuzz(target, seeds, allowed, max_execs=800,
+                             seed=7)
+        assert not stats.findings, (target.__name__, stats.findings[:2])
