@@ -236,6 +236,7 @@ def main():
     ip50, ip99 = measure_ivf(xla_core)
     ivf_path = "xla"
     xla_p99 = ip99
+    ivf_windowed_topk_pallas = None
     if window % 128 == 0:
         try:
             from neumann_tpu.ops.pallas_kernels import (
@@ -251,7 +252,7 @@ def main():
             if pp99 < ip99:
                 ip50, ip99, ivf_path = pp50, pp99, "pallas"
         except Exception:
-            pass     # Mosaic unavailable: XLA numbers stand
+            ivf_windowed_topk_pallas = None
 
     # IVF recall@10 vs the exact full-corpus int8 scan (positions are
     # row ids: the corpus is born cluster-sorted)
@@ -263,13 +264,22 @@ def main():
     _, oracle_idx = int8_topk_scan_jit(
         corpus_q, scale, queries[:nq_rec], k, "cosine", mask=valid,
         block_rows=block_rows)
-    # small query batches: each query gathers [nprobe, window, d] f32
-    # candidates, so a 64-wide vmap would materialize ~32 GB in HBM
+    # small query batches: each query gathers [nprobe, window, d]
+    # candidates, so a 64-wide batch would materialize ~32 GB in HBM.
+    # Recall is measured through the SAME core the headline latency
+    # used (the Pallas path when it won).
+    def recall_core(qs):
+        if ivf_path == "pallas":
+            return ivf_windowed_topk_pallas(
+                corpus_q, rmult, cents_n, starts_dev, qs,
+                2 * k + 8, nprobe, window)
+        return windowed_ivf_topk(
+            corpus_q, rmult, cents_n, starts_dev, qs,
+            2 * k + 8, nprobe, window)
+
     sv_parts, pv_parts = [], []
     for r0 in range(0, nq_rec, 4):
-        s_c, p_c = windowed_ivf_topk(
-            corpus_q, rmult, cents_n, starts_dev,
-            queries[r0: r0 + 4], 2 * k + 8, nprobe, window)
+        s_c, p_c = recall_core(queries[r0: r0 + 4])
         sv_parts.append(np.asarray(s_c))
         pv_parts.append(np.asarray(p_c))
     oi = np.asarray(oracle_idx)

@@ -210,11 +210,14 @@ def int8_dot_scores(corpus_q, row_mult, queries_q, q_mult,
 # int8 bytes ever leave HBM.
 
 def _ivf_probe_kernel(sb_ref, q_ref, c_ref, rm_ref, out_ref):
-    """sb_ref: scalar-prefetched [nprobe] block starts (unused in the
-    body — it drives the index maps). c_ref [128, d] i8, rm_ref
-    [1, 128] f32, q_ref [Q, d] bf16 -> out_ref [Q, 128] f32."""
+    """sb_ref: scalar-prefetched [nprobe] block starts (drives the
+    index maps). q_ref [1, d] f32 (ONE query — multi-query callers
+    unroll; Mosaic rejects both (1, d) blocks of a [Q, d] array and
+    1-D outputs with 128-blocks, and a vmapped pallas_call measured
+    ~4x slower). c_ref [128, d] i8, rm_ref [1, 128] f32 ->
+    out_ref [1, 128] f32."""
     dots = lax.dot_general(
-        q_ref[:], c_ref[:].astype(jnp.bfloat16),
+        q_ref[:].astype(jnp.bfloat16), c_ref[:].astype(jnp.bfloat16),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -223,38 +226,48 @@ def _ivf_probe_kernel(sb_ref, q_ref, c_ref, rm_ref, out_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("window",))
-def ivf_probe_scores_pallas(buf, rmult2d, start_blocks, queries,
-                            window: int):
-    """Scores for every probed window row.
-
-    buf [N, d] int8 (N a multiple of 128); rmult2d [1, N] f32;
-    start_blocks [nprobe] int32 = window start // 128 (the IVF layout
-    128-aligns starts); queries [Q, d] f32. Returns
-    [Q, nprobe * window] f32 with invalid rows at -inf.
-    """
+def _probe_scores_one(buf, rmult2d, start_blocks, query_row,
+                      window: int):
+    """[1, nprobe*window] scores for ONE query (see kernel docstring)."""
     n, d = buf.shape
     nprobe = start_blocks.shape[0]
-    q = queries.shape[0]
     wb = window // 128
     grid = (nprobe, wb)
-    qb = queries.astype(jnp.bfloat16)
     return pl.pallas_call(
         _ivf_probe_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((q, d), lambda p, j, sb: (0, 0)),
+                pl.BlockSpec((1, d), lambda p, j, sb: (0, 0)),
                 pl.BlockSpec((128, d), lambda p, j, sb: (sb[p] + j, 0)),
                 pl.BlockSpec((1, 128), lambda p, j, sb: (0, sb[p] + j)),
             ],
             out_specs=pl.BlockSpec(
-                (q, 128), lambda p, j, sb: (0, p * (window // 128) + j)),
+                (1, 128), lambda p, j, sb, wb=wb: (0, p * wb + j)),
         ),
-        out_shape=jax.ShapeDtypeStruct((q, nprobe * window),
+        out_shape=jax.ShapeDtypeStruct((1, nprobe * window),
                                        jnp.float32),
         interpret=not _on_tpu(),
-    )(start_blocks, qb, buf, rmult2d)
+    )(start_blocks, query_row, buf, rmult2d)
+
+
+def ivf_probe_scores_pallas(buf, rmult2d, start_blocks, queries,
+                            window: int):
+    """Scores for every probed window row. start_blocks [Q, nprobe]
+    (or [nprobe]) int32 window starts // 128; queries [Q, d] f32.
+    Returns [Q, nprobe * window] f32 with invalid rows at -inf.
+    Queries unroll at trace time (Q is small on the latency path)."""
+    if start_blocks.ndim == 1:
+        start_blocks = start_blocks[None, :]
+    q = queries.shape[0]
+    rows = [
+        _probe_scores_one(buf, rmult2d, start_blocks[i],
+                          queries[i: i + 1].astype(jnp.float32),
+                          window)
+        for i in range(q)
+    ]
+    return jnp.concatenate(rows, axis=0)
 
 
 def ivf_windowed_topk_pallas(buf, rmult, cents, starts, queries,
@@ -262,23 +275,21 @@ def ivf_windowed_topk_pallas(buf, rmult, cents, starts, queries,
     """Drop-in for ops.ivf.windowed_ivf_topk via the Pallas kernel.
 
     Requires starts to be 128-aligned and window a multiple of 128
-    (DeviceIVFInt8 lays the corpus out that way when NEUMANN_PALLAS=1;
-    the generic layout falls back to the XLA path otherwise).
-    Returns (scores [Q, k], positions [Q, k]) like the XLA core.
-    """
+    (DeviceIVFInt8 lays the corpus out that way; the generic layout
+    falls back to the XLA path otherwise). Returns (scores [Q, k],
+    positions [Q, k]) like the XLA core. Final selection uses the
+    TPU-optimized approx_max_k (measured free vs +0.2 ms for exact
+    top_k over ~200K scores; recall_target 0.98 on top of an already
+    2x-oversampled candidate pool)."""
     qn = queries / jnp.maximum(
         jnp.linalg.norm(queries, axis=1, keepdims=True), 1e-30)
     _, probe = lax.top_k(qn @ cents.T, nprobe)          # [Q, nprobe]
-    rm2 = rmult[None, :]
-
-    def one_query(qv, probes):
-        sb = (starts[probes] // 128).astype(jnp.int32)
-        scores = ivf_probe_scores_pallas(
-            buf, rm2, sb, qv[None, :], window)[0]       # [nprobe*window]
-        pos = ((sb * 128)[:, None]
-               + lax.broadcasted_iota(jnp.int32, (nprobe, window), 1)
-               ).reshape(-1)
-        s, i = lax.top_k(scores, k)
-        return s, pos[i]
-
-    return jax.vmap(one_query)(qn, probe)
+    sb = (starts[probe] // 128).astype(jnp.int32)       # [Q, nprobe]
+    scores = ivf_probe_scores_pallas(buf, rmult[None, :], sb, qn,
+                                     window)            # [Q, P*W]
+    pos = ((sb * 128)[:, :, None]
+           + lax.broadcasted_iota(jnp.int32,
+                                  (qn.shape[0], nprobe, window), 2)
+           ).reshape(qn.shape[0], -1)
+    s, i = lax.approx_max_k(scores, k, recall_target=0.98)
+    return s, jnp.take_along_axis(pos, i, axis=1)
