@@ -444,8 +444,18 @@ class TensorStore:
         ext = codec._native()
         if ext is not None and hasattr(ext, "wal_overlay") \
                 and _os.path.exists(_os.fspath(wal_path)):
+            import mmap as _mmap
+
             with open(_os.fspath(wal_path), "rb") as fh:
-                buf = fh.read()
+                size = _os.fstat(fh.fileno()).st_size
+                if size and not self._put_hooks:
+                    # zero-copy: the overlay capsule holds a buffer
+                    # view of the mmap (a read() memcpy of the log
+                    # dominated replay time on cloud-VM memory)
+                    buf = _mmap.mmap(fh.fileno(), 0,
+                                     access=_mmap.ACCESS_READ)
+                else:
+                    buf = fh.read()
             try:
                 if not self._put_hooks:
                     # fastest path: records stay in a C++ overlay map
