@@ -922,17 +922,29 @@ fail:
 typedef struct {
     unsigned char *b;
     size_t len, cap;
+    int fixed;                 // b is a borrowed static buffer
 } Wr;
 
 static int wr_reserve(Wr *w, size_t extra) {
     if (w->len + extra <= w->cap) return 1;
     size_t cap = w->cap ? w->cap * 2 : 256;
     while (cap < w->len + extra) cap *= 2;
-    unsigned char *nb = (unsigned char *)realloc(w->b, cap);
+    unsigned char *nb;
+    if (w->fixed) {            // spill the static buffer to the heap
+        nb = (unsigned char *)malloc(cap);
+        if (nb) memcpy(nb, w->b, w->len);
+        w->fixed = 0;
+    } else {
+        nb = (unsigned char *)realloc(w->b, cap);
+    }
     if (!nb) { PyErr_NoMemory(); return 0; }
     w->b = nb;
     w->cap = cap;
     return 1;
+}
+
+static void wr_free(Wr *w) {
+    if (!w->fixed) free(w->b);
 }
 
 static int wr_put(Wr *w, const void *p, size_t n) {
@@ -1080,14 +1092,14 @@ static int encode_data_c(Wr *w, PyObject *td) {
 static PyObject *wr_to_bytes(Wr *w) {
     PyObject *out = PyBytes_FromStringAndSize((const char *)w->b,
                                               (Py_ssize_t)w->len);
-    free(w->b);
+    wr_free(w);
     return out;
 }
 
 // encode_data(td) -> bytes
 static PyObject *py_encode_data(PyObject *self, PyObject *td) {
-    Wr w = {NULL, 0, 0};
-    if (!encode_data_c(&w, td)) { free(w.b); return NULL; }
+    Wr w = {NULL, 0, 0, 0};
+    if (!encode_data_c(&w, td)) { wr_free(&w); return NULL; }
     return wr_to_bytes(&w);
 }
 
@@ -1106,20 +1118,109 @@ static int encode_frame_c(Wr *w, long op, PyObject *key, PyObject *td) {
 }
 
 // encode_frame(op:int, key:str, td|None) -> bytes
-static PyObject *py_encode_frame(PyObject *self, PyObject *args) {
-    long op;
-    PyObject *key, *td = Py_None;
-    if (!PyArg_ParseTuple(args, "lU|O", &op, &key, &td)) return NULL;
-    Wr w = {NULL, 0, 0};
-    if (!encode_frame_c(&w, op, key, td)) { free(w.b); return NULL; }
+static unsigned char enc_scratch[1 << 16];
+static int enc_scratch_busy = 0;
+
+static PyObject *py_encode_frame(PyObject *self,
+                                 PyObject *const *args, Py_ssize_t n) {
+    if (n < 2 || n > 3) {
+        PyErr_SetString(PyExc_TypeError,
+                        "encode_frame(op, key[, data])");
+        return NULL;
+    }
+    long op = PyLong_AsLong(args[0]);
+    if (op == -1 && PyErr_Occurred()) return NULL;
+    PyObject *key = args[1], *td = n == 3 ? args[2] : Py_None;
+    if (!PyUnicode_Check(key)) {
+        PyErr_SetString(PyExc_TypeError, "key must be str");
+        return NULL;
+    }
+    Wr w;
+    if (!enc_scratch_busy) {
+        enc_scratch_busy = 1;
+        w = (Wr){enc_scratch, 0, sizeof enc_scratch, 1};
+        PyObject *out = encode_frame_c(&w, op, key, td)
+            ? wr_to_bytes(&w) : (wr_free(&w), (PyObject *)NULL);
+        enc_scratch_busy = 0;
+        return out;
+    }
+    w = (Wr){NULL, 0, 0, 0};
+    if (!encode_frame_c(&w, op, key, td)) { wr_free(&w); return NULL; }
     return wr_to_bytes(&w);
+}
+
+// ---- C-side frame buffer: one call per append ------------------------
+// put -> framebuf_append is a single C call (encode + buffer); the
+// Python WAL drains it to the file object at its sync barriers, so
+// durability semantics are unchanged while the per-record Python
+// frame stack (log_put -> _append_frame -> BufferedWriter.write)
+// disappears from the hot path.
+
+static void framebuf_destroy(PyObject *cap) {
+    Wr *w = (Wr *)PyCapsule_GetPointer(cap, "neumann.framebuf");
+    if (w) { wr_free(w); delete w; }
+}
+
+static PyObject *py_framebuf_new(PyObject *self, PyObject *args) {
+    Wr *w = new Wr();
+    w->b = NULL; w->len = w->cap = 0; w->fixed = 0;
+    return PyCapsule_New(w, "neumann.framebuf", framebuf_destroy);
+}
+
+// framebuf_append(cap, op, key[, td]) -> buffered byte count
+static PyObject *py_framebuf_append(PyObject *self,
+                                    PyObject *const *args,
+                                    Py_ssize_t n) {
+    if (n < 3 || n > 4) {
+        PyErr_SetString(PyExc_TypeError,
+                        "framebuf_append(cap, op, key[, data])");
+        return NULL;
+    }
+    Wr *fb = (Wr *)PyCapsule_GetPointer(args[0], "neumann.framebuf");
+    if (!fb) return NULL;
+    long op = PyLong_AsLong(args[1]);
+    if (op == -1 && PyErr_Occurred()) return NULL;
+    PyObject *key = args[2], *td = n == 4 ? args[3] : Py_None;
+    if (!PyUnicode_Check(key)) {
+        PyErr_SetString(PyExc_TypeError, "key must be str");
+        return NULL;
+    }
+    // encode into a local writer first: encode may re-enter Python
+    // (lazy-field property getters), and a nested append must not
+    // interleave inside this frame's bytes
+    Wr w;
+    int used_scratch = !enc_scratch_busy;
+    if (used_scratch) {
+        enc_scratch_busy = 1;
+        w = (Wr){enc_scratch, 0, sizeof enc_scratch, 1};
+    } else {
+        w = (Wr){NULL, 0, 0, 0};
+    }
+    int ok = encode_frame_c(&w, op, key, td)
+        && wr_put(fb, w.b, w.len);
+    wr_free(&w);
+    if (used_scratch) enc_scratch_busy = 0;
+    if (!ok) return NULL;
+    return PyLong_FromSize_t(fb->len);
+}
+
+// framebuf_take(cap) -> bytes (drains the buffer)
+static PyObject *py_framebuf_take(PyObject *self, PyObject *args) {
+    PyObject *cap;
+    if (!PyArg_ParseTuple(args, "O", &cap)) return NULL;
+    Wr *fb = (Wr *)PyCapsule_GetPointer(cap, "neumann.framebuf");
+    if (!fb) return NULL;
+    PyObject *out = PyBytes_FromStringAndSize((const char *)fb->b,
+                                              (Py_ssize_t)fb->len);
+    fb->len = 0;                          // keep capacity for reuse
+    return out;
 }
 
 // encode_frames(iterable of (op:int, key:str, td|None)) -> bytes
 static PyObject *py_encode_frames(PyObject *self, PyObject *entries) {
     PyObject *seq = PySequence_Fast(entries, "entries not a sequence");
     if (!seq) return NULL;
-    Wr w = {NULL, 0, 0};
+    Wr w = {NULL, 0, 0, 0};
     Py_ssize_t n = PySequence_Fast_GET_SIZE(seq);
     for (Py_ssize_t i = 0; i < n; i++) {
         PyObject *e = PySequence_Fast_GET_ITEM(seq, i);
@@ -1140,7 +1241,7 @@ static PyObject *py_encode_frames(PyObject *self, PyObject *entries) {
 static PyObject *py_encode_snapshot_body(PyObject *self, PyObject *items) {
     PyObject *seq = PySequence_Fast(items, "items not a sequence");
     if (!seq) return NULL;
-    Wr w = {NULL, 0, 0};
+    Wr w = {NULL, 0, 0, 0};
     Py_ssize_t n = PySequence_Fast_GET_SIZE(seq);
     for (Py_ssize_t i = 0; i < n; i++) {
         PyObject *e = PySequence_Fast_GET_ITEM(seq, i);
@@ -1280,7 +1381,12 @@ static PyMethodDef methods[] = {
     {"overlay_tombstones", py_overlay_tombstones, METH_VARARGS, NULL},
     {"decode_snapshot_body", py_decode_snapshot_body, METH_VARARGS, NULL},
     {"encode_data", py_encode_data, METH_O, NULL},
-    {"encode_frame", py_encode_frame, METH_VARARGS, NULL},
+    {"encode_frame", (PyCFunction)(void (*)(void))py_encode_frame,
+     METH_FASTCALL, NULL},
+    {"framebuf_new", py_framebuf_new, METH_NOARGS, NULL},
+    {"framebuf_append", (PyCFunction)(void (*)(void))py_framebuf_append,
+     METH_FASTCALL, NULL},
+    {"framebuf_take", py_framebuf_take, METH_VARARGS, NULL},
     {"encode_frames", py_encode_frames, METH_O, NULL},
     {"encode_snapshot_body", py_encode_snapshot_body, METH_O, NULL},
     {"rows_from_columns", py_rows_from_columns, METH_VARARGS, NULL},
