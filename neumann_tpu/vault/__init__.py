@@ -6,14 +6,27 @@ from neumann_tpu.vault.anomaly import (  # noqa: F401
     AnomalyMonitor,
     AnomalyThresholds,
 )
+from neumann_tpu.vault.attenuation import (  # noqa: F401
+    AttenuationPolicy,
+    ExponentialAttenuationPolicy,
+)
 from neumann_tpu.vault.pki import CertInfo, PkiEngine  # noqa: F401
+from neumann_tpu.vault.placement import (  # noqa: F401
+    ManifoldPlacer,
+    PlacementConfig,
+    PlacementRecommendation,
+    VaultRegion,
+)
 from neumann_tpu.vault.scoped import (  # noqa: F401
     DelegationRecord,
     DynamicSecretMeta,
     ImpactReport,
     PasswordConfig,
+    RotationPlan,
     ScopedVault,
     SecretTemplate,
+    WeightedImpactReport,
+    WrappingToken,
 )
 from neumann_tpu.vault.sync import (  # noqa: F401
     FileSyncTarget,

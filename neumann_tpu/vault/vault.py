@@ -93,6 +93,10 @@ class TensorVault:
 
             self._obf = ObfuscationLayer(bytes(self._key))
         self._ensure_canary()
+        # direct ACL grants persist (the reference stores ACL edges in
+        # the shared store — tensor_vault/src/access.rs); reload the
+        # live ones, reap the expired
+        self._load_grants()
         # seal state persists: a sealed vault stays sealed on reopen
         # until unseal() verifies the password (seal.rs capability)
         self._sealed = False
@@ -334,20 +338,46 @@ class TensorVault:
             raise VaultError(f"rate limit exceeded for '{actor}'")
         window.append(now)
 
+    def _grant_key(self, entity: str, key: str) -> str:
+        # \x1f separates entity from secret name (either may contain ':')
+        return f"_vgrant:{self.namespace}:{entity}\x1f{key}"
+
+    def _load_grants(self) -> None:
+        import json as _json
+
+        for skey in list(self.store.scan(f"_vgrant:{self.namespace}:")):
+            data = self.store.get(skey)
+            if data is None or data.get("j") is None:
+                continue
+            doc = _json.loads(data.get("j").value)
+            g = _Grant(Permission(doc["level"]), doc.get("expires_at"))
+            if not g.live():
+                self.store.delete(skey)
+                continue
+            self._grants[(doc["entity"], doc["key"])] = g
+
     def grant(self, entity: str, key: str,
               level: Permission = Permission.READ,
               ttl_seconds: Optional[float] = None,
               actor: str = "root") -> None:
+        import json as _json
+
         self._check(actor, key, Permission.ADMIN)
         expires = time.time() + ttl_seconds if ttl_seconds else None
         with self._lock:
             self._grants[(entity, key)] = _Grant(level, expires)
+        td = TensorData()
+        td.set("j", TensorValue.scalar(_json.dumps(
+            {"entity": entity, "key": key, "level": int(level),
+             "expires_at": expires})))
+        self.store.put(self._grant_key(entity, key), td)
         self._log(actor, "grant", key, True)
 
     def revoke(self, entity: str, key: str, actor: str = "root") -> None:
         self._check(actor, key, Permission.ADMIN)
         with self._lock:
             self._grants.pop((entity, key), None)
+        self.store.delete(self._grant_key(entity, key))
         self._log(actor, "revoke", key, True)
 
     def grants_for(self, key: str) -> List[Tuple[str, str]]:
