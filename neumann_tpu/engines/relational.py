@@ -144,6 +144,13 @@ class _Table:
             self.nulls[c.name] = np.ones(self.cap, bool)
         self.hash_indexes: Dict[str, _HashIndex] = {}
         self.btree_indexes: Dict[str, _BTreeIndex] = {}
+        # constraint-free tables take the single-insert fast path
+        # (indexes are re-checked at insert time — they can appear later)
+        self.plain = (not checks and not composite_uniques
+                      and all(c.nullable and not c.unique
+                              and not c.primary_key
+                              and c.references is None
+                              and c.check is None for c in columns))
         self.lock = threading.RLock()
         pks = [c for c in columns if c.primary_key]
         self.pk: Optional[Column] = pks[0] if pks else None
@@ -637,10 +644,30 @@ class RelationalEngine:
             return self._insert_locked(t, row)
 
     def _insert_locked(self, t: _Table, row: Dict[str, object]) -> int:
+        by_name = t.by_name
         for k in row:
-            if k not in t.by_name and k != "_id":
+            if k not in by_name and k != "_id":
                 raise RelationalError(
                     f"unknown column {k} in table {t.name}")
+        if t.plain and not t.hash_indexes and not t.btree_indexes:
+            # constraint- and index-free: skip the check loop, the
+            # values dict, and the per-column index probes
+            pos = t.n
+            if pos >= t.cap:
+                t._grow(pos + 1)
+            coerce = t.coerce
+            get = row.get
+            for c in t.columns:
+                v = get(c.name, c.default)
+                if v is not None:           # fresh rows default to NULL
+                    name = c.name
+                    t.data[name][pos] = coerce(c, v)
+                    t.nulls[name][pos] = False
+            t.alive[pos] = True
+            t.n = pos + 1
+            if self.store is not None:
+                self._persist_row(t, pos)
+            return pos
         values = {}
         for c in t.columns:
             v = row.get(c.name, c.default)
@@ -803,23 +830,39 @@ class RelationalEngine:
                 out = [t.row_dict(int(r), None) for r in rows]
             else:
                 # columnar materialization: gather each column once
-                # and build rows with the codegen'd dict builder (~4x
-                # the per-row row_dict path; same builder as the join)
+                # and build rows straight from the numpy buffers
+                # (native rows_from_arrays; ~4x the per-row row_dict
+                # path — same builder as the join)
                 rows = np.asarray(rows, np.int64)
-                names = ["_id"] + [c.name for c in t.columns]
-                cols: List[list] = [rows.tolist()]
-                for c in t.columns:
-                    vals = t.data[c.name][rows]
-                    nulls = t.nulls[c.name][rows]
-                    pv = (vals.tolist()
-                          if c.ctype in ("int", "float", "bool")
-                          else list(vals))
-                    if nulls.any():
-                        pv = [None if d else v
-                              for v, d in zip(pv, nulls)]
-                    cols.append(pv)
-                deadline.check()
-                out = _row_builder(tuple(names))(cols)
+                from neumann_tpu.native import pycodec
+
+                ext = pycodec.load()
+                if ext is not None and hasattr(ext, "rows_from_arrays"):
+                    names = ["_id"] + [c.name for c in t.columns]
+                    arrays: List[np.ndarray] = [rows]
+                    nmasks: List[Optional[np.ndarray]] = [None]
+                    for c in t.columns:
+                        arrays.append(t.data[c.name][rows])
+                        nulls = t.nulls[c.name][rows]
+                        nmasks.append(nulls if nulls.any() else None)
+                    deadline.check()
+                    out = ext.rows_from_arrays(tuple(names), arrays,
+                                               nmasks)
+                else:
+                    names = ["_id"] + [c.name for c in t.columns]
+                    cols: List[list] = [rows.tolist()]
+                    for c in t.columns:
+                        vals = t.data[c.name][rows]
+                        nulls = t.nulls[c.name][rows]
+                        pv = (vals.tolist()
+                              if c.ctype in ("int", "float", "bool")
+                              else list(vals))
+                        if nulls.any():
+                            pv = [None if d else v
+                                  for v, d in zip(pv, nulls)]
+                        cols.append(pv)
+                    deadline.check()
+                    out = _row_builder(tuple(names))(cols)
         if order_by:
             # specs: (col, desc) or (col, desc, nulls_first); default
             # placement is SQL's NULLS LAST asc / NULLS FIRST desc
@@ -1321,15 +1364,40 @@ class RelationalEngine:
             cols.append((f"{prefix}.{c.name}", pv))
         return cols
 
+    @staticmethod
+    def _side_arrays(t: _Table, prefix: str, rows: np.ndarray):
+        """(names, arrays, nullmasks) straight from the column buffers
+        — the zero-copy feed for the native row materializer."""
+        names = [f"{prefix}._id"]
+        arrays = [rows.astype(np.int64, copy=False)]
+        masks: List[Optional[np.ndarray]] = [None]
+        for c in t.columns:
+            names.append(f"{prefix}.{c.name}")
+            arrays.append(t.data[c.name][rows])
+            nulls = t.nulls[c.name][rows]
+            masks.append(nulls if nulls.any() else None)
+        return names, arrays, masks
+
     def _materialize_join(self, lt, rt, left, right, out_l, out_r,
                           l_has, r_has):
+        all_l = bool(l_has.all())
+        all_r = bool(r_has.all())
+        if all_l and all_r:
+            from neumann_tpu.native import pycodec
+
+            ext = pycodec.load()
+            if ext is not None and hasattr(ext, "rows_from_arrays"):
+                # box values straight out of the numpy buffers: no
+                # .tolist() intermediates, no per-row zip
+                ln, la, lm = self._side_arrays(lt, left, out_l)
+                rn, ra, rm = self._side_arrays(rt, right, out_r)
+                return ext.rows_from_arrays(
+                    tuple(ln + rn), la + ra, lm + rm)
         lcols = self._side_columns(lt, left, out_l, l_has)
         rcols = self._side_columns(rt, right, out_r, r_has)
         names = [n for n, _ in lcols] + [n for n, _ in rcols]
         l_id_name, r_id_name = lcols[0][0], rcols[0][0]
         columns = [v for _, v in lcols] + [v for _, v in rcols]
-        all_l = bool(l_has.all())
-        all_r = bool(r_has.all())
         if all_l and all_r:
             # codegen'd dict-literal builder (the namedtuple technique):
             # BUILD_MAP bytecode is ~3x dict(zip(names, tup)) per row,

@@ -31,6 +31,38 @@
 #include <stdlib.h>
 #include <zlib.h>
 
+// Internal dict layout (CPython 3.12) for the template-clone row
+// builder: PyDict_Copy of a small all-unicode dict memcpys the entry
+// table (~2x faster than presized + per-key inserts), then values are
+// written straight into dk_entries. Guarded by a runtime self-check
+// in init; everything falls back to PyDict_SetItem when it fails.
+#if PY_VERSION_HEX >= 0x030C0000 && PY_VERSION_HEX < 0x030D0000
+#define NEUMANN_DICT_INTERNALS 1
+// Vendored from CPython 3.12 Include/internal/pycore_dict.h (the real
+// header needs C11 atomics unavailable under C++). The layout is
+// stable across 3.12.x; dict_clone_selfcheck() verifies it at runtime
+// against the live interpreter before the fast path is ever taken.
+struct _nc_dictkeys {
+    Py_ssize_t dk_refcnt;
+    uint8_t dk_log2_size;
+    uint8_t dk_log2_index_bytes;
+    uint8_t dk_kind;              // 0 general / 1 unicode / 2 split
+    uint32_t dk_version;
+    Py_ssize_t dk_usable;
+    Py_ssize_t dk_nentries;
+    char dk_indices[];
+};
+struct _nc_unicode_entry {        // PyDictUnicodeEntry
+    PyObject *me_key;
+    PyObject *me_value;
+};
+#define NC_DICT_KEYS_UNICODE 1
+#define NC_DK_UNICODE_ENTRIES(dk) \
+    ((_nc_unicode_entry *)(&((int8_t *)((dk)->dk_indices))[ \
+        (size_t)1 << (dk)->dk_log2_index_bytes]))
+#endif
+static int g_dict_clone_ok = 0;  // set by init() self-check
+
 static inline uint32_t fast_crc(const unsigned char *p, size_t n);
 
 // ---- module state (set once by init()) --------------------------------
@@ -1330,6 +1362,274 @@ done:
     return out;
 }
 
+#ifdef NEUMANN_DICT_INTERNALS
+// Fill a clone of `tmpl` (small combined all-unicode table, k entries,
+// placeholder values) by writing dk_entries directly. Steals the value
+// references. Returns NULL with no error set when the clone has an
+// unexpected shape (callers flip to the SetItem path).
+static PyObject *clone_fill(PyObject *tmpl, PyObject **vals,
+                            Py_ssize_t k) {
+    PyObject *d = PyDict_Copy(tmpl);
+    if (!d) return NULL;
+    PyDictObject *mp = (PyDictObject *)d;
+    _nc_dictkeys *dk = (_nc_dictkeys *)mp->ma_keys;
+    if (mp->ma_values != NULL || dk->dk_kind != NC_DICT_KEYS_UNICODE ||
+        dk->dk_nentries != k) {
+        Py_DECREF(d);
+        return NULL;
+    }
+    _nc_unicode_entry *ep = NC_DK_UNICODE_ENTRIES(dk);
+    for (Py_ssize_t j = 0; j < k; j++) {
+        PyObject *old = ep[j].me_value;
+        ep[j].me_value = vals[j];
+        Py_DECREF(old);
+    }
+    return d;
+}
+
+// Verify the layout assumptions against the running interpreter once.
+static void dict_clone_selfcheck(void) {
+    g_dict_clone_ok = 0;
+    PyObject *tmpl = PyDict_New();
+    if (!tmpl) { PyErr_Clear(); return; }
+    if (PyDict_SetItemString(tmpl, "__nc_a", Py_None) != 0 ||
+        PyDict_SetItemString(tmpl, "__nc_b", Py_None) != 0) {
+        PyErr_Clear();
+        Py_DECREF(tmpl);
+        return;
+    }
+    PyObject *vals[2] = {PyLong_FromLong(11), PyLong_FromLong(22)};
+    PyObject *d = (vals[0] && vals[1]) ? clone_fill(tmpl, vals, 2) : NULL;
+    if (d) {
+        PyObject *a = PyDict_GetItemString(d, "__nc_a");
+        PyObject *b = PyDict_GetItemString(d, "__nc_b");
+        if (a && b && PyLong_Check(a) && PyLong_Check(b) &&
+            PyLong_AsLong(a) == 11 && PyLong_AsLong(b) == 22 &&
+            PyDict_Size(d) == 2)
+            g_dict_clone_ok = 1;
+        Py_DECREF(d);
+    } else {
+        Py_XDECREF(vals[0]);
+        Py_XDECREF(vals[1]);
+    }
+    PyErr_Clear();
+    Py_DECREF(tmpl);
+}
+#endif
+
+// rows_from_arrays(names, arrays, masks) -> list[dict]
+// Column-to-row materialization straight from numpy buffers: values
+// are boxed inline (no .tolist() intermediate lists), nulls come from
+// optional per-column bool masks. Dtypes: int64, float64, bool,
+// object. The hot loop of join/select output at 100K+ rows.
+static PyObject *py_rows_from_arrays(PyObject *self, PyObject *args) {
+    PyObject *names_o, *arrs_o, *masks_o;
+    if (!PyArg_ParseTuple(args, "OOO", &names_o, &arrs_o, &masks_o))
+        return NULL;
+    PyObject *names = PySequence_Fast(names_o, "names not a sequence");
+    if (!names) return NULL;
+    PyObject *arrs = PySequence_Fast(arrs_o, "arrays not a sequence");
+    if (!arrs) { Py_DECREF(names); return NULL; }
+    PyObject *masks = PySequence_Fast(masks_o, "masks not a sequence");
+    if (!masks) { Py_DECREF(names); Py_DECREF(arrs); return NULL; }
+    Py_ssize_t k = PySequence_Fast_GET_SIZE(names);
+    PyObject *out = NULL;
+    struct Col {
+        const char *data;
+        npy_intp stride;
+        int type;            // NPY_INT64 / NPY_FLOAT64 / NPY_BOOL / NPY_OBJECT
+        const npy_bool *mask; // NULL -> no nulls
+        npy_intp mask_stride;
+        // run memo: join outputs repeat values in runs (each left row
+        // fans out over its matches) — reuse the boxed object while
+        // the 8-byte pattern repeats instead of re-allocating
+        uint64_t prev_bits;
+        PyObject *prev_obj;  // borrowed from the last row's dict
+    };
+    Col *cols = (Col *)PyMem_Malloc(sizeof(Col) * (k ? k : 1));
+    PyObject **vals =
+        (PyObject **)PyMem_Malloc(sizeof(PyObject *) * (k ? k : 1));
+    PyObject *tmpl = NULL;
+    if (!cols || !vals) { out = PyErr_NoMemory(); goto done; }
+    {
+        if (PySequence_Fast_GET_SIZE(arrs) != k ||
+            PySequence_Fast_GET_SIZE(masks) != k) {
+            PyErr_SetString(PyExc_ValueError, "names/arrays/masks mismatch");
+            goto done;
+        }
+        Py_ssize_t n = (k == 0) ? 0 : PY_SSIZE_T_MAX;
+        for (Py_ssize_t j = 0; j < k; j++) {
+            PyObject *a = PySequence_Fast_GET_ITEM(arrs, j);
+            if (!PyArray_Check(a)) {
+                PyErr_SetString(PyExc_TypeError, "column not an ndarray");
+                goto done;
+            }
+            PyArrayObject *arr = (PyArrayObject *)a;
+            if (PyArray_NDIM(arr) != 1) {
+                PyErr_SetString(PyExc_ValueError, "column not 1-D");
+                goto done;
+            }
+            int t = PyArray_TYPE(arr);
+            if (t != NPY_INT64 && t != NPY_FLOAT64 && t != NPY_BOOL &&
+                t != NPY_OBJECT) {
+                PyErr_SetString(PyExc_TypeError, "unsupported column dtype");
+                goto done;
+            }
+            cols[j].data = (const char *)PyArray_DATA(arr);
+            cols[j].stride = PyArray_STRIDE(arr, 0);
+            cols[j].type = t;
+            cols[j].mask = NULL;
+            cols[j].mask_stride = 0;
+            cols[j].prev_obj = NULL;
+            cols[j].prev_bits = 0;
+            if (PyArray_DIM(arr, 0) < n) n = PyArray_DIM(arr, 0);
+            PyObject *m = PySequence_Fast_GET_ITEM(masks, j);
+            if (m != Py_None) {
+                if (!PyArray_Check(m) ||
+                    PyArray_TYPE((PyArrayObject *)m) != NPY_BOOL ||
+                    PyArray_NDIM((PyArrayObject *)m) != 1 ||
+                    PyArray_DIM((PyArrayObject *)m, 0) <
+                        PyArray_DIM(arr, 0)) {
+                    PyErr_SetString(PyExc_ValueError, "bad null mask");
+                    goto done;
+                }
+                cols[j].mask =
+                    (const npy_bool *)PyArray_DATA((PyArrayObject *)m);
+                cols[j].mask_stride =
+                    PyArray_STRIDE((PyArrayObject *)m, 0);
+            }
+        }
+        int use_clone = 0;
+#ifdef NEUMANN_DICT_INTERNALS
+        // Template-clone path: only when no object columns (so every
+        // value is a non-GC-tracked int/float/bool/None and writing
+        // entries directly can't hide a trackable object from the GC)
+        if (g_dict_clone_ok && k > 0) {
+            use_clone = 1;
+            for (Py_ssize_t j = 0; j < k; j++)
+                if (cols[j].type == NPY_OBJECT) { use_clone = 0; break; }
+            if (use_clone) {
+                tmpl = PyDict_New();
+                if (!tmpl) { goto done; }
+                for (Py_ssize_t j = 0; j < k; j++)
+                    if (PyDict_SetItem(
+                            tmpl, PySequence_Fast_GET_ITEM(names, j),
+                            Py_None) != 0)
+                        goto done;
+                if (PyDict_Size(tmpl) != k)   // duplicate names
+                    use_clone = 0;
+            }
+        }
+#endif
+        out = PyList_New(n);
+        if (!out) goto done;
+        for (Py_ssize_t i = 0; i < n; i++) {
+            PyObject *d = NULL;
+            if (!use_clone) {
+                d = _PyDict_NewPresized(k);
+                if (!d) { Py_CLEAR(out); goto done; }
+            }
+            for (Py_ssize_t j = 0; j < k; j++) {
+                Col &c = cols[j];
+                PyObject *v;
+                if (c.mask &&
+                    *(const npy_bool *)(((const char *)c.mask) +
+                                        i * c.mask_stride)) {
+                    v = Py_None;
+                    Py_INCREF(v);
+                    c.prev_obj = NULL;
+                } else {
+                    const char *p = c.data + i * c.stride;
+                    switch (c.type) {
+                    case NPY_INT64:
+                    case NPY_FLOAT64: {
+                        uint64_t bits;
+                        memcpy(&bits, p, 8);
+                        if (c.prev_obj && bits == c.prev_bits) {
+                            v = c.prev_obj;
+                            Py_INCREF(v);
+                        } else {
+                            if (c.type == NPY_INT64)
+                                v = PyLong_FromLongLong((int64_t)bits);
+                            else {
+                                double x;
+                                memcpy(&x, p, 8);
+                                v = PyFloat_FromDouble(x);
+                            }
+                            c.prev_bits = bits;
+                            c.prev_obj = v;   // borrowed: kept alive by
+                        }                     // the row dict below
+                        break;
+                    }
+                    case NPY_BOOL:
+                        v = (*(const npy_bool *)p) ? Py_True : Py_False;
+                        Py_INCREF(v);
+                        break;
+                    default: {  // NPY_OBJECT
+                        memcpy(&v, p, sizeof(PyObject *));
+                        if (!v) v = Py_None;
+                        Py_INCREF(v);
+                        break;
+                    }
+                    }
+                }
+                if (!v) {
+                    if (use_clone)
+                        for (Py_ssize_t q = 0; q < j; q++)
+                            Py_DECREF(vals[q]);
+                    else
+                        Py_DECREF(d);
+                    Py_CLEAR(out);
+                    goto done;
+                }
+                if (use_clone) {
+                    vals[j] = v;    // clone_fill steals these below
+                    continue;
+                }
+                if (PyDict_SetItem(d, PySequence_Fast_GET_ITEM(names, j),
+                                   v) != 0) {
+                    Py_DECREF(v);
+                    Py_DECREF(d);
+                    Py_CLEAR(out);
+                    goto done;
+                }
+                Py_DECREF(v);
+            }
+#ifdef NEUMANN_DICT_INTERNALS
+            if (use_clone) {
+                d = clone_fill(tmpl, vals, k);
+                if (!d) {
+                    for (Py_ssize_t q = 0; q < k; q++)
+                        Py_DECREF(vals[q]);
+                    if (!PyErr_Occurred()) {
+                        // layout surprise: disable globally, redo this
+                        // row through the SetItem path (memo objects
+                        // were freed above, so reset it)
+                        g_dict_clone_ok = 0;
+                        use_clone = 0;
+                        for (Py_ssize_t q = 0; q < k; q++)
+                            cols[q].prev_obj = NULL;
+                        i--;
+                        continue;
+                    }
+                    Py_CLEAR(out);
+                    goto done;
+                }
+            }
+#endif
+            PyList_SET_ITEM(out, i, d);
+        }
+    }
+done:
+    PyMem_Free(cols);
+    PyMem_Free(vals);
+    Py_XDECREF(tmpl);
+    Py_DECREF(names);
+    Py_DECREF(arrs);
+    Py_DECREF(masks);
+    return out;
+}
+
 // make_scalar(v) -> TensorValue("scalar", v) built at C speed —
 // TensorValue.scalar routes here when the extension is loaded (the
 // frozen-dataclass __init__ costs ~0.8us; this is ~0.15us).
@@ -1362,6 +1662,9 @@ static PyObject *py_init(PyObject *self, PyObject *args) {
     Py_XSETREF(g_sparse_from_parts, Py_NewRef(sfp));
     Py_XSETREF(g_as_f4_bytes, Py_NewRef(afb));
     Py_XSETREF(g_sparse_parts, Py_NewRef(sp));
+#ifdef NEUMANN_DICT_INTERNALS
+    dict_clone_selfcheck();
+#endif
     Py_RETURN_NONE;
 }
 
@@ -1390,6 +1693,7 @@ static PyMethodDef methods[] = {
     {"encode_frames", py_encode_frames, METH_O, NULL},
     {"encode_snapshot_body", py_encode_snapshot_body, METH_O, NULL},
     {"rows_from_columns", py_rows_from_columns, METH_VARARGS, NULL},
+    {"rows_from_arrays", py_rows_from_arrays, METH_VARARGS, NULL},
     {"make_scalar", py_make_scalar, METH_O, NULL},
     {NULL, NULL, 0, NULL},
 };

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import bisect
 import threading
+from collections import deque
 from typing import List, Optional
 
 from neumann_tpu import native
@@ -53,20 +54,28 @@ class OrderedKeyIndex:
         # any read/remove flushes via one bulk insert — ordered scans
         # are rarer than puts, so the per-put ctypes/bisect crossing
         # moves off the hot write path
-        self._pending: List[str] = []
-        self._pending_lock = threading.Lock()
+        # a deque that is NEVER rebound: appends are GIL-atomic, so the
+        # store's lock-free put path can buffer keys without a lock;
+        # flush drains via popleft instead of swapping the object
+        self._pending: deque = deque()
         # keys containing "\n" would corrupt the native scan protocol
         # (newline-joined buffers), so they overflow to this sorted
         # Python-side list and are merged into results
         self._nl: List[bytes] = []
 
     def _flush(self) -> None:
-        if not self._pending:
+        dq = self._pending
+        if not dq:
             return
-        with self._pending_lock:
-            pending, self._pending = self._pending, []
-        if pending:
-            self.insert_many(pending)
+        keys: List[str] = []
+        pop = dq.popleft
+        while True:
+            try:
+                keys.append(pop())
+            except IndexError:
+                break
+        if keys:
+            self.insert_many(keys)
 
     @property
     def is_native(self) -> bool:
@@ -84,8 +93,7 @@ class OrderedKeyIndex:
     def insert_lazy(self, key: str) -> None:
         """Buffer an insert; flushed in bulk before the next ordered
         read (the TensorStore put path)."""
-        with self._pending_lock:
-            self._pending.append(key)
+        self._pending.append(key)
 
     def insert(self, key: str) -> bool:
         b = key.encode("utf-8", "surrogatepass")
@@ -155,8 +163,7 @@ class OrderedKeyIndex:
             return False
 
     def clear(self) -> None:
-        with self._pending_lock:
-            self._pending = []
+        self._pending.clear()
         self._nl = []
         if self._lib is not None:
             self._lib.nn_oki_free(self._h)

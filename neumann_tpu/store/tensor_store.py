@@ -221,6 +221,9 @@ class TensorStore:
         # (tensor_store/src/metadata_slab.rs) so prefix/range scans are
         # O(log n + m) instead of sorting the whole map per scan
         self._index = OrderedKeyIndex()
+        # direct handle on the index's write-behind deque (never
+        # rebound) — saves an attribute hop on the put fast path
+        self._pending_keys = self._index._pending
         # plain Lock (not RLock): no method calls another mutator
         # while holding it, and Lock is ~2x cheaper per acquire
         self._lock = threading.Lock()
@@ -239,13 +242,20 @@ class TensorStore:
     def put(self, key: str, data: TensorData) -> None:
         if not isinstance(key, str) or not key:
             raise StoreError("key must be a non-empty string")
+        if (self._wal is None and self._ov_cap is None
+                and not self._put_hooks):
+            # lock-free fast path (DashMap-style): dict item assignment
+            # and deque.append are each GIL-atomic, and _pending is
+            # never rebound (flush drains by popleft), so no writer
+            # lock is needed. A scan racing this put may miss the key —
+            # same as the put not having happened yet.
+            self._map[key] = data
+            self._pending_keys.append(key)
+            return
         with self._lock:
             if self._ov_cap is not None:   # drop any stale shadow
                 self._ov_ext.overlay_pop(self._ov_cap, key)
             self._map[key] = data
-            # inlined OrderedKeyIndex.insert_lazy: list.append is
-            # GIL-atomic and the next flush swaps under _pending_lock,
-            # so buffering the key is safe without taking that lock
             self._index._pending.append(key)
             if self._wal is not None:
                 self._wal.log_put(key, data)
