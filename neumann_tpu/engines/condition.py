@@ -59,7 +59,7 @@ def _expr_from_dict(d: dict):
                  _expr_from_dict(d["r"]))
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, slots=True)
 class Condition:
     op: str                      # cmp op | "and" | "or" | "not" | "in" |
     #                              "like" | "is_null" | "is_not_null" | "true"

@@ -13,7 +13,7 @@ from typing import Dict, List, Optional, Tuple
 from neumann_tpu.engines.condition import Condition
 
 
-@dataclass
+@dataclass(slots=True)
 class Statement:
     """Base class; `kind` is the class name for quick dispatch."""
 
@@ -24,7 +24,7 @@ class Statement:
 
 # === SQL ===================================================================
 
-@dataclass
+@dataclass(slots=True)
 class ColumnDef(Statement):
     name: str
     ctype: str
@@ -37,7 +37,7 @@ class ColumnDef(Statement):
     check: Optional[Condition] = None
 
 
-@dataclass
+@dataclass(slots=True)
 class CreateTable(Statement):
     table: str
     columns: List[ColumnDef] = field(default_factory=list)
@@ -47,7 +47,7 @@ class CreateTable(Statement):
     uniques: List[List[str]] = field(default_factory=list)
 
 
-@dataclass
+@dataclass(slots=True)
 class Subquery:
     """A (SELECT ...) appearing as a value inside a condition
     (IN / EXISTS / scalar comparison). The router resolves these to
@@ -56,13 +56,13 @@ class Subquery:
     select: "Select"
 
 
-@dataclass
+@dataclass(slots=True)
 class DropTable(Statement):
     table: str
     if_exists: bool = False
 
 
-@dataclass
+@dataclass(slots=True)
 class CreateIndex(Statement):
     table: str
     columns: List[str] = field(default_factory=list)
@@ -71,14 +71,14 @@ class CreateIndex(Statement):
     btree: bool = False
 
 
-@dataclass
+@dataclass(slots=True)
 class DropIndex(Statement):
     name: Optional[str] = None
     table: Optional[str] = None
     column: Optional[str] = None
 
 
-@dataclass
+@dataclass(slots=True)
 class Insert(Statement):
     table: str
     columns: Optional[List[str]] = None
@@ -86,7 +86,7 @@ class Insert(Statement):
     select: Optional["Select"] = None   # INSERT INTO t ... SELECT ...
 
 
-@dataclass
+@dataclass(slots=True)
 class SelectItem(Statement):
     expr: str                 # column name, * or aggregate fn name
     agg: Optional[str] = None  # count/sum/avg/min/max
@@ -96,7 +96,7 @@ class SelectItem(Statement):
     tree: Optional[object] = None
 
 
-@dataclass
+@dataclass(slots=True)
 class JoinClause(Statement):
     table: str
     how: str                 # inner/left/right/full/cross/natural
@@ -105,7 +105,7 @@ class JoinClause(Statement):
     using: Optional[List[str]] = None   # JOIN ... USING (cols)
 
 
-@dataclass
+@dataclass(slots=True)
 class Select(Statement):
     table: str
     items: List[SelectItem] = field(default_factory=list)
@@ -121,25 +121,25 @@ class Select(Statement):
     distinct: bool = False
 
 
-@dataclass
+@dataclass(slots=True)
 class Update(Statement):
     table: str
     updates: Dict[str, object] = field(default_factory=dict)
     where: Optional[Condition] = None
 
 
-@dataclass
+@dataclass(slots=True)
 class Delete(Statement):
     table: str
     where: Optional[Condition] = None
 
 
-@dataclass
+@dataclass(slots=True)
 class ShowTables(Statement):
     pass
 
 
-@dataclass
+@dataclass(slots=True)
 class Describe(Statement):
     target: str               # "table" | "node" | "edge"
     name: str = ""
@@ -147,30 +147,30 @@ class Describe(Statement):
 
 # === graph =================================================================
 
-@dataclass
+@dataclass(slots=True)
 class NodeCreate(Statement):
     label: str
     properties: Dict[str, object] = field(default_factory=dict)
 
 
-@dataclass
+@dataclass(slots=True)
 class NodeGet(Statement):
     node_id: object = None
 
 
-@dataclass
+@dataclass(slots=True)
 class NodeDelete(Statement):
     node_id: object = None
 
 
-@dataclass
+@dataclass(slots=True)
 class NodeList(Statement):
     label: Optional[str] = None
     limit: Optional[int] = None
     offset: int = 0
 
 
-@dataclass
+@dataclass(slots=True)
 class EdgeCreate(Statement):
     src: object = None
     dst: object = None
@@ -178,24 +178,24 @@ class EdgeCreate(Statement):
     properties: Dict[str, object] = field(default_factory=dict)
 
 
-@dataclass
+@dataclass(slots=True)
 class EdgeGet(Statement):
     edge_id: object = None
 
 
-@dataclass
+@dataclass(slots=True)
 class EdgeDelete(Statement):
     edge_id: object = None
 
 
-@dataclass
+@dataclass(slots=True)
 class EdgeList(Statement):
     edge_type: Optional[str] = None
     limit: Optional[int] = None
     offset: int = 0
 
 
-@dataclass
+@dataclass(slots=True)
 class Neighbors(Statement):
     node_id: object = None
     direction: str = "out"    # out/in/both
@@ -204,7 +204,7 @@ class Neighbors(Statement):
     limit: Optional[int] = None
 
 
-@dataclass
+@dataclass(slots=True)
 class Path(Statement):
     mode: str = "shortest"    # shortest/all/weighted/variable
     src: object = None
@@ -214,20 +214,20 @@ class Path(Statement):
     weight: Optional[str] = None
 
 
-@dataclass
+@dataclass(slots=True)
 class PageRank(Statement):
     damping: float = 0.85
     max_iterations: int = 20
 
 
-@dataclass
+@dataclass(slots=True)
 class GraphAlgorithm(Statement):
     name: str = ""            # betweenness/closeness/eigenvector/louvain/
     #                           label_propagation
     params: Dict[str, object] = field(default_factory=dict)
 
 
-@dataclass
+@dataclass(slots=True)
 class GraphConstraint(Statement):
     action: str = "create"     # create/drop/list/get
     name: Optional[str] = None
@@ -237,27 +237,27 @@ class GraphConstraint(Statement):
     kind: str = "unique"       # unique/exists
 
 
-@dataclass
+@dataclass(slots=True)
 class GraphIndex(Statement):
     action: str = "create"     # create/drop/show
     target: str = "node"
     prop: Optional[str] = None
 
 
-@dataclass
+@dataclass(slots=True)
 class GraphPattern(Statement):
     mode: str = "match"        # match/count/exists
     pattern: str = ""
     limit: Optional[int] = None
 
 
-@dataclass
+@dataclass(slots=True)
 class GraphBatch(Statement):
     action: str = "create_nodes"
     items: List[object] = field(default_factory=list)
 
 
-@dataclass
+@dataclass(slots=True)
 class GraphAggregate(Statement):
     func: str = "count"       # count/sum/avg/min/max
     target: str = "nodes"     # nodes/edges
@@ -268,32 +268,32 @@ class GraphAggregate(Statement):
 
 # === vector ================================================================
 
-@dataclass
+@dataclass(slots=True)
 class EmbedStore(Statement):
     key: str = ""
     vector: List[float] = field(default_factory=list)
     collection: Optional[str] = None
 
 
-@dataclass
+@dataclass(slots=True)
 class EmbedGet(Statement):
     key: str = ""
     collection: Optional[str] = None
 
 
-@dataclass
+@dataclass(slots=True)
 class EmbedDelete(Statement):
     key: str = ""
     collection: Optional[str] = None
 
 
-@dataclass
+@dataclass(slots=True)
 class EmbedBatch(Statement):
     items: List[Tuple[str, List[float]]] = field(default_factory=list)
     collection: Optional[str] = None
 
 
-@dataclass
+@dataclass(slots=True)
 class Similar(Statement):
     """SIMILAR key|[vec] [TOP n|LIMIT n] [METRIC m] [CONNECTED TO id]
     [IN collection] [WHERE cond]  (ast.rs:713-726 parity)."""
@@ -307,22 +307,22 @@ class Similar(Statement):
     where: Optional[Condition] = None
 
 
-@dataclass
+@dataclass(slots=True)
 class ShowEmbeddings(Statement):
     limit: Optional[int] = None
 
 
-@dataclass
+@dataclass(slots=True)
 class CountEmbeddings(Statement):
     pass
 
 
-@dataclass
+@dataclass(slots=True)
 class ShowCollections(Statement):
     pass
 
 
-@dataclass
+@dataclass(slots=True)
 class CreateCollection(Statement):
     name: str = ""
     dimension: Optional[int] = None
@@ -330,14 +330,14 @@ class CreateCollection(Statement):
     quantization: str = "none"
 
 
-@dataclass
+@dataclass(slots=True)
 class DropCollection(Statement):
     name: str = ""
 
 
 # === unified ================================================================
 
-@dataclass
+@dataclass(slots=True)
 class EntityCreate(Statement):
     key: str = ""
     properties: Dict[str, object] = field(default_factory=dict)
@@ -345,31 +345,31 @@ class EntityCreate(Statement):
     update: bool = False
 
 
-@dataclass
+@dataclass(slots=True)
 class EntityGet(Statement):
     key: str = ""
 
 
-@dataclass
+@dataclass(slots=True)
 class EntityDelete(Statement):
     key: str = ""
 
 
-@dataclass
+@dataclass(slots=True)
 class EntityConnect(Statement):
     src: str = ""
     dst: str = ""
     edge_type: str = "related"
 
 
-@dataclass
+@dataclass(slots=True)
 class EntityBatchCreate(Statement):
     """ENTITY BATCH CREATE [{key: 'k1', props...}, ...]"""
 
     items: List[Dict[str, object]] = field(default_factory=list)
 
 
-@dataclass
+@dataclass(slots=True)
 class Find(Statement):
     target: str = "node"      # node/edge/rows/path
     label: Optional[str] = None    # label / edge type / table
@@ -385,7 +385,7 @@ class Find(Statement):
 
 # === vault / cache / blob / checkpoint / chain / cluster ===================
 
-@dataclass
+@dataclass(slots=True)
 class Vault(Statement):
     action: str = ""          # set/get/delete/list/rotate/grant/revoke/init
     key: Optional[str] = None
@@ -394,7 +394,7 @@ class Vault(Statement):
     pattern: Optional[str] = None
 
 
-@dataclass
+@dataclass(slots=True)
 class Cache(Statement):
     action: str = ""          # init/stats/clear/evict/get/put/semantic_get/semantic_put
     key: Optional[str] = None
@@ -404,7 +404,7 @@ class Cache(Statement):
     count: Optional[int] = None
 
 
-@dataclass
+@dataclass(slots=True)
 class Blob(Statement):
     action: str = ""          # init/put/get/delete/info/link/unlink/links/
     #                           tag/untag/verify/gc/repair/stats/meta_set/meta_get
@@ -420,7 +420,7 @@ class Blob(Statement):
     full: bool = False
 
 
-@dataclass
+@dataclass(slots=True)
 class Blobs(Statement):
     mode: str = "all"         # all/for/by_tag/where_type/similar
     pattern: Optional[str] = None
@@ -431,22 +431,22 @@ class Blobs(Statement):
     limit: Optional[int] = None
 
 
-@dataclass
+@dataclass(slots=True)
 class Checkpoint(Statement):
     name: Optional[str] = None
 
 
-@dataclass
+@dataclass(slots=True)
 class Checkpoints(Statement):
     limit: Optional[int] = None
 
 
-@dataclass
+@dataclass(slots=True)
 class Rollback(Statement):
     target: str = ""
 
 
-@dataclass
+@dataclass(slots=True)
 class Chain(Statement):
     action: str = ""          # begin/commit/rollback/height/tip/block/verify/
     #                           history/similar/drift
@@ -458,17 +458,17 @@ class Chain(Statement):
     to_height: Optional[int] = None
 
 
-@dataclass
+@dataclass(slots=True)
 class Cluster(Statement):
     action: str = ""          # connect/disconnect/status/nodes/leader
     address: Optional[str] = None
 
 
-@dataclass
+@dataclass(slots=True)
 class Explain(Statement):
     inner: Optional[Statement] = None
 
 
-@dataclass
+@dataclass(slots=True)
 class Empty(Statement):
     pass

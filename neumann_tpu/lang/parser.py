@@ -1560,8 +1560,35 @@ class _Parser:
         return stmt
 
 
+_NP = None          # bound _neumann_parser.parse, or None
+_NATIVE_TRIED = False
+
+
+def _native():
+    global _NP, _NATIVE_TRIED
+    if not _NATIVE_TRIED:
+        _NATIVE_TRIED = True
+        from neumann_tpu.native import pyparser
+
+        mod = pyparser.load()
+        _NP = mod.parse if mod is not None else None
+    return _NP
+
+
 def parse(src: str) -> ast.Statement:
-    """Parse a single statement (trailing semicolon allowed)."""
+    """Parse a single statement (trailing semicolon allowed).
+
+    Hot statement shapes (SELECT / INSERT…VALUES / SIMILAR / NODE
+    CREATE / FIND over plain conditions) go through the native parser
+    (native/parser_ext.cpp), which builds identical AST objects ~15x
+    faster; anything it does not cover — including every syntax
+    error — falls through to the Python recursive-descent parser
+    below."""
+    np = _NP if _NATIVE_TRIED else _native()
+    if np is not None:
+        stmt = np(src)
+        if stmt is not None:
+            return stmt
     p = _Parser(src)
     stmt = p.statement()
     while p.accept_punct(";"):
@@ -1709,7 +1736,14 @@ def parse_param(src: str) -> ast.Statement:
     """parse() with the parameterized-template fast path. The hit path
     is one native shape() pass (key + literal values, no Token objects)
     plus a spine rebuild; tokens and template compilation only happen
-    on a shape miss."""
+    on a shape miss. Statements the native parser covers skip the
+    template machinery entirely — a direct parse is faster than the
+    rebuild."""
+    np = _NP if _NATIVE_TRIED else _native()
+    if np is not None:
+        stmt = np(src)
+        if stmt is not None:
+            return stmt
     from neumann_tpu.lang import lexer as _lx
 
     ext = _lx._EXT if _lx._EXT_TRIED else _lx._ext()

@@ -75,14 +75,17 @@ def test_grammar_fuzz_differential():
 
 
 def test_template_reuse_and_type_keys():
+    # UPDATE is outside the native fast-path parser's grammar, so it
+    # exercises the template machinery (native-covered statements skip
+    # templates entirely — a direct native parse is faster)
     _template_cache.clear()
-    parse_param("INSERT INTO zz1 VALUES (1)")
+    parse_param("UPDATE zz1 SET a = 1 WHERE b = 9")
     n1 = len(_template_cache)
-    parse_param("INSERT INTO zz1 VALUES (2)")       # same shape
+    parse_param("UPDATE zz1 SET a = 2 WHERE b = 8")  # same shape
     assert len(_template_cache) == n1
-    parse_param("INSERT INTO zz1 VALUES (2.5)")     # float: new shape
+    parse_param("UPDATE zz1 SET a = 2.5 WHERE b = 8")  # float: new shape
     assert len(_template_cache) == n1 + 1
-    parse_param("INSERT INTO zz1 VALUES ('s')")     # string: new shape
+    parse_param("UPDATE zz1 SET a = 's' WHERE b = 8")  # string: new shape
     assert len(_template_cache) == n1 + 2
 
 
@@ -96,21 +99,39 @@ def test_substitution_not_frozen():
 
 
 def test_cold_parse_speedup():
-    """The point of the exercise: distinct-literal workloads must beat
-    the raw parser substantially."""
-    stmts = [f"INSERT INTO bench VALUES ({i}, 'name{i}', {i % 7})"
-             for i in range(3000)]
+    """Distinct-literal workloads must beat the PYTHON parser
+    substantially — via the template spine for statements outside the
+    native grammar (UPDATE), and via the native parser for statements
+    inside it (both routes measured against the pure-Python parser)."""
+    from neumann_tpu.lang.parser import _Parser
+
+    def measure(stmts):
+        # best-of-3 each way: the suite runs on a noisy shared VM
+        t_full = t_param = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for s in stmts:
+                _Parser(s).statement()      # raw Python parse
+            t_full = min(t_full, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            for s in stmts:
+                parse_param(s)
+            t_param = min(t_param, time.perf_counter() - t0)
+        return t_full, t_param
+
+    stmts = [f"UPDATE bench SET a = {i}, b = 'name{i}' WHERE id = {i}"
+             for i in range(1000)]
     for s in stmts[:5]:
         parse_param(s)
-        parse(s)
-    t0 = time.perf_counter()
-    for s in stmts:
-        parse(s)
-    t_full = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for s in stmts:
-        parse_param(s)
-    t_param = time.perf_counter() - t0
+    t_full, t_param = measure(stmts)
     assert t_param * 2 < t_full, \
-        f"no speedup: full={t_full*1e6/3000:.1f}us " \
-        f"param={t_param*1e6/3000:.1f}us"
+        f"no speedup: full={t_full*1e6/1000:.1f}us " \
+        f"param={t_param*1e6/1000:.1f}us"
+
+    inserts = [f"INSERT INTO bench VALUES ({i}, 'name{i}', {i % 7})"
+               for i in range(1000)]
+    parse_param(inserts[0])
+    t_full, t_param = measure(inserts)
+    assert t_param * 2 < t_full, \
+        f"no speedup: full={t_full*1e6/1000:.1f}us " \
+        f"param={t_param*1e6/1000:.1f}us"
