@@ -125,8 +125,23 @@ def bench_wal(tmp):
 
     store3 = TensorStore()
     t = timeit(lambda: store3.recover(tmp / "wal_batched.log"))
-    report("WAL replay", rate(n, t), "records/s", ref=25_000_000,
-           note="reference: 25M records/s")
+    report("WAL replay (128d embedding records, 570B/rec)", rate(n, t),
+           "records/s", ref=25_000_000,
+           note="reference: 25M records/s (measured on 10K small "
+                "records — see next row for the like-for-like size)")
+
+    # like-for-like with the reference's replay bench: 10K SMALL records
+    # (its tensor-store wal bench replays scalar puts, ~40B/record)
+    store4 = TensorStore()
+    store4.open_durable(tmp / "wal_small.log", sync_mode="batched")
+    sdata = TensorData.with_values(v=TensorValue.scalar(42))
+    for i in range(10_000):
+        store4.put(f"key:{i}", sdata)
+    store4.wal_flush()
+    store5 = TensorStore()
+    t = timeit(lambda: store5.recover(tmp / "wal_small.log"), reps=5)
+    report("WAL replay (small records, ~40B/rec)", rate(10_000, t),
+           "records/s", ref=25_000_000, note="reference: 25M records/s")
 
 
 def bench_snapshot(tmp):
