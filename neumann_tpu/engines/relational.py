@@ -816,6 +816,31 @@ class RelationalEngine:
                limit: Optional[int] = None, offset: int = 0,
                timeout_s: Optional[float] = None
                ) -> List[Dict[str, object]]:
+        if (condition is not None and order_by is None and offset == 0
+                and timeout_s is None and not self.query_timeout_s
+                and condition.op == "="):
+            # point-lookup fast path: indexed equality skips the
+            # deadline plumbing and the numpy row-set round trip
+            t = self._table(name)
+            with t.lock:
+                col = condition.column
+                if col == "_id":
+                    r = int(condition.value)
+                    hits = [r] if 0 <= r < t.n and t.alive[r] else []
+                else:
+                    idx = t.hash_indexes.get(col)
+                    if idx is None:
+                        hits = None
+                    else:
+                        alive = t.alive
+                        hits = sorted(
+                            int(r)
+                            for r in idx.lookup(_hashable(condition.value))
+                            if alive[r])
+                if hits is not None:
+                    if limit is not None:
+                        hits = hits[:limit]
+                    return [t.row_dict(r, columns) for r in hits]
         eff_timeout = (timeout_s if timeout_s is not None
                        else self.query_timeout_s)
         deadline = QueryDeadline(eff_timeout) if eff_timeout \
