@@ -1,16 +1,20 @@
-"""Mutation testing harness.
+"""Mutation-testing harness for the consensus safety core.
 
-Parity with the reference's mutation-testing gate (cargo-mutants in its
-CI): generate single-operator mutants of a target module via AST
-rewriting, run the covering tests against each, and report killed vs
-surviving mutants. A surviving mutant is a behavior change no test
-noticed — a test-coverage hole.
+cargo-mutants analog (the reference runs it over tensor_chain's safety
+files and reports a 97.8% kill rate, MUTATION_TESTING_RESULTS.md): we
+generate single-point mutants of the chain safety modules with ast
+rewrites, run the focused chain test subset against each, and report
+the kill rate. A surviving mutant = logic no test observes.
 
 Usage:
-  python tools/mutation_test.py neumann_tpu/ops/quant.py \
-      tests/test_ops_scan.py [--max-mutants 20] [--timeout 120]
+    python tools/mutation_test.py [--per-file 30] [--seed 0] [--files ...]
 
-Exit code 1 when any mutant survives (CI-gateable).
+Mutation operators (one site per mutant):
+  cmp    <  <->  <=,  >  <->  >=,  ==  <->  !=
+  bool   and <-> or
+  not    drop a `not`
+  const  small int n -> n + 1
+  ret    return True <-> return False
 """
 
 from __future__ import annotations
@@ -18,170 +22,177 @@ from __future__ import annotations
 import argparse
 import ast
 import copy
-import os
 import random
-import shutil
 import subprocess
 import sys
-import tempfile
+import time
+from pathlib import Path
 
-_COMPARE_SWAPS = {
-    ast.Lt: ast.LtE, ast.LtE: ast.Lt,
-    ast.Gt: ast.GtE, ast.GtE: ast.Gt,
-    ast.Eq: ast.NotEq, ast.NotEq: ast.Eq,
-}
-_BINOP_SWAPS = {
-    ast.Add: ast.Sub, ast.Sub: ast.Add,
-    ast.Mult: ast.Div, ast.Div: ast.Mult,
-}
-_BOOL_SWAPS = {ast.And: ast.Or, ast.Or: ast.And}
+REPO = Path(__file__).resolve().parent.parent
 
+DEFAULT_FILES = [
+    "neumann_tpu/chain/raft.py",
+    "neumann_tpu/chain/two_phase.py",
+    "neumann_tpu/chain/gossip.py",
+    "neumann_tpu/chain/hlc.py",
+]
 
-class _MutationFinder(ast.NodeVisitor):
-    """Collect every mutation site. Each site carries an occurrence
-    ordinal so two sites of the same kind on one line stay distinct
-    when the mutant is re-applied to a fresh parse."""
+# the fast chain subset (~12s green): a mutant that survives it but
+# would die under the slower cluster/DST tiers still counts as a
+# coverage signal for THIS tier, and keeping the loop ~15s/mutant is
+# what makes the sweep runnable in CI
+TESTS = [
+    "tests/test_chain.py",
+    "tests/test_raft_wal.py",
+    "tests/test_two_phase_hardening.py",
+]
 
-    def __init__(self):
-        self.sites = []  # (lineno, kind, node, extra, ordinal)
-        self._counts = {}
-
-    def _add(self, lineno, kind, node, extra):
-        key = (lineno, kind, extra)
-        ordinal = self._counts.get(key, 0)
-        self._counts[key] = ordinal + 1
-        self.sites.append((lineno, kind, node, extra, ordinal))
-
-    def visit_Compare(self, node: ast.Compare):
-        for i, op in enumerate(node.ops):
-            if type(op) in _COMPARE_SWAPS:
-                self._add(node.lineno, "compare", node, i)
-        self.generic_visit(node)
-
-    def visit_BinOp(self, node: ast.BinOp):
-        if type(node.op) in _BINOP_SWAPS:
-            self._add(node.lineno, "binop", node, None)
-        self.generic_visit(node)
-
-    def visit_BoolOp(self, node: ast.BoolOp):
-        if type(node.op) in _BOOL_SWAPS:
-            self._add(node.lineno, "boolop", node, None)
-        self.generic_visit(node)
-
-    def visit_Constant(self, node: ast.Constant):
-        if isinstance(node.value, bool):
-            self._add(getattr(node, "lineno", 0), "bool-const", node,
-                      None)
-        elif isinstance(node.value, int) and 0 < abs(node.value) < 1000:
-            self._add(node.lineno, "int-const", node, None)
-        self.generic_visit(node)
+_CMP_SWAP = {ast.Lt: ast.LtE, ast.LtE: ast.Lt, ast.Gt: ast.GtE,
+             ast.GtE: ast.Gt, ast.Eq: ast.NotEq, ast.NotEq: ast.Eq}
 
 
-def _apply(site, tree_src: str) -> str:
-    """Re-parse and apply the i-th mutation site (indices are stable for
-    the same source)."""
-    lineno, kind, _node, extra, ordinal = site
-    tree = ast.parse(tree_src)
-    finder = _MutationFinder()
-    finder.visit(tree)
-    for s in finder.sites:
-        if s[0] == lineno and s[1] == kind and s[3] == extra \
-                and s[4] == ordinal:
-            node = s[2]
-            break
-    else:
-        raise LookupError("mutation site vanished")
-    if kind == "compare":
-        node.ops[extra] = _COMPARE_SWAPS[type(node.ops[extra])]()
-    elif kind == "binop":
-        node.op = _BINOP_SWAPS[type(node.op)]()
-    elif kind == "boolop":
-        node.op = _BOOL_SWAPS[type(node.op)]()
-    elif kind == "bool-const":
-        node.value = not node.value
-    elif kind == "int-const":
-        node.value = node.value + 1
-    return ast.unparse(ast.fix_missing_locations(tree))
+def _sites(tree: ast.AST):
+    """Yield (node, kind, detail) mutation sites."""
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Compare) and len(node.ops) == 1 and \
+                type(node.ops[0]) in _CMP_SWAP:
+            yield node, "cmp", type(node.ops[0]).__name__
+        elif isinstance(node, ast.BoolOp):
+            yield node, "bool", type(node.op).__name__
+        elif isinstance(node, ast.UnaryOp) and \
+                isinstance(node.op, ast.Not):
+            yield node, "not", ""
+        elif isinstance(node, ast.Constant) and \
+                isinstance(node.value, int) and \
+                not isinstance(node.value, bool) and \
+                0 <= node.value <= 8:
+            yield node, "const", str(node.value)
+        elif isinstance(node, ast.Return) and \
+                isinstance(node.value, ast.Constant) and \
+                isinstance(node.value.value, bool):
+            yield node, "ret", str(node.value.value)
 
 
-def _describe(site) -> str:
-    lineno, kind, node, extra, _ordinal = site
-    if kind == "compare":
-        op = type(node.ops[extra]).__name__
-        return f"line {lineno}: {op} -> {_COMPARE_SWAPS[type(node.ops[extra])].__name__}"
-    if kind == "binop":
-        op = type(node.op).__name__
-        return f"line {lineno}: {op} -> {_BINOP_SWAPS[type(node.op)].__name__}"
-    if kind == "boolop":
-        op = type(node.op).__name__
-        return f"line {lineno}: {op} -> {_BOOL_SWAPS[type(node.op)].__name__}"
-    if kind == "bool-const":
-        return f"line {lineno}: {node.value} -> {not node.value}"
-    return f"line {lineno}: {node.value} -> {node.value + 1}"
+def _mutate(tree: ast.AST, index: int):
+    """Apply the index-th site's mutation to a DEEP COPY; returns
+    (mutated_tree, description) or None."""
+    tree = copy.deepcopy(tree)
+    for i, (node, kind, detail) in enumerate(_sites(tree)):
+        if i != index:
+            continue
+        line = getattr(node, "lineno", 0)
+        if kind == "cmp":
+            new = _CMP_SWAP[type(node.ops[0])]()
+            node.ops = [new]
+            return tree, f"L{line}: {detail} -> {type(new).__name__}"
+        if kind == "bool":
+            node.op = ast.Or() if isinstance(node.op, ast.And) \
+                else ast.And()
+            return tree, f"L{line}: {detail} swapped"
+        if kind == "not":
+            # replace `not X` with `X`
+            return _replace(tree, node, node.operand), \
+                f"L{line}: not dropped"
+        if kind == "const":
+            node.value = node.value + 1
+            return tree, f"L{line}: {detail} -> {node.value}"
+        if kind == "ret":
+            node.value.value = not node.value.value
+            return tree, f"L{line}: return {detail} flipped"
+    return None
 
 
-def run(target: str, tests: list, max_mutants: int, timeout: int,
-        seed: int) -> int:
-    src = open(target, encoding="utf-8").read()
-    finder = _MutationFinder()
-    finder.visit(ast.parse(src))
-    sites = finder.sites
+def _replace(tree, old, new):
+    class R(ast.NodeTransformer):
+        def visit(self, node):
+            if node is old:
+                return new
+            return self.generic_visit(node)
+    return R().visit(tree)
+
+
+def run(files, per_file, seed, timeout):
     rng = random.Random(seed)
-    if len(sites) > max_mutants:
-        sites = rng.sample(sites, max_mutants)
-        sites.sort(key=lambda s: s[0])
-    print(f"{len(sites)} mutants of {target} "
-          f"(from {len(finder.sites)} candidate sites)")
-
-    backup = target + ".mutbak"
-    shutil.copy(target, backup)
-    killed = survived = skipped = 0
-    try:
-        for i, site in enumerate(sites):
-            desc = _describe(site)
-            try:
-                mutated = _apply(site, src)
-            except LookupError:
-                skipped += 1
+    killed, survived, skipped = [], [], []
+    t_start = time.time()
+    for rel in files:
+        path = REPO / rel
+        original = path.read_bytes()
+        tree = ast.parse(original)
+        n_sites = sum(1 for _ in _sites(tree))
+        picks = sorted(rng.sample(range(n_sites),
+                                  min(per_file, n_sites)))
+        print(f"{rel}: {n_sites} sites, testing {len(picks)} mutants",
+              flush=True)
+        for idx in picks:
+            m = _mutate(tree, idx)
+            if m is None:
                 continue
-            with open(target, "w", encoding="utf-8") as f:
-                f.write(mutated)
+            mtree, desc = m
             try:
-                proc = subprocess.run(
+                src = ast.unparse(ast.fix_missing_locations(mtree))
+                compile(src, rel, "exec")
+            except (SyntaxError, ValueError):
+                skipped.append((rel, desc))
+                continue
+            try:
+                path.write_text(src)
+                r = subprocess.run(
                     [sys.executable, "-m", "pytest", "-x", "-q",
-                     "--no-header", *tests],
-                    capture_output=True, timeout=timeout,
-                    env={**os.environ, "JAX_PLATFORMS": "cpu"})
-                dead = proc.returncode != 0
+                     "-p", "no:cacheprovider", *TESTS],
+                    cwd=REPO, capture_output=True, timeout=timeout)
+                if r.returncode != 0:
+                    killed.append((rel, desc))
+                    tag = "KILLED"
+                else:
+                    survived.append((rel, desc))
+                    tag = "SURVIVED"
             except subprocess.TimeoutExpired:
-                dead = True  # infinite loop counts as caught
-            tag = "KILLED  " if dead else "SURVIVED"
-            print(f"  [{i + 1}/{len(sites)}] {tag} {desc}")
-            if dead:
-                killed += 1
-            else:
-                survived += 1
-    finally:
-        shutil.move(backup, target)
-
-    total = killed + survived
-    score = 100.0 * killed / total if total else 100.0
-    print(f"\nmutation score: {killed}/{total} killed ({score:.0f}%)"
-          + (f", {skipped} skipped" if skipped else ""))
-    return 1 if survived else 0
+                killed.append((rel, desc + " (timeout)"))
+                tag = "KILLED(timeout)"
+            finally:
+                path.write_bytes(original)
+            print(f"  [{tag}] {rel} {desc}", flush=True)
+    total = len(killed) + len(survived)
+    rate = 100.0 * len(killed) / total if total else 0.0
+    dur = time.time() - t_start
+    print(f"\n{len(killed)}/{total} mutants killed "
+          f"({rate:.1f}%) in {dur:.0f}s; {len(skipped)} skipped")
+    return killed, survived, skipped, rate
 
 
-def main() -> int:
+def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("target", help="module file to mutate")
-    ap.add_argument("tests", nargs="+", help="pytest targets to run")
-    ap.add_argument("--max-mutants", type=int, default=20)
-    ap.add_argument("--timeout", type=int, default=300)
+    ap.add_argument("--per-file", type=int, default=25)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--timeout", type=int, default=120)
+    ap.add_argument("--files", nargs="*", default=DEFAULT_FILES)
+    ap.add_argument("--report", default=None,
+                    help="write MUTATION_TESTING.md-style report here")
     args = ap.parse_args()
-    return run(args.target, args.tests, args.max_mutants, args.timeout,
-               args.seed)
+    killed, survived, skipped, rate = run(
+        args.files, args.per_file, args.seed, args.timeout)
+    if args.report:
+        lines = [
+            "# Mutation testing (chain safety core)\n",
+            "cargo-mutants analog (`tools/mutation_test.py`): "
+            "single-point ast mutants of the consensus safety modules, "
+            "each run against the chain test subset "
+            f"({', '.join(TESTS)}).\n",
+            f"**Kill rate: {rate:.1f}%** "
+            f"({len(killed)}/{len(killed) + len(survived)} mutants "
+            f"killed; seed {args.seed}, {args.per_file}/file).\n",
+            "Reference baseline: 97.8% on tensor_chain safety files "
+            "(MUTATION_TESTING_RESULTS.md).\n",
+        ]
+        if survived:
+            lines.append("## Surviving mutants (untested logic)\n")
+            for rel, desc in survived:
+                lines.append(f"- `{rel}` {desc}")
+            lines.append("")
+        Path(args.report).write_text("\n".join(lines))
+        print(f"report -> {args.report}")
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    main()
