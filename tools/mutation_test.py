@@ -45,15 +45,40 @@ TESTS = [
     "tests/test_chain.py",
     "tests/test_raft_wal.py",
     "tests/test_two_phase_hardening.py",
+    "tests/test_mutation_gaps.py",
 ]
 
 _CMP_SWAP = {ast.Lt: ast.LtE, ast.LtE: ast.Lt, ast.Gt: ast.GtE,
              ast.GtE: ast.Gt, ast.Eq: ast.NotEq, ast.NotEq: ast.Eq}
 
 
+def _tunable_consts(tree: ast.AST):
+    """Constant nodes that are DEFAULTS (dataclass/class-body field
+    defaults, function-arg defaults): tuning knobs, not logic — their
+    mutants are trivially 'surviving' and only add noise. Tests pin
+    the knobs that are protocol-semantic (see test_mutation_gaps.py)."""
+    skip = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ClassDef):
+            for item in node.body:
+                v = getattr(item, "value", None)
+                if isinstance(item, (ast.AnnAssign, ast.Assign)) and \
+                        isinstance(v, ast.Constant):
+                    skip.add(id(v))
+        elif isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            for d in (list(node.args.defaults)
+                      + list(node.args.kw_defaults)):
+                if isinstance(d, ast.Constant):
+                    skip.add(id(d))
+    return skip
+
+
 def _sites(tree: ast.AST):
     """Yield (node, kind, detail) mutation sites."""
+    skip_consts = _tunable_consts(tree)
     for node in ast.walk(tree):
+        if isinstance(node, ast.Constant) and id(node) in skip_consts:
+            continue
         if isinstance(node, ast.Compare) and len(node.ops) == 1 and \
                 type(node.ops[0]) in _CMP_SWAP:
             yield node, "cmp", type(node.ops[0]).__name__
