@@ -34,7 +34,8 @@
 // ---------------------------------------------------------------------------
 
 enum { C_SELECT, C_SELECTITEM, C_INSERT, C_SIMILAR, C_CONDITION,
-       C_NODECREATE, C_FIND, C_N };
+       C_NODECREATE, C_FIND, C_UPDATE, C_DELETE, C_EMBEDSTORE,
+       C_EMBEDGET, C_EMBEDDELETE, C_N };
 #define MAX_FIELDS 12
 
 static PyObject *g_cls[C_N];
@@ -1080,6 +1081,136 @@ fail:
 }
 
 // ---------------------------------------------------------------------------
+// UPDATE t SET col = lit [, ...] [WHERE cond]   (expression RHS -> fallback)
+// Update fields: table, updates, where
+// ---------------------------------------------------------------------------
+
+static PyObject *parse_update(P *p) {
+    Tk *tt = cur(p);
+    if (tt->kind != TK_IDENT) { p->fb = 1; return NULL; }
+    adv(p);
+    PyObject *table = tok_str(p, tt);
+    if (!table) return NULL;
+    if (!expect_kw(p, "SET")) { Py_DECREF(table); return NULL; }
+    PyObject *updates = PyDict_New();
+    PyObject *where = NULL;
+    if (!updates) { Py_DECREF(table); return NULL; }
+    for (;;) {
+        Tk *ct = cur(p);
+        if (ct->kind != TK_IDENT) { p->fb = 1; goto fail; }
+        adv(p);
+        if (!expect_punct(p, "=")) goto fail;
+        // expression RHS: '(' or value followed by an arith op
+        Tk *v1 = cur(p), *v2 = peek1(p);
+        if (v1->kind == TK_PUNCT && tk_text_is(p, v1, "(")) {
+            p->fb = 1;
+            goto fail;
+        }
+        if ((v1->kind == TK_NUMBER || v1->kind == TK_IDENT) &&
+            v2->kind == TK_PUNCT && v2->len == 1 &&
+            strchr("+-*/%", p->src[v2->start]) != NULL) {
+            p->fb = 1;
+            goto fail;
+        }
+        {
+            PyObject *col = tok_str(p, ct);
+            if (!col) goto fail;
+            PyObject *v = parse_value(p);
+            if (!v) { Py_DECREF(col); goto fail; }
+            int rc = PyDict_SetItem(updates, col, v);
+            Py_DECREF(col);
+            Py_DECREF(v);
+            if (rc != 0) goto fail;
+        }
+        if (!accept_punct(p, ",")) break;
+    }
+    if (accept_kw(p, "WHERE")) {
+        where = parse_or(p);
+        if (!where) goto fail;
+    }
+    {
+        PyObject *vals[3] = {table, updates,
+                             where ? where : Py_NewRef(Py_None)};
+        return make_obj(C_UPDATE, vals);
+    }
+fail:
+    Py_DECREF(table);
+    Py_DECREF(updates);
+    Py_XDECREF(where);
+    return NULL;
+}
+
+// DELETE FROM t [WHERE cond]   — Delete fields: table, where
+static PyObject *parse_delete(P *p) {
+    if (!expect_kw(p, "FROM")) return NULL;
+    Tk *tt = cur(p);
+    if (tt->kind != TK_IDENT) { p->fb = 1; return NULL; }
+    adv(p);
+    PyObject *table = tok_str(p, tt);
+    if (!table) return NULL;
+    PyObject *where = NULL;
+    if (accept_kw(p, "WHERE")) {
+        where = parse_or(p);
+        if (!where) { Py_DECREF(table); return NULL; }
+    }
+    PyObject *vals[2] = {table, where ? where : Py_NewRef(Py_None)};
+    return make_obj(C_DELETE, vals);
+}
+
+// ---------------------------------------------------------------------------
+// EMBED ['key' [vec]] | STORE/GET/DELETE forms   (BATCH/BUILD -> fallback)
+// EmbedStore fields: key, vector, collection
+// EmbedGet/EmbedDelete fields: key, collection
+// ---------------------------------------------------------------------------
+
+static PyObject *parse_embed(P *p) {
+    int ci = C_EMBEDSTORE;
+    int has_vec = 1;
+    if (accept_kw(p, "STORE")) {
+        ci = C_EMBEDSTORE;
+    } else if (accept_kw(p, "GET")) {
+        ci = C_EMBEDGET;
+        has_vec = 0;
+    } else if (accept_kw(p, "DELETE")) {
+        ci = C_EMBEDDELETE;
+        has_vec = 0;
+    } else if (tk_kw(p, cur(p), "BATCH") || tk_kw(p, cur(p), "BUILD")) {
+        p->fb = 1;
+        return NULL;
+    }
+    Tk *kt = cur(p);
+    if (kt->kind != TK_STRING) { p->fb = 1; return NULL; }
+    adv(p);
+    PyObject *key = dec_string(p, kt);
+    if (!key) return NULL;
+    PyObject *vec = NULL;
+    if (has_vec) {
+        vec = parse_vector(p);
+        if (!vec) { Py_DECREF(key); return NULL; }
+    }
+    PyObject *coll = NULL;
+    if (accept_kw(p, "IN")) {
+        Tk *c = cur(p);
+        if (c->kind != TK_IDENT) {
+            p->fb = 1;
+            Py_DECREF(key);
+            Py_XDECREF(vec);
+            return NULL;
+        }
+        adv(p);
+        coll = tok_str(p, c);
+        if (!coll) { Py_DECREF(key); Py_XDECREF(vec); return NULL; }
+    }
+    if (has_vec) {
+        PyObject *vals[3] = {key, vec,
+                             coll ? coll : Py_NewRef(Py_None)};
+        return make_obj(C_EMBEDSTORE, vals);
+    }
+    PyObject *vals[2] = {key, coll ? coll : Py_NewRef(Py_None)};
+    return make_obj(ci, vals);
+}
+
+// ---------------------------------------------------------------------------
 // entry: parse(src) -> Statement | None (fallback)
 // ---------------------------------------------------------------------------
 
@@ -1110,6 +1241,15 @@ static PyObject *py_parse(PyObject *self, PyObject *arg) {
     } else if (tk_kw(&p, t0, "FIND")) {
         adv(&p);
         stmt = parse_find(&p);
+    } else if (tk_kw(&p, t0, "UPDATE")) {
+        adv(&p);
+        stmt = parse_update(&p);
+    } else if (tk_kw(&p, t0, "DELETE")) {
+        adv(&p);
+        stmt = parse_delete(&p);
+    } else if (tk_kw(&p, t0, "EMBED")) {
+        adv(&p);
+        stmt = parse_embed(&p);
     } else {
         Py_RETURN_NONE;
     }
@@ -1129,7 +1269,9 @@ static PyObject *py_parse(PyObject *self, PyObject *arg) {
 static PyObject *py_init_parser(PyObject *self, PyObject *arg) {
     static const char *want[C_N] = {"Select", "SelectItem", "Insert",
                                     "Similar", "Condition", "NodeCreate",
-                                    "Find"};
+                                    "Find", "Update", "Delete",
+                                    "EmbedStore", "EmbedGet",
+                                    "EmbedDelete"};
     g_ready = 0;
     PyObject *seq = PySequence_Fast(arg, "specs not a sequence");
     if (!seq) return NULL;

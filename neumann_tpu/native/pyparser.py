@@ -44,6 +44,11 @@ def _specs():
             ("Condition", Condition),
             ("NodeCreate", ast.NodeCreate),
             ("Find", ast.Find),
+            ("Update", ast.Update),
+            ("Delete", ast.Delete),
+            ("EmbedStore", ast.EmbedStore),
+            ("EmbedGet", ast.EmbedGet),
+            ("EmbedDelete", ast.EmbedDelete),
         ))
 
 

@@ -377,3 +377,228 @@ def test_raft_joint_add_initial_match_zero():
     n.propose_joint_change(add=["g"])
     assert n.match_index.get("g") == 0
     assert n.next_index.get("g") == n.last_index() + 1
+
+
+# ---------------------------------------------------- second sweep batch
+
+def test_hlc_unpack_field_order():
+    """hlc.py:37 unpack indices (distinct values so a swap shows)."""
+    t = HLCTimestamp(3, 5, "n")
+    u = HLCTimestamp.unpack(t.pack())
+    assert (u.wall_ms, u.logical, u.node_id) == (3, 5, "n")
+
+
+def test_hlc_update_wall_equals_remote_not_ahead():
+    """hlc.py:63 SECOND Gt (wall == remote.wall must not reset)."""
+    wall = [5]
+    clock = HLC("n", now_ms=lambda: wall[0])
+    clock.now()                            # _wall=5
+    wall[0] = 10
+    t = clock.update(HLCTimestamp(10, 4, "r"))
+    assert (t.wall_ms, t.logical) == (10, 5)
+
+
+def test_hlc_update_remote_equal_wall_uses_max():
+    """hlc.py:66 Gt->GtE (equal walls -> max branch, not remote+1)."""
+    clock = HLC("n", now_ms=lambda: 10)
+    for _ in range(6):
+        clock.now()                        # (10, 5)
+    t = clock.update(HLCTimestamp(10, 2, "r"))
+    assert (t.wall_ms, t.logical) == (10, 6)
+
+
+def test_gossip_initial_version_and_refutation_bump():
+    """gossip.py:61 _version = 0; :80 _version += 1."""
+    n = GossipNode("a", ["a", "b"])
+    n._merge_membership({"a": {"status": SUSPECT, "inc": 0, "v": 5}})
+    assert n.members["a"].version == 1     # exactly one bump from 0
+
+
+def test_gossip_resurrection_probe_cadence_and_target():
+    """gossip.py:148 probe_interval*3 cadence; :150/:151 FAULTY-only
+    selection."""
+    n = GossipNode("a", ["a", "b", "c"])
+    n._mark("b", FAULTY)
+    pings_to_faulty = {}
+    for t in range(1, 19):
+        out = n.tick()
+        for m in out:
+            if m.kind == "ping" and m.dst == "b":
+                pings_to_faulty[t] = True
+    # resurrection probes land exactly on multiples of 9
+    assert set(pings_to_faulty) <= {9, 18}
+    assert 9 in pings_to_faulty
+    # the regular probe never targets a FAULTY member
+    n2 = GossipNode("x", ["x", "y"])
+    n2._mark("y", FAULTY)
+    for t in range(1, 9):
+        for m in n2.tick():
+            if m.kind == "ping":
+                assert t % 9 == 0 or m.dst != "y", t
+
+
+def test_coordinator_recovery_orphan_decision_records():
+    """two_phase.py:178 `phase == commit AND txid in states` — a
+    decision record without its begin must be ignored, not crash."""
+    coord = TwoPhaseCoordinator("c")
+    out = coord.recover([{"phase": "commit", "tx": "c-tx9"},
+                         {"phase": "abort", "tx": "c-tx10"}])
+    assert out == []
+    assert coord.state_of("c-tx9") is None
+
+
+def test_coordinator_recovery_tx_ids_monotonic():
+    """two_phase.py:191/:194 recovered id parse -> next id above max."""
+    coord = TwoPhaseCoordinator("c")
+    coord.recover([
+        {"phase": "begin", "tx": "c-tx7", "participants": ["p"]},
+        {"phase": "commit", "tx": "c-tx7"}])
+    tx, _ = coord.begin({"p": [{"op": "put", "key": "k",
+                                "fields": {"v": 1}}]})
+    n = int(tx.rsplit("tx", 1)[1])
+    assert n == 8
+
+
+def test_participant_gives_up_at_exact_deadline_tick():
+    """two_phase.py:333 tick += 1 (deadline timing to the tick)."""
+    part = TwoPhaseParticipant(
+        "p", TensorStore(), config=TwoPhaseConfig(lock_wait_ticks=3))
+    part.handle(Message("tx_prepare", "c", "p",
+                        {"tx": "t1", "ops": [{"op": "put", "key": "k",
+                                              "fields": {"v": 1}}]}))
+    part.handle(Message("tx_prepare", "c", "p",
+                        {"tx": "t2", "ops": [{"op": "put", "key": "k",
+                                              "fields": {"v": 2}}]}))
+    assert [m for m in part.tick() if m.kind == "tx_vote"] == []  # t=1
+    assert [m for m in part.tick() if m.kind == "tx_vote"] == []  # t=2
+    votes = [m for m in part.tick() if m.kind == "tx_vote"]       # t=3
+    assert votes and votes[0].payload["tx"] == "t2"
+    assert votes[0].payload["ok"] is False
+
+
+def test_deadlock_only_victim_gives_up():
+    """two_phase.py:350 `(cycle AND victim == tx) or deadline`."""
+    part = TwoPhaseParticipant(
+        "p", TensorStore(), config=TwoPhaseConfig(lock_wait_ticks=50))
+    # t1 holds k1, t2 holds k2; then t1 wants k2 and t2 wants k1
+    part.handle(Message("tx_prepare", "c", "p",
+                        {"tx": "t1", "ops": [{"op": "put", "key": "k1",
+                                              "fields": {"v": 1}}]}))
+    part.handle(Message("tx_prepare", "c", "p",
+                        {"tx": "t2", "ops": [{"op": "put", "key": "k2",
+                                              "fields": {"v": 1}}]}))
+    part.handle(Message("tx_prepare", "c", "p",
+                        {"tx": "t1b", "ops": [
+                            {"op": "put", "key": "k1",
+                             "fields": {"v": 2}},
+                            {"op": "put", "key": "k2",
+                             "fields": {"v": 2}}]}))
+    part.handle(Message("tx_prepare", "c", "p",
+                        {"tx": "t2b", "ops": [
+                            {"op": "put", "key": "k2",
+                             "fields": {"v": 3}},
+                            {"op": "put", "key": "k1",
+                             "fields": {"v": 3}}]}))
+    gave_up = set()
+    for _ in range(6):
+        for m in part.tick():
+            if m.kind == "tx_vote" and not m.payload["ok"]:
+                gave_up.add(m.payload["tx"])
+    # far from the deadline, at most the deadlock victim(s) abort —
+    # never both sides of the cycle spuriously
+    assert len(gave_up) <= 1
+
+
+def test_raft_solo_first_election_term_is_one():
+    """raft.py:405 campaign term += 1."""
+    n = RaftNode("solo", ["solo"], RaftConfig())
+    for _ in range(30):
+        n.tick()
+    assert n.state == "leader"
+    assert n.term == 1
+
+
+def test_raft_prevote_payload_embedding_gate():
+    """raft.py:416 `enable_geometric_tiebreak AND embedding set`."""
+    cfg = RaftConfig(pre_vote=True)
+    n = RaftNode("a", ["a", "b"], cfg)
+    # embedding unset: pre_vote_req payloads must not carry one
+    reqs = []
+    for _ in range(3 * cfg.election_timeout_max):
+        reqs += [m for m in n.tick() if m.kind == "pre_vote_req"]
+        if reqs:
+            break
+    assert reqs and "embedding" not in reqs[0].payload
+
+
+def test_raft_transfer_fires_only_when_caught_up():
+    """raft.py:346/:655/:659 transfer readiness check."""
+    n = RaftNode("l", ["l", "f"], RaftConfig(pre_vote=False))
+    while n.state != "leader":
+        for m in n.tick():
+            if m.kind == "vote_req":
+                n.handle(Message("vote_resp", "f", "l",
+                                 {"term": m.payload["term"],
+                                  "granted": True}))
+    n.propose({"x": 1})
+    # target lags: transfer is deferred
+    n.match_index["f"] = 0
+    assert n.transfer_leadership("f") == []
+    # target acks the tail: timeout_now fires from the resp path
+    out = n.handle(Message("append_resp", "f", "l",
+                           {"term": n.term, "success": True,
+                            "match": n.last_index()}))
+    kinds = [m.kind for m in out]
+    assert "timeout_now" in kinds
+
+
+def test_raft_next_index_backoff_uses_match_plus_one():
+    """raft.py:670 `match + 1` backoff target."""
+    n = RaftNode("l", ["l", "f"], RaftConfig(pre_vote=False))
+    while n.state != "leader":
+        for m in n.tick():
+            if m.kind == "vote_req":
+                n.handle(Message("vote_resp", "f", "l",
+                                 {"term": m.payload["term"],
+                                  "granted": True}))
+    for i in range(9):
+        n.propose({"i": i})
+    n.next_index["f"] = 10
+    n.handle(Message("append_resp", "f", "l",
+                     {"term": n.term, "success": False, "match": 2}))
+    assert n.next_index["f"] == 3
+
+
+def test_raft_compact_idempotent_at_same_index():
+    """raft.py:356 `upto <= snapshot_index` no-op guard."""
+    n = RaftNode("solo", ["solo"], RaftConfig())
+    for _ in range(30):
+        n.tick()
+    n.propose({"x": 1})
+    n.tick()
+    n.take_committed()
+    idx = n.compact()
+    term = n.snapshot_term
+    log_len = len(n.log)
+    assert n.compact(idx) == idx           # equal: untouched
+    assert n.snapshot_term == term and len(n.log) == log_len
+
+
+def test_raft_wal_tail_append_one_entry_at_a_time(tmp_path):
+    """raft.py:174/:175 _wal_append_tail default n=1 indexing."""
+    from neumann_tpu.chain.raft_wal import RaftWal
+
+    wal = RaftWal(tmp_path / "r.wal")
+    n = RaftNode("solo", ["solo"], RaftConfig(), wal=wal)
+    for _ in range(30):
+        n.tick()
+    n.propose({"a": 1})
+    n.propose({"b": 2})
+    n.tick()
+    wal2 = RaftWal(tmp_path / "r.wal")
+    st = wal2.load()
+    payloads = [e["payload"] for e in st.log]
+    assert {"a": 1} in payloads and {"b": 2} in payloads
+    # entries sit at distinct consecutive indices (an off-by-one in the
+    # tail append would overwrite or duplicate)
+    assert len(payloads) == len(n.log)

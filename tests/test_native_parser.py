@@ -55,6 +55,16 @@ COVERED = [
     "CONNECTED TO 'e:1' WHERE score > 0.5",
     "SIMILAR 'k' METRIC WJACCARD",
     "SIMILAR 'k'",
+    # UPDATE / DELETE / EMBED
+    "UPDATE t SET a = 5 WHERE b = 'v'",
+    "UPDATE t SET a = 1, b = 'x', c = NULL, d = -2.5",
+    "DELETE FROM t WHERE a < 10 AND b IS NOT NULL",
+    "DELETE FROM t",
+    "EMBED 'k1' [1.0, 2.0, 3.0]",
+    "EMBED 'k1' [1.0] IN docs",
+    "EMBED STORE 'k2' [0.5, -1]",
+    "EMBED GET 'k1' IN docs",
+    "EMBED DELETE 'k1'",
     # NODE CREATE / FIND
     "NODE CREATE person {name: 'bob'}",
     "NODE CREATE person",
@@ -81,7 +91,9 @@ FALLBACK = [
     "SIMILAR 'k' METRIC NOPE",                    # unknown metric
     "SELECT '名' FROM t",                     # non-ASCII
     "CREATE TABLE t (id INT)",                    # other statements
-    "UPDATE t SET a = 1",
+    "UPDATE t SET a = a + 1",            # expression RHS
+    "EMBED BATCH [('k', [1.0])]",
+    "EMBED BUILD INDEX",
     "NODE GET 5",
     "NODE LIST",
     "FIND PATH a -[e]-> b",

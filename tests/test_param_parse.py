@@ -75,17 +75,17 @@ def test_grammar_fuzz_differential():
 
 
 def test_template_reuse_and_type_keys():
-    # UPDATE is outside the native fast-path parser's grammar, so it
-    # exercises the template machinery (native-covered statements skip
-    # templates entirely — a direct native parse is faster)
+    # expression-SET UPDATEs are outside the native fast-path parser's
+    # grammar, so they exercise the template machinery (native-covered
+    # statements skip templates entirely — a direct parse is faster)
     _template_cache.clear()
-    parse_param("UPDATE zz1 SET a = 1 WHERE b = 9")
+    parse_param("UPDATE zz1 SET a = a * 1 WHERE b = 9")
     n1 = len(_template_cache)
-    parse_param("UPDATE zz1 SET a = 2 WHERE b = 8")  # same shape
+    parse_param("UPDATE zz1 SET a = a * 2 WHERE b = 8")  # same shape
     assert len(_template_cache) == n1
-    parse_param("UPDATE zz1 SET a = 2.5 WHERE b = 8")  # float: new shape
+    parse_param("UPDATE zz1 SET a = a * 2.5 WHERE b = 8")  # float: new
     assert len(_template_cache) == n1 + 1
-    parse_param("UPDATE zz1 SET a = 's' WHERE b = 8")  # string: new shape
+    parse_param("UPDATE zz1 SET a = a * 2 WHERE b = 's'")  # string: new
     assert len(_template_cache) == n1 + 2
 
 
@@ -119,8 +119,8 @@ def test_cold_parse_speedup():
             t_param = min(t_param, time.perf_counter() - t0)
         return t_full, t_param
 
-    stmts = [f"UPDATE bench SET a = {i}, b = 'name{i}' WHERE id = {i}"
-             for i in range(1000)]
+    stmts = [f"UPDATE bench SET a = a + {i}, b = 'name{i}' "
+             f"WHERE id = {i}" for i in range(1000)]
     for s in stmts[:5]:
         parse_param(s)
     t_full, t_param = measure(stmts)

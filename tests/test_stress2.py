@@ -262,10 +262,8 @@ def test_clock_drift_stress():
         else:
             t = a.update(b.now())
         if last is not None:
-            assert (t.wall, t.logical) > (last.wall, last.logical) or \
-                (t.wall, t.logical, t.node_id) > \
-                (last.wall, last.logical, last.node_id)
-            assert not (t.wall, t.logical) < (last.wall, last.logical)
+            # strict monotonicity of a's stream, even under drift
+            assert (t.wall_ms, t.logical) > (last.wall_ms, last.logical)
         last = t
 
 
