@@ -91,6 +91,10 @@ class TensorChain:
         self._pending: Dict[int, TransactionWorkspace] = {}
         self._tx_ids = itertools.count(1)
         self._lock = threading.RLock()
+        # observability: timings + counters (tensor_chain/src/metrics.rs)
+        from neumann_tpu.chain.metrics import ChainMetrics
+
+        self.metrics = ChainMetrics()
         # incremental state root: seed from the current store, then
         # stay fresh through the store's put/delete hooks (covers
         # both tx commits and out-of-band store writes)
@@ -114,6 +118,7 @@ class TensorChain:
         with self._lock:
             tx.open = False
             self._pending.pop(tx.tx_id, None)
+            self.metrics.rollbacks += 1
 
     def detect_conflicts(self, tx: TransactionWorkspace
                          ) -> List[dict]:
@@ -147,18 +152,21 @@ class TensorChain:
         """Apply tx (plus orthogonal co-txs if auto_merge), append a
         block. Returns the new chain height. Conflicting pending txs
         raise; the store is restored on any failure."""
-        with self._lock:
+        with self._lock, self.metrics.commit.timed():
             tx._require_open()
-            conflicts = self.detect_conflicts(tx)
+            with self.metrics.conflict_check.timed():
+                conflicts = self.detect_conflicts(tx)
             hard = [c for c in conflicts
                     if c["class"] == ConflictClass.CONFLICTING]
             if hard:
+                self.metrics.conflicts_rejected += 1
                 raise ChainError(
                     f"tx {tx.tx_id} conflicts with "
                     f"{[c['other'] for c in hard]}")
             group = [tx]
             if auto_merge:
                 group += self.find_orthogonal_merge(tx)
+                self.metrics.auto_merges += len(group) - 1
 
             # snapshot touched keys for rollback
             touched: Set[str] = set()
@@ -204,6 +212,8 @@ class TensorChain:
             for t in group:
                 t.open = False
                 self._pending.pop(t.tx_id, None)
+            self.metrics.commits += len(group)
+            self.metrics.blocks += 1
             return self.chain.height
 
     # -- chain views --------------------------------------------------------

@@ -1534,7 +1534,7 @@ class _Parser:
 
     def _stmt_chain(self) -> ast.Statement:
         act = self.expect_kw("HEIGHT", "TIP", "BLOCK", "VERIFY", "HISTORY",
-                             "SIMILAR", "DRIFT")
+                             "SIMILAR", "DRIFT", "STATS")
         stmt = ast.Chain(action=act.lower())
         if act == "BLOCK":
             stmt.height = self.int_()

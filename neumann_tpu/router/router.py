@@ -1531,6 +1531,8 @@ class QueryRouter:
         if s.action == "drift":
             return QueryResult.of_rows(
                 [chain.drift(s.from_height, s.to_height)])
+        if s.action == "stats":
+            return QueryResult.of_rows([chain.metrics.snapshot()])
         if s.action == "show_codebook_global":
             return QueryResult.of_rows([chain.codebooks.info("global")])
         if s.action == "show_codebook_local":

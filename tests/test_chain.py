@@ -1805,3 +1805,39 @@ def test_statement_level_chain_transaction_commit_records_ops():
         {"count(*)": 2}]
     # journal hooks are detached after commit
     assert "put" not in r.store.__dict__
+
+
+def test_chain_metrics_counters_and_timing():
+    """ChainMetrics parity (tensor_chain/src/metrics.rs): commit/
+    rollback/conflict counters plus min/avg/max commit timings."""
+    from neumann_tpu.chain.tensor_chain import TensorChain
+    from neumann_tpu.store.tensor_store import TensorData, TensorValue
+
+    chain = TensorChain(embedding_dim=8)
+    for i in range(3):
+        tx = chain.begin()
+        tx.put(f"m{i}", TensorData.with_values(v=TensorValue.scalar(i)))
+        chain.commit(tx)
+    tx = chain.begin()
+    chain.rollback(tx)
+    snap = chain.metrics.snapshot()
+    assert snap["commits"] == 3 and snap["blocks"] == 3
+    assert snap["rollbacks"] == 1
+    t = snap["commit_timing"]
+    assert t["count"] == 3
+    assert 0 <= t["min_us"] <= t["avg_us"] <= t["max_us"]
+    chain.metrics.reset()
+    assert chain.metrics.snapshot()["commits"] == 0
+
+
+def test_chain_stats_statement():
+    from neumann_tpu.router.router import QueryRouter
+
+    r = QueryRouter()
+    r.execute("BEGIN CHAIN TRANSACTION")
+    r.execute("CREATE TABLE cs (a INT)")
+    r.execute("INSERT INTO cs VALUES (1)")
+    r.execute("COMMIT CHAIN")
+    rows = r.execute("CHAIN STATS").rows
+    assert rows and rows[0]["blocks"] >= 1
+    assert rows[0]["commit_timing"]["count"] >= 1

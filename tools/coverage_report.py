@@ -1,0 +1,112 @@
+"""Line-coverage report via sys.monitoring (PEP 669), no deps.
+
+Parity with the reference's cargo-llvm-cov 95%-per-crate CI gate
+(.github/workflows/ci.yml:172-245 there): measures which executable
+lines of neumann_tpu/ the test suite reaches. First-hit DISABLE makes
+the instrumentation near-free (same trick as utils/covfuzz.py).
+
+Executable lines come from the compiled code objects themselves
+(co_lines over the full nested-code tree), so the denominator is what
+the interpreter could actually execute — not a source-line guess.
+
+Usage:
+    python tools/coverage_report.py [pytest args...]
+    python tools/coverage_report.py --min 80 tests/   # gate at 80%
+
+Caveats: subprocess work (multiprocess cluster tests, native C++) is
+not attributed; module-import lines count only if imported after
+startup (the runner installs monitoring before importing the package).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PKG = os.path.join(REPO, "neumann_tpu")
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)    # argv[0] is tools/, not the repo root
+
+covered: dict = {}
+
+TOOL = 3
+
+
+def _on_line(code, line):
+    f = code.co_filename
+    if f.startswith(PKG):
+        covered.setdefault(f, set()).add(line)
+    return sys.monitoring.DISABLE       # first hit only
+
+
+def _executable_lines(path: str) -> set:
+    with open(path, "rb") as fh:
+        src = fh.read()
+    try:
+        top = compile(src, path, "exec")
+    except SyntaxError:
+        return set()
+    lines: set = set()
+    stack = [top]
+    while stack:
+        code = stack.pop()
+        for _, _, ln in code.co_lines():
+            if ln is not None and ln > 0:
+                lines.add(ln)
+        for const in code.co_consts:
+            if hasattr(const, "co_lines"):
+                stack.append(const)
+    return lines
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    gate = None
+    if args and args[0] == "--min":
+        gate = float(args[1])
+        args = args[2:]
+    if not args:
+        args = ["tests/", "-q"]
+
+    mon = sys.monitoring
+    mon.use_tool_id(TOOL, "nncov")
+    mon.register_callback(TOOL, mon.events.LINE, _on_line)
+    mon.set_events(TOOL, mon.events.LINE)
+
+    import pytest
+
+    rc = pytest.main(args)
+    mon.set_events(TOOL, 0)
+
+    rows = []
+    tot_exec = tot_cov = 0
+    for root, _dirs, files in os.walk(PKG):
+        for name in sorted(files):
+            if not name.endswith(".py"):
+                continue
+            path = os.path.join(root, name)
+            ex = _executable_lines(path)
+            if not ex:
+                continue
+            cov = covered.get(path, set()) & ex
+            tot_exec += len(ex)
+            tot_cov += len(cov)
+            rows.append((os.path.relpath(path, REPO), len(cov), len(ex)))
+
+    rows.sort(key=lambda r: r[1] / r[2])
+    print("\n== line coverage (sys.monitoring, first-hit) ==")
+    for rel, c, e in rows:
+        pct = 100.0 * c / e
+        flag = "  " if pct >= 80 else "<<"
+        print(f"{flag} {pct:5.1f}%  {c:5d}/{e:<5d}  {rel}")
+    pct = 100.0 * tot_cov / max(tot_exec, 1)
+    print(f"\nTOTAL {pct:.1f}% ({tot_cov}/{tot_exec} executable lines)")
+    if gate is not None and pct < gate:
+        print(f"FAIL: below --min {gate}%")
+        return 2
+    return int(rc)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
