@@ -234,7 +234,14 @@ def topk_scan(
     n = corpus.shape[0]
     k = min(k, n)
 
-    if n <= max(block_rows, _FLAT_MAX_ROWS) or corpus.ndim != 2:
+    # flat path: corpus fits one scoring block. An EXPLICIT block_rows
+    # below the default forces the scan path even for small corpora
+    # (tests exercise the lax.scan machinery at toy sizes; production
+    # callers leave the default and stay flat up to _FLAT_MAX_ROWS)
+    flat = (n <= block_rows
+            or (block_rows >= _DEFAULT_BLOCK_ROWS
+                and n <= _FLAT_MAX_ROWS))
+    if flat or corpus.ndim != 2:
         scores = score_all(corpus, queries, metric, mask, weights)
         top_s, top_i = _block_topk(scores, k, selection, recall_target)
         top_i = jnp.where(jnp.isneginf(top_s), -1, top_i)

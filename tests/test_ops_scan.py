@@ -337,3 +337,58 @@ def test_hamming_blockwise_with_padding(rng):
     np.testing.assert_array_equal(np.asarray(i_blk), np.asarray(i_flat))
     np.testing.assert_array_equal(np.asarray(s_blk), np.asarray(s_flat))
     assert [int(i_blk[j, 0]) for j in range(3)] == [33, 34, 35]
+
+
+def test_blockwise_euclidean_and_approx_selection(rng):
+    """Blockwise scan for the euclidean metric + approx_max_k
+    selection merge exactly across blocks."""
+    corpus = rng.standard_normal((1500, 32)).astype(np.float32)
+    queries = rng.standard_normal((2, 32)).astype(np.float32)
+    s_flat, i_flat = topk_scan(jnp.asarray(corpus), jnp.asarray(queries),
+                               5, "euclidean")
+    s_blk, i_blk = topk_scan(jnp.asarray(corpus), jnp.asarray(queries),
+                             5, "euclidean", block_rows=256)
+    np.testing.assert_allclose(np.asarray(s_flat), np.asarray(s_blk),
+                               rtol=1e-4, atol=1e-4)
+    s_ap, i_ap = topk_scan(jnp.asarray(corpus), jnp.asarray(queries),
+                           5, "cosine", block_rows=256,
+                           selection="approx", recall_target=0.95)
+    s_ex, i_ex = topk_scan(jnp.asarray(corpus), jnp.asarray(queries),
+                           5, "cosine")
+    # approx selection: high overlap with the exact result
+    overlap = np.mean([
+        len(set(np.asarray(i_ap)[q]) & set(np.asarray(i_ex)[q])) / 5
+        for q in range(2)])
+    assert overlap >= 0.6
+
+
+def test_topk_scan_jit_wrapper(rng):
+    from neumann_tpu.ops.scan import topk_scan_jit
+
+    corpus = rng.standard_normal((600, 16)).astype(np.float32)
+    q = rng.standard_normal((2, 16)).astype(np.float32)
+    s1, i1 = topk_scan_jit(jnp.asarray(corpus), jnp.asarray(q), 4)
+    s2, i2 = topk_scan(jnp.asarray(corpus), jnp.asarray(q), 4)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+    assert (np.asarray(i1) == np.asarray(i2)).all()
+
+
+def test_unknown_metric_raises(rng):
+    corpus = rng.standard_normal((10, 8)).astype(np.float32)
+    with pytest.raises(ValueError, match="unknown metric"):
+        topk_scan(jnp.asarray(corpus),
+                  jnp.asarray(corpus[0]), 3, "chebyshev")
+
+
+def test_blockwise_mask_and_int8_cross_check(rng):
+    """Masked blockwise agrees with masked flat on every row."""
+    corpus = rng.standard_normal((1100, 24)).astype(np.float32)
+    queries = rng.standard_normal((3, 24)).astype(np.float32)
+    mask = rng.random(1100) < 0.3
+    s_f, i_f = topk_scan(jnp.asarray(corpus), jnp.asarray(queries), 6,
+                         "cosine", jnp.asarray(mask))
+    s_b, i_b = topk_scan(jnp.asarray(corpus), jnp.asarray(queries), 6,
+                         "cosine", jnp.asarray(mask), block_rows=128)
+    np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_b),
+                               rtol=1e-5, atol=1e-5)
+    assert (np.asarray(i_f) == np.asarray(i_b)).all()
