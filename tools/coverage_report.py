@@ -63,6 +63,10 @@ def _executable_lines(path: str) -> set:
 def main() -> int:
     args = sys.argv[1:]
     gate = None
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
     if args and args[0] == "--min":
         gate = float(args[1])
         args = args[2:]
@@ -81,6 +85,7 @@ def main() -> int:
 
     rows = []
     tot_exec = tot_cov = 0
+    miss: dict = {}
     for root, _dirs, files in os.walk(PKG):
         for name in sorted(files):
             if not name.endswith(".py"):
@@ -92,7 +97,15 @@ def main() -> int:
             cov = covered.get(path, set()) & ex
             tot_exec += len(ex)
             tot_cov += len(cov)
-            rows.append((os.path.relpath(path, REPO), len(cov), len(ex)))
+            rel = os.path.relpath(path, REPO)
+            rows.append((rel, len(cov), len(ex)))
+            if ex - cov:
+                miss[rel] = sorted(ex - cov)
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(miss, fh)
 
     rows.sort(key=lambda r: r[1] / r[2])
     print("\n== line coverage (sys.monitoring, first-hit) ==")
