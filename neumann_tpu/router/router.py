@@ -945,12 +945,15 @@ class QueryRouter:
     def _exec_graphaggregate(self, s: ast.GraphAggregate) -> QueryResult:
         if s.prop is None:
             if s.target == "nodes":
-                n = len(self.graph.find_nodes(s.label)) if s.label \
+                n = len(self.graph.find_nodes(s.label, s.where)) \
+                    if (s.label or s.where is not None) \
                     else self.graph.node_count()
-            elif s.label:
+            elif s.label or s.where is not None:
                 with self.graph._lock:
                     n = sum(1 for e in self.graph._edges.values()
-                            if e["type"] == s.label)
+                            if (s.label is None or e["type"] == s.label)
+                            and (s.where is None
+                                 or s.where.evaluate_row(e["props"])))
             else:
                 n = self.graph.edge_count()
             return QueryResult.of_count(n)
@@ -1626,8 +1629,10 @@ class QueryRouter:
                  f"({self.relational.row_count(inner.table)} rows), "
                  f"{access}")
             for j in inner.joins or []:
-                step("join", f"{j.kind} join {j.table} on {j.on_left} = "
-                     f"{j.on_right} (hash build on smaller side)")
+                on = (f"using ({', '.join(j.using)})" if j.using
+                      else f"on {j.left_col} = {j.right_col}")
+                step("join", f"{j.how} join {j.table} {on} "
+                     f"(hash build on smaller side)")
             if inner.group_by:
                 step("aggregate", f"group by {', '.join(inner.group_by)}")
             if inner.order_by:
