@@ -401,8 +401,12 @@ class ClusterClient:
         self.transport.close()
 
 
-def main(argv=None) -> int:
-    """CLI entry: run one cluster node until SIGINT."""
+def build_node(argv=None) -> Tuple[TcpClusterNode, object]:
+    """Parse CLI flags / NEUMANN_* env vars into a TcpClusterNode.
+
+    Split from main() so the flag->node wiring is testable without a
+    serve loop (the loop itself is exercised by the multiprocess
+    cluster tests)."""
     import argparse
 
     import os
@@ -442,9 +446,15 @@ def main(argv=None) -> int:
                           port=args.port, wal_dir=args.wal_dir,
                           auto_remove_faulty=args.auto_remove_faulty,
                           faulty_grace_ticks=args.faulty_grace_ticks)
+    return node, args
+
+
+def main(argv=None) -> int:
+    """CLI entry: run one cluster node until SIGINT."""
+    node, args = build_node(argv)
     node.start()
     print(f"node {args.id} listening on {node.address}; "
-          f"peers: {sorted(peers)}", flush=True)
+          f"peers: {sorted(node._peer_addrs)}", flush=True)
     try:
         while True:
             time.sleep(2.0)

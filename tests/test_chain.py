@@ -1841,3 +1841,42 @@ def test_chain_stats_statement():
     rows = r.execute("CHAIN STATS").rows
     assert rows and rows[0]["blocks"] >= 1
     assert rows[0]["commit_timing"]["count"] >= 1
+
+
+def test_build_node_flags_and_env(monkeypatch, tmp_path):
+    """build_node wires CLI flags (and NEUMANN_* env fallbacks) into a
+    TcpClusterNode without starting the serve loop (node.py CLI
+    surface; reference ops docs' container env contract)."""
+    from neumann_tpu.chain.node import build_node
+
+    node, args = build_node([
+        "--id", "nx", "--port", "0",
+        "--peers", "a=127.0.0.1:19001,b=127.0.0.1:19002",
+        "--wal-dir", str(tmp_path / "wal"),
+        "--auto-remove-faulty", "--faulty-grace-ticks", "7",
+    ])
+    try:
+        assert node.id == "nx" and args.id == "nx"
+        assert node._peer_addrs == {"a": ("127.0.0.1", 19001),
+                                    "b": ("127.0.0.1", 19002)}
+        assert node.auto_remove_faulty is True
+        assert node.faulty_grace_ticks == 7
+        assert node.raft_wal is not None
+    finally:
+        node.stop()
+
+    # env fallback path: no argv at all
+    monkeypatch.setenv("NEUMANN_NODE_ID", "envnode")
+    monkeypatch.setenv("NEUMANN_CLUSTER_PORT", "0")
+    monkeypatch.setenv("NEUMANN_PEERS", "p=localhost:19003")
+    monkeypatch.setenv("NEUMANN_AUTO_REMOVE_FAULTY", "1")
+    monkeypatch.setenv("NEUMANN_FAULTY_GRACE", "11")
+    node2, args2 = build_node([])
+    try:
+        assert node2.id == "envnode"
+        assert node2._peer_addrs == {"p": ("localhost", 19003)}
+        assert node2.auto_remove_faulty is True
+        assert node2.faulty_grace_ticks == 11
+        assert node2.raft_wal is None  # no NEUMANN_DATA_DIR set
+    finally:
+        node2.stop()

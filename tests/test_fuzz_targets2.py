@@ -579,11 +579,12 @@ def test_fuzz_router_dispatch(seed):
 
 
 @pytest.mark.parametrize("seed", SEEDS)
-def test_fuzz_shell_execute_line(seed):
+def test_fuzz_shell_execute_line(seed, tmp_path, monkeypatch):
     """Random printable lines into the shell must never escape as a
     raw traceback (shell_execute_line.rs)."""
     from neumann_tpu.shell.shell import Shell
 
+    monkeypatch.chdir(tmp_path)  # "SAVE x" writes a snapshot into cwd
     rng = random.Random(seed)
     sh = Shell()
     corpus = ["SELECT * FROM t", "help", "tables", "WAL STATUS",
