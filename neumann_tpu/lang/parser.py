@@ -1564,14 +1564,34 @@ _NP = None          # bound _neumann_parser.parse, or None
 _NATIVE_TRIED = False
 
 
+def _parse_python(src: str) -> ast.Statement:
+    """The pure-Python recursive-descent path (also the native
+    parser's registered fallback for uncovered grammar and every
+    syntax error)."""
+    p = _Parser(src)
+    stmt = p.statement()
+    while p.accept_punct(";"):
+        pass
+    t = p.peek()
+    if t.kind != "eof":
+        raise ParseError(f"unexpected trailing input {t.text!r}",
+                         t.line, t.col)
+    return stmt
+
+
 def _native():
-    global _NP, _NATIVE_TRIED
+    global _NP, _NATIVE_TRIED, parse
     if not _NATIVE_TRIED:
         _NATIVE_TRIED = True
         from neumann_tpu.native import pyparser
 
         mod = pyparser.load()
         _NP = mod.parse if mod is not None else None
+        if mod is not None:
+            # upgrade the module-level entry to the zero-frame C path
+            # for importers that bind after this point
+            mod.set_fallback(_parse_python)
+            parse = mod.parse_full
     return _NP
 
 
@@ -1582,22 +1602,16 @@ def parse(src: str) -> ast.Statement:
     CREATE / FIND over plain conditions) go through the native parser
     (native/parser_ext.cpp), which builds identical AST objects ~15x
     faster; anything it does not cover — including every syntax
-    error — falls through to the Python recursive-descent parser
-    below."""
+    error — falls through to the Python recursive-descent parser.
+    When the extension is already built, module import rebinds this
+    name to the C entry point (parse_full) so the hot path has no
+    Python wrapper frame at all."""
     np = _NP if _NATIVE_TRIED else _native()
     if np is not None:
         stmt = np(src)
         if stmt is not None:
             return stmt
-    p = _Parser(src)
-    stmt = p.statement()
-    while p.accept_punct(";"):
-        pass
-    t = p.peek()
-    if t.kind != "eof":
-        raise ParseError(f"unexpected trailing input {t.text!r}",
-                         t.line, t.col)
-    return stmt
+    return _parse_python(src)
 
 
 @functools.lru_cache(maxsize=1024)
@@ -1876,3 +1890,21 @@ def _rewrite_aliases(stmt: "ast.Select", aliases: Dict[str, str]) -> None:
     stmt.having = fix_cond(stmt.having)
     stmt.group_by = [fix_name(g) for g in stmt.group_by]
     stmt.order_by = [(fix_name(sp[0]), *sp[1:]) for sp in stmt.order_by]
+
+
+# Eagerly bind the native entry point when the extension is already
+# built (a plain import — no compile subprocess), so every importer of
+# `parse` gets the zero-frame C path. First-ever runs stay lazy: the
+# wrapper above builds the extension on first parse and upgrades the
+# binding for later importers.
+def _eager_native() -> None:
+    try:
+        from neumann_tpu.native import pyparser as _pp
+
+        if _pp.built():
+            _native()
+    except Exception:       # noqa: BLE001 — never block import on this
+        pass
+
+
+_eager_native()

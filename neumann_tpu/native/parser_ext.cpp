@@ -43,6 +43,11 @@ static int g_nf[C_N];
 static Py_ssize_t g_off[C_N][MAX_FIELDS];
 static int g_ready = 0;
 
+// Python fallback parser (lang.parser's pure-Python path); parse_full
+// delegates unsupported statements to it so the module-level parse can
+// BE the C function (no Python wrapper frame on the hot path)
+static PyObject *g_fallback = NULL;
+
 // interned constants
 static PyObject *s_star;            // "*"
 static PyObject *s_ops[16];         // condition op strings
@@ -242,8 +247,34 @@ static inline int expect_kw(P *p, const char *lit) {
 
 // --- token -> PyObject -----------------------------------------------------
 
+// direct-mapped identifier cache: table/column names repeat across
+// statements, so reuse one unicode object per name instead of
+// allocating a fresh one every parse (GIL held throughout; bounded)
+#define STRCACHE_SZ 512
+static PyObject *g_strs[STRCACHE_SZ];
+
+static PyObject *cached_str(const char *s, Py_ssize_t len) {
+    if (len == 0 || len > 64)
+        return PyUnicode_FromStringAndSize(s, len);
+    uint32_t h = 2166136261u;
+    for (Py_ssize_t i = 0; i < len; i++)
+        h = (h ^ (uint8_t)s[i]) * 16777619u;
+    PyObject **slot = &g_strs[h & (STRCACHE_SZ - 1)];
+    PyObject *c = *slot;
+    if (c) {
+        Py_ssize_t cl;
+        const char *cs = PyUnicode_AsUTF8AndSize(c, &cl);
+        if (cs && cl == len && memcmp(cs, s, len) == 0)
+            return Py_NewRef(c);
+    }
+    PyObject *o = PyUnicode_FromStringAndSize(s, len);
+    if (o)
+        Py_XSETREF(*slot, Py_NewRef(o));
+    return o;
+}
+
 static PyObject *tok_str(P *p, Tk *t) {   // raw text, new ref
-    return PyUnicode_FromStringAndSize(p->src + t->start, t->len);
+    return cached_str(p->src + t->start, t->len);
 }
 
 static PyObject *dec_string(P *p, Tk *t) {
@@ -305,7 +336,7 @@ static PyObject *dotted_ident(P *p) {
         o += t->len;
         adv(p);
     }
-    return PyUnicode_FromStringAndSize(buf, o);
+    return cached_str(buf, o);
 }
 
 // ---------------------------------------------------------------------------
@@ -1265,6 +1296,35 @@ static PyObject *py_parse(PyObject *self, PyObject *arg) {
     return stmt;
 }
 
+// parse_full(src) -> Statement. Fast path when covered; otherwise the
+// registered Python fallback parser runs (and raises its own errors).
+// Bound as lang.parser.parse so the hot path has zero Python frames.
+static PyObject *py_parse_full(PyObject *self, PyObject *arg) {
+    PyObject *r = py_parse(self, arg);
+    if (!r || r != Py_None)
+        return r;
+    Py_DECREF(r);
+    if (!g_fallback) {
+        PyErr_SetString(PyExc_RuntimeError,
+                        "parser fallback not registered");
+        return NULL;
+    }
+    return PyObject_CallOneArg(g_fallback, arg);
+}
+
+static PyObject *py_set_fallback(PyObject *self, PyObject *arg) {
+    if (arg == Py_None) {
+        Py_CLEAR(g_fallback);
+        Py_RETURN_NONE;
+    }
+    if (!PyCallable_Check(arg)) {
+        PyErr_SetString(PyExc_TypeError, "fallback must be callable");
+        return NULL;
+    }
+    Py_XSETREF(g_fallback, Py_NewRef(arg));
+    Py_RETURN_NONE;
+}
+
 // init_parser(specs): specs = ((name, cls, (field, …)), …)
 static PyObject *py_init_parser(PyObject *self, PyObject *arg) {
     static const char *want[C_N] = {"Select", "SelectItem", "Insert",
@@ -1327,6 +1387,12 @@ static PyMethodDef methods[] = {
      "init_parser(((name, cls, (fields…)), …)) -> bool"},
     {"parse", py_parse, METH_O,
      "parse(src) -> Statement | None (None = use the Python parser)"},
+    {"parse_full", py_parse_full, METH_O,
+     "parse_full(src) -> Statement (falls back to the registered "
+     "Python parser for uncovered grammar)"},
+    {"set_fallback", py_set_fallback, METH_O,
+     "set_fallback(callable | None) registers the Python parser "
+     "parse_full delegates uncovered statements to"},
     {NULL, NULL, 0, NULL},
 };
 

@@ -83,3 +83,13 @@ def load():
 
 def available() -> bool:
     return load() is not None
+
+
+def built() -> bool:
+    """True when the extension is already compiled and fresh — i.e.
+    load() would be a plain import, no g++ subprocess."""
+    try:
+        return (os.path.exists(_SO)
+                and os.path.getmtime(_SO) >= os.path.getmtime(_SRC))
+    except OSError:
+        return False

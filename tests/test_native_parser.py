@@ -186,3 +186,37 @@ def test_mutation_fuzz_no_crash_no_divergence():
                 f"native accepted what Python rejects: {src!r} "
                 f"-> {got} (python: {e})")
         assert got == want, f"divergence for {src!r}"
+
+
+def test_parse_full_zero_frame_binding():
+    """When the extension is built, lang.parser.parse IS the C
+    parse_full entry (no Python wrapper frame); uncovered grammar and
+    syntax errors route through the registered Python fallback."""
+    from neumann_tpu.lang import parser as P
+
+    if not pyparser.built():
+        pytest.skip("extension not built")
+    assert P.parse.__name__ == "parse_full"
+    # covered: C fast path
+    assert type(P.parse("SELECT * FROM t")).__name__ == "Select"
+    # uncovered grammar: C delegates to the Python parser
+    assert type(P.parse("CREATE TABLE t (a INT)")).__name__ == \
+        "CreateTable"
+    # syntax error: the fallback's canonical ParseError surfaces
+    with pytest.raises(Exception) as ei:
+        P.parse("SELECT FROM WHERE")
+    assert type(ei.value).__name__ == "ParseError"
+
+
+def test_identifier_cache_value_correctness():
+    """The C identifier cache is value-keyed: colliding/evicting names
+    still parse to the right strings, and near-identical names never
+    alias each other."""
+    if ext is None:
+        pytest.skip("extension not built")
+    names = [f"col{i}" for i in range(2000)] + ["a", "ab", "ba", "a"]
+    for nm in names:
+        s = ext.parse(f"SELECT {nm} FROM {nm}2")
+        assert s is not None
+        assert s.items[0].expr == nm
+        assert s.table == nm + "2"
