@@ -76,6 +76,23 @@ def validate(msg: Message) -> Tuple[bool, str]:
             if not isinstance(e, dict) or "term" not in e or \
                     "payload" not in e:
                 return False, "malformed log entry"
+    if msg.kind in ("ping", "ack", "ping_req"):
+        members = msg.payload["members"]
+        if len(members) > _MAX_ENTRIES:
+            return False, "too many members"
+        for peer, info in members.items():
+            if not isinstance(peer, str) or len(peer) > _MAX_STR:
+                return False, "malformed member id"
+            if not isinstance(info, dict):
+                return False, "malformed member record"
+            status = info.get("status")
+            inc, ver = info.get("inc"), info.get("v")
+            if status not in ("alive", "suspect", "faulty"):
+                return False, "unknown member status"
+            for fld in (inc, ver):
+                if isinstance(fld, bool) or not isinstance(fld, int) \
+                        or not (0 <= fld <= 2 ** 62):
+                    return False, "malformed member counters"
     return True, ""
 
 
