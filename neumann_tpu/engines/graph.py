@@ -425,10 +425,11 @@ class GraphEngine(GraphAlgorithmsMixin):
                 else:
                     other = e["src"] if e["dst"] == nid else e["dst"]
                     out.append(other)
+        # Self-loops are not neighbors (lib.rs:4043-4047 parity).
         seen = set()
         uniq = []
         for x in out:
-            if x not in seen and x != nid or (x == nid and False):
+            if x not in seen and x != nid:
                 seen.add(x)
                 uniq.append(x)
         return uniq
