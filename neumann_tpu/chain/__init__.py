@@ -32,3 +32,8 @@ from neumann_tpu.chain.two_phase import (  # noqa: F401
 )
 from neumann_tpu.chain.gossip import GossipNode  # noqa: F401
 from neumann_tpu.chain.deadlock import DeadlockDetector  # noqa: F401
+from neumann_tpu.chain.sequence import (  # noqa: F401
+    SequenceTracker,
+    SequenceTrackerConfig,
+)
+from neumann_tpu.chain.transport import PeerRateLimiter  # noqa: F401

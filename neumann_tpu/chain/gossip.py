@@ -195,6 +195,22 @@ class GossipNode:
         return []
 
     # ------------------------------------------------------------------
+    def partition_status(self, grace_ticks: int = 10) -> str:
+        """Quorum classification from this node's local membership view
+        (membership.rs:504 PartitionStatus parity): returns
+        ``quorum_reachable`` / ``quorum_lost`` / ``stalemate`` (exact
+        50/50 split of an even cluster) / ``unknown`` (startup grace)."""
+        if self._tick < grace_ticks:
+            return "unknown"
+        total = len(self.members)
+        healthy = sum(1 for m in self.members.values()
+                      if m.status == ALIVE)
+        if healthy >= total // 2 + 1:
+            return "quorum_reachable"
+        if healthy * 2 == total:
+            return "stalemate"
+        return "quorum_lost"
+
     def alive_peers(self) -> List[str]:
         return sorted(p for p, m in self.members.items()
                       if m.status == ALIVE and p != self.id)

@@ -72,8 +72,17 @@ class ClusterProtocolMixin:
         self.local_writes: Dict[str, TensorData] = {}
         self.merge_reports: List[dict] = []
         self._known_faulty: set = set()
-        self._offer_seq = 0
+        # wall-clock base keeps offer seqs increasing across restarts,
+        # so a rebooted node's fresh offers don't look like replays
+        import time as _time
+
+        self._offer_seq = int(_time.time() * 1000) << 10
         self._last_offer_tick = -10**9
+        # replay/DoS defense on the leader's offer intake
+        # (signing.rs SequenceTracker capability)
+        from neumann_tpu.chain.sequence import SequenceTracker
+
+        self._offer_tracker = SequenceTracker()
         # leader-side: offers answered only after their resolution
         # entries COMMIT (a deposed leader's proposals may vanish, so
         # an early merge_done could lose the offered writes)
@@ -214,6 +223,10 @@ class ClusterProtocolMixin:
         for reply_to, oid, report in done:
             self._send(reply_to, "merge_done",
                        {"oid": oid, "report": report})
+            # answered: drop the dedup record (memory stays bounded;
+            # a late duplicate of this oid is caught by _offer_tracker)
+            with self._lock:
+                self._handled_offers.pop(oid, None)
 
     # -- failure detection -> membership ----------------------------------
     def _drive_membership(self) -> None:
@@ -253,6 +266,13 @@ class ClusterProtocolMixin:
                     self.raft.propose_config_change("promote", peer)
 
     # -- heal detection -> partition merge ---------------------------------
+    def partition_status(self, grace_ticks: int = 10) -> str:
+        """This node's quorum view (membership.rs PartitionStatus)."""
+        if self.gossip is None:
+            return "unknown"
+        with self._lock:
+            return self.gossip.partition_status(grace_ticks)
+
     def _check_heals(self) -> None:
         if self.gossip is None:
             return
@@ -312,6 +332,12 @@ class ClusterProtocolMixin:
             return
         if already is not None:
             return   # duplicate offer: the pending reply covers it
+        src, _, seq_txt = oid.rpartition(":")
+        if src and seq_txt.isdigit():
+            ok, _reason = self._offer_tracker.check_and_record(
+                src, int(seq_txt))
+            if not ok:
+                return   # replayed or out-of-order offer id
         report = {"merged": [], "took_leader": [], "took_offer": [],
                   "conflicts": []}
         cfg = ConsensusConfig()

@@ -36,9 +36,50 @@ _SCHEMAS: Dict[str, Dict[str, object]] = {
     "ping": {"members": dict},
     "ack": {"members": dict},
     "ping_req": {"target": str, "members": dict},
-    "cluster_query": {"query": str, "reply_to": str},
+    "cluster_query": {"query": str},
     "cluster_query_result": {},
+    # node/cluster integration kinds (node.py / integration.py)
+    "ack_relay": {"target": str, "members": dict},
+    "snap_chunk": {"id": str, "offset": int, "total": int,
+                   "sha256": str, "data": "blob"},
+    "merge_offer": {"items": list, "reply_to": str, "oid": str},
+    "merge_done": {"oid": str},
+    "cluster_forward": {"entry": dict},
+    "client_hello": {"addr": list},
 }
+
+# fields that are legal but not required (validated when present)
+_OPTIONAL: Dict[str, Dict[str, object]] = {
+    "cluster_query": {"reply_to": str, "qid": str, "strong": bool},
+    "merge_done": {"report": dict},
+    "snap_chunk": {"raft_meta": dict},
+}
+
+# hex payloads may legitimately exceed _MAX_STR (snap chunks are 256 KiB
+# before hex doubling); bound them separately
+_MAX_BLOB = 2 * 1024 * 1024
+
+
+def _check_field(fname: str, val, ftype) -> Optional[str]:
+    """None when valid, else the reject reason."""
+    if ftype is int:
+        if isinstance(val, bool) or not isinstance(val, int):
+            return f"field {fname!r} must be int"
+        if not (-1 <= val <= 2 ** 62):
+            return f"field {fname!r} out of range"
+    elif ftype is bool and not isinstance(val, bool):
+        return f"field {fname!r} must be bool"
+    elif ftype is str:
+        if not isinstance(val, str) or len(val) > _MAX_STR:
+            return f"field {fname!r} must be a short string"
+    elif ftype is list and not isinstance(val, list):
+        return f"field {fname!r} must be a list"
+    elif ftype is dict and not isinstance(val, dict):
+        return f"field {fname!r} must be a mapping"
+    elif ftype == "blob":
+        if not isinstance(val, str) or len(val) > _MAX_BLOB:
+            return f"field {fname!r} must be a bounded blob"
+    return None
 
 
 def validate(msg: Message) -> Tuple[bool, str]:
@@ -53,21 +94,14 @@ def validate(msg: Message) -> Tuple[bool, str]:
     for fname, ftype in schema.items():
         if fname not in msg.payload:
             return False, f"missing field {fname!r}"
-        val = msg.payload[fname]
-        if ftype is int:
-            if isinstance(val, bool) or not isinstance(val, int):
-                return False, f"field {fname!r} must be int"
-            if not (-1 <= val <= 2 ** 62):
-                return False, f"field {fname!r} out of range"
-        elif ftype is bool and not isinstance(val, bool):
-            return False, f"field {fname!r} must be bool"
-        elif ftype is str:
-            if not isinstance(val, str) or len(val) > _MAX_STR:
-                return False, f"field {fname!r} must be a short string"
-        elif ftype is list and not isinstance(val, list):
-            return False, f"field {fname!r} must be a list"
-        elif ftype is dict and not isinstance(val, dict):
-            return False, f"field {fname!r} must be a mapping"
+        reason = _check_field(fname, msg.payload[fname], ftype)
+        if reason is not None:
+            return False, reason
+    for fname, ftype in _OPTIONAL.get(msg.kind, {}).items():
+        if fname in msg.payload:
+            reason = _check_field(fname, msg.payload[fname], ftype)
+            if reason is not None:
+                return False, reason
     if msg.kind == "append_entries":
         entries = msg.payload["entries"]
         if len(entries) > _MAX_ENTRIES:
@@ -76,7 +110,21 @@ def validate(msg: Message) -> Tuple[bool, str]:
             if not isinstance(e, dict) or "term" not in e or \
                     "payload" not in e:
                 return False, "malformed log entry"
-    if msg.kind in ("ping", "ack", "ping_req"):
+    if msg.kind == "snap_chunk":
+        off, total = msg.payload["offset"], msg.payload["total"]
+        if not (0 <= off < max(total, 1)) or total > 2 ** 32:
+            return False, "bad chunk offsets"
+    if msg.kind == "merge_offer":
+        items = msg.payload["items"]
+        if len(items) > _MAX_ENTRIES:
+            return False, "too many merge items"
+        for it in items:
+            if not isinstance(it, dict) or \
+                    not isinstance(it.get("key"), str) or \
+                    not isinstance(it.get("data"), str) or \
+                    len(it["data"]) > _MAX_BLOB:
+                return False, "malformed merge item"
+    if msg.kind in ("ping", "ack", "ping_req", "ack_relay"):
         members = msg.payload["members"]
         if len(members) > _MAX_ENTRIES:
             return False, "too many members"

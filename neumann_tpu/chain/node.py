@@ -26,6 +26,7 @@ import uuid
 from typing import Callable, Dict, List, Optional, Tuple
 
 from neumann_tpu.chain.integration import ClusterProtocolMixin
+from neumann_tpu.chain.message_validation import validate as validate_message
 from neumann_tpu.chain.raft import LEADER, RaftConfig, RaftNode
 from neumann_tpu.chain.transport import Message, TcpTransport
 from neumann_tpu.store import codec
@@ -124,6 +125,11 @@ class TcpClusterNode(ClusterProtocolMixin):
         # proxy-side: qid -> original requester (thin clients are only
         # connected to their serving node, so replies relay through it)
         self._relay: Dict[str, str] = {}
+        # defense-in-depth: every inbound frame is schema-checked before
+        # it can reach Raft/2PC/gossip (message_validation.rs wired into
+        # the live loop, not just tests)
+        self.rejected_messages = 0
+        self.reject_reasons: List[str] = []
 
     @property
     def address(self) -> Tuple[str, int]:
@@ -158,6 +164,13 @@ class TcpClusterNode(ClusterProtocolMixin):
                     timeout=max(0.001, deadline - time.time()))
                 if msg is None:
                     break
+                ok, reason = validate_message(msg)
+                if not ok:
+                    self.rejected_messages += 1
+                    if len(self.reject_reasons) < 100:
+                        self.reject_reasons.append(
+                            f"{msg.kind}: {reason}")
+                    continue
                 self._handle(msg)
             self._apply_committed()
 

@@ -189,6 +189,52 @@ def make_tls_contexts(cert_pem: bytes, key_pem: bytes,
     return server_ctx, client_ctx
 
 
+class PeerRateLimiter:
+    """Per-peer token bucket (tcp/rate_limit.rs parity): each sender id
+    gets ``bucket_size`` burst tokens refilled at ``refill_rate``/s;
+    ``check`` spends one token or reports the peer as limited."""
+
+    def __init__(self, bucket_size: int = 100, refill_rate: float = 50.0):
+        import time as _time
+
+        self.bucket_size = float(bucket_size)
+        self.refill_rate = float(refill_rate)
+        self._now = _time.monotonic
+        self._buckets: Dict[str, Tuple[float, float]] = {}
+        self._lock = threading.Lock()
+        self.limited = 0        # dropped-message counter
+
+    def check(self, peer: str) -> bool:
+        now = self._now()
+        with self._lock:
+            tokens, last = self._buckets.get(peer,
+                                             (self.bucket_size, now))
+            tokens = min(self.bucket_size,
+                         tokens + (now - last) * self.refill_rate)
+            if tokens < 1.0:
+                self._buckets[peer] = (tokens, now)
+                self.limited += 1
+                return False
+            self._buckets[peer] = (tokens - 1.0, now)
+            return True
+
+    def available_tokens(self, peer: str) -> int:
+        now = self._now()
+        with self._lock:
+            tokens, last = self._buckets.get(peer,
+                                             (self.bucket_size, now))
+            return int(min(self.bucket_size,
+                           tokens + (now - last) * self.refill_rate))
+
+    def reset_peer(self, peer: str) -> None:
+        with self._lock:
+            self._buckets.pop(peer, None)
+
+    def clear(self) -> None:
+        with self._lock:
+            self._buckets.clear()
+
+
 class TcpTransport:
     """Point-to-point TCP control-plane transport.
 
@@ -196,21 +242,24 @@ class TcpTransport:
     the registered handler (or an internal queue). Framing: [len u32]
     [flags u8][Message json]. Optional per-frame deflate compression
     (bodies >= ``compress_min``), optional TLS (pass the contexts from
-    ``make_tls_contexts``), and per-peer connection pools with automatic
-    one-shot reconnect on send failure — parity with the reference TCP
-    backend's LZ4 framing, rustls TLS, and connection pooling
-    (tensor_chain network backend).
+    ``make_tls_contexts``), per-peer connection pools with automatic
+    one-shot reconnect on send failure, and optional per-peer inbound
+    rate limiting — parity with the reference TCP backend's LZ4 framing,
+    rustls TLS, connection pooling, and token-bucket rate limiter
+    (tensor_chain network backend, tcp/rate_limit.rs).
     """
 
     def __init__(self, node_id: str, host: str = "127.0.0.1",
                  port: int = 0, compress: bool = False,
                  compress_min: int = 512,
-                 tls_server=None, tls_client=None, pool_size: int = 1):
+                 tls_server=None, tls_client=None, pool_size: int = 1,
+                 rate_limiter: Optional[PeerRateLimiter] = None):
         self.node_id = node_id
         self.compress = compress
         self.compress_min = compress_min
         self._tls_server = tls_server
         self._tls_client = tls_client
+        self.rate_limiter = rate_limiter
         self.pool_size = max(1, pool_size)
         self._handler: Optional[Callable[[Message], None]] = None
         self._queue: "queue.Queue[Message]" = queue.Queue()
@@ -272,6 +321,9 @@ class TcpTransport:
                         raise ChainError(
                             "decompressed frame exceeds limit")
                 msg = Message.decode(body)
+                if self.rate_limiter is not None and \
+                        not self.rate_limiter.check(msg.src):
+                    continue        # over budget: drop, keep the conn
                 if self._handler is not None:
                     self._handler(msg)
                 else:

@@ -1581,9 +1581,22 @@ class QueryRouter:
         if cluster is None:
             return QueryResult.msg("not connected to a cluster")
         if s.action == "status":
-            return QueryResult.of_rows([{
-                "leader": cluster.leader(),
-                "nodes": len(cluster.nodes)}])
+            statuses = {
+                nid: n.gossip.partition_status()
+                for nid, n in cluster.nodes.items()
+                if getattr(n, "gossip", None) is not None}
+            row = {"leader": cluster.leader(),
+                   "nodes": len(cluster.nodes)}
+            if statuses:
+                # membership.rs PartitionStatus: any node seeing quorum
+                # makes the cluster writable
+                vals = set(statuses.values())
+                row["partition"] = (
+                    "quorum_reachable" if "quorum_reachable" in vals
+                    else "stalemate" if "stalemate" in vals
+                    else "quorum_lost" if "quorum_lost" in vals
+                    else "unknown")
+            return QueryResult.of_rows([row])
         if s.action == "nodes":
             return QueryResult.of_rows([
                 {"id": nid, "state": n.raft.state, "term": n.raft.term}
