@@ -56,6 +56,7 @@ class CacheStats:
     insertions: int = 0
     evictions: int = 0
     expirations: int = 0
+    invalidations: int = 0
     tokens_saved: int = 0
 
     @property
@@ -261,6 +262,30 @@ class LLMCache:
             self.stats.exact_hits += 1
             self.stats.tokens_saved += e.cost       # counted at put
             return e.response
+
+    def invalidate(self, query: str) -> bool:
+        """Drop a cached entry (reference cache_invalidation path:
+        callers invalidate when the underlying data a response was
+        derived from changes). Semantic lookups stop returning it
+        immediately — the HNSW node is tombstoned with the entry."""
+        key = self._norm(query)
+        with self._lock:
+            if key not in self._exact:
+                return False
+            self._remove(key)
+            self.stats.invalidations += 1
+            return True
+
+    def invalidate_prefix(self, prefix: str) -> int:
+        """Invalidate every cached query starting with ``prefix``
+        (normalized); returns the count removed."""
+        p = self._norm(prefix)
+        with self._lock:
+            victims = [k for k in self._exact if k.startswith(p)]
+            for k in victims:
+                self._remove(k)
+            self.stats.invalidations += len(victims)
+            return len(victims)
 
     def evict(self, n: int = 1) -> int:
         with self._lock:

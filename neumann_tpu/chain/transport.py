@@ -52,6 +52,13 @@ class TransportHub:
         self.partitions: List[Set[str]] = []
         self.blocked_inbound: Set[str] = set()
         self.blocked_outbound: Set[str] = set()
+        # directed per-link faults (network.rs partial partitions /
+        # set_link_quality): (src, dst) blocks and drop probabilities —
+        # these express NON-transitive topologies (a bridge node that
+        # both sides reach while the sides cannot reach each other)
+        # that whole-node groups cannot
+        self.blocked_links: Set[Tuple[str, str]] = set()
+        self.link_drop: Dict[Tuple[str, str], float] = {}
         self.drop_probability = 0.0
         self.corrupt_probability = 0.0
         import random
@@ -73,15 +80,43 @@ class TransportHub:
         """Nodes can only talk within their group."""
         self.partitions = [set(g) for g in groups]
 
+    def block_link(self, src: str, dst: str,
+                   bidirectional: bool = False) -> None:
+        """Drop every message src -> dst (one-way unless requested)."""
+        self.blocked_links.add((src, dst))
+        if bidirectional:
+            self.blocked_links.add((dst, src))
+
+    def unblock_link(self, src: str, dst: str,
+                     bidirectional: bool = False) -> None:
+        self.blocked_links.discard((src, dst))
+        if bidirectional:
+            self.blocked_links.discard((dst, src))
+
+    def set_link_quality(self, src: str, dst: str,
+                         drop_probability: float) -> None:
+        """Per-link loss rate; 1.0 == full drop, 0.0 removes the fault."""
+        if drop_probability <= 0.0:
+            self.link_drop.pop((src, dst), None)
+        else:
+            self.link_drop[(src, dst)] = min(1.0, drop_probability)
+
     def heal(self) -> None:
         self.partitions = []
         self.blocked_inbound.clear()
         self.blocked_outbound.clear()
+        self.blocked_links.clear()
+        self.link_drop.clear()
         self.drop_probability = 0.0
         self.corrupt_probability = 0.0
 
     def _can_deliver(self, src: str, dst: str) -> bool:
         if src in self.blocked_outbound or dst in self.blocked_inbound:
+            return False
+        if (src, dst) in self.blocked_links:
+            return False
+        q = self.link_drop.get((src, dst))
+        if q is not None and self._rng.random() < q:
             return False
         if self.partitions:
             for group in self.partitions:

@@ -1,0 +1,434 @@
+"""Integration parity wave: reference integration_tests families the
+suite had not yet mirrored — partial/asymmetric partitions and per-link
+faults (partial_partition.rs), simultaneous merge initiation
+(simultaneous_merge.rs), quorum consistency (quorum_consistency.rs),
+cold-tier knn reads (knn_cold_read.rs), cross-engine delete consistency
+(delete_consistency.rs), blob+embedding search (blob_embedding_search.rs),
+archetype persistence (archetype_persistence.rs), cache invalidation
+(cache_invalidation.rs), TCP I/O timeouts (tcp_io_timeout.rs), durable
+auto-init (auto_init.rs), and a grand-unification flow through every
+engine and module in one router session (grand_unification.rs)."""
+
+import socket
+import time
+
+import numpy as np
+import pytest
+
+from neumann_tpu.chain.transport import Message, TcpTransport, TransportHub
+from neumann_tpu.store.tensor_store import TensorData, TensorStore, TensorValue
+
+from tests.test_cluster_integration import (
+    _elect,
+    _emb,
+    _leader,
+    _mk_cluster,
+    _pump,
+)
+
+
+# ------------------------------------------------- per-link faults
+
+def test_one_way_partition_link():
+    """A blocked directed link drops src->dst only; the reverse
+    direction keeps delivering (asymmetric partition)."""
+    hub = TransportHub()
+    t1, t2 = hub.register("n1"), hub.register("n2")
+    hub.block_link("n1", "n2")
+    assert not t1.send("n2", "ping", {"term": 1})
+    assert t2.send("n1", "ping", {"term": 2})
+    got = t1.recv()
+    assert got is not None and got.src == "n2"
+    assert got.payload["term"] == 2
+    assert t2.recv() is None
+    hub.unblock_link("n1", "n2")
+    assert t1.send("n2", "ping", {"term": 3})
+
+
+def test_link_quality_degradation():
+    """Link quality 1.0 == full drop on that link only; 0.0 restores;
+    other links are unaffected."""
+    hub = TransportHub(seed=7)
+    t1, _t2, t3 = (hub.register(n) for n in ("n1", "n2", "n3"))
+    hub.set_link_quality("n1", "n2", 1.0)
+    assert not t1.send("n2", "ping", {})
+    assert t1.send("n3", "ping", {})        # other link unaffected
+    assert t3.recv() is not None
+    hub.set_link_quality("n1", "n2", 0.0)
+    assert t1.send("n2", "ping", {})
+    # lossy (not absolute) link: some of many sends get through
+    hub.set_link_quality("n1", "n3", 0.5)
+    delivered = sum(t1.send("n3", "ping", {"i": i}) for i in range(100))
+    assert 10 < delivered < 90
+
+
+def test_heal_clears_link_faults():
+    hub = TransportHub()
+    t1, _ = hub.register("a"), hub.register("b")
+    hub.block_link("a", "b", bidirectional=True)
+    hub.set_link_quality("b", "a", 1.0)
+    hub.heal()
+    assert not hub.blocked_links and not hub.link_drop
+    assert t1.send("b", "ping", {})
+
+
+def test_bridge_topology_still_elects_and_commits():
+    """Partial (non-transitive) partition: n0 and n2 cannot talk but
+    both reach n1 — a 3-node cluster must still elect a leader and
+    commit through the bridge quorum."""
+    hub, ids, nodes = _mk_cluster(3, seed=3)
+    hub.block_link("n0", "n2", bidirectional=True)
+    leader = _elect(nodes)
+    assert leader.propose_put("via-bridge", _emb([1.0, 0.0, 0.0, 0.0]))
+    for _ in range(300):
+        _pump(nodes, 1)
+        if nodes["n1"].store.get("via-bridge") is not None:
+            break
+    # the bridge node (reachable from everyone) must have the write
+    assert nodes["n1"].store.get("via-bridge") is not None
+
+
+# ------------------------------------------------- quorum consistency
+
+def test_minority_partition_cannot_commit():
+    """Writes proposed on the minority side of a 2/3 split must not
+    commit or apply; the majority side keeps committing; on heal the
+    minority converges to the majority log (quorum_consistency.rs)."""
+    hub, ids, nodes = _mk_cluster(5, seed=11)
+    leader = _elect(nodes)
+    maj = [leader.id] + [n for n in ids if n != leader.id][:2]
+    mino = [n for n in ids if n not in maj]
+    hub.partition(set(maj), set(mino))
+    _pump(nodes, 100)
+
+    # minority: no leader can arise (2 < quorum 3); any stale-leader
+    # propose must never apply
+    m = {k: nodes[k] for k in mino}
+    for node in m.values():
+        node.raft.propose({"op": "put", "key": "stolen",
+                           "data": ""}) if node.is_leader() else None
+    before = {k: m[k].raft.commit_index for k in mino}
+    _pump(nodes, 150)
+    assert all(m[k].raft.commit_index == before[k] for k in mino), \
+        "minority commit index advanced without quorum"
+    assert all(n.store.get("stolen") is None for n in m.values())
+
+    # majority commits
+    ld = _leader({k: nodes[k] for k in maj})
+    assert ld is not None
+    assert ld.propose_put("majority-write", _emb([0.0, 1.0, 0.0, 0.0]))
+    _pump(nodes, 80)
+    assert all(nodes[k].store.get("majority-write") is not None
+               for k in maj)
+
+    hub.heal()
+    for _ in range(600):
+        _pump(nodes, 1)
+        if all(n.store.get("majority-write") is not None
+               for n in nodes.values()):
+            break
+    assert all(n.store.get("majority-write") is not None
+               for n in nodes.values()), "minority never converged"
+    assert all(n.store.get("stolen") is None for n in nodes.values())
+
+
+# ------------------------------------------------- simultaneous merge
+
+def test_simultaneous_merge_offers_from_both_minority_nodes():
+    """Both isolated nodes write locally and BOTH initiate merge offers
+    on heal concurrently; the leader must apply each offered key exactly
+    once and answer both sessions (simultaneous_merge.rs)."""
+    hub, ids, nodes = _mk_cluster(5, seed=23)
+    leader = _elect(nodes)
+    maj = [leader.id] + [n for n in ids if n != leader.id][:2]
+    mino = [n for n in ids if n not in maj]
+    hub.partition(set(maj), set(mino))
+    _pump(nodes, 120)
+
+    a, b = nodes[mino[0]], nodes[mino[1]]
+    a.put_local("from-a", _emb([1.0, 0.0, 0.0, 0.0]))
+    b.put_local("from-b", _emb([0.0, 1.0, 0.0, 0.0]))
+
+    hub.heal()
+    for _ in range(900):
+        _pump(nodes, 1)
+        if not a.local_writes and not b.local_writes and all(
+                n.store.get("from-a") is not None
+                and n.store.get("from-b") is not None
+                for n in nodes.values()):
+            break
+    assert not a.local_writes and not b.local_writes, \
+        "a merge session never completed"
+    for nid, node in nodes.items():
+        va = node.store.get("from-a")
+        vb = node.store.get("from-b")
+        assert va is not None and vb is not None, f"{nid} missing a key"
+        np.testing.assert_allclose(va.get("embedding").to_dense(),
+                                   [1, 0, 0, 0], atol=1e-5)
+        np.testing.assert_allclose(vb.get("embedding").to_dense(),
+                                   [0, 1, 0, 0], atol=1e-5)
+
+
+# ------------------------------------------------- cold-tier knn
+
+def test_knn_cold_read(tmp_path):
+    """Embeddings pushed to the cold tier remain searchable: reads
+    come back intact through the mmap segment, promote on access, and
+    the nearest neighbor is found (knn_cold_read.rs)."""
+    from neumann_tpu.store.tiered import TieredStore
+
+    ts = TieredStore(str(tmp_path / "tiered"))
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((50, 16)).astype(np.float32)
+    for i, v in enumerate(vecs):
+        ts.put(f"emb:{i}", TensorData().set(
+            "embedding", TensorValue.vector(v)))
+    moved = ts.migrate_cold()
+    assert moved == 50 and ts.stats()["hot"] == 0
+
+    q = vecs[17] + 0.01 * rng.standard_normal(16).astype(np.float32)
+    best_key, best_score = None, -np.inf
+    for i in range(50):
+        data = ts.get(f"emb:{i}")
+        assert data is not None, "cold read lost a record"
+        v = data.get("embedding").to_dense()
+        score = float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        if score > best_score:
+            best_key, best_score = f"emb:{i}", score
+    assert best_key == "emb:17"
+    assert ts.stats()["hot"] > 0, "reads must promote to hot"
+
+
+# ------------------------------------------------- delete consistency
+
+def test_delete_consistency_across_engines():
+    """delete_entity must remove the fields, the embedding (search can
+    never return it), and every edge (neighbors drop it) atomically
+    (delete_consistency.rs)."""
+    from neumann_tpu.engines.unified import UnifiedEngine
+
+    u = UnifiedEngine()
+    u.create_entity("doc:a", {"title": "a"}, embedding=[1.0, 0.0])
+    u.create_entity("doc:b", {"title": "b"}, embedding=[0.9, 0.1])
+    u.create_entity("doc:c", {"title": "c"}, embedding=[0.0, 1.0])
+    u.connect_entities("doc:a", "doc:b")
+    u.connect_entities("doc:b", "doc:c")
+
+    assert u.delete_entity("doc:b")
+    assert u.get_entity("doc:b") is None
+    assert not u.entity_exists("doc:b")
+    hits = [r.key for r in u.find_similar_entities([0.9, 0.1], 3)]
+    assert "doc:b" not in hits and "doc:a" in hits
+    assert "doc:b" not in u.entity_neighbors("doc:a")
+    assert "doc:b" not in u.entity_neighbors("doc:c")
+    # deleting again reports absence, not an error
+    assert not u.delete_entity("doc:b")
+
+
+# ------------------------------------------------- blob + embedding
+
+def test_blob_embedding_search():
+    """A blob linked to an entity is discoverable through similarity:
+    search for the entity, follow its links to the artifact, stream the
+    bytes back (blob_embedding_search.rs)."""
+    from neumann_tpu.blob.blob_store import BlobStore
+    from neumann_tpu.engines.unified import UnifiedEngine
+
+    store = TensorStore()
+    u = UnifiedEngine(store=store)
+    blob = BlobStore(store)
+
+    payload = b"PDF-ish bytes " * 100
+    art = blob.put("report.pdf", payload, content_type="application/pdf")
+    u.create_entity("doc:report", {"name": "q3 report"},
+                    embedding=[0.0, 1.0, 0.0])
+    u.create_entity("doc:other", {"name": "other"},
+                    embedding=[1.0, 0.0, 0.0])
+    blob.link(art, "doc:report")
+
+    top = u.find_similar_entities([0.1, 0.9, 0.0], 1)[0]
+    assert top.key == "doc:report"
+    arts = blob.for_entity("doc:report")
+    assert arts == [art]
+    assert blob.get(art) == payload
+    assert b"".join(blob.read_stream(art)) == payload
+    # deleting the artifact severs the entity link index
+    assert blob.delete(art)
+    assert blob.for_entity("doc:report") == []
+
+
+# ------------------------------------------------- archetype persistence
+
+def test_archetype_registry_snapshot_roundtrip():
+    """Archetype centroids survive serialization: a registry restored
+    from its snapshot decodes deltas encoded by the original
+    (archetype_persistence.rs)."""
+    from neumann_tpu.chain.delta_replication import DeltaReplicator
+    from neumann_tpu.store.delta_vector import ArchetypeRegistry
+
+    rng = np.random.default_rng(1)
+    base = rng.standard_normal((64, 8)).astype(np.float32)
+    reg = ArchetypeRegistry()
+    reg.discover_archetypes(base)
+    rep = DeltaReplicator(reg)
+
+    # deltas well above the registry's sparsity threshold (tiny
+    # components are dropped by design — that's the compression)
+    vecs = [("k0", base[3] + 0.5), ("k1", base[40] - 0.75)]
+    records = rep.encode_batch([(k, np.asarray(v, np.float32))
+                                for k, v in vecs])
+
+    rep2 = DeltaReplicator.from_snapshot(rep.registry_snapshot())
+    np.testing.assert_allclose(rep2.registry.centroids,
+                               reg.centroids, atol=1e-6)
+    decoded = dict(rep2.decode_batch(records))
+    for k, v in vecs:
+        np.testing.assert_allclose(decoded[k], v, atol=1e-4)
+
+
+# ------------------------------------------------- cache invalidation
+
+def test_cache_invalidation():
+    from neumann_tpu.cache.llm_cache import LLMCache
+
+    c = LLMCache()
+    c.put("what is neumann", "a database")
+    c.put("what is jax", "a compiler stack")
+    assert c.get_exact("what is neumann") == "a database"
+
+    assert c.invalidate("What  is   NEUMANN")     # normalized match
+    assert c.get_exact("what is neumann") is None
+    assert not c.invalidate("what is neumann")    # second time: absent
+    # semantic layer must not resurrect the invalidated entry
+    assert c.get("what is neumann", threshold=0.99) is None
+    assert c.stats.invalidations == 1
+    assert len(c) == 1
+
+    c.put("ns:a 1", "r1")
+    c.put("ns:a 2", "r2")
+    c.put("other", "r3")
+    assert c.invalidate_prefix("ns:a") == 2
+    assert c.get_exact("other") == "r3"
+
+
+def test_cache_ttl_expiry_on_get():
+    from neumann_tpu.cache.llm_cache import LLMCache
+
+    c = LLMCache()
+    c.put("ephemeral", "gone soon", ttl_s=0.05)
+    assert c.get_exact("ephemeral") == "gone soon"
+    time.sleep(0.08)
+    assert c.get_exact("ephemeral") is None
+    assert c.stats.expirations == 1
+
+
+# ------------------------------------------------- tcp io timeout
+
+def test_tcp_send_to_dead_peer_bounded():
+    """Sending to a peer whose socket is gone must fail within a
+    bounded interval — never hang the caller (tcp_io_timeout.rs)."""
+    a = TcpTransport("a")
+    b = TcpTransport("b")
+    try:
+        a.connect("b", b.address)
+        assert a.send("b", "ping", {})
+        assert b.recv(timeout=2.0) is not None
+        b.close()
+        time.sleep(0.05)
+        # the first send after the peer dies may land in the TCP buffer
+        # before the RST arrives; the failure must surface within a few
+        # bounded attempts, never a hang
+        t0 = time.monotonic()
+        ok = True
+        for _ in range(5):
+            ok = a.send("b", "ping", {})
+            if not ok:
+                break
+            time.sleep(0.1)
+        dt = time.monotonic() - t0
+        assert dt < 10.0, f"sends to dead peer took {dt:.1f}s"
+        assert not ok, "send kept succeeding against a dead peer"
+    finally:
+        a.close()
+        b.close()
+
+
+def test_tcp_recv_timeout_returns_none():
+    t = TcpTransport("solo")
+    try:
+        t0 = time.monotonic()
+        assert t.recv(timeout=0.1) is None
+        assert time.monotonic() - t0 < 1.0
+    finally:
+        t.close()
+
+
+# ------------------------------------------------- durable auto-init
+
+def test_durable_store_auto_init_and_reopen(tmp_path):
+    """open_durable on a fresh directory creates the layout; reopening
+    recovers every committed record (auto_init.rs)."""
+    wal = tmp_path / "fresh" / "nested" / "store.wal"
+    s = TensorStore()
+    s.open_durable(str(wal))            # creates the nested layout
+    s.put("k:1", TensorData().set("v", TensorValue.scalar(1)))
+    s.put("k:2", TensorData().set(
+        "embedding", TensorValue.vector(np.ones(4, np.float32))))
+    s.wal_flush()
+    assert wal.parent.exists() and wal.exists()
+
+    s2 = TensorStore()
+    assert s2.recover(str(wal)) >= 2
+    assert s2.get("k:1").get("v").value == 1
+    np.testing.assert_allclose(
+        s2.get("k:2").get("embedding").to_dense(), np.ones(4))
+
+
+# ------------------------------------------------- grand unification
+
+def test_grand_unification_flow(tmp_path):
+    """One router session exercising every engine and module together:
+    relational rows, graph edges, embeddings, hybrid search, vault,
+    cache, blob, checkpoint+rollback (grand_unification.rs)."""
+    from neumann_tpu.router import QueryRouter
+
+    r = QueryRouter()
+    r.init_checkpoints(tmp_path / "ckpts")
+    r.init_vault("hunter2")
+    r.init_cache()
+    r.init_blob()
+
+    # relational
+    r.execute("CREATE TABLE users (id INT PRIMARY KEY, name TEXT)")
+    r.execute("INSERT INTO users VALUES (1, 'alice')")
+    r.execute("INSERT INTO users VALUES (2, 'bob')")
+    assert len(r.execute("SELECT * FROM users").rows) == 2
+
+    # graph
+    n1 = r.execute("NODE CREATE person { name: 'alice' }").value
+    n2 = r.execute("NODE CREATE person { name: 'bob' }").value
+    r.execute(f"EDGE CREATE {n1} -> {n2} : knows")
+    assert r.execute(f"NEIGHBORS {n1}").rows
+
+    # vector + hybrid
+    r.execute("EMBED STORE 'alice' [1.0, 0.0, 0.0]")
+    r.execute("EMBED STORE 'bob' [0.8, 0.2, 0.0]")
+    sim = r.execute("SIMILAR 'alice' TOP 2")
+    assert sim.results[0]["key"] == "alice"
+
+    # vault
+    r.execute("VAULT SET 'db-password' 's3cret'")
+    assert r.execute("VAULT GET 'db-password'").value == "s3cret"
+
+    # blob
+    art = r.execute("BLOB PUT 'notes.txt' DATA 'hello world'").value
+    assert r.execute(f"BLOB GET '{art}'").value == b"hello world"
+
+    # checkpoint guards a destructive op; rollback restores
+    r.execute("CHECKPOINT 'before-wipe'")
+    r.execute("DELETE FROM users WHERE id = 1")
+    assert len(r.execute("SELECT * FROM users").rows) == 1
+    r.execute("ROLLBACK TO 'before-wipe'")
+    assert len(r.execute("SELECT * FROM users").rows) == 2
+    # secrets survive the relational rollback
+    assert r.execute("VAULT GET 'db-password'").value == "s3cret"

@@ -602,3 +602,74 @@ def test_raft_wal_tail_append_one_entry_at_a_time(tmp_path):
     # entries sit at distinct consecutive indices (an off-by-one in the
     # tail append would overwrite or duplicate)
     assert len(payloads) == len(n.log)
+
+
+# ---------------------------------------------------- third sweep batch
+
+def test_raft_prevote_embedding_strictly_gated_by_config():
+    """raft.py:416 And swap (and->or): the pre-vote payload carries an
+    embedding ONLY when the config enables the geometric tiebreak AND
+    an embedding exists — either condition alone must not leak it."""
+    # embedding set, tiebreak DISABLED -> never in the payload
+    n = RaftNode("v", ["v", "c"],
+                 RaftConfig(pre_vote=True,
+                            enable_geometric_tiebreak=False))
+    n.state_embedding = [1.0, 0.0]
+    reqs = []
+    for _ in range(3 * RaftConfig().election_timeout_max):
+        reqs += [m for m in n.tick() if m.kind == "pre_vote_req"]
+        if reqs:
+            break
+    assert reqs, "election timeout never fired"
+    assert all("embedding" not in m.payload for m in reqs)
+
+    # tiebreak ENABLED, no embedding -> omitted (and no crash from
+    # list(None), which the or-mutant would hit)
+    n2 = RaftNode("v", ["v", "c"],
+                  RaftConfig(pre_vote=True,
+                             enable_geometric_tiebreak=True))
+    assert n2.state_embedding is None
+    reqs2 = []
+    for _ in range(3 * RaftConfig().election_timeout_max):
+        reqs2 += [m for m in n2.tick() if m.kind == "pre_vote_req"]
+        if reqs2:
+            break
+    assert reqs2 and all("embedding" not in m.payload for m in reqs2)
+
+    # both set -> present (pins the unmutated conjunction positively)
+    n3 = RaftNode("v", ["v", "c"],
+                  RaftConfig(pre_vote=True,
+                             enable_geometric_tiebreak=True))
+    n3.state_embedding = [0.5, 0.5]
+    reqs3 = []
+    for _ in range(3 * RaftConfig().election_timeout_max):
+        reqs3 += [m for m in n3.tick() if m.kind == "pre_vote_req"]
+        if reqs3:
+            break
+    assert reqs3 and all(m.payload["embedding"] == [0.5, 0.5]
+                         for m in reqs3)
+
+
+def test_raft_append_resp_advances_next_to_match_plus_one():
+    """raft.py:655 `match + 1 -> match + 2`: a successful append resp
+    must set next_index to exactly match+1 (the first unreplicated
+    slot), and the follow-up append's prev_index must equal match."""
+    n = RaftNode("l", ["l", "f"], RaftConfig(pre_vote=False))
+    while n.state != "leader":
+        for m in n.tick():
+            if m.kind == "vote_req":
+                n.handle(Message("vote_resp", "f", "l",
+                                 {"term": m.payload["term"],
+                                  "granted": True}))
+    n.propose({"a": 1})
+    n.propose({"b": 2})
+    n.propose({"c": 3})
+    assert n.last_index() >= 3
+    n.next_index["f"] = 1
+    out = n.handle(Message("append_resp", "f", "l",
+                           {"term": n.term, "success": True,
+                            "match": 1}))
+    assert n.next_index["f"] == 2
+    follow = [m for m in out if m.kind == "append_entries"]
+    assert follow, "leader must immediately ship the next entries"
+    assert follow[0].payload["prev_index"] == 1
