@@ -103,6 +103,39 @@ class LLMCache:
         self._hnsw_keys: List[str] = []      # node id -> cache key
         self._node_of: Dict[str, int] = {}   # live key -> node id
         self.stats = CacheStats()
+        self._bg_stop: Optional[threading.Event] = None
+        self._bg_thread: Optional[threading.Thread] = None
+
+    # -- background eviction (reference eviction.rs background task) ----
+    def start_background_eviction(self, interval_s: float = 1.0,
+                                  low_watermark: float = 0.9) -> None:
+        """Expire due TTLs and trim toward ``low_watermark * capacity``
+        on a daemon thread, so puts on the hot path never pay a long
+        eviction sweep. Idempotent; ``stop_background_eviction`` or
+        garbage collection ends it."""
+        if self._bg_thread is not None and self._bg_thread.is_alive():
+            return
+        stop = threading.Event()
+
+        def loop() -> None:
+            target = max(1, int(self.capacity * low_watermark))
+            while not stop.wait(interval_s):
+                with self._lock:
+                    self._expire_due()
+                    while len(self._exact) > target:
+                        self._evict_one()
+
+        t = threading.Thread(target=loop, name="llm-cache-evict",
+                             daemon=True)
+        self._bg_stop, self._bg_thread = stop, t
+        t.start()
+
+    def stop_background_eviction(self) -> None:
+        if self._bg_stop is not None:
+            self._bg_stop.set()
+        if self._bg_thread is not None:
+            self._bg_thread.join(timeout=2.0)
+        self._bg_stop = self._bg_thread = None
 
     # -- semantic index management -------------------------------------
     def _index_put(self, key: str, emb: np.ndarray) -> None:

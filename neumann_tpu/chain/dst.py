@@ -20,7 +20,7 @@ from neumann_tpu.chain.transport import Message, TransportHub
 @dataclass
 class FaultAction:
     """One scheduled fault. kind: partition | heal | crash | restart |
-    drop_rate."""
+    drop_rate | reorder_rate | joint_remove."""
 
     at_tick: int
     kind: str
@@ -83,6 +83,10 @@ class DSTHarness:
             self.transports[f.node].drain()
         elif f.kind == "drop_rate":
             self.hub.drop_probability = f.rate
+        elif f.kind == "reorder_rate":
+            # messages sampled at `rate` are delayed + reordered
+            # through the hub's bounded shuffle buffer
+            self.hub.reorder_probability = f.rate
         elif f.kind == "joint_remove":
             # membership change mid-chaos: the current leader (if any)
             # removes `node` via joint consensus

@@ -61,6 +61,13 @@ class TransportHub:
         self.link_drop: Dict[Tuple[str, str], float] = {}
         self.drop_probability = 0.0
         self.corrupt_probability = 0.0
+        # seeded reorder/latency fault (message_reordering.rs /
+        # network_latency.rs): sampled messages sit in a bounded buffer
+        # and are released in random order as later traffic displaces
+        # them — delayed AND reordered, deterministically per seed
+        self.reorder_probability = 0.0
+        self.reorder_buffer_size = 8
+        self._reorder_buf: List[Message] = []
         import random
 
         self._rng = random.Random(seed)
@@ -101,6 +108,19 @@ class TransportHub:
         else:
             self.link_drop[(src, dst)] = min(1.0, drop_probability)
 
+    def flush_reordered(self) -> int:
+        """Release every buffered (delayed) message in seeded-random
+        order; returns the count released."""
+        with self._lock:
+            buf, self._reorder_buf = self._reorder_buf, []
+            self._rng.shuffle(buf)
+        for m in buf:
+            with self._lock:
+                target = self._nodes.get(m.dst)
+            if target is not None:
+                target._enqueue(m)
+        return len(buf)
+
     def heal(self) -> None:
         self.partitions = []
         self.blocked_inbound.clear()
@@ -109,6 +129,8 @@ class TransportHub:
         self.link_drop.clear()
         self.drop_probability = 0.0
         self.corrupt_probability = 0.0
+        self.reorder_probability = 0.0
+        self.flush_reordered()
 
     def _can_deliver(self, src: str, dst: str) -> bool:
         if src in self.blocked_outbound or dst in self.blocked_inbound:
@@ -138,6 +160,18 @@ class TransportHub:
                 self._rng.random() < self.corrupt_probability:
             msg = Message(msg.kind, msg.src, msg.dst,
                           {"__corrupted__": True})
+        if self.reorder_probability and \
+                self._rng.random() < self.reorder_probability:
+            with self._lock:
+                self._reorder_buf.append(msg)
+                if len(self._reorder_buf) <= self.reorder_buffer_size:
+                    return True          # held: delivered later
+                idx = self._rng.randrange(len(self._reorder_buf))
+                msg = self._reorder_buf.pop(idx)
+            with self._lock:
+                target = self._nodes.get(msg.dst)
+            if target is None:
+                return True              # original was accepted
         target._enqueue(msg)
         return True
 

@@ -432,3 +432,72 @@ def test_grand_unification_flow(tmp_path):
     assert len(r.execute("SELECT * FROM users").rows) == 2
     # secrets survive the relational rollback
     assert r.execute("VAULT GET 'db-password'").value == "s3cret"
+
+
+# ------------------------------------------------- message reordering
+
+def test_reorder_buffer_delays_and_releases():
+    """Sampled messages sit in the shuffle buffer and come out later
+    (possibly out of order); flush_reordered drains the rest — no
+    message is ever lost (message_reordering.rs)."""
+    hub = TransportHub(seed=5)
+    t1, t2 = hub.register("a"), hub.register("b")
+    hub.reorder_probability = 1.0
+    hub.reorder_buffer_size = 4
+    n = 20
+    for i in range(n):
+        assert t1.send("b", "m", {"i": i})
+    early = [m.payload["i"] for m in iter(lambda: t2.recv(), None)]
+    assert len(early) == n - 4              # 4 still buffered
+    assert early != sorted(early), "full-rate buffer must reorder"
+    assert hub.flush_reordered() == 4
+    late = [m.payload["i"] for m in iter(lambda: t2.recv(), None)]
+    assert sorted(early + late) == list(range(n))
+
+
+def test_dst_raft_safe_under_reordering_and_drops():
+    """Election safety + log-prefix consistency hold under combined
+    message reordering, drops, and a partition/heal cycle
+    (network_latency.rs + message_reordering.rs over DST)."""
+    from neumann_tpu.chain.dst import DSTHarness, FaultAction
+
+    for seed in (1, 7, 23):
+        h = DSTHarness(n_nodes=5, seed=seed)
+        res = h.run(ticks=700, faults=[
+            FaultAction(at_tick=30, kind="reorder_rate", rate=0.3),
+            FaultAction(at_tick=120, kind="drop_rate", rate=0.1),
+            FaultAction(at_tick=250, kind="partition",
+                        groups=[{"n0", "n1", "n2"}, {"n3", "n4"}]),
+            FaultAction(at_tick=420, kind="heal"),
+            FaultAction(at_tick=430, kind="reorder_rate", rate=0.2),
+            FaultAction(at_tick=560, kind="heal"),
+        ])
+        assert res.ok, f"seed {seed}: {res.violations}"
+        assert any(res.committed.values()), "nothing ever committed"
+
+
+# ------------------------------------------------- background eviction
+
+def test_cache_background_eviction():
+    from neumann_tpu.cache.llm_cache import LLMCache
+
+    c = LLMCache(capacity=20, eviction="lru")
+    c.start_background_eviction(interval_s=0.02, low_watermark=0.5)
+    try:
+        for i in range(20):
+            c.put(f"q{i}", f"r{i}")
+        deadline = time.monotonic() + 3.0
+        while len(c) > 10 and time.monotonic() < deadline:
+            time.sleep(0.02)
+        assert len(c) <= 10, "background sweep never trimmed"
+        assert c.stats.evictions >= 10
+        # TTL expiry also happens off-thread (no get required)
+        c.put("brief", "x", ttl_s=0.03)
+        deadline = time.monotonic() + 3.0
+        while c.stats.expirations == 0 and time.monotonic() < deadline:
+            time.sleep(0.02)
+        assert c.stats.expirations >= 1
+        # double-start is a no-op, not a second thread
+        c.start_background_eviction(interval_s=0.02)
+    finally:
+        c.stop_background_eviction()

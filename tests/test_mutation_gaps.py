@@ -673,3 +673,60 @@ def test_raft_append_resp_advances_next_to_match_plus_one():
     follow = [m for m in out if m.kind == "append_entries"]
     assert follow, "leader must immediately ship the next entries"
     assert follow[0].payload["prev_index"] == 1
+
+
+def test_gossip_indirect_probes_exclude_self_and_suspect():
+    """gossip.py:120 And swap: indirect-probe helpers are OTHER alive
+    peers — never this node, never the suspect being probed."""
+    n = GossipNode("a", ["a", "b", "c", "d", "e"],
+                   GossipConfig(indirect_probes=10))
+    n._awaiting_ack["b"] = 1               # ack already overdue
+    out = n.tick()
+    reqs = [m for m in out if m.kind == "ping_req"]
+    assert reqs, "suspect transition must trigger indirect probes"
+    targets = {m.dst for m in reqs}
+    assert "a" not in targets, "node must not ping_req itself"
+    assert "b" not in targets, "suspect is the target, not a helper"
+    assert targets <= {"c", "d", "e"}
+    assert all(m.payload["target"] == "b" for m in reqs)
+
+
+def test_gossip_partition_status_quorum_boundaries():
+    """gossip.py:206-210: quorum formula (n//2 + 1, >=), exact
+    stalemate on an even 50/50 split."""
+    n = GossipNode("a", ["a", "b", "c"])
+    assert n.partition_status(grace_ticks=0) == "quorum_reachable"
+    # 2 of 3 healthy: exactly quorum
+    n._mark("c", FAULTY)
+    assert n.partition_status(grace_ticks=0) == "quorum_reachable"
+    # 1 of 3: minority
+    n._mark("b", FAULTY)
+    assert n.partition_status(grace_ticks=0) == "quorum_lost"
+    # startup grace window
+    assert n.partition_status(grace_ticks=10) == "unknown"
+
+    # exact threshold in an even cluster: 3 of 4 is quorum
+    m = GossipNode("a", ["a", "b", "c", "d"])
+    m._mark("d", FAULTY)
+    assert m.partition_status(grace_ticks=0) == "quorum_reachable"
+    # 2 of 4: the 50/50 stalemate, not quorum_lost
+    m._mark("c", FAULTY)
+    assert m.partition_status(grace_ticks=0) == "stalemate"
+    # 1 of 4: lost
+    m._mark("b", FAULTY)
+    assert m.partition_status(grace_ticks=0) == "quorum_lost"
+
+
+def test_2pc_recovery_keeps_tx_ids_monotonic():
+    """two_phase.py:194 rsplit index: tx ids issued after recovery
+    continue past the highest recovered id (a collision would reuse a
+    decided tx id against idempotent participants)."""
+    coord = TwoPhaseCoordinator("c")
+    coord.recover([
+        {"tx": "c-tx7", "phase": "begin", "participants": ["p"]},
+        {"tx": "c-tx7", "phase": "commit"},
+        {"tx": "c-tx41", "phase": "begin", "participants": ["p"]},
+    ])
+    tx, _ = coord.begin({"p": [{"op": "put", "key": "k",
+                                "fields": {"v": 1}}]})
+    assert tx == "c-tx42", tx

@@ -136,12 +136,36 @@ def _replace(tree, old, new):
     return R().visit(tree)
 
 
+def _isolated_copy() -> Path:
+    """Copy the package + tests into a tempdir so mutants are written
+    there, never into the live working tree (a parallel test run or a
+    `git add -A` during a sweep must never observe mutated source)."""
+    import shutil
+    import tempfile
+
+    sandbox = Path(tempfile.mkdtemp(prefix="mutation-sweep-"))
+    for sub in ("neumann_tpu", "tests"):
+        shutil.copytree(REPO / sub, sandbox / sub,
+                        ignore=shutil.ignore_patterns("__pycache__"))
+    shutil.copy2(REPO / "pyproject.toml", sandbox / "pyproject.toml")
+    return sandbox
+
+
 def run(files, per_file, seed, timeout):
+    import os
+    import shutil
+
     rng = random.Random(seed)
     killed, survived, skipped = [], [], []
     t_start = time.time()
+    sandbox = _isolated_copy()
+    # the live tree must not shadow the sandbox on sys.path
+    env = dict(os.environ)
+    pp = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+          if p and Path(p).resolve() != REPO]
+    env["PYTHONPATH"] = os.pathsep.join([str(sandbox), *pp])
     for rel in files:
-        path = REPO / rel
+        path = sandbox / rel
         original = path.read_bytes()
         tree = ast.parse(original)
         n_sites = sum(1 for _ in _sites(tree))
@@ -165,7 +189,8 @@ def run(files, per_file, seed, timeout):
                 r = subprocess.run(
                     [sys.executable, "-m", "pytest", "-x", "-q",
                      "-p", "no:cacheprovider", *TESTS],
-                    cwd=REPO, capture_output=True, timeout=timeout)
+                    cwd=sandbox, env=env, capture_output=True,
+                    timeout=timeout)
                 if r.returncode != 0:
                     killed.append((rel, desc))
                     tag = "KILLED"
@@ -178,6 +203,7 @@ def run(files, per_file, seed, timeout):
             finally:
                 path.write_bytes(original)
             print(f"  [{tag}] {rel} {desc}", flush=True)
+    shutil.rmtree(sandbox, ignore_errors=True)
     total = len(killed) + len(survived)
     rate = 100.0 * len(killed) / total if total else 0.0
     dur = time.time() - t_start
