@@ -86,14 +86,27 @@ class LLMCache:
                  default_ttl_s: Optional[float] = None,
                  semantic_threshold: float = 0.9,
                  eviction: str = "lru",
-                 embedder: Callable[[str], np.ndarray] = default_embedder):
+                 embedder: Callable[[str], np.ndarray] = default_embedder,
+                 metric: str = "cosine",
+                 auto_select_metric: bool = False,
+                 sparsity_metric_threshold: float = 0.9):
         if eviction not in ("lru", "lfu", "cost", "hybrid"):
             raise ValueError(f"bad eviction strategy {eviction}")
+        if metric not in ("cosine", "euclidean", "dot"):
+            raise ValueError(f"bad cache metric {metric}")
         self.capacity = capacity
         self.default_ttl_s = default_ttl_s
         self.semantic_threshold = semantic_threshold
         self.eviction = eviction
         self.embedder = embedder
+        # geometric config (reference tensor_cache CacheConfig:
+        # distance_metric + auto_select_metric + sparsity threshold):
+        # sparse queries auto-route to weighted Jaccard, which respects
+        # shared-dimension structure that cosine washes out
+        self.metric = metric
+        self.auto_select_metric = auto_select_metric
+        self.sparsity_metric_threshold = sparsity_metric_threshold
+        self._embs: Dict[str, np.ndarray] = {}   # for jaccard re-rank
         self._lock = threading.Lock()   # no method re-enters
         self._exact: Dict[str, _Entry] = {}
         self._ttl_heap: List[Tuple[float, str]] = []
@@ -138,10 +151,23 @@ class LLMCache:
         self._bg_stop = self._bg_thread = None
 
     # -- semantic index management -------------------------------------
+    def select_metric(self, emb: np.ndarray) -> str:
+        """The metric a lookup with this embedding will use
+        (lib.rs select_metric): weighted Jaccard for sparse queries
+        when auto-selection is on, else the configured metric."""
+        if self.auto_select_metric:
+            from neumann_tpu.store.sparse import SparseVector
+
+            sv = SparseVector.from_dense(np.asarray(emb, np.float32))
+            if sv.sparsity() >= self.sparsity_metric_threshold:
+                return "jaccard"
+        return self.metric
+
     def _index_put(self, key: str, emb: np.ndarray) -> None:
         emb = np.asarray(emb, np.float32).ravel()
         if self._hnsw is None:
-            self._hnsw = HNSWIndex(len(emb), HNSWConfig())
+            self._hnsw = HNSWIndex(len(emb),
+                                   HNSWConfig(metric=self.metric))
         if len(emb) != self._hnsw.dim:
             raise ValueError(
                 f"dimension mismatch: expected {self._hnsw.dim}, "
@@ -152,6 +178,8 @@ class LLMCache:
         assert nid == len(self._hnsw_keys)
         self._hnsw_keys.append(key)
         self._node_of[key] = nid
+        if self.auto_select_metric:
+            self._embs[key] = emb
         self._maybe_rebuild()
 
     def _index_search(self, emb: np.ndarray, k: int = 4):
@@ -163,11 +191,24 @@ class LLMCache:
             raise ValueError(
                 f"dimension mismatch: expected {self._hnsw.dim}, "
                 f"got {len(emb)}")
+        jaccard = self.select_metric(emb) == "jaccard"
         out = []
-        for nid, score in self._hnsw.search(emb, k):
+        # jaccard re-rank draws from a wider HNSW candidate pool: the
+        # graph walk orders by the configured metric, which only
+        # approximates the sparse-overlap ordering
+        for nid, score in self._hnsw.search(emb, 4 * k if jaccard else k):
             key = self._hnsw_keys[nid]
             if self._node_of.get(key) == nid:
                 out.append((key, score))
+        if jaccard:
+            from neumann_tpu.store.sparse import SparseVector
+
+            q = SparseVector.from_dense(emb)
+            out = [(key, q.weighted_jaccard(
+                        SparseVector.from_dense(self._embs[key])))
+                   for key, _ in out if key in self._embs]
+            out.sort(key=lambda kv: -kv[1])
+            del out[k:]
         return out
 
     def _maybe_rebuild(self) -> None:
@@ -206,6 +247,7 @@ class LLMCache:
     def _remove(self, key: str) -> None:
         self._exact.pop(key, None)
         self._node_of.pop(key, None)    # HNSW node tombstoned
+        self._embs.pop(key, None)
 
     def _evict_one(self) -> None:
         if not self._exact:

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import random
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional
+from typing import Callable, Dict, List, Optional
 
 from neumann_tpu.chain.transport import Message
 
@@ -59,6 +59,15 @@ class GossipNode:
         self._awaiting_ack: Dict[str, int] = {}   # peer -> deadline
         self._suspect_since: Dict[str, int] = {}
         self._version = 0
+        # health-transition hook (membership.rs MembershipCallback):
+        # called as (peer, old_status, new_status) on every change,
+        # whether detected locally or learned through gossip
+        self.on_status_change: Optional[
+            Callable[[str, str, str], None]] = None
+
+    def _notify(self, peer: str, old: str, new: str) -> None:
+        if self.on_status_change is not None and old != new:
+            self.on_status_change(peer, old, new)
 
     # ------------------------------------------------------------------
     def _membership_payload(self) -> dict:
@@ -87,6 +96,7 @@ class GossipNode:
             # LWW by (incarnation, status rank, version)
             if (info["inc"], _RANK[info["status"]], info["v"]) > \
                     (cur.incarnation, _RANK[cur.status], cur.version):
+                old = cur.status
                 cur.status = info["status"]
                 cur.incarnation = info["inc"]
                 cur.version = info["v"]
@@ -94,11 +104,13 @@ class GossipNode:
                     self._suspect_since.setdefault(peer, self._tick)
                 elif info["status"] == ALIVE:
                     self._suspect_since.pop(peer, None)
+                self._notify(peer, old, info["status"])
 
     def _mark(self, peer: str, status: str) -> None:
         m = self.members.get(peer)
         if m is None or m.status == status:
             return
+        old = m.status
         m.status = status
         self._version += 1
         m.version = self._version
@@ -106,6 +118,7 @@ class GossipNode:
             self._suspect_since[peer] = self._tick
         else:
             self._suspect_since.pop(peer, None)
+        self._notify(peer, old, status)
 
     # ------------------------------------------------------------------
     def tick(self) -> List[Message]:

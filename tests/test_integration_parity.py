@@ -501,3 +501,96 @@ def test_cache_background_eviction():
         c.start_background_eviction(interval_s=0.02)
     finally:
         c.stop_background_eviction()
+
+
+# ------------------------------------------------- membership callbacks
+
+def test_membership_health_callbacks():
+    """Status transitions invoke the registered callback with
+    (peer, old, new) — both locally-detected (ack timeout -> suspect ->
+    faulty) and gossip-learned changes (membership_health.rs
+    MembershipCallback)."""
+    from neumann_tpu.chain.gossip import (
+        ALIVE,
+        FAULTY,
+        SUSPECT,
+        GossipConfig,
+        GossipNode,
+    )
+
+    events = []
+    n = GossipNode("a", ["a", "b", "c"],
+                   GossipConfig(suspect_timeout=2))
+    n.on_status_change = lambda p, old, new: events.append((p, old, new))
+
+    n._awaiting_ack["b"] = 1                 # overdue ack
+    n.tick()                                 # -> suspect
+    assert ("b", ALIVE, SUSPECT) in events
+    n.tick()
+    n.tick()                                 # suspect_timeout elapsed
+    assert ("b", SUSPECT, FAULTY) in events
+
+    # gossip-learned transition: a peer reports c faulty at a higher
+    # incarnation -> local view flips and the callback fires
+    events.clear()
+    n._merge_membership({"c": {"status": FAULTY, "inc": 1, "v": 99}})
+    assert events == [("c", ALIVE, FAULTY)]
+    # no-op merges (same state) never fire
+    events.clear()
+    n._merge_membership({"c": {"status": FAULTY, "inc": 1, "v": 99}})
+    assert events == []
+
+
+# ------------------------------------------------- cache geometry
+
+def test_cache_metric_configuration():
+    """The semantic layer honors the configured metric
+    (cache_geometry.rs): euclidean-configured caches score by distance
+    similarity, and a bad metric is rejected at construction."""
+    from neumann_tpu.cache.llm_cache import LLMCache
+
+    with pytest.raises(ValueError):
+        LLMCache(metric="hamming")
+
+    def emb_of(text):
+        table = {"near": [1.0, 0.0], "far": [0.0, 8.0],
+                 "query": [0.9, 0.1]}
+        return np.asarray(table[text.split()[0]], np.float32)
+
+    c = LLMCache(metric="euclidean", semantic_threshold=0.1,
+                 embedder=emb_of)
+    c.put("near thing", "close response")
+    c.put("far thing", "distant response")
+    assert c.select_metric(emb_of("query")) == "euclidean"
+    assert c.get("query please") == "close response"
+
+
+def test_cache_auto_selects_jaccard_for_sparse():
+    """auto_select_metric routes sparse embeddings to weighted Jaccard
+    (lib.rs select_metric): overlap structure wins over cosine angle."""
+    from neumann_tpu.cache.llm_cache import LLMCache
+
+    dim = 64
+
+    def emb_of(text):
+        v = np.zeros(dim, np.float32)
+        for tok in text.split():
+            if tok.startswith("d"):
+                v[int(tok[1:])] = 1.0
+        return v
+
+    c = LLMCache(auto_select_metric=True,
+                 sparsity_metric_threshold=0.5,
+                 semantic_threshold=0.3, embedder=emb_of)
+    dense = np.ones(dim, np.float32)
+    assert c.select_metric(dense) == "cosine"
+    sparse = emb_of("d1 d2 d3")
+    assert c.select_metric(sparse) == "jaccard"
+
+    # overlap in dims {1,2,3} matches despite different weights
+    c.put("d1 d2 d3 d4", "overlapping")
+    c.put("d60 d61 d62 d63", "disjoint")
+    assert c.get("d1 d2 d3") == "overlapping"
+    # fully disjoint support: jaccard 0 -> miss, even though a dense
+    # metric might still clear a low threshold
+    assert c.get("d30 d31 d32") is None
