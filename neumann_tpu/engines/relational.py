@@ -1242,6 +1242,12 @@ class RelationalEngine:
         lt, rt = self._table(left), self._table(right)
         if how not in ("inner", "left", "right", "full", "cross"):
             raise RelationalError(f"unknown join type {how}")
+        if left == right:
+            # self-join: the merged-row keys would collide (the
+            # reference sidesteps this by returning row PAIRS,
+            # lib.rs join_with_options); ":2" cannot be part of a
+            # table identifier, so the alias is collision-free
+            right = f"{right}:2"
         with lt.lock, rt.lock:
             lrows = [int(r) for r in lt.live_rows()]
             rrows = [int(r) for r in rt.live_rows()]

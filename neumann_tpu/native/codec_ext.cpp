@@ -1499,6 +1499,19 @@ static PyObject *py_rows_from_arrays(PyObject *self, PyObject *args) {
                     PyArray_STRIDE((PyArrayObject *)m, 0);
             }
         }
+        // Duplicate names make the run memo unsafe: a later SetItem
+        // with the same key REPLACES (and may free) the earlier value
+        // while cols[j].prev_obj still borrows it — the next row would
+        // INCREF a dangling pointer. O(k^2) scan; k is column count.
+        int memo_ok = 1;
+        for (Py_ssize_t j = 1; memo_ok && j < k; j++)
+            for (Py_ssize_t q = 0; q < j; q++) {
+                int eq = PyObject_RichCompareBool(
+                    PySequence_Fast_GET_ITEM(names, j),
+                    PySequence_Fast_GET_ITEM(names, q), Py_EQ);
+                if (eq < 0) goto done;
+                if (eq) { memo_ok = 0; break; }
+            }
         int use_clone = 0;
 #ifdef NEUMANN_DICT_INTERNALS
         // Template-clone path: only when no object columns (so every
@@ -1545,7 +1558,7 @@ static PyObject *py_rows_from_arrays(PyObject *self, PyObject *args) {
                     case NPY_FLOAT64: {
                         uint64_t bits;
                         memcpy(&bits, p, 8);
-                        if (c.prev_obj && bits == c.prev_bits) {
+                        if (memo_ok && c.prev_obj && bits == c.prev_bits) {
                             v = c.prev_obj;
                             Py_INCREF(v);
                         } else {

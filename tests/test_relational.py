@@ -402,3 +402,22 @@ def test_bulk_insert_fast_path_semantics():
     eng.insert_many("c", [{"k": 1}, {"k": 2}])
     with pytest.raises(RelationalError):
         eng.insert_many("c", [{"k": 3}, {"k": 1}])
+
+
+def test_self_join_aliases_right_side(eng):
+    """Self-joins disambiguate the right side as `name:2` (merged-dict
+    keys must not collide; the duplicate keys previously corrupted the
+    native materializer's run memo — a use-after-free)."""
+    seed(eng, 6)
+    out = eng.join("users", "users", "age", "age")
+    assert out, "self-join produced nothing"
+    row = out[0]
+    left_keys = {k for k in row if k.startswith("users.")}
+    right_keys = {k for k in row if k.startswith("users:2.")}
+    assert left_keys and right_keys
+    # every pair matches on the join key and survives materialization
+    for r in out:
+        assert r["users.age"] == r["users:2.age"]
+    # reflexive pairs are present (each row matches itself)
+    ids = {(r["users._id"], r["users:2._id"]) for r in out}
+    assert all((i, i) in ids for i in {p[0] for p in ids})
