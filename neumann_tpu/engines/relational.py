@@ -1187,6 +1187,18 @@ class RelationalEngine:
         v = self._agg_values(name, column, condition)
         return float(v.max()) if len(v) else None
 
+    def distinct_values(self, name, column, condition=None) -> list:
+        """Unique non-null values of a column (the DISTINCT-aggregate
+        feed: COUNT/SUM/AVG/MIN/MAX over the de-duplicated set)."""
+        t = self._table(name)
+        with t.lock:
+            if column not in t.data:
+                raise RelationalError(f"no column {column}")
+            rows = self._match_rows(t, condition)
+            rows = rows[~t.nulls[column][rows]]
+            vals = t.data[column][rows]
+        return list(np.unique(vals))
+
     def group_by(self, name: str, group_cols: Sequence[str],
                  aggs: Sequence[Tuple[str, str, str]],
                  condition: Optional[Condition] = None,
@@ -1209,13 +1221,28 @@ class RelationalEngine:
                 rec: Dict[str, object] = {
                     g: k for g, k in zip(group_cols, key)}
                 for func, col, alias in aggs:
+                    # "<fn>-distinct": aggregate over unique non-null
+                    # values (COUNT(DISTINCT col) and friends)
+                    distinct = func.endswith("-distinct")
+                    if distinct:
+                        func = func[: -len("-distinct")]
                     if func == "count":
                         # COUNT(*) counts rows; COUNT(col) non-nulls
-                        rec[alias] = len(members) if not col else sum(
-                            1 for m in members if not t.nulls[col][m])
+                        if not col:
+                            rec[alias] = len(members)
+                        elif distinct:
+                            rec[alias] = len({
+                                _hashable(t.data[col][m])
+                                for m in members if not t.nulls[col][m]})
+                        else:
+                            rec[alias] = sum(
+                                1 for m in members
+                                if not t.nulls[col][m])
                         continue
                     vals = [float(t.data[col][m]) for m in members
                             if not t.nulls[col][m]]
+                    if distinct:
+                        vals = list(set(vals))
                     if not vals:
                         rec[alias] = None
                     elif func == "sum":

@@ -94,6 +94,9 @@ class SelectItem(Statement):
     # scalar expression tree (lang.expr.Expr) for computed items:
     # arithmetic / CASE / CAST; None for plain columns and aggregates
     tree: Optional[object] = None
+    # COUNT(DISTINCT col) etc. — keep LAST: the native parser fills
+    # slots positionally (parser_ext.cpp make_obj)
+    distinct: bool = False
 
 
 @dataclass(slots=True)

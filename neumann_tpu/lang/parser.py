@@ -463,7 +463,13 @@ class _Parser:
                 self.peek(1).kind == "punct" and self.peek(1).text == "(":
             self.next()
             self.next()
+            distinct = bool(self.accept_kw("DISTINCT"))
             if self.at_punct("*"):
+                if distinct:
+                    t = self.cur
+                    raise ParseError(
+                        "DISTINCT requires a column, not *",
+                        t.line, t.col)
                 self.next()
                 arg = "*"
             else:
@@ -472,7 +478,8 @@ class _Parser:
                     arg = f"{arg}.{self.ident('column name')}"
             self.expect_punct(")")
             alias = self.ident() if self.accept_kw("AS") else None
-            return ast.SelectItem(arg, agg=up.lower(), alias=alias)
+            return ast.SelectItem(arg, agg=up.lower(), distinct=distinct,
+                                  alias=alias)
         tree = self._expr()
         alias = self.ident() if self.accept_kw("AS") else None
         if isinstance(tree, Col):       # plain column: engine projects it

@@ -38,6 +38,18 @@ enum { C_SELECT, C_SELECTITEM, C_INSERT, C_SIMILAR, C_CONDITION,
        C_EMBEDGET, C_EMBEDDELETE, C_N };
 #define MAX_FIELDS 12
 
+// Exact field count each construction site fills (make_obj writes
+// g_nf slots from a fixed-size stack array — a dataclass that gained
+// a field would otherwise read past the array: stack garbage stored
+// as a PyObject*). init_parser refuses a class whose field count
+// drifts from this table, so grammar additions degrade to the Python
+// fallback instead of corrupting memory.
+static const int g_want_nf[C_N] = {
+    /* Select */ 10, /* SelectItem */ 5, /* Insert */ 4,
+    /* Similar */ 7, /* Condition */ 6, /* NodeCreate */ 2,
+    /* Find */ 9, /* Update */ 3, /* Delete */ 2,
+    /* EmbedStore */ 3, /* EmbedGet */ 2, /* EmbedDelete */ 2};
+
 static PyObject *g_cls[C_N];
 static int g_nf[C_N];
 static Py_ssize_t g_off[C_N][MAX_FIELDS];
@@ -585,12 +597,13 @@ static PyObject *parse_or(P *p) {
 
 static const char *AGGS[] = {"COUNT", "SUM", "AVG", "MIN", "MAX", NULL};
 
-// SelectItem fields: expr, agg, alias, tree
+// SelectItem fields: expr, agg, alias, tree, distinct
 static PyObject *parse_select_item(P *p) {
     if (at_punct(p, "*")) {
         adv(p);
-        PyObject *vals[4] = {Py_NewRef(s_star), Py_NewRef(Py_None),
-                             Py_NewRef(Py_None), Py_NewRef(Py_None)};
+        PyObject *vals[5] = {Py_NewRef(s_star), Py_NewRef(Py_None),
+                             Py_NewRef(Py_None), Py_NewRef(Py_None),
+                             Py_NewRef(Py_False)};
         return make_obj(C_SELECTITEM, vals);
     }
     Tk *t = cur(p);
@@ -601,8 +614,10 @@ static PyObject *parse_select_item(P *p) {
             tk_text_is(p, peek1(p), "(")) {
             adv(p);
             adv(p);
+            int agg_distinct = accept_kw(p, "DISTINCT");
             PyObject *arg;
             if (accept_punct(p, "*")) {
+                if (agg_distinct) { p->fb = 1; return NULL; }
                 arg = Py_NewRef(s_star);
             } else {
                 arg = dotted_ident(p);
@@ -628,9 +643,10 @@ static PyObject *parse_select_item(P *p) {
             }
             PyObject *agg = PyUnicode_FromString(low);
             if (!agg) { Py_DECREF(arg); Py_XDECREF(alias); return NULL; }
-            PyObject *vals[4] = {arg, agg,
-                                 alias ? alias : Py_NewRef(Py_None),
-                                 Py_NewRef(Py_None)};
+            PyObject *vals[5] = {
+                arg, agg, alias ? alias : Py_NewRef(Py_None),
+                Py_NewRef(Py_None),
+                Py_NewRef(agg_distinct ? Py_True : Py_False)};
             return make_obj(C_SELECTITEM, vals);
         }
     }
@@ -652,9 +668,9 @@ static PyObject *parse_select_item(P *p) {
         alias = tok_str(p, al);
         if (!alias) { Py_DECREF(name); return NULL; }
     }
-    PyObject *vals[4] = {name, Py_NewRef(Py_None),
+    PyObject *vals[5] = {name, Py_NewRef(Py_None),
                          alias ? alias : Py_NewRef(Py_None),
-                         Py_NewRef(Py_None)};
+                         Py_NewRef(Py_None), Py_NewRef(Py_False)};
     return make_obj(C_SELECTITEM, vals);
 }
 
@@ -1351,9 +1367,9 @@ static PyObject *py_init_parser(PyObject *self, PyObject *arg) {
         PyObject *fs = PySequence_Fast(fields, "fields not a sequence");
         if (!fs) { Py_DECREF(seq); return NULL; }
         Py_ssize_t nf = PySequence_Fast_GET_SIZE(fs);
-        if (nf > MAX_FIELDS) {
+        if (nf > MAX_FIELDS || nf != g_want_nf[ci]) {
             Py_DECREF(fs);
-            continue;                        // class too wide: stay unready
+            continue;       // layout drifted: stay unready, fall back
         }
         int ok = 1;
         for (Py_ssize_t f = 0; f < nf; f++) {

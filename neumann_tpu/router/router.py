@@ -37,6 +37,13 @@ from neumann_tpu.store.tensor_store import TensorStore
 from neumann_tpu.utils.errors import NeumannError, VectorError
 
 
+def _agg_alias(item) -> str:
+    """Canonical output column for an un-aliased aggregate item,
+    sqlite-style: count(x) / count(DISTINCT x)."""
+    inner = f"DISTINCT {item.expr}" if item.distinct else item.expr
+    return f"{item.agg}({inner})"
+
+
 @dataclass
 class QueryResult:
     """Tagged result, mirroring the reference's QueryResult enum."""
@@ -458,12 +465,14 @@ class QueryRouter:
         SUM/AVG/MIN/MAX of an empty set are NULL."""
         out = {}
         for item in aggs:
-            alias = item.alias or f"{item.agg}({item.expr})"
+            alias = item.alias or _agg_alias(item)
             if item.agg == "count" and item.expr in ("*", ""):
                 out[alias] = len(rows)
                 continue
             vals = [r.get(item.expr) for r in rows]
             vals = [v for v in vals if v is not None]
+            if item.distinct:
+                vals = list(dict.fromkeys(vals))
             if item.agg == "count":
                 out[alias] = len(vals)
             elif not vals:
@@ -565,8 +574,25 @@ class QueryRouter:
         if aggs and not s.group_by:
             out = {}
             for item in aggs:
-                alias = item.alias or f"{item.agg}({item.expr})"
-                if item.agg == "count":
+                alias = item.alias or _agg_alias(item)
+                if item.distinct:
+                    vals = [v.item() if hasattr(v, "item") else v
+                            for v in self.relational.distinct_values(
+                                s.table, item.expr, where)]
+                    if item.agg == "count":
+                        out[alias] = len(vals)
+                    elif not vals:
+                        out[alias] = None
+                    elif item.agg == "sum":
+                        out[alias] = float(sum(float(v) for v in vals))
+                    elif item.agg == "avg":
+                        out[alias] = float(sum(float(v) for v in vals)
+                                           ) / len(vals)
+                    elif item.agg == "min":
+                        out[alias] = min(vals)
+                    else:
+                        out[alias] = max(vals)
+                elif item.agg == "count":
                     # COUNT(*) counts rows; COUNT(col) non-null values
                     out[alias] = (
                         self.relational.count(s.table, where)
@@ -578,9 +604,11 @@ class QueryRouter:
                     out[alias] = fn(s.table, item.expr, where)
             return QueryResult.of_rows([out])
         if s.group_by:
-            agg_spec = [(i.agg or "count", i.expr if i.expr != "*" else "",
-                         i.alias or f"{i.agg}({i.expr})")
-                        for i in s.items if i.agg]
+            agg_spec = [
+                (f"{i.agg}-distinct" if i.distinct else (i.agg or "count"),
+                 i.expr if i.expr != "*" else "",
+                 i.alias or _agg_alias(i))
+                for i in s.items if i.agg]
             # HAVING may reference aggregates not in the select list:
             # compute them under their canonical alias, strip after
             hidden = []

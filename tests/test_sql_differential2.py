@@ -147,3 +147,51 @@ def test_three_valued_logic_sweep(engines):
         q = f"SELECT COUNT(*) FROM l WHERE NOT ({p1})"
         ours, theirs = _run_both(r, db, q)
         assert ours == theirs, q
+
+
+def test_distinct_aggregates_match_sqlite():
+    """COUNT/SUM/AVG/MIN/MAX(DISTINCT col), plain and grouped — the
+    reference parses the DISTINCT flag (parser.rs
+    parse_function_call_expr) and we also execute it."""
+    import sqlite3
+
+    from neumann_tpu.router import QueryRouter
+
+    r = QueryRouter()
+    db = sqlite3.connect(":memory:")
+    for ex in (r.execute, db.execute):
+        ex("CREATE TABLE dd (id INT, g INT, v FLOAT, tag TEXT)")
+    for i in range(30):
+        stmt = (f"INSERT INTO dd VALUES ({i}, {i % 4}, "
+                f"{(i % 5) * 2.5}, 't{i % 3}')")
+        r.execute(stmt)
+        db.execute(stmt)
+
+    for q in ["SELECT COUNT(DISTINCT g) FROM dd",
+              "SELECT SUM(DISTINCT v) FROM dd",
+              "SELECT AVG(DISTINCT v) FROM dd",
+              "SELECT MIN(DISTINCT v), MAX(DISTINCT v) FROM dd",
+              "SELECT COUNT(DISTINCT tag) FROM dd",
+              "SELECT COUNT(DISTINCT g) FROM dd WHERE v > 2",
+              "SELECT g, COUNT(DISTINCT tag) FROM dd GROUP BY g",
+              "SELECT g, SUM(DISTINCT v) AS sv FROM dd GROUP BY g "
+              "ORDER BY sv"]:
+        ours = [tuple(row.values()) for row in r.execute(q).rows]
+        ref = db.execute(q).fetchall()
+        assert len(ours) == len(ref), q
+        for a, b in zip(ours, ref):
+            for x, y in zip(a, b):
+                if isinstance(y, float):
+                    assert abs(float(x) - y) < 1e-9, (q, a, b)
+                else:
+                    assert x == y, (q, a, b)
+
+    # the canonical output column name carries the DISTINCT marker
+    row = r.execute("SELECT COUNT(DISTINCT g) FROM dd").rows[0]
+    assert "count(DISTINCT g)" in row
+    # COUNT(DISTINCT *) is a parse error
+    import pytest
+
+    from neumann_tpu.utils.errors import NeumannError
+    with pytest.raises(NeumannError):
+        r.execute("SELECT COUNT(DISTINCT *) FROM dd")
