@@ -155,3 +155,95 @@ class Cast(Expr):
 
     def map_cols(self, fn) -> "Expr":
         return Cast(self.expr.map_cols(fn), self.ctype)
+
+
+# ---------------------------------------------------------------------------
+# Scalar function calls
+# ---------------------------------------------------------------------------
+# The reference PARSES calls (neumann_parser ExprKind::Call,
+# parse_function_call_expr) but its router executes only aggregates;
+# here the common scalar set also evaluates. SQL NULL rules: NULL in ->
+# NULL out, except COALESCE (first non-NULL) and NULLIF.
+
+def _round(v, nd=None):
+    # SQL rounds half AWAY FROM ZERO (sqlite, postgres); Python's
+    # round() is banker's. Always yields a float, like sqlite.
+    import math
+
+    scale = 10.0 ** int(nd or 0)
+    x = float(v) * scale
+    x = math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+    return x / scale
+
+
+def _substr(s, start, length=None):
+    s = str(s)
+    i = int(start) - 1          # SQL SUBSTR is 1-based
+    if i < 0:
+        i = max(0, len(s) + i + 1)
+    return s[i:] if length is None else s[i: i + int(length)]
+
+
+_FUNCS = {
+    # name: (min_args, max_args, fn, null_propagates)
+    "coalesce": (1, 99, None, False),        # special-cased
+    "nullif": (2, 2, None, False),           # special-cased
+    "abs": (1, 1, lambda v: abs(float(v) if not isinstance(v, int)
+                                else v), True),
+    "round": (1, 2, _round, True),
+    "floor": (1, 1, lambda v: int(__import__("math").floor(float(v))),
+              True),
+    "ceil": (1, 1, lambda v: int(__import__("math").ceil(float(v))),
+             True),
+    "mod": (2, 2, lambda a, b: float(a) % float(b), True),
+    "upper": (1, 1, lambda v: str(v).upper(), True),
+    "lower": (1, 1, lambda v: str(v).lower(), True),
+    "length": (1, 1, lambda v: len(str(v)), True),
+    "trim": (1, 1, lambda v: str(v).strip(), True),
+    "substr": (2, 3, _substr, True),
+    "replace": (3, 3, lambda s, a, b: str(s).replace(str(a), str(b)),
+                True),
+}
+
+
+def known_function(name: str) -> bool:
+    return name.lower() in _FUNCS
+
+
+def function_arity(name: str) -> Tuple[int, int]:
+    lo, hi, _, _ = _FUNCS[name.lower()]
+    return lo, hi
+
+
+@dataclass(frozen=True)
+class Func(Expr):
+    name: str                    # lowercase
+    args: Tuple[Expr, ...]
+
+    def evaluate(self, row: dict):
+        if self.name == "coalesce":
+            for a in self.args:
+                v = a.evaluate(row)
+                if v is not None:
+                    return v
+            return None
+        if self.name == "nullif":
+            a = self.args[0].evaluate(row)
+            if a is None:
+                return None
+            return None if a == self.args[1].evaluate(row) else a
+        _, _, fn, null_prop = _FUNCS[self.name]
+        vals = [a.evaluate(row) for a in self.args]
+        if null_prop and any(v is None for v in vals):
+            return None
+        try:
+            return fn(*vals)
+        except (TypeError, ValueError):
+            raise NeumannError(
+                f"bad argument to {self.name}()") from None
+
+    def label(self) -> str:
+        return f"{self.name}({', '.join(a.label() for a in self.args)})"
+
+    def map_cols(self, fn) -> "Expr":
+        return Func(self.name, tuple(a.map_cols(fn) for a in self.args))

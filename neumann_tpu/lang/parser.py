@@ -562,6 +562,24 @@ class _Parser:
                 self.expect_punct(")")
             self.expect_punct(")")
             return Cast(e, _TYPE_MAP[type_kw])
+        from neumann_tpu.lang.expr import Func, function_arity, \
+            known_function
+
+        if known_function(up) and self.peek(1).kind == "punct" and \
+                self.peek(1).text == "(":
+            self.next()
+            self.next()
+            args = [self._expr()]
+            while self.accept_punct(","):
+                args.append(self._expr())
+            self.expect_punct(")")
+            lo, hi = function_arity(up)
+            if not (lo <= len(args) <= hi):
+                raise ParseError(
+                    f"{up} takes {lo}"
+                    + (f"-{hi}" if hi != lo else "")
+                    + f" arguments, got {len(args)}", t.line, t.col)
+            return Func(up.lower(), tuple(args))
         name = self.ident("column name")
         while self.at_punct("."):
             self.next()

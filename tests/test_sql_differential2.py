@@ -195,3 +195,52 @@ def test_distinct_aggregates_match_sqlite():
     from neumann_tpu.utils.errors import NeumannError
     with pytest.raises(NeumannError):
         r.execute("SELECT COUNT(DISTINCT *) FROM dd")
+
+
+def test_scalar_functions_match_sqlite():
+    """COALESCE/NULLIF/ABS/ROUND/FLOOR/CEIL/UPPER/LOWER/LENGTH/TRIM/
+    SUBSTR/REPLACE in the select list — the reference parses
+    ExprKind::Call but never executes scalar functions; here they
+    evaluate, pinned to sqlite."""
+    import sqlite3
+
+    from neumann_tpu.router import QueryRouter
+
+    r = QueryRouter()
+    db = sqlite3.connect(":memory:")
+    for ex in (r.execute, db.execute):
+        ex("CREATE TABLE sf (id INT, g INT, v FLOAT, name TEXT)")
+    for i in range(8):
+        stmt = (f"INSERT INTO sf VALUES ({i}, {i % 3}, {i * 1.7}, "
+                f"'  Name{i} ')")
+        r.execute(stmt)
+        db.execute(stmt)
+
+    for q in ["SELECT COALESCE(NULL, v) FROM sf",
+              "SELECT NULLIF(g, 0) FROM sf",
+              "SELECT ABS(v - 10.0), ROUND(v), ROUND(v, 1) FROM sf",
+              "SELECT UPPER(name), LOWER(name), LENGTH(name) FROM sf",
+              "SELECT TRIM(name), SUBSTR(name, 3, 4) FROM sf",
+              "SELECT REPLACE(name, 'Name', 'X') FROM sf",
+              "SELECT COALESCE(NULLIF(g, 1), 99) FROM sf",
+              "SELECT ABS(v) + LENGTH(name) FROM sf LIMIT 3"]:
+        ours = [tuple(row.values()) for row in r.execute(q).rows]
+        ref = db.execute(q).fetchall()
+        assert len(ours) == len(ref), q
+        for a, b in zip(ours, ref):
+            for x, y in zip(a, b):
+                if isinstance(y, float):
+                    assert abs(float(x) - y) < 1e-9, (q, a, b)
+                else:
+                    assert x == y, (q, a, b)
+
+    # NULL propagation and arity errors
+    assert r.execute("SELECT UPPER(NULL) FROM sf LIMIT 1"
+                     ).rows[0].popitem()[1] is None
+    import pytest
+
+    from neumann_tpu.utils.errors import NeumannError
+    with pytest.raises(NeumannError):
+        r.execute("SELECT ABS(v, g) FROM sf")
+    with pytest.raises(NeumannError):
+        r.execute("SELECT NULLIF(v) FROM sf")
