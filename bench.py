@@ -56,7 +56,35 @@ def _phase(msg):
           flush=True)
 
 
+def _probe_backend(timeout_s: float = 240.0) -> None:
+    """Fail fast if the TPU tunnel is hung. jax.devices() on a healthy
+    backend returns in seconds (observed outages hang it for hours);
+    probing in a SUBPROCESS keeps this interpreter's jax uninitialized
+    so the real run below is unaffected."""
+    import os
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices()"],
+            timeout=timeout_s, env=dict(os.environ),
+            capture_output=True)
+        if r.returncode == 0:
+            return
+        detail = (r.stderr or b"").decode()[-400:]
+    except subprocess.TimeoutExpired:
+        detail = f"jax.devices() hung for {timeout_s:.0f}s (tunnel down?)"
+    print(json.dumps({
+        "metric": "similar_top10_qps", "value": 0, "unit": "qps",
+        "vs_baseline": 0,
+        "error": f"backend unavailable: {detail}"}), flush=True)
+    sys.exit(1)
+
+
 def main():
+    _probe_backend()
+
     import jax
     import jax.numpy as jnp
     from jax import lax
