@@ -1239,6 +1239,11 @@ class RelationalEngine:
                                 1 for m in members
                                 if not t.nulls[col][m])
                         continue
+                    if t.by_name[col].ctype not in ("int", "float"):
+                        # same policy as the non-grouped path
+                        # (_agg_values): clean error, not a cast blowup
+                        raise RelationalError(
+                            f"aggregate on non-numeric column {col}")
                     vals = [float(t.data[col][m]) for m in members
                             if not t.nulls[col][m]]
                     if distinct:

@@ -583,15 +583,23 @@ class QueryRouter:
                         out[alias] = len(vals)
                     elif not vals:
                         out[alias] = None
-                    elif item.agg == "sum":
-                        out[alias] = float(sum(float(v) for v in vals))
-                    elif item.agg == "avg":
-                        out[alias] = float(sum(float(v) for v in vals)
-                                           ) / len(vals)
-                    elif item.agg == "min":
-                        out[alias] = min(vals)
                     else:
-                        out[alias] = max(vals)
+                        try:
+                            if item.agg == "sum":
+                                out[alias] = float(
+                                    sum(float(v) for v in vals))
+                            elif item.agg == "avg":
+                                out[alias] = float(
+                                    sum(float(v) for v in vals)
+                                ) / len(vals)
+                            elif item.agg == "min":
+                                out[alias] = min(vals)
+                            else:
+                                out[alias] = max(vals)
+                        except (TypeError, ValueError):
+                            raise NeumannError(
+                                "aggregate on non-numeric column "
+                                f"{item.expr}") from None
                 elif item.agg == "count":
                     # COUNT(*) counts rows; COUNT(col) non-null values
                     out[alias] = (

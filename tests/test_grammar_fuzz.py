@@ -59,9 +59,22 @@ class Gen:
             op = str(r.choice(["+", "-", "*"]))
             return (f"({self.expr(cols, depth + 1)} {op} "
                     f"{self.value('INT')})")
-        if roll < 0.8:
+        if roll < 0.7:
             return (f"CASE WHEN {self.condition(cols)} THEN "
                     f"{self.value(typ)} ELSE {self.value(typ)} END")
+        if roll < 0.9:
+            # scalar function calls (COALESCE/ABS/ROUND/UPPER/...)
+            fn = str(r.choice(["COALESCE", "NULLIF", "ABS", "ROUND",
+                               "UPPER", "LOWER", "LENGTH", "TRIM",
+                               "FLOOR", "CEIL"]))
+            inner = self.expr(cols, depth + 1)
+            if fn == "COALESCE":
+                return f"COALESCE({inner}, {self.value(typ)})"
+            if fn == "NULLIF":
+                return f"NULLIF({inner}, {self.value(typ)})"
+            if fn == "ROUND" and r.random() < 0.5:
+                return f"ROUND({inner}, {int(r.integers(0, 3))})"
+            return f"{fn}({inner})"
         cast_t = str(r.choice(["INT", "FLOAT", "TEXT"]))
         return f"CAST({name} AS {cast_t})"
 
@@ -91,6 +104,22 @@ class Gen:
             return (f"SELECT {item} AS e, {n0} FROM {table} "
                     f"ORDER BY {n0}{nulls} LIMIT "
                     f"{int(r.integers(1, 10))}")
+        if roll < 0.545:
+            # aggregates, sometimes DISTINCT, sometimes grouped
+            agg = str(r.choice(["COUNT", "SUM", "AVG", "MIN", "MAX"]))
+            numeric = [c for c in cols if c[1] in ("INT", "FLOAT")]
+            pool = cols if agg == "COUNT" else numeric
+            if not pool:
+                agg, pool = "COUNT", cols
+            col = pool[int(r.integers(0, len(pool)))][0]
+            dist = "DISTINCT " if r.random() < 0.5 else ""
+            arg = "*" if agg == "COUNT" and not dist and \
+                r.random() < 0.3 else col
+            if r.random() < 0.5:
+                g = cols[0][0]
+                return (f"SELECT {g}, {agg}({dist}{arg}) FROM {table} "
+                        f"GROUP BY {g}")
+            return f"SELECT {agg}({dist}{arg}) FROM {table}"
         if roll < 0.55:
             # subquery forms against a random other table
             other, ocols = self.tables[int(r.integers(0,

@@ -244,3 +244,29 @@ def test_scalar_functions_match_sqlite():
         r.execute("SELECT ABS(v, g) FROM sf")
     with pytest.raises(NeumannError):
         r.execute("SELECT NULLIF(v) FROM sf")
+
+
+def test_text_aggregates_raise_clean_errors():
+    """SUM/MIN over TEXT raises the engine's typed error on every path
+    (grouped, plain, DISTINCT) — the grouped path used to blow up with
+    a raw ValueError cast failure (found by the grammar fuzzer)."""
+    import pytest
+
+    from neumann_tpu.router import QueryRouter
+    from neumann_tpu.utils.errors import NeumannError
+
+    r = QueryRouter()
+    r.execute("CREATE TABLE tx (g INT, name TEXT)")
+    r.execute("INSERT INTO tx VALUES (1, 'a')")
+    r.execute("INSERT INTO tx VALUES (1, 'b')")
+    for q in ["SELECT g, SUM(name) FROM tx GROUP BY g",
+              "SELECT g, MIN(name) FROM tx GROUP BY g",
+              "SELECT SUM(name) FROM tx",
+              "SELECT SUM(DISTINCT name) FROM tx"]:
+        with pytest.raises(NeumannError):
+            r.execute(q)
+    # COUNT over text stays legal everywhere
+    assert r.execute("SELECT COUNT(DISTINCT name) FROM tx"
+                     ).rows[0]["count(DISTINCT name)"] == 2
+    assert r.execute("SELECT g, COUNT(name) FROM tx GROUP BY g"
+                     ).rows[0]["count(name)"] == 2
