@@ -72,6 +72,14 @@ class JepsenHarness:
                     self.orch.hub.partition(*f.groups)
                 elif f.kind == "heal":
                     self.orch.hub.heal()
+                elif f.kind == "drop_rate":
+                    self.orch.hub.drop_probability = f.rate
+                elif f.kind == "reorder_rate":
+                    self.orch.hub.reorder_probability = f.rate
+                elif f.kind == "block_link" and f.groups:
+                    # one-way partial partition: groups = [{src}, {dst}]
+                    (src,), (dst,) = (set(g) for g in f.groups)
+                    self.orch.hub.block_link(src, dst)
                 ni += 1
             leader = self._leader()
             # writes: propose through the leader; completion = committed

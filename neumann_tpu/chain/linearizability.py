@@ -38,51 +38,82 @@ class CheckResult:
 def check_register(history: List[Op],
                    initial=None) -> CheckResult:
     """Search for a valid linearization of a single-register history."""
-    n = len(history)
-    if n == 0:
+    if not history:
         return CheckResult(True, "empty history")
     ops = sorted(history, key=lambda o: o.invoke)
-    idx = {op: i for i, op in enumerate(ops)}
 
-    # precedence: op a really-happens-before b if a.complete < b.invoke
-    def precedes(a: Op, b: Op) -> bool:
-        return a.complete < b.invoke
+    # Sound reduction: a WRITE whose value no read ever observes and
+    # that no operation real-time-follows (typically an indeterminate
+    # complete=inf write from a partition era) can always be linearized
+    # at the very end — writes are legal at any value, nothing is
+    # ordered after it, and since it is unobserved it never sits
+    # immediately before a read in any valid order. Dropping these is
+    # equivalence-preserving and removes the main source of
+    # exponential concurrency in chaos histories.
+    observed = {op.value for op in ops if op.kind == "read"}
+    tail: List[Op] = []
+    kept: List[Op] = []
+    for op in ops:
+        if op.kind == "write" and op.value not in observed and \
+                not any(o is not op and op.complete < o.invoke
+                        for o in ops):
+            tail.append(op)
+        else:
+            kept.append(op)
+    ops = kept
+    n = len(ops)
+    if n == 0:
+        return CheckResult(True, "linearizable", tail)
+    # Wing & Gong DFS with the standard performance structure: the
+    # real-time precedence relation (a.complete < b.invoke) is an
+    # INTERVAL ORDER, so successor lists are precomputed once, the
+    # frontier of minimal pending ops is maintained incrementally via
+    # in-degree counters, and the linearized set is a bitmask (O(1)
+    # hash) rather than a frozenset. Memo key: (mask, register value).
+    succs: List[List[int]] = [[] for _ in range(n)]
+    npred = [0] * n
+    for j, a in enumerate(ops):
+        for i, b in enumerate(ops):
+            if i != j and a.complete < b.invoke:
+                succs[j].append(i)
+                npred[i] += 1
 
-    seen: Set[Tuple[FrozenSet[int], object]] = set()
+    seen: Set[Tuple[int, object]] = set()
     order: List[Op] = []
+    done_flag = [False] * n
 
-    def minimal_pending(done: FrozenSet[int]) -> List[Op]:
-        """Ops whose every real-time predecessor is already linearized."""
-        pending = [op for op in ops if idx[op] not in done]
-        out = []
-        for op in pending:
-            if all(idx[o] in done or not precedes(o, op)
-                   for o in pending if o is not op):
-                out.append(op)
-        return out
-
-    def dfs(done: FrozenSet[int], value) -> bool:
-        if len(done) == n:
+    def dfs(mask: int, value) -> bool:
+        if mask == (1 << n) - 1:
             return True
-        key = (done, value)
+        key = (mask, value)
         if key in seen:
             return False
         seen.add(key)
-        for op in minimal_pending(done):
-            if op.kind == "write":
-                order.append(op)
-                if dfs(done | {idx[op]}, op.value):
-                    return True
-                order.pop()
-            else:  # read must observe the current value
-                if op.value == value:
-                    order.append(op)
-                    if dfs(done | {idx[op]}, value):
-                        return True
-                    order.pop()
+        frontier = [i for i in range(n)
+                    if not done_flag[i] and npred[i] == 0]
+        # matching reads first: a read never changes the register, so
+        # linearizing it is always "free" — write-first descents walk
+        # straight into subtrees where stranded same-value reads can no
+        # longer be placed (the classic blowup on stall-era histories)
+        frontier.sort(key=lambda i: ops[i].kind != "read")
+        for i in frontier:
+            op = ops[i]
+            if op.kind == "read" and op.value != value:
+                continue
+            done_flag[i] = True
+            for s in succs[i]:
+                npred[s] -= 1
+            order.append(op)
+            if dfs(mask | (1 << i),
+                   op.value if op.kind == "write" else value):
+                return True
+            order.pop()
+            for s in succs[i]:
+                npred[s] += 1
+            done_flag[i] = False
         return False
 
-    if dfs(frozenset(), initial):
-        return CheckResult(True, "linearizable", list(order))
+    if dfs(0, initial):
+        return CheckResult(True, "linearizable", list(order) + tail)
     return CheckResult(False,
                        f"no valid linearization for {n} operations")

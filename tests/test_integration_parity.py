@@ -594,3 +594,67 @@ def test_cache_auto_selects_jaccard_for_sparse():
     # fully disjoint support: jaccard 0 -> miss, even though a dense
     # metric might still clear a low threshold
     assert c.get("d30 d31 d32") is None
+
+
+# ------------------------------------------------- jepsen under chaos
+
+def test_jepsen_linearizable_under_reorder_and_partial_partition():
+    """Acknowledged register writes stay linearizable when messages
+    reorder, links fail one-way, and a partition splits the cluster
+    mid-run (jepsen_raft.rs nemesis breadth)."""
+    from neumann_tpu.chain.dst import FaultAction
+    from neumann_tpu.chain.jepsen import JepsenHarness
+
+    for seed in (3, 17):
+        h = JepsenHarness(5, seed=seed)
+        res = h.run(ticks=500, nemesis=[
+            FaultAction(at_tick=40, kind="reorder_rate", rate=0.25),
+            FaultAction(at_tick=100, kind="block_link",
+                        groups=[{"n0"}, {"n1"}]),
+            FaultAction(at_tick=180, kind="partition",
+                        groups=[{"n0", "n1", "n2"}, {"n3", "n4"}]),
+            FaultAction(at_tick=300, kind="heal"),
+            FaultAction(at_tick=320, kind="drop_rate", rate=0.05),
+            FaultAction(at_tick=420, kind="heal"),
+        ])
+        assert res.ok, f"seed {seed}: {res.check}"
+        assert res.writes_acked > 0, "no write ever committed"
+
+
+def test_linearizability_checker_reductions_preserve_violations():
+    """The tail reduction (unobserved, successor-free writes) and the
+    reads-first search order must not mask genuine violations."""
+    from neumann_tpu.chain.linearizability import Op, check_register
+
+    inf = float("inf")
+    # completed unobserved write followed by a stale read: NOT dropped
+    # (it has a real-time successor), and the violation is caught
+    h = [Op("w", "write", 1, invoke=0, complete=1),
+         Op("r", "read", None, invoke=2, complete=3)]
+    assert not check_register(h).ok
+
+    # same but the write never completes: it MAY take effect after the
+    # read, so this is linearizable (write goes to the tail)
+    h2 = [Op("w", "write", 1, invoke=0, complete=inf),
+          Op("r", "read", None, invoke=2, complete=3)]
+    res = h2 and check_register(h2)
+    assert res.ok and len(res.order) == 2
+
+    # many concurrent indeterminate unobserved writes + a violation
+    # among the observed ops: still detected, still fast
+    h3 = [Op(f"w{i}", "write", 100 + i, invoke=0, complete=inf)
+          for i in range(20)]
+    h3 += [Op("a", "write", 1, invoke=0, complete=1),
+           Op("b", "read", 1, invoke=2, complete=3),
+           Op("c", "write", 2, invoke=4, complete=5),
+           Op("d", "read", 1, invoke=6, complete=7)]   # stale
+    assert not check_register(h3).ok
+
+    # interleaved-read violation (reads disagree on order of two
+    # concurrent writes) is caught despite reads-first ordering
+    h4 = [Op("w1", "write", 1, invoke=0, complete=10),
+          Op("w2", "write", 2, invoke=0, complete=10),
+          Op("r1", "read", 1, invoke=11, complete=12),
+          Op("r2", "read", 2, invoke=13, complete=14),
+          Op("r3", "read", 1, invoke=15, complete=16)]
+    assert not check_register(h4).ok
