@@ -12,14 +12,18 @@ for the history sizes chaos tests produce.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import FrozenSet, List, Optional, Set, Tuple
+from typing import List, Optional, Set, Tuple
 
 
 @dataclass(frozen=True)
 class Op:
     client: str
-    kind: str               # "write" | "read"
-    value: object           # written value / observed value
+    kind: str               # "write" | "read" | "cas"
+    # write: the value written; read: the value observed;
+    # cas: (expected, new, succeeded) — succeeded is what the client
+    # was told, and must match whether the register held `expected`
+    # at the linearization point (linearizability.rs OpType::Cas)
+    value: object
     invoke: float
     complete: float
 
@@ -98,14 +102,22 @@ def check_register(history: List[Op],
         frontier.sort(key=lambda i: ops[i].kind != "read")
         for i in frontier:
             op = ops[i]
-            if op.kind == "read" and op.value != value:
-                continue
+            if op.kind == "read":
+                if op.value != value:
+                    continue
+                nxt = value
+            elif op.kind == "cas":
+                exp, new, succeeded = op.value
+                if succeeded != (value == exp):
+                    continue
+                nxt = new if succeeded else value
+            else:
+                nxt = op.value
             done_flag[i] = True
             for s in succs[i]:
                 npred[s] -= 1
             order.append(op)
-            if dfs(mask | (1 << i),
-                   op.value if op.kind == "write" else value):
+            if dfs(mask | (1 << i), nxt):
                 return True
             order.pop()
             for s in succs[i]:

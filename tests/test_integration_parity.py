@@ -658,3 +658,36 @@ def test_linearizability_checker_reductions_preserve_violations():
           Op("r2", "read", 2, invoke=13, complete=14),
           Op("r3", "read", 1, invoke=15, complete=16)]
     assert not check_register(h4).ok
+
+
+def test_linearizability_checker_cas_semantics():
+    """CAS ops linearize iff the reported success matches the register
+    at the linearization point (linearizability.rs OpType::Cas)."""
+    from neumann_tpu.chain.linearizability import Op, check_register
+
+    # w(1); cas(1->2, ok); r(2)  — linearizable
+    h = [Op("a", "write", 1, invoke=0, complete=1),
+         Op("b", "cas", (1, 2, True), invoke=2, complete=3),
+         Op("c", "read", 2, invoke=4, complete=5)]
+    assert check_register(h).ok
+
+    # cas claims success against a value that was never current
+    h2 = [Op("a", "write", 1, invoke=0, complete=1),
+          Op("b", "cas", (9, 5, True), invoke=2, complete=3)]
+    assert not check_register(h2).ok
+
+    # failed cas must leave the register unchanged
+    h3 = [Op("a", "write", 1, invoke=0, complete=1),
+          Op("b", "cas", (9, 5, False), invoke=2, complete=3),
+          Op("c", "read", 1, invoke=4, complete=5)]
+    assert check_register(h3).ok
+
+    # two concurrent cas on the same expected value: only one can win
+    h4 = [Op("a", "write", 1, invoke=0, complete=1),
+          Op("b", "cas", (1, 2, True), invoke=2, complete=6),
+          Op("c", "cas", (1, 3, True), invoke=2, complete=6)]
+    assert not check_register(h4).ok
+    h5 = [Op("a", "write", 1, invoke=0, complete=1),
+          Op("b", "cas", (1, 2, True), invoke=2, complete=6),
+          Op("c", "cas", (1, 3, False), invoke=2, complete=6)]
+    assert check_register(h5).ok
