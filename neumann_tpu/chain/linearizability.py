@@ -54,11 +54,18 @@ def check_register(history: List[Op],
     # immediately before a read in any valid order. Dropping these is
     # equivalence-preserving and removes the main source of
     # exponential concurrency in chaos histories.
+    # CAS disables the reduction entirely: a failed CAS(expected=e)
+    # may NEED some unobserved write as the intermediate value that
+    # makes value != e at its linearization point, so dropping one
+    # produces false alarms (caught by the differential fuzzer,
+    # tests/test_fuzz_targets7.py).
     observed = {op.value for op in ops if op.kind == "read"}
+    has_cas = any(op.kind == "cas" for op in ops)
     tail: List[Op] = []
     kept: List[Op] = []
     for op in ops:
-        if op.kind == "write" and op.value not in observed and \
+        if not has_cas and op.kind == "write" and \
+                op.value not in observed and \
                 not any(o is not op and op.complete < o.invoke
                         for o in ops):
             tail.append(op)
