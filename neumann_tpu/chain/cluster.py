@@ -41,6 +41,8 @@ class ClusterNode(ClusterProtocolMixin):
         self._applied_index = 0
         self._lock = threading.RLock()
         self._pending_queries: Dict[str, object] = {}
+        self._cas_seq = 0
+        self.cas_results: Dict[str, bool] = {}
         self._init_protocol(peer_ids, seed=seed, gossip=gossip,
                             gossip_config=gossip_config,
                             auto_remove_faulty=auto_remove_faulty,
@@ -68,6 +70,30 @@ class ClusterNode(ClusterProtocolMixin):
         with self._lock:
             return self.raft.propose(
                 {"op": "delete", "key": key}) is not None
+
+    def propose_cas(self, key: str, field: str, expected,
+                    data: TensorData) -> Optional[str]:
+        """Conditional replicated write (compare-and-swap): ``data``
+        replaces ``key`` iff ``field``'s current scalar value equals
+        ``expected`` AT APPLY TIME — the comparison runs inside the
+        state machine on every replica, in log order, so all replicas
+        resolve it identically. ``expected=None`` matches a missing
+        key/field (create-if-absent). Returns a request id for
+        ``cas_result``, or None when not leader."""
+        with self._lock:
+            self._cas_seq += 1
+            rid = f"{self.id}:cas{self._cas_seq}"
+            idx = self.raft.propose(
+                {"op": "cas", "key": key, "field": field,
+                 "expected": expected, "rid": rid,
+                 "data": codec.encode_data(data).hex()})
+            return rid if idx is not None else None
+
+    def cas_result(self, rid: str) -> Optional[bool]:
+        """True/False once the CAS entry has applied locally; None
+        while it is still in flight."""
+        with self._lock:
+            return self.cas_results.get(rid)
 
     def is_leader(self) -> bool:
         return self.raft.state == LEADER
@@ -147,6 +173,21 @@ class ClusterNode(ClusterProtocolMixin):
                 self.store.put(payload["key"], data)
             elif op == "delete":
                 self.store.delete(payload["key"])
+            elif op == "cas":
+                cur = self.store.get(payload["key"])
+                field = payload["field"]
+                val = None
+                if cur is not None and cur.get(field) is not None:
+                    val = cur.get(field).value
+                ok = val == payload["expected"]
+                if ok:
+                    self.store.put(payload["key"], codec.decode_data(
+                        bytes.fromhex(payload["data"])))
+                with self._lock:
+                    self.cas_results[payload["rid"]] = ok
+                    if len(self.cas_results) > 10_000:
+                        self.cas_results.pop(
+                            next(iter(self.cas_results)))
             self._applied_index = idx
 
 

@@ -59,10 +59,12 @@ class JepsenHarness:
 
     def run(self, ticks: int = 400,
             nemesis: Optional[List[FaultAction]] = None,
-            write_every: int = 7, read_every: int = 5) -> JepsenResult:
+            write_every: int = 7, read_every: int = 5,
+            cas_every: Optional[int] = None) -> JepsenResult:
         nemesis = sorted(nemesis or [], key=lambda f: f.at_tick)
         ni = 0
         next_val = 0
+        pending_cas: List[dict] = []
         self.orch.run_until_leader()
         for t in range(ticks):
             self._tick = t
@@ -97,6 +99,19 @@ class JepsenHarness:
                                           "invoke": t, "index": idx,
                                           "term": leader.raft.term,
                                           "node": leader})
+            # compare-and-swap: expected = the leader's applied value;
+            # the outcome resolves in the state machine at apply time
+            if cas_every and leader is not None and \
+                    t % cas_every == 0:
+                next_val += 1
+                rid = leader.propose_cas(
+                    _KEY, "v", self._applied_value(leader),
+                    TensorData.with_values(v=next_val))
+                if rid is not None:
+                    pending_cas.append({
+                        "rid": rid, "node": leader, "invoke": t,
+                        "expected": self._applied_value(leader),
+                        "new": next_val})
             # reads: leader-local applied state (read-your-raft)
             if leader is not None and t % read_every == 0:
                 val = self._applied_value(leader)
@@ -121,11 +136,31 @@ class JepsenHarness:
                 else:
                     still.append(wr)
             self._pending = still
+            still_cas = []
+            for c in pending_cas:
+                ok = c["node"].cas_result(c["rid"])
+                if ok is None:
+                    still_cas.append(c)
+                else:
+                    self.history.append(Op(
+                        "caser", "cas",
+                        (c["expected"], c["new"], ok),
+                        invoke=c["invoke"], complete=t + 1))
+            pending_cas = still_cas
         # still-pending writes are indeterminate: they may take effect
         # at any point after their invocation
         for wr in self._pending:
             self.history.append(Op("writer", "write", wr["value"],
                                    invoke=wr["invoke"],
+                                   complete=float("inf")))
+        # a CAS still unresolved at run end MAY have applied: model it
+        # as an indeterminate write of its new value (weaker than the
+        # full cas op — the expected-check can't be asserted without
+        # knowing the reported outcome — but sound: a read observing
+        # `new` stays explainable)
+        for c in pending_cas:
+            self.history.append(Op("caser", "write", c["new"],
+                                   invoke=c["invoke"],
                                    complete=float("inf")))
         check = check_register(self.history)
         return JepsenResult(self.history, check,

@@ -691,3 +691,51 @@ def test_linearizability_checker_cas_semantics():
           Op("b", "cas", (1, 2, True), invoke=2, complete=6),
           Op("c", "cas", (1, 3, False), invoke=2, complete=6)]
     assert check_register(h5).ok
+
+
+def test_jepsen_cas_workload_linearizable():
+    """Mixed read/write/CAS workload through Raft: CAS resolves in the
+    state machine at apply time (same verdict on every replica), and
+    the recorded outcomes linearize together with reads and writes."""
+    from neumann_tpu.chain.dst import FaultAction
+    from neumann_tpu.chain.jepsen import JepsenHarness
+
+    for seed in (5, 29):
+        h = JepsenHarness(3, seed=seed)
+        res = h.run(ticks=400, cas_every=11, nemesis=[
+            FaultAction(at_tick=120, kind="partition",
+                        groups=[{"n0", "n1"}, {"n2"}]),
+            FaultAction(at_tick=220, kind="heal"),
+        ])
+        assert res.ok, f"seed {seed}: {res.check}"
+        cas_ops = [o for o in res.history if o.kind == "cas"]
+        assert cas_ops, "no CAS ever resolved"
+        assert any(o.value[2] for o in cas_ops), "no CAS ever succeeded"
+
+
+def test_cluster_cas_resolves_identically_on_all_replicas():
+    """Two racing CAS proposals with the same expected value: exactly
+    one wins, every replica stores the winner."""
+    hub, ids, nodes = _mk_cluster(3, seed=41)
+    leader = _elect(nodes)
+    from neumann_tpu.store.tensor_store import TensorData
+
+    assert leader.propose_put("reg", TensorData.with_values(v=1))
+    _pump(nodes, 60)
+
+    r1 = leader.propose_cas("reg", "v", 1, TensorData.with_values(v=2))
+    r2 = leader.propose_cas("reg", "v", 1, TensorData.with_values(v=3))
+    assert r1 and r2
+    _pump(nodes, 80)
+    assert leader.cas_result(r1) is True
+    assert leader.cas_result(r2) is False     # log order: r1 applied first
+    for nid, node in nodes.items():
+        assert node.store.get("reg").get("v").value == 2, nid
+
+    # expected=None matches a missing key (create-if-absent)
+    r3 = leader.propose_cas("fresh", "v", None,
+                            TensorData.with_values(v=7))
+    _pump(nodes, 60)
+    assert leader.cas_result(r3) is True
+    assert all(n.store.get("fresh").get("v").value == 7
+               for n in nodes.values())
