@@ -739,3 +739,72 @@ def test_cluster_cas_resolves_identically_on_all_replicas():
     assert leader.cas_result(r3) is True
     assert all(n.store.get("fresh").get("v").value == 7
                for n in nodes.values())
+
+
+def test_tcp_node_cas_over_real_sockets():
+    """CAS through TcpClusterNode: follower-forwarded conditional
+    writes resolve identically on every node over real TCP."""
+    from neumann_tpu.chain.node import TcpClusterNode
+    from neumann_tpu.chain.raft import RaftConfig
+    from neumann_tpu.store.tensor_store import TensorData
+
+    cfg = RaftConfig(election_timeout_min=3, election_timeout_max=6)
+    nodes = {}
+    for i, nid in enumerate(("n0", "n1", "n2")):
+        nodes[nid] = TcpClusterNode(nid, {}, port=0, config=cfg, seed=i)
+    addrs = {nid: n.address for nid, n in nodes.items()}
+    for nid, n in nodes.items():
+        n._peer_addrs = {p: addrs[p] for p in addrs if p != nid}
+        n.raft.voters = set(addrs)
+        n.start(tick_interval_s=0.01)
+    try:
+        deadline = time.time() + 15
+        while time.time() < deadline and not any(
+                n.is_leader() for n in nodes.values()):
+            time.sleep(0.05)
+        leader = next(n for n in nodes.values() if n.is_leader())
+        follower = next(n for n in nodes.values()
+                        if not n.is_leader())
+
+        assert leader.propose_put("reg", TensorData.with_values(v=1))
+        deadline = time.time() + 10
+        while time.time() < deadline and \
+                leader.store.get("reg") is None:
+            time.sleep(0.05)
+
+        r1 = leader.propose_cas("reg", "v", 1,
+                                TensorData.with_values(v=2))
+        assert r1 is not None
+        deadline = time.time() + 10
+        while time.time() < deadline and leader.cas_result(r1) is None:
+            time.sleep(0.05)
+        assert leader.cas_result(r1) is True
+
+        # stale expected: loses (value is now 2)
+        r2 = leader.propose_cas("reg", "v", 1,
+                                TensorData.with_values(v=9))
+        deadline = time.time() + 10
+        while time.time() < deadline and leader.cas_result(r2) is None:
+            time.sleep(0.05)
+        assert leader.cas_result(r2) is False
+        deadline = time.time() + 10
+        while time.time() < deadline and not all(
+                n.store.get("reg") is not None and
+                n.store.get("reg").get("v").value == 2
+                for n in nodes.values()):
+            time.sleep(0.05)
+        for nid, n in nodes.items():
+            assert n.store.get("reg").get("v").value == 2, nid
+        # follower forwarding places CAS through the leader too; the
+        # OUTCOME applies on the follower's own replica
+        r3 = follower.propose_cas("reg", "v", 2,
+                                  TensorData.with_values(v=3))
+        assert r3 is not None
+        deadline = time.time() + 10
+        while time.time() < deadline and \
+                follower.cas_result(r3) is None:
+            time.sleep(0.05)
+        assert follower.cas_result(r3) is True
+    finally:
+        for n in nodes.values():
+            n.stop()
