@@ -17,7 +17,7 @@ from typing import List, Optional
 from neumann_tpu.chain.cluster import ClusterOrchestrator
 from neumann_tpu.chain.dst import FaultAction
 from neumann_tpu.chain.linearizability import CheckResult, Op, \
-    check_register
+    check_kv
 from neumann_tpu.store.tensor_store import TensorData
 
 _KEY = "jepsen:register"
@@ -36,11 +36,16 @@ class JepsenResult:
 
 
 class JepsenHarness:
-    """Single-register read/write workload with a nemesis."""
+    """Register read/write[/CAS] workload with a nemesis; ``n_keys``
+    spreads the workload over several independent registers checked
+    compositionally (check_kv — the reference checker's KV model)."""
 
-    def __init__(self, n_nodes: int = 3, seed: int = 0):
+    def __init__(self, n_nodes: int = 3, seed: int = 0,
+                 n_keys: int = 1):
         self.orch = ClusterOrchestrator(n_nodes, seed=seed)
         self.rng = random.Random(seed)
+        self.keys = [_KEY] if n_keys <= 1 else [
+            f"{_KEY}{i}" for i in range(n_keys)]
         self.history: List[Op] = []
         self._pending: List[dict] = []   # writes awaiting commit
         self._tick = 0
@@ -51,8 +56,8 @@ class JepsenHarness:
         lid = self.orch.leader()
         return self.orch.nodes[lid] if lid else None
 
-    def _applied_value(self, node) -> Optional[int]:
-        data = node.store.get(_KEY)
+    def _applied_value(self, node, key=_KEY) -> Optional[int]:
+        data = node.store.get(key)
         if data is None:
             return None
         return data.get("v").value
@@ -86,10 +91,11 @@ class JepsenHarness:
             leader = self._leader()
             # writes: propose through the leader; completion = committed
             if leader is not None and t % write_every == 0:
+                key = self.rng.choice(self.keys)
                 next_val += 1
                 self.writes_attempted += 1
                 idx = leader.raft.propose(
-                    {"op": "put", "key": _KEY,
+                    {"op": "put", "key": key,
                      "data": __import__(
                          "neumann_tpu.store.codec",
                          fromlist=["codec"]).encode_data(
@@ -98,25 +104,28 @@ class JepsenHarness:
                     self._pending.append({"value": next_val,
                                           "invoke": t, "index": idx,
                                           "term": leader.raft.term,
-                                          "node": leader})
+                                          "node": leader, "key": key})
             # compare-and-swap: expected = the leader's applied value;
             # the outcome resolves in the state machine at apply time
             if cas_every and leader is not None and \
                     t % cas_every == 0:
+                key = self.rng.choice(self.keys)
                 next_val += 1
                 rid = leader.propose_cas(
-                    _KEY, "v", self._applied_value(leader),
+                    key, "v", self._applied_value(leader, key),
                     TensorData.with_values(v=next_val))
                 if rid is not None:
                     pending_cas.append({
                         "rid": rid, "node": leader, "invoke": t,
-                        "expected": self._applied_value(leader),
-                        "new": next_val})
+                        "expected": self._applied_value(leader, key),
+                        "new": next_val, "key": key})
             # reads: leader-local applied state (read-your-raft)
             if leader is not None and t % read_every == 0:
-                val = self._applied_value(leader)
+                key = self.rng.choice(self.keys)
+                val = self._applied_value(leader, key)
                 self.history.append(Op("reader", "read", val,
-                                       invoke=t, complete=t + 0.5))
+                                       invoke=t, complete=t + 0.5,
+                                       key=key))
             self.orch.step()
             # complete writes whose index has been applied on the leader
             still = []
@@ -127,7 +136,8 @@ class JepsenHarness:
                 if applied and entry_term == wr["term"]:
                     self.history.append(Op(
                         "writer", "write", wr["value"],
-                        invoke=wr["invoke"], complete=t + 1))
+                        invoke=wr["invoke"], complete=t + 1,
+                        key=wr.get("key", _KEY)))
                     self.writes_acked += 1
                 elif applied and entry_term is not None and \
                         entry_term != wr["term"]:
@@ -145,14 +155,16 @@ class JepsenHarness:
                     self.history.append(Op(
                         "caser", "cas",
                         (c["expected"], c["new"], ok),
-                        invoke=c["invoke"], complete=t + 1))
+                        invoke=c["invoke"], complete=t + 1,
+                        key=c.get("key", _KEY)))
             pending_cas = still_cas
         # still-pending writes are indeterminate: they may take effect
         # at any point after their invocation
         for wr in self._pending:
             self.history.append(Op("writer", "write", wr["value"],
                                    invoke=wr["invoke"],
-                                   complete=float("inf")))
+                                   complete=float("inf"),
+                                   key=wr.get("key", _KEY)))
         # a CAS still unresolved at run end MAY have applied: model it
         # as an indeterminate write of its new value (weaker than the
         # full cas op — the expected-check can't be asserted without
@@ -161,7 +173,8 @@ class JepsenHarness:
         for c in pending_cas:
             self.history.append(Op("caser", "write", c["new"],
                                    invoke=c["invoke"],
-                                   complete=float("inf")))
-        check = check_register(self.history)
+                                   complete=float("inf"),
+                                   key=c.get("key", _KEY)))
+        check = check_kv(self.history)
         return JepsenResult(self.history, check,
                             self.writes_attempted, self.writes_acked)

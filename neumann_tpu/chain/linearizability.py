@@ -26,6 +26,7 @@ class Op:
     value: object
     invoke: float
     complete: float
+    key: str = "r"          # register name (KV histories: check_kv)
 
     def __post_init__(self):
         if self.complete < self.invoke:
@@ -136,3 +137,22 @@ def check_register(history: List[Op],
         return CheckResult(True, "linearizable", list(order) + tail)
     return CheckResult(False,
                        f"no valid linearization for {n} operations")
+
+
+def check_kv(history: List[Op], initial=None) -> CheckResult:
+    """Multi-key histories (the reference checker's HashMap model,
+    linearizability.rs KvModel): linearizability is LOCAL — a history
+    is linearizable iff its per-key subhistories each are — so the
+    check partitions by ``Op.key`` and runs the register search per
+    key. Returns the first failing key's result; on success, the
+    concatenated per-key witness orders."""
+    by_key: dict = {}
+    for op in history:
+        by_key.setdefault(op.key, []).append(op)
+    full_order: List[Op] = []
+    for key in sorted(by_key):
+        res = check_register(by_key[key], initial)
+        if not res.ok:
+            return CheckResult(False, f"key {key!r}: {res.reason}")
+        full_order += res.order or []
+    return CheckResult(True, "linearizable", full_order)

@@ -808,3 +808,36 @@ def test_tcp_node_cas_over_real_sockets():
     finally:
         for n in nodes.values():
             n.stop()
+
+
+def test_jepsen_multikey_workload_linearizable():
+    """Workload spread over 4 independent registers, checked
+    compositionally per key (check_kv) under a partition/heal cycle
+    with CAS mixed in."""
+    from neumann_tpu.chain.dst import FaultAction
+    from neumann_tpu.chain.jepsen import JepsenHarness
+
+    h = JepsenHarness(5, seed=13, n_keys=4)
+    res = h.run(ticks=450, write_every=4, read_every=3, cas_every=13,
+                nemesis=[
+                    FaultAction(at_tick=120, kind="partition",
+                                groups=[{"n0", "n1", "n2"},
+                                        {"n3", "n4"}]),
+                    FaultAction(at_tick=240, kind="heal"),
+                ])
+    assert res.ok, res.check
+    keys_touched = {o.key for o in res.history}
+    assert len(keys_touched) == 4, keys_touched
+    assert res.writes_acked > 10
+
+
+def test_check_kv_isolates_violations_per_key():
+    from neumann_tpu.chain.linearizability import Op, check_kv
+
+    good = [Op("a", "write", 1, invoke=0, complete=1, key="x"),
+            Op("b", "read", 1, invoke=2, complete=3, key="x")]
+    bad = [Op("c", "write", 5, invoke=0, complete=1, key="y"),
+           Op("d", "read", 99, invoke=2, complete=3, key="y")]
+    assert check_kv(good).ok
+    res = check_kv(good + bad)
+    assert not res.ok and "'y'" in res.reason
