@@ -67,12 +67,18 @@ class ConsistentHashPartitioner:
         return list(self._shards)
 
 
+# below this many elements, numpy Lloyd's beats the device (compile +
+# dispatch overhead dominates) — and, critically, tiny trainings on
+# HOST paths (chain codebooks, archetype discovery in tests) never
+# initialize the accelerator backend at all, so a hung/unreachable
+# device cannot stall a chain commit
+_DEVICE_KMEANS_MIN_ELEMS = 262_144
+
+
 def kmeans(vectors: np.ndarray, k: int, iters: int = 20,
            seed: int = 0) -> np.ndarray:
-    """Device k-means (Lloyd's): one matmul + segment-sum per iteration."""
-    import jax
-    import jax.numpy as jnp
-
+    """K-means (Lloyd's), k-means++ seeded: device matmul + segment-sum
+    per iteration at scale, pure numpy below the device threshold."""
     n, d = vectors.shape
     k = min(k, n)
     rng = np.random.default_rng(seed)
@@ -93,6 +99,22 @@ def kmeans(vectors: np.ndarray, k: int, iters: int = 20,
             (x64 - x64[chosen[-1]]) ** 2, axis=1))
     centroids = vectors[chosen].copy()
 
+    if n * d < _DEVICE_KMEANS_MIN_ELEMS:
+        x = vectors.astype(np.float32)
+        cent = centroids.astype(np.float32)
+        for _ in range(iters):
+            d2 = (np.sum(x * x, 1, keepdims=True)
+                  - 2.0 * x @ cent.T + np.sum(cent * cent, 1)[None, :])
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                members = x[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        return cent
+
+    import jax
+    import jax.numpy as jnp
+
     @jax.jit
     def step(cent, x):
         d2 = (jnp.sum(x * x, 1, keepdims=True)
@@ -106,8 +128,6 @@ def kmeans(vectors: np.ndarray, k: int, iters: int = 20,
         return new, assign
 
     x = np.asarray(vectors, np.float32)
-    import jax.numpy as jnp
-
     cent = jnp.asarray(centroids)
     xj = jnp.asarray(x)
     for _ in range(iters):
