@@ -11,7 +11,7 @@ with a seeded RNG, like the DST harness.
 from __future__ import annotations
 
 import random
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional
 
 from neumann_tpu.chain.cluster import ClusterOrchestrator

@@ -9,8 +9,8 @@ propagates through arithmetic like SQL (any NULL operand -> NULL).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from dataclasses import dataclass
+from typing import Optional, Tuple
 
 from neumann_tpu.engines.condition import Condition
 from neumann_tpu.utils.errors import NeumannError
