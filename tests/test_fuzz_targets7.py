@@ -218,3 +218,57 @@ def test_fuzz_distinct_aggregates_random_vs_sqlite():
                     else:
                         assert x == y, (trial, q, a, b)
         db.close()
+
+
+# ------------------------------------------------ native materializer
+
+def test_fuzz_rows_from_arrays_vs_python_oracle():
+    """Random (names, dtypes, masks, duplicate-name) column sets: the
+    C materializer agrees with a pure-Python zip build. Duplicate names
+    previously corrupted the run memo (use-after-free)."""
+    from neumann_tpu.native import pycodec
+
+    ext = pycodec.load()
+    if ext is None or not hasattr(ext, "rows_from_arrays"):
+        import pytest
+
+        pytest.skip("native codec unavailable")
+    rng = np.random.default_rng(13)
+    for trial in range(60):
+        n = int(rng.integers(0, 40))
+        k = int(rng.integers(1, 7))
+        name_pool = ["a", "b", "c", "a.b", "x"]
+        names, arrays, masks = [], [], []
+        for j in range(k):
+            names.append(str(rng.choice(name_pool)))   # dups likely
+            t = int(rng.integers(0, 4))
+            if t == 0:
+                arr = rng.integers(-3, 3, n).astype(np.int64)
+            elif t == 1:
+                # runs of repeats exercise the memo path
+                arr = np.repeat(
+                    rng.standard_normal(max(1, n // 3 + 1)),
+                    3)[:n].astype(np.float64)
+            elif t == 2:
+                arr = rng.integers(0, 2, n).astype(bool)
+            else:
+                arr = np.array(
+                    [str(x) for x in rng.integers(0, 5, n)],
+                    dtype=object)
+            arrays.append(arr)
+            if rng.random() < 0.4 and n:
+                m = rng.integers(0, 2, n).astype(bool)
+                masks.append(m if m.any() else None)
+            else:
+                masks.append(None)
+        got = ext.rows_from_arrays(tuple(names), arrays, masks)
+        want = []
+        for i in range(n):
+            rec = {}
+            for name, arr, m in zip(names, arrays, masks):
+                v = None if (m is not None and m[i]) else arr[i]
+                if isinstance(v, np.generic):
+                    v = v.item()
+                rec[name] = v
+            want.append(rec)
+        assert got == want, f"trial {trial}"
