@@ -431,9 +431,18 @@ def main():
     # SIMILAR statements in the mixed-router phase and the
     # conflict-pairs row touch the device; with the tunnel hung, fall
     # back to CPU jax so every host row still reports (device-path
-    # rows are then CPU numbers, flagged on stderr)
-    if "jax" not in sys.modules and not _backend_alive():
+    # rows are then CPU numbers, flagged on stderr). The axon site
+    # hook pre-imports jax at interpreter startup, so retarget through
+    # jax.config (the BACKEND is still uninitialized at this point —
+    # env vars alone would be read too late).
+    if not _backend_alive():
         os.environ["JAX_PLATFORMS"] = "cpu"
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
         print("[bench_host] accelerator backend unreachable: device "
               "ops run on CPU jax for this run", file=sys.stderr,
               flush=True)
