@@ -38,7 +38,7 @@ def _leader(nodes, up):
     return best
 
 
-@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("seed", range(10))
 def test_composed_fault_schedule(seed):
     rng = random.Random(seed)
     hub = TransportHub(seed=seed)
@@ -70,7 +70,8 @@ def test_composed_fault_schedule(seed):
     pump(120)
     for _ in range(10):
         act = rng.choice(["write", "write", "partition", "heal",
-                          "stall", "local_write", "pump"])
+                          "stall", "local_write", "pump",
+                          "reorder", "lossy"])
         if act == "write":
             ld = _leader(nodes, up)
             if ld is not None:
@@ -97,6 +98,18 @@ def test_composed_fault_schedule(seed):
                 up.discard(victim)
                 pump(60)
                 up.add(victim)
+            pump(40)
+        elif act == "reorder":
+            # a bounded era of delayed+reordered delivery
+            hub.reorder_probability = 0.25
+            pump(80)
+            hub.reorder_probability = 0.0
+            hub.flush_reordered()
+            pump(40)
+        elif act == "lossy":
+            hub.drop_probability = 0.1
+            pump(80)
+            hub.drop_probability = 0.0
             pump(40)
         elif act == "local_write" and partitioned:
             nid = rng.choice(ids)
