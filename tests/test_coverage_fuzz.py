@@ -28,7 +28,10 @@ def test_parser_fuzz():
              b"SIMILAR 'a' TOP 5 CONNECTED TO 'b'",
              b"NODE CREATE person {name: 'x'}",
              b"EMBED 'k' [1.0, 2.0] IN docs",
-             b"MATCH (a)-[:KNOWS]->(b) RETURN a"]
+             b"MATCH (a)-[:KNOWS]->(b) RETURN a",
+             b"SELECT COUNT(DISTINCT g), SUM(v) FROM t GROUP BY g",
+             b"SELECT COALESCE(NULLIF(a, 0), ROUND(b, 2)) FROM t",
+             b"SELECT UPPER(SUBSTR(name, 1, 3)) AS s FROM t"]
     stats = _run(covfuzz.target_parser, seeds, (NeumannError,))
     assert stats.new_coverage_inputs > 0
     assert stats.corpus_size > len(seeds)
