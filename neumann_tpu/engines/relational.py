@@ -1143,7 +1143,10 @@ class RelationalEngine:
                     f"aggregate on non-numeric column {column}")
             rows = self._match_rows(t, condition)
             nn = t.nulls[column][rows]
-            return t.data[column][rows][~nn].astype(np.float64)
+            # keep the column dtype: int64 SUM/MIN/MAX must not round
+            # through float64 (precision loss above 2^53 — sqlite
+            # keeps integer aggregates integral)
+            return t.data[column][rows][~nn]
 
     def select_with_options(self, name: str,
                             condition: Optional[Condition] = None,
@@ -1170,10 +1173,20 @@ class RelationalEngine:
             rows = self._match_rows(t, condition)
             return int((~t.nulls[column][rows]).sum())
 
-    def sum_column(self, name, column, condition=None
-                   ) -> Optional[float]:
+    @staticmethod
+    def _agg_py(v, x):
+        """Box an aggregate result with the column's type (int stays
+        int; Python ints are arbitrary-precision so int64 SUM cannot
+        overflow)."""
+        return int(x) if v.dtype.kind in "iu" else float(x)
+
+    def sum_column(self, name, column, condition=None):
         v = self._agg_values(name, column, condition)
-        return float(v.sum()) if len(v) else None   # SUM of none: NULL
+        if not len(v):
+            return None                             # SUM of none: NULL
+        if v.dtype.kind in "iu":
+            return sum(int(x) for x in v)           # overflow-proof
+        return float(v.sum())
 
     def avg_column(self, name, column, condition=None) -> Optional[float]:
         v = self._agg_values(name, column, condition)
@@ -1181,11 +1194,11 @@ class RelationalEngine:
 
     def min_column(self, name, column, condition=None):
         v = self._agg_values(name, column, condition)
-        return float(v.min()) if len(v) else None
+        return self._agg_py(v, v.min()) if len(v) else None
 
     def max_column(self, name, column, condition=None):
         v = self._agg_values(name, column, condition)
-        return float(v.max()) if len(v) else None
+        return self._agg_py(v, v.max()) if len(v) else None
 
     def distinct_values(self, name, column, condition=None) -> list:
         """Unique non-null values of a column (the DISTINCT-aggregate
@@ -1244,20 +1257,22 @@ class RelationalEngine:
                         # (_agg_values): clean error, not a cast blowup
                         raise RelationalError(
                             f"aggregate on non-numeric column {col}")
-                    vals = [float(t.data[col][m]) for m in members
+                    is_int = t.by_name[col].ctype == "int"
+                    box = int if is_int else float
+                    vals = [box(t.data[col][m]) for m in members
                             if not t.nulls[col][m]]
                     if distinct:
                         vals = list(set(vals))
                     if not vals:
                         rec[alias] = None
                     elif func == "sum":
-                        rec[alias] = float(np.sum(vals))
+                        rec[alias] = sum(vals)
                     elif func == "avg":
-                        rec[alias] = float(np.mean(vals))
+                        rec[alias] = float(sum(vals)) / len(vals)
                     elif func == "min":
-                        rec[alias] = float(np.min(vals))
+                        rec[alias] = min(vals)
                     elif func == "max":
-                        rec[alias] = float(np.max(vals))
+                        rec[alias] = max(vals)
                     else:
                         raise RelationalError(f"unknown aggregate {func}")
                 out.append(rec)

@@ -554,6 +554,10 @@ class QueryRouter:
         return rows
 
     def _exec_select(self, s: ast.Select) -> QueryResult:
+        if s.limit is not None and s.limit < 0:
+            # sqlite semantics: a negative LIMIT means no limit (the
+            # raw slice rows[:-1] would silently DROP the last row)
+            s.limit = None
         where = self._resolve_subqueries(s.where)
         having = self._resolve_subqueries(s.having)
         # aggregates without GROUP BY
@@ -586,8 +590,10 @@ class QueryRouter:
                     else:
                         try:
                             if item.agg == "sum":
-                                out[alias] = float(
-                                    sum(float(v) for v in vals))
+                                # Python sum keeps ints integral
+                                out[alias] = sum(
+                                    v if isinstance(v, (int, float))
+                                    else float(v) for v in vals)
                             elif item.agg == "avg":
                                 out[alias] = float(
                                     sum(float(v) for v in vals)
