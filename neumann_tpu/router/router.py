@@ -478,7 +478,9 @@ class QueryRouter:
             elif not vals:
                 out[alias] = None
             elif item.agg == "sum":
-                out[alias] = float(sum(vals))
+                # int inputs keep an integral (overflow-proof) sum
+                tot = sum(vals)
+                out[alias] = tot.item() if hasattr(tot, "item") else tot
             elif item.agg == "avg":
                 out[alias] = float(sum(vals)) / len(vals)
             elif item.agg == "min":
