@@ -140,3 +140,32 @@ def test_betweenness_matches_networkx_exactly(seed):
     ref = nx.betweenness_centrality(g, normalized=False)
     for nid in ids:
         assert abs(ours[nid] - ref[nid]) < 1e-9, (seed, nid)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_closeness_matches_networkx_exactly(seed):
+    """direction='out' closeness == nx on the REVERSED digraph (nx
+    measures incoming distance; ours measures outgoing), including the
+    Wasserman-Faust disconnected-graph scaling — to machine
+    precision."""
+    eng, g, ids = _random_graph(seed, n=18, p=0.15)
+    ours = eng.closeness_centrality(direction="out")
+    ref = nx.closeness_centrality(g.reverse())
+    for nid in ids:
+        assert abs(ours[nid] - ref[nid]) < 1e-9, (seed, nid)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_eigenvector_ranking_tracks_networkx(seed):
+    """Power iteration on (A+I) over the undirected edge view: the top
+    nodes agree with nx's eigenvector centrality (scores differ by
+    normalization; the ranking is the meaningful output)."""
+    eng, g, ids = _random_graph(seed, n=18, p=0.15)
+    ug = nx.Graph(g.to_undirected())
+    ref = nx.eigenvector_centrality(ug, max_iter=500)
+    ours = eng.eigenvector_centrality(max_iterations=300)
+    top_ours = sorted(ours, key=ours.get, reverse=True)[:5]
+    top_ref = sorted(ref, key=ref.get, reverse=True)[:5]
+    assert top_ours[0] in top_ref[:3], (seed, top_ours, top_ref)
+    assert len(set(top_ours) & set(top_ref)) >= 3, (seed, top_ours,
+                                                    top_ref)
