@@ -169,3 +169,44 @@ def test_eigenvector_ranking_tracks_networkx(seed):
     assert top_ours[0] in top_ref[:3], (seed, top_ours, top_ref)
     assert len(set(top_ours) & set(top_ref)) >= 3, (seed, top_ours,
                                                     top_ref)
+
+
+@pytest.mark.parametrize("algo", ["louvain", "label_propagation"])
+def test_community_detection_recovers_planted_partition(algo):
+    """Three dense blocks with sparse cross-links: both community
+    algorithms recover the planted partition (measured by nx
+    modularity close to the ground truth's)."""
+    rng = random.Random(3)
+    eng = GraphEngine()
+    blocks = []
+    g = nx.Graph()
+    for b in range(3):
+        ids = [eng.create_node("n", {"b": b}) for _ in range(10)]
+        blocks.append(ids)
+        g.add_nodes_from(ids)
+        for i, a in enumerate(ids):          # dense inside the block
+            for c in ids[i + 1:]:
+                if rng.random() < 0.7:
+                    eng.create_edge(a, c, "e", directed=False)
+                    g.add_edge(a, c)
+    for _ in range(6):                        # sparse across blocks
+        b1, b2 = rng.sample(range(3), 2)
+        a, c = rng.choice(blocks[b1]), rng.choice(blocks[b2])
+        if not g.has_edge(a, c):
+            eng.create_edge(a, c, "e", directed=False)
+            g.add_edge(a, c)
+
+    labels = getattr(eng, algo)(seed=1)
+    communities: dict = {}
+    for nid, lab in labels.items():
+        communities.setdefault(lab, set()).add(nid)
+    got_mod = nx.community.modularity(g, communities.values())
+    truth_mod = nx.community.modularity(g, map(set, blocks))
+    assert got_mod > 0.8 * truth_mod, (algo, got_mod, truth_mod)
+    # planted blocks should be (mostly) pure: every detected community
+    # is dominated by one block
+    for members in communities.values():
+        if len(members) < 3:
+            continue
+        counts = [len(members & set(b)) for b in blocks]
+        assert max(counts) >= 0.8 * len(members), (algo, members)
