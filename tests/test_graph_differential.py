@@ -210,3 +210,45 @@ def test_community_detection_recovers_planted_partition(algo):
             continue
         counts = [len(members & set(b)) for b in blocks]
         assert max(counts) >= 0.8 * len(members), (algo, members)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_astar_matches_dijkstra_cost(seed):
+    """A* with a euclidean heuristic over planar coordinates finds
+    paths with exactly Dijkstra's optimal cost (admissible heuristic:
+    straight-line distance <= true cost when weights are distances)."""
+    rng = random.Random(seed)
+    eng = GraphEngine()
+    g = nx.Graph()
+    pts = {}
+    ids = []
+    for i in range(25):
+        x, y = rng.uniform(0, 10), rng.uniform(0, 10)
+        nid = eng.create_node("p", {"x": x, "y": y})
+        pts[nid] = (x, y)
+        ids.append(nid)
+        g.add_node(nid)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            (x1, y1), (x2, y2) = pts[a], pts[b]
+            d = ((x1 - x2) ** 2 + (y1 - y2) ** 2) ** 0.5
+            if d < 3.5 and rng.random() < 0.7:
+                eng.create_edge(a, b, "e", properties={"weight": d},
+                                directed=False)
+                g.add_edge(a, b, weight=d)
+    checked = 0
+    for _ in range(20):
+        a, b = rng.choice(ids), rng.choice(ids)
+        ours = eng.astar(a, b)
+        try:
+            ref = nx.dijkstra_path_length(g, a, b)
+        except nx.NetworkXNoPath:
+            ref = None
+        if ref is None:
+            assert ours is None, (seed, a, b)
+        else:
+            assert ours is not None, (seed, a, b)
+            path, cost = ours
+            assert abs(cost - ref) < 1e-9, (seed, a, b, cost, ref)
+            checked += 1
+    assert checked > 3
