@@ -1544,6 +1544,7 @@ class _Parser:
             if self.accept_kw("TO"):
                 return ast.Chain(action="rollback", height=self.int_())
             # bare ROLLBACK CHAIN: abort the open transaction
+            self.accept_kw("TRANSACTION")   # optional symmetry
             return ast.Chain(action="abort")
         self.expect_kw("TO")
         return ast.Rollback(target=self.string("checkpoint"))
@@ -1555,7 +1556,8 @@ class _Parser:
 
     def _stmt_commit(self) -> ast.Statement:
         self.expect_kw("CHAIN")
-        return ast.Chain(action="commit")
+        self.accept_kw("TRANSACTION")       # optional symmetry with
+        return ast.Chain(action="commit")   # BEGIN CHAIN TRANSACTION
 
     def _stmt_chain(self) -> ast.Statement:
         act = self.expect_kw("HEIGHT", "TIP", "BLOCK", "VERIFY", "HISTORY",

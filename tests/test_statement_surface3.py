@@ -88,3 +88,19 @@ def test_scalar_function_corner_arguments(r):
         "substr(n, 0 - 1)"] == "x"
     assert r.execute("SELECT NULLIF(NULL, NULL) FROM t").rows[0][
         "nullif(None, None)"] is None
+
+
+def test_chain_transaction_keyword_symmetry():
+    """COMMIT/ROLLBACK CHAIN accept the optional TRANSACTION keyword,
+    mirroring BEGIN CHAIN TRANSACTION (the reference's exact forms
+    BEGIN CHAIN TRANSACTION / COMMIT CHAIN both still parse)."""
+    r = QueryRouter()
+    r.execute("CREATE TABLE ct (a INT)")
+    r.execute("BEGIN CHAIN TRANSACTION")
+    r.execute("INSERT INTO ct VALUES (7)")
+    r.execute("COMMIT CHAIN TRANSACTION")
+    assert r.execute("CHAIN HEIGHT").count >= 1
+    r.execute("BEGIN CHAIN")
+    r.execute("INSERT INTO ct VALUES (8)")
+    r.execute("ROLLBACK CHAIN TRANSACTION")
+    assert len(r.execute("SELECT * FROM ct").rows) == 1
