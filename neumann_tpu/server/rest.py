@@ -59,7 +59,13 @@ class RestServer:
                 if length > self._MAX_BODY:
                     raise NeumannError(
                         f"request body too large ({length} bytes)")
-                return json.loads(self.rfile.read(length) or b"{}")
+                raw = self.rfile.read(length) or b"{}"
+                try:
+                    return json.loads(raw)
+                except (ValueError, UnicodeDecodeError) as e:
+                    # a malformed body is the CLIENT's error: 400
+                    raise NeumannError(
+                        f"malformed JSON body: {e}") from None
 
             def _send(self, code: int, payload) -> None:
                 if isinstance(payload, tuple):  # (body, content-type)
@@ -305,9 +311,20 @@ graph: <code>{r.graph.node_count()}</code> nodes /
                 raise NeumannError(f"no collection '{name}'")
             return {"result": vec.collection_stats(name)}
         if method == "PUT" and len(parts) == 1:
+            # accept both our flat shape and Qdrant's nested one
+            # ({"vectors": {"size": N, "distance": "Cosine"}})
+            qv = body.get("vectors") or {}
+            dim = body.get("dimension", qv.get("size"))
+            metric = body.get(
+                "metric", str(qv.get("distance", "cosine")).lower())
+            if metric == "dot":
+                pass
+            elif metric in ("euclid", "euclidean"):
+                metric = "euclidean"
+            elif metric != "cosine":
+                metric = "cosine"
             vec.create_collection(name, VectorCollectionConfig(
-                dimension=body.get("dimension"),
-                metric=body.get("metric", "cosine"),
+                dimension=dim, metric=metric,
                 quantization=body.get("quantization", "none")))
             return {"ok": True}
         if method == "DELETE" and len(parts) == 1:
@@ -359,14 +376,15 @@ graph: <code>{r.graph.node_count()}</code> nodes /
                 offset = body.get("offset")
                 if offset:
                     keys = [k for k in keys if k > str(offset)]
-                limit = int(body.get("limit", 100))
+                limit = max(0, int(body.get("limit", 100)))
                 page = keys[:limit]
                 pts = [{"id": pid,
                         "vector": self._collection_vector(name, pid)
                         or []} for pid in page]
                 return {"points": pts,
                         "next_offset": (page[-1]
-                                        if len(keys) > limit else None)}
+                                        if page and len(keys) > limit
+                                        else None)}
         raise NeumannError(f"no route {method} /{'/'.join(parts)}")
 
     # ------------------------------------------------------------------

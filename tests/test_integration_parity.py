@@ -841,3 +841,58 @@ def test_check_kv_isolates_violations_per_key():
     assert check_kv(good).ok
     res = check_kv(good + bad)
     assert not res.ok and "'y'" in res.reason
+
+
+# ------------------------------------------------- REST hostile inputs
+
+def test_rest_hostile_inputs():
+    """Client errors map to 400 (not 500), Qdrant-shape collection
+    bodies configure the dimension (so wrong-size upserts reject), and
+    degenerate scroll limits return empty pages cleanly."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    from neumann_tpu.server.rest import RestServer
+
+    rest = RestServer()
+    rest.serve()
+    base = f"http://127.0.0.1:{rest.port}"
+
+    def req(path, data=None, method=None):
+        r = urllib.request.Request(base + path, data=data,
+                                   method=method)
+        if data is not None:
+            r.add_header("Content-Type", "application/json")
+        try:
+            with urllib.request.urlopen(r, timeout=5) as resp:
+                return resp.status, json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    try:
+        code, body = req("/collections/c1", b"{not json", "PUT")
+        assert code == 400 and "malformed JSON" in body["error"]
+
+        code, _ = req("/collections/good", json.dumps(
+            {"vectors": {"size": 2, "distance": "Cosine"}}).encode(),
+            "PUT")
+        assert code == 200
+        code, body = req("/collections/good/points", json.dumps(
+            {"points": [{"id": 1, "vector": [1.0, 2.0, 3.0]}]}
+        ).encode(), "PUT")
+        assert code == 400 and "dimension" in body["error"]
+        code, _ = req("/collections/good/points", json.dumps(
+            {"points": [{"id": 1, "vector": [1.0, 2.0]}]}).encode(),
+            "PUT")
+        assert code == 200
+
+        code, body = req("/collections/good/points/scroll",
+                         json.dumps({"limit": -5}).encode(), "POST")
+        assert code == 200 and body["points"] == []
+        assert body["next_offset"] is None
+
+        code, body = req("/zzz")
+        assert code == 400
+    finally:
+        rest.stop()
