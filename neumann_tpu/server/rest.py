@@ -61,11 +61,15 @@ class RestServer:
                         f"request body too large ({length} bytes)")
                 raw = self.rfile.read(length) or b"{}"
                 try:
-                    return json.loads(raw)
+                    parsed = json.loads(raw)
                 except (ValueError, UnicodeDecodeError) as e:
                     # a malformed body is the CLIENT's error: 400
                     raise NeumannError(
                         f"malformed JSON body: {e}") from None
+                if not isinstance(parsed, dict):
+                    raise NeumannError(
+                        "request body must be a JSON object")
+                return parsed
 
             def _send(self, code: int, payload) -> None:
                 if isinstance(payload, tuple):  # (body, content-type)
@@ -331,18 +335,34 @@ graph: <code>{r.graph.node_count()}</code> nodes /
             return {"ok": vec.drop_collection(name)}
         if len(parts) >= 2 and parts[1] == "points":
             if method == "PUT":
+                pts = body.get("points", [])
+                if not isinstance(pts, list):
+                    raise NeumannError("'points' must be a list")
+                for p in pts:
+                    if not isinstance(p, dict) or "id" not in p:
+                        raise NeumannError(
+                            "each point needs an 'id' field")
+                    v = p.get("vector")
+                    if not isinstance(v, (list, tuple)) or not all(
+                            isinstance(x, (int, float)) for x in v):
+                        raise NeumannError(
+                            f"point {p['id']!r} needs a numeric "
+                            "'vector' list")
                 if name not in vec.list_collections():
                     vec.create_collection(name)
-                for p in body.get("points", []):
+                for p in pts:
                     vec.store_in_collection(name, str(p["id"]),
                                             p["vector"],
                                             p.get("payload"))
-                return {"upserted": len(body.get("points", []))}
+                return {"upserted": len(pts)}
             if method == "POST" and len(parts) == 3 and \
                     parts[2] == "query":
-                if "vector" not in body:
+                qv = body.get("vector")
+                if not isinstance(qv, (list, tuple)) or not all(
+                        isinstance(x, (int, float)) for x in qv):
                     raise NeumannError(
-                        "points query requires a 'vector' field")
+                        "points query requires a numeric 'vector' "
+                        "list")
                 filt = None
                 if body.get("filter"):
                     filt = _filter_from_json(body["filter"])
@@ -376,7 +396,11 @@ graph: <code>{r.graph.node_count()}</code> nodes /
                 offset = body.get("offset")
                 if offset:
                     keys = [k for k in keys if k > str(offset)]
-                limit = max(0, int(body.get("limit", 100)))
+                try:
+                    limit = max(0, int(body.get("limit", 100)))
+                except (TypeError, ValueError):
+                    raise NeumannError(
+                        "'limit' must be an integer") from None
                 page = keys[:limit]
                 pts = [{"id": pid,
                         "vector": self._collection_vector(name, pid)

@@ -5,6 +5,7 @@ status callbacks (every transition reported exactly once), and DISTINCT
 aggregates (random data vs sqlite)."""
 
 import random
+import urllib.parse
 
 import numpy as np
 
@@ -272,3 +273,72 @@ def test_fuzz_rows_from_arrays_vs_python_oracle():
                 rec[name] = v
             want.append(rec)
         assert got == want, f"trial {trial}"
+
+
+# ------------------------------------------------------ REST dispatch
+
+def test_fuzz_rest_garbage_never_500s():
+    """Random methods, paths, and bodies: client garbage maps to
+    4xx (or succeeds), never a 500 — internal errors are reserved for
+    genuine server bugs."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    from neumann_tpu.server.rest import RestServer
+
+    rest = RestServer()
+    rest.serve()
+    base = f"http://127.0.0.1:{rest.port}"
+    rng = random.Random(17)
+    segs = ["collections", "points", "query", "scroll", "good", "%00",
+            "..", "a" * 200, "ünï", "delete", "get", "zzz", ""]
+    bodies = [b"", b"{not json", b"null", b"[]", b'{"points": 1}',
+              b'{"points": [{}]}', b'{"vector": "nope"}',
+              b'{"limit": "x"}', b'{"filter": {"bad": []}}',
+              b'{"vectors": {"size": -1}}', b"\xff\xfe\x00",
+              json.dumps({"points": [{"id": 1, "vector": []}]}).encode()]
+    try:
+        urllib.request.urlopen(
+            urllib.request.Request(
+                base + "/collections/good",
+                data=json.dumps({"dimension": 2}).encode(),
+                method="PUT",
+                headers={"Content-Type": "application/json"}),
+            timeout=5).read()
+        hot_paths = ["/collections/good/points",
+                     "/collections/good/points/query",
+                     "/collections/good/points/scroll",
+                     "/collections/good/points/delete",
+                     "/collections/good/points/get",
+                     "/collections/good"]
+        fives = []
+        for trial in range(250):
+            if trial % 2:
+                # half the budget hammers the REAL handlers, where
+                # malformed bodies used to KeyError into 500s
+                path = rng.choice(hot_paths)
+            else:
+                path = "/" + "/".join(
+                    rng.choice(segs)
+                    for _ in range(rng.randint(1, 4)))
+            method = rng.choice(["GET", "PUT", "POST", "DELETE"])
+            body = rng.choice(bodies) if method in ("PUT", "POST") \
+                else None
+            req = urllib.request.Request(
+                base + urllib.parse.quote(path), data=body,
+                method=method)
+            if body is not None:
+                req.add_header("Content-Type", "application/json")
+            try:
+                with urllib.request.urlopen(req, timeout=5) as resp:
+                    code = resp.status
+                    resp.read()
+            except urllib.error.HTTPError as e:
+                code = e.code
+                e.read()
+            if code >= 500:
+                fives.append((method, path, body, code))
+        assert not fives, fives[:5]
+    finally:
+        rest.stop()
