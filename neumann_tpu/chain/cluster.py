@@ -41,8 +41,6 @@ class ClusterNode(ClusterProtocolMixin):
         self._applied_index = 0
         self._lock = threading.RLock()
         self._pending_queries: Dict[str, object] = {}
-        self._cas_seq = 0
-        self.cas_results: Dict[str, bool] = {}
         self._init_protocol(peer_ids, seed=seed, gossip=gossip,
                             gossip_config=gossip_config,
                             auto_remove_faulty=auto_remove_faulty,
@@ -80,20 +78,13 @@ class ClusterNode(ClusterProtocolMixin):
         resolve it identically. ``expected=None`` matches a missing
         key/field (create-if-absent). Returns a request id for
         ``cas_result``, or None when not leader."""
+        rid = self._next_cas_rid()
         with self._lock:
-            self._cas_seq += 1
-            rid = f"{self.id}:cas{self._cas_seq}"
             idx = self.raft.propose(
                 {"op": "cas", "key": key, "field": field,
                  "expected": expected, "rid": rid,
                  "data": codec.encode_data(data).hex()})
             return rid if idx is not None else None
-
-    def cas_result(self, rid: str) -> Optional[bool]:
-        """True/False once the CAS entry has applied locally; None
-        while it is still in flight."""
-        with self._lock:
-            return self.cas_results.get(rid)
 
     def is_leader(self) -> bool:
         return self.raft.state == LEADER
@@ -173,21 +164,6 @@ class ClusterNode(ClusterProtocolMixin):
                 self.store.put(payload["key"], data)
             elif op == "delete":
                 self.store.delete(payload["key"])
-            elif op == "cas":
-                cur = self.store.get(payload["key"])
-                field = payload["field"]
-                val = None
-                if cur is not None and cur.get(field) is not None:
-                    val = cur.get(field).value
-                ok = val == payload["expected"]
-                if ok:
-                    self.store.put(payload["key"], codec.decode_data(
-                        bytes.fromhex(payload["data"])))
-                with self._lock:
-                    self.cas_results[payload["rid"]] = ok
-                    if len(self.cas_results) > 10_000:
-                        self.cas_results.pop(
-                            next(iter(self.cas_results)))
             self._applied_index = idx
 
 

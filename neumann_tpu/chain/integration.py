@@ -66,6 +66,10 @@ class ClusterProtocolMixin:
         self._faulty_since: Dict[str, int] = {}
         self._protocol_ticks = 0
         self.delta_replicator = None
+        # replicated compare-and-swap bookkeeping (shared by the
+        # in-process and TCP node flavors)
+        self._cas_seq = 0
+        self.cas_results: Dict[str, bool] = {}
         self._snap_rx = SnapshotReceiver()
         self._snap_id = 0
         # eventual-mode writes awaiting reconciliation after a heal
@@ -462,9 +466,41 @@ class ClusterProtocolMixin:
         return {"op": "put", "key": key,
                 "data": codec.encode_data(data).hex()}
 
+    def _next_cas_rid(self) -> str:
+        with self._lock:
+            self._cas_seq += 1
+            return f"{self.id}:cas{self._cas_seq}"
+
+    def cas_result(self, rid: str) -> Optional[bool]:
+        """True/False once the CAS entry has applied locally; None
+        while it is still in flight."""
+        with self._lock:
+            return self.cas_results.get(rid)
+
+    def _apply_cas(self, payload: dict) -> None:
+        """Apply a committed CAS entry: the expected-value comparison
+        runs HERE, in log order, so every replica resolves the same
+        winner. expected=None matches a missing key/field."""
+        cur = self.store.get(payload["key"])
+        field = payload["field"]
+        val = None
+        if cur is not None and cur.get(field) is not None:
+            val = cur.get(field).value
+        ok = val == payload["expected"]
+        if ok:
+            self.store.put(payload["key"], codec.decode_data(
+                bytes.fromhex(payload["data"])))
+        with self._lock:
+            self.cas_results[payload["rid"]] = ok
+            if len(self.cas_results) > 10_000:
+                self.cas_results.pop(next(iter(self.cas_results)))
+
     def _apply_protocol_entry(self, payload: dict) -> bool:
         """Apply integration-owned log entries; True when handled."""
         op = payload.get("op")
+        if op == "cas":
+            self._apply_cas(payload)
+            return True
         if op == "delta_registry":
             from neumann_tpu.chain.delta_replication import (
                 DeltaReplicator,

@@ -122,8 +122,6 @@ class TcpClusterNode(ClusterProtocolMixin):
         # leader-side: log index -> (reply node, qid) for replicated
         # statements awaiting commit before the client gets its answer
         self._stmt_replies: Dict[int, Tuple[str, Optional[str]]] = {}
-        self._cas_seq = 0
-        self.cas_results: Dict[str, bool] = {}
         # proxy-side: qid -> original requester (thin clients are only
         # connected to their serving node, so replies relay through it)
         self._relay: Dict[str, str] = {}
@@ -206,18 +204,12 @@ class TcpClusterNode(ClusterProtocolMixin):
         order on every replica (see ClusterNode.propose_cas). Returns
         the request id to poll with cas_result, or None when the
         proposal could not be placed."""
-        with self._lock:
-            self._cas_seq += 1
-            rid = f"{self.id}:cas{self._cas_seq}"
+        rid = self._next_cas_rid()
         ok = self._propose_or_forward(
             {"op": "cas", "key": key, "field": field,
              "expected": expected, "rid": rid,
              "data": codec.encode_data(data).hex()})
         return rid if ok else None
-
-    def cas_result(self, rid: str) -> Optional[bool]:
-        with self._lock:
-            return self.cas_results.get(rid)
 
     def _propose_or_forward(self, payload: dict) -> bool:
         with self._lock:
@@ -352,21 +344,6 @@ class TcpClusterNode(ClusterProtocolMixin):
                 self.store.put(payload["key"], data)
             elif op == "delete":
                 self.store.delete(payload["key"])
-            elif op == "cas":
-                cur = self.store.get(payload["key"])
-                field = payload["field"]
-                val = None
-                if cur is not None and cur.get(field) is not None:
-                    val = cur.get(field).value
-                ok = val == payload["expected"]
-                if ok:
-                    self.store.put(payload["key"], codec.decode_data(
-                        bytes.fromhex(payload["data"])))
-                with self._lock:
-                    self.cas_results[payload["rid"]] = ok
-                    if len(self.cas_results) > 10_000:
-                        self.cas_results.pop(
-                            next(iter(self.cas_results)))
             elif op == "stmt":
                 # deterministic state machine: every node executes the
                 # statement in log order
