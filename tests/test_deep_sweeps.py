@@ -67,16 +67,16 @@ def test_deep_model_check_bounds():
     )
 
     # bounds sized for the nightly job's budget (the Python BFS
-    # explores ~10K states/min); deeper ad-hoc runs are documented in
+    # explores ~8K states/min); deeper ad-hoc runs are documented in
     # COVERAGE.md
-    for fn, kw in [(check_raft, dict(n_nodes=2, max_states=60_000)),
-                   (check_raft, dict(n_nodes=3, max_states=60_000)),
+    for fn, kw in [(check_raft, dict(n_nodes=2, max_states=40_000)),
+                   (check_raft, dict(n_nodes=3, max_states=40_000)),
                    (check_two_phase,
-                    dict(n_parts=2, max_states=80_000)),
+                    dict(n_parts=2, max_states=50_000)),
                    (check_two_phase,
-                    dict(n_parts=3, max_states=80_000)),
+                    dict(n_parts=3, max_states=50_000)),
                    (check_membership,
-                    dict(n_nodes=3, max_states=60_000))]:
+                    dict(n_nodes=3, max_states=40_000))]:
         r = fn(**kw)
         assert r.ok, (fn.__name__, kw, r.violation)
 
