@@ -1402,9 +1402,16 @@ class _Parser:
     def _stmt_vault(self) -> ast.Statement:
         act = self.expect_kw("INIT", "SET", "GET", "DELETE", "LIST",
                              "ROTATE", "GRANT", "REVOKE", "SEAL",
-                             "UNSEAL")
+                             "UNSEAL", "HISTORY", "ROLLBACK", "AUDIT")
         stmt = ast.Vault(action=act.lower())
-        if act == "UNSEAL":
+        if act == "HISTORY":
+            stmt.key = self.string("secret key")
+        elif act == "ROLLBACK":
+            stmt.key = self.string("secret key")
+        elif act == "AUDIT":
+            if self.peek().kind == "number":
+                stmt.pattern = str(self.int_())   # limit
+        elif act == "UNSEAL":
             stmt.value = self.string("master password")
         elif act == "ROTATE" and self.accept_kw("MASTER"):
             stmt.action = "rotate_master"

@@ -1313,6 +1313,17 @@ class QueryRouter:
             n = vault.rotate_master_key(s.value, actor=actor)
             return QueryResult.msg(
                 f"master key rotated ({n} ciphertexts re-encrypted)")
+        if act == "history":
+            n = vault.versions(s.key, actor=actor)
+            return QueryResult.of_rows([{"key": s.key,
+                                         "prior_versions": n}])
+        if act == "rollback":
+            vault.rollback_version(s.key, actor=actor)
+            return QueryResult.msg(
+                f"secret '{s.key}' rolled back one version")
+        if act == "audit":
+            limit = int(s.pattern) if s.pattern else 100
+            return QueryResult.of_rows(vault.audit_log(limit))
         raise NeumannError(f"vault action {act} unsupported")
 
     def _exec_cache(self, s: ast.Cache) -> QueryResult:

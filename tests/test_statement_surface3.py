@@ -104,3 +104,21 @@ def test_chain_transaction_keyword_symmetry():
     r.execute("INSERT INTO ct VALUES (8)")
     r.execute("ROLLBACK CHAIN TRANSACTION")
     assert len(r.execute("SELECT * FROM ct").rows) == 1
+
+
+def test_vault_history_rollback_audit_statements():
+    """VAULT HISTORY / ROLLBACK / AUDIT surface the engine's versioning
+    and audit APIs as statements (beyond the reference's 7 VaultOps)."""
+    r = QueryRouter()
+    r.init_vault("pw")
+    r.execute("VAULT SET 'api' 'v1'")
+    r.execute("VAULT ROTATE 'api' 'v2'")
+    row = r.execute("VAULT HISTORY 'api'").rows[0]
+    assert row["prior_versions"] == 1
+    assert r.execute("VAULT GET 'api'").value == "v2"
+    r.execute("VAULT ROLLBACK 'api'")
+    assert r.execute("VAULT GET 'api'").value == "v1"
+    assert r.execute("VAULT HISTORY 'api'").rows[0][
+        "prior_versions"] == 0
+    log = r.execute("VAULT AUDIT 5").rows
+    assert log and all("action" in e or "op" in e for e in log)
