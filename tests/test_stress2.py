@@ -306,3 +306,74 @@ def test_tensor_compress_stress(rng):
         assert err < 0.6        # random data is worst-case for TT
 
     _pound(4, op, seconds=1.0)
+
+
+def test_cache_background_eviction_under_churn():
+    """Background eviction + TTL expiry racing concurrent put/get/
+    invalidate from 8 threads: no exceptions, bounded size, consistent
+    stats."""
+    import threading
+
+    from neumann_tpu.cache.llm_cache import LLMCache
+
+    c = LLMCache(capacity=200, eviction="hybrid",
+                 default_ttl_s=0.5)
+    c.start_background_eviction(interval_s=0.005, low_watermark=0.5)
+    errs = []
+
+    def worker(wid):
+        try:
+            for i in range(300):
+                q = f"w{wid} q{i % 60}"
+                if i % 7 == 0:
+                    c.invalidate(q)
+                elif i % 3 == 0:
+                    c.get(q)
+                else:
+                    c.put(q, f"r{i}", ttl_s=0.05 if i % 5 else None)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(w,))
+               for w in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    c.stop_background_eviction()
+    assert not errs, errs[:2]
+    assert len(c) <= 200
+    s = c.stats
+    assert s.insertions > 0 and s.evictions + s.expirations >= 0
+
+
+def test_peer_rate_limiter_under_threads():
+    """Token buckets stay consistent under 8 concurrent senders: the
+    total admitted across threads never exceeds bucket + refill."""
+    import threading
+    import time as _time
+
+    from neumann_tpu.chain.transport import PeerRateLimiter
+
+    rl = PeerRateLimiter(bucket_size=50, refill_rate=100.0)
+    admitted = []
+    t0 = _time.monotonic()
+
+    def sender():
+        n = 0
+        while _time.monotonic() - t0 < 0.5:
+            if rl.check("peer"):
+                n += 1
+        admitted.append(n)
+
+    threads = [threading.Thread(target=sender) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    total = sum(admitted)
+    elapsed = _time.monotonic() - t0
+    # bucket (50) + refill for the elapsed window, with scheduling slack
+    assert total <= 50 + 100.0 * elapsed + 5, (total, elapsed)
+    assert total >= 40, total              # and tokens were spendable
+    assert rl.limited > 0                  # pressure actually hit
