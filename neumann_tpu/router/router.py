@@ -11,7 +11,6 @@ manager is attached; cursor-style pagination via execute_paginated.
 
 from __future__ import annotations
 
-import itertools
 import threading
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
@@ -126,8 +125,9 @@ class QueryRouter:
         self.blob = None         # attach via init_blob
         self.checkpoints = None  # attach via init_checkpoints
         self.data_dir = data_dir
-        self._cursors: Dict[str, dict] = {}
-        self._cursor_seq = itertools.count(1)
+        from neumann_tpu.router.cursor_store import CursorStore
+
+        self.cursor_store = CursorStore()
         self._lock = threading.RLock()
         from neumann_tpu.utils.observability import QueryMetrics
 
@@ -256,32 +256,36 @@ class QueryRouter:
         return [self.execute_statement(s) for s in parse_many(query)]
 
     def execute_paginated(self, query: str, page_size: int,
-                          cursor: Optional[str] = None):
-        """Returns (rows, next_cursor). Cursor survives across calls."""
+                          cursor: Optional[str] = None,
+                          ttl: Optional[float] = None):
+        """Returns (rows, next_cursor). Cursor survives across calls.
+
+        Cursors live in a bounded, TTL-expiring store (LRU-evicted at
+        capacity — reference query_router/src/cursor_store.rs); resuming
+        an expired or evicted cursor raises NeumannError.
+        """
+        from neumann_tpu.router.cursor_store import CursorError
+
         with self._lock:
-            if cursor is not None:
-                state = self._cursors.get(cursor)
-                if state is None:
-                    raise NeumannError(f"unknown cursor {cursor}")
-                rows = state["rows"]
-                pos = state["pos"]
-            else:
-                result = self.execute(query)
-                rows = result.rows or result.results
-                pos = 0
-                cursor = f"cur-{next(self._cursor_seq)}"
-                self._cursors[cursor] = {"rows": rows, "pos": 0}
-            page = rows[pos: pos + page_size]
-            newpos = pos + len(page)
-            if newpos >= len(rows):
-                self._cursors.pop(cursor, None)
+            try:
+                if cursor is not None:
+                    state = self.cursor_store.get(cursor)
+                else:
+                    result = self.execute(query)
+                    rows = result.rows or result.results
+                    state = self.cursor_store.new_cursor(
+                        query, rows, page_size, ttl=ttl)
+            except CursorError as e:
+                raise NeumannError(str(e)) from e
+            page = state.rows[state.pos: state.pos + page_size]
+            state.pos += len(page)
+            if not state.has_more():
+                self.cursor_store.remove(state.id)
                 return page, None
-            self._cursors[cursor]["pos"] = newpos
-            return page, cursor
+            return page, state.id
 
     def close_cursor(self, cursor: str) -> bool:
-        with self._lock:
-            return self._cursors.pop(cursor, None) is not None
+        return self.cursor_store.remove(cursor)
 
     # -- auto checkpoint -------------------------------------------------------
     def _auto_ckpt(self, op: str, detail: str = "") -> None:
