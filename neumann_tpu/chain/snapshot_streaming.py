@@ -46,9 +46,36 @@ def stream_snapshot(snapshot_id: str, blob: bytes,
                             blob[off: off + chunk_size])
 
 
+def stream_snapshot_buffer(snapshot_id: str, buf,
+                           chunk_size: int = CHUNK,
+                           resume_from: int = 0
+                           ) -> Iterator[SnapshotChunk]:
+    """Stream from a finalized chain.snapshot_buffer.SnapshotBuffer:
+    chunks are mmap reads and the digest is the buffer's incremental
+    SHA-256 — the sender never materializes the whole blob either."""
+    digest = buf.hash_hex()
+    for off in range(resume_from, max(buf.size, 1), chunk_size):
+        yield SnapshotChunk(snapshot_id, off, buf.size, digest,
+                            buf.read_chunk(off, chunk_size))
+
+
 class SnapshotReceiver:
-    def __init__(self):
+    """Reassembles streamed chunks. Snapshots whose declared total
+    exceeds ``memory_threshold`` assemble through a disk-spilling
+    SnapshotBuffer (chain/snapshot_buffer.py — the reference's
+    snapshot_buffer.rs) with an INCREMENTAL whole-stream SHA-256, so the
+    receive window never holds a multi-GB blob on the heap; small ones
+    keep the in-memory out-of-order-tolerant path."""
+
+    def __init__(self, memory_threshold: Optional[int] = None):
+        from neumann_tpu.chain.snapshot_buffer import \
+            DEFAULT_MEMORY_THRESHOLD
+
+        self.memory_threshold = (DEFAULT_MEMORY_THRESHOLD
+                                 if memory_threshold is None
+                                 else memory_threshold)
         self._buffers: Dict[str, bytearray] = {}
+        self._spill: Dict[str, object] = {}
         self._meta: Dict[str, dict] = {}
 
     def receive(self, chunk: SnapshotChunk) -> Optional[bytes]:
@@ -58,13 +85,40 @@ class SnapshotReceiver:
             meta = {"total": chunk.total, "sha256": chunk.sha256,
                     "received": 0}
             self._meta[chunk.snapshot_id] = meta
-            self._buffers[chunk.snapshot_id] = bytearray(chunk.total)
+            if chunk.total > self.memory_threshold:
+                from neumann_tpu.chain.snapshot_buffer import (
+                    SnapshotBuffer, SnapshotBufferConfig)
+                self._spill[chunk.snapshot_id] = SnapshotBuffer(
+                    SnapshotBufferConfig(
+                        memory_threshold=self.memory_threshold))
+            else:
+                self._buffers[chunk.snapshot_id] = bytearray(chunk.total)
         if chunk.total != meta["total"] or chunk.sha256 != meta["sha256"]:
             raise ChainError("snapshot metadata changed mid-stream")
-        buf = self._buffers[chunk.snapshot_id]
         end = chunk.offset + len(chunk.data)
-        if end > len(buf):
+        if end > meta["total"]:
             raise ChainError("snapshot chunk out of bounds")
+        spill = self._spill.get(chunk.snapshot_id)
+        if spill is not None:
+            # disk-spill assembly is sequential (the stream is ordered;
+            # resume re-sends from the last contiguous offset) — append
+            # only the unseen suffix of this chunk
+            if chunk.offset > meta["received"]:
+                raise ChainError("snapshot chunk gap in spilled stream")
+            skip = meta["received"] - chunk.offset
+            if skip < len(chunk.data):
+                spill.write(bytes(chunk.data[skip:]))
+            meta["received"] = max(meta["received"], end)
+            if meta["received"] >= meta["total"]:
+                spill.finalize()
+                if spill.hash_hex() != meta["sha256"]:
+                    self.abort(chunk.snapshot_id)
+                    raise ChainError("snapshot SHA-256 mismatch")
+                blob = bytes(spill.as_bytes())
+                self.abort(chunk.snapshot_id)
+                return blob
+            return None
+        buf = self._buffers[chunk.snapshot_id]
         buf[chunk.offset: end] = chunk.data
         meta["received"] = max(meta["received"], end)
         if meta["received"] >= meta["total"]:
@@ -83,4 +137,7 @@ class SnapshotReceiver:
 
     def abort(self, snapshot_id: str) -> None:
         self._buffers.pop(snapshot_id, None)
+        spill = self._spill.pop(snapshot_id, None)
+        if spill is not None:
+            spill.cleanup()
         self._meta.pop(snapshot_id, None)
