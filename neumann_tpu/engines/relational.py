@@ -1156,6 +1156,18 @@ class RelationalEngine:
         the options (columns/order_by/limit/offset/timeout_s)."""
         return self.select(name, condition, **options)
 
+    def select_streaming(self, name: str,
+                         condition: Optional[Condition] = None,
+                         batch_size: int = 1000,
+                         max_rows: Optional[int] = None
+                         ) -> "StreamingCursor":
+        """Batch-fetching iterator over matching rows — large result
+        sets never materialize at once (relational_engine/src/cursor.rs
+        StreamingCursor)."""
+        self._table(name)  # validate the table exists up front
+        return StreamingCursor(self, name, condition,
+                               batch_size=batch_size, max_rows=max_rows)
+
     def count(self, name: str, condition: Optional[Condition] = None) -> int:
         t = self._table(name)
         with t.lock:
@@ -1598,6 +1610,74 @@ class RelationalEngine:
     def rollback(self, tx_id: int) -> None:
         self._tx(tx_id)
         del self._txs[tx_id]
+
+
+class StreamingCursor:
+    """Iterator that re-queries in offset batches instead of loading the
+    whole result set (reference relational_engine/src/cursor.rs). Also
+    iterable batch-wise via ``batches()``. Like the reference, each
+    batch re-evaluates the condition at fetch time, so rows inserted or
+    deleted mid-iteration may shift later batches."""
+
+    def __init__(self, engine: "RelationalEngine", table: str,
+                 condition: Optional[Condition] = None,
+                 batch_size: int = 1000,
+                 max_rows: Optional[int] = None):
+        self.engine = engine
+        self.table = table
+        self.condition = condition
+        self.batch_size = batch_size if batch_size > 0 else 1000
+        self.max_rows = max_rows
+        self.current_offset = 0
+        self.rows_yielded = 0
+        self._batch: List[Dict[str, object]] = []
+        self._batch_index = 0
+        self._exhausted = False
+
+    def _fetch(self) -> None:
+        want = self.batch_size
+        if self.max_rows is not None:
+            want = min(want, self.max_rows - self.rows_yielded)
+        if want <= 0:
+            self._exhausted = True
+            return
+        self._batch = self.engine.select(
+            self.table, self.condition, limit=want,
+            offset=self.current_offset)
+        self._batch_index = 0
+        self.current_offset += len(self._batch)
+        if not self._batch:
+            self._exhausted = True
+
+    def __iter__(self) -> "StreamingCursor":
+        return self
+
+    def __next__(self) -> Dict[str, object]:
+        if self.max_rows is not None and self.rows_yielded >= self.max_rows:
+            raise StopIteration
+        if self._batch_index >= len(self._batch):
+            if self._exhausted:
+                raise StopIteration
+            self._fetch()
+            if self._batch_index >= len(self._batch):
+                raise StopIteration
+        row = self._batch[self._batch_index]
+        self._batch_index += 1
+        self.rows_yielded += 1
+        return row
+
+    def batches(self):
+        """Yield whole batches (reference next_batch loop)."""
+        while True:
+            batch = []
+            for _ in range(self.batch_size):
+                try:
+                    batch.append(next(self))
+                except StopIteration:
+                    break
+            if not batch:
+                return
+            yield batch
 
 
 class _BulkFallback(Exception):
