@@ -64,17 +64,23 @@ def _probe_backend(timeout_s: float = 240.0) -> None:
     import os
     import subprocess
 
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; jax.devices()"],
-            timeout=timeout_s, env=dict(os.environ),
-            capture_output=True)
-        if r.returncode == 0:
-            return
-        detail = (r.stderr or b"").decode()[-400:]
-    except subprocess.TimeoutExpired:
-        detail = f"jax.devices() hung for {timeout_s:.0f}s (tunnel down?)"
+    detail = ""
+    for attempt in range(3):  # observed outages are sometimes transient
+        if attempt:
+            _phase(f"backend probe failed ({detail.strip()[-120:]}); "
+                   f"retrying in 120s ({attempt + 1}/3)")
+            time.sleep(120)
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices()"],
+                timeout=timeout_s, env=dict(os.environ),
+                capture_output=True)
+            if r.returncode == 0:
+                return
+            detail = (r.stderr or b"").decode()[-400:]
+        except subprocess.TimeoutExpired:
+            detail = f"jax.devices() hung for {timeout_s:.0f}s (tunnel down?)"
     print(json.dumps({
         "metric": "similar_top10_qps", "value": 0, "unit": "qps",
         "vs_baseline": 0,
