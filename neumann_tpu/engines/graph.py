@@ -403,6 +403,18 @@ class GraphEngine(GraphAlgorithmsMixin):
                     out.append(eid)
             return out
 
+    def out_edges(self, nid: int) -> List[dict]:
+        """Edges leaving ``nid`` (undirected edges incident at it count
+        too), as get_edge dicts."""
+        with self._lock:
+            return [self.get_edge(eid)
+                    for eid in list(self._out.get(nid, []))]
+
+    def in_edges(self, nid: int) -> List[dict]:
+        with self._lock:
+            return [self.get_edge(eid)
+                    for eid in list(self._in.get(nid, []))]
+
     # ------------------------------------------------------------------
     # neighborhood / traversal
     # ------------------------------------------------------------------

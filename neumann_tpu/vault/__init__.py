@@ -54,4 +54,8 @@ from neumann_tpu.vault.rotation import (  # noqa: F401
     RotationManager,
     RotationPolicy,
 )
+from neumann_tpu.vault.access import (  # noqa: F401
+    AccessController,
+    EdgeSigner,
+)
 from neumann_tpu.vault.vault import TensorVault, Permission  # noqa: F401

@@ -151,7 +151,8 @@ def _isolated_copy() -> Path:
     return sandbox
 
 
-def run(files, per_file, seed, timeout):
+def run(files, per_file, seed, timeout, tests=None):
+    tests = tests or TESTS
     import os
     import shutil
 
@@ -188,7 +189,7 @@ def run(files, per_file, seed, timeout):
                 path.write_text(src)
                 r = subprocess.run(
                     [sys.executable, "-m", "pytest", "-x", "-q",
-                     "-p", "no:cacheprovider", *TESTS],
+                     "-p", "no:cacheprovider", *tests],
                     cwd=sandbox, env=env, capture_output=True,
                     timeout=timeout)
                 if r.returncode != 0:
@@ -220,9 +221,12 @@ def main():
     ap.add_argument("--files", nargs="*", default=DEFAULT_FILES)
     ap.add_argument("--report", default=None,
                     help="write MUTATION_TESTING.md-style report here")
+    ap.add_argument("--tests", nargs="*", default=None,
+                    help="override the test subset run per mutant")
     args = ap.parse_args()
     killed, survived, skipped, rate = run(
-        args.files, args.per_file, args.seed, args.timeout)
+        args.files, args.per_file, args.seed, args.timeout,
+        tests=args.tests)
     if args.report:
         lines = [
             "# Mutation testing (chain safety core)\n",
