@@ -266,3 +266,37 @@ def test_quorum_lost_blocks_writes():
                                cluster=leader, membership=DeadMembership())
     with pytest.raises(QuorumLost):
         d.create_node("person")
+
+
+# -- mutation-gap tests (survivors from tools/mutation_test.py) ------------------
+
+def test_imbalance_ratio_empty_shard_is_inf():
+    from neumann_tpu.engines.graph_distributed import PartitionStats
+
+    st = PartitionStats(nodes_per_shard={0: 5, 1: 0})
+    assert st.imbalance_ratio() == float("inf")
+    st2 = PartitionStats(nodes_per_shard={0: 6, 1: 2})
+    assert st2.imbalance_ratio() == 3.0
+    assert PartitionStats().imbalance_ratio() == 1.0
+
+
+def test_membership_status_empty_cluster_unknown():
+    from neumann_tpu.engines.graph_distributed import ChainMembership
+
+    assert ChainMembership._status(0, 0) is PartitionStatus.UNKNOWN
+    assert ChainMembership._status(2, 3) is PartitionStatus.QUORUM_REACHABLE
+    assert ChainMembership._status(2, 4) is PartitionStatus.STALEMATE
+    assert ChainMembership._status(1, 4) is PartitionStatus.QUORUM_LOST
+
+
+def test_partition_stats_exact_counts():
+    d = make_standalone(num_shards=2)
+    ids = [d.create_node("n") for _ in range(5)]  # ids 0..4 -> shards 0,1,0,1,0
+    d.create_edge(ids[0], ids[2], "same")    # 0->2: shard 0->0
+    d.create_edge(ids[0], ids[1], "cross")   # 0->1: shard 0->1
+    d.create_edge(ids[2], ids[3], "cross")   # 2->3: shard 0->1
+    st = d.partition_stats()
+    assert st.nodes_per_shard == {0: 3, 1: 2}
+    assert st.edges_per_shard == {0: 3}
+    assert st.cross_shard_edges == 2
+    assert st.total_edges == 3

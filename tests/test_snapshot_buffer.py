@@ -178,3 +178,24 @@ def test_small_snapshot_keeps_memory_path():
         out = recv.receive(chunk)
     assert out == blob
     assert recv._spill == {}
+
+
+# -- mutation-gap tests ----------------------------------------------------------
+
+def test_spill_boundary_exactly_at_threshold():
+    """Spill happens strictly ABOVE the threshold, not at it."""
+    b = make(threshold=100)
+    b.write(b"x" * 100)
+    assert not b.spilled
+    b.write(b"y")
+    assert b.spilled
+    b.cleanup()
+
+
+def test_read_chunk_at_end_is_empty():
+    b = make()
+    b.write(b"abc")
+    b.finalize()
+    assert b.read_chunk(3, 100) == b""
+    assert b.read_chunk(2, 100) == b"c"
+    b.cleanup()
