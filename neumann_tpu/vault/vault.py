@@ -72,6 +72,9 @@ class TensorVault:
         self.namespace = namespace
         self._lock = threading.RLock()
         self._grants: Dict[Tuple[str, str], _Grant] = {}
+        self._access = None          # graph topology: enable_graph_access()
+        self._edge_signer = None
+        self._attenuation = None
         self._audit: List[_AuditEvent] = []
         self._rate_limit = rate_limit_per_min
         self._rate_window: Dict[str, List[float]] = {}
@@ -325,8 +328,92 @@ class TensorVault:
         pol = self.policies.permission_for(actor, key)
         if pol is not None and pol >= int(need):
             return
+        # graph topology: signed access edges through group membership,
+        # attenuated by distance (vault.rs:1204-1238
+        # check_access_with_permission)
+        if self._access is not None:
+            node = self.secret_node_key(key)
+            if self._access.check_path_with_permission_verified(
+                    actor, node, need, self._edge_signer,
+                    self._attenuation):
+                return
+            if self._access.check_path(actor, node):
+                self._log(actor, "denied", key, False)
+                raise VaultError(
+                    f"'{actor}' has access but not {need.name} on '{key}'")
         self._log(actor, "denied", key, False)
         raise VaultError(f"'{actor}' lacks {need.name} on '{key}'")
+
+    # -- graph-based (topological) access -------------------------------------
+    def enable_graph_access(self, graph=None, signer_key: bytes = b"",
+                            attenuation=None):
+        """Turn on topological access control (vault.rs:1204-1285 +
+        access.rs): permission checks additionally walk a graph of
+        MEMBER (traversal-only) and HMAC-signed VAULT_ACCESS_* (grant)
+        edges, with distance attenuation. Pass a GraphEngine to persist
+        or share the topology; default is a private in-memory graph."""
+        from neumann_tpu.engines.graph import GraphEngine
+        from neumann_tpu.vault.access import AccessController, EdgeSigner
+        from neumann_tpu.vault.attenuation import AttenuationPolicy
+
+        self._access = AccessController(
+            graph if graph is not None else GraphEngine())
+        self._edge_signer = EdgeSigner(signer_key or bytes(self._key))
+        self._attenuation = (attenuation if attenuation is not None
+                             else AttenuationPolicy())
+        return self._access
+
+    def secret_node_key(self, key: str) -> str:
+        return f"vaultsecret:{self.namespace}:{key}"
+
+    def add_to_group(self, member: str, group: str,
+                     actor: str = "root") -> None:
+        """MEMBER edge: traversal only, grants nothing by itself."""
+        self._require_graph_access()
+        if actor != self.ROOT:
+            raise VaultError("only root manages group membership")
+        self._access.add_member_edge(member, group)
+        self._log(actor, "add_to_group", f"{member}->{group}", True)
+
+    def grant_path(self, source: str, key: str,
+                   level: Permission = Permission.READ,
+                   capacity: Optional[Permission] = None,
+                   actor: str = "root") -> None:
+        """Signed access edge ``source -> secret(key)`` — source may be
+        a group, in which case members inherit (attenuated)."""
+        self._require_graph_access()
+        self._check(actor, key, Permission.ADMIN)
+        self._access.add_access_edge(
+            source, self.secret_node_key(key), level,
+            signer=self._edge_signer, timestamp=int(time.time()),
+            capacity=capacity)
+        self._log(actor, "grant_path", key, True)
+
+    def get_permission(self, requester: str, key: str
+                       ) -> Optional[Permission]:
+        """Effective permission: direct grant, else policy, else the
+        verified graph level (vault.rs:1271-1285 get_permission)."""
+        if requester == self.ROOT:
+            return Permission.ADMIN
+        best: Optional[Permission] = None
+        g = self._grants.get((requester, key))
+        if g is not None and g.live():
+            best = g.level
+        pol = self.policies.permission_for(requester, key)
+        if pol is not None:
+            p = Permission(pol)
+            best = p if best is None else max(best, p)
+        if self._access is not None:
+            gp = self._access.get_permission_level_verified(
+                requester, self.secret_node_key(key), self._edge_signer,
+                self._attenuation)
+            if gp is not None:
+                best = gp if best is None else max(best, gp)
+        return best
+
+    def _require_graph_access(self) -> None:
+        if self._access is None:
+            raise VaultError("call enable_graph_access() first")
 
     def _rate_check(self, actor: str) -> None:
         if not self._rate_limit:

@@ -200,3 +200,74 @@ def test_edge_signer_roundtrip():
     assert not s.verify_edge("a", "b", "VAULT_ACCESS_READ", 43, sig)
     assert not s.verify_edge("a", "x", "VAULT_ACCESS_READ", 42, sig)
     assert not s.verify_edge("a", "b", "VAULT_ACCESS_ADMIN", 42, sig)
+
+
+# -- TensorVault integration (vault.rs:1204-1285) --------------------------------
+
+def _vault():
+    from neumann_tpu.store.tensor_store import TensorStore
+    from neumann_tpu.vault.vault import TensorVault
+
+    v = TensorVault(TensorStore(), master_password="pw")
+    v.set("db/pass", "s3cret")
+    return v
+
+
+def test_vault_graph_access_via_group():
+    v = _vault()
+    v.enable_graph_access()
+    v.add_to_group("user:bob", "group:eng")
+    v.grant_path("group:eng", "db/pass", Permission.READ)
+    assert v.get("db/pass", actor="user:bob") == "s3cret"
+    with pytest.raises(Exception, match="has access but not WRITE"):
+        v.set("db/pass", "newval", actor="user:bob")
+
+
+def test_vault_graph_access_distinct_denials():
+    v = _vault()
+    v.enable_graph_access()
+    # no path at all -> "lacks"
+    with pytest.raises(Exception, match="lacks READ"):
+        v.get("db/pass", actor="user:eve")
+    # read path exists but admin needed -> "has access but not"
+    v.grant_path("user:bob", "db/pass", Permission.READ)
+    with pytest.raises(Exception, match="has access but not ADMIN"):
+        v.grant("user:carol", "db/pass", actor="user:bob")
+
+
+def test_vault_get_permission_merges_sources():
+    v = _vault()
+    v.enable_graph_access()
+    assert v.get_permission("root", "db/pass") == Permission.ADMIN
+    assert v.get_permission("user:bob", "db/pass") is None
+    v.grant("user:bob", "db/pass", Permission.READ)        # direct
+    v.grant_path("user:bob", "db/pass", Permission.WRITE)  # graph
+    assert v.get_permission("user:bob", "db/pass") == Permission.WRITE
+
+
+def test_vault_graph_attenuation_demotes_admin():
+    from neumann_tpu.vault.attenuation import AttenuationPolicy
+
+    v = _vault()
+    v.enable_graph_access(
+        attenuation=AttenuationPolicy(admin_limit=1, write_limit=2,
+                                      horizon=10))
+    v.add_to_group("user:bob", "group:eng")
+    v.grant_path("group:eng", "db/pass", Permission.ADMIN)
+    # 2 hops: ADMIN attenuates to WRITE -> write ok, admin op denied
+    v.set("db/pass", "v2", actor="user:bob")
+    with pytest.raises(Exception, match="has access but not ADMIN"):
+        v.grant("user:x", "db/pass", actor="user:bob")
+
+
+def test_vault_group_membership_requires_root():
+    v = _vault()
+    v.enable_graph_access()
+    with pytest.raises(Exception, match="root"):
+        v.add_to_group("a", "b", actor="user:mallory")
+
+
+def test_vault_graph_api_requires_enablement():
+    v = _vault()
+    with pytest.raises(Exception, match="enable_graph_access"):
+        v.add_to_group("a", "b")
