@@ -300,3 +300,31 @@ def test_partition_stats_exact_counts():
     assert st.edges_per_shard == {0: 3}
     assert st.cross_shard_edges == 2
     assert st.total_edges == 3
+
+
+def test_single_node_providers_surface():
+    from neumann_tpu.engines.graph_distributed import (SingleNodeConsensus,
+                                                       SingleNodeMembership)
+
+    c = SingleNodeConsensus("nX")
+    assert c.node_id() == "nX" and c.current_leader() == "nX"
+    assert c.current_term() == 0 and c.commit_index() == 0
+    m = SingleNodeMembership("nX")
+    assert m.is_healthy("nX")
+    assert not m.is_healthy("other")
+    assert m.healthy_count() == 1
+
+
+def test_stats_exact_counters():
+    d = make_standalone()
+    a = d.create_node("x")
+    b = d.create_node("x")
+    e = d.create_edge(a, b, "r")
+    d.get_node(a); d.get_edge(e); d.neighbors(a); d.find_path(a, b)
+    d.pagerank(); d.connected_components()
+    assert d.stats.reads == 6
+    assert d.stats.writes == 3
+    assert d.stats.commits == 3
+    d.update_node(a, {"k": 1}); d.delete_edge(e); d.delete_node(b)
+    assert d.stats.writes == 6
+    assert d.stats.commits == 6
