@@ -647,7 +647,12 @@ class VectorEngine:
                 scores, idx = hamming_topk_pallas(bits, qbits, k, mask)
             else:
                 scores, idx = _jitted_hamming()(bits, qbits, k, mask)
-        elif quantization == "int8" and metric != "composite":
+        elif quantization == "int8" and metric in ("cosine", "dot",
+                                                   "euclidean"):
+            # the int8 kernel only has dot/cosine/euclidean forms
+            # (ops/quant.py:_int8_block_scores); other metrics fall
+            # through to the exact f32 path below instead of tracing
+            # into an unsupported-metric error
             pool = _pooled_pool(corpus, k, metric, extra_mask)
             if pool is not None:
                 # pooled-bits scan: fastest cosine path at scale

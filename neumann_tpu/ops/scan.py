@@ -41,7 +41,7 @@ from jax import lax
 # + Jaccard support overlap + inverted euclidean, weighted. On TPU the
 # Jaccard term is a SECOND indicator matmul, so it stays on the MXU.
 METRICS = ("cosine", "dot", "euclidean", "manhattan", "composite",
-           "weighted_jaccard")
+           "weighted_jaccard", "angular", "geodesic", "jaccard", "overlap")
 
 # GeometricConfig presets (distance.rs:140-168): (cosine, structural,
 # magnitude) weights.
@@ -99,9 +99,32 @@ def _block_scores(queries, corpus_block, metric, q_sqnorm, c_sqnorm_block,
         max_sum = (tot + diff) * 0.5
         min_sum = (tot - diff) * 0.5
         return jnp.where(max_sum > 0.0, min_sum / max_sum, 1.0)
+    if metric in ("jaccard", "overlap"):
+        # Support-set metrics (sparse_vector.rs:816-866) as ONE indicator
+        # matmul: |A∩B| = nz(q) @ nz(c).T on the MXU. jaccard divides by
+        # the union (both-empty rows count as identical, 1.0); overlap by
+        # the smaller support (any empty side -> 0.0).
+        nz_q = (queries != 0.0).astype(jnp.float32)
+        nz_c = (corpus_block != 0.0).astype(jnp.float32)
+        inter = _dot_scores(nz_q, nz_c)
+        nq = jnp.sum(nz_q, axis=1, keepdims=True)       # [Q, 1]
+        nc = jnp.sum(nz_c, axis=1)[None, :]             # [1, B]
+        if metric == "jaccard":
+            union = nq + nc - inter
+            return jnp.where(union > 0.0, inter / jnp.maximum(union, 1.0),
+                             1.0)
+        smaller = jnp.minimum(nq, nc)
+        return jnp.where(smaller > 0.0,
+                         inter / jnp.maximum(smaller, 1.0), 0.0)
     dots = _dot_scores(queries, corpus_block)
     if metric == "dot":
         return dots
+    if metric in ("cosine", "angular", "geodesic"):
+        # angular/geodesic distance = arccos(cos) is a monotone
+        # transform of cosine (distance.rs:22-31, geodesic == angular
+        # on the hypersphere, sparse_vector.rs:805-808), so the scan
+        # orders by cosine and _finalize maps the k winners.
+        metric = "cosine"
     if metric == "cosine":
         q_inv = lax.rsqrt(jnp.maximum(q_sqnorm, 1e-30))
         c_inv = lax.rsqrt(jnp.maximum(c_sqnorm_block, 1e-30))
@@ -166,6 +189,12 @@ def _finalize(scores, metric):
     if metric == "euclidean":
         # internal score is -dist^2 -> report -dist (engine maps to 1/(1+d))
         return -jnp.sqrt(jnp.maximum(-scores, 0.0))
+    if metric in ("angular", "geodesic"):
+        # internal score is cosine; report -arccos(cos) so that higher
+        # is still better (distance 0 == identical direction)
+        finite = jnp.isfinite(scores)
+        safe = jnp.clip(jnp.where(finite, scores, 0.0), -1.0, 1.0)
+        return jnp.where(finite, -jnp.arccos(safe), scores)
     return scores
 
 

@@ -76,6 +76,11 @@ class SparseVector:
         c = np.clip(self.cosine_similarity(other), -1.0, 1.0)
         return float(np.arccos(c) / np.pi)
 
+    def geodesic_distance(self, other: "SparseVector") -> float:
+        """Arc length on the hypersphere == angular distance
+        (sparse_vector.rs:805-808)."""
+        return self.angular_distance(other)
+
     def jaccard(self, other: "SparseVector") -> float:
         a = set(self.positions.tolist())
         b = set(other.positions.tolist())

@@ -226,3 +226,61 @@ def test_fuzz_access_edge_signature_bits():
         assert not s.verify_edge(src + "x", dst, etype, ts, sig)
         assert not s.verify_edge(src, dst + "x", etype, ts, sig)
         assert not s.verify_edge(src, dst, etype, ts + 1, sig)
+
+
+# ------------------------------------------------------------- angular metric
+
+def test_angular_geodesic_metric_matches_arccos_of_cosine():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from neumann_tpu.ops.scan import score_all, topk_scan_jit
+
+    rng = np.random.default_rng(0)
+    corpus = rng.standard_normal((64, 16)).astype(np.float32)
+    q = rng.standard_normal((3, 16)).astype(np.float32)
+    # score_all is the INTERNAL ordering primitive: angular orders by
+    # plain cosine there (arccos is monotone); the public topk_scan
+    # reports the finalized -arccos distances.
+    cos = np.asarray(score_all(jnp.asarray(corpus), jnp.asarray(q),
+                               metric="cosine"))
+    for metric in ("angular", "geodesic"):
+        raw = np.asarray(score_all(jnp.asarray(corpus), jnp.asarray(q),
+                                   metric=metric))
+        np.testing.assert_allclose(raw, cos, rtol=1e-6)
+        s, i = topk_scan_jit(jnp.asarray(corpus), jnp.asarray(q), 5, metric)
+        s_cos, i_cos = topk_scan_jit(jnp.asarray(corpus), jnp.asarray(q), 5,
+                                     "cosine")
+        assert np.array_equal(np.asarray(i), np.asarray(i_cos))  # same order
+        np.testing.assert_allclose(
+            np.asarray(s),
+            -np.arccos(np.clip(np.asarray(s_cos), -1, 1)),
+            rtol=1e-5, atol=1e-5)
+        assert np.all(np.asarray(s) <= 0.0)  # -arccos in [-pi, 0]
+
+
+def test_vector_engine_accepts_angular():
+    import numpy as np
+
+    from neumann_tpu.engines.vector import VectorEngine
+
+    e = VectorEngine()
+    rng = np.random.default_rng(1)
+    for i in range(20):
+        e.store_embedding(f"k{i}", rng.standard_normal(8).astype(np.float32))
+    hits = e.search_similar_with_metric(rng.standard_normal(8), 5,
+                                        metric="angular")
+    assert len(hits) == 5
+    base = e.search_similar_with_metric(
+        np.asarray(e.get_embedding("k3")), 1, metric="geodesic")
+    assert base[0].key == "k3"
+
+
+def test_sparse_geodesic_alias():
+    import numpy as np
+
+    from neumann_tpu.store.sparse import SparseVector
+
+    a = SparseVector.from_dense(np.array([1.0, 0, 2.0, 0]))
+    b = SparseVector.from_dense(np.array([0.5, 0, 1.7, 0.1]))
+    assert a.geodesic_distance(b) == a.angular_distance(b)

@@ -392,3 +392,43 @@ def test_blockwise_mask_and_int8_cross_check(rng):
     np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_b),
                                rtol=1e-5, atol=1e-5)
     assert (np.asarray(i_f) == np.asarray(i_b)).all()
+
+
+def test_jaccard_overlap_match_sparse_oracle(rng):
+    """Dense support-set metrics vs the scalar SparseVector oracle
+    (sparse_vector.rs:816-866 semantics)."""
+    from neumann_tpu.store.sparse import SparseVector
+
+    corpus = rng.standard_normal((60, 24)).astype(np.float32)
+    corpus[rng.random((60, 24)) < 0.5] = 0.0
+    corpus[7] = 0.0  # one fully-empty row
+    queries = rng.standard_normal((4, 24)).astype(np.float32)
+    queries[rng.random((4, 24)) < 0.5] = 0.0
+    queries[2] = 0.0  # one fully-empty query
+
+    sc = [SparseVector.from_dense(r) for r in corpus]
+    for metric, fn in (("jaccard", SparseVector.jaccard),
+                       ("overlap", SparseVector.overlap)):
+        got = np.asarray(score_all(jnp.asarray(corpus),
+                                   jnp.asarray(queries), metric=metric))
+        for qi in range(queries.shape[0]):
+            sq = SparseVector.from_dense(queries[qi])
+            want = np.array([fn(sq, c) for c in sc], dtype=np.float32)
+            np.testing.assert_allclose(got[qi], want, rtol=1e-6, atol=1e-6)
+        # topk agrees with the full matrix ordering (allowing ties)
+        s, i = topk_scan(jnp.asarray(corpus), jnp.asarray(queries), 5, metric)
+        full = np.asarray(score_all(jnp.asarray(corpus),
+                                    jnp.asarray(queries), metric=metric))
+        np.testing.assert_allclose(
+            np.asarray(s), -np.sort(-full, axis=1)[:, :5], rtol=1e-6)
+
+
+def test_jaccard_blockwise_matches_flat(rng):
+    corpus = rng.standard_normal((130, 16)).astype(np.float32)
+    corpus[rng.random((130, 16)) < 0.6] = 0.0
+    queries = rng.standard_normal((3, 16)).astype(np.float32)
+    for metric in ("jaccard", "overlap"):
+        sf, _ = topk_scan(jnp.asarray(corpus), jnp.asarray(queries), 7, metric)
+        sb, _ = topk_scan(jnp.asarray(corpus), jnp.asarray(queries), 7, metric,
+                          block_rows=32)
+        np.testing.assert_allclose(np.asarray(sf), np.asarray(sb), rtol=1e-6)

@@ -366,3 +366,20 @@ def test_load_index_corruption_hardening(rng, eng, tmp_path):
             eng.load_index(tmp_path / "c.npz")
         except VectorError:
             pass
+
+
+def test_unsupported_int8_metrics_fall_back_to_float(rng):
+    """int8 collections accept every METRICS value: metrics without an
+    int8 kernel form route through the exact f32 path instead of
+    raising (ops/quant.py only implements cosine/dot/euclidean)."""
+    eng = VectorEngine()
+    eng.create_collection("c8", VectorCollectionConfig(
+        dimension=16, quantization="int8"))
+    vecs = rng.standard_normal((12, 16)).astype(np.float32)
+    vecs[rng.random((12, 16)) < 0.3] = 0.0
+    for i, v in enumerate(vecs):
+        eng.store_in_collection("c8", f"v{i}", v)
+    for metric in ("manhattan", "weighted_jaccard", "jaccard", "overlap",
+                   "angular", "geodesic"):
+        res = eng.search_in_collection("c8", vecs[4], 3, metric=metric)
+        assert res and res[0].key == "v4", metric
