@@ -33,6 +33,8 @@ _METRIC_MAP = {
     "COMPOSITE": "composite", "GEOMETRIC": "composite",
     "WEIGHTED_JACCARD": "weighted_jaccard",
     "WJACCARD": "weighted_jaccard",
+    "ANGULAR": "angular", "GEODESIC": "geodesic",
+    "JACCARD": "jaccard", "OVERLAP": "overlap",
 }
 
 

@@ -880,7 +880,9 @@ static const struct { const char *up; const char *val; } METRICS[] = {
     {"DOT_PRODUCT", "dot"}, {"MANHATTAN", "manhattan"},
     {"COMPOSITE", "composite"}, {"GEOMETRIC", "composite"},
     {"WEIGHTED_JACCARD", "weighted_jaccard"},
-    {"WJACCARD", "weighted_jaccard"}, {NULL, NULL}};
+    {"WJACCARD", "weighted_jaccard"},
+    {"ANGULAR", "angular"}, {"GEODESIC", "geodesic"},
+    {"JACCARD", "jaccard"}, {"OVERLAP", "overlap"}, {NULL, NULL}};
 
 static PyObject *parse_similar(P *p) {
     PyObject *qkey = NULL, *qvec = NULL, *limit = NULL, *metric = NULL;

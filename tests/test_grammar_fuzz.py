@@ -159,7 +159,8 @@ class Gen:
             key = self.keys[int(r.integers(0, len(self.keys)))]
             metric = str(r.choice(["COSINE", "EUCLIDEAN", "DOT",
                                    "MANHATTAN", "COMPOSITE",
-                                   "WEIGHTED_JACCARD"]))
+                                   "WEIGHTED_JACCARD", "ANGULAR",
+                                   "GEODESIC", "JACCARD", "OVERLAP"]))
             return (f"SIMILAR '{key}' TOP {int(r.integers(1, 8))} "
                     f"METRIC {metric}")
         return f"SELECT COUNT(*) FROM {table}"

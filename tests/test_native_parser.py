@@ -54,6 +54,10 @@ COVERED = [
     "SIMILAR [0.1, 0.2] LIMIT 5 METRIC EUCLIDEAN IN docs "
     "CONNECTED TO 'e:1' WHERE score > 0.5",
     "SIMILAR 'k' METRIC WJACCARD",
+    "SIMILAR 'k' METRIC ANGULAR",
+    "SIMILAR 'k' METRIC GEODESIC",
+    "SIMILAR 'k' METRIC JACCARD",
+    "SIMILAR 'k' METRIC OVERLAP",
     "SIMILAR 'k'",
     # UPDATE / DELETE / EMBED
     "UPDATE t SET a = 5 WHERE b = 'v'",

@@ -308,3 +308,12 @@ def test_native_lexer_matches_python_lexer():
         except Exception:
             b = None
         assert a == b or (a is None and b is None), repr(src)
+
+
+def test_similar_extended_metric_names():
+    for name, want in (("ANGULAR", "angular"), ("GEODESIC", "geodesic"),
+                       ("JACCARD", "jaccard"), ("OVERLAP", "overlap")):
+        stmt = parse(f"SIMILAR 'v1' TOP 5 METRIC {name}")
+        assert stmt.metric == want
+    c = parse("CREATE COLLECTION g DIMENSION 8 METRIC ANGULAR")
+    assert c.metric == "angular"

@@ -392,3 +392,17 @@ def test_explain_statements(r):
     assert ops == ["scan", "mask", "select"]
     assert "MXU matmul" in sim[0]["detail"]
     assert "fused into scan" in sim[1]["detail"]
+
+
+def test_similar_extended_metrics_end_to_end(r):
+    r.execute("EMBED STORE 'a' [1.0, 0.0, 2.0, 0.0]")
+    r.execute("EMBED STORE 'b' [0.9, 0.0, 1.9, 0.0]")
+    r.execute("EMBED STORE 'c' [0.0, 3.0, 0.0, 1.0]")
+    for metric in ("ANGULAR", "GEODESIC", "JACCARD", "OVERLAP"):
+        res = r.execute(f"SIMILAR 'a' TOP 3 METRIC {metric}")
+        assert res.results[0]["key"] == "a", metric
+    # jaccard ranks by support overlap: 'b' shares a's support exactly
+    res = r.execute("SIMILAR 'a' TOP 3 METRIC JACCARD")
+    assert res.results[1]["key"] == "b"
+    assert res.results[1]["score"] == pytest.approx(1.0)
+    assert res.results[2]["score"] == pytest.approx(0.0)
