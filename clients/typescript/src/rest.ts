@@ -23,8 +23,9 @@ export interface Health {
 
 export interface CollectionConfig {
   dimension?: number;
-  metric?: "cosine" | "dot" | "euclidean" | "manhattan" | "composite";
-  quantization?: "none" | "int8" | "binary" | "pq";
+  metric?: "cosine" | "dot" | "euclidean" | "manhattan" | "composite"
+    | "weighted_jaccard" | "angular" | "geodesic" | "jaccard" | "overlap";
+  quantization?: "none" | "int8" | "binary" | "pq" | "tt";
 }
 
 export interface Point {

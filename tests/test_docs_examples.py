@@ -66,3 +66,32 @@ def test_examples_run_clean(example, capsys):
     import runpy
 
     runpy.run_path(f"examples/{example}.py", run_name="__main__")
+
+
+TUTORIAL = Path(__file__).resolve().parent.parent / "docs" / \
+    "tutorials.md"
+
+
+def test_tutorial_blocks_run():
+    """Every ```python block in docs/tutorials.md executes top-to-bottom
+    in one shared namespace — the tutorial cannot drift from the code."""
+    text = TUTORIAL.read_text()
+    blocks = re.findall(r"```python\n(.*?)```", text, re.S)
+    assert len(blocks) >= 5
+    ns: dict = {}
+    for i, block in enumerate(blocks):
+        try:
+            exec(compile(block, f"tutorials.md[block {i}]", "exec"), ns)
+        except Exception as e:  # noqa: BLE001
+            raise AssertionError(
+                f"tutorial block {i} failed: {e}\n{block}") from e
+
+
+def test_doc_files_exist_and_nonempty():
+    docs = Path(__file__).resolve().parent.parent / "docs"
+    for name in ("README.md", "quickstart.md", "query-language.md",
+                 "data-types.md", "concepts.md", "architecture.md",
+                 "operations.md", "runbooks.md", "tutorials.md",
+                 "sdk-python.md", "sdk-typescript.md"):
+        p = docs / name
+        assert p.exists() and p.stat().st_size > 400, name
