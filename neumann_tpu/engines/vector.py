@@ -518,6 +518,13 @@ class VectorEngine:
     ) -> List[List[SearchResult]]:
         import jax.numpy as jnp
 
+        # angular/geodesic order by cosine (arccos is monotone), so they
+        # ride every cosine fast path — pooled bits, int8, auto-IVF —
+        # and only the reported scores are mapped to -arccos(cos).
+        angular = metric in ("angular", "geodesic")
+        if angular:
+            metric = "cosine"
+
         q = np.asarray(queries, dtype=np.float32)
         if q.ndim == 1:
             q = q[None, :]
@@ -704,6 +711,9 @@ class VectorEngine:
                 s = float(score)
                 if metric == "euclidean" and quantization != "binary":
                     s = _euclid_report(s)
+                elif angular and quantization != "binary":
+                    # quantized cosine may slightly exceed [-1, 1]
+                    s = float(-np.arccos(np.clip(s, -1.0, 1.0)))
                 row.append(SearchResult(key, s))
             out.append(row)
         return out
@@ -719,7 +729,8 @@ class VectorEngine:
         metric = metric or self.config.default_metric
         if metric not in METRICS:
             raise VectorError(f"unknown metric {metric}")
-        if metric in ("cosine", "dot") and float(np.linalg.norm(q)) == 0.0:
+        if metric in ("cosine", "dot", "angular", "geodesic") and \
+                float(np.linalg.norm(q)) == 0.0:
             return []
         with self._lock:
             corpus = self._corpora.get(ns, {}).get(q.size)
@@ -785,6 +796,9 @@ class VectorEngine:
         import jax.numpy as jnp
 
         cfg = self.config
+        angular = metric in ("angular", "geodesic")   # cosine ordering
+        if angular:
+            metric = "cosine"
         if not cfg.ivf_auto or metric != "cosine" or \
                 quantization not in ("none", "int8"):
             return None
@@ -849,7 +863,10 @@ class VectorEngine:
                     continue
                 key = corpus.index.key_of(rid)
                 if key is not None:
-                    row.append(SearchResult(key, float(scores[qi][j])))
+                    s = float(scores[qi][j])
+                    if angular:
+                        s = float(-np.arccos(np.clip(s, -1.0, 1.0)))
+                    row.append(SearchResult(key, s))
             out.append(row)
         return out
 

@@ -197,3 +197,20 @@ def test_auto_ivf_concurrent_search_and_writes():
     eng.store_embedding("planted-final", q * 3.0)
     hits = eng.search_similar(q, 3)
     assert any(h.key in ("planted-final", "k123") for h in hits[:2])
+
+
+def test_angular_rides_auto_ivf(engine_and_data):
+    """angular/geodesic order by cosine, so they take the same
+    sub-linear IVF route; scores come back as -arccos(cos)."""
+    eng, vecs = engine_and_data
+    cos_hits = eng.search_similar_with_metric(vecs[7], 10, "cosine")
+    for metric in ("angular", "geodesic"):
+        hits = eng.search_similar_with_metric(vecs[7], 10, metric)
+        assert [h.key for h in hits] == [h.key for h in cos_hits], metric
+        for h, c in zip(hits, cos_hits):
+            assert h.score == pytest.approx(
+                -np.arccos(np.clip(c.score, -1, 1)), abs=1e-5)
+        # distances: 0 >= score >= -pi, best first
+        assert hits[0].score == pytest.approx(0.0, abs=5e-2)
+        assert all(a.score >= b.score
+                   for a, b in zip(hits, hits[1:]))

@@ -371,7 +371,9 @@ def test_load_index_corruption_hardening(rng, eng, tmp_path):
 def test_unsupported_int8_metrics_fall_back_to_float(rng):
     """int8 collections accept every METRICS value: metrics without an
     int8 kernel form route through the exact f32 path instead of
-    raising (ops/quant.py only implements cosine/dot/euclidean)."""
+    raising (ops/quant.py only implements cosine/dot/euclidean);
+    angular/geodesic ride the int8 COSINE kernel with the reported
+    scores mapped to -arccos."""
     eng = VectorEngine()
     eng.create_collection("c8", VectorCollectionConfig(
         dimension=16, quantization="int8"))
