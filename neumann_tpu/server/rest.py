@@ -317,19 +317,27 @@ graph: <code>{r.graph.node_count()}</code> nodes /
         if method == "PUT" and len(parts) == 1:
             # accept both our flat shape and Qdrant's nested one
             # ({"vectors": {"size": N, "distance": "Cosine"}})
-            qv = body.get("vectors") or {}
+            qv = body.get("vectors")
+            if not isinstance(qv, dict):
+                qv = {}
             dim = body.get("dimension", qv.get("size"))
+            if dim is not None and (isinstance(dim, bool)
+                                    or not isinstance(dim, int)):
+                raise NeumannError("'dimension' must be an integer")
             metric = body.get(
                 "metric", str(qv.get("distance", "cosine")).lower())
-            if metric == "dot":
-                pass
-            elif metric in ("euclid", "euclidean"):
-                metric = "euclidean"
-            elif metric != "cosine":
-                metric = "cosine"
+            if not isinstance(metric, str):
+                raise NeumannError("'metric' must be a string")
+            # Qdrant distance aliases; our own ten names pass through
+            # and VectorCollectionConfig rejects unknowns with a 400
+            metric = {"euclid": "euclidean",
+                      "dot_product": "dot"}.get(metric.lower(),
+                                                metric.lower())
+            quant = body.get("quantization", "none")
+            if not isinstance(quant, str):
+                raise NeumannError("'quantization' must be a string")
             vec.create_collection(name, VectorCollectionConfig(
-                dimension=dim, metric=metric,
-                quantization=body.get("quantization", "none")))
+                dimension=dim, metric=metric, quantization=quant))
             return {"ok": True}
         if method == "DELETE" and len(parts) == 1:
             return {"ok": vec.drop_collection(name)}
