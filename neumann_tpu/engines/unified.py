@@ -31,6 +31,30 @@ ENTITY_LABEL = "entity"
 _KEY_PROP = "key"
 
 
+class BatchResult:
+    """Per-item outcome of an error-collecting batch op
+    (tensor_unified/src/lib.rs BatchResult/BatchItemError): succeeded
+    keys in input order plus (index, key, cause) failures."""
+
+    __slots__ = ("succeeded", "failed")
+
+    def __init__(self, succeeded: List[str],
+                 failed: List[Tuple[int, Optional[str], str]]):
+        self.succeeded = succeeded
+        self.failed = failed
+
+    @property
+    def all_succeeded(self) -> bool:
+        return not self.failed
+
+    def __len__(self) -> int:
+        return len(self.succeeded)
+
+    def __repr__(self) -> str:
+        return (f"BatchResult(succeeded={len(self.succeeded)}, "
+                f"failed={len(self.failed)})")
+
+
 class UnifiedEngine:
     def __init__(
         self,
@@ -275,9 +299,31 @@ class UnifiedEngine:
             self.vector.store_entity_embedding(key, emb)
         return len(items)
 
+    def embed_batch_collect(self, items: Sequence[Tuple[str, object]]
+                            ) -> BatchResult:
+        """Error-collecting variant (tensor_unified/src/lib.rs:1481):
+        keeps processing after per-item failures instead of failing
+        fast, returning successes and (index, key, cause) failures."""
+        succeeded: List[str] = []
+        failed: List[Tuple[int, Optional[str], str]] = []
+        for idx, (key, emb) in enumerate(items):
+            if not key:
+                failed.append((idx, key, "empty key"))
+                continue
+            arr = np.asarray(emb, dtype=np.float32)
+            if arr.ndim != 1 or arr.size == 0:
+                failed.append((idx, key, "empty vector"))
+                continue
+            try:
+                if key not in self._key_to_node:
+                    self.create_entity(key)
+                self.vector.store_entity_embedding(key, arr)
+            except Exception as e:  # noqa: BLE001 — collect, don't abort
+                failed.append((idx, key, str(e)))
+                continue
+            succeeded.append(key)
+        return BatchResult(succeeded, failed)
+
     def collect_embeddings(self, keys: Sequence[str]
                            ) -> List[Optional[np.ndarray]]:
         return [self.vector.get_entity_embedding(k) for k in keys]
-
-    # name parity with embed_batch_collect (tensor_unified/src/lib.rs)
-    embed_batch_collect = embed_batch

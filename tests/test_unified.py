@@ -127,3 +127,24 @@ def test_embed_batch_collect(u):
     assert embs[2] is None
     res = u.find_similar_entities(vec(4, 1), 2)
     assert res[0].key == "k1"
+
+
+def test_embed_batch_collect_mixed_results():
+    """Error-collecting batch keeps going past bad items
+    (tensor_unified/src/lib.rs:4084 test_embed_batch_collect_mixed)."""
+    import numpy as np
+
+    from neumann_tpu.engines.unified import UnifiedEngine
+
+    e = UnifiedEngine()
+    res = e.embed_batch_collect([
+        ("good1", np.array([1.0, 0.0], np.float32)),
+        ("", np.array([1.0, 0.0], np.float32)),        # empty key
+        ("bad_vec", np.array([], np.float32)),          # empty vector
+        ("good2", np.array([0.0, 1.0], np.float32)),
+    ])
+    assert res.succeeded == ["good1", "good2"]
+    assert [(i, k) for i, k, _ in res.failed] == [(1, ""), (2, "bad_vec")]
+    assert not res.all_succeeded and len(res) == 2
+    assert e.vector.get_entity_embedding("good1") is not None
+    assert e.vector.get_entity_embedding("good2") is not None
