@@ -1358,10 +1358,10 @@ def test_tcp_cluster_node_replication_and_client():
         # thin client executes statements on a node
         client = ClusterClient(follower.address)
         try:
-            out = client.execute("NODE CREATE city {name: 'berlin'}")
+            out = client.execute("NODE CREATE city {name: 'berlin'}", timeout=30.0)
             assert out["kind"] in ("rows", "value", "message")
             # strong read routes to the leader: read-your-writes
-            res = client.execute("NODE LIST city", strong=True)
+            res = client.execute("NODE LIST city", strong=True, timeout=30.0)
             assert len(res["rows"]) == 1
             # follower-local read converges (eventual consistency)
             deadline = time.time() + 10
