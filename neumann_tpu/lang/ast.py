@@ -380,6 +380,8 @@ class Find(Statement):
     similar_to: Optional[object] = None   # key or vector
     connected_to: Optional[str] = None
     limit: Optional[int] = None
+    # RETURN projection: list of (column, alias) pairs (ast.rs:755-764)
+    return_items: Optional[list] = None
     # FIND PATH from -[edge]-> to (each part optional)
     path_from: Optional[str] = None
     path_edge: Optional[str] = None

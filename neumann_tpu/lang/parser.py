@@ -1057,15 +1057,29 @@ class _Parser:
         while True:
             if self.accept_kw("DAMPING"):
                 stmt.damping = float(self.number())
-            elif self.accept_kw("MAX_ITERATIONS"):
+            elif self.accept_kw("MAX_ITERATIONS") or \
+                    self.accept_kw("ITERATIONS"):
                 stmt.max_iterations = self.int_()
             elif self.accept_kw("TOLERANCE"):
                 self.number()  # accepted, fixed-iteration kernel
+            elif self.accept_kw("OUTGOING") or self.accept_kw("INCOMING") \
+                    or self.accept_kw("BOTH"):
+                pass  # reference direction flag; kernel runs over all edges
+            elif self.accept_kw("EDGE"):
+                self.expect_kw("TYPE")
+                self.ident()  # accepted; kernel runs over all edges
             else:
                 break
         return stmt
 
     def _graph_algorithm(self, name: str, numeric_params) -> ast.Statement:
+        """Algorithm parameter tail.
+
+        Accepts both our spellings (SAMPLING_RATIO, MAX_ITERATIONS,
+        MAX_PASSES, DIRECTION OUTGOING, EDGE_TYPE t) and the reference
+        grammar's (SAMPLING, ITERATIONS, PASSES, bare OUTGOING/INCOMING/
+        BOTH, EDGE TYPE t — parser.rs:2407-2560).
+        """
         stmt = ast.GraphAlgorithm(name=name)
         while True:
             matched = False
@@ -1080,34 +1094,68 @@ class _Parser:
                     stmt.params["direction"] = {
                         "OUTGOING": "out", "INCOMING": "in",
                         "BOTH": "both"}[d]
+                elif self.accept_kw("OUTGOING"):
+                    stmt.params["direction"] = "out"
+                elif self.accept_kw("INCOMING"):
+                    stmt.params["direction"] = "in"
+                elif self.accept_kw("BOTH"):
+                    stmt.params["direction"] = "both"
                 elif self.accept_kw("EDGE_TYPE"):
+                    stmt.params["edge_type"] = self.ident()
+                elif self.accept_kw("EDGE"):
+                    self.expect_kw("TYPE")
                     stmt.params["edge_type"] = self.ident()
                 else:
                     break
         return stmt
 
     def _stmt_betweenness(self) -> ast.Statement:
+        self.accept_kw("CENTRALITY")
         return self._graph_algorithm("betweenness", [
-            ("SAMPLING_RATIO", "sampling_ratio", float)])
+            ("SAMPLING_RATIO", "sampling_ratio", float),
+            ("SAMPLING", "sampling_ratio", float)])
 
     def _stmt_closeness(self) -> ast.Statement:
+        self.accept_kw("CENTRALITY")
         return self._graph_algorithm("closeness", [])
 
     def _stmt_eigenvector(self) -> ast.Statement:
+        self.accept_kw("CENTRALITY")
         return self._graph_algorithm("eigenvector", [
             ("MAX_ITERATIONS", "max_iterations", int),
+            ("ITERATIONS", "max_iterations", int),
             ("TOLERANCE", "tol", float)])
 
     def _stmt_louvain(self) -> ast.Statement:
+        self.accept_kw("COMMUNITIES")
         return self._graph_algorithm("louvain", [
             ("RESOLUTION", "resolution", float),
-            ("MAX_PASSES", "max_passes", int)])
+            ("MAX_PASSES", "max_passes", int),
+            ("PASSES", "max_passes", int)])
 
     def _stmt_label_propagation(self) -> ast.Statement:
         return self._graph_algorithm("label_propagation", [
-            ("MAX_ITERATIONS", "max_iterations", int)])
+            ("MAX_ITERATIONS", "max_iterations", int),
+            ("ITERATIONS", "max_iterations", int)])
 
     def _stmt_graph(self) -> ast.Statement:
+        # Reference grammar routes graph algorithms through GRAPH
+        # (parser.rs:2337-2356): GRAPH PAGERANK / BETWEENNESS CENTRALITY /
+        # CLOSENESS CENTRALITY / EIGENVECTOR CENTRALITY / LOUVAIN
+        # COMMUNITIES / LABEL PROPAGATION.
+        if self.accept_kw("PAGERANK"):
+            return self._stmt_pagerank()
+        if self.accept_kw("BETWEENNESS"):
+            return self._stmt_betweenness()
+        if self.accept_kw("CLOSENESS"):
+            return self._stmt_closeness()
+        if self.accept_kw("EIGENVECTOR"):
+            return self._stmt_eigenvector()
+        if self.accept_kw("LOUVAIN"):
+            return self._stmt_louvain()
+        if self.accept_kw("LABEL"):
+            self.expect_kw("PROPAGATION")
+            return self._stmt_label_propagation()
         if self.accept_kw("CONSTRAINT"):
             return self._graph_constraint()
         if self.accept_kw("INDEX"):
@@ -1156,16 +1204,24 @@ class _Parser:
                                    prop=prop, kind=kind)
 
     def _graph_index(self) -> ast.Statement:
+        # Both our compact form (GRAPH INDEX CREATE NODE PROPERTY p) and
+        # the reference's (GRAPH INDEX CREATE ON NODE PROPERTY p /
+        # ON EDGE TYPE / ON LABEL — parser.rs:2589-2690) parse.
         act = self.expect_kw("CREATE", "DROP", "SHOW")
+        self.accept_kw("ON")
         if act == "SHOW":
             target = self.expect_kw("NODE", "EDGE").lower()
             return ast.GraphIndex(action="show", target=target)
         target = self.expect_kw("NODE", "EDGE", "LABEL",
                                 "EDGE_TYPE").lower()
         prop = None
-        if target in ("node", "edge"):
+        if target == "edge" and self.accept_kw("TYPE"):
+            target = "edge_type"
+        elif target in ("node", "edge"):
             if act == "CREATE":
                 self.expect_kw("PROPERTY")
+            else:
+                self.accept_kw("PROPERTY")
             prop = self.ident("property")
         return ast.GraphIndex(action=act.lower(), target=target,
                               prop=prop)
@@ -1307,10 +1363,17 @@ class _Parser:
                     t = self.peek()
                     raise ParseError(f"unknown metric {m}", t.line, t.col)
                 stmt.metric = _METRIC_MAP[m]
+            elif self.accept_kw("COSINE"):
+                stmt.metric = "cosine"  # bare metric kw, parser.rs:1888
+            elif self.accept_kw("EUCLIDEAN"):
+                stmt.metric = "euclidean"
+            elif self.accept_kw("DOTPRODUCT") or \
+                    self.accept_kw("DOT_PRODUCT"):
+                stmt.metric = "dot"
             elif self.accept_kw("CONNECTED"):
                 self.expect_kw("TO")
                 stmt.connected_to = self.string("entity key")
-            elif self.accept_kw("IN"):
+            elif self.accept_kw("IN") or self.accept_kw("INTO"):
                 stmt.collection = self.ident("collection")
             elif self.accept_kw("WHERE"):
                 stmt.where = self.condition()
@@ -1361,7 +1424,16 @@ class _Parser:
 
     def _stmt_find(self) -> ast.Statement:
         stmt = ast.Find()
-        target = self.expect_kw("NODE", "EDGE", "ROWS", "ENTITY", "PATH")
+        # Reference grammar (parser.rs:1925-1991): VERTEX aliases NODE,
+        # and a bare FIND (pattern omitted) means all nodes.
+        if self.at_kw("WHERE", "RETURN", "LIMIT") or \
+                self.peek().kind == "eof":
+            target = "NODE"
+        else:
+            target = self.expect_kw("NODE", "VERTEX", "EDGE", "ROWS",
+                                    "ENTITY", "PATH")
+            if target == "VERTEX":
+                target = "NODE"
         stmt.target = target.lower()
         if target == "ROWS":
             self.expect_kw("FROM")
@@ -1380,7 +1452,7 @@ class _Parser:
                     "WHERE", "LIMIT"):
                 stmt.path_to = self.ident()
         elif self.peek().kind in ("ident", "string") and not self.at_kw(
-                "WHERE", "SIMILAR", "CONNECTED", "LIMIT"):
+                "WHERE", "SIMILAR", "CONNECTED", "LIMIT", "RETURN"):
             stmt.label = self.ident()
         while True:
             if self.accept_kw("WHERE"):
@@ -1394,6 +1466,16 @@ class _Parser:
             elif self.accept_kw("CONNECTED"):
                 self.expect_kw("TO")
                 stmt.connected_to = self.string("key")
+            elif self.accept_kw("RETURN"):
+                items = []
+                while True:
+                    col = self.ident("return column")
+                    alias = self.ident("alias") \
+                        if self.accept_kw("AS") else col
+                    items.append((col, alias))
+                    if not self.accept_punct(","):
+                        break
+                stmt.return_items = items
             elif self.accept_kw("LIMIT"):
                 stmt.limit = self.int_()
             else:

@@ -47,7 +47,7 @@ enum { C_SELECT, C_SELECTITEM, C_INSERT, C_SIMILAR, C_CONDITION,
 static const int g_want_nf[C_N] = {
     /* Select */ 10, /* SelectItem */ 5, /* Insert */ 4,
     /* Similar */ 7, /* Condition */ 6, /* NodeCreate */ 2,
-    /* Find */ 9, /* Update */ 3, /* Delete */ 2,
+    /* Find */ 10, /* Update */ 3, /* Delete */ 2,
     /* EmbedStore */ 3, /* EmbedGet */ 2, /* EmbedDelete */ 2};
 
 static PyObject *g_cls[C_N];
@@ -1032,7 +1032,10 @@ static PyObject *parse_node(P *p) {
 // FIND NODE|EDGE|ROWS|ENTITY [label] [WHERE cond] [SIMILAR TO …]
 //      [CONNECTED TO 'k'] [LIMIT n]          (FIND PATH -> fallback)
 // Find fields: target, label, where, similar_to, connected_to, limit,
-//              path_from, path_edge, path_to
+//              return_items, path_from, path_edge, path_to
+// (VERTEX / bare FIND / RETURN are reference-grammar forms handled by
+// the Python fallback: the keyword check below or the trailing-input
+// check rejects them here)
 // ---------------------------------------------------------------------------
 
 static PyObject *parse_find(P *p) {
@@ -1111,13 +1114,14 @@ static PyObject *parse_find(P *p) {
     {
         PyObject *tgt = PyUnicode_FromString(target);
         if (!tgt) goto fail;
-        PyObject *vals[9] = {
+        PyObject *vals[10] = {
             tgt, label ? label : Py_NewRef(Py_None),
             where ? where : Py_NewRef(Py_None),
             sim ? sim : Py_NewRef(Py_None),
             conn ? conn : Py_NewRef(Py_None),
             limit ? limit : Py_NewRef(Py_None),
-            Py_NewRef(Py_None), Py_NewRef(Py_None), Py_NewRef(Py_None)};
+            Py_NewRef(Py_None), Py_NewRef(Py_None), Py_NewRef(Py_None),
+            Py_NewRef(Py_None)};
         return make_obj(C_FIND, vals);
     }
 fail:

@@ -1237,6 +1237,14 @@ class QueryRouter:
         return QueryResult.of_rows(rows[:limit])
 
     def _exec_find(self, s: ast.Find) -> QueryResult:
+        res = self._exec_find_inner(s)
+        if s.return_items and res.kind == "rows":
+            rows = [{alias: r.get(col) for col, alias in s.return_items}
+                    for r in res.rows]
+            return QueryResult.of_rows(rows)
+        return res
+
+    def _exec_find_inner(self, s: ast.Find) -> QueryResult:
         if s.target == "path":
             return self._find_paths(s)
         if s.target == "rows":
