@@ -36,6 +36,18 @@ NODE_PREFIX = "node:"
 EDGE_PREFIX = "edge:"
 _RESERVED = ("_label", "_src", "_dst", "_type", "_directed")
 
+# TYPE constraint value types (bool checked before int: bool < int)
+_TYPE_ALIASES = {
+    "int": "int", "integer": "int", "bigint": "int", "smallint": "int",
+    "float": "float", "double": "float", "real": "float",
+    "numeric": "float", "decimal": "float",
+    "string": "string", "text": "string", "varchar": "string",
+    "char": "string", "bool": "bool", "boolean": "bool",
+}
+_TYPE_CHECKS = {
+    "int": int, "float": (int, float), "string": str, "bool": bool,
+}
+
 
 @dataclass
 class TraversalFilter:
@@ -938,19 +950,34 @@ class GraphEngine(GraphAlgorithmsMixin):
             return sorted(hit & set(self._nodes))
 
     def create_constraint(self, name: str, target: str, prop: str,
-                          kind: str, label: Optional[str] = None) -> None:
-        """Named constraint: kind in unique|exists, target node|edge."""
+                          kind: str, label: Optional[str] = None,
+                          vtype: Optional[str] = None) -> None:
+        """Named constraint: kind in unique|exists|type, target node|edge.
+
+        ``type`` constraints (reference ConstraintType::Type,
+        neumann_parser/src/parser.rs:2752-2756) require the property,
+        when present, to hold a value of ``vtype`` (int/float/string/
+        bool); enforced at node create like exists constraints.
+        """
         if name in self._constraints:
             raise GraphError(f"constraint '{name}' exists")
         if kind == "unique":
             if target != "node":
                 raise GraphError("unique constraints apply to nodes")
             self.create_unique_constraint(label or "", prop)
+        elif kind == "type":
+            if vtype is None:
+                raise GraphError("type constraint needs a value type")
+            vtype = _TYPE_ALIASES.get(vtype.lower())
+            if vtype is None:
+                raise GraphError(
+                    "type constraint type must be one of "
+                    "int/float/string/bool")
         elif kind != "exists":
             raise GraphError(f"unknown constraint kind {kind}")
         self._constraints[name] = {"name": name, "target": target,
                                    "prop": prop, "kind": kind,
-                                   "label": label}
+                                   "label": label, "vtype": vtype}
 
     def drop_constraint(self, name: str) -> bool:
         spec = self._constraints.pop(name, None)
@@ -969,14 +996,26 @@ class GraphEngine(GraphAlgorithmsMixin):
 
     def _check_exists_constraints(self, label: str, props: dict) -> None:
         for spec in self._constraints.values():
-            if spec["kind"] != "exists" or spec["target"] != "node":
+            if spec["target"] != "node":
                 continue
             if spec["label"] not in (None, label):
                 continue
-            if props.get(spec["prop"]) is None:
-                raise GraphError(
-                    f"constraint {spec['name']}: property "
-                    f"'{spec['prop']}' required")
+            if spec["kind"] == "exists":
+                if props.get(spec["prop"]) is None:
+                    raise GraphError(
+                        f"constraint {spec['name']}: property "
+                        f"'{spec['prop']}' required")
+            elif spec["kind"] == "type":
+                v = props.get(spec["prop"])
+                if v is None:
+                    continue
+                want = spec["vtype"]
+                ok = isinstance(v, _TYPE_CHECKS[want]) and not (
+                    want in ("int", "float") and isinstance(v, bool))
+                if not ok:
+                    raise GraphError(
+                        f"constraint {spec['name']}: property "
+                        f"'{spec['prop']}' must be {want}")
 
     def create_unique_constraint(self, label: str, prop: str) -> None:
         with self._lock:

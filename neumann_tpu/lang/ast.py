@@ -76,6 +76,7 @@ class DropIndex(Statement):
     name: Optional[str] = None
     table: Optional[str] = None
     column: Optional[str] = None
+    if_exists: bool = False
 
 
 @dataclass(slots=True)
@@ -237,7 +238,8 @@ class GraphConstraint(Statement):
     target: str = "node"
     label: Optional[str] = None
     prop: Optional[str] = None
-    kind: str = "unique"       # unique/exists
+    kind: str = "unique"       # unique/exists/type
+    vtype: Optional[str] = None   # TYPE constraints: required value type
 
 
 @dataclass(slots=True)

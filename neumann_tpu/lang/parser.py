@@ -906,13 +906,19 @@ class _Parser:
             self.accept_kw("CASCADE")
             return ast.DropTable(table=table, if_exists=if_exists)
         if self.accept_kw("INDEX"):
+            if_exists = False
+            if self.accept_kw("IF"):
+                self.expect_kw("EXISTS")
+                if_exists = True
             if self.accept_kw("ON"):
                 table = self.ident()
                 self.expect_punct("(")
                 column = self.ident()
                 self.expect_punct(")")
-                return ast.DropIndex(table=table, column=column)
-            return ast.DropIndex(name=self.ident("index name"))
+                return ast.DropIndex(table=table, column=column,
+                                     if_exists=if_exists)
+            return ast.DropIndex(name=self.ident("index name"),
+                                 if_exists=if_exists)
         if self.accept_kw("COLLECTION"):
             return ast.DropCollection(name=self.ident("collection name"))
         t = self.peek()
@@ -1016,7 +1022,7 @@ class _Parser:
         if self.accept_punct(":"):
             stmt.edge_type = self.ident("edge type")
         if self.accept_kw("BY"):
-            self.expect_kw("SIMILARITY")
+            self.expect_kw("SIMILARITY", "SIMILAR")
             if self.at_punct("["):
                 stmt.by_similarity = self.vector()
             else:
@@ -1184,6 +1190,10 @@ class _Parser:
         return stmt
 
     def _graph_constraint(self) -> ast.Statement:
+        """Both our compact form (CONSTRAINT CREATE c ON NODE (label)
+        prop UNIQUE) and the reference's (CONSTRAINT CREATE c ON NODE
+        [label] PROPERTY prop UNIQUE|EXISTS|TYPE t —
+        parser.rs:2701-2775) parse."""
         act = self.expect_kw("CREATE", "DROP", "LIST", "GET")
         if act == "LIST":
             return ast.GraphConstraint(action="list")
@@ -1197,11 +1207,27 @@ class _Parser:
         if self.accept_punct("("):
             label = self.ident("label")
             self.expect_punct(")")
-        prop = self.ident("property")
-        kind = self.expect_kw("UNIQUE", "EXISTS").lower()
+            self.accept_kw("PROPERTY")
+            prop = self.ident("property")
+        elif self.at_kw("PROPERTY"):
+            self.next()
+            prop = self.ident("property")
+        else:
+            # one ident = prop; ident then PROPERTY = label; two
+            # idents = label + prop
+            first = self.ident("label or property")
+            if self.accept_kw("PROPERTY"):
+                label, prop = first, self.ident("property")
+            elif self.peek().kind in ("ident", "string") and \
+                    not self.at_kw("UNIQUE", "EXISTS", "TYPE"):
+                label, prop = first, self.ident("property")
+            else:
+                prop = first
+        kind = self.expect_kw("UNIQUE", "EXISTS", "TYPE").lower()
+        vtype = self.ident("value type") if kind == "type" else None
         return ast.GraphConstraint(action="create", name=name,
                                    target=target, label=label,
-                                   prop=prop, kind=kind)
+                                   prop=prop, kind=kind, vtype=vtype)
 
     def _graph_index(self) -> ast.Statement:
         # Both our compact form (GRAPH INDEX CREATE NODE PROPERTY p) and
@@ -1307,6 +1333,111 @@ class _Parser:
             action = f"delete_{target}"
         self.expect_punct("]")
         return ast.GraphBatch(action=action, items=items)
+
+    # -- reference top-level graph statements ---------------------------------
+    # The reference routes these without a GRAPH prefix
+    # (parser.rs:736-739): CONSTRAINT …, BATCH …, AGGREGATE ….
+
+    def _stmt_constraint(self) -> ast.Statement:
+        return self._graph_constraint()
+
+    def _stmt_batch(self) -> ast.Statement:
+        """Reference batch grammar (parser.rs:2807-3060): brace-map
+        items instead of our GRAPH BATCH tuple items.
+
+        BATCH CREATE NODES [{labels: [a, b], k: v, …}, …]
+        BATCH CREATE EDGES [{from: i, to: j, type: t, …props}, …]
+        BATCH DELETE NODES|EDGES id, id, …
+        BATCH UPDATE NODES [{id: i, k: v, …}, …]
+        """
+        act = self.expect_kw("CREATE", "DELETE", "UPDATE")
+        target = self.expect_kw("NODES", "EDGES", "NODE", "EDGE").lower()
+        target = target if target.endswith("s") else target + "s"
+        if act == "DELETE":
+            ids = [self.value()]
+            while self.accept_punct(","):
+                ids.append(self.value())
+            return ast.GraphBatch(action=f"delete_{target}", items=ids)
+        items = []
+        self.expect_punct("[")
+        while not self.at_punct("]"):
+            items.append(self._batch_brace_item())
+            if not self.accept_punct(","):
+                break
+        self.expect_punct("]")
+        if act == "UPDATE":
+            out = []
+            for t_it, props in items:
+                if "id" not in props:
+                    raise ParseError("missing 'id' in node update",
+                                     t_it.line, t_it.col)
+                nid = props.pop("id")
+                out.append((nid, props))
+            return ast.GraphBatch(action="update_nodes", items=out)
+        if target == "nodes":
+            out = []
+            for t_it, props in items:
+                labels = props.pop("labels", [])
+                if isinstance(labels, str):
+                    labels = [labels]
+                label = labels[0] if labels else props.pop("label", "")
+                if len(labels) > 1:
+                    props["labels"] = labels
+                out.append((label, props))
+            return ast.GraphBatch(action="create_nodes", items=out)
+        out = []
+        for t_it, props in items:
+            missing = [k for k in ("from", "to", "type")
+                       if k not in props]
+            if missing:
+                raise ParseError(
+                    f"missing '{missing[0]}' in edge definition",
+                    t_it.line, t_it.col)
+            out.append((props.pop("from"), props.pop("to"),
+                        props.pop("type"), props))
+        return ast.GraphBatch(action="create_edges", items=out)
+
+    def _batch_brace_item(self):
+        """One `{…}` batch item; `labels:` takes a bare-ident list."""
+        t = self.peek()
+        self.expect_punct("{")
+        props: Dict[str, object] = {}
+        if not self.at_punct("}"):
+            while True:
+                key = self.ident("property name")
+                self.expect_punct(":")
+                if key == "labels" and self.at_punct("["):
+                    self.expect_punct("[")
+                    labels = []
+                    while not self.at_punct("]"):
+                        labels.append(self.value())
+                        if not self.accept_punct(","):
+                            break
+                    self.expect_punct("]")
+                    props[key] = labels
+                else:
+                    props[key] = self.value()
+                if not self.accept_punct(","):
+                    break
+        self.expect_punct("}")
+        return t, props
+
+    def _stmt_aggregate(self) -> ast.Statement:
+        """AGGREGATE NODE|EDGE PROPERTY p FUNC [BY LABEL l | BY TYPE t]
+        [WHERE cond] (parser.rs:3081-3150)."""
+        target = self.expect_kw("NODE", "EDGE").lower() + "s"
+        self.expect_kw("PROPERTY")
+        prop = self.ident("property")
+        func = self.expect_kw("SUM", "AVG", "MIN", "MAX",
+                              "COUNT").lower()
+        stmt = ast.GraphAggregate(func=func, target=target, prop=prop)
+        if self.accept_kw("BY"):
+            self.expect_kw("LABEL") if target == "nodes" \
+                else self.expect_kw("TYPE")
+            stmt.label = self.ident()
+        if self.accept_kw("WHERE"):
+            stmt.where = self.condition()
+        return stmt
 
     # -- vector ---------------------------------------------------------------
     def _stmt_embed(self) -> ast.Statement:
@@ -1553,6 +1684,10 @@ class _Parser:
         stmt = ast.Blob(action=act.lower())
         if act == "PUT":
             stmt.name = self.string("filename")
+            # reference inline-data form: BLOB PUT 'name' 'data'
+            # (parser.rs:3199-3211)
+            if self.peek().kind == "string":
+                stmt.data = self.string("data")
             while True:
                 if self.accept_kw("DATA"):
                     stmt.data = self.string("data")

@@ -920,7 +920,7 @@ class QueryRouter:
     def _exec_graphconstraint(self, s: ast.GraphConstraint) -> QueryResult:
         if s.action == "create":
             self.graph.create_constraint(s.name, s.target, s.prop,
-                                         s.kind, s.label)
+                                         s.kind, s.label, vtype=s.vtype)
             return QueryResult.msg(f"constraint '{s.name}' created")
         if s.action == "drop":
             ok = self.graph.drop_constraint(s.name)

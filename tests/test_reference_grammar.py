@@ -145,3 +145,71 @@ def test_similar_bare_metric_executes():
     assert [h["key"] for h in out.results] == ["a", "b"]
     out = r.execute("SIMILAR 'a' TOP 2 EUCLIDEAN")
     assert len(out.results) == 2
+
+
+# ------------------------------------------------ top-level statements
+
+
+def test_toplevel_batch_reference_forms():
+    r = QueryRouter()
+    out = r.execute(
+        "BATCH CREATE NODES [{labels: [person, user], name: 'Alice'}, "
+        "{labels: [person], name: 'Bob'}]")
+    assert out.value == [0, 1]
+    out = r.execute(
+        "BATCH CREATE EDGES [{from: 0, to: 1, type: FOLLOWS, since: 2021}]")
+    assert out.value == [0]
+    # extra labels kept as a property
+    node = r.execute("NODE GET 0").rows[0]
+    assert node["labels"] == ["person", "user"]
+    out = r.execute("BATCH UPDATE NODES [{id: 0, name: 'Al'}]")
+    assert "1" in str(out.message)
+    assert r.execute("NODE GET 0").rows[0]["name"] == "Al"
+    r.execute("BATCH DELETE EDGES 0")
+    r.execute("BATCH DELETE NODES 1")
+    assert r.execute("NODE LIST person").rows == \
+        [{"id": 0, "label": "person", "name": "Al",
+          "labels": ["person", "user"]}]
+
+
+def test_toplevel_batch_missing_edge_fields_error():
+    from neumann_tpu.utils.errors import ParseError
+    for bad in ["BATCH CREATE EDGES [{to: 2, type: F}]",
+                "BATCH CREATE EDGES [{from: 1, type: F}]",
+                "BATCH CREATE EDGES [{from: 1, to: 2}]",
+                "BATCH UPDATE NODES [{name: 'x'}]"]:
+        with pytest.raises(ParseError):
+            parse(bad)
+
+
+def test_toplevel_constraint_with_type_kind():
+    r = QueryRouter()
+    r.execute("CONSTRAINT CREATE c2 ON NODE PROPERTY age TYPE INT")
+    with pytest.raises(Exception, match="must be int"):
+        r.execute("NODE CREATE person {age: 'old'}")
+    with pytest.raises(Exception, match="must be int"):
+        r.execute("NODE CREATE person {age: true}")
+    r.execute("NODE CREATE person {age: 30}")
+    r.execute("NODE CREATE person {name: 'no-age'}")  # absent prop ok
+    rows = r.execute("CONSTRAINT LIST").rows
+    assert rows[0]["kind"] == "type" and rows[0]["vtype"] == "int"
+    r.execute("CONSTRAINT DROP c2")
+    r.execute("NODE CREATE person {age: 'old'}")  # constraint gone
+
+
+def test_toplevel_aggregate_reference_forms():
+    r = QueryRouter()
+    r.execute("BATCH CREATE NODES [{labels: [p], v: 1}, {labels: [p], v: 3}]")
+    r.execute("BATCH CREATE EDGES [{from: 0, to: 1, type: F, w: 2}]")
+    assert r.execute("AGGREGATE NODE PROPERTY v AVG BY LABEL p").value == 2.0
+    assert r.execute("AGGREGATE NODE PROPERTY v SUM").value == 4.0
+    assert r.execute("AGGREGATE EDGE PROPERTY w SUM BY TYPE F").value == 2.0
+    assert r.execute(
+        "AGGREGATE NODE PROPERTY v MAX WHERE v < 2").value == 1.0
+
+
+def test_neighbors_by_similar_alias():
+    s = parse("NEIGHBORS 0 BY SIMILAR [1.0, 0.0] LIMIT 5")
+    assert s.by_similarity == [1.0, 0.0]
+    s = parse("NEIGHBORS 0 BY SIMILARITY [1.0, 0.0]")
+    assert s.by_similarity == [1.0, 0.0]
