@@ -192,6 +192,21 @@ class VectorEngineConfig:
     ivf_auto_clusters: int = 1024
     ivf_auto_nprobe: int = 64
     ivf_auto_rebuild_frac: float = 0.02
+    # store a second int8 plane of the quantization error alongside the
+    # auto-IVF corpus (+1 byte/dim): the rerank pass reconstructs rows
+    # at ~int16 fidelity, so IVF results track the f32 ordering instead
+    # of the int8 one (ops/rerank.py residual_quantize)
+    ivf_auto_residual: bool = True
+    # Mesh placement: when more than one device is visible, corpora at
+    # least mesh_threshold rows are placed row-sharded over the device
+    # mesh (parallel.ShardedCorpus) and SIMILAR runs shard-local scan +
+    # ICI all-gather merge — the engine-reachable form of the
+    # reference's scatter-gather path (query_router/src/distributed.rs
+    # :126-208,342-500 + lib.rs:1751-1773, which the reference wires
+    # into the router itself). Unfiltered cosine corpora past
+    # ivf_auto_threshold use cluster-sharded IVF (ShardedIVFCorpus).
+    mesh_auto: bool = True
+    mesh_threshold: int = 262_144
 
     @staticmethod
     def high_throughput() -> "VectorEngineConfig":
@@ -242,6 +257,11 @@ class _Corpus:
         self.slab = EmbeddingSlab(dim)
         self.meta: Dict[int, Dict[str, object]] = {}
         self.lock = threading.RLock()
+        # mesh placements, rebuilt when the slab version moves:
+        # (version, ShardedCorpus) and (version, ShardedIVFCorpus,
+        # row_map) — see VectorEngine._mesh_search
+        self._sharded = None
+        self._sharded_ivf = None
 
     def upsert(self, key: str, vec: np.ndarray,
                metadata: Optional[Dict[str, object]] = None) -> int:
@@ -309,20 +329,25 @@ def _jitted_int8_topk():
 def _jitted_int8_pooled():
     import jax
 
-    from neumann_tpu.ops.quant import int8_pooled_topk
+    from neumann_tpu.ops.rerank import int8_pooled_rerank_topk
 
-    return jax.jit(int8_pooled_topk, static_argnames=("k", "pool",
-                                                      "block_rows"))
+    # two-pass: pooled int8 selection + exact f32 rerank of the
+    # gathered candidates — restores the recall lost to query-side
+    # int8 quantization and pooled mantissa truncation (ops/rerank.py)
+    return jax.jit(int8_pooled_rerank_topk,
+                   static_argnames=("k", "oversample", "pool",
+                                    "block_rows"))
 
 
 @functools.lru_cache(maxsize=None)
 def _jitted_f32_pooled():
     import jax
 
-    from neumann_tpu.ops.quant import f32_pooled_topk
+    from neumann_tpu.ops.rerank import f32_pooled_rerank_topk
 
-    return jax.jit(f32_pooled_topk, static_argnames=("k", "pool",
-                                                     "block_rows"))
+    return jax.jit(f32_pooled_rerank_topk,
+                   static_argnames=("k", "oversample", "pool",
+                                    "block_rows"))
 
 
 def _pooled_pool(corpus, k: int, metric: str, extra_mask) -> Optional[int]:
@@ -344,8 +369,14 @@ def _pooled_pool(corpus, k: int, metric: str, extra_mask) -> Optional[int]:
     used = corpus.slab.valid_count()
     pooled_min = int(os.environ.get("NEUMANN_POOLED_MIN_ROWS",
                                     256 * 1024))
-    min_pools = max(int(os.environ.get("NEUMANN_POOLED_MIN_POOLS", 64)),
-                    4 * k)
+    # pooled selection keeps ONE row per pool, so a true top-k row is
+    # lost iff a better one shares its pool: expected loss fraction
+    # ~(k-1)/(2*npools). 2048+ pools keeps that under ~0.25% at k=10;
+    # the rerank pass then fixes ordering but can't resurrect a row
+    # the pool argmax dropped.
+    min_pools = max(int(os.environ.get("NEUMANN_POOLED_MIN_POOLS",
+                                       2048)),
+                    32 * k)
     if used < pooled_min or used * 2 < cap:
         return None
     pool_cap = min(4096, max(8, cap // max(min_pools, 1)))
@@ -386,6 +417,7 @@ class VectorEngine:
         self._corpora: Dict[str, Dict[int, _Corpus]] = {}
         self._collections: Dict[str, VectorCollectionConfig] = {}
         self._lock = threading.RLock()
+        self._mesh_cache = "unset"   # resolved lazily on first search
         self.store.on_put(self._on_store_put)
         self.store.on_delete(self._on_store_delete)
 
@@ -536,7 +568,14 @@ class VectorEngine:
         qp[:, : corpus.dim] = q
         k = max(1, min(top_k, corpus.slab.capacity))
 
-        if quantization == "pq":
+        mesh_got = None
+        if quantization in ("none", "int8") and metric in (
+                "cosine", "dot", "euclidean"):
+            mesh_got = self._mesh_search(corpus, qp, k, metric,
+                                         extra_mask, quantization)
+        if mesh_got is not None:
+            scores, idx = mesh_got
+        elif quantization == "pq":
             import jax.numpy as jnp
 
             from neumann_tpu.ops.pq import PQCodebook, PQConfig, pq_topk
@@ -588,7 +627,7 @@ class VectorEngine:
                                 max(-score, 0.0))))))
                 out.append(row_hits)
             return out
-        if quantization == "tt":
+        elif quantization == "tt":
             # tensor-train storage (tensor_compress TensorMode::
             # TensorTrain): vectors live as TT cores (10-20x smaller);
             # search reconstructs the corpus (cheap core matmuls, the
@@ -746,6 +785,95 @@ class VectorEngine:
             corpus, q, top_k, metric, extra, quantization)[0]
 
     # ------------------------------------------------------------------
+    # mesh placement (multi-chip serving): corpora past mesh_threshold
+    # are row-sharded over the device mesh, so SIMILAR through the
+    # engine/router runs shard-local scan + ICI all-gather merge.
+    # Engine-reachable analog of the reference's router-integrated
+    # scatter-gather (query_router/src/lib.rs:1751-1773).
+    # ------------------------------------------------------------------
+    def _mesh(self):
+        if not self.config.mesh_auto:
+            return None
+        if self._mesh_cache == "unset":
+            import jax
+
+            from neumann_tpu.parallel import make_mesh
+
+            self._mesh_cache = (make_mesh()
+                                if len(jax.devices()) > 1 else None)
+        return self._mesh_cache
+
+    def _mesh_search(self, corpus: _Corpus, qp: np.ndarray, k: int,
+                     metric: str, extra_mask, quantization: str):
+        """Sharded search when a mesh is available and the corpus is
+        big enough; None falls back to the single-chip paths.
+        Placements rebuild from a slab snapshot whenever the slab
+        version moves (mutation-heavy namespaces fall back between
+        rebuilds only in the sense of paying the reload, never in
+        correctness)."""
+        mesh = self._mesh()
+        if mesh is None:
+            return None
+        cfg = self.config
+        slab = corpus.slab
+        n = corpus.count()
+        if n < cfg.mesh_threshold:
+            return None
+        # large unfiltered cosine corpora: cluster-sharded IVF probes
+        # (nprobe per shard in parallel) instead of full sharded scans
+        if (extra_mask is None and metric == "cosine" and cfg.ivf_auto
+                and n >= cfg.ivf_auto_threshold):
+            got = self._sharded_ivf_search(corpus, qp, k)
+            if got is not None:
+                return got
+        from neumann_tpu.parallel import ShardedCorpus
+
+        want_quant = quantization == "int8"
+        with corpus.lock:
+            placed = corpus._sharded
+        if (placed is None or placed[0] != slab.version
+                or placed[1].quantized != want_quant):
+            mat, valid, version = slab.host_snapshot()
+            sh = ShardedCorpus(mesh, slab.dim_pad, quantized=want_quant)
+            sh.load(mat, valid)
+            placed = (version, sh)
+            with corpus.lock:
+                corpus._sharded = placed
+        _, sh = placed
+        mask = (np.asarray(extra_mask, bool)
+                if extra_mask is not None else None)
+        # row ids survive placement: rows shard in slab order with
+        # padding only at the tail
+        return sh.search(qp, k, metric, mask=mask)
+
+    def _sharded_ivf_search(self, corpus: _Corpus, qp: np.ndarray,
+                            k: int):
+        cfg = self.config
+        slab = corpus.slab
+        with corpus.lock:
+            placed = corpus._sharded_ivf
+        if placed is None or placed[0] != slab.version:
+            from neumann_tpu.parallel import ShardedIVFCorpus
+
+            mat, valid, version = slab.host_snapshot()
+            rows = np.flatnonzero(valid)
+            if rows.size == 0:
+                return None
+            ivf = ShardedIVFCorpus(
+                self._mesh(), slab.dim_pad,
+                n_clusters=max(4, min(cfg.ivf_auto_clusters,
+                                      max(1, rows.size // 64))),
+                nprobe=cfg.ivf_auto_nprobe)
+            ivf.load(mat[rows])
+            placed = (version, ivf, rows)
+            with corpus.lock:
+                corpus._sharded_ivf = placed
+        _, ivf, rows = placed
+        s, ids = ivf.search(qp, k)
+        ids = np.where(ids >= 0, rows[np.maximum(ids, 0)], -1)
+        return s, ids.astype(np.int64)
+
+    # ------------------------------------------------------------------
     # auto IVF routing (sub-linear single-query path at large N)
     # ------------------------------------------------------------------
     def build_auto_ivf(self, ns: str = "",
@@ -778,11 +906,17 @@ class VectorEngine:
         # the build land in the watcher set and get the exact-delta
         # treatment, so the snapshot below doesn't have to be atomic
         slab.watch("auto_ivf")
-        q8, scale = slab.host_int8()
+        residual = None
+        if cfg.ivf_auto_residual:
+            q8, scale, rq, rscale = slab.host_int8(residual=True)
+            residual = (rq, rscale)
+        else:
+            q8, scale = slab.host_int8()
         clusters = max(4, min(cfg.ivf_auto_clusters, max(1, n // 64)))
         ivf = DeviceIVFInt8(slab.dim_pad, n_clusters=clusters,
                             nprobe=min(cfg.ivf_auto_nprobe, clusters))
-        ivf.build(q8, scale, sample_mask=slab.valid_mask_host())
+        ivf.build(q8, scale, sample_mask=slab.valid_mask_host(),
+                  residual=residual)
         with corpus.lock:
             corpus._auto_ivf = ivf
             corpus._auto_ivf_delta = None
@@ -805,6 +939,10 @@ class VectorEngine:
         n = corpus.count()
         if n < cfg.ivf_auto_threshold or \
                 q.shape[0] > cfg.ivf_auto_max_batch:
+            return None
+        # multi-chip: the mesh placements (ShardedIVFCorpus under
+        # _device_search) beat the single-chip auto index — defer
+        if n >= cfg.mesh_threshold and self._mesh() is not None:
             return None
         slab = corpus.slab
         with corpus.lock:

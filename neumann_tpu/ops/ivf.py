@@ -247,6 +247,9 @@ class DeviceIVFInt8:
         self.centroids = None      # device [k, d] f32 (unit norm)
         self._buf = None           # device [n, d] int8, cluster-sorted
         self._rmult = None         # device [n] f32 (0 = invalid row)
+        self._scale = None         # device [n] f32 sorted int8 scales
+        self._rbuf = None          # optional residual int8 plane
+        self._rscale = None        # optional residual scales
         self._starts = None        # device [k] int32 window starts
         self._row_ids = None       # host  [n] int32 (sorted order)
         self._window = 0
@@ -254,13 +257,19 @@ class DeviceIVFInt8:
 
     @classmethod
     def from_device_layout(cls, dim, centroids, buf, rmult, starts,
-                           row_ids, window, nprobe=32):
+                           row_ids, window, nprobe=32, scale=None,
+                           residual=None):
         """Assemble from an already cluster-sorted device corpus (used
-        when the corpus is born sorted and host staging is too slow)."""
+        when the corpus is born sorted and host staging is too slow).
+        ``residual`` = (rq [n, d] int8, rscale [n] f32) in the SAME
+        sorted order enables ~int16-fidelity reranking."""
         ivf = cls(dim, n_clusters=int(centroids.shape[0]), nprobe=nprobe)
         ivf.centroids = centroids
         ivf._buf = buf
         ivf._rmult = rmult
+        ivf._scale = scale
+        if residual is not None:
+            ivf._rbuf, ivf._rscale = residual
         ivf._starts = starts
         ivf._row_ids = row_ids
         ivf._window = int(window)
@@ -270,11 +279,16 @@ class DeviceIVFInt8:
     def build(self, corpus_q: np.ndarray, corpus_scale: np.ndarray,
               sample_rows: int = 200_000, seed: int = 0,
               chunk_rows: int = 1 << 20,
-              sample_mask: Optional[np.ndarray] = None) -> None:
+              sample_mask: Optional[np.ndarray] = None,
+              residual: Optional[Tuple[np.ndarray, np.ndarray]] = None
+              ) -> None:
         """corpus_q int8 [N, d] and per-row scale, both on HOST.
         sample_mask limits the k-means training sample to true rows
         (e.g. the slab valid mask — padding rows would otherwise pull
-        centroids toward zero)."""
+        centroids toward zero). ``residual`` = (rq, rscale) host arrays
+        in CORPUS order (ops.rerank.residual_quantize) — stored sorted
+        alongside the corpus so the rerank pass reconstructs rows at
+        ~int16 fidelity."""
         import jax
         import jax.numpy as jnp
         from jax import lax
@@ -337,22 +351,44 @@ class DeviceIVFInt8:
                       0.0).astype(np.float32)
         buf_sorted = corpus_q[order]
         rm_sorted = rm[order]
+        sc_sorted = corpus_scale[order].astype(np.float32)
         if n_pad != n:       # pad to whole 128-row blocks (rm 0 = masked)
             buf_sorted = np.concatenate(
                 [buf_sorted, np.zeros((n_pad - n, d), corpus_q.dtype)])
             rm_sorted = np.concatenate(
                 [rm_sorted, np.zeros(n_pad - n, np.float32)])
+            sc_sorted = np.concatenate(
+                [sc_sorted, np.ones(n_pad - n, np.float32)])
         self._buf = jnp.asarray(buf_sorted)
         self._rmult = jnp.asarray(rm_sorted)
+        self._scale = jnp.asarray(sc_sorted)
+        if residual is not None:
+            rq, rsc = residual
+            rq_sorted = rq[order]
+            rsc_sorted = rsc[order].astype(np.float32)
+            if n_pad != n:
+                rq_sorted = np.concatenate(
+                    [rq_sorted, np.zeros((n_pad - n, d), rq.dtype)])
+                rsc_sorted = np.concatenate(
+                    [rsc_sorted, np.ones(n_pad - n, np.float32)])
+            self._rbuf = jnp.asarray(rq_sorted)
+            self._rscale = jnp.asarray(rsc_sorted)
         self._starts = jnp.asarray(starts)
         self._row_ids = order
         self._window = window
         self._n = n
 
+    # each query's probe gather materializes [nprobe, window, d]
+    # candidates in HBM, so a wide vmap would blow memory at 10M scale
+    # (measured: Q=64 -> ~32 GB); queries stream in small chunks
+    _SEARCH_CHUNK_Q = 4
+
     def search(self, queries: np.ndarray, k: int,
                nprobe: Optional[int] = None
                ) -> Tuple[np.ndarray, np.ndarray]:
         import jax.numpy as jnp
+
+        from neumann_tpu.ops.rerank import gather_rerank_topk_jit
 
         if self._buf is None:
             raise ValueError("build() first")
@@ -360,42 +396,30 @@ class DeviceIVFInt8:
         q = np.asarray(queries, np.float32)
         if q.ndim == 1:
             q = q[None, :]
-        # oversample on device: overlapping windows can yield the same
-        # position twice; dedup below keeps the best k unique rows
-        kk = min(2 * k + 8, self._window * nprobe)
-        # chunk the query batch: each query's probe gather materializes
-        # [nprobe, window, d] candidates in HBM, so a wide vmap would
-        # blow memory at 10M scale (measured: Q=64 -> ~32 GB)
-        chunk = max(1, 4)
+        # oversample the first pass: overlapping windows can yield the
+        # same position more than once, and the rerank pass reorders —
+        # the device-side dedup + exact top-k keeps the best k distinct
+        kk = min(4 * k + 16, self._window * nprobe)
         s_parts, p_parts = [], []
-        for s0 in range(0, q.shape[0], chunk):
+        for s0 in range(0, q.shape[0], self._SEARCH_CHUNK_Q):
+            qc = jnp.asarray(q[s0: s0 + self._SEARCH_CHUNK_Q])
             sc, pc = windowed_ivf_topk(
                 self._buf, self._rmult, self.centroids, self._starts,
-                jnp.asarray(q[s0: s0 + chunk]), kk, nprobe,
-                self._window, aligned128=True)
+                qc, kk, nprobe, self._window, aligned128=True)
+            # second pass: gather the kk candidates and rescore in f32
+            # against the unquantized query (the first pass scored in
+            # bf16 against an int8 corpus); dedups on device
+            sc, pc = gather_rerank_topk_jit(
+                self._buf, pc, qc, k, "cosine", scale=self._scale,
+                residual_q=self._rbuf, residual_scale=self._rscale,
+                first_scores=sc, dedup=True)
             s_parts.append(np.asarray(sc))
             p_parts.append(np.asarray(pc))
         s = np.concatenate(s_parts, axis=0)
         pos = np.concatenate(p_parts, axis=0)
-        s = np.asarray(s)
-        pos = np.asarray(pos)
-        nq = s.shape[0]
-        out_s = np.full((nq, k), -np.inf, np.float32)
-        out_i = np.full((nq, k), -1, np.int32)
-        for r in range(nq):
-            seen: set = set()
-            w = 0
-            for j in range(kk):
-                if w >= k or not np.isfinite(s[r, j]):
-                    break
-                p = int(pos[r, j])
-                if p in seen:
-                    continue
-                seen.add(p)
-                out_s[r, w] = s[r, j]
-                out_i[r, w] = self._row_ids[p]
-                w += 1
-        return out_s, out_i
+        ids = np.where(pos >= 0,
+                       np.asarray(self._row_ids)[np.maximum(pos, 0)], -1)
+        return s, ids.astype(np.int32)
 
 
 @functools.lru_cache(maxsize=None)

@@ -357,6 +357,67 @@ def int8_cosine_row_mult(corpus_q, corpus_scale):
                            "cosine")
 
 
+def int8_exact_topk(
+    corpus_q: jnp.ndarray,
+    row_mult: jnp.ndarray,
+    queries: jnp.ndarray,
+    k: int,
+    block_rows: int = 256 * 1024,
+):
+    """Exact-oracle cosine top-k over an int8 corpus with UNQUANTIZED
+    f32 queries and f32 math throughout.
+
+    The serving scans (int8_topk_scan, int8_pooled_topk) quantize the
+    query to ride the int8 MXU; this converts each corpus block to f32
+    instead, so the only deviation from the reference's all-f32 scan
+    (vector_engine/src/lib.rs:1950-2036) is the stored corpus's own
+    quantization. ~2x slower than the int8 scans (f32 block converts) —
+    recall oracles and tests only, never the serving path. row_mult =
+    int8_cosine_row_mult (0 marks invalid rows).
+    """
+    queries = _as2d(queries).astype(jnp.float32)
+    n, d = corpus_q.shape
+    k = min(k, n)
+    qn = jnp.maximum(jnp.linalg.norm(queries, axis=1, keepdims=True),
+                     1e-30)
+    qf = queries / qn
+    nblocks = -(-n // block_rows)
+    n_pad = nblocks * block_rows
+    if n_pad != n:
+        corpus_q = jnp.concatenate(
+            [corpus_q, jnp.zeros((n_pad - n, d), corpus_q.dtype)])
+        row_mult = jnp.concatenate(
+            [row_mult, jnp.zeros(n_pad - n, row_mult.dtype)])
+    corpus_b = corpus_q.reshape(nblocks, block_rows, d)
+    rm_b = row_mult.reshape(nblocks, block_rows)
+    block_iota = lax.broadcasted_iota(jnp.int32, (1, block_rows), 1)
+    q = queries.shape[0]
+    init = (jnp.full((q, k), NEG_INF, jnp.float32),
+            jnp.full((q, k), -1, jnp.int32))
+
+    def step(carry, xs):
+        best_s, best_i = carry
+        bi, block, rm = xs
+        dots = lax.dot_general(
+            qf, block.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = jnp.where(rm[None, :] > 0, dots * rm[None, :], NEG_INF)
+        bs, bidx = lax.top_k(s, k)
+        ids = jnp.take_along_axis(
+            jnp.broadcast_to(block_iota + bi * block_rows, s.shape),
+            bidx, axis=1)
+        cand_s = jnp.concatenate([best_s, bs], axis=1)
+        cand_i = jnp.concatenate([best_i, ids], axis=1)
+        ns, pos = lax.top_k(cand_s, k)
+        return (ns, jnp.take_along_axis(cand_i, pos, axis=1)), None
+
+    (best_s, best_i), _ = lax.scan(
+        step, init,
+        (jnp.arange(nblocks, dtype=jnp.int32), corpus_b, rm_b))
+    return best_s, jnp.where(jnp.isneginf(best_s), -1, best_i)
+
+
 def f32_pooled_topk(
     corpus: jnp.ndarray,
     queries: jnp.ndarray,

@@ -135,6 +135,42 @@ def kmeans(vectors: np.ndarray, k: int, iters: int = 20,
     return np.asarray(cent)
 
 
+def kmeans_device(x, k: int, iters: int = 10, seed: int = 0):
+    """Fully on-device Lloyd's over a device-resident sample [n, d].
+
+    For corpora that were BORN on device (bench generation, slab
+    views): no host staging — the dev tunnel moves ~MB/s, so pulling a
+    multi-100MB sample to host for the numpy path is not viable.
+    Random distinct-row init (k-means++ seeding is an O(n*k) sequential
+    host loop; a few extra Lloyd iterations recover the difference on
+    clustered data). Returns centroids as a DEVICE array [k, d] f32.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n = x.shape[0]
+    k = min(k, n)
+    key = jax.random.PRNGKey(seed)
+    idx = jax.random.choice(key, n, (k,), replace=False)
+    x = x.astype(jnp.float32)
+    cent = x[idx]
+
+    @jax.jit
+    def step(cent, x):
+        d2 = (jnp.sum(x * x, 1, keepdims=True)
+              - 2.0 * x @ cent.T + jnp.sum(cent * cent, 1)[None, :])
+        assign = jnp.argmin(d2, axis=1)
+        sums = jax.ops.segment_sum(x, assign, num_segments=k)
+        counts = jax.ops.segment_sum(
+            jnp.ones((x.shape[0],)), assign, num_segments=k)
+        return jnp.where(counts[:, None] > 0,
+                         sums / jnp.maximum(counts[:, None], 1.0), cent)
+
+    for _ in range(iters):
+        cent = step(cent, x)
+    return cent
+
+
 class SemanticPartitioner:
     """Assign embeddings to the shard whose archetype centroid is nearest
     (cosine), like semantic_partitioner.rs. Centroids are discovered with

@@ -54,33 +54,44 @@ def make_sharded_topk(mesh: Mesh, k: int, metric: str = "cosine",
     where corpus is [N, d] row-sharded over `axis` (int8 variant takes
     (values, row_scale)), queries replicated, mask [N] row-sharded.
     Outputs are replicated across the mesh.
+
+    Quantized shards run two-pass: the bandwidth-optimal int8 scan
+    selects shard-local candidates, a shard-local rerank rescores them
+    in exact f32 against the unquantized query (ops/rerank.py), and
+    only then do k exact-scored candidates per shard ride the ICI
+    all-gather — so the merge compares f32 scores, not quantized ones.
     """
+    from neumann_tpu.ops.rerank import gather_rerank_topk
 
     def local(corpus_shard, queries, mask_shard, scale_shard=None,
               sqnorm_shard=None):
         rows = corpus_shard.shape[0]
         if quantized:
-            # bound the pool so there are >= 4k pools (pooled selection
+            c = min(max(4 * k, 32), rows)    # local rerank candidates
+            # bound the pool so there are >= 4c pools (pooled selection
             # returns at most one row per pool)
-            pool_cap = min(4096, max(8, rows // (4 * k)))
+            pool_cap = min(4096, max(8, rows // (4 * c)))
             picked = (metric == "cosine"
-                      and _pick_pool_blocks(rows, k, pool_cap,
+                      and _pick_pool_blocks(rows, c, pool_cap,
                                             block_rows))
-            if picked and rows // picked[0] >= 4 * k:
+            if picked and rows // picked[0] >= 4 * c:
                 # shard-local pooled-bits scan (same kernel as the
                 # single-chip headline path); the cross-shard merge
                 # stays the exact all-gather top-k
                 rm = _row_multiplier(scale_shard, sqnorm_shard,
                                      "cosine")
                 s, i = int8_pooled_topk(
-                    corpus_shard, scale_shard, queries, k,
+                    corpus_shard, scale_shard, queries, c,
                     pool=picked[0], block_rows=block_rows,
                     mask=mask_shard, row_mult=rm)
             else:
                 s, i = int8_topk_scan(corpus_shard, scale_shard,
-                                      queries, k, metric, mask_shard,
+                                      queries, c, metric, mask_shard,
                                       block_rows=block_rows,
                                       corpus_sqnorm=sqnorm_shard)
+            s, i = gather_rerank_topk(
+                corpus_shard, i, queries, k, metric, scale_shard,
+                first_scores=s, dedup=False)
         else:
             s, i = topk_scan(corpus_shard, queries, k, metric, mask_shard,
                              block_rows=block_rows)
@@ -162,7 +173,12 @@ class ShardedCorpus:
         self.n_rows = n
 
     def search(self, queries: np.ndarray, k: int,
-               metric: str = "cosine") -> Tuple[np.ndarray, np.ndarray]:
+               metric: str = "cosine",
+               mask: Optional[np.ndarray] = None
+               ) -> Tuple[np.ndarray, np.ndarray]:
+        """``mask`` (host [n_rows] bool) narrows this call to matching
+        rows — the engine's metadata filters fused into the sharded
+        scan, like the single-chip path."""
         if self.corpus is None:
             raise ValueError("corpus not loaded")
         q = np.asarray(queries, np.float32)
@@ -176,11 +192,20 @@ class ShardedCorpus:
             fn = make_sharded_topk(self.mesh, k, metric, self.axis,
                                    self.quantized)
             self._fns[key] = fn
+        m = self.mask
+        if mask is not None:
+            rows = int(self.mask.shape[0])
+            mm = np.zeros(rows, bool)
+            mm[: min(rows, len(mask))] = mask[:rows]
+            mm &= np.asarray(self.mask)
+            m = jax.device_put(
+                jnp.asarray(mm),
+                NamedSharding(self.mesh, P(self.axis)))
         if self.quantized:
             s, i = fn(self.corpus, self.scale, self.sqnorm,
-                      jnp.asarray(qp), self.mask)
+                      jnp.asarray(qp), m)
         else:
-            s, i = fn(self.corpus, jnp.asarray(qp), self.mask)
+            s, i = fn(self.corpus, jnp.asarray(qp), m)
         return np.asarray(s), np.asarray(i)
 
 

@@ -157,16 +157,24 @@ class EmbeddingSlab:
             rows = rows[rows < self._capacity]
             return self._host[rows].copy(), self._valid[rows].copy()
 
-    def host_int8(self, chunk_rows: int = 1 << 20
-                  ) -> Tuple[np.ndarray, np.ndarray]:
+    def host_int8(self, chunk_rows: int = 1 << 20, residual: bool = False
+                  ) -> Tuple[np.ndarray, ...]:
         """Host-side int8 quantization of the whole slab (for IVF
         builds: the f32 corpus never has to be materialized in HBM).
-        Invalid rows are zero -> scale 1, all-zero codes."""
+        Invalid rows are zero -> scale 1, all-zero codes.
+
+        With ``residual=True`` also returns a second int8 plane of the
+        quantization error (ops.rerank.residual_quantize semantics):
+        (q, scale, rq, rscale). Two int8 planes reconstruct to ~int16
+        fidelity, letting a rerank pass restore near-f32 ordering
+        without ever putting the f32 corpus on device."""
         with self._lock:
             host = self._host
             n = self._capacity
         q = np.empty((n, self.dim_pad), np.int8)
         scale = np.empty(n, np.float32)
+        rq = np.empty((n, self.dim_pad), np.int8) if residual else None
+        rscale = np.empty(n, np.float32) if residual else None
         for s in range(0, n, chunk_rows):
             e = min(n, s + chunk_rows)
             blk = host[s:e]
@@ -175,7 +183,24 @@ class EmbeddingSlab:
             q[s:e] = np.clip(np.round(blk / sc[:, None]), -127,
                              127).astype(np.int8)
             scale[s:e] = sc
+            if residual:
+                res = blk - q[s:e].astype(np.float32) * sc[:, None]
+                ram = np.max(np.abs(res), axis=1)
+                rsc = np.where(ram > 0, ram / 127.0, 1.0).astype(
+                    np.float32)
+                rq[s:e] = np.clip(np.round(res / rsc[:, None]), -127,
+                                  127).astype(np.int8)
+                rscale[s:e] = rsc
+        if residual:
+            return q, scale, rq, rscale
         return q, scale
+
+    def host_snapshot(self) -> Tuple[np.ndarray, np.ndarray, int]:
+        """Consistent copy (matrix [capacity, dim_pad] f32, valid
+        [capacity] bool, version) for mesh placement: the sharded
+        corpus is rebuilt from this when the slab version moves."""
+        with self._lock:
+            return self._host.copy(), self._valid.copy(), self._version
 
     @property
     def version(self) -> int:

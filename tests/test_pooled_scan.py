@@ -209,6 +209,9 @@ def test_masked_pooled_gate_occupancy(rng, monkeypatch):
     from neumann_tpu.engines.vector import FilterCondition, VectorEngine
 
     monkeypatch.setenv("NEUMANN_POOLED_MIN_ROWS", "1024")
+    # test-sized corpus: relax the collision-safety pool floor (default
+    # 2048 pools needs >= 16K rows)
+    monkeypatch.setenv("NEUMANN_POOLED_MIN_POOLS", "256")
     n, d = 8192, 32
     eng = VectorEngine()
     vecs = rng.standard_normal((n, d)).astype(np.float32)
