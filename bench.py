@@ -118,8 +118,6 @@ def main():
         gather_rerank_topk,
         int8_pooled_rerank_topk,
     )
-    from neumann_tpu.ops.scan import topk_scan_jit
-
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
     if on_tpu:
@@ -470,38 +468,43 @@ def main():
     perm = jax.random.permutation(jax.random.PRNGKey(3), oracle_rows)
     sub_q = corpus_q[:oracle_rows][perm]
     sub_scale = scale[:oracle_rows][perm]
-    sub_f32 = sub_q.astype(jnp.float32) * sub_scale[:, None]
-    _, fi = topk_scan_jit(sub_f32, queries[:nq_rec], k, "cosine",
-                          block_rows=block_rows)
-    del sub_f32
+    sub_rmult = jax.jit(int8_cosine_row_mult)(sub_q, sub_scale)
+    # subset queries are perturbed SUBSET rows: the cluster-sorted 10M
+    # corpus puts only a fraction of the clusters in the first 1M rows,
+    # so corpus-wide queries would have no cluster in the subset and
+    # their "top-10" would be meaningless loose ties; a perturbed
+    # resident row reproduces the deployment shape (query's cluster
+    # present, corpus shuffled)
+    kq3, kq4 = jax.random.split(jax.random.PRNGKey(5))
+    pick = jax.random.randint(kq3, (nq_rec,), 0, oracle_rows)
+    qsub = (sub_q[pick].astype(jnp.float32) * sub_scale[pick][:, None]
+            + (sigma / 2) * jax.random.normal(kq4, (nq_rec, d)))
+    _, fi = jax.jit(int8_exact_topk,
+                    static_argnames=("k", "block_rows"))(
+        sub_q, sub_rmult, qsub, k, block_rows=min(block_rows,
+                                                  256 * 1024))
     pool_rec = max(64, pool * oracle_rows // n_pad)
     _, qi = jax.jit(int8_pooled_rerank_topk,
                     static_argnames=("k", "oversample", "pool",
                                      "block_rows"))(
-        sub_q, sub_scale, queries[:nq_rec], k, oversample=cand // k,
+        sub_q, sub_scale, qsub, k, oversample=cand // k,
         pool=pool_rec, block_rows=block_rows)
     fi = np.asarray(fi)
     qi = np.asarray(qi)
     recall = float(np.mean([
         len(set(fi[r].tolist()) & set(qi[r].tolist())) / k
         for r in range(nq_rec)]))
-    # selection recall: does the exact-scan top-k survive the pooled
-    # FIRST pass's candidate set? (isolates pooling loss from rerank)
+    # selection recall: does the exact top-k survive the pooled FIRST
+    # pass's candidate set? (isolates selection loss from rerank)
     from neumann_tpu.ops.quant import int8_pooled_topk
 
     _, ci = jax.jit(int8_pooled_topk,
                     static_argnames=("k", "pool", "block_rows"))(
-        sub_q, sub_scale, queries[:nq_rec], cand, pool=pool_rec,
+        sub_q, sub_scale, qsub, cand, pool=pool_rec,
         block_rows=block_rows)
-    from neumann_tpu.ops.quant import int8_topk_scan_jit
-
-    _, ei = int8_topk_scan_jit(
-        sub_q, sub_scale, queries[:nq_rec], k, "cosine",
-        block_rows=block_rows)
-    ei = np.asarray(ei)
     ci = np.asarray(ci)
     sel_recall = float(np.mean([
-        len(set(ei[r].tolist()) & set(ci[r].tolist())) / k
+        len(set(fi[r].tolist()) & set(ci[r].tolist())) / k
         for r in range(nq_rec)]))
 
     ref_qps = 1e9 / (REF_NS_PER_VEC_768 * n)   # reference rate on this n

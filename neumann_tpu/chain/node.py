@@ -101,6 +101,10 @@ class TcpClusterNode(ClusterProtocolMixin):
             from neumann_tpu.router import QueryRouter
 
             router = QueryRouter(self.store)
+            # node-embedded router: its store is Raft-replicated, so
+            # read-only statements stay local even when a
+            # cluster_client is attached (no TCP round-trip for reads)
+            router.cluster_read_mode = "local"
             query_executor = lambda q: _result_to_jsonable(  # noqa: E731
                 router.execute(q))
             self.router = router

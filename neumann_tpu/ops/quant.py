@@ -398,10 +398,14 @@ def int8_exact_topk(
     def step(carry, xs):
         best_s, best_i = carry
         bi, block, rm = xs
+        # HIGHEST: TPU matmuls default to bf16 input precision, which
+        # would corrupt the oracle itself (preferred_element_type only
+        # sets the accumulator)
         dots = lax.dot_general(
             qf, block.astype(jnp.float32),
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST)
         s = jnp.where(rm[None, :] > 0, dots * rm[None, :], NEG_INF)
         bs, bidx = lax.top_k(s, k)
         ids = jnp.take_along_axis(

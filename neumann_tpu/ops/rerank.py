@@ -106,8 +106,13 @@ def gather_rerank_topk(
     if residual_q is not None:
         cand = cand + (residual_q[safe].astype(jnp.float32)
                        * residual_scale[safe][..., None])
+    # HIGHEST: TPU matmuls default to bf16 INPUT precision (preferred_
+    # element_type only sets the accumulator) — the entire point of
+    # this pass is exact f32 scoring, so force full-precision passes;
+    # the candidate set is tiny, the cost is invisible
     dots = jnp.einsum("qcd,qd->qc", cand, qf,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=lax.Precision.HIGHEST)
     if metric == "dot":
         scores = dots
     elif metric == "cosine":

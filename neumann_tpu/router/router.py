@@ -154,6 +154,51 @@ class QueryRouter:
 
         self.checkpoints = CheckpointManager(self.store, directory, **kw)
 
+    def attach_planner(self, planner, executors: Dict[str, object],
+                       nprobe: Optional[int] = None) -> None:
+        """Wire distributed planning into execute() itself (parity
+        with try_execute_distributed, query_router/src/lib.rs:
+        1751-1773 + distributed.rs:126-208): every statement is
+        classified local / scatter-gather / routed before it runs,
+        shard results merge by TopK/Aggregate/Concat/FirstNonEmpty,
+        and SIMILAR with a vector literal routes semantically (probe
+        the nearest shards only) when the planner has a
+        SemanticPartitioner. ``executors`` maps shard name ->
+        callable(query) -> QueryResult; the local shard defaults to
+        direct in-process execution.
+        """
+        from neumann_tpu.parallel.distributed import DistributedExecutor
+
+        executors = dict(executors)
+        executors.setdefault(
+            planner.local,
+            lambda q: self.execute_statement(parse_cached(q)))
+        self._dist = DistributedExecutor(planner, executors)
+        self._dist_nprobe = nprobe
+
+    def detach_planner(self) -> None:
+        self._dist = None
+
+    def _try_execute_distributed(self, query: str, stmt
+                                 ) -> Optional[QueryResult]:
+        """None = the plan says local; caller falls through to normal
+        execution (writes replicate via Raft, not via the planner)."""
+        dist = getattr(self, "_dist", None)
+        if dist is None or isinstance(stmt, (ast.Cluster, ast.Empty,
+                                             ast.Explain)):
+            return None
+        emb = None
+        if isinstance(stmt, ast.Similar) and stmt.query_vector:
+            emb = np.asarray(stmt.query_vector, np.float32)
+        planner = dist.planner
+        plan = (planner.plan_with_embedding(
+                    query, emb, getattr(self, "_dist_nprobe", None))
+                if emb is not None else planner.plan(query))
+        if plan.kind == "local":
+            return None
+        return dist.execute(query, embedding=emb,
+                            nprobe=getattr(self, "_dist_nprobe", None))
+
     # -- entry points ---------------------------------------------------------
     def execute(self, query: str) -> QueryResult:
         import time as _time
@@ -175,7 +220,29 @@ class QueryRouter:
             return out
         stmt = parse_cached(query)
         kind = type(stmt).__name__
+        dist_out = None
+        if getattr(self, "_dist", None) is not None:
+            t0 = _time.perf_counter()
+            try:
+                dist_out = self._try_execute_distributed(query, stmt)
+            except Exception:
+                self.metrics.record(kind,
+                                    (_time.perf_counter() - t0) * 1e3,
+                                    error=True, query=query)
+                raise
+            if dist_out is not None:
+                self.metrics.record(kind,
+                                    (_time.perf_counter() - t0) * 1e3,
+                                    query=query)
+                return dist_out
         cc = getattr(self, "cluster_client", None)
+        if cc is not None and self._reads_stay_local(stmt):
+            # statement classification under CLUSTER CONNECT: read-only
+            # statements serve from the local (Raft-replicated) state
+            # instead of paying a TCP round-trip — the reference
+            # classifies before shipping (query_router distributed
+            # planning); writes still forward below
+            cc = None
         if cc is not None and not isinstance(stmt, (ast.Cluster,
                                                     ast.Empty)):
             t0 = _time.perf_counter()
@@ -240,6 +307,29 @@ class QueryRouter:
         import pickle
 
         self.cache.put(query, pickle.dumps(result).hex())
+
+    # statements with no write side anywhere in their execution path —
+    # safe to serve from local replicated state under CLUSTER CONNECT
+    _READ_ONLY_STMTS = (
+        ast.Select, ast.ShowTables, ast.Describe, ast.NodeGet,
+        ast.NodeList, ast.EdgeGet, ast.EdgeList, ast.Neighbors,
+        ast.Path, ast.PageRank, ast.GraphAlgorithm, ast.GraphPattern,
+        ast.GraphAggregate, ast.EmbedGet, ast.Similar,
+        ast.ShowEmbeddings, ast.CountEmbeddings, ast.ShowCollections,
+        ast.Find, ast.EntityGet, ast.Blobs, ast.Checkpoints,
+        ast.Explain)
+
+    def _reads_stay_local(self, stmt) -> bool:
+        """Gateway read policy. ``cluster_read_mode``:
+        - "forward" (default): everything ships to the cluster — right
+          for thin clients whose local store is empty;
+        - "local": read-only statements execute against local state —
+          right for routers embedded in a cluster NODE, where the
+          store is Raft-replicated (eventual consistency on
+          followers, like the reference's follower reads)."""
+        return (getattr(self, "cluster_read_mode", "forward")
+                == "local"
+                and isinstance(stmt, self._READ_ONLY_STMTS))
 
     def _execute_cypher(self, query: str) -> QueryResult:
         from neumann_tpu.lang.cypher import CypherExecutor, parse_cypher

@@ -144,3 +144,151 @@ def test_sharded_ivf_corpus_recall_and_ids(rng):
     for i in range(4):
         live = [x for x in ids[i].tolist() if x >= 0]
         assert len(live) == len(set(live))
+
+
+# ---------------------------------------------------------------------------
+# router-integrated planning (round-3 item #5): the same scenarios,
+# driven through plain QueryRouter.execute() with a planner attached —
+# parity with try_execute_distributed (query_router/src/lib.rs:1751-1773)
+# ---------------------------------------------------------------------------
+
+def _planner_router(cluster, local="s0"):
+    from neumann_tpu.router import QueryRouter
+
+    names = list(cluster)
+    r = QueryRouter()
+    r.attach_planner(QueryPlanner(local, names),
+                     {nm: _executor(cluster[nm]) for nm in names})
+    return r
+
+
+def test_router_execute_scatter_gather_similar(cluster):
+    rng = np.random.default_rng(0)
+    n, d, k = 300, 32, 10
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    names = list(cluster)
+    for i in range(n):
+        vals = ", ".join(f"{x:.6f}" for x in vecs[i])
+        cluster[names[i % 3]].execute(f"EMBED STORE 'v{i}' [{vals}]")
+    r = _planner_router(cluster)
+    q = vecs[7] + 0.01 * rng.standard_normal(d).astype(np.float32)
+    vals = ", ".join(f"{x:.6f}" for x in q)
+    merged = r.execute(f"SIMILAR [{vals}] LIMIT {k}")
+    got = [h["key"] for h in merged.results]
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    want = [f"v{i}" for i in np.argsort(-(vn @ qn))[:k]]
+    assert got == want
+
+
+def test_router_execute_aggregate_concat_and_local_writes(cluster):
+    for i, (nm, cli) in enumerate(cluster.items()):
+        cli.execute("CREATE TABLE t (a INT)")
+        for j in range(3):
+            cli.execute(f"INSERT INTO t VALUES ({10 * i + j})")
+    r = _planner_router(cluster)
+    assert r.execute("SELECT COUNT(*) FROM t").count == 9
+    assert len(r.execute("SELECT a FROM t").rows) == 9
+    # writes plan LOCAL: they run on this router, not on the shards
+    r.execute("CREATE TABLE w (x INT)")
+    r.execute("INSERT INTO w VALUES (1)")
+    assert r.execute_statement(
+        __import__("neumann_tpu.lang.parser", fromlist=["parse"]
+                   ).parse("SELECT COUNT(*) FROM w")).rows
+    for cli in cluster.values():
+        import pytest as _pytest
+
+        from neumann_tpu.utils.errors import NeumannError
+        with _pytest.raises(Exception):
+            cli.execute("SELECT * FROM w")   # never reached the shards
+
+
+def test_router_execute_shard_failure_degrades(cluster):
+    rng = np.random.default_rng(1)
+    names = list(cluster)
+    for i in range(90):
+        vals = ", ".join(f"{x:.6f}" for x in rng.standard_normal(8))
+        cluster[names[i % 3]].execute(f"EMBED STORE 'k{i}' [{vals}]")
+
+    from neumann_tpu.router import QueryRouter
+
+    r = QueryRouter()
+    executors = {nm: _executor(cluster[nm]) for nm in names}
+
+    def broken(_query):
+        raise ConnectionError("shard down")
+
+    executors["s2"] = broken
+    r.attach_planner(QueryPlanner("s0", names), executors)
+    merged = r.execute("SIMILAR [1, 0, 0, 0, 0, 0, 0, 0] LIMIT 5")
+    assert len(merged.results) == 5
+    survivors = {f"k{i}" for i in range(90) if i % 3 != 2}
+    assert all(h["key"] in survivors for h in merged.results)
+
+
+def test_router_semantic_probe_routing(cluster):
+    """plan_with_embedding probes only the semantically nearest shards
+    through router.execute (SemanticPartitioner centroids)."""
+    from neumann_tpu.parallel.partitioner import SemanticPartitioner
+    from neumann_tpu.router import QueryRouter
+
+    rng = np.random.default_rng(2)
+    names = list(cluster)
+    d = 16
+    # three well-separated archetypes, one per shard
+    arch = np.eye(3, d).astype(np.float32) * 5
+    sem = SemanticPartitioner(3)
+    sem.centroids = arch
+    calls = {nm: 0 for nm in names}
+    for s_i, nm in enumerate(names):
+        for j in range(20):
+            v = arch[s_i] + 0.1 * rng.standard_normal(d).astype(
+                np.float32)
+            vals = ", ".join(f"{x:.6f}" for x in v)
+            cluster[nm].execute(f"EMBED STORE '{nm}_{j}' [{vals}]")
+
+    def counting(nm):
+        inner = _executor(cluster[nm])
+
+        def run(q):
+            calls[nm] += 1
+            return inner(q)
+        return run
+
+    r = QueryRouter()
+    r.attach_planner(QueryPlanner("s0", names, semantic=sem),
+                     {nm: counting(nm) for nm in names}, nprobe=1)
+    q = arch[1] + 0.05 * rng.standard_normal(d).astype(np.float32)
+    vals = ", ".join(f"{x:.6f}" for x in q)
+    res = r.execute(f"SIMILAR [{vals}] LIMIT 3")
+    assert all(h["key"].startswith("s1_") for h in res.results)
+    assert calls["s1"] == 1 and calls["s0"] == 0 and calls["s2"] == 0
+
+
+def test_cluster_read_mode_local():
+    """Node-embedded routers serve read-only statements from local
+    replicated state under CLUSTER CONNECT (no TCP round-trip)."""
+    from neumann_tpu.router import QueryRouter
+
+    r = QueryRouter()
+    r.cluster_read_mode = "local"
+    r.execute("CREATE TABLE lt (a INT)")
+    r.execute("INSERT INTO lt VALUES (7)")
+
+    forwarded = []
+
+    class FakeCC:
+        def execute(self, q, strong=True):
+            forwarded.append(q)
+            return {"kind": "message", "message": "remote"}
+
+        def close(self):
+            pass
+
+    r.cluster_client = FakeCC()
+    out = r.execute("SELECT a FROM lt")          # read: stays local
+    assert out.rows == [{"a": 7}]
+    assert forwarded == []
+    out2 = r.execute("INSERT INTO lt VALUES (9)")  # write: forwards
+    assert forwarded and "INSERT" in forwarded[0]
+    assert out2.message == "remote"
