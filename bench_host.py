@@ -128,7 +128,35 @@ def bench_wal(tmp):
     report("WAL replay (128d embedding records, 570B/rec)", rate(n, t),
            "records/s", ref=25_000_000,
            note="reference: 25M records/s (measured on 10K small "
-                "records — see next row for the like-for-like size)")
+                "records — see below for the like-for-like size)")
+
+    store3b = TensorStore()
+    t = timeit(lambda: store3b.recover(tmp / "wal_batched.log",
+                                       verify="lazy"))
+    report("WAL replay (570B records, verify='lazy')", rate(n, t),
+           "records/s", ref=25_000_000,
+           note="payload CRC deferred to first access (still checked "
+                "before any byte is used); replay touches only frame "
+                "headers")
+
+    # software-path ceiling: encode+frame with the disk removed — the
+    # durable-put rows above are writeback-bound on cloud VMs
+    from neumann_tpu.store import codec as _codec
+
+    ext = _codec._native()
+    if ext is not None:
+        fb = ext.framebuf_new()
+        ne = n
+        t0 = time.perf_counter()
+        for i in range(ne):
+            ext.framebuf_append(fb, 0, "emb:1", data)
+            if not (i & 4095):
+                ext.framebuf_take(fb)
+        report("WAL encode+frame only (no disk)",
+               rate(ne, time.perf_counter() - t0), "ops/s",
+               ref=1_400_000,
+               note="isolates the software put path from the VM's "
+                    "disk writeback rate")
 
     # like-for-like with the reference's replay bench: 10K SMALL records
     # (its tensor-store wal bench replays scalar puts, ~40B/record)

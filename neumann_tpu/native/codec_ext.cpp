@@ -532,6 +532,7 @@ struct OvEntry {
     uint32_t klen;
     uint64_t koff;            // key offset in buf
     Py_ssize_t val;           // payload offset, or -1 tombstone
+    uint32_t flen;            // frame payload length (lazy-CRC check)
 };
 
 struct WalOverlay {
@@ -544,6 +545,7 @@ struct WalOverlay {
     size_t used;              // live entries
     size_t fill;              // live + erased (load-factor gate)
     size_t tombstones;        // live entries with val < 0
+    int lazy_crc;             // payload CRC deferred to overlay_pop
 };
 
 static inline uint32_t ov_hash(const char *p, size_t n) {
@@ -629,13 +631,21 @@ static void overlay_destroy(PyObject *cap) {
     }
 }
 
-// wal_overlay(buf_bytes) -> (capsule, n_records)
+// wal_overlay(buf_bytes[, lazy_crc]) -> (capsule, n_records)
 static PyObject *py_wal_overlay(PyObject *self, PyObject *args) {
     // any C-contiguous buffer: bytes, or an mmap of the WAL file
     // (recover() mmaps — a read() of the log costs a full memcpy,
-    // which dominated replay at ~1 GB/s on cloud VMs)
+    // which dominated replay at ~1 GB/s on cloud VMs).
+    //
+    // lazy_crc=1 defers each payload's CRC to overlay_pop: the parse
+    // touches only the 8-byte headers + 5-byte record prefixes, so
+    // replay runs at header rate instead of full-payload CRC rate.
+    // Every byte is still CRC-verified BEFORE first use (pop); the
+    // trade is that a mid-log corruption surfaces at access time (as
+    // ValueError from pop) instead of truncating replay at parse time.
     PyObject *bufobj;
-    if (!PyArg_ParseTuple(args, "O", &bufobj)) return NULL;
+    int lazy = 0;
+    if (!PyArg_ParseTuple(args, "O|i", &bufobj, &lazy)) return NULL;
     WalOverlay *ov = new WalOverlay();
     if (PyObject_GetBuffer(bufobj, &ov->view, PyBUF_SIMPLE) < 0) {
         delete ov;
@@ -647,6 +657,7 @@ static PyObject *py_wal_overlay(PyObject *self, PyObject *args) {
     ov->blen = len;
     ov->base = (const char *)buf;
     ov->used = ov->fill = ov->tombstones = 0;
+    ov->lazy_crc = lazy;
     // start small and double: a len-proportional pre-size costs more
     // in calloc page faults than the amortized rehashes save
     ov->cap = 1 << 16;
@@ -662,7 +673,11 @@ static PyObject *py_wal_overlay(PyObject *self, PyObject *args) {
         memcpy(&crc, buf + pos + 4, 4);
         if ((Py_ssize_t)flen > len - pos - 8) break;      // torn tail
         const unsigned char *payload = buf + pos + 8;
-        if (fast_crc(payload, flen) != crc) break;        // corrupt
+        // lazy mode: the FINAL frame is always CRC-checked here (a
+        // torn buffered write lands there), the rest defer to pop
+        if ((!lazy || pos + 8 + (Py_ssize_t)flen == len
+             || pos + 8 + (Py_ssize_t)flen + 8 > len)
+            && fast_crc(payload, flen) != crc) break;     // corrupt
         if (flen < 5) goto malformed;
         {
             unsigned op = payload[0];
@@ -676,6 +691,7 @@ static PyObject *py_wal_overlay(PyObject *self, PyObject *args) {
                 OvEntry *e = ov_upsert(ov, key, klen, koff, &fresh);
                 if (!fresh && e->val < 0) ov->tombstones--;
                 e->val = pos + 8 + 5 + klen;
+                e->flen = flen;
             } else if (op == 1) {
                 OvEntry *e = ov_upsert(ov, key, klen, koff, &fresh);
                 if (fresh || e->val >= 0) ov->tombstones++;
@@ -714,11 +730,27 @@ static PyObject *py_overlay_pop(PyObject *self, PyObject *args) {
     if (!e)
         return Py_BuildValue("(iO)", 0, Py_None);
     Py_ssize_t p = e->val;
+    uint32_t flen = e->flen, klen_e = e->klen;
+    uint64_t koff = e->koff;
     if (p < 0) ov->tombstones--;
     e->hash = 1;                           // erased slot
     ov->used--;
     if (p < 0)
         return Py_BuildValue("(iO)", 2, Py_None);
+    if (ov->lazy_crc) {
+        // deferred integrity: verify the whole frame before any byte
+        // of it is decoded (koff = frame payload start + 5)
+        const unsigned char *payload =
+            (const unsigned char *)ov->base + koff - 5;
+        uint32_t want;
+        memcpy(&want, payload - 4, 4);
+        (void)klen_e;
+        if (fast_crc(payload, flen) != want) {
+            PyErr_SetString(PyExc_ValueError,
+                            "WAL record failed deferred CRC");
+            return NULL;
+        }
+    }
     Rd r = {(const unsigned char *)ov->base, ov->blen, p};
     PyObject *td = decode_data_c(&r);
     if (!td) return NULL;

@@ -279,7 +279,11 @@ class TensorStore:
             v = self._map.get(key)
             if v is not None or self._ov_cap is None:
                 return v
-            code, td = self._ov_ext.overlay_pop(self._ov_cap, key)
+            try:
+                code, td = self._ov_ext.overlay_pop(self._ov_cap, key)
+            except ValueError as e:   # deferred-CRC failure (lazy)
+                raise StoreError(
+                    f"WAL record for {key!r} is corrupt: {e}") from None
             if code != 1:
                 return None
             self._map[key] = td
@@ -436,13 +440,22 @@ class TensorStore:
 
         self._wal = TensorWal(wal_path, sync_mode=sync_mode)
 
-    def recover(self, wal_path, snapshot_path=None) -> int:
+    def recover(self, wal_path, snapshot_path=None,
+                verify: str = "eager") -> int:
         """Rebuild state from snapshot + WAL replay. Returns #records.
 
         With the native codec, replay is a single C pass that yields
         each key's FINAL state as a lazy wrapper (no per-record object
         materialization) — decode cost moves to first access, so
-        recovery runs at reference-class record rates."""
+        recovery runs at reference-class record rates.
+
+        verify="lazy" additionally defers each payload's CRC to first
+        access: replay then touches only frame headers (header-rate
+        recovery). Every byte is still CRC-checked BEFORE use — the
+        trade is that mid-log bit rot surfaces as a StoreError at the
+        first read of the damaged key instead of truncating replay
+        (the final frame, where torn writes land, is always checked
+        eagerly)."""
         import os as _os
 
         from neumann_tpu.store import codec
@@ -470,7 +483,9 @@ class TensorStore:
                 if not self._put_hooks:
                     # fastest path: records stay in a C++ overlay map
                     # (zero Python objects) and promote on first read
-                    cap, n = ext.wal_overlay(buf)
+                    cap, n = ext.wal_overlay(buf,
+                                             1 if verify == "lazy"
+                                             else 0)
                     with self._lock:
                         self._ov_ext = ext
                         self._ov_cap = cap

@@ -187,3 +187,72 @@ def test_overlay_concurrent_promotion_stress(tmp_path):
     # the store remains coherent: every surviving key materializes
     for k in s.scan("k"):
         assert s.get(k) is not None
+
+
+@native
+def test_lazy_crc_recover_matches_eager(tmp_path):
+    """verify='lazy' defers payload CRC to first access; the recovered
+    data is byte-identical to eager recovery."""
+    p = str(tmp_path / "wal.log")
+    _write_wal(p, 150, deletes=[3, 4])
+    eager = TensorStore()
+    eager.recover(p)
+    lazy = TensorStore()
+    n = lazy.recover(p, verify="lazy")
+    assert n == 152
+    for i in range(150):
+        a, b = eager.get(f"k{i}"), lazy.get(f"k{i}")
+        if i in (3, 4):
+            assert a is None and b is None
+        else:
+            assert a.get("v").value == b.get("v").value == i
+            np.testing.assert_array_equal(
+                a.get("embedding").to_dense(),
+                b.get("embedding").to_dense())
+
+
+@native
+def test_lazy_crc_detects_corruption_on_access(tmp_path):
+    """A mid-log bit flip: eager replay truncates at the bad frame
+    (later records lost); lazy replay keeps later records and raises
+    StoreError only when the damaged key is touched."""
+    from neumann_tpu.utils.errors import StoreError
+
+    p = str(tmp_path / "wal.log")
+    _write_wal(p, 100)
+    raw = bytearray(open(p, "rb").read())
+    # find frame 50's payload and flip one bit inside its value bytes
+    pos, idx = 0, 0
+    while idx < 50:
+        flen = int.from_bytes(raw[pos:pos + 4], "little")
+        pos += 8 + flen
+        idx += 1
+    flen = int.from_bytes(raw[pos:pos + 4], "little")
+    raw[pos + 8 + flen - 1] ^= 0x40
+    open(p, "wb").write(bytes(raw))
+
+    eager = TensorStore()
+    assert eager.recover(p) == 50            # truncated at corruption
+    assert eager.get("k49") is not None
+    assert eager.get("k51") is None          # lost
+
+    lazy = TensorStore()
+    assert lazy.recover(p, verify="lazy") == 100
+    assert lazy.get("k51").get("v").value == 51   # preserved
+    with pytest.raises(StoreError):
+        lazy.get("k50")                      # verified before use
+
+
+@native
+def test_lazy_crc_torn_tail_still_truncates(tmp_path):
+    """The final frame is always eagerly checked (torn buffered
+    writes land there), even in lazy mode."""
+    p = str(tmp_path / "wal.log")
+    _write_wal(p, 20)
+    raw = bytearray(open(p, "rb").read())
+    raw[-2] ^= 0xFF                           # corrupt final payload
+    open(p, "wb").write(bytes(raw))
+    s = TensorStore()
+    assert s.recover(p, verify="lazy") == 19
+    assert s.get("k18") is not None
+    assert s.get("k19") is None
