@@ -33,11 +33,26 @@ class Message:
     payload: dict = field(default_factory=dict)
 
     def encode(self) -> bytes:
+        """Binary wire format (chain/wire.py): packed arrays for
+        embedding/id payloads — the reference's bincode+sparse-encoding
+        analog (network.rs, tcp/framing.rs). JSON (see decode) remains
+        readable for mixed-version peers."""
+        from neumann_tpu.chain import wire
+
+        return wire.encode_message(self.kind, self.src, self.dst,
+                                   self.payload)
+
+    def encode_json(self) -> bytes:
         return json.dumps({"k": self.kind, "s": self.src, "d": self.dst,
                            "p": self.payload}).encode("utf-8")
 
     @staticmethod
     def decode(buf: bytes) -> "Message":
+        if buf[:2] == b"N1":
+            from neumann_tpu.chain import wire
+
+            k, s, d, p = wire.decode_message(buf)
+            return Message(k, s, d, p)
         o = json.loads(buf.decode("utf-8"))
         return Message(o["k"], o["s"], o["d"], o["p"])
 

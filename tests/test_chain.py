@@ -1880,3 +1880,45 @@ def test_build_node_flags_and_env(monkeypatch, tmp_path):
         assert node2.raft_wal is None  # no NEUMANN_DATA_DIR set
     finally:
         node2.stop()
+
+
+def test_wire_binary_roundtrip_and_json_interop():
+    """chain/wire.py: packed-array binary messages roundtrip exactly
+    and JSON frames from older peers still decode."""
+    from neumann_tpu.chain.transport import Message
+    from neumann_tpu.chain import wire
+
+    payload = {
+        "term": 7, "leader": "n1", "prev_index": 41,
+        "entries": [
+            {"index": 42, "term": 7,
+             "emb": [0.125 * i for i in range(768)],
+             "ids": list(range(100)),
+             "blob": b"\x00\x01\xff",
+             "mixed": [1, "x", None, True, 2.5],
+             "nested": {"a": {"b": [1.5, 2.5]}},
+             "bigint": 1 << 100,
+             "empty_list": [], "empty_dict": {}},
+        ],
+        "commit": 41, "none": None, "flag": False,
+    }
+    m = Message("append_entries", "n1", "n2", payload)
+    buf = m.encode()
+    assert buf[:2] == b"N1"
+    back = Message.decode(buf)
+    assert (back.kind, back.src, back.dst) == ("append_entries", "n1",
+                                               "n2")
+    assert back.payload == payload
+
+    j = Message("gossip", "a", "b", {"seen": {"n1": 3}, "v": [1.0, 2.0]})
+    back_j = Message.decode(j.encode_json())
+    assert back_j.payload == j.payload and back_j.kind == "gossip"
+
+    # size: binary AppendEntries with embeddings is far smaller than
+    # JSON (full-precision floats print ~19 chars vs 8 packed bytes)
+    import math
+
+    m2 = Message("ae", "a", "b",
+                 {"entries": [{"emb": [math.sin(i) * 0.7310585786300049
+                                       for i in range(768)]}]})
+    assert len(m2.encode()) < len(m2.encode_json()) / 2
