@@ -188,10 +188,16 @@ def decode_message(buf: bytes) -> Tuple[str, str, str, dict]:
     if bytes(mv[:2]) != MAGIC:
         raise ValueError("not a binary wire message")
     pos = 2
-    kind, pos = _dec_value(mv, pos)
-    src, pos = _dec_value(mv, pos)
-    dst, pos = _dec_value(mv, pos)
-    payload, pos = _dec_value(mv, pos)
+    # A corrupt/truncated frame must surface as a domain error, never a
+    # crash (reference fuzzes its framing the same way, tcp_framing.rs):
+    # out-of-range reads raise IndexError/struct.error inside _dec_value.
+    try:
+        kind, pos = _dec_value(mv, pos)
+        src, pos = _dec_value(mv, pos)
+        dst, pos = _dec_value(mv, pos)
+        payload, pos = _dec_value(mv, pos)
+    except (IndexError, struct.error, OverflowError) as e:
+        raise ValueError(f"corrupt wire message: {e}") from e
     if pos != len(buf):
         raise ValueError(f"trailing bytes after message ({len(buf)-pos})")
     return kind, src, dst, payload

@@ -189,6 +189,13 @@ class VectorEngineConfig:
     ivf_auto: bool = True
     ivf_auto_threshold: int = 4_000_000
     ivf_auto_max_batch: int = 32
+    # Batches past ivf_auto_max_batch ride the probe-sharing batched
+    # kernel (ops/ivf.batched_ivf_topk: each cluster window streams
+    # from HBM once per batch and is scored only against the queries
+    # that probed it) instead of falling back to the brute scan — the
+    # brute path is FLOP-bound at large Q and caps throughput. Set
+    # False to restore exact brute scans for large batches.
+    ivf_auto_batched: bool = True
     ivf_auto_clusters: int = 1024
     ivf_auto_nprobe: int = 64
     ivf_auto_rebuild_frac: float = 0.02
@@ -937,8 +944,10 @@ class VectorEngine:
                 quantization not in ("none", "int8"):
             return None
         n = corpus.count()
-        if n < cfg.ivf_auto_threshold or \
-                q.shape[0] > cfg.ivf_auto_max_batch:
+        if n < cfg.ivf_auto_threshold:
+            return None
+        throughput_batch = q.shape[0] > cfg.ivf_auto_max_batch
+        if throughput_batch and not cfg.ivf_auto_batched:
             return None
         # multi-chip: the mesh placements (ShardedIVFCorpus under
         # _device_search) beat the single-chip auto index — defer
@@ -958,7 +967,10 @@ class VectorEngine:
         qp = np.zeros((q.shape[0], slab.dim_pad), np.float32)
         qp[:, : corpus.dim] = q
         k_ivf = min(2 * top_k + 16, n)
-        scores, ids = ivf.search(qp, k_ivf)
+        if throughput_batch:
+            scores, ids = ivf.search_batched(qp, k_ivf)
+        else:
+            scores, ids = ivf.search(qp, k_ivf)
 
         dirty = slab.watched("auto_ivf")
         if dirty.size:

@@ -421,6 +421,64 @@ class DeviceIVFInt8:
                        np.asarray(self._row_ids)[np.maximum(pos, 0)], -1)
         return s, ids.astype(np.int32)
 
+    def search_batched(self, queries: np.ndarray, k: int,
+                       nprobe: Optional[int] = None,
+                       m: Optional[int] = None,
+                       q_cap: Optional[int] = None, group: int = 8
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+        """Throughput search: probe-sharing batched IVF + exact rerank.
+
+        The latency path (search) gathers per-query candidate windows;
+        this path streams each cluster window from HBM once per BATCH
+        and scores it against only the queries that probed it
+        (batched_ivf_topk), then reranks candidates in f32 (+residual
+        plane when built) via the chunked rerank. Queries are padded to
+        power-of-two buckets so compile count stays bounded; q_cap
+        (max queries per cluster) starts at 4x the uniform expectation
+        and doubles on overflow (skewed query batches)."""
+        import jax.numpy as jnp
+
+        from neumann_tpu.ops.rerank import gather_rerank_topk_chunked
+
+        if self._buf is None:
+            raise ValueError("build() first")
+        nprobe = min(nprobe or self.nprobe, self.n_clusters)
+        q = np.asarray(queries, np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        nq = q.shape[0]
+        q_pad = max(8, 1 << (nq - 1).bit_length())
+        if q_pad != nq:
+            q = np.concatenate(
+                [q, np.zeros((q_pad - nq, q.shape[1]), np.float32)])
+        valid = jnp.arange(q_pad) < nq
+        if m is None:
+            m = min(k + 6, self._window)
+        if q_cap is None:
+            expect = -(-q_pad * nprobe // self.n_clusters)
+            q_cap = 1 << (max(16, 4 * expect) - 1).bit_length()
+        qd = jnp.asarray(q)
+        while True:
+            sc, pos, overflow = batched_ivf_topk(
+                self._buf, self._rmult, self.centroids, self._starts,
+                qd, nprobe, self._window, m, q_cap, group=group,
+                valid_q=valid)
+            if int(overflow) == 0 or q_cap >= q_pad:
+                break  # q_cap == q_pad can never overflow (probes
+                # within one query are distinct clusters)
+            q_cap *= 2
+        chunk = min(128, q_pad)
+        sc, pos = gather_rerank_topk_chunked(
+            self._buf, pos, qd, k, "cosine", scale=self._scale,
+            residual_q=self._rbuf, residual_scale=self._rscale,
+            first_scores=sc, dedup=True, chunk=chunk)
+        sc = np.asarray(sc)[:nq]
+        pos = np.asarray(pos)[:nq]
+        ids = np.where(pos >= 0,
+                       np.asarray(self._row_ids)[np.maximum(pos, 0)],
+                       -1)
+        return sc, ids.astype(np.int32)
+
 
 @functools.lru_cache(maxsize=None)
 def _windowed_core(k: int, nprobe: int, window: int):
@@ -482,3 +540,135 @@ def windowed_ivf_topk(buf, rmult, cents, starts, qs, k: int,
                                         qs, k, nprobe, window)
     return _windowed_core(k, nprobe, window)(buf, rmult, cents,
                                              starts, qs)
+
+
+# --------------------------------------------------------------------------
+# Batched IVF: probe-sharing throughput kernel
+#
+# The per-query windowed core above gathers [nprobe, window, d] candidate
+# rows PER QUERY — the right trade for single-query latency, but at batch
+# sizes it re-reads every hot window once per query and blows HBM (Q=64
+# measured ~32 GB of gather). Brute scan, the previous throughput path,
+# is FLOP-bound at large Q (Q x N x d MACs) and plateaued at the 21K-QPS
+# roofline (BENCH_r02).
+#
+# This kernel inverts the loop, the classic IVF batching trick (the
+# reference batches per-list too — vector_engine/src/ivf.rs walks each
+# probed list once per query batch): iterate over CLUSTER WINDOWS, read
+# each window from HBM exactly once, and score it against only the
+# queries that probed it. Work drops from Q x N to Q x nprobe x window
+# MACs (~50x at 10M/4096/72) while the corpus is still streamed linearly
+# — the path flips from FLOP-bound back to bandwidth-bound, which a
+# batch amortizes across all Q queries.
+#
+# Static-shape plan (everything jits):
+#   1. probe [Q, nprobe] <- top-nprobe centroids per query (one matmul).
+#   2. invert to per-cluster query tables [C, q_cap] by sorting the
+#      (cluster, query, probe_rank) triples by cluster and ranking
+#      within runs via searchsorted; rank >= q_cap overflows are DROPPED
+#      (counted and returned so callers can retry with a bigger cap).
+#   3. lax.scan over cluster groups: dynamic-slice the group's windows,
+#      one [q_cap, d] x [d, window] bf16 matmul each, approx_max_k of m
+#      per (query, window).
+#   4. scatter results into out[Q, nprobe, m] at (query, probe_rank) —
+#      each (q, r) pair maps to exactly one cluster, so writes never
+#      conflict.
+# Callers rerank the [Q, nprobe*m] candidates exactly (ops/rerank.py).
+# --------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _batched_core(m: int, nprobe: int, window: int, q_cap: int,
+                  group: int):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def run(buf, rmult, cents, starts, qs, valid_q):
+        Q, d = qs.shape
+        C = cents.shape[0]
+        c_pad = -(-C // group) * group
+        qn = qs / jnp.maximum(
+            jnp.linalg.norm(qs, axis=1, keepdims=True), 1e-30)
+        _, probe = lax.top_k(qn @ cents.T, nprobe)
+        # padding queries probe the sentinel cluster c_pad -> their
+        # table writes drop; they never consume q_cap slots
+        probe = jnp.where(valid_q[:, None], probe, c_pad)
+
+        qn_total = Q * nprobe
+        seq = jnp.arange(qn_total, dtype=jnp.int32)
+        flat_c = probe.reshape(-1)
+        order = jnp.argsort(flat_c)          # stable: ties keep q order
+        sc = flat_c[order]
+        first = jnp.searchsorted(sc, sc, side="left")
+        rank = (seq - first).astype(jnp.int32)
+        fq = (seq // nprobe)[order]
+        fr = (seq % nprobe)[order]
+        overflow = jnp.sum(((rank >= q_cap) & (sc < C)).astype(
+            jnp.int32))
+        tbl_q = jnp.full((c_pad, q_cap), -1, jnp.int32
+                         ).at[sc, rank].set(fq, mode="drop")
+        tbl_r = jnp.zeros((c_pad, q_cap), jnp.int32
+                          ).at[sc, rank].set(fr, mode="drop")
+        starts_p = jnp.concatenate(
+            [starts, jnp.zeros(c_pad - C, starts.dtype)]) \
+            if c_pad != C else starts
+
+        qn_b = qn.astype(jnp.bfloat16)
+
+        def one(c):
+            base = starts_p[c]
+            block = lax.dynamic_slice(buf, (base, 0), (window, d))
+            rm = lax.dynamic_slice(rmult, (base,), (window,))
+            qidx = tbl_q[c]
+            qsub = qn_b[jnp.maximum(qidx, 0)]          # [q_cap, d]
+            dots = jnp.dot(qsub, block.astype(jnp.bfloat16).T,
+                           preferred_element_type=jnp.float32)
+            scores = jnp.where(rm[None, :] > 0,
+                               dots * rm[None, :], -jnp.inf)
+            s, i = lax.approx_max_k(scores, m)
+            return qidx, tbl_r[c], s, base + i.astype(jnp.int32)
+
+        def step(carry, cg):
+            out_s, out_p = carry
+            qidx, rr, s, pos = jax.vmap(one)(cg)
+            # -1 padding slots map to row Q: out of bounds -> dropped
+            qi = jnp.where(qidx < 0, Q, qidx).reshape(-1)
+            rrf = rr.reshape(-1)
+            out_s = out_s.at[qi, rrf].set(s.reshape(-1, m),
+                                          mode="drop")
+            out_p = out_p.at[qi, rrf].set(pos.reshape(-1, m),
+                                          mode="drop")
+            return (out_s, out_p), None
+
+        init = (jnp.full((Q, nprobe, m), -jnp.inf, jnp.float32),
+                jnp.full((Q, nprobe, m), -1, jnp.int32))
+        cgs = jnp.arange(c_pad, dtype=jnp.int32).reshape(-1, group)
+        (out_s, out_p), _ = lax.scan(step, init, cgs)
+        return (out_s.reshape(Q, nprobe * m),
+                out_p.reshape(Q, nprobe * m), overflow)
+
+    return run
+
+
+def batched_ivf_topk(buf, rmult, cents, starts, qs, nprobe: int,
+                     window: int, m: int, q_cap: int, group: int = 8,
+                     valid_q=None):
+    """Probe-sharing batched IVF candidate pass (see block comment).
+
+    buf/rmult/cents/starts: the DeviceIVFInt8 windowed layout.
+    qs [Q, d] f32 queries; valid_q [Q] bool (False = padding query).
+    Returns (scores [Q, nprobe*m] f32, positions [Q, nprobe*m] i32 in
+    sorted-buffer coordinates with -1 sentinels, overflow count — the
+    number of (query, cluster) probes dropped because more than q_cap
+    queries probed one cluster; retry with a bigger q_cap if nonzero).
+    Candidates may repeat across overlapping windows; rerank with
+    dedup=True (ops/rerank.py) for k distinct exact-scored rows.
+    """
+    import jax.numpy as jnp
+
+    if valid_q is None:
+        valid_q = jnp.ones(qs.shape[0], bool)
+    return _batched_core(m, nprobe, window, q_cap, group)(
+        buf, rmult, cents, starts, qs, valid_q)

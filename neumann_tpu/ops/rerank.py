@@ -153,6 +153,54 @@ def gather_rerank_topk_jit(corpus_q, pos, queries, k, metric="cosine",
                               dedup)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("k", "metric", "dedup", "chunk"))
+def gather_rerank_topk_chunked(corpus_q, pos, queries, k,
+                               metric="cosine", scale=None,
+                               residual_q=None, residual_scale=None,
+                               first_scores=None, dedup=True,
+                               chunk=128):
+    """gather_rerank_topk with the query axis streamed in chunks.
+
+    The plain rerank materializes the [Q, C, d] f32 candidate gather —
+    at throughput batch sizes (Q=1024, C~=1000 candidates) that is
+    gigabytes. lax.map over query chunks bounds live memory to one
+    chunk's gather while staying inside a single jit."""
+    q_total = pos.shape[0]
+    n_chunks = -(-q_total // chunk)
+    q_pad = n_chunks * chunk
+    if q_pad != q_total:
+        pad = q_pad - q_total
+        pos = jnp.concatenate(
+            [pos, jnp.full((pad, pos.shape[1]), -1, pos.dtype)])
+        queries = jnp.concatenate(
+            [queries, jnp.zeros((pad, queries.shape[1]),
+                                queries.dtype)])
+        if first_scores is not None:
+            first_scores = jnp.concatenate(
+                [first_scores,
+                 jnp.full((pad, first_scores.shape[1]), NEG_INF,
+                          first_scores.dtype)])
+
+    pos_r = pos.reshape(n_chunks, chunk, -1)
+    q_r = queries.reshape(n_chunks, chunk, -1)
+    if first_scores is None:
+        s, p = lax.map(
+            lambda a: gather_rerank_topk(
+                corpus_q, a[0], a[1], k, metric, scale, residual_q,
+                residual_scale, None, dedup),
+            (pos_r, q_r))
+    else:
+        s, p = lax.map(
+            lambda a: gather_rerank_topk(
+                corpus_q, a[0], a[1], k, metric, scale, residual_q,
+                residual_scale, a[2], dedup),
+            (pos_r, q_r, first_scores.reshape(n_chunks, chunk, -1)))
+    kk = s.shape[-1]
+    return (s.reshape(q_pad, kk)[:q_total],
+            p.reshape(q_pad, kk)[:q_total])
+
+
 def int8_pooled_rerank_topk(
     corpus_q: jnp.ndarray,
     corpus_scale: jnp.ndarray,

@@ -62,11 +62,25 @@ def test_auto_route_triggers_and_recalls(engine_and_data):
     assert np.mean(recs) >= 0.9, recs
 
 
-def test_large_batches_still_brute(engine_and_data):
+def test_large_batches_ride_batched_ivf(engine_and_data):
+    """Batches past ivf_auto_max_batch route through the probe-sharing
+    batched kernel (each cluster window streamed once per batch) with
+    near-oracle recall; ivf_auto_batched=False restores brute."""
     eng, vecs = engine_and_data
-    # batch > ivf_auto_max_batch takes the throughput-optimal scan
     out = eng.batch_search(vecs[:16], 5)
     assert len(out) == 16 and out[3][0].key == "k3"
+    recs = []
+    for qi in range(16):
+        want = {f"k{i}" for i in _brute_top(vecs, vecs[qi], 5)}
+        recs.append(len(want & {h.key for h in out[qi]}) / 5)
+    assert np.mean(recs) >= 0.9, recs
+
+    eng.config.ivf_auto_batched = False
+    try:
+        brute = eng.batch_search(vecs[:16], 5)
+        assert brute[3][0].key == "k3"
+    finally:
+        eng.config.ivf_auto_batched = True
 
 
 def test_mutations_after_build_are_exact(engine_and_data):

@@ -171,3 +171,90 @@ def test_device_ivf_residual_plane(rng):
     rec = np.mean([len(set(ids[r].tolist()) & set(oi[r].tolist())) / k
                    for r in range(len(oi))])
     assert rec >= 0.99, rec
+
+
+def test_batched_ivf_full_probe_matches_f32_oracle(rng):
+    """search_batched with every cluster probed + rerank == exact f32
+    scan over the dequantized corpus — the probe-sharing inversion
+    (per-cluster query tables) must lose nothing vs the per-query
+    gather path."""
+    from neumann_tpu.ops.ivf import DeviceIVFInt8
+
+    n, d, k = 4000, 64, 5
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    cq, scale = scalar_quantize(jnp.asarray(vecs))
+    deq = np.asarray(cq.astype(jnp.float32) * scale[:, None])
+    ix = DeviceIVFInt8(d, n_clusters=16, nprobe=16, iters=8)
+    ix.build(np.asarray(cq), np.asarray(scale), sample_rows=1000)
+    qs = vecs[:13]                      # odd count: exercises padding
+    s, ids = ix.search_batched(qs, k, nprobe=16)
+    os_, oi = _oracle(deq, qs, k)
+    assert ids.tolist() == oi.tolist()
+    np.testing.assert_allclose(s, os_, rtol=1e-4, atol=1e-5)
+
+
+def test_batched_ivf_matches_latency_path(rng):
+    """Partial-probe search_batched returns the same rows as the
+    per-query latency path at the same nprobe (both rerank exactly;
+    candidate sets coincide when windows cover probed clusters)."""
+    from neumann_tpu.ops.ivf import DeviceIVFInt8
+
+    n, d, k = 3000, 64, 10
+    centers = rng.standard_normal((8, d)).astype(np.float32)
+    vecs = (centers[rng.integers(0, 8, n)]
+            + 0.2 * rng.standard_normal((n, d))).astype(np.float32)
+    cj = jnp.asarray(vecs)
+    cq, scale = scalar_quantize(cj)
+    rq, rscale = residual_quantize(cj, cq, scale)
+    ix = DeviceIVFInt8(d, n_clusters=8, nprobe=4, iters=8)
+    ix.build(np.asarray(cq), np.asarray(scale), sample_rows=1000,
+             residual=(np.asarray(rq), np.asarray(rscale)))
+    qs = (centers[rng.integers(0, 8, 32)]
+          + 0.2 * rng.standard_normal((32, d))).astype(np.float32)
+    _, ids_lat = ix.search(qs, k, nprobe=4)
+    _, ids_bat = ix.search_batched(qs, k, nprobe=4)
+    agree = np.mean([len(set(ids_lat[r].tolist())
+                         & set(ids_bat[r].tolist())) / k
+                     for r in range(len(qs))])
+    assert agree >= 0.95, agree
+    # and both hit the true oracle on this clustered corpus
+    _, oi = _oracle(vecs, qs, k)
+    rec = np.mean([len(set(ids_bat[r].tolist()) & set(oi[r].tolist()))
+                   / k for r in range(len(qs))])
+    assert rec >= 0.95, rec
+
+
+def test_batched_ivf_overflow_retry(rng):
+    """A skewed batch (all queries probe the same clusters) overflows a
+    tiny q_cap; the doubling retry must converge and stay correct."""
+    from neumann_tpu.ops.ivf import DeviceIVFInt8
+
+    n, d, k = 2000, 32, 5
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    cq, scale = scalar_quantize(jnp.asarray(vecs))
+    deq = np.asarray(cq.astype(jnp.float32) * scale[:, None])
+    ix = DeviceIVFInt8(d, n_clusters=4, nprobe=4, iters=6)
+    ix.build(np.asarray(cq), np.asarray(scale), sample_rows=500)
+    base = vecs[0]
+    qs = np.stack([base + 0.01 * rng.standard_normal(d)
+                   for _ in range(16)]).astype(np.float32)
+    s, ids = ix.search_batched(qs, k, nprobe=4, q_cap=1)
+    os_, oi = _oracle(deq, qs, k)
+    assert ids.tolist() == oi.tolist()
+
+
+def test_batched_ivf_single_query_and_k_gt_window(rng):
+    """Edge shapes: 1-D query input; m clamped when k+6 exceeds the
+    window."""
+    from neumann_tpu.ops.ivf import DeviceIVFInt8
+
+    n, d = 600, 32
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    cq, scale = scalar_quantize(jnp.asarray(vecs))
+    deq = np.asarray(cq.astype(jnp.float32) * scale[:, None])
+    ix = DeviceIVFInt8(d, n_clusters=4, nprobe=4, iters=6)
+    ix.build(np.asarray(cq), np.asarray(scale), sample_rows=500)
+    s, ids = ix.search_batched(vecs[7], 3, nprobe=4)
+    _, oi = _oracle(deq, vecs[7:8], 3)
+    assert ids.shape == (1, 3)
+    assert ids[0].tolist() == oi[0].tolist()

@@ -19,8 +19,11 @@ import os
 import subprocess
 import sys
 
-BASELINE_PATH = os.path.join(os.path.dirname(__file__), "..",
-                             "bench-thresholds.json")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+BASELINE_PATH = os.path.join(_REPO, "bench-thresholds.json")
 
 # metrics where SMALLER is better (latencies)
 _SMALLER_BETTER = ("us", "ms", "ns/node")
@@ -49,7 +52,80 @@ def run_quick() -> dict:
     return rows
 
 
+def run_device_config2() -> tuple:
+    """BASELINE config 2 (64-query batched top-10 over 1M x 768 fp32
+    via f32_pooled_topk) measured on the current jax backend.
+
+    This config leans on XLA hoisting the bf16 copy of the corpus out
+    of the scan loop (BENCHMARKS.md configs 1-4) — an implicit compiler
+    behavior a jax/XLA upgrade could silently regress, so it gets its
+    own pinned gate (VERDICT r2 weak #8). Returns (qps, platform)."""
+    import functools
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from neumann_tpu.ops.quant import f32_pooled_topk
+
+    platform = jax.devices()[0].platform
+    scale = 1 if platform == "tpu" else 64
+    n = (1 << 20) // scale
+    corpus = jax.random.normal(jax.random.PRNGKey(0), (n, 768),
+                               jnp.float32)
+    qs = jax.random.normal(jax.random.PRNGKey(2), (64, 768),
+                           jnp.float32)
+
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def chain(corpus, qs, reps):
+        def body(_, carry):
+            cur, acc = carry
+            s, _ = f32_pooled_topk(corpus, cur, 10, pool=512,
+                                   block_rows=262_144)
+            return cur + 1e-30 * jnp.mean(s), acc + s[0, 0]
+        return lax.fori_loop(0, reps, body, (qs, 0.0))[1]
+
+    def timed(r):
+        a = time.perf_counter()
+        float(chain(corpus, qs, r))
+        return time.perf_counter() - a
+
+    timed(2)
+    timed(10)
+    t1 = min(timed(2) for _ in range(3))
+    t2 = min(timed(10) for _ in range(3))
+    per = (t2 - t1) / 8
+    return 64.0 / per, platform
+
+
+def gate_device(record: bool) -> int:
+    qps, platform = run_device_config2()
+    metric = f"device:config2_pooled_64q_1Mx768_fp32:{platform}"
+    with open(BASELINE_PATH) as f:
+        base = json.load(f)
+    if record:
+        base[metric] = {"value": round(qps, 1), "unit": "QPS",
+                        "allowed_factor": 2.0}
+        with open(BASELINE_PATH, "w") as f:
+            json.dump(base, f, indent=1, sort_keys=True)
+        print(f"recorded {metric} = {qps:.1f} QPS")
+        return 0
+    spec = base.get(metric)
+    if spec is None:
+        print(f"no baseline for {metric}; run with "
+              "--device --record first")
+        return 0
+    bad = qps < spec["value"] / spec.get("allowed_factor", 2.0)
+    tag = "REGRESS" if bad else "ok"
+    print(f"{tag:8s} {metric}: {qps:.1f} QPS "
+          f"(baseline {spec['value']:g})")
+    return 1 if bad else 0
+
+
 def main() -> int:
+    if "--device" in sys.argv:
+        return gate_device("--record" in sys.argv)
     rows = run_quick()
     if "--record" in sys.argv:
         payload = {m: {"value": v, "unit": u, "allowed_factor": 3.0}
