@@ -569,10 +569,15 @@ def windowed_ivf_topk(buf, rmult, cents, starts, qs, k: int,
 #      (counted and returned so callers can retry with a bigger cap).
 #   3. lax.scan over cluster groups: dynamic-slice the group's windows,
 #      one [q_cap, d] x [d, window] bf16 matmul each, approx_max_k of m
-#      per (query, window).
-#   4. scatter results into out[Q, nprobe, m] at (query, probe_rank) —
-#      each (q, r) pair maps to exactly one cluster, so writes never
-#      conflict.
+#      per (query, window). Per-cluster results are stacked as scan
+#      OUTPUTS (ys) — no in-loop writes to a global table.
+#   4. reassemble per query by GATHER: rank_of[q, r] (the slot query q
+#      occupies in cluster probe[q, r]'s table, one small scatter built
+#      alongside the tables) addresses ys[probe, rank_of] directly.
+#      The first version scattered each step's results into
+#      out[Q, nprobe, m]; two ~q_cap*group*m-element scatters per scan
+#      step serialized the whole kernel (~40x over the HBM roofline
+#      measured at 1M). Gathers vectorize on TPU; scatters often don't.
 # Callers rerank the [Q, nprobe*m] candidates exactly (ops/rerank.py).
 # --------------------------------------------------------------------------
 
@@ -609,8 +614,12 @@ def _batched_core(m: int, nprobe: int, window: int, q_cap: int,
             jnp.int32))
         tbl_q = jnp.full((c_pad, q_cap), -1, jnp.int32
                          ).at[sc, rank].set(fq, mode="drop")
-        tbl_r = jnp.zeros((c_pad, q_cap), jnp.int32
-                          ).at[sc, rank].set(fr, mode="drop")
+        # rank_of[q, r]: the table slot query q holds in cluster
+        # probe[q, r] (q_cap = dropped/overflowed). One [Q*nprobe]
+        # scatter here buys gather-only reassembly after the scan.
+        rank_of = jnp.full((Q, nprobe), q_cap, jnp.int32
+                           ).at[fq, fr].set(
+            jnp.where(rank < q_cap, rank, q_cap), mode="drop")
         starts_p = jnp.concatenate(
             [starts, jnp.zeros(c_pad - C, starts.dtype)]) \
             if c_pad != C else starts
@@ -628,24 +637,21 @@ def _batched_core(m: int, nprobe: int, window: int, q_cap: int,
             scores = jnp.where(rm[None, :] > 0,
                                dots * rm[None, :], -jnp.inf)
             s, i = lax.approx_max_k(scores, m)
-            return qidx, tbl_r[c], s, base + i.astype(jnp.int32)
+            return s, base + i.astype(jnp.int32)
 
-        def step(carry, cg):
-            out_s, out_p = carry
-            qidx, rr, s, pos = jax.vmap(one)(cg)
-            # -1 padding slots map to row Q: out of bounds -> dropped
-            qi = jnp.where(qidx < 0, Q, qidx).reshape(-1)
-            rrf = rr.reshape(-1)
-            out_s = out_s.at[qi, rrf].set(s.reshape(-1, m),
-                                          mode="drop")
-            out_p = out_p.at[qi, rrf].set(pos.reshape(-1, m),
-                                          mode="drop")
-            return (out_s, out_p), None
+        def step(_, cg):
+            return (), jax.vmap(one)(cg)
 
-        init = (jnp.full((Q, nprobe, m), -jnp.inf, jnp.float32),
-                jnp.full((Q, nprobe, m), -1, jnp.int32))
         cgs = jnp.arange(c_pad, dtype=jnp.int32).reshape(-1, group)
-        (out_s, out_p), _ = lax.scan(step, init, cgs)
+        _, (ys_s, ys_p) = lax.scan(step, (), cgs)
+        ys_s = ys_s.reshape(c_pad, q_cap, m)       # [C', q_cap, m]
+        ys_p = ys_p.reshape(c_pad, q_cap, m)
+
+        ok = (probe < C) & (rank_of < q_cap)       # [Q, nprobe]
+        cg_ = jnp.minimum(probe, c_pad - 1)
+        rk_ = jnp.minimum(rank_of, q_cap - 1)
+        out_s = jnp.where(ok[:, :, None], ys_s[cg_, rk_], -jnp.inf)
+        out_p = jnp.where(ok[:, :, None], ys_p[cg_, rk_], -1)
         return (out_s.reshape(Q, nprobe * m),
                 out_p.reshape(Q, nprobe * m), overflow)
 

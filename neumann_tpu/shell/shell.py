@@ -32,9 +32,11 @@ Built-ins:
   exit | quit          leave the shell
   clear                clear the screen
   tables               alias for SHOW TABLES
-  save '<path>'        snapshot the store to a file
-  load '<path>'        load a snapshot file
-  wal status           show WAL size and sync mode
+  save '<path>'        snapshot the store (truncates the command WAL)
+  load '<path>'        load a snapshot, replay + activate '<path>.log'
+                       (command WAL: every write statement since the
+                       last save, replayed on load)
+  wal status           show store-WAL and command-WAL state
   vault init '<pw>'    initialize the secrets vault
   vault identity '<e>' act as entity <e> for VAULT statements
   wal truncate         checkpoint the store and truncate the WAL
@@ -86,7 +88,13 @@ def format_table(rows: List[dict]) -> str:
     return "\n".join(out)
 
 
-def format_result(res: QueryResult) -> str:
+def format_result(res: QueryResult, theme=None) -> str:
+    """Plain-theme rendering by default; pass a Theme (shell/output.py)
+    for the styled per-result-type formatters."""
+    if theme is not None and (theme.unicode or theme.color):
+        from neumann_tpu.shell.output import format_result as themed
+
+        return themed(res, theme)
     if res.kind == "rows":
         body = format_table(res.rows)
         return f"{body}\n({len(res.rows)} row(s))"
@@ -172,11 +180,18 @@ def _split_script(src: str) -> List[str]:
 class Shell:
     def __init__(self, wal_dir: Optional[str] = None,
                  router: Optional[QueryRouter] = None,
-                 stdin=None, stdout=None):
+                 stdin=None, stdout=None, theme: Optional[str] = None,
+                 wal_recovery: str = "strict"):
+        from neumann_tpu.shell.output import THEMES, detect_theme
+
         self.router = router or QueryRouter()
         self.wal_dir = wal_dir
         self.stdin = stdin or sys.stdin
         self.stdout = stdout or sys.stdout
+        self.theme = THEMES[theme] if theme else detect_theme(
+            self.stdout)
+        self.wal_recovery = wal_recovery
+        self.cmd_wal = None            # activated by LOAD (cmdwal.py)
         if wal_dir:
             os.makedirs(wal_dir, exist_ok=True)
             snap = os.path.join(wal_dir, "snapshot.ntpu")
@@ -238,6 +253,10 @@ class Shell:
                     return "usage: save [compressed] '<path>'"
                 path = os.path.join(self.wal_dir, "snapshot.ntpu")
             self.router.store.save_snapshot(path, compressed=compressed)
+            # the snapshot now covers everything in the command WAL
+            # (reference truncates on SAVE, lib.rs:407-410)
+            if self.cmd_wal is not None:
+                self.cmd_wal.truncate()
             return f"saved to {path}" + (" (compressed)" if compressed
                                          else "")
         elif lower == "load" or lower.startswith("load "):
@@ -248,13 +267,47 @@ class Shell:
                 if not path or not os.path.exists(path):
                     return "usage: load '<path>'"
             self.router.store.load_snapshot(path)
-            return f"loaded {len(self.router.store)} entries from {path}"
+            out = f"loaded {len(self.router.store)} entries from {path}"
+            # activate the command WAL at <path>.log: replay writes
+            # issued since the snapshot, then append new ones
+            # (reference lib.rs:478-503)
+            from neumann_tpu.shell.cmdwal import CommandWal
+
+            wal_path = path + ".log"
+            if os.path.exists(wal_path):
+                try:
+                    rr = CommandWal.replay(
+                        wal_path,
+                        lambda stmt: (self.router.execute_many(stmt)
+                                      if ";" in stmt.rstrip(";")
+                                      else self.router.execute(stmt)),
+                        mode=("recover"
+                              if self.wal_recovery == "recover"
+                              else "strict"))
+                except RuntimeError as e:
+                    return f"{out}\nerror: {e}"
+                out += f"\n{rr.summary()}"
+                for line in rr.skipped[:5]:
+                    out += f"\n  skipped: {line}"
+            if self.cmd_wal is not None:
+                self.cmd_wal.close()
+            self.cmd_wal = CommandWal(wal_path)
+            return out
         elif lower == "wal status":
             wal = self.router.store._wal
+            lines = []
             if wal is None:
-                return "WAL: disabled (start with --wal-dir)"
-            return (f"WAL: {wal.path} ({wal.size_bytes()} bytes, "
-                    f"sync={wal.sync_mode})")
+                lines.append("store WAL: disabled (start with --wal-dir)")
+            else:
+                lines.append(f"store WAL: {wal.path} "
+                             f"({wal.size_bytes()} bytes, "
+                             f"sync={wal.sync_mode})")
+            if self.cmd_wal is not None:
+                lines.append(f"command WAL: {self.cmd_wal.path} "
+                             f"({self.cmd_wal.size_bytes()} bytes)")
+            else:
+                lines.append("command WAL: inactive (activated by LOAD)")
+            return "\n".join(lines)
         elif lower == "wal truncate":
             wal = self.router.store._wal
             if wal is None:
@@ -289,14 +342,27 @@ class Shell:
                     not q.lstrip().upper().startswith(
                         ("MATCH", "MERGE", "CREATE (", "OPTIONAL")):
                 results = self.router.execute_many(q)
-                return "\n".join(format_result(r) for r in results
-                                  if r.kind != "message" or r.message)
+                self._wal_log(q)
+                return "\n".join(format_result(r, self.theme)
+                                 for r in results
+                                 if r.kind != "message" or r.message)
             res = self.router.execute(q)
         except NeumannError as e:
             return f"error: {e}"
         except Exception as e:  # surface engine bugs honestly
             return f"internal error: {type(e).__name__}: {e}"
-        return format_result(res)
+        self._wal_log(q)
+        return format_result(res, self.theme)
+
+    def _wal_log(self, stmt: str) -> None:
+        """Append a SUCCESSFUL write statement to the command WAL
+        (reference logs post-execution, lib.rs:365-372)."""
+        if self.cmd_wal is None:
+            return
+        from neumann_tpu.shell.cmdwal import is_write_command
+
+        if is_write_command(stmt):
+            self.cmd_wal.append(stmt)
 
     def doctor(self) -> str:
         """Diagnostics like the reference shell's doctor command."""
@@ -389,8 +455,17 @@ def main(argv: Optional[List[str]] = None) -> int:
                     help="directory for WAL + snapshots (durable mode)")
     ap.add_argument("-c", "--command", default=None,
                     help="execute one statement and exit")
+    ap.add_argument("--theme", default=None,
+                    choices=("plain", "dark", "light", "minimal"),
+                    help="output theme (default: dark on a TTY)")
+    ap.add_argument("--wal-recovery", default="strict",
+                    choices=("strict", "recover"),
+                    help="command-WAL replay mode on LOAD: stop at the "
+                         "first failed statement (strict) or skip and "
+                         "report (recover)")
     args = ap.parse_args(argv)
-    shell = Shell(wal_dir=args.wal_dir)
+    shell = Shell(wal_dir=args.wal_dir, theme=args.theme,
+                  wal_recovery=args.wal_recovery)
     if args.command:
         out = shell.execute(args.command)
         if out:

@@ -103,6 +103,11 @@ def main():
     expect = -(-q_ivf * nprobe // n_centers)
     q_cap = 1 << (max(32, 2 * expect) - 1).bit_length()
     group = 8
+    for a in sys.argv[1:]:          # --group=N / --qcap=N sweeps
+        if a.startswith("--group="):
+            group = int(a.split("=")[1])
+        elif a.startswith("--qcap="):
+            q_cap = int(a.split("=")[1])
     print(f"# Q={q_ivf} nprobe={nprobe} m={m} q_cap={q_cap} "
           f"group={group}", file=sys.stderr)
 
