@@ -11,10 +11,10 @@
  */
 
 // ---------------------------------------------------------------------------
-// minimal protobuf wire helpers
+// minimal protobuf wire helpers (exported for the vitest wire suite)
 // ---------------------------------------------------------------------------
 
-function writeVarint(out: number[], v: number): void {
+export function writeVarint(out: number[], v: number): void {
   while (v >= 0x80) {
     out.push((v & 0x7f) | 0x80);
     v = Math.floor(v / 128);
@@ -22,14 +22,14 @@ function writeVarint(out: number[], v: number): void {
   out.push(v);
 }
 
-function writeStringField(out: number[], field: number, s: string): void {
+export function writeStringField(out: number[], field: number, s: string): void {
   const bytes = new TextEncoder().encode(s);
   out.push((field << 3) | 2);
   writeVarint(out, bytes.length);
   for (const b of bytes) out.push(b);
 }
 
-class Reader {
+export class Reader {
   pos = 0;
   constructor(readonly buf: Uint8Array) {}
 
@@ -80,7 +80,7 @@ class Reader {
 // grpc-web framing
 // ---------------------------------------------------------------------------
 
-function frame(payload: Uint8Array): Uint8Array {
+export function frame(payload: Uint8Array): Uint8Array {
   const out = new Uint8Array(5 + payload.length);
   out[0] = 0;
   new DataView(out.buffer).setUint32(1, payload.length, false);
@@ -88,12 +88,12 @@ function frame(payload: Uint8Array): Uint8Array {
   return out;
 }
 
-interface Frame {
+export interface Frame {
   flag: number;
   payload: Uint8Array;
 }
 
-function deframe(body: Uint8Array): Frame[] {
+export function deframe(body: Uint8Array): Frame[] {
   const frames: Frame[] = [];
   let pos = 0;
   while (pos + 5 <= body.length) {
@@ -107,7 +107,7 @@ function deframe(body: Uint8Array): Frame[] {
   return frames;
 }
 
-function parseTrailers(payload: Uint8Array): Record<string, string> {
+export function parseTrailers(payload: Uint8Array): Record<string, string> {
   const out: Record<string, string> = {};
   for (const line of new TextDecoder().decode(payload).split("\r\n")) {
     const i = line.indexOf(":");
@@ -135,7 +135,7 @@ export interface WebQueryResult {
   error: string;
 }
 
-function decodeHit(buf: Uint8Array): Hit {
+export function decodeHit(buf: Uint8Array): Hit {
   const r = new Reader(buf);
   const hit: Hit = { key: "", score: 0 };
   while (!r.done()) {
@@ -148,7 +148,7 @@ function decodeHit(buf: Uint8Array): Hit {
   return hit;
 }
 
-function decodeQueryResponse(buf: Uint8Array): WebQueryResult {
+export function decodeQueryResponse(buf: Uint8Array): WebQueryResult {
   const r = new Reader(buf);
   const out: WebQueryResult = {
     kind: "", message: "", rows: [], hits: [], count: 0,

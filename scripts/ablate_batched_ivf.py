@@ -109,7 +109,7 @@ def main():
 
             def body(r, acc):
                 _, ys = lax.scan(step, (), cgs)
-                return acc + ys[0, 0, 0] * 1e-30
+                return acc + ys[0, 0, 0, 0] * 1e-30
 
             return lax.fori_loop(0, reps, body, 0.0)
 
