@@ -340,7 +340,84 @@ def main():
     batched_s = (t2 - t1) / (r2 - r1)
     qps = q / batched_s
 
-    _phase(f"brute batched done ({qps:.0f} QPS); single-query brute")
+    _phase(f"brute batched done ({qps:.0f} QPS); batched IVF")
+
+    # ---------------- batched IVF throughput (probe-sharing) -----------
+    # The brute pooled scan is FLOP-bound past Q~256 (Q x N x d int8
+    # MACs), capping ~21-22K QPS regardless of batch size. The batched
+    # probe-sharing kernel (ops/ivf.batched_ivf_topk) reads each
+    # cluster window once per batch and scores only the queries that
+    # probed it — Q x nprobe x window MACs — then reranks exactly.
+    bq = 1024 if on_tpu else 64
+    b_nprobe = 72 if on_tpu else 8
+    ivf_qps = 0.0
+    ivf_batch_recall = None
+    try:
+        from neumann_tpu.ops.ivf import _batched_core
+        from neumann_tpu.ops.rerank import gather_rerank_topk_chunked
+
+        kqb1, kqb2 = jax.random.split(jax.random.PRNGKey(11))
+        bq_assign = jax.random.randint(kqb1, (bq,), 0, n_centers)
+        bqueries = centers[bq_assign] + sigma * jax.random.normal(
+            kqb2, (bq, d), jnp.float32)
+        m_b = k + 6
+        expect = -(-bq * b_nprobe // n_centers)
+        q_cap = 1 << (max(32, 2 * expect) - 1).bit_length()
+        core_b = _batched_core(m_b, b_nprobe, window, q_cap, 8)
+        validq = jnp.ones(bq, bool)
+
+        @jax.jit
+        def ivf_batched_chain(buf, rm, cents, st, qs, reps):
+            def body(i, carry):
+                cur, acc = carry
+                sc, posb, _ = core_b(buf, rm, cents, st, cur, validq)
+                s, p = gather_rerank_topk_chunked(
+                    buf, posb, cur, k, "cosine", first_scores=sc,
+                    dedup=True, chunk=128)
+                cur = cur + 1e-30 * (
+                    s[0, 0] + p[0, 0].astype(jnp.float32) * 1e-6)
+                return cur, acc + s[0, 0]
+            _, acc = lax.fori_loop(0, reps, body, (qs, 0.0))
+            return acc
+
+        def ivf_b_timed(reps):
+            t0 = time.perf_counter()
+            float(ivf_batched_chain(corpus_q, rmult, cents_n,
+                                    starts_dev, bqueries,
+                                    jnp.int32(reps)))
+            return time.perf_counter() - t0
+
+        _phase("batched IVF: compiling")
+        rb1, rb2 = 1, 5
+        ivf_b_timed(rb1)
+        ivf_b_timed(rb2)
+        tb1 = min(ivf_b_timed(rb1) for _ in range(3))
+        tb2 = min(ivf_b_timed(rb2) for _ in range(3))
+        ivf_qps = bq / ((tb2 - tb1) / (rb2 - rb1))
+        _phase(f"batched IVF done ({ivf_qps:.0f} QPS); recall check")
+        # recall vs the exact oracle on the first nq_rec overlap with
+        # the brute queries (recomputed below against `queries`) — use
+        # a dedicated small oracle on bqueries instead
+        nq_b = min(64, bq)
+        _, ob = jax.jit(int8_exact_topk,
+                        static_argnames=("k", "block_rows"))(
+            corpus_q, rmult, bqueries[:nq_b], k,
+            block_rows=min(block_rows, 256 * 1024))
+        sc_b, pos_b, _ = core_b(corpus_q, rmult, cents_n, starts_dev,
+                                bqueries, validq)
+        _, pb = gather_rerank_topk_chunked(
+            corpus_q, pos_b, bqueries, k, "cosine", first_scores=sc_b,
+            dedup=True, chunk=128)
+        ob = np.asarray(ob)
+        pb = np.asarray(pb)[:nq_b]
+        ivf_batch_recall = float(np.mean([
+            len(set(ob[r].tolist()) & set(pb[r].tolist())) / k
+            for r in range(nq_b)]))
+        _phase(f"batched IVF recall@10: {ivf_batch_recall:.4f}")
+    except Exception as e:  # noqa: BLE001 — bench must always print
+        _phase(f"batched IVF path failed: {type(e).__name__}: {e}")
+
+    _phase("single-query brute")
     # brute single-query per-iter latency across trials
     timed(r1, 1)
     timed(r2, 1)
@@ -508,11 +585,21 @@ def main():
         for r in range(nq_rec)]))
 
     ref_qps = 1e9 / (REF_NS_PER_VEC_768 * n)   # reference rate on this n
+    # headline = the fastest batched path at recall >= 0.99; the brute
+    # scan stays the headline when the batched IVF misses either bar
+    headline_qps, headline_path = qps, "brute+rerank"
+    if ivf_qps > qps and (ivf_batch_recall or 0) >= 0.99:
+        headline_qps, headline_path = ivf_qps, "batched-ivf+rerank"
     print(json.dumps({
         "metric": f"batched SIMILAR top-{k} QPS, {n}x{d} int8 corpus",
-        "value": round(qps, 2),
+        "value": round(headline_qps, 2),
         "unit": "QPS",
-        "vs_baseline": round(qps / ref_qps, 1),
+        "vs_baseline": round(headline_qps / ref_qps, 1),
+        "headline_path": headline_path,
+        "qps_brute_batch": round(qps, 1),
+        "qps_batched_ivf": round(ivf_qps, 1),
+        "batched_ivf_recall_at_10": ivf_batch_recall,
+        "batched_ivf_batch": bq,
         "p50_ms": round(ip50, 3),        # single-query via IVF+rerank
         "p99_ms": round(ip99, 3),        # (the BASELINE.md p99 target)
         "ivf_recall_at_10": ivf_recall_headline,

@@ -122,6 +122,22 @@ class TensorVault:
 
     @staticmethod
     def _derive_key(password: bytes, salt: bytes) -> bytes:
+        """Master-key KDF.
+
+        DELIBERATE DEVIATION from the reference: tensor_vault uses
+        Argon2id (tensor_vault/src/key.rs). No Argon2 implementation
+        ships in the Python stdlib and this build vendors no crypto
+        dependencies, so the KDF is scrypt — the other
+        memory-hard password KDF with first-class CVE-free stdlib
+        support (hashlib.scrypt -> OpenSSL). Parameters follow the
+        OWASP password-storage cheat-sheet recommendation for scrypt
+        (N=2^14 soon-to-be-minimum work factor, r=8 => 16 MiB memory,
+        p=1), giving the same brute-force-hardening role as the
+        reference's Argon2id(m=19 MiB, t=2, p=1) defaults. If a
+        packaging environment allows argon2-cffi, swap it in here —
+        the derived-key length and salt handling are already
+        compatible (32-byte key, 16-byte random salt).
+        """
         import hashlib
 
         return hashlib.scrypt(password, salt=salt, n=2 ** 14, r=8, p=1,

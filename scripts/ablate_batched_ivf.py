@@ -79,6 +79,15 @@ def main():
             if variant == "nogather":
                 qsub = lax.dynamic_slice(
                     qn_b, (jnp.minimum(c, Q - q_cap), 0), (q_cap, d))
+            elif variant in ("onehot", "onehot_notopk"):
+                # row gather as an MXU matmul: TPU row gathers cost
+                # ~µs/row; a [q_cap, Q] one-hot x [Q, d] matmul does
+                # the same selection at MXU rate
+                oh = (tbl_q[c][:, None]
+                      == jnp.arange(Q, dtype=jnp.int32)[None, :]
+                      ).astype(jnp.bfloat16)
+                qsub = jnp.dot(oh, qn_b,
+                               preferred_element_type=jnp.bfloat16)
             else:
                 qsub = qn_b[tbl_q[c]]
             dots = jnp.dot(qsub, block.astype(jnp.bfloat16).T,
@@ -91,7 +100,7 @@ def main():
             else:
                 scores = jnp.where(rm[None, :] > 0,
                                    dots * rm[None, :], -jnp.inf)
-            if variant == "notopk":
+            if variant in ("notopk", "onehot_notopk"):
                 return jnp.max(scores, axis=1, keepdims=True) * \
                     jnp.ones((1, m))
             if variant == "laxtopk":
@@ -115,8 +124,10 @@ def main():
 
         return run
 
-    for variant in ("full", "nomask", "notopk", "laxtopk", "nogather",
-                    "mmonly"):
+    variants = [a.split("=", 1)[1].split(",") for a in sys.argv[1:]
+                if a.startswith("--variants=")]
+    for variant in (variants[0] if variants
+                    else ("full", "notopk", "mmonly")):
         run = make(variant)
 
         def timed(r):
