@@ -373,7 +373,7 @@ def main():
                 sc, posb, _ = core_b(buf, rm, cents, st, cur, validq)
                 s, p = gather_rerank_topk_chunked(
                     buf, posb, cur, k, "cosine", first_scores=sc,
-                    dedup=True, chunk=128)
+                    dedup=True, chunk=128, pre_select=8 * k + 16)
                 cur = cur + 1e-30 * (
                     s[0, 0] + p[0, 0].astype(jnp.float32) * 1e-6)
                 return cur, acc + s[0, 0]
@@ -407,7 +407,7 @@ def main():
                                 bqueries, validq)
         _, pb = gather_rerank_topk_chunked(
             corpus_q, pos_b, bqueries, k, "cosine", first_scores=sc_b,
-            dedup=True, chunk=128)
+            dedup=True, chunk=128, pre_select=8 * k + 16)
         ob = np.asarray(ob)
         pb = np.asarray(pb)[:nq_b]
         ivf_batch_recall = float(np.mean([

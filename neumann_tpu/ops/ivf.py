@@ -468,10 +468,16 @@ class DeviceIVFInt8:
                 # within one query are distinct clusters)
             q_cap *= 2
         chunk = min(128, q_pad)
+        # corpus row gathers cost ~µs each: cut the nprobe*m candidate
+        # list to O(8k) by first-pass score before gathering (the bf16
+        # first pass orders well past rank 8k; exact rerank restores
+        # f32 ordering). +16 covers window-overlap duplicates.
+        cand = min(8 * k + 16, pos.shape[1])
         sc, pos = gather_rerank_topk_chunked(
             self._buf, pos, qd, k, "cosine", scale=self._scale,
             residual_q=self._rbuf, residual_scale=self._rscale,
-            first_scores=sc, dedup=True, chunk=chunk)
+            first_scores=sc, dedup=True, chunk=chunk,
+            pre_select=cand)
         sc = np.asarray(sc)[:nq]
         pos = np.asarray(pos)[:nq]
         ids = np.where(pos >= 0,
@@ -631,7 +637,16 @@ def _batched_core(m: int, nprobe: int, window: int, q_cap: int,
             block = lax.dynamic_slice(buf, (base, 0), (window, d))
             rm = lax.dynamic_slice(rmult, (base,), (window,))
             qidx = tbl_q[c]
-            qsub = qn_b[jnp.maximum(qidx, 0)]          # [q_cap, d]
+            # query-subset selection as a one-hot MXU matmul: a per-row
+            # gather costs ~µs/row on TPU (C x q_cap rows per batch
+            # dominated the kernel); [q_cap, Q] @ [Q, d] does the same
+            # selection at MXU rate (-1 padding rows match nothing and
+            # produce zero queries -> masked by rm anyway)
+            oh = (qidx[:, None]
+                  == jnp.arange(Q, dtype=jnp.int32)[None, :]
+                  ).astype(jnp.bfloat16)
+            qsub = jnp.dot(oh, qn_b,
+                           preferred_element_type=jnp.bfloat16)
             dots = jnp.dot(qsub, block.astype(jnp.bfloat16).T,
                            preferred_element_type=jnp.float32)
             scores = jnp.where(rm[None, :] > 0,

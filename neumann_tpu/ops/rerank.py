@@ -154,18 +154,31 @@ def gather_rerank_topk_jit(corpus_q, pos, queries, k, metric="cosine",
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "metric", "dedup", "chunk"))
+                   static_argnames=("k", "metric", "dedup", "chunk",
+                                    "pre_select"))
 def gather_rerank_topk_chunked(corpus_q, pos, queries, k,
                                metric="cosine", scale=None,
                                residual_q=None, residual_scale=None,
                                first_scores=None, dedup=True,
-                               chunk=128):
+                               chunk=128, pre_select=None):
     """gather_rerank_topk with the query axis streamed in chunks.
 
     The plain rerank materializes the [Q, C, d] f32 candidate gather —
     at throughput batch sizes (Q=1024, C~=1000 candidates) that is
     gigabytes. lax.map over query chunks bounds live memory to one
-    chunk's gather while staying inside a single jit."""
+    chunk's gather while staying inside a single jit.
+
+    pre_select: keep only the top-``pre_select`` candidates per query
+    by FIRST-pass score before gathering. Corpus row gathers cost ~µs
+    each on TPU, so gathering all nprobe*m batched-IVF candidates
+    (1000+/query) dominates the whole batch; the first pass's bf16
+    ordering is easily good enough to cut to O(8k) before paying the
+    gather. Requires first_scores."""
+    if (pre_select is not None and first_scores is not None
+            and pos.shape[1] > pre_select):
+        fs, ci = lax.top_k(first_scores, pre_select)
+        pos = jnp.take_along_axis(pos, ci, axis=1)
+        first_scores = fs
     q_total = pos.shape[0]
     n_chunks = -(-q_total // chunk)
     q_pad = n_chunks * chunk

@@ -121,7 +121,7 @@ def main():
             sc, pos, _ = core(buf, rm, cents, st, cur, valid)
             s, p = gather_rerank_topk_chunked(
                 buf, pos, cur, k, "cosine", first_scores=sc,
-                dedup=True, chunk=128)
+                dedup=True, chunk=128, pre_select=8 * k + 16)
             cur = cur + 1e-30 * (s[0, 0]
                                  + p[0, 0].astype(jnp.float32) * 1e-6)
             return cur, acc + s[0, 0]
@@ -168,7 +168,7 @@ def main():
                         valid)
     s, p = gather_rerank_topk_chunked(
         corpus_q, pos, queries, k, "cosine", first_scores=sc,
-        dedup=True, chunk=128)
+        dedup=True, chunk=128, pre_select=8 * k + 16)
     p = np.asarray(p)[:nq_rec]
     rec = float(np.mean([
         len(set(oi[r].tolist()) & set(p[r].tolist())) / k
