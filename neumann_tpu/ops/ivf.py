@@ -221,6 +221,45 @@ class IVFIndex:
         return self._n
 
 
+def window_mean_centroids(buf, rmult, window: int,
+                          chunk_rows: int = 1 << 18):
+    """Per-window probe centroids for a FIXED-window layout.
+
+    buf [n_pad, d] int8 cluster-sorted corpus, rmult [n_pad] f32 cosine
+    row multipliers (row x rmult = unit row; 0 = padding). Returns a
+    device [n_pad/window, d] f32 array: the normalized mean of each
+    window's unit rows (zero for all-padding windows, which then
+    attract no probes). Computed on device in row chunks so the f32
+    upcast never materializes more than chunk_rows x d.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n_pad, d = buf.shape
+    if n_pad % window:
+        raise ValueError(f"n_pad {n_pad} not a multiple of window "
+                         f"{window}")
+    chunk_rows = max(window, (chunk_rows // window) * window)
+    n_w = n_pad // window
+
+    @functools.partial(jax.jit, static_argnames="rows")
+    def sums_of(buf_c, rm_c, rows):
+        x = buf_c.astype(jnp.float32) * rm_c[:, None]
+        return jnp.sum(x.reshape(rows // window, window, d), axis=1)
+
+    parts = []
+    for s in range(0, n_pad, chunk_rows):
+        rows = min(chunk_rows, n_pad - s)
+        parts.append(sums_of(
+            jax.lax.dynamic_slice(buf, (s, 0), (rows, d)),
+            jax.lax.dynamic_slice(rmult, (s,), (rows,)), rows))
+    sums = jnp.concatenate(parts, axis=0)
+    norm = jnp.linalg.norm(sums, axis=1, keepdims=True)
+    cents = jnp.where(norm > 0, sums / jnp.maximum(norm, 1e-30), 0.0)
+    assert cents.shape[0] == n_w
+    return cents
+
+
 class DeviceIVFInt8:
     """IVF over a device-resident int8 corpus, built for the single-query
     latency target (north star: p99 < 5 ms on 10M x 768).
@@ -236,6 +275,18 @@ class DeviceIVFInt8:
     into neighbors — spillover rows are real corpus rows scored
     correctly, so they only ADD candidates. Duplicate candidates from
     overlapping windows are deduped host-side.
+
+    FIXED-window mode (``build(..., fixed_window=w)``, the default via
+    ``fixed_window="auto"``): instead of one window per k-means cluster
+    sized to the FATTEST cluster, the sorted corpus is chopped into
+    disjoint windows of exactly ``w`` rows and each window's probe
+    centroid is the normalized mean of its rows
+    (window_mean_centroids). K-means then only determines the SORT
+    ORDER; cluster-size skew cannot blow up the window (measured 6x at
+    10M/4096 under plain Lloyd's), every probe reads exactly w rows,
+    windows never overlap (so rerank needs no dedup), and a fat
+    cluster simply spans several adjacent windows whose near-identical
+    centroids rank adjacently under the query's top-nprobe.
     """
 
     def __init__(self, dim: int, n_clusters: int = 1024,
@@ -253,16 +304,18 @@ class DeviceIVFInt8:
         self._starts = None        # device [k] int32 window starts
         self._row_ids = None       # host  [n] int32 (sorted order)
         self._window = 0
+        self._fixed = False        # disjoint fixed windows (no dedup)
         self._n = 0
 
     @classmethod
     def from_device_layout(cls, dim, centroids, buf, rmult, starts,
                            row_ids, window, nprobe=32, scale=None,
-                           residual=None):
+                           residual=None, fixed=False):
         """Assemble from an already cluster-sorted device corpus (used
         when the corpus is born sorted and host staging is too slow).
         ``residual`` = (rq [n, d] int8, rscale [n] f32) in the SAME
-        sorted order enables ~int16-fidelity reranking."""
+        sorted order enables ~int16-fidelity reranking. fixed=True
+        marks a disjoint fixed-window layout (skips rerank dedup)."""
         ivf = cls(dim, n_clusters=int(centroids.shape[0]), nprobe=nprobe)
         ivf.centroids = centroids
         ivf._buf = buf
@@ -273,6 +326,7 @@ class DeviceIVFInt8:
         ivf._starts = starts
         ivf._row_ids = row_ids
         ivf._window = int(window)
+        ivf._fixed = bool(fixed)
         ivf._n = int(buf.shape[0])
         return ivf
 
@@ -280,7 +334,8 @@ class DeviceIVFInt8:
               sample_rows: int = 200_000, seed: int = 0,
               chunk_rows: int = 1 << 20,
               sample_mask: Optional[np.ndarray] = None,
-              residual: Optional[Tuple[np.ndarray, np.ndarray]] = None
+              residual: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+              fixed_window="auto",
               ) -> None:
         """corpus_q int8 [N, d] and per-row scale, both on HOST.
         sample_mask limits the k-means training sample to true rows
@@ -288,7 +343,12 @@ class DeviceIVFInt8:
         centroids toward zero). ``residual`` = (rq, rscale) host arrays
         in CORPUS order (ops.rerank.residual_quantize) — stored sorted
         alongside the corpus so the rerank pass reconstructs rows at
-        ~int16 fidelity."""
+        ~int16 fidelity.
+
+        fixed_window: "auto" (default) or an int multiple of 128 —
+        disjoint fixed-size windows with window-mean probe centroids
+        (see class docstring); None/0 keeps the legacy one-window-per-
+        cluster layout sized to the fattest cluster."""
         import jax
         import jax.numpy as jnp
         from jax import lax
@@ -327,21 +387,39 @@ class DeviceIVFInt8:
             assign[s:e] = np.asarray(
                 assign_chunk(jnp.asarray(corpus_q[s:e]), self.centroids))
 
-        # windowed cluster-sorted layout: buffer is exactly corpus-sized.
-        # Starts round DOWN to 128 rows and the window pads up by 128,
-        # so every probe is whole 128-row blocks — the layout the Pallas
-        # probe kernel's scalar-prefetch block indexing needs (and
-        # harmless for the XLA path: extra rows are real rows).
+        # layout: cluster-sorted buffer of exactly corpus size. Fixed-
+        # window mode chops it into disjoint w-row windows (starts =
+        # arange * w, probe centroids = window means, computed below
+        # once the device buffer exists); legacy mode sizes one window
+        # per cluster to the fattest cluster, starts rounded DOWN to
+        # 128 rows and the window padded up by 128 so every probe is
+        # whole 128-row blocks — the layout the Pallas probe kernel's
+        # scalar-prefetch block indexing needs (and harmless for the
+        # XLA path: extra rows are real rows).
         counts = np.bincount(assign, minlength=self.n_clusters)
         order = np.argsort(assign, kind="stable").astype(np.int32)
-        starts = np.zeros(self.n_clusters, np.int64)
-        np.cumsum(counts[:-1], out=starts[1:])
-        window = int(((max(int(counts.max()), 1) + 127) // 128) * 128
-                     + 128)
-        n_pad = ((n + 127) // 128) * 128
-        window = min(window, n_pad)
-        starts = ((np.clip(starts, 0, max(0, n_pad - window))
-                   // 128) * 128).astype(np.int32)
+        if fixed_window:
+            if fixed_window == "auto":
+                avg = max(1, n // max(1, self.n_clusters))
+                window = int(min(1024, max(128,
+                                           -(-avg // 128) * 128)))
+            else:
+                window = int(fixed_window)
+                if window % 128:
+                    raise ValueError("fixed_window must be a "
+                                     "multiple of 128")
+            n_pad = -(-n // window) * window
+            starts = (np.arange(n_pad // window, dtype=np.int32)
+                      * window)
+        else:
+            starts = np.zeros(self.n_clusters, np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            window = int(((max(int(counts.max()), 1) + 127) // 128)
+                         * 128 + 128)
+            n_pad = ((n + 127) // 128) * 128
+            window = min(window, n_pad)
+            starts = ((np.clip(starts, 0, max(0, n_pad - window))
+                       // 128) * 128).astype(np.int32)
 
         # per-row cosine multiplier in sorted order (scale x rsqrt(norm));
         # all-zero (invalid) rows keep 0 -> masked at search time
@@ -376,6 +454,14 @@ class DeviceIVFInt8:
         self._starts = jnp.asarray(starts)
         self._row_ids = order
         self._window = window
+        self._fixed = bool(fixed_window)
+        if self._fixed:
+            # probe domain becomes the windows: their normalized mean
+            # rows replace the k-means centroids (which only chose the
+            # sort order above)
+            self.centroids = window_mean_centroids(
+                self._buf, self._rmult, window)
+            self.n_clusters = int(self.centroids.shape[0])
         self._n = n
 
     # each query's probe gather materializes [nprobe, window, d]
@@ -408,11 +494,12 @@ class DeviceIVFInt8:
                 qc, kk, nprobe, self._window, aligned128=True)
             # second pass: gather the kk candidates and rescore in f32
             # against the unquantized query (the first pass scored in
-            # bf16 against an int8 corpus); dedups on device
+            # bf16 against an int8 corpus); dedups on device (fixed
+            # windows are disjoint -> no duplicates possible)
             sc, pc = gather_rerank_topk_jit(
                 self._buf, pc, qc, k, "cosine", scale=self._scale,
                 residual_q=self._rbuf, residual_scale=self._rscale,
-                first_scores=sc, dedup=True)
+                first_scores=sc, dedup=not self._fixed)
             s_parts.append(np.asarray(sc))
             p_parts.append(np.asarray(pc))
         s = np.concatenate(s_parts, axis=0)
@@ -476,7 +563,7 @@ class DeviceIVFInt8:
         sc, pos = gather_rerank_topk_chunked(
             self._buf, pos, qd, k, "cosine", scale=self._scale,
             residual_q=self._rbuf, residual_scale=self._rscale,
-            first_scores=sc, dedup=True, chunk=chunk,
+            first_scores=sc, dedup=not self._fixed, chunk=chunk,
             pre_select=cand)
         sc = np.asarray(sc)[:nq]
         pos = np.asarray(pos)[:nq]

@@ -135,7 +135,8 @@ def kmeans(vectors: np.ndarray, k: int, iters: int = 20,
     return np.asarray(cent)
 
 
-def kmeans_device(x, k: int, iters: int = 10, seed: int = 0):
+def kmeans_device(x, k: int, iters: int = 10, seed: int = 0,
+                  balance: bool = True):
     """Fully on-device Lloyd's over a device-resident sample [n, d].
 
     For corpora that were BORN on device (bench generation, slab
@@ -144,6 +145,18 @@ def kmeans_device(x, k: int, iters: int = 10, seed: int = 0):
     Random distinct-row init (k-means++ seeding is an O(n*k) sequential
     host loop; a few extra Lloyd iterations recover the difference on
     clustered data). Returns centroids as a DEVICE array [k, d] f32.
+
+    balance: reseed starved clusters by splitting fat ones between
+    Lloyd steps (the FAISS split-clusters trick, done as one vectorized
+    pairing: i-th smallest cluster adopts a jittered copy of the i-th
+    largest's centroid when it holds <1/2 of a fair share and the donor
+    >3/2). Random init routinely lands two seeds in one mixture mode
+    and none in another; without this the downstream windowed-IVF
+    layout (ops/ivf.py) must size every window to the FATTEST cluster —
+    a measured 6x window blowup at 10M/4096 that drags the whole probe
+    path. The final two iterations always run without reseeding so the
+    returned centroids are a plain Lloyd fixed point of their last
+    assignment.
     """
     import jax
     import jax.numpy as jnp
@@ -154,20 +167,48 @@ def kmeans_device(x, k: int, iters: int = 10, seed: int = 0):
     idx = jax.random.choice(key, n, (k,), replace=False)
     x = x.astype(jnp.float32)
     cent = x[idx]
+    fair = n / k
 
     @jax.jit
     def step(cent, x):
-        d2 = (jnp.sum(x * x, 1, keepdims=True)
-              - 2.0 * x @ cent.T + jnp.sum(cent * cent, 1)[None, :])
+        xx = jnp.sum(x * x, 1)
+        d2 = (xx[:, None] - 2.0 * x @ cent.T
+              + jnp.sum(cent * cent, 1)[None, :])
         assign = jnp.argmin(d2, axis=1)
         sums = jax.ops.segment_sum(x, assign, num_segments=k)
         counts = jax.ops.segment_sum(
             jnp.ones((x.shape[0],)), assign, num_segments=k)
-        return jnp.where(counts[:, None] > 0,
-                         sums / jnp.maximum(counts[:, None], 1.0), cent)
+        new = jnp.where(counts[:, None] > 0,
+                        sums / jnp.maximum(counts[:, None], 1.0),
+                        cent)
+        # per-cluster variance (mean ||p - c||^2), for reseed jitter
+        m2 = (jax.ops.segment_sum(xx, assign, num_segments=k)
+              / jnp.maximum(counts, 1.0)) - jnp.sum(new * new, 1)
+        return new, counts, m2
 
-    for _ in range(iters):
-        cent = step(cent, x)
+    @jax.jit
+    def reseed(cent, counts, m2, key):
+        recv = jnp.argsort(counts)            # starved first
+        donor = recv[::-1]                    # fat first
+        adopt = ((counts[recv] < 0.5 * fair)
+                 & (counts[donor] > 1.5 * fair))
+        # jitter at ~1/3 the donor's RMS radius: a microscopic copy
+        # loses EVERY point to f32 winner-take-all (measured — the pair
+        # just swaps labels each round), while a full-radius copy lands
+        # outside the cluster and starves; 0.3x splits reliably
+        # (swept 0.3/0.5/0.8/1.2 -> ratios 1.13/1.98/4.0/6.0)
+        sig = 0.3 * jnp.sqrt(jnp.maximum(m2[donor], 0.0)
+                             / cent.shape[1])
+        new = cent[donor] + sig[:, None] * jax.random.normal(
+            key, cent.shape, cent.dtype)
+        return cent.at[recv].set(
+            jnp.where(adopt[:, None], new, cent[recv]))
+
+    for i in range(iters):
+        cent, counts, m2 = step(cent, x)
+        if balance and i < iters - 2:
+            key, sub = jax.random.split(key)
+            cent = reseed(cent, counts, m2, sub)
     return cent
 
 

@@ -71,11 +71,45 @@ def main():
     tbl_q = jax.random.randint(jax.random.PRNGKey(3), (C, q_cap), 0, Q,
                                dtype=jnp.int32)
 
+    qq_i8, qsc = jax.jit(scalar_quantize)(qn)
+
     def make(variant):
         def one(c):
             base = starts[c]
             block = lax.dynamic_slice(corpus_q, (base, 0), (window, d))
             rm = lax.dynamic_slice(rmult, (base,), (window,))
+            if variant.startswith("int8"):
+                # s8 x s8 MXU path: no bf16 corpus conversion at all.
+                # one-hot select the slot queries in int8 (rows are
+                # one-hot so the s32 result IS the int8 query row)
+                qidx = tbl_q[c]
+                oh = (qidx[:, None]
+                      == jnp.arange(Q, dtype=jnp.int32)[None, :]
+                      ).astype(jnp.int8)
+                qsub = lax.dot_general(
+                    oh, qq_i8, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32
+                ).astype(jnp.int8)
+                sc_slot = qsc[qidx]            # [q_cap] tiny gather
+                dots = lax.dot_general(
+                    qsub, block, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                mult = sc_slot[:, None] * rm[None, :]
+                scores = jnp.where(rm[None, :] > 0,
+                                   dots.astype(jnp.float32) * mult,
+                                   -jnp.inf)
+                if variant == "int8_notopk":
+                    return jnp.max(scores, axis=1, keepdims=True) * \
+                        jnp.ones((1, m))
+                if variant == "int8_pool8":
+                    # pooled max (pool=8) then exact top-k over pools:
+                    # the max fuses into the matmul consumer chain
+                    pooled = jnp.max(
+                        scores.reshape(q_cap, window // 8, 8), axis=2)
+                    s, _ = lax.top_k(pooled, m)
+                    return s
+                s, _ = lax.approx_max_k(scores, m)
+                return s
             if variant == "nogather":
                 qsub = lax.dynamic_slice(
                     qn_b, (jnp.minimum(c, Q - q_cap), 0), (q_cap, d))

@@ -268,8 +268,10 @@ def test_device_ivf_int8(rng):
     vecs = rng.standard_normal((n, d)).astype(np.float32)
     cq, scale = scalar_quantize(jnp.asarray(vecs))
     cq_h, scale_h = np.asarray(cq), np.asarray(scale)
+    # legacy layout: one window per k-means cluster (probe centroid =
+    # assignment centroid, so a row's own cluster always probes first)
     ix = DeviceIVFInt8(d, n_clusters=16, nprobe=16, iters=8)
-    ix.build(cq_h, scale_h, sample_rows=1000)
+    ix.build(cq_h, scale_h, sample_rows=1000, fixed_window=None)
     # full probe == brute force over int8: exact match expected
     qs = vecs[:6]
     s, ids = ix.search(qs, k, nprobe=16)
@@ -283,6 +285,55 @@ def test_device_ivf_int8(rng):
     # low nprobe still finds the self-match (its own cluster probes first)
     s2, ids2 = ix.search(vecs[:6], 1, nprobe=2)
     assert list(ids2[:, 0]) == list(range(6))
+
+
+def test_device_ivf_int8_fixed_window(rng):
+    """Fixed-window layout: disjoint windows, window-mean probe
+    centroids; full probe == brute force, partial probe ~= brute on
+    clustered data (a mode spans whole windows, so its windows rank
+    high under the query's top-nprobe)."""
+    import jax.numpy as jnp
+
+    from neumann_tpu.ops.ivf import DeviceIVFInt8
+    from neumann_tpu.ops.quant import int8_topk_scan_jit, scalar_quantize
+
+    n, d, k = 4096, 64, 5
+    # clustered corpus: 16 well-separated modes
+    modes = rng.standard_normal((16, d)).astype(np.float32) * 3
+    assign = rng.integers(0, 16, n)
+    vecs = (modes[assign]
+            + 0.3 * rng.standard_normal((n, d))).astype(np.float32)
+    cq, scale = scalar_quantize(jnp.asarray(vecs))
+    cq_h, scale_h = np.asarray(cq), np.asarray(scale)
+    ix = DeviceIVFInt8(d, n_clusters=16, nprobe=16, iters=8)
+    ix.build(cq_h, scale_h, sample_rows=1500, fixed_window=256)
+    assert ix._fixed and ix._window == 256
+    n_w = ix.n_clusters
+    assert n_w == ix._buf.shape[0] // 256
+    # starts are the disjoint window grid
+    assert list(np.asarray(ix._starts)) == [256 * i for i in range(n_w)]
+    # window centroids are unit (or zero for padding-only windows)
+    cn = np.linalg.norm(np.asarray(ix.centroids), axis=1)
+    assert ((np.abs(cn - 1) < 1e-4) | (cn == 0)).all()
+
+    qs = vecs[:6]
+    es, ei = int8_topk_scan_jit(cq, scale, jnp.asarray(qs), k, "cosine")
+    ei = np.asarray(ei)
+    # full probe == brute force over int8
+    _, ids = ix.search(qs, k, nprobe=n_w)
+    for r in range(6):
+        assert len(set(ids[r].tolist()) & set(ei[r].tolist())) >= k - 1
+    # partial probe: reading ~1/4 of the corpus keeps high recall on
+    # clustered data
+    _, ids4 = ix.search(qs, k, nprobe=max(2, n_w // 4))
+    hits = sum(len(set(ids4[r].tolist()) & set(ei[r].tolist()))
+               for r in range(6))
+    assert hits >= 6 * (k - 1)
+    # batched path agrees with the per-query path
+    _, idsb = ix.search_batched(qs, k, nprobe=max(2, n_w // 4))
+    agree = sum(len(set(idsb[r].tolist()) & set(ids4[r].tolist()))
+                for r in range(6))
+    assert agree >= 6 * (k - 1)
 
 
 def test_streaming_tt_roundtrip(tmp_path, rng):
