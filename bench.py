@@ -12,22 +12,25 @@ the driver):
    single-pass HBM rate while recall@10 returns to candidate-coverage
    level (the single-pass loss was query-side int8 + pooled mantissa
    truncation, not selection).
-2. Single-query IVF-nprobe (latency): ops.ivf windowed cluster-sorted
-   layout + the same rerank pass. This is the p99 < 5 ms path from
-   BASELINE.md's target block; recall@10 is reported against an exact
-   full-corpus oracle (f32 queries, f32 math — ops.quant.int8_exact_topk)
-   at nprobe in {16, 32, 72, 128}, and the headline nprobe is the
-   smallest reaching recall >= 0.99.
+2. Single-query IVF-nprobe (latency): ops.ivf FIXED-window layout
+   (disjoint `window`-row windows over the cluster-sorted corpus,
+   probed by their normalized mean rows — window_mean_centroids) + the
+   same rerank pass. This is the p99 < 5 ms path from BASELINE.md's
+   target block; recall@10 is reported against an exact full-corpus
+   oracle (f32 queries, f32 math — ops.quant.int8_exact_topk) over an
+   nprobe sweep, and the headline nprobe is the smallest reaching
+   recall >= 0.99.
 3. IVF build (honesty): by default the index is built for real ON
-   DEVICE — k-means (random init + Lloyd, parallel.partitioner.
-   kmeans_device) over a 256K-row sample, full-corpus assignment, and
-   a relayout into learned-cluster-sorted order — with the build time
-   recorded. The corpus relayout avoids a second 7.7 GB buffer by
-   REGENERATING each chunk from its recorded PRNG key and scattering
-   rows to their learned positions (the dev tunnel moves ~MB/s, so a
-   host round-trip is not viable). NEUMANN_BENCH_FAST=1 (or
-   --fast-build) skips this and inherits the generator's mixture
-   centers as centroids — the layout an offline k-means recovers.
+   DEVICE — balance-aware k-means (Lloyd + split-fattest reseeding,
+   parallel.partitioner.kmeans_device) over a 256K-row sample,
+   full-corpus assignment, and a relayout into learned-cluster-sorted
+   order — with the build time recorded. The corpus relayout avoids a
+   second 7.7 GB buffer by REGENERATING each chunk from its recorded
+   PRNG key and scattering rows to their learned positions (the dev
+   tunnel moves ~MB/s, so a host round-trip is not viable).
+   NEUMANN_BENCH_FAST=1 (or --fast-build) skips the k-means and keeps
+   the generator's cluster order — the sort an offline k-means
+   recovers. Probe centroids are window means in BOTH modes.
 
 The corpus is a mixture of Gaussians generated directly on device.
 Clustered data is the realistic regime for embedding corpora; the brute
@@ -128,7 +131,7 @@ def main():
         # row only when two share a pool (expected C(k,2)/npools ~0.5%)
         pool = 1024
         oracle_rows = 1 << 20
-        nprobe_curve = (16, 32, 72, 128)
+        nprobe_curve = (32, 64, 96, 128, 192)
         kmeans_sample = 1 << 18
         kmeans_iters = 10
     else:  # CPU smoke fallback so the bench always runs
@@ -137,7 +140,7 @@ def main():
         block_rows = 1 << 15
         pool = 64
         oracle_rows = 1 << 15
-        nprobe_curve = (4, 8, 16)
+        nprobe_curve = (4, 8, 16, 32)
         kmeans_sample = 1 << 14
         kmeans_iters = 6
 
@@ -159,20 +162,19 @@ def main():
     gen_starts = np.concatenate([[0], offsets[:-1]])
     offsets_dev = jnp.asarray(offsets.astype(np.int32))
 
-    def aligned_layout(counts_arr):
-        """(starts[k] int32 128-aligned+clamped, window) — whole-block
-        probes for the Pallas kernel's scalar-prefetch indexing."""
-        starts = np.zeros(len(counts_arr), np.int64)
-        np.cumsum(counts_arr[:-1], out=starts[1:])
-        window = int(((max(int(counts_arr.max()), 1) + 127) // 128)
-                     * 128 + 128)
-        window = min(window, ((n + 127) // 128) * 128, n_pad)
-        starts = ((np.clip(starts, 0, max(0, n_pad - window))
-                   // 128) * 128).astype(np.int32)
-        return starts, window
-
-    starts_h, window = aligned_layout(counts)
-    starts_dev = jnp.asarray(starts_h)
+    # FIXED-window layout (ops/ivf.py class docstring): the cluster-
+    # sorted corpus is chopped into disjoint `window`-row windows and
+    # probed by their normalized mean rows — k-means (or the
+    # generator's order) only picks the sort; cluster-size skew cannot
+    # inflate the read (a real device-kmeans build measured a 6x
+    # fattest cluster before the balance fix — a cluster-sized window
+    # would read 6x per probe). Every n_pad here is a multiple of
+    # block_rows (a power of two >= 2^15), so any power-of-two window
+    # up to that divides it.
+    window = int(os.environ.get("NEUMANN_BENCH_WINDOW",
+                                "2048" if on_tpu else "1024"))
+    assert n_pad % window == 0
+    starts_dev = jnp.arange(n_pad // window, dtype=jnp.int32) * window
 
     # generate the corpus on device in chunks (a one-shot generation
     # materializes f32 intermediates ~4x the corpus and OOMs HBM); the
@@ -207,11 +209,11 @@ def main():
         done += rows
 
     # ---------------- real on-device IVF build ------------------------
-    build_mode = "generator-centers"
+    build_mode = "generator-order+window-means"
     build_s = 0.0
     if fast_build:
-        cents_n = centers / jnp.linalg.norm(centers, axis=1,
-                                            keepdims=True)
+        pass        # corpus is already generator-cluster-sorted;
+        # probe centroids (window means) are computed below either way
     else:
         from neumann_tpu.parallel.partitioner import kmeans_device
 
@@ -230,7 +232,7 @@ def main():
         sample = take_norm(corpus_q, scale, samp_idx)
         learned = kmeans_device(sample, n_centers, iters=kmeans_iters)
         del sample
-        cents_n = learned / jnp.maximum(
+        kcents = learned / jnp.maximum(
             jnp.linalg.norm(learned, axis=1, keepdims=True), 1e-30)
 
         @functools.partial(jax.jit, donate_argnums=(0,),
@@ -247,7 +249,7 @@ def main():
         done = 0
         while done < n:
             rows = min(chunk_rows, n - done)
-            assign = assign_chunk(assign, corpus_q, cents_n,
+            assign = assign_chunk(assign, corpus_q, kcents,
                                   jnp.int32(done), rows)
             done += rows
 
@@ -261,9 +263,7 @@ def main():
 
         counts_dev, inv = layout_of(assign)
         counts_h = np.asarray(counts_dev)                  # 16 KB pull
-        starts_h, window = aligned_layout(counts_h)
-        starts_dev = jnp.asarray(starts_h)
-        del assign
+        del assign, kcents
 
         # relayout WITHOUT a second corpus buffer: free the generator-
         # sorted corpus, then regenerate each chunk from its recorded
@@ -293,11 +293,19 @@ def main():
         del inv
         jax.block_until_ready(corpus_q)
         build_s = time.perf_counter() - t_b
-        build_mode = "device-kmeans"
+        build_mode = "device-kmeans+window-means"
         _phase(f"real IVF build done in {build_s:.1f}s "
-               f"(window {window}, max cluster {int(counts_h.max())})")
+               f"(max cluster {int(counts_h.max())}, "
+               f"{float(counts_h.max()) * n_centers / n:.2f}x fair)")
 
     rmult = jax.jit(int8_cosine_row_mult)(corpus_q, scale)
+    # probe centroids: normalized per-window means of the sorted corpus
+    from neumann_tpu.ops.ivf import window_mean_centroids
+
+    _phase(f"window-mean probe centroids (w={window})")
+    cents_n = window_mean_centroids(corpus_q, rmult, window)
+    if not fast_build:
+        build_s = time.perf_counter() - t_b    # include centroid pass
     # queries drawn from the corpus distribution
     kq1, kq2 = jax.random.split(kq)
     q_assign = jax.random.randint(kq1, (q,), 0, n_centers)
@@ -349,7 +357,7 @@ def main():
     # cluster window once per batch and scores only the queries that
     # probed it — Q x nprobe x window MACs — then reranks exactly.
     bq = 1024 if on_tpu else 64
-    b_nprobe = 72 if on_tpu else 8
+    b_nprobe = 96 if on_tpu else 8
     ivf_qps = 0.0
     ivf_batch_recall = None
     try:
@@ -361,7 +369,7 @@ def main():
         bqueries = centers[bq_assign] + sigma * jax.random.normal(
             kqb2, (bq, d), jnp.float32)
         m_b = k + 6
-        expect = -(-bq * b_nprobe // n_centers)
+        expect = -(-bq * b_nprobe // cents_n.shape[0])
         q_cap = 1 << (max(32, 2 * expect) - 1).bit_length()
         core_b = _batched_core(m_b, b_nprobe, window, q_cap, 8)
         validq = jnp.ones(bq, bool)
