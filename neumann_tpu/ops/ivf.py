@@ -717,7 +717,16 @@ def _batched_core(m: int, nprobe: int, window: int, q_cap: int,
             [starts, jnp.zeros(c_pad - C, starts.dtype)]) \
             if c_pad != C else starts
 
-        qn_b = qn.astype(jnp.bfloat16)
+        # int8 query plane: the window matmul runs s8 x s8 on the MXU
+        # (like the brute int8_pooled path) instead of bf16 x bf16 —
+        # the bf16 variant CONVERTS every corpus window (an extra
+        # ~2 bytes/elem write + read of HBM traffic when XLA doesn't
+        # fuse the upcast through the dynamic slice), tripling the
+        # scan's memory bill. Query-side int8 costs ~nothing here: the
+        # first pass only SELECTS candidates (callers rerank exactly).
+        from neumann_tpu.ops.quant import scalar_quantize
+
+        qq_i8, qsc = scalar_quantize(qn)
 
         def one(c):
             base = starts_p[c]
@@ -727,17 +736,24 @@ def _batched_core(m: int, nprobe: int, window: int, q_cap: int,
             # query-subset selection as a one-hot MXU matmul: a per-row
             # gather costs ~µs/row on TPU (C x q_cap rows per batch
             # dominated the kernel); [q_cap, Q] @ [Q, d] does the same
-            # selection at MXU rate (-1 padding rows match nothing and
-            # produce zero queries -> masked by rm anyway)
+            # selection at MXU rate. Rows are one-hot, so the s32
+            # result IS the int8 query row (-1 padding rows match
+            # nothing and produce zero queries -> masked by rm anyway).
             oh = (qidx[:, None]
                   == jnp.arange(Q, dtype=jnp.int32)[None, :]
-                  ).astype(jnp.bfloat16)
-            qsub = jnp.dot(oh, qn_b,
-                           preferred_element_type=jnp.bfloat16)
-            dots = jnp.dot(qsub, block.astype(jnp.bfloat16).T,
-                           preferred_element_type=jnp.float32)
+                  ).astype(jnp.int8)
+            qsub = lax.dot_general(
+                oh, qq_i8, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.int8)
+            sc_slot = jnp.where(qidx >= 0, qsc[jnp.maximum(qidx, 0)],
+                                0.0)
+            dots = lax.dot_general(
+                qsub, block, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            mult = sc_slot[:, None] * rm[None, :]
             scores = jnp.where(rm[None, :] > 0,
-                               dots * rm[None, :], -jnp.inf)
+                               dots.astype(jnp.float32) * mult,
+                               -jnp.inf)
             s, i = lax.approx_max_k(scores, m)
             return s, base + i.astype(jnp.int32)
 
