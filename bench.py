@@ -71,6 +71,23 @@ def _phase(msg):
           flush=True)
 
 
+# The remote compile service's latency is wildly variable (the same 1M
+# program has compiled in 12 s and in 900 s on the same day; a trivial
+# matmul once took 210 s). The OPTIONAL phases — batched IVF, the extra
+# recall-curve points, the Pallas core — are skipped once the soft
+# deadline passes so the essential numbers (brute+rerank QPS, IVF
+# latency + recall at one nprobe, recall-vs-fp32 oracle) always make it
+# into the recorded JSON before any driver timeout.
+_DEADLINE_S = float(os.environ.get("NEUMANN_BENCH_DEADLINE", "3300"))
+
+
+def _past_deadline(what: str) -> bool:
+    if time.time() - _T0 <= _DEADLINE_S:
+        return False
+    _phase(f"soft deadline {_DEADLINE_S:.0f}s passed: skipping {what}")
+    return True
+
+
 def _probe_backend(timeout_s: float = 240.0) -> None:
     """Fail fast if the TPU tunnel is hung. jax.devices() on a healthy
     backend returns in seconds (observed outages hang it for hours);
@@ -361,6 +378,8 @@ def main():
     ivf_qps = 0.0
     ivf_batch_recall = None
     try:
+        if _past_deadline("batched IVF"):
+            raise TimeoutError("soft deadline")
         from neumann_tpu.ops.ivf import _batched_core
         from neumann_tpu.ops.rerank import gather_rerank_topk_chunked
 
@@ -481,10 +500,14 @@ def main():
 
     curve = {}
     headline_nprobe = nprobe_curve[-1]
-    for npb in nprobe_curve:
+    for j, npb in enumerate(nprobe_curve):
         curve[npb] = round(ivf_recall(npb), 4)
         _phase(f"IVF recall@10 (nprobe={npb}): {curve[npb]}")
         if curve[npb] >= 0.99:
+            headline_nprobe = npb
+            break
+        if j + 1 < len(nprobe_curve) and _past_deadline(
+                "rest of the recall curve (headline = last measured)"):
             headline_nprobe = npb
             break
     ivf_recall_headline = curve[headline_nprobe]
@@ -527,7 +550,7 @@ def main():
     ip50, ip99 = measure_ivf(ivf_core_for(headline_nprobe, False))
     ivf_path = "xla"
     xla_p99 = ip99
-    if window % 128 == 0:
+    if window % 128 == 0 and not _past_deadline("Pallas core"):
         try:
             _phase(f"IVF XLA p99 {ip99:.2f} ms; Pallas core")
             pp50, pp99 = measure_ivf(
