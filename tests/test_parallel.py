@@ -232,3 +232,36 @@ def test_sharded_int8_pooled_parity(rng):
     ei = np.asarray(ei)
     recall = np.mean([len(set(ei[r]) & set(i[r])) / k for r in range(4)])
     assert recall >= 0.8
+
+
+def test_kmeans_device_balance(rng):
+    """Balance-aware reseeding: on a well-separated mixture, no cluster
+    ends up fatter than ~1.5x a fair share and none die. Plain Lloyd's
+    with random init routinely lands two seeds in one mode and none in
+    another (measured 6x-fair fattest at 10M/4096) — the downstream
+    fixed-window IVF only uses the ORDER, but a balanced histogram
+    keeps windows cluster-pure, which is what the probe sharpness
+    rides on."""
+    import jax.numpy as jnp
+
+    from neumann_tpu.parallel.partitioner import kmeans_device
+
+    k, d = 64, 32
+    modes = rng.standard_normal((k, d)).astype(np.float32)
+    a = rng.integers(0, k, 16384)
+    x = (modes[a] + 0.1 * rng.standard_normal((16384, d))
+         ).astype(np.float32)
+    cent = np.asarray(kmeans_device(jnp.asarray(x), k, iters=14))
+    d2 = ((x ** 2).sum(1)[:, None] - 2 * x @ cent.T
+          + (cent ** 2).sum(1)[None, :])
+    counts = np.bincount(d2.argmin(1), minlength=k)
+    fair = len(x) / k
+    assert counts.max() <= 1.6 * fair, counts.max() / fair
+    assert (counts == 0).sum() <= 1
+    # unbalanced Lloyd's is measurably worse on the same data
+    cent0 = np.asarray(kmeans_device(jnp.asarray(x), k, iters=14,
+                                     balance=False))
+    d20 = ((x ** 2).sum(1)[:, None] - 2 * x @ cent0.T
+           + (cent0 ** 2).sum(1)[None, :])
+    c0 = np.bincount(d20.argmin(1), minlength=k)
+    assert c0.max() > counts.max()
