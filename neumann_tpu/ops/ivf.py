@@ -461,7 +461,15 @@ class DeviceIVFInt8:
             # sort order above)
             self.centroids = window_mean_centroids(
                 self._buf, self._rmult, window)
+            k_kmeans = self.n_clusters
             self.n_clusters = int(self.centroids.shape[0])
+            # recalibrate the default nprobe from cluster units to
+            # window units so the intended READ FRACTION survives the
+            # layout change: "probe 64 of 1024 clusters" meant reading
+            # ~64 * (n/1024) rows; that is 64 * avg/window windows
+            avg = max(1, n // max(1, k_kmeans))
+            self.nprobe = int(max(1, min(
+                self.n_clusters, -(-self.nprobe * avg // window))))
         self._n = n
 
     # each query's probe gather materializes [nprobe, window, d]
