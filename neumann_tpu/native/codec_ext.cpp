@@ -631,6 +631,15 @@ static OvEntry *ov_upsert_h(WalOverlay *ov, const char *key,
             if (erased < 0) erased = (Py_ssize_t)i;
         } else if (e->hash == h && e->klen == klen
                    && memcmp(ov->base + e->koff, key, klen) == 0) {
+            // refresh koff to the NEW frame: callers update val/flen
+            // to the latest frame, and the lazy-CRC check in
+            // overlay_pop derives the frame start from koff — a stale
+            // koff made it verify the OLD frame's bytes against the
+            // OLD CRC using the NEW length (spurious failure on a
+            // length change; unverified decode on a same-length
+            // update). Key bytes are identical (memcmp above), so the
+            // swap preserves key identity.
+            e->koff = koff;
             *fresh = 0;
             return e;
         }

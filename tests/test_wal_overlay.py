@@ -256,3 +256,58 @@ def test_lazy_crc_torn_tail_still_truncates(tmp_path):
     assert s.recover(p, verify="lazy") == 19
     assert s.get("k18") is not None
     assert s.get("k19") is None
+
+
+@native
+def test_lazy_crc_key_update(tmp_path):
+    """Updated keys: the overlay's lazy-CRC must verify the LATEST
+    frame. A stale frame pointer made it check the first frame's bytes
+    against the first frame's CRC using the latest frame's length —
+    a spurious failure when the update changed the payload length, and
+    a silently UNVERIFIED decode when it didn't (regression)."""
+    p = str(tmp_path / "wal.log")
+    w = TensorWal(p, sync_mode="manual")
+    td1 = TensorData()
+    td1.set("v", TensorValue.scalar(1))
+    td1.set("pad", TensorValue.scalar("x"))          # longer frame
+    w.log_put("k", td1)
+    td2 = TensorData()
+    td2.set("v", TensorValue.scalar(2))              # shorter frame
+    w.log_put("k", td2)
+    w.flush()
+    w.close()
+    s = TensorStore()
+    assert s.recover(p, verify="lazy") == 2
+    assert s.get("k").get("v").value == 2            # was StoreError
+
+
+@native
+def test_lazy_crc_same_length_update_detects_corruption(tmp_path):
+    """Same-length update with a bit flip in the SECOND frame: the
+    deferred CRC must verify the frame actually decoded (the stale
+    pointer verified the intact first frame and decoded the corrupt
+    second one unchecked)."""
+    from neumann_tpu.utils.errors import StoreError
+
+    p = str(tmp_path / "wal.log")
+    w = TensorWal(p, sync_mode="manual")
+    for key, val in (("k", 11), ("k", 22), ("tail", 3)):
+        # k's frames have identical lengths; "tail" keeps the corrupt
+        # frame mid-log (the FINAL frame is always eagerly verified as
+        # torn-tail handling, which would truncate instead)
+        td = TensorData()
+        td.set("v", TensorValue.scalar(val))
+        w.log_put(key, td)
+    w.flush()
+    w.close()
+    raw = bytearray(open(p, "rb").read())
+    flen0 = int.from_bytes(raw[0:4], "little")
+    pos1 = 8 + flen0                     # second frame header
+    flen1 = int.from_bytes(raw[pos1:pos1 + 4], "little")
+    raw[pos1 + 8 + flen1 - 1] ^= 0x10    # corrupt second payload
+    open(p, "wb").write(bytes(raw))
+    s = TensorStore()
+    assert s.recover(p, verify="lazy") == 3
+    assert s.get("tail").get("v").value == 3
+    with pytest.raises(StoreError):
+        s.get("k")
