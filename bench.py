@@ -322,6 +322,7 @@ def main():
     _phase(f"window-mean probe centroids (w={window})")
     cents_n = window_mean_centroids(corpus_q, rmult, window)
     if not fast_build:
+        jax.block_until_ready(cents_n)   # dispatches are async
         build_s = time.perf_counter() - t_b    # include centroid pass
     # queries drawn from the corpus distribution
     kq1, kq2 = jax.random.split(kq)

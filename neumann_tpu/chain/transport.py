@@ -12,6 +12,7 @@ collectives; this is the control plane).
 from __future__ import annotations
 
 import json
+import os
 import queue
 import socket
 import struct
@@ -35,10 +36,18 @@ class Message:
     def encode(self) -> bytes:
         """Binary wire format (chain/wire.py): packed arrays for
         embedding/id payloads — the reference's bincode+sparse-encoding
-        analog (network.rs, tcp/framing.rs). JSON (see decode) remains
-        readable for mixed-version peers."""
+        analog (network.rs, tcp/framing.rs).
+
+        Upgrade story (two-phase, like any wire change): decode() has
+        accepted BOTH formats since the binary codec shipped, so a
+        rolling upgrade must first get every node onto a decode-capable
+        version, THEN enable binary sends. NEUMANN_WIRE_JSON=1 keeps a
+        new node emitting JSON while old (binary-illiterate) peers
+        remain in the cluster — new nodes always understand either."""
         from neumann_tpu.chain import wire
 
+        if os.environ.get("NEUMANN_WIRE_JSON") == "1":
+            return self.encode_json()
         return wire.encode_message(self.kind, self.src, self.dst,
                                    self.payload)
 

@@ -855,13 +855,26 @@ class VectorEngine:
 
     def _sharded_ivf_search(self, corpus: _Corpus, qp: np.ndarray,
                             k: int):
+        """Mesh IVF placement with the same staleness contract as the
+        single-chip auto-IVF: the k-means + relayout + device_put
+        rebuild is throttled by a mutation watcher (rebuilding the
+        whole placement per EMBED STORE would cost minutes at mesh
+        scale), and rows mutated since the build are served at their
+        CURRENT values via an exact delta rescan merged over the index
+        results — never the index's stale copy."""
         cfg = self.config
         slab = corpus.slab
         with corpus.lock:
             placed = corpus._sharded_ivf
-        if placed is None or placed[0] != slab.version:
+        n_valid = corpus.count()
+        if placed is not None and placed[0] != slab.version and \
+                slab.watch_count("sharded_ivf") > \
+                max(1024, cfg.ivf_auto_rebuild_frac * n_valid):
+            placed = None       # too stale: rebuild the placement
+        if placed is None:
             from neumann_tpu.parallel import ShardedIVFCorpus
 
+            slab.watch("sharded_ivf")   # arm BEFORE reading
             mat, valid, version = slab.host_snapshot()
             rows = np.flatnonzero(valid)
             if rows.size == 0:
@@ -876,9 +889,32 @@ class VectorEngine:
             with corpus.lock:
                 corpus._sharded_ivf = placed
         _, ivf, rows = placed
-        s, ids = ivf.search(qp, k)
+        s, ids = ivf.search(qp, min(k, rows.size))
         ids = np.where(ids >= 0, rows[np.maximum(ids, 0)], -1)
-        return s, ids.astype(np.int64)
+        ids = ids.astype(np.int64)
+        dirty = slab.watched("sharded_ivf")
+        if dirty.size:
+            stale = np.isin(ids, dirty)
+            s = np.where(stale, -np.inf, s)
+            mat_d, valid_d = slab.rows_matrix(dirty)
+            live = dirty[valid_d]
+            if live.size:
+                cur = mat_d[valid_d].astype(np.float32)
+                nq = np.maximum(
+                    np.linalg.norm(qp, axis=1, keepdims=True), 1e-30)
+                nc = np.maximum(np.linalg.norm(cur, axis=1), 1e-30)
+                ds = (qp / nq) @ (cur / nc[:, None]).T   # [Q, |live|]
+                kd = min(k, live.size)
+                top = np.argsort(-ds, axis=1)[:, :kd]
+                s = np.concatenate(
+                    [s, np.take_along_axis(ds, top, axis=1)], axis=1)
+                ids = np.concatenate(
+                    [ids, live[top].astype(np.int64)], axis=1)
+            order = np.argsort(-s, axis=1)[:, :k]
+            s = np.take_along_axis(s, order, axis=1)
+            ids = np.take_along_axis(ids, order, axis=1)
+            ids = np.where(np.isfinite(s), ids, -1)
+        return s, ids
 
     # ------------------------------------------------------------------
     # auto IVF routing (sub-linear single-query path at large N)

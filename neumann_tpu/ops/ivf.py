@@ -294,6 +294,7 @@ class DeviceIVFInt8:
         self.dim = dim
         self.n_clusters = n_clusters
         self.nprobe = nprobe
+        self._nprobe_cfg = nprobe   # cluster-unit config (see build)
         self.iters = iters
         self.centroids = None      # device [k, d] f32 (unit norm)
         self._buf = None           # device [n, d] int8, cluster-sorted
@@ -469,7 +470,8 @@ class DeviceIVFInt8:
             # ~64 * (n/1024) rows; that is 64 * avg/window windows
             avg = max(1, n // max(1, k_kmeans))
             self.nprobe = int(max(1, min(
-                self.n_clusters, -(-self.nprobe * avg // window))))
+                self.n_clusters,
+                -(-self._nprobe_cfg * avg // window))))
         self._n = n
 
     # each query's probe gather materializes [nprobe, window, d]

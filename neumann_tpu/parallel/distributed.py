@@ -145,9 +145,16 @@ class DistributedExecutor:
 
     def execute(self, query: str,
                 embedding: Optional[np.ndarray] = None,
-                nprobe: Optional[int] = None):
-        plan = (self.planner.plan_with_embedding(query, embedding, nprobe)
-                if embedding is not None else self.planner.plan(query))
+                nprobe: Optional[int] = None, plan=None):
+        """``plan``: pass a plan already computed (e.g. by the router's
+        local/remote classification) to skip re-planning — SIMILAR
+        planning includes the semantic-partitioner nearest-shard
+        matmul, which is worth not paying twice per query."""
+        if plan is None:
+            plan = (self.planner.plan_with_embedding(query, embedding,
+                                                     nprobe)
+                    if embedding is not None
+                    else self.planner.plan(query))
         results = []
         for shard in plan.shards:
             ex = self.executors.get(shard)

@@ -238,6 +238,7 @@ class ShardedIVFCorpus:
                               (n_clusters // self.n_shards)
                               * self.n_shards)
         self.nprobe = nprobe
+        self._nprobe_cfg = nprobe     # cluster-unit config (see load)
         self.iters = iters
         self._fns = {}
         self.corpus = None
@@ -338,6 +339,14 @@ class ShardedIVFCorpus:
         self.window = window
         self.c_per = c_per
         self.n_rows = n
+        # recalibrate nprobe from cluster units to window units so the
+        # configured READ FRACTION survives the fixed-window layout
+        # (mirrors DeviceIVFInt8.build): "probe 8 of 64 clusters" meant
+        # ~8 * (n/64) rows per shard, i.e. 8 * avg/window windows
+        self.nprobe = int(max(1, min(
+            c_per,
+            -(-self._nprobe_cfg * max(1, n // max(1, C)) // window))))
+        self._fns.clear()      # nprobe is baked into the compiled fns
 
     def _fn(self, k: int):
         fn = self._fns.get(k)
@@ -347,9 +356,11 @@ class ShardedIVFCorpus:
         window = self.window
         rows_s = self.rows_s
         nprobe = min(self.nprobe, self.c_per)
-        # slots are disjoint, so candidates are distinct by
-        # construction; a small margin covers -inf padding rows
-        kk = min(k + 8, window * nprobe)
+        # windows are disjoint, so candidates are distinct by
+        # construction; oversample the bf16 first pass — its near-tie
+        # ordering errors are healed by the f32 rerank below before
+        # anything crosses the ICI
+        kk = min(4 * k + 16, window * nprobe)
 
         def local(buf, rm, cents, starts, queries):
             # leading shard dim of size 1 inside shard_map blocks
@@ -382,10 +393,23 @@ class ShardedIVFCorpus:
                 return s, pos[i]
 
             s, pos = jax.vmap(one_query)(qn, probe)
+            # shard-local exact rerank: an int8 row times its combined
+            # multiplier (scale * 1/||x||) IS the unit row, so the
+            # rescore is exact f32 cosine — the bf16 first pass only
+            # SELECTS. Only k exact-scored candidates per shard ride
+            # the ICI, and the cross-shard merge compares f32 scores
+            # (matching the single-chip two-pass paths).
+            safe = jnp.maximum(pos, 0)
+            cand = buf[safe].astype(jnp.float32) \
+                * rm[safe][:, :, None]                  # [Q, kk, d]
+            ex = jnp.einsum("qd,qkd->qk", qn, cand)
+            ex = jnp.where(jnp.isneginf(s), -jnp.inf, ex)
+            s_k, sel = lax.top_k(ex, min(k, ex.shape[1]))
+            pos_k = jnp.take_along_axis(pos, sel, axis=1)
             shard_idx = lax.axis_index(axis)
-            gpos = jnp.where(jnp.isneginf(s), -1,
-                             pos + shard_idx * rows_s)
-            return _merge_gathered(s, gpos, axis, kk)
+            gpos = jnp.where(jnp.isneginf(s_k), -1,
+                             pos_k + shard_idx * rows_s)
+            return _merge_gathered(s_k, gpos, axis, min(k, ex.shape[1]))
 
         fn = jax.jit(jax.shard_map(
             local, mesh=self.mesh,

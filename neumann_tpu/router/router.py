@@ -197,7 +197,8 @@ class QueryRouter:
         if plan.kind == "local":
             return None
         return dist.execute(query, embedding=emb,
-                            nprobe=getattr(self, "_dist_nprobe", None))
+                            nprobe=getattr(self, "_dist_nprobe", None),
+                            plan=plan)
 
     # -- entry points ---------------------------------------------------------
     def execute(self, query: str) -> QueryResult:

@@ -99,13 +99,49 @@ _WRITE_FIRST = frozenset((
 ))
 
 
+def _split_top_level(src: str):
+    """Split a script on top-level ';' (quote-aware: ';' inside single
+    or double quoted literals does not split)."""
+    out, buf, quote = [], [], ""
+    for ch in src:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = ""
+        elif ch in ("'", '"'):
+            quote = ch
+            buf.append(ch)
+        elif ch == ";":
+            out.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    out.append("".join(buf))
+    return [s for s in (p.strip() for p in out) if s]
+
+
 def is_write_command(stmt: str) -> bool:
     """Statement-level write classification (lib.rs:186-220). Only
-    write statements enter the command WAL — reads replay to nothing."""
+    write statements enter the command WAL — reads replay to nothing.
+
+    Multi-statement scripts count as a write when ANY sub-statement
+    writes (the WAL replays the whole script; re-running its reads is
+    harmless, while dropping its writes loses data — a script led by a
+    SELECT used to be classified by its first keyword only). MATCH-led
+    Cypher counts as a write when a write clause appears (SET/CREATE/
+    DELETE/MERGE/REMOVE) — over-inclusion is safe for the same reason.
+    """
+    parts = _split_top_level(stmt)
+    if len(parts) > 1:
+        return any(is_write_command(p) for p in parts)
     upper = " ".join(stmt.upper().split())
     first = upper.split(" ", 1)[0] if upper else ""
     if first in _WRITE_FIRST:
         return True
+    if first in ("MATCH", "OPTIONAL"):
+        return any(f" {kw} " in f" {upper} " for kw in
+                   ("SET", "CREATE", "DELETE", "DETACH", "MERGE",
+                    "REMOVE"))
     if first == "NODE" or first == "EDGE":
         return not upper.startswith((f"{first} GET", f"{first} COUNT"))
     if first == "EMBED":

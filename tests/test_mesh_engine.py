@@ -131,3 +131,29 @@ def test_router_similar_runs_on_mesh(rng):
     assert corpus._sharded is not None, \
         "router SIMILAR did not reach the mesh placement"
     assert [h["key"] for h in res.results] == _oracle(vecs, q, 3)
+
+
+def test_mesh_sharded_ivf_mutation_freshness(rng):
+    """Rows mutated after the mesh IVF placement serve their CURRENT
+    values (exact delta rescan merged over index results), and the
+    placement does NOT rebuild on every version bump — the rebuild is
+    throttled by the mutation watcher like the single-chip auto-IVF."""
+    eng = VectorEngine(config=_mesh_cfg(
+        ivf_auto_threshold=128, ivf_auto_clusters=16,
+        ivf_auto_nprobe=16))
+    vecs = _fill(eng, 256, 32, rng)
+    q = vecs[21].copy()
+    assert [h.key for h in eng.search_similar(q, 3)][0] == "v21"
+    corpus = eng._corpora[""][32]
+    placed = corpus._sharded_ivf
+    assert placed is not None
+    # flip v21 away from itself: the index's copy is now stale
+    eng.store_embedding("v21", -q)
+    hits = [h.key for h in eng.search_similar(q, 3)]
+    assert hits[0] != "v21", "stale index copy served after mutation"
+    # a single mutation must NOT have rebuilt the whole placement
+    assert corpus._sharded_ivf is placed or \
+        corpus._sharded_ivf[1] is placed[1]
+    # and the mutated row is findable at its new value
+    hits2 = [h.key for h in eng.search_similar(-q, 3)]
+    assert hits2[0] == "v21"

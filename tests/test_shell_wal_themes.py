@@ -103,6 +103,34 @@ def test_is_write_command_classification():
     assert not is_write_command("VAULT GET 'k'")
     assert not is_write_command("SIMILAR 'k' TOP 5")
     assert not is_write_command("")
+    # multi-statement scripts: ANY writing sub-statement makes the
+    # script a write (it used to be classified by the first keyword,
+    # silently dropping read-led scripts' writes from crash replay)
+    assert is_write_command("SELECT * FROM t; INSERT INTO t VALUES (1)")
+    assert not is_write_command("SELECT * FROM t; SELECT v FROM t")
+    assert not is_write_command("SELECT 'a;INSERT fake' FROM t")
+    # MATCH-led Cypher write clauses
+    assert is_write_command("MATCH (a) SET a.x = 1")
+    assert is_write_command("MATCH (a)-[r]->(b) DELETE r")
+    assert is_write_command("MATCH (a) MERGE (a)-[:KNOWS]->(a)")
+    assert not is_write_command("MATCH (a) RETURN a")
+    assert not is_write_command("MATCH (a) WHERE a.x = 1 RETURN a")
+
+
+def test_read_led_script_writes_reach_wal(tmp_path):
+    """The review repro: a script whose FIRST statement is a read must
+    still land in the command WAL when a later statement writes."""
+    snap = str(tmp_path / "s.ntpu")
+    sh1 = Shell(stdout=io.StringIO())
+    sh1.execute("CREATE TABLE t (v INT)")
+    sh1.execute(f"save '{snap}'")
+    sh1.execute(f"load '{snap}'")
+    out = sh1.execute("SELECT * FROM t; INSERT INTO t VALUES (42)")
+    assert "error" not in out.lower()
+    assert CommandWal.read_commands(snap + ".log") != []
+    sh2 = Shell(stdout=io.StringIO())
+    sh2.execute(f"load '{snap}'")
+    assert "42" in sh2.execute("SELECT v FROM t")
 
 
 # -------------------------------------------------------------- themes
