@@ -687,10 +687,31 @@ def windowed_ivf_topk(buf, rmult, cents, starts, qs, k: int,
 
 @functools.lru_cache(maxsize=None)
 def _batched_core(m: int, nprobe: int, window: int, q_cap: int,
-                  group: int):
+                  group: int, selection="approx", stream: bool = False):
+    """selection: "approx" = lax.approx_max_k of m per (query, window);
+    an int p = POOLED-BITS — one max per p-row pool with the within-
+    pool index packed into the low mantissa bits (the brute scan's
+    selection trick, quant.int8_pooled_topk); pair pool mode with
+    gather_rerank_topk_chunked(expand_pool=p) for collision-exact
+    recall. Pool mode returns window//p candidates per (query, window)
+    — m is ignored.
+
+    stream: iterate windows as lax.scan xs over a reshaped corpus view
+    instead of dynamic-slicing each window out of HBM. A traced-start
+    dynamic_slice materializes a copy of every window before its
+    matmul (~3x the read traffic); xs slicing along the leading axis
+    is a pipelined DMA. Requires a FIXED-window layout (starts ==
+    arange * window) and reads every window once — the right trade
+    when Q x nprobe >= ~n_windows (big batches probe ~everything
+    anyway); keep stream=False for small batches on huge corpora."""
     import jax
     import jax.numpy as jnp
     from jax import lax
+
+    pool = selection if isinstance(selection, int) else 0
+    if pool and (window % pool or pool & (pool - 1)):
+        raise ValueError(f"pool {pool} must be a power-of-two divisor "
+                         f"of window {window}")
 
     @jax.jit
     def run(buf, rmult, cents, starts, qs, valid_q):
@@ -738,11 +759,7 @@ def _batched_core(m: int, nprobe: int, window: int, q_cap: int,
 
         qq_i8, qsc = scalar_quantize(qn)
 
-        def one(c):
-            base = starts_p[c]
-            block = lax.dynamic_slice(buf, (base, 0), (window, d))
-            rm = lax.dynamic_slice(rmult, (base,), (window,))
-            qidx = tbl_q[c]
+        def score_window(block, rm, qidx, base):
             # query-subset selection as a one-hot MXU matmul: a per-row
             # gather costs ~µs/row on TPU (C x q_cap rows per batch
             # dominated the kernel); [q_cap, Q] @ [Q, d] does the same
@@ -761,34 +778,85 @@ def _batched_core(m: int, nprobe: int, window: int, q_cap: int,
                 qsub, block, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32)
             mult = sc_slot[:, None] * rm[None, :]
+            if pool:
+                # pooled-bits: shift scores to [1, 3), bitcast, pack
+                # the within-pool index into the low log2(pool)
+                # mantissa bits — ONE max per pool carries score AND
+                # argmax (bits 0 = dead row, below any valid pattern)
+                s = dots.astype(jnp.float32) * mult + 2.0
+                s = jnp.where(rm[None, :] > 0, s, 0.0)
+                s3 = s.reshape(q_cap, window // pool, pool)
+                pi = lax.broadcasted_iota(jnp.int32, s3.shape, 2)
+                bits = (lax.bitcast_convert_type(s3, jnp.int32)
+                        & ~(pool - 1)) | pi
+                wb = jnp.max(bits, axis=2)     # [q_cap, window/pool]
+                dead = wb < 0x3F800000         # below bitcast(1.0)
+                sc_out = jnp.where(
+                    dead, -jnp.inf,
+                    lax.bitcast_convert_type(wb & ~(pool - 1),
+                                             jnp.float32) - 2.0)
+                local = wb & (pool - 1)
+                ppos = (jnp.arange(window // pool, dtype=jnp.int32)
+                        * pool + local)
+                return sc_out, jnp.where(dead, -1, base + ppos)
             scores = jnp.where(rm[None, :] > 0,
                                dots.astype(jnp.float32) * mult,
                                -jnp.inf)
             s, i = lax.approx_max_k(scores, m)
             return s, base + i.astype(jnp.int32)
 
-        def step(_, cg):
-            return (), jax.vmap(one)(cg)
+        m_eff = (window // pool) if pool else m
+        if stream:
+            # windows ride the scan as xs: leading-axis slicing is a
+            # pipelined DMA, while a traced-start dynamic_slice
+            # materializes a copy of every window before its matmul
+            eff_g = group if C % group == 0 else 1
+            nw = C * window
+            corpus4 = buf[:nw].reshape(C // eff_g, eff_g, window, d)
+            rm4 = rmult[:nw].reshape(C // eff_g, eff_g, window)
+            tbl4 = tbl_q[:C].reshape(C // eff_g, eff_g, q_cap)
+            base4 = starts[:C].reshape(C // eff_g, eff_g)
 
-        cgs = jnp.arange(c_pad, dtype=jnp.int32).reshape(-1, group)
-        _, (ys_s, ys_p) = lax.scan(step, (), cgs)
-        ys_s = ys_s.reshape(c_pad, q_cap, m)       # [C', q_cap, m]
-        ys_p = ys_p.reshape(c_pad, q_cap, m)
+            def step(_, xs):
+                bl, rm2, tb, bs = xs
+                return (), jax.vmap(score_window)(bl, rm2, tb, bs)
+
+            _, (ys_s, ys_p) = lax.scan(step, (), (corpus4, rm4, tbl4,
+                                                  base4))
+            ys_s = ys_s.reshape(C, q_cap, m_eff)
+            ys_p = ys_p.reshape(C, q_cap, m_eff)
+            cg_cap = C
+        else:
+            def one(c):
+                base = starts_p[c]
+                block = lax.dynamic_slice(buf, (base, 0), (window, d))
+                rm = lax.dynamic_slice(rmult, (base,), (window,))
+                return score_window(block, rm, tbl_q[c], base)
+
+            def step(_, cg):
+                return (), jax.vmap(one)(cg)
+
+            cgs = jnp.arange(c_pad, dtype=jnp.int32).reshape(-1, group)
+            _, (ys_s, ys_p) = lax.scan(step, (), cgs)
+            ys_s = ys_s.reshape(c_pad, q_cap, m_eff)
+            ys_p = ys_p.reshape(c_pad, q_cap, m_eff)
+            cg_cap = c_pad
 
         ok = (probe < C) & (rank_of < q_cap)       # [Q, nprobe]
-        cg_ = jnp.minimum(probe, c_pad - 1)
+        cg_ = jnp.minimum(probe, cg_cap - 1)
         rk_ = jnp.minimum(rank_of, q_cap - 1)
         out_s = jnp.where(ok[:, :, None], ys_s[cg_, rk_], -jnp.inf)
         out_p = jnp.where(ok[:, :, None], ys_p[cg_, rk_], -1)
-        return (out_s.reshape(Q, nprobe * m),
-                out_p.reshape(Q, nprobe * m), overflow)
+        return (out_s.reshape(Q, nprobe * m_eff),
+                out_p.reshape(Q, nprobe * m_eff), overflow)
 
     return run
 
 
 def batched_ivf_topk(buf, rmult, cents, starts, qs, nprobe: int,
                      window: int, m: int, q_cap: int, group: int = 8,
-                     valid_q=None):
+                     valid_q=None, selection="approx",
+                     stream: bool = False):
     """Probe-sharing batched IVF candidate pass (see block comment).
 
     buf/rmult/cents/starts: the DeviceIVFInt8 windowed layout.
@@ -804,5 +872,6 @@ def batched_ivf_topk(buf, rmult, cents, starts, qs, nprobe: int,
 
     if valid_q is None:
         valid_q = jnp.ones(qs.shape[0], bool)
-    return _batched_core(m, nprobe, window, q_cap, group)(
+    return _batched_core(m, nprobe, window, q_cap, group, selection,
+                         stream)(
         buf, rmult, cents, starts, qs, valid_q)

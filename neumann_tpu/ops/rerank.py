@@ -155,12 +155,13 @@ def gather_rerank_topk_jit(corpus_q, pos, queries, k, metric="cosine",
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "metric", "dedup", "chunk",
-                                    "pre_select"))
+                                    "pre_select", "expand_pool"))
 def gather_rerank_topk_chunked(corpus_q, pos, queries, k,
                                metric="cosine", scale=None,
                                residual_q=None, residual_scale=None,
                                first_scores=None, dedup=True,
-                               chunk=128, pre_select=None):
+                               chunk=128, pre_select=None,
+                               expand_pool=1):
     """gather_rerank_topk with the query axis streamed in chunks.
 
     The plain rerank materializes the [Q, C, d] f32 candidate gather —
@@ -173,12 +174,36 @@ def gather_rerank_topk_chunked(corpus_q, pos, queries, k,
     each on TPU, so gathering all nprobe*m batched-IVF candidates
     (1000+/query) dominates the whole batch; the first pass's bf16
     ordering is easily good enough to cut to O(8k) before paying the
-    gather. Requires first_scores."""
+    gather. Requires first_scores.
+
+    expand_pool=p: each surviving candidate is a POOL WINNER from the
+    pooled-bits batched core (ops/ivf._batched_core selection=p) —
+    expand it to all p rows of its pool before rescoring. A true top-k
+    row lost to a pool collision is by definition a pool-mate of a
+    HIGHER-scoring winner (which therefore pre-selects), so expansion
+    makes pooled selection collision-exact for ~p x the (tiny) gather.
+    Positions must come from aligned disjoint pools (fixed windows)."""
     if (pre_select is not None and first_scores is not None
             and pos.shape[1] > pre_select):
-        fs, ci = lax.top_k(first_scores, pre_select)
+        # wide candidate lists (pooled batched IVF emits nprobe *
+        # window/pool per query): exact top_k is a full VPU sort —
+        # approx_max_k suffices because order does not matter here
+        # (the rerank below re-scores and re-sorts whatever survives)
+        if pos.shape[1] > 4 * pre_select:
+            fs, ci = lax.approx_max_k(first_scores, pre_select)
+        else:
+            fs, ci = lax.top_k(first_scores, pre_select)
         pos = jnp.take_along_axis(pos, ci, axis=1)
         first_scores = fs
+    if expand_pool > 1:
+        p = expand_pool
+        base = jnp.where(pos >= 0, pos - (pos % p), -1)
+        off = jnp.arange(p, dtype=pos.dtype)
+        pos = jnp.where(base[:, :, None] >= 0,
+                        base[:, :, None] + off[None, None, :],
+                        -1).reshape(pos.shape[0], -1)
+        if first_scores is not None:
+            first_scores = jnp.repeat(first_scores, p, axis=1)
     q_total = pos.shape[0]
     n_chunks = -(-q_total // chunk)
     q_pad = n_chunks * chunk
