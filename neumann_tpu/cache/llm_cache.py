@@ -1,13 +1,17 @@
-"""LLM response cache: exact O(1) -> semantic HNSW -> stats.
+"""LLM response cache: exact O(1) -> semantic HNSW -> embedding cache.
 
-Capability parity with tensor_cache (tensor_cache/src/lib.rs:186-226 get
-flow): layer 1 exact hash lookup; layer 2 semantic similarity over cached
-query embeddings via the host HNSW graph (ops/hnsw.py — same structure
-the reference walks; a per-lookup device dispatch would cost more than
-the whole O(log n) walk at cache sizes); TTL expiry via a min-heap;
-LRU/LFU/cost eviction; token counting and cost-savings accounting.
-Deleted/re-put entries tombstone their HNSW node; the index rebuilds
-itself when more than half the nodes are dead.
+Capability parity with tensor_cache's three layers
+(tensor_cache/src/lib.rs:17,186-226,374-430): layer 1 exact hash
+lookup; layer 2 semantic similarity over cached query embeddings via
+the host HNSW graph (ops/hnsw.py — same structure the reference walks;
+a per-lookup device dispatch would cost more than the whole O(log n)
+walk at cache sizes); layer 3 an O(1) EMBEDDING cache keyed by
+(source, content) — `get()` never recomputes an embedding it has seen
+(the reference's `_embedding`-prefixed keys, lib.rs:92,374-430), and
+`put_embedding`/`get_embedding` expose it for external embedders. TTL
+expiry via a min-heap; LRU/LFU/cost eviction; token counting and
+cost-savings accounting. Deleted/re-put entries tombstone their HNSW
+node; the index rebuilds itself when more than half the nodes are dead.
 
 Embeddings come from a pluggable embedder (default: deterministic feature
 hashing — the reference similarly ships a tokenizer-based default rather
@@ -52,6 +56,7 @@ def count_tokens(text: str) -> int:
 class CacheStats:
     exact_hits: int = 0
     semantic_hits: int = 0
+    embedding_hits: int = 0     # layer-3: embedder calls avoided
     misses: int = 0
     insertions: int = 0
     evictions: int = 0
@@ -89,7 +94,8 @@ class LLMCache:
                  embedder: Callable[[str], np.ndarray] = default_embedder,
                  metric: str = "cosine",
                  auto_select_metric: bool = False,
-                 sparsity_metric_threshold: float = 0.9):
+                 sparsity_metric_threshold: float = 0.9,
+                 embedding_capacity: int = 10_000):
         if eviction not in ("lru", "lfu", "cost", "hybrid"):
             raise ValueError(f"bad eviction strategy {eviction}")
         if metric not in ("cosine", "euclidean", "dot"):
@@ -107,6 +113,10 @@ class LLMCache:
         self.auto_select_metric = auto_select_metric
         self.sparsity_metric_threshold = sparsity_metric_threshold
         self._embs: Dict[str, np.ndarray] = {}   # for jaccard re-rank
+        # layer-3 embedding cache: "{source}:{content}" -> embedding,
+        # LRU via dict insertion order (move-to-end on hit)
+        self.embedding_capacity = embedding_capacity
+        self._emb_cache: Dict[str, np.ndarray] = {}
         self._lock = threading.Lock()   # no method re-enters
         self._exact: Dict[str, _Entry] = {}
         self._ttl_heap: List[Tuple[float, str]] = []
@@ -269,6 +279,53 @@ class LLMCache:
         self._remove(victim)
         self.stats.evictions += 1
 
+    # -- layer 3: O(1) embedding cache (lib.rs:92,374-430) --------------
+    @staticmethod
+    def _emb_key(source: str, content: str) -> str:
+        return f"{source}:{content}"
+
+    def _emb_cache_get(self, key: str) -> Optional[np.ndarray]:
+        emb = self._emb_cache.pop(key, None)
+        if emb is None:
+            return None
+        self._emb_cache[key] = emb          # move-to-end (LRU)
+        self.stats.embedding_hits += 1
+        return emb
+
+    def _emb_cache_put(self, key: str, emb: np.ndarray) -> None:
+        if self.embedding_capacity <= 0:
+            return
+        self._emb_cache.pop(key, None)
+        while len(self._emb_cache) >= self.embedding_capacity:
+            del self._emb_cache[next(iter(self._emb_cache))]
+        self._emb_cache[key] = emb
+
+    def put_embedding(self, source: str, content: str,
+                      embedding) -> None:
+        """Cache a computed embedding under (source, content) — the
+        reference's put_embedding (tensor_cache/src/lib.rs:390)."""
+        with self._lock:
+            self._emb_cache_put(
+                self._emb_key(source, content),
+                np.asarray(embedding, np.float32).ravel())
+
+    def get_embedding(self, source: str,
+                      content: str) -> Optional[np.ndarray]:
+        """O(1) cached embedding lookup (lib.rs:374); None on miss."""
+        with self._lock:
+            emb = self._emb_cache_get(self._emb_key(source, content))
+            return None if emb is None else emb.copy()
+
+    def _embed(self, key: str) -> np.ndarray:
+        """Layer-3-cached embedder call: an embedding this cache has
+        already computed (or been handed) is never recomputed."""
+        ck = self._emb_key("query", key)
+        emb = self._emb_cache_get(ck)
+        if emb is None:
+            emb = np.asarray(self.embedder(key), np.float32).ravel()
+            self._emb_cache_put(ck, emb)
+        return emb
+
     # ------------------------------------------------------------------
     def put(self, query: str, response: str,
             ttl_s: Optional[float] = None,
@@ -287,7 +344,13 @@ class LLMCache:
                 cost=float(count_tokens(response)))
             if expires is not None:
                 heapq.heappush(self._ttl_heap, (expires, key))
-            emb = embedding if embedding is not None else self.embedder(key)
+            if embedding is not None:
+                emb = np.asarray(embedding, np.float32).ravel()
+                # caller-computed embeddings seed layer 3 so a later
+                # get() for this query skips the embedder entirely
+                self._emb_cache_put(self._emb_key("query", key), emb)
+            else:
+                emb = self._embed(key)
             self._index_put(key, emb)
             self.stats.insertions += 1
 
@@ -306,8 +369,9 @@ class LLMCache:
                 self.stats.exact_hits += 1
                 self.stats.tokens_saved += e.cost   # counted at put
                 return e.response
-            # semantic layer: HNSW walk over live query embeddings
-            emb = self.embedder(key)
+            # semantic layer: HNSW walk over live query embeddings;
+            # the embedding itself comes through layer 3 (O(1) reuse)
+            emb = self._embed(key)
             results = self._index_search(emb)
             thr = threshold if threshold is not None \
                 else self.semantic_threshold

@@ -11,6 +11,7 @@ collectives; this is the control plane).
 
 from __future__ import annotations
 
+import base64
 import json
 import os
 import queue
@@ -21,6 +22,23 @@ from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional, Set, Tuple
 
 from neumann_tpu.utils.errors import ChainError
+
+
+def _json_default(o):
+    """bytes in JSON frames ride as a tagged base64 dict (the binary
+    codec carries them raw; JSON emission must not crash on them)."""
+    if isinstance(o, (bytes, bytearray, memoryview)):
+        return {"__b64__": base64.b64encode(bytes(o)).decode("ascii")}
+    raise TypeError(f"not JSON-wirable: {type(o).__name__}")
+
+
+def _json_hook(d):
+    if len(d) == 1 and "__b64__" in d:
+        try:
+            return base64.b64decode(d["__b64__"])
+        except Exception:
+            return d
+    return d
 
 
 @dataclass
@@ -34,26 +52,32 @@ class Message:
     payload: dict = field(default_factory=dict)
 
     def encode(self) -> bytes:
-        """Binary wire format (chain/wire.py): packed arrays for
+        """Wire encoding, JSON by default; NEUMANN_WIRE_BINARY=1 opts
+        into the binary format (chain/wire.py: packed arrays for
         embedding/id payloads — the reference's bincode+sparse-encoding
-        analog (network.rs, tcp/framing.rs).
+        analog, network.rs / tcp/framing.rs).
 
-        Upgrade story (two-phase, like any wire change): decode() has
-        accepted BOTH formats since the binary codec shipped, so a
-        rolling upgrade must first get every node onto a decode-capable
-        version, THEN enable binary sends. NEUMANN_WIRE_JSON=1 keeps a
-        new node emitting JSON while old (binary-illiterate) peers
-        remain in the cluster — new nodes always understand either."""
+        Upgrade story (two-phase, like any wire change): binary is
+        DECODE-ONLY by default because nodes built before the binary
+        codec only json.loads frames — a mixed-version cluster must
+        first get every node onto a decode-capable version, and only
+        THEN enable binary sends (set NEUMANN_WIRE_BINARY=1 fleet-wide
+        once the rollout completes). New nodes understand either
+        format on receive regardless of this setting."""
+        if os.environ.get("NEUMANN_WIRE_BINARY") == "1":
+            return self.encode_binary()
+        return self.encode_json()
+
+    def encode_binary(self) -> bytes:
         from neumann_tpu.chain import wire
 
-        if os.environ.get("NEUMANN_WIRE_JSON") == "1":
-            return self.encode_json()
         return wire.encode_message(self.kind, self.src, self.dst,
                                    self.payload)
 
     def encode_json(self) -> bytes:
         return json.dumps({"k": self.kind, "s": self.src, "d": self.dst,
-                           "p": self.payload}).encode("utf-8")
+                           "p": self.payload},
+                          default=_json_default).encode("utf-8")
 
     @staticmethod
     def decode(buf: bytes) -> "Message":
@@ -62,7 +86,7 @@ class Message:
 
             k, s, d, p = wire.decode_message(buf)
             return Message(k, s, d, p)
-        o = json.loads(buf.decode("utf-8"))
+        o = json.loads(buf.decode("utf-8"), object_hook=_json_hook)
         return Message(o["k"], o["s"], o["d"], o["p"])
 
 

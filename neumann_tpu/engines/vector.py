@@ -838,8 +838,19 @@ class VectorEngine:
         want_quant = quantization == "int8"
         with corpus.lock:
             placed = corpus._sharded
-        if (placed is None or placed[0] != slab.version
-                or placed[1].quantized != want_quant):
+        if placed is not None and placed[1].quantized != want_quant:
+            placed = None       # storage mode changed: must rebuild
+        # mutation-throttled rebuild (same contract as the sharded-IVF
+        # path): a single EMBED STORE must NOT force a full
+        # host_snapshot + device_put of the whole corpus on the next
+        # search — rows mutated since the placement are served at
+        # their CURRENT values via an exact delta rescan instead
+        if placed is not None and placed[0] != slab.version and \
+                slab.watch_count("sharded") > \
+                max(1024, cfg.ivf_auto_rebuild_frac * n):
+            placed = None       # too stale: rebuild the placement
+        if placed is None:
+            slab.watch("sharded")   # arm BEFORE reading
             mat, valid, version = slab.host_snapshot()
             sh = ShardedCorpus(mesh, slab.dim_pad, quantized=want_quant)
             sh.load(mat, valid)
@@ -849,9 +860,58 @@ class VectorEngine:
         _, sh = placed
         mask = (np.asarray(extra_mask, bool)
                 if extra_mask is not None else None)
+        dirty = slab.watched("sharded")
         # row ids survive placement: rows shard in slab order with
         # padding only at the tail
-        return sh.search(qp, k, metric, mask=mask)
+        if dirty.size == 0:
+            return sh.search(qp, k, metric, mask=mask)
+        # oversample so stale-masked hits can backfill from clean rows
+        k_s = min(2 * k + 16, max(sh.n_rows, 1))
+        s, ids = sh.search(qp, k_s, metric, mask=mask)
+        ids = ids.astype(np.int64)
+        stale = np.isin(ids, dirty)
+        s = np.where(stale, -np.inf, s)
+        s, ids = self._merge_delta_rescan(slab, qp, metric, s, ids,
+                                          dirty, extra_mask)
+        order = np.argsort(-s, axis=1)[:, :min(k, s.shape[1])]
+        s = np.take_along_axis(s, order, axis=1)
+        ids = np.take_along_axis(ids, order, axis=1)
+        ids = np.where(np.isfinite(s), ids, -1)
+        return s, ids
+
+    @staticmethod
+    def _merge_delta_rescan(slab, qp: np.ndarray, metric: str,
+                            s: np.ndarray, ids: np.ndarray,
+                            dirty: np.ndarray, extra_mask):
+        """Score the mutated rows at their CURRENT values (any metric,
+        honoring the filter mask) and append them to the (stale-masked)
+        index results; callers re-sort and cut to k."""
+        import jax
+
+        from neumann_tpu.ops.scan import _finalize, score_all
+
+        live_mask = np.ones(dirty.size, bool)
+        if extra_mask is not None:
+            em = np.asarray(extra_mask, bool)
+            if em.size == 0:
+                return s, ids
+            inb = dirty < em.shape[0]
+            live_mask &= inb & em[np.minimum(dirty, em.shape[0] - 1)]
+        mat_d, valid_d = slab.rows_matrix(dirty)
+        live_mask &= valid_d
+        live = dirty[live_mask]
+        if live.size == 0:
+            return s, ids
+        cur = mat_d[live_mask].astype(np.float32)
+        ds = np.asarray(_finalize(
+            jax.jit(score_all, static_argnames="metric")(
+                cur, qp, metric), metric))      # [Q, |live|]
+        kd = min(s.shape[1], live.size)
+        top = np.argsort(-ds, axis=1)[:, :kd]
+        s = np.concatenate(
+            [s, np.take_along_axis(ds, top, axis=1)], axis=1)
+        ids = np.concatenate([ids, live[top].astype(np.int64)], axis=1)
+        return s, ids
 
     def _sharded_ivf_search(self, corpus: _Corpus, qp: np.ndarray,
                             k: int):
@@ -889,7 +949,13 @@ class VectorEngine:
             with corpus.lock:
                 corpus._sharded_ivf = placed
         _, ivf, rows = placed
-        s, ids = ivf.search(qp, min(k, rows.size))
+        # oversample: the stale-mask below can -inf index hits whose
+        # rows were mutated, and without slack the clean rows ranked
+        # just past k could never backfill — searches after mutations
+        # would return <k live hits even though valid matches exist
+        # (the single-chip auto-IVF oversamples for the same reason)
+        k_ivf = min(2 * k + 16, rows.size)
+        s, ids = ivf.search(qp, k_ivf)
         ids = np.where(ids >= 0, rows[np.maximum(ids, 0)], -1)
         ids = ids.astype(np.int64)
         dirty = slab.watched("sharded_ivf")
@@ -910,10 +976,10 @@ class VectorEngine:
                     [s, np.take_along_axis(ds, top, axis=1)], axis=1)
                 ids = np.concatenate(
                     [ids, live[top].astype(np.int64)], axis=1)
-            order = np.argsort(-s, axis=1)[:, :k]
-            s = np.take_along_axis(s, order, axis=1)
-            ids = np.take_along_axis(ids, order, axis=1)
-            ids = np.where(np.isfinite(s), ids, -1)
+        order = np.argsort(-s, axis=1)[:, :min(k, s.shape[1])]
+        s = np.take_along_axis(s, order, axis=1)
+        ids = np.take_along_axis(ids, order, axis=1)
+        ids = np.where(np.isfinite(s), ids, -1)
         return s, ids
 
     # ------------------------------------------------------------------

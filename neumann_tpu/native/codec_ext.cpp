@@ -752,13 +752,28 @@ static PyObject *py_wal_overlay(PyObject *self, PyObject *args) {
                     bad = 1;
                     break;
                 }
-                if (flen < 5) goto malformed;
+                // structurally malformed frame: in lazy mode the
+                // frame was NOT CRC-verified above, so a bit flip in
+                // a length/header lands here — treat it exactly like
+                // an eager-mode CRC failure (truncate, keep the
+                // records parsed so far) instead of failing the whole
+                // recovery. Eager mode reaches here only when the CRC
+                // matched, i.e. a genuinely malformed record: raise.
+                if (flen < 5) {
+                    if (lazy) { bad = 1; break; }
+                    goto malformed;
+                }
                 unsigned op = payload[0];
                 uint32_t klen;
                 memcpy(&klen, payload + 1, 4);
-                if ((Py_ssize_t)klen > (Py_ssize_t)flen - 5)
+                if ((Py_ssize_t)klen > (Py_ssize_t)flen - 5) {
+                    if (lazy) { bad = 1; break; }
                     goto malformed;
-                if (op > 1) goto malformed;
+                }
+                if (op > 1) {
+                    if (lazy) { bad = 1; break; }
+                    goto malformed;
+                }
                 Rec *r = &recs[nb++];
                 r->koff = (uint64_t)(pos + 8 + 5);
                 r->klen = klen;

@@ -17,6 +17,7 @@ failures and reports them.
 from __future__ import annotations
 
 import os
+import re
 from dataclasses import dataclass, field
 from typing import List, Optional
 
@@ -139,9 +140,12 @@ def is_write_command(stmt: str) -> bool:
     if first in _WRITE_FIRST:
         return True
     if first in ("MATCH", "OPTIONAL"):
-        return any(f" {kw} " in f" {upper} " for kw in
-                   ("SET", "CREATE", "DELETE", "DETACH", "MERGE",
-                    "REMOVE"))
+        # word-boundary match, not space-padded substrings: valid
+        # no-space forms like "MATCH (a) CREATE(b)" or "SET(" must
+        # still classify as writes or they vanish from the WAL
+        return re.search(
+            r"\b(SET|CREATE|DELETE|DETACH|MERGE|REMOVE)\b",
+            upper) is not None
     if first == "NODE" or first == "EDGE":
         return not upper.startswith((f"{first} GET", f"{first} COUNT"))
     if first == "EMBED":

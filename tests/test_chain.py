@@ -1903,7 +1903,11 @@ def test_wire_binary_roundtrip_and_json_interop():
         "commit": 41, "none": None, "flag": False,
     }
     m = Message("append_entries", "n1", "n2", payload)
-    buf = m.encode()
+    # binary sends are OPT-IN (mixed-version clusters: old nodes only
+    # json.loads); decode always accepts both formats
+    assert m.encode()[:1] == b"{"
+    assert Message.decode(m.encode()).payload == payload
+    buf = m.encode_binary()
     assert buf[:2] == b"N1"
     back = Message.decode(buf)
     assert (back.kind, back.src, back.dst) == ("append_entries", "n1",
@@ -1921,4 +1925,4 @@ def test_wire_binary_roundtrip_and_json_interop():
     m2 = Message("ae", "a", "b",
                  {"entries": [{"emb": [math.sin(i) * 0.7310585786300049
                                        for i in range(768)]}]})
-    assert len(m2.encode()) < len(m2.encode_json()) / 2
+    assert len(m2.encode_binary()) < len(m2.encode_json()) / 2

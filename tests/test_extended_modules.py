@@ -104,6 +104,53 @@ def test_cache_exact_and_semantic():
     assert c.stats.tokens_saved > 0
 
 
+def test_cache_embedding_layer():
+    """Layer 3 (tensor_cache/src/lib.rs:17,92,374-430): get() never
+    recomputes an embedding it has seen; (source, content)-keyed
+    embeddings are O(1) retrievable; LRU-bounded by its own capacity."""
+    calls = []
+
+    def embedder(text):
+        calls.append(text)
+        from neumann_tpu.cache.llm_cache import default_embedder
+
+        return default_embedder(text)
+
+    c = LLMCache(embedder=embedder)
+    c.put("what is two plus two", "4")
+    assert len(calls) == 1
+    c.get("unrelated miss query")          # embeds once...
+    n1 = len(calls)
+    c.get("unrelated miss query")          # ...then layer-3 hits
+    assert len(calls) == n1
+    assert c.stats.embedding_hits >= 1
+
+    # external (source, content) API
+    import numpy as np
+
+    c.put_embedding("openai", "doc body", [0.1, 0.2, 0.3])
+    got = c.get_embedding("openai", "doc body")
+    np.testing.assert_allclose(got, [0.1, 0.2, 0.3])
+    assert c.get_embedding("openai", "other") is None
+
+    # caller-supplied put() embedding seeds layer 3 for later get()
+    emb = got
+    c2 = LLMCache(embedder=embedder, semantic_threshold=2.0)
+    before = len(calls)
+    c2.put("seeded query", "r", embedding=np.ones(256, np.float32))
+    assert c2.get("seeded query x") is None   # semantic miss path
+    assert "seeded query" not in calls[before:]
+
+    # bounded: own capacity, LRU
+    c3 = LLMCache(embedding_capacity=2)
+    c3.put_embedding("s", "a", emb)
+    c3.put_embedding("s", "b", emb)
+    assert c3.get_embedding("s", "a") is not None   # a now most-recent
+    c3.put_embedding("s", "c", emb)                 # evicts b
+    assert c3.get_embedding("s", "b") is None
+    assert c3.get_embedding("s", "a") is not None
+
+
 def test_cache_ttl_expiry():
     c = LLMCache()
     c.put("q", "r", ttl_s=0.05)

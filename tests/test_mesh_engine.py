@@ -65,23 +65,29 @@ def test_mesh_filtered_search(rng):
     assert all(int(h.key[1:]) % 2 == 0 for h in hits)
 
 
-def test_mesh_placement_rebuilds_on_mutation(rng):
+def test_mesh_placement_mutation_freshness(rng):
+    """Mutations after placement are served at CURRENT values via the
+    watcher + exact delta rescan — WITHOUT rebuilding the placement
+    (a per-write full host_snapshot + device_put reload would be a
+    multi-hundred-MB cliff at real mesh scale)."""
     eng = VectorEngine(config=_mesh_cfg())
     vecs = _fill(eng, 128, 16, rng)
     q = vecs[3]
     eng.search_similar(q, 3)
     corpus = eng._corpora[""][16]
     v0 = corpus._sharded[0]
-    # a new row that is the exact query must surface post-rebuild
+    # a new row that is the exact query must surface immediately
     eng.store_embedding("new", q)
     got = [h.key for h in eng.search_similar(q, 1)]
     assert got in (["new"], ["v3"])  # tie between q and v3's perturbed
-    assert corpus._sharded[0] != v0
-    # deletes drop out of the mesh mask too
+    assert corpus._sharded[0] == v0  # throttled: no per-write rebuild
+    # deletes drop out of results too, and clean rows BACKFILL the
+    # freed slots (full-k completeness after mutations)
     eng.delete_embedding("v3")
     eng.delete_embedding("new")
     got = [h.key for h in eng.search_similar(q, 3)]
     assert "v3" not in got and "new" not in got
+    assert len(got) == 3
 
 
 def test_mesh_int8_collection(rng):
@@ -154,6 +160,10 @@ def test_mesh_sharded_ivf_mutation_freshness(rng):
     # a single mutation must NOT have rebuilt the whole placement
     assert corpus._sharded_ivf is placed or \
         corpus._sharded_ivf[1] is placed[1]
+    # completeness: stale-masked slots must BACKFILL from clean rows
+    # ranked just past k (the search is oversampled before the mask),
+    # so a full k results always come back after mutations
+    assert len(hits) == 3 and "v21" not in hits
     # and the mutated row is findable at its new value
     hits2 = [h.key for h in eng.search_similar(-q, 3)]
     assert hits2[0] == "v21"

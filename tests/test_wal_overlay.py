@@ -259,6 +259,33 @@ def test_lazy_crc_torn_tail_still_truncates(tmp_path):
 
 
 @native
+@pytest.mark.parametrize("damage", ["flen", "op"])
+def test_lazy_crc_malformed_midlog_truncates(tmp_path, damage):
+    """A mid-log bit flip in a frame's length/op byte desyncs the
+    frame chain and lands in the malformed path. Lazy mode skips the
+    per-frame CRC, so this is its corruption signal — it must behave
+    like eager's CRC failure (truncate, keep the parsed prefix), not
+    raise and fail the ENTIRE recovery."""
+    p = str(tmp_path / "wal.log")
+    _write_wal(p, 60)
+    raw = bytearray(open(p, "rb").read())
+    pos, idx = 0, 0
+    while idx < 30:
+        flen = int.from_bytes(raw[pos:pos + 4], "little")
+        pos += 8 + flen
+        idx += 1
+    if damage == "flen":
+        raw[pos:pos + 4] = (2).to_bytes(4, "little")   # flen < 5
+    else:
+        raw[pos + 8] = 7                               # op > 1
+    open(p, "wb").write(bytes(raw))
+    s = TensorStore()
+    assert s.recover(p, verify="lazy") == 30           # prefix kept
+    assert s.get("k29") is not None
+    assert s.get("k30") is None                        # truncated
+
+
+@native
 def test_lazy_crc_key_update(tmp_path):
     """Updated keys: the overlay's lazy-CRC must verify the LATEST
     frame. A stale frame pointer made it check the first frame's bytes
