@@ -88,6 +88,8 @@ class IVFIndex:
         self._row_ids = None       # np [k * stride] original ids (-1 pad)
         self._stride = 0
         self._n = 0
+        self._host_v = None        # np [n, d] originals (relayouts)
+        self._counts = None        # np [k] rows per cluster
 
     def train(self, sample: np.ndarray) -> None:
         from neumann_tpu.parallel.partitioner import kmeans
@@ -95,26 +97,54 @@ class IVFIndex:
         self.centroids = kmeans(np.asarray(sample, np.float32),
                                 self.config.n_clusters, self.config.iters)
 
-    def add(self, vectors: np.ndarray) -> None:
-        """(Re)build the cluster-sorted device layout from all vectors."""
-        import jax.numpy as jnp
-
-        if self.centroids is None:
-            raise ValueError("train() first")
-        v = np.asarray(vectors, np.float32)
+    def _assign(self, v: np.ndarray) -> np.ndarray:
         c = self.centroids
-        k = len(c)
         d2 = (np.sum(v * v, 1)[:, None] - 2 * v @ c.T
               + np.sum(c * c, 1)[None, :])
-        assign = np.argmin(d2, axis=1)
-        buf, ids, stride = _padded_layout(v, assign, k)
+        return np.argmin(d2, axis=1)
+
+    def _encode_rows(self, rows: np.ndarray):
+        """Rows -> the storage plane's dtype (f32 / PQ codes / bits)."""
         storage = self.config.storage
         if storage == "pq":
-            from neumann_tpu.ops.pq import PQCodebook, PQConfig
+            return self._pq.encode(rows).astype(np.int32)
+        if storage == "binary":
+            import jax.numpy as jnp
 
-            self._pq = PQCodebook(v.shape[1], PQConfig(
-                n_subspaces=self.config.pq_subspaces))
-            self._pq.train(v)
+            from neumann_tpu.ops.quant import binary_quantize
+
+            return np.asarray(binary_quantize(jnp.asarray(rows)))
+        return rows
+
+    def _relayout(self, v: np.ndarray, assign: np.ndarray,
+                  min_stride: int = 0) -> None:
+        """Full cluster-sorted (re)layout with `min_stride` slack."""
+        import jax.numpy as jnp
+
+        k = len(self.centroids)
+        buf, ids, stride = _padded_layout(v, assign, k)
+        if min_stride > stride:
+            # re-pad to the requested slack (amortized append room)
+            counts = np.bincount(assign, minlength=k)
+            stride = ((min_stride + 7) // 8) * 8
+            order = np.argsort(assign, kind="stable")
+            starts = np.zeros(k, np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            within = (np.arange(len(v), dtype=np.int64)
+                      - starts[assign[order]])
+            pos = assign[order].astype(np.int64) * stride + within
+            buf = np.zeros((k * stride, v.shape[1]), v.dtype)
+            ids = np.full(k * stride, -1, np.int32)
+            buf[pos] = v[order]
+            ids[pos] = order.astype(np.int32)
+        storage = self.config.storage
+        if storage == "pq":
+            if self._pq is None:
+                from neumann_tpu.ops.pq import PQCodebook, PQConfig
+
+                self._pq = PQCodebook(v.shape[1], PQConfig(
+                    n_subspaces=self.config.pq_subspaces))
+                self._pq.train(v)
             self._codes = jnp.asarray(
                 self._pq.encode(buf).astype(np.int32))
         elif storage == "binary":
@@ -125,7 +155,62 @@ class IVFIndex:
             self._reordered = jnp.asarray(buf)
         self._row_ids = ids
         self._stride = stride
+        self._counts = np.bincount(assign, minlength=k)
         self._n = len(v)
+
+    def add(self, vectors: np.ndarray):
+        """APPEND vectors to a trained index (IVFIndex::add,
+        tensor_store/src/ivf.rs:276) — no full rebuild per call. The
+        first call lays out the cluster-sorted padded buffer; later
+        calls scatter rows into their clusters' padding slack, and
+        only a cluster OVERFLOW triggers an amortized stride-doubling
+        relayout. Returns the new row id (1-D input) or ids array."""
+        import jax.numpy as jnp
+
+        if self.centroids is None:
+            raise ValueError("train() first")
+        v = np.asarray(vectors, np.float32)
+        single = v.ndim == 1
+        if single:
+            v = v[None, :]
+        assign = self._assign(v)
+        if self._host_v is None:          # first add: full layout
+            self._host_v = v.copy()
+            self._relayout(v, assign)
+            ids = np.arange(len(v))
+            return int(ids[0]) if single else ids
+        base = self._n
+        ids = np.arange(base, base + len(v))
+        all_v = np.concatenate([self._host_v, v])
+        new_counts = self._counts.copy()
+        np.add.at(new_counts, assign, 1)
+        if int(new_counts.max()) > self._stride:
+            # amortized: relayout with doubled headroom
+            all_assign = np.concatenate(
+                [self._assign(self._host_v), assign])
+            self._host_v = all_v
+            self._relayout(all_v, all_assign,
+                           min_stride=2 * int(new_counts.max()))
+            return int(ids[0]) if single else ids
+        # in-place append into each cluster's slack slots
+        order = np.argsort(assign, kind="stable")
+        srt = assign[order]
+        run_start = np.searchsorted(srt, srt, side="left")
+        within = np.arange(len(v), dtype=np.int64) - run_start
+        pos = (srt.astype(np.int64) * self._stride
+               + self._counts[srt] + within)
+        rows = self._encode_rows(v[order])
+        plane = ("_codes" if self.config.storage == "pq" else
+                 "_bits" if self.config.storage == "binary" else
+                 "_reordered")
+        buf = getattr(self, plane)
+        setattr(self, plane,
+                buf.at[jnp.asarray(pos)].set(jnp.asarray(rows)))
+        self._row_ids[pos] = ids[order].astype(np.int32)
+        self._counts = new_counts
+        self._host_v = all_v
+        self._n += len(v)
+        return int(ids[0]) if single else ids
 
     def search(self, queries: np.ndarray, k: int,
                nprobe: Optional[int] = None
@@ -293,6 +378,9 @@ class DeviceIVFInt8:
                  nprobe: int = 32, iters: int = 12):
         self.dim = dim
         self.n_clusters = n_clusters
+        self._kmeans_k = n_clusters  # survives the fixed-window
+        # overwrite of n_clusters so compact()/re-build() train the
+        # intended k-means, not one-per-window
         self.nprobe = nprobe
         self._nprobe_cfg = nprobe   # cluster-unit config (see build)
         self.iters = iters
@@ -307,6 +395,18 @@ class DeviceIVFInt8:
         self._window = 0
         self._fixed = False        # disjoint fixed windows (no dedup)
         self._n = 0
+        # incremental mutation state (add/delete — ivf.rs:276 parity):
+        # appended rows live in a device DELTA plane scanned exactly
+        # and merged over the windowed results; deletes tombstone rmult
+        self._dbuf = None          # device [cap, d] int8 delta rows
+        self._drmult = None        # device [cap] f32 (0 = empty slot)
+        self._dscale = None        # device [cap] f32
+        self._dn = 0               # filled delta slots
+        self._dids = None          # host [cap] int64 delta row ids
+        self._next_id = 0          # id counter (continues build ids)
+        self._pos_of = None        # host inverse: original id -> pos
+        self._deleted = 0          # live tombstone count
+        self._dead_ids = set()     # ids tombstoned (idempotence)
 
     @classmethod
     def from_device_layout(cls, dim, centroids, buf, rmult, starts,
@@ -329,6 +429,9 @@ class DeviceIVFInt8:
         ivf._window = int(window)
         ivf._fixed = bool(fixed)
         ivf._n = int(buf.shape[0])
+        ivf._next_id = (int(np.max(row_ids)) + 1
+                        if row_ids is not None and len(row_ids)
+                        else ivf._n)
         return ivf
 
     def build(self, corpus_q: np.ndarray, corpus_scale: np.ndarray,
@@ -368,7 +471,8 @@ class DeviceIVFInt8:
             * corpus_scale[pick][:, None]
         sample /= np.maximum(
             np.linalg.norm(sample, axis=1, keepdims=True), 1e-30)
-        cents = np.array(kmeans(sample, self.n_clusters, self.iters))
+        kk_means = getattr(self, "_kmeans_k", None) or self.n_clusters
+        cents = np.array(kmeans(sample, kk_means, self.iters))
         cents /= np.maximum(
             np.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
         self.centroids = jnp.asarray(cents)
@@ -397,11 +501,11 @@ class DeviceIVFInt8:
         # whole 128-row blocks — the layout the Pallas probe kernel's
         # scalar-prefetch block indexing needs (and harmless for the
         # XLA path: extra rows are real rows).
-        counts = np.bincount(assign, minlength=self.n_clusters)
+        counts = np.bincount(assign, minlength=kk_means)
         order = np.argsort(assign, kind="stable").astype(np.int32)
         if fixed_window:
             if fixed_window == "auto":
-                avg = max(1, n // max(1, self.n_clusters))
+                avg = max(1, n // max(1, kk_means))
                 window = int(min(1024, max(128,
                                            -(-avg // 128) * 128)))
             else:
@@ -413,7 +517,7 @@ class DeviceIVFInt8:
             starts = (np.arange(n_pad // window, dtype=np.int32)
                       * window)
         else:
-            starts = np.zeros(self.n_clusters, np.int64)
+            starts = np.zeros(kk_means, np.int64)
             np.cumsum(counts[:-1], out=starts[1:])
             window = int(((max(int(counts.max()), 1) + 127) // 128)
                          * 128 + 128)
@@ -462,7 +566,7 @@ class DeviceIVFInt8:
             # sort order above)
             self.centroids = window_mean_centroids(
                 self._buf, self._rmult, window)
-            k_kmeans = self.n_clusters
+            k_kmeans = kk_means
             self.n_clusters = int(self.centroids.shape[0])
             # recalibrate the default nprobe from cluster units to
             # window units so the intended READ FRACTION survives the
@@ -473,6 +577,224 @@ class DeviceIVFInt8:
                 self.n_clusters,
                 -(-self._nprobe_cfg * avg // window))))
         self._n = n
+        self._next_id = n
+        self._dbuf = self._drmult = self._dscale = self._dids = None
+        self._dn = self._deleted = 0
+        self._dead_ids = set()
+        self._pos_of = None
+
+    # ------------------------------------------------------------------
+    # incremental mutation (IVFIndex::add, tensor_store/src/ivf.rs:276;
+    # deletes are the tombstone side of the same contract)
+    #
+    # Adds are O(added), NOT O(N): new rows are quantized and appended
+    # to a device-resident DELTA plane (capacity-doubled, in-place
+    # donated writes). Searches scan the delta EXACTLY (it is small
+    # between compactions — an exact scan of <=10% of the corpus rides
+    # the same HBM pass economics as the rerank gather) and merge over
+    # the windowed probe results, so a just-added row is immediately
+    # findable at full fidelity. Deletes zero the row's cosine
+    # multiplier (first pass scores it -inf; the rerank's first_scores
+    # mask propagates the -inf), in main and delta planes alike.
+    # compact() folds the delta back into the windowed layout.
+    # ------------------------------------------------------------------
+    _DELTA_MIN_CAP = 1024
+
+    def _quant_rows(self, v: np.ndarray):
+        v = np.asarray(v, np.float32)
+        if v.ndim == 1:
+            v = v[None, :]
+        absmax = np.max(np.abs(v), axis=1)
+        scale = np.where(absmax > 0, absmax / 127.0, 1.0
+                         ).astype(np.float32)
+        q = np.clip(np.round(v / scale[:, None]), -127, 127
+                    ).astype(np.int8)
+        sq = np.sum((q.astype(np.float32) * scale[:, None]) ** 2,
+                    axis=1)
+        rm = np.where(sq > 0, scale / np.sqrt(np.maximum(sq, 1e-30)),
+                      0.0).astype(np.float32)
+        return q, scale, rm
+
+    def _ensure_delta(self, extra: int) -> None:
+        import jax.numpy as jnp
+        from jax import lax
+
+        need = self._dn + extra
+        cap = 0 if self._dbuf is None else int(self._dbuf.shape[0])
+        if need <= cap:
+            return
+        new_cap = max(self._DELTA_MIN_CAP,
+                      1 << (need - 1).bit_length())
+        db = jnp.zeros((new_cap, self.dim), jnp.int8)
+        drm = jnp.zeros(new_cap, jnp.float32)
+        dsc = jnp.ones(new_cap, jnp.float32)
+        dids = np.full(new_cap, -1, np.int64)
+        if cap:
+            db = lax.dynamic_update_slice(db, self._dbuf, (0, 0))
+            drm = lax.dynamic_update_slice(drm, self._drmult, (0,))
+            dsc = lax.dynamic_update_slice(dsc, self._dscale, (0,))
+            dids[:cap] = self._dids
+        self._dbuf, self._drmult, self._dscale = db, drm, dsc
+        self._dids = dids
+
+    def add(self, vectors: np.ndarray) -> np.ndarray:
+        """Append rows WITHOUT rebuilding (ivf.rs:276 `add`): O(added).
+        Returns the new rows' ids (continuing the build numbering);
+        they are immediately searchable via the exact delta merge."""
+        import functools as _ft
+
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        if self._buf is None:
+            raise ValueError("build() first")
+        q, scale, rm = self._quant_rows(vectors)
+        m = q.shape[0]
+        if q.shape[1] != self.dim:
+            raise ValueError(f"dim {q.shape[1]} != index dim "
+                             f"{self.dim}")
+        self._ensure_delta(m)
+
+        @_ft.partial(jax.jit, donate_argnums=(0, 1, 2),
+                     static_argnames="rows")
+        def write(db, drm, dsc, qd, rmd, scd, start, rows):
+            return (lax.dynamic_update_slice(db, qd, (start, 0)),
+                    lax.dynamic_update_slice(drm, rmd, (start,)),
+                    lax.dynamic_update_slice(dsc, scd, (start,)))
+
+        self._dbuf, self._drmult, self._dscale = write(
+            self._dbuf, self._drmult, self._dscale,
+            jnp.asarray(q), jnp.asarray(rm), jnp.asarray(scale),
+            jnp.int32(self._dn), m)
+        ids = np.arange(self._next_id, self._next_id + m, dtype=np.int64)
+        self._dids[self._dn: self._dn + m] = ids
+        self._dn += m
+        self._next_id += m
+        return ids
+
+    def _main_pos_of(self, ids: np.ndarray) -> np.ndarray:
+        """Sorted-buffer positions of original row ids (-1 = unknown)."""
+        if self._pos_of is None:
+            rid = np.asarray(self._row_ids, np.int64)
+            inv = np.full(int(rid.max()) + 1 if rid.size else 0, -1,
+                          np.int64)
+            inv[rid] = np.arange(rid.size)
+            self._pos_of = inv
+        inv = self._pos_of
+        ids = np.asarray(ids, np.int64)
+        ok = (ids >= 0) & (ids < inv.shape[0])
+        out = np.full(ids.shape, -1, np.int64)
+        out[ok] = inv[ids[ok]]
+        return out
+
+    def delete(self, ids) -> int:
+        """Tombstone rows by id: their cosine multiplier goes to 0, so
+        every scan (windowed first pass, delta scan, rerank via the
+        first_scores mask) treats them as invalid. O(batch) + one
+        rmult copy; no relayout. Returns the number tombstoned."""
+        import jax.numpy as jnp
+
+        if self._buf is None:
+            raise ValueError("build() first")
+        ids = np.atleast_1d(np.asarray(ids, np.int64))
+        ids = ids[[int(i) not in self._dead_ids for i in ids]]
+        if ids.size == 0:
+            return 0
+        removed = 0
+        pos = self._main_pos_of(ids)
+        main = pos[pos >= 0]
+        if main.size:
+            self._rmult = self._rmult.at[jnp.asarray(main)].set(0.0)
+            self._dead_ids.update(int(i) for i in ids[pos >= 0])
+            removed += int(main.size)
+        if self._dn:
+            want = np.isin(self._dids[:self._dn], ids)
+            slots = np.flatnonzero(want)
+            if slots.size:
+                self._dead_ids.update(int(i)
+                                      for i in self._dids[slots])
+                self._drmult = self._drmult.at[
+                    jnp.asarray(slots)].set(0.0)
+                self._dids[slots] = -1
+                removed += int(slots.size)
+        self._deleted += removed
+        return removed
+
+    def _delta_topk(self, qd, k: int):
+        """Exact f32 cosine top-k over the delta plane; returns host
+        (scores [Q, k], original ids [Q, k] with -1 sentinels)."""
+        import jax
+
+        from neumann_tpu.ops.quant import int8_exact_topk
+
+        rows = int(self._dbuf.shape[0])
+        s, pos = jax.jit(int8_exact_topk,
+                         static_argnames=("k", "block_rows"))(
+            self._dbuf, self._drmult, qd, min(k, rows),
+            block_rows=max(8192, rows))
+        s = np.asarray(s)
+        pos = np.asarray(pos)
+        ids = np.where(pos >= 0, self._dids[np.maximum(pos, 0)], -1)
+        ids = np.where(np.isneginf(s) | (ids < 0), -1, ids)
+        s = np.where(ids < 0, -np.inf, s)
+        return s, ids.astype(np.int64)
+
+    @staticmethod
+    def _merge_topk(s1, ids1, s2, ids2, k: int):
+        s = np.concatenate([s1, s2], axis=1)
+        ids = np.concatenate([np.asarray(ids1, np.int64),
+                              np.asarray(ids2, np.int64)], axis=1)
+        order = np.argsort(-s, axis=1, kind="stable")[:, :k]
+        s = np.take_along_axis(s, order, axis=1)
+        ids = np.take_along_axis(ids, order, axis=1)
+        return s, np.where(np.isfinite(s), ids, -1)
+
+    def compact(self, sample_rows: int = 200_000, seed: int = 0) -> int:
+        """Fold the delta plane and tombstones back into a fresh
+        windowed layout (the 'periodic compaction' side of the
+        incremental contract — O(N), amortized over >=10% growth).
+        Row ids are PRESERVED. The residual plane (if any) is dropped —
+        rebuild with ``build(..., residual=...)`` to restore it.
+        Returns the live row count."""
+        if self._buf is None:
+            raise ValueError("build() first")
+        if self._scale is None:
+            raise ValueError("compact() needs per-row scales; this "
+                             "index was assembled from a device "
+                             "layout without them")
+        rm = np.asarray(self._rmult)
+        live = rm > 0
+        n0 = min(self._n, live.shape[0])
+        keep = np.flatnonzero(live[:n0])
+        bufs = [np.asarray(self._buf)[keep]]
+        scales = [np.asarray(self._scale)[keep]]
+        all_ids = [np.asarray(self._row_ids, np.int64)[keep]]
+        if self._dn:
+            drm = np.asarray(self._drmult[:self._dn])
+            dkeep = np.flatnonzero(drm > 0)
+            if dkeep.size:
+                bufs.append(np.asarray(self._dbuf)[dkeep])
+                scales.append(np.asarray(self._dscale)[dkeep])
+                all_ids.append(self._dids[dkeep])
+        corpus_q = np.concatenate(bufs, axis=0)
+        corpus_scale = np.concatenate(scales, axis=0)
+        ids = np.concatenate(all_ids, axis=0)
+        next_id = self._next_id
+        self.build(corpus_q, corpus_scale, sample_rows=sample_rows,
+                   seed=seed,
+                   fixed_window=self._window if self._fixed else None)
+        # build() numbers rows 0..n-1 in CORPUS order; restore the
+        # caller-visible ids through the sort permutation
+        order = self._row_ids            # sorted-pos -> corpus row
+        self._row_ids = ids[order].astype(np.int64)
+        self._pos_of = None
+        self._next_id = next_id
+        return int(ids.size)
+
+    @property
+    def n_live(self) -> int:
+        return self._n + self._dn - self._deleted
 
     # each query's probe gather materializes [nprobe, window, d]
     # candidates in HBM, so a wide vmap would blow memory at 10M scale
@@ -516,6 +838,9 @@ class DeviceIVFInt8:
         pos = np.concatenate(p_parts, axis=0)
         ids = np.where(pos >= 0,
                        np.asarray(self._row_ids)[np.maximum(pos, 0)], -1)
+        if self._dn:        # merge the exact delta-plane scan
+            sd, idd = self._delta_topk(jnp.asarray(q), k)
+            s, ids = self._merge_topk(s, ids, sd, idd, k)
         return s, ids.astype(np.int32)
 
     def search_batched(self, queries: np.ndarray, k: int,
@@ -580,6 +905,9 @@ class DeviceIVFInt8:
         ids = np.where(pos >= 0,
                        np.asarray(self._row_ids)[np.maximum(pos, 0)],
                        -1)
+        if self._dn:        # merge the exact delta-plane scan
+            sd, idd = self._delta_topk(qd[:nq], k)
+            sc, ids = self._merge_topk(sc, ids, sd, idd, k)
         return sc, ids.astype(np.int32)
 
 

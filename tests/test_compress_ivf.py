@@ -408,3 +408,121 @@ def test_streaming_tt_corruption_hardening(tmp_path, rng):
 
             assert isinstance(e, (NeumannError, ValueError)), e
         assert time.perf_counter() - t0 < 0.5
+
+
+def test_device_ivf_incremental_add_delete(rng):
+    """Incremental mutation contract (ivf.rs:276 `add` + tombstone
+    deletes): build at N, add 10% more, delete 5% — recall stays
+    within 0.005 of a FRESH build over the same final corpus, adds
+    cost O(added) (delta plane, no relayout), and compact() folds the
+    delta back in with ids preserved."""
+    import jax.numpy as jnp
+
+    from neumann_tpu.ops.ivf import DeviceIVFInt8
+    from neumann_tpu.ops.quant import scalar_quantize
+
+    n, d, k = 8192, 64, 10
+    modes = rng.standard_normal((16, d)).astype(np.float32) * 3
+    assign = rng.integers(0, 16, n + n // 10)
+    allv = (modes[assign] + 0.3 * rng.standard_normal(
+        (n + n // 10, d))).astype(np.float32)
+    base, extra = allv[:n], allv[n:]
+    cq, scale = scalar_quantize(jnp.asarray(base))
+    ix = DeviceIVFInt8(d, n_clusters=16, nprobe=16, iters=8)
+    ix.build(np.asarray(cq), np.asarray(scale), sample_rows=2000,
+             fixed_window=256)
+    n_before = ix._buf.shape[0]
+
+    new_ids = ix.add(extra)                       # +10%
+    assert list(new_ids) == list(range(n, n + len(extra)))
+    assert ix._buf.shape[0] == n_before           # no relayout
+    dead = rng.choice(n + len(extra), size=(n + len(extra)) // 20,
+                      replace=False)              # -5%
+    assert ix.delete(dead) == len(dead)
+    assert ix.delete(dead[:3]) == 0               # idempotent
+    assert ix.n_live == n + len(extra) - len(dead)
+
+    # exact f32 oracle over the LIVE final corpus
+    live = np.setdiff1d(np.arange(n + len(extra)), dead)
+    nq = 128
+    qs = allv[rng.choice(live, nq, replace=False)] \
+        + 0.05 * rng.standard_normal((nq, d)).astype(np.float32)
+    lv = allv[live]
+    ln = lv / np.maximum(np.linalg.norm(lv, axis=1, keepdims=True),
+                         1e-30)
+    qn = qs / np.maximum(np.linalg.norm(qs, axis=1, keepdims=True),
+                         1e-30)
+    oracle = live[np.argsort(-(qn @ ln.T), axis=1)[:, :k]]
+
+    def recall(ids):
+        return float(np.mean([len(set(ids[r].tolist())
+                                  & set(oracle[r].tolist())) / k
+                              for r in range(len(qs))]))
+
+    _, ids_inc = ix.search(qs, k, nprobe=8)
+    # deleted rows never surface; added rows do
+    assert not np.isin(ids_inc, dead).any()
+    r_inc = recall(ids_inc)
+
+    # fresh build over the same final live corpus
+    cq2, scale2 = scalar_quantize(jnp.asarray(lv))
+    fresh = DeviceIVFInt8(d, n_clusters=16, nprobe=16, iters=8)
+    fresh.build(np.asarray(cq2), np.asarray(scale2), sample_rows=2000,
+                fixed_window=256)
+    _, ids_f = fresh.search(qs, k, nprobe=8)
+    r_fresh = recall(np.where(ids_f >= 0,
+                              live[np.maximum(ids_f, 0)], -1))
+    # the residual systematic gap is tombstone dilution (dead rows
+    # still occupy window slots and skew the build-time window means)
+    # — measured ~0.002 at this probe fraction; compact() removes it
+    assert r_inc >= r_fresh - 0.005, (r_inc, r_fresh)
+
+    # batched path merges the delta too
+    _, ids_b = ix.search_batched(qs, k, nprobe=8)
+    assert not np.isin(ids_b, dead).any()
+    assert recall(ids_b) >= r_fresh - 0.01
+
+    # compact folds delta + tombstones back; ids preserved
+    n_live = ix.compact(sample_rows=2000)
+    assert n_live == len(live)
+    assert ix._dn == 0
+    _, ids_c = ix.search(qs, k, nprobe=8)
+    assert not np.isin(ids_c, dead).any()
+    assert recall(ids_c) >= r_fresh - 0.01
+
+
+@pytest.mark.parametrize("storage", ["flat", "pq", "binary"])
+def test_ivf_index_incremental_add(rng, storage):
+    """IVFIndex.add appends to a trained index (ivf.rs:276) — slack
+    slots first, amortized stride-doubling relayout on overflow — and
+    appended rows are immediately searchable in every storage mode."""
+    from neumann_tpu.ops.ivf import IVFConfig, IVFIndex
+
+    d = 32
+    cfg = {"flat": IVFConfig.flat(8), "pq": IVFConfig.pq(8, 4),
+           "binary": IVFConfig.binary(8)}[storage]
+    cfg.nprobe = 8
+    idx = IVFIndex(d, cfg)
+    base = rng.standard_normal((400, d)).astype(np.float32)
+    idx.train(base)
+    ids0 = idx.add(base)
+    assert list(ids0) == list(range(400))
+    # single-vector add returns its id (reference add -> usize)
+    v = rng.standard_normal(d).astype(np.float32)
+    rid = idx.add(v)
+    assert rid == 400
+    # batch adds keep numbering and force at least one relayout
+    more = rng.standard_normal((200, d)).astype(np.float32)
+    ids2 = idx.add(more)
+    assert list(ids2) == list(range(401, 601))
+    assert idx.n_vectors == 601
+    # every appended row is findable (full probe == exhaustive)
+    s, got = idx.search(np.concatenate([v[None], more[:4]]), 1,
+                        nprobe=8)
+    want = [400, 401, 402, 403, 404]
+    if storage == "flat":
+        assert list(got[:, 0]) == want
+    else:   # quantized storages: self-match lands in the top-3
+        s3, got3 = idx.search(np.concatenate([v[None], more[:4]]), 3,
+                              nprobe=8)
+        assert all(want[i] in got3[i].tolist() for i in range(5))

@@ -15,27 +15,38 @@ SCALES = (1_000, 20_000)
 
 
 def _build(n):
-    eng = RelationalEngine()
-    eng.create_table("t", [
-        Column("id", "int", primary_key=True),
-        Column("grp", "int"),
-        Column("score", "float"),
-    ])
+    # insert timing is BEST-OF-3 on fresh engines: a single wall-clock
+    # sample is hostage to whatever else the suite left running (the
+    # full run once measured 140x for 20x rows while the same build
+    # took 7 ms in isolation) — min-of-3 measures the work, not the
+    # machine's worst moment
     rows = [{"id": i, "grp": i % 97, "score": float(i % 1000) / 7}
             for i in range(n)]
-    t0 = time.perf_counter()
-    eng.insert_many("t", rows)
-    t_ins = time.perf_counter() - t0
+    t_ins = float("inf")
+    for _ in range(3):
+        eng = RelationalEngine()
+        eng.create_table("t", [
+            Column("id", "int", primary_key=True),
+            Column("grp", "int"),
+            Column("score", "float"),
+        ])
+        t0 = time.perf_counter()
+        eng.insert_many("t", rows)
+        t_ins = min(t_ins, time.perf_counter() - t0)
     eng.create_index("t", "id")
 
-    db = sqlite3.connect(":memory:")
-    db.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, grp INTEGER,"
-               " score REAL)")
-    t0 = time.perf_counter()
-    db.executemany("INSERT INTO t VALUES (?, ?, ?)",
-                   [(r["id"], r["grp"], r["score"]) for r in rows])
-    db.commit()
-    s_ins = time.perf_counter() - t0
+    s_ins = float("inf")
+    for rep in range(3):
+        db = sqlite3.connect(":memory:")
+        db.execute("CREATE TABLE t (id INTEGER PRIMARY KEY,"
+                   " grp INTEGER, score REAL)")
+        t0 = time.perf_counter()
+        db.executemany("INSERT INTO t VALUES (?, ?, ?)",
+                       [(r["id"], r["grp"], r["score"]) for r in rows])
+        db.commit()
+        s_ins = min(s_ins, time.perf_counter() - t0)
+        if rep < 2:
+            db.close()
     return eng, db, t_ins, s_ins
 
 
@@ -102,9 +113,15 @@ def test_scaling_vs_sqlite():
 
     lo, hi = history[SCALES[0]], history[SCALES[-1]]
     factor = SCALES[-1] / SCALES[0]
+    # diagnostic for failures under full-suite load: leaked daemon
+    # threads from earlier tests share the GIL with this measurement
+    import threading
+
+    load = (f"threads={threading.active_count()}",
+            [t.name for t in threading.enumerate()][:12])
     # near-linear scaling: 20x data must not cost more than ~60x time
-    assert hi["insert"] < lo["insert"] * factor * 3
-    assert hi["agg"] < max(lo["agg"], 1e-4) * factor * 3
+    assert hi["insert"] < lo["insert"] * factor * 3, (hi, lo, load)
+    assert hi["agg"] < max(lo["agg"], 1e-4) * factor * 3, (hi, lo, load)
     # indexed lookups must NOT scale with n (hash index: ~O(1));
     # allow generous jitter on a shared VM
     assert hi["pt"] < lo["pt"] * 5
