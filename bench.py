@@ -616,6 +616,77 @@ def main():
         len(set(fi[r].tolist()) & set(ci[r].tolist())) / k
         for r in range(nq_rec)]))
 
+    # ---------------- served p50/p99 (gRPC end-to-end) -----------------
+    # The BASELINE p99 target is a SERVING number: statement in, results
+    # out, through the real gRPC server with warmup (VERDICT r3 #3).
+    # Runs on a 1M-row engine corpus (the 10M bench corpus lives as raw
+    # device arrays; the engine's host slab at 10M x 768 f32 would need
+    # 30 GB of host RAM). NOTE the dev tunnel's host sync costs ~30 ms
+    # per device->host read, so the floor is measured and reported
+    # alongside (served latency is tunnel_floor + real serving cost).
+    served = {}
+    try:
+        if _past_deadline("served p99"):
+            raise TimeoutError("soft deadline")
+        import grpc
+
+        from neumann_tpu.router import QueryRouter
+        from neumann_tpu.server.client import NeumannClient
+        from neumann_tpu.server.server import NeumannServer
+
+        # tunnel sync floor: time a trivial device->host readback
+        tiny = jnp.zeros(8, jnp.float32) + 1
+        float(np.asarray(tiny)[0])
+        floors = []
+        for _ in range(9):
+            t0 = time.perf_counter()
+            float(np.asarray(tiny + 1)[0])
+            floors.append(time.perf_counter() - t0)
+        floor_ms = float(np.percentile(floors, 50) * 1e3)
+
+        n_srv = 1_000_000 if on_tpu else 20_000
+        d_srv = d
+        _phase(f"served p99: ingesting {n_srv} rows into the engine")
+        router = QueryRouter()
+        router.vector.config.mesh_auto = False
+        srv_vecs = np.asarray(jax.random.normal(
+            jax.random.PRNGKey(17), (n_srv, d_srv), jnp.float32))
+        eng = router.vector
+        for i in range(n_srv):
+            eng.store_embedding(f"s{i}", srv_vecs[i])
+        server = NeumannServer(router=router, port=0)
+        _phase("served p99: warmup (compiles the serving executables)")
+        server.serve(block=False, warmup=True)
+        try:
+            client = NeumannClient.connect(f"127.0.0.1:{server.port}")
+            qs_srv = srv_vecs[:256] + 0.05 * np.asarray(
+                jax.random.normal(jax.random.PRNGKey(19),
+                                  (256, d_srv), jnp.float32))
+            stmts = ["SIMILAR [" + ",".join(
+                f"{x:.4f}" for x in qs_srv[i]) + f"] TOP {k}"
+                for i in range(256)]
+            client.execute(stmts[0])          # connection setup
+            lat = []
+            for s_ in stmts:
+                t0 = time.perf_counter()
+                client.execute(s_)
+                lat.append(time.perf_counter() - t0)
+            served = {
+                "p50_ms_served": round(
+                    float(np.percentile(lat, 50) * 1e3), 2),
+                "p99_ms_served": round(
+                    float(np.percentile(lat, 99) * 1e3), 2),
+                "served_corpus_n": n_srv,
+                "host_sync_floor_ms": round(floor_ms, 2),
+            }
+            _phase(f"served p50 {served['p50_ms_served']} ms, p99 "
+                   f"{served['p99_ms_served']} ms (sync floor "
+                   f"{floor_ms:.1f} ms)")
+        finally:
+            server.stop()
+    except Exception as e:  # noqa: BLE001 — bench must always print
+        _phase(f"served p99 phase failed: {type(e).__name__}: {e}")
+
     ref_qps = 1e9 / (REF_NS_PER_VEC_768 * n)   # reference rate on this n
     # headline = the fastest batched path at recall >= 0.99; the brute
     # scan stays the headline when the batched IVF misses either bar
@@ -650,6 +721,7 @@ def main():
         "batch": q,
         "platform": dev.platform,
         "scan_GBps": round(n_pad * d / batched_s / 1e9, 1),
+        **served,
     }))
 
 

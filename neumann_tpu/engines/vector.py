@@ -1166,6 +1166,42 @@ class VectorEngine:
             return auto
         return self._device_search(corpus, q, top_k, metric)
 
+    def warmup(self, buckets: Sequence[int] = (1, 4, 16, 64, 256),
+               top_ks: Sequence[int] = (10,)) -> int:
+        """Precompile the serving executables (SURVEY §7 hard-part (f):
+        p99 < 5 ms needs persistent compiled executables, and a cold
+        first SIMILAR otherwise pays trace+compile — measured 591 ms on
+        the mesh dryrun). Runs one synthetic search per (corpus,
+        bucket, k): the default namespace through batch_search (the
+        QueryBatcher's buckets — scan, auto-IVF, and mesh placements
+        all compile through it), collections through their configured
+        metric/quantization path. Returns the number of warm calls.
+
+        Shapes are the unit of compilation: a later query only avoids
+        the compile if its (bucket, k, metric) was warmed — servers
+        pass their expected k values in ``top_ks``."""
+        rng = np.random.default_rng(0)
+        warmed = 0
+        with self._lock:
+            dims = list(self._corpora.get("", {}))
+            cols = list(self._collections)
+        for dim in dims:
+            for b in buckets:
+                q = rng.standard_normal((b, dim)).astype(np.float32)
+                for k in top_ks:
+                    self.batch_search(q, k)
+                    warmed += 1
+        for name in cols:
+            cfg = self.collection_config(name)
+            dim = cfg.dimension
+            if dim is None:
+                continue
+            q1 = rng.standard_normal(dim).astype(np.float32)
+            for k in top_ks:
+                self.search_in_collection(name, q1, k)
+                warmed += 1
+        return warmed
+
     # ------------------------------------------------------------------
     # ANN indexes (API parity with build_hnsw_index / build_ivf_index /
     # search_with_hnsw / search_with_ivf_nprobe / save_index / load_index,

@@ -1015,7 +1015,8 @@ def windowed_ivf_topk(buf, rmult, cents, starts, qs, k: int,
 
 @functools.lru_cache(maxsize=None)
 def _batched_core(m: int, nprobe: int, window: int, q_cap: int,
-                  group: int, selection="approx", stream: bool = False):
+                  group: int, selection="approx", stream: bool = False,
+                  fused: bool = False):
     """selection: "approx" = lax.approx_max_k of m per (query, window);
     an int p = POOLED-BITS — one max per p-row pool with the within-
     pool index packed into the low mantissa bits (the brute scan's
@@ -1031,7 +1032,17 @@ def _batched_core(m: int, nprobe: int, window: int, q_cap: int,
     is a pipelined DMA. Requires a FIXED-window layout (starts ==
     arange * window) and reads every window once — the right trade
     when Q x nprobe >= ~n_windows (big batches probe ~everything
-    anyway); keep stream=False for small batches on huge corpora."""
+    anyway); keep stream=False for small batches on huge corpora.
+
+    fused: replace the window scan with ONE batched dot_general over
+    all windows — [C, q_cap, d] selected queries x [C, G, pool, d]
+    corpus view with the pool max fused into the matmul consumer (the
+    brute scan's free-dim pooling trick with a batch axis). The scan
+    variants dispatch C/group small matmuls sequentially and measured
+    ~3% of MXU peak at 10M (100 µs/step against ~6 µs of MACs); one
+    batched op lets XLA tile and pipeline the whole pass. Requires a
+    fixed-window layout and pooled-bits selection (an unpooled fused
+    pass would materialize the [C, q_cap, window] score tensor)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -1040,6 +1051,9 @@ def _batched_core(m: int, nprobe: int, window: int, q_cap: int,
     if pool and (window % pool or pool & (pool - 1)):
         raise ValueError(f"pool {pool} must be a power-of-two divisor "
                          f"of window {window}")
+    if fused and not pool:
+        raise ValueError("fused batched core requires pooled-bits "
+                         "selection (selection=<pool int>)")
 
     @jax.jit
     def run(buf, rmult, cents, starts, qs, valid_q):
@@ -1134,7 +1148,52 @@ def _batched_core(m: int, nprobe: int, window: int, q_cap: int,
             return s, base + i.astype(jnp.int32)
 
         m_eff = (window // pool) if pool else m
-        if stream:
+        if fused:
+            G = window // pool
+            nw = C * window
+            corpus4 = buf[:nw].reshape(C, G, pool, d)
+            rm3 = rmult[:nw].reshape(C, G, pool)
+            tblC = tbl_q[:C]
+            # one-hot query selection as a single [C*q_cap, Q] x
+            # [Q, d] int8 matmul (rows one-hot -> result IS the int8
+            # query row); -1 padding slots select nothing -> zero rows
+            oh = (tblC[:, :, None]
+                  == jnp.arange(Q, dtype=jnp.int32)[None, None, :]
+                  ).astype(jnp.int8)
+            qsel = lax.dot_general(
+                oh.reshape(C * q_cap, Q), qq_i8,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32
+            ).astype(jnp.int8).reshape(C, q_cap, d)
+            sc_slot = jnp.where(tblC >= 0,
+                                qsc[jnp.maximum(tblC, 0)], 0.0)
+            # the whole first pass as ONE batched s8 x s8 dot_general:
+            # batch dim C, contracting d, G and pool ride as free dims
+            # so the segmented max below fuses into the consumer chain
+            dots = lax.dot_general(
+                qsel, corpus4,
+                (((2,), (3,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32)  # [C, q_cap, G, pool]
+            s = (dots.astype(jnp.float32)
+                 * (sc_slot[:, :, None, None] * rm3[:, None, :, :])
+                 + 2.0)
+            s = jnp.where(rm3[:, None, :, :] > 0, s, 0.0)
+            pi = lax.broadcasted_iota(jnp.int32, s.shape, 3)
+            bits = (lax.bitcast_convert_type(s, jnp.int32)
+                    & ~(pool - 1)) | pi
+            wb = jnp.max(bits, axis=3)         # [C, q_cap, G]
+            dead = wb < 0x3F800000             # below bitcast(1.0)
+            ys_s = jnp.where(
+                dead, -jnp.inf,
+                lax.bitcast_convert_type(wb & ~(pool - 1),
+                                         jnp.float32) - 2.0)
+            local = wb & (pool - 1)
+            base = (starts[:C, None, None]
+                    + jnp.arange(G, dtype=jnp.int32)[None, None, :]
+                    * pool)
+            ys_p = jnp.where(dead, -1, base + local)
+            cg_cap = C
+        elif stream:
             # windows ride the scan as xs: leading-axis slicing is a
             # pipelined DMA, while a traced-start dynamic_slice
             # materializes a copy of every window before its matmul
@@ -1184,7 +1243,7 @@ def _batched_core(m: int, nprobe: int, window: int, q_cap: int,
 def batched_ivf_topk(buf, rmult, cents, starts, qs, nprobe: int,
                      window: int, m: int, q_cap: int, group: int = 8,
                      valid_q=None, selection="approx",
-                     stream: bool = False):
+                     stream: bool = False, fused: bool = False):
     """Probe-sharing batched IVF candidate pass (see block comment).
 
     buf/rmult/cents/starts: the DeviceIVFInt8 windowed layout.
@@ -1201,5 +1260,5 @@ def batched_ivf_topk(buf, rmult, cents, starts, qs, nprobe: int,
     if valid_q is None:
         valid_q = jnp.ones(qs.shape[0], bool)
     return _batched_core(m, nprobe, window, q_cap, group, selection,
-                         stream)(
+                         stream, fused)(
         buf, rmult, cents, starts, qs, valid_q)

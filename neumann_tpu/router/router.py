@@ -133,6 +133,15 @@ class QueryRouter:
 
         self.metrics = QueryMetrics()
 
+    def warmup(self, buckets=(1, 4, 16, 64, 256),
+               top_ks=(5, 10)) -> int:
+        """Precompile the device executables a serving process will
+        hit (SURVEY §7 hard-part (f)): every loaded corpus at every
+        query bucket/k. Servers call this before accepting traffic so
+        the first SIMILAR never pays trace+compile (a cold mesh query
+        measured 591 ms). Returns the number of warm calls."""
+        return self.vector.warmup(buckets=buckets, top_ks=top_ks)
+
     # -- module attachment ---------------------------------------------------
     def init_vault(self, master_password: str, **kw) -> None:
         from neumann_tpu.vault import TensorVault

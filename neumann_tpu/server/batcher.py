@@ -49,6 +49,22 @@ class QueryBatcher:
         self.queries_served = 0
 
     # ------------------------------------------------------------------
+    def warmup(self, top_ks=(10,)) -> int:
+        """Precompile every bucket's executable (SURVEY §7 hard-part
+        (f)): one synthetic batch_search per (bucket, k), so the first
+        real batch at any size never pays trace+compile."""
+        rng = np.random.default_rng(0)
+        warmed = 0
+        for b in _BUCKETS:
+            if b > self.max_batch:
+                break
+            q = rng.standard_normal((b, self.dim)).astype(np.float32)
+            for k in top_ks:
+                self.engine.batch_search(q, k, self.metric)
+                warmed += 1
+        return warmed
+
+    # ------------------------------------------------------------------
     def search(self, query, top_k: int,
                timeout_s: float = 30.0) -> List[SearchResult]:
         """Blocking search; coalesced with concurrent callers."""

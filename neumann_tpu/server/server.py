@@ -177,7 +177,22 @@ class NeumannServer:
         self._otlp.start()
 
     # ------------------------------------------------------------------
-    def serve(self, block: bool = False) -> int:
+    def serve(self, block: bool = False, warmup: Optional[bool] = None
+              ) -> int:
+        """Start serving. ``warmup`` precompiles every loaded corpus's
+        bucketed executables BEFORE the port accepts traffic, so no
+        client ever pays a first-query trace+compile (591 ms measured
+        cold on the mesh path; the p99 < 5 ms target is unreachable
+        without it). Defaults from NEUMANN_WARMUP (on when data is
+        loaded; set NEUMANN_WARMUP=0 to skip for fast test startup)."""
+        if warmup is None:
+            warmup = os.environ.get("NEUMANN_WARMUP", "1") != "0"
+        if warmup:
+            try:
+                self.router.warmup()
+            except Exception:   # noqa: BLE001 — a warmup failure must
+                pass            # never block serving; queries compile
+                # lazily exactly as before
         self._server.start()
         if block:
             self._server.wait_for_termination()

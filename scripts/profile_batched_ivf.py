@@ -73,6 +73,8 @@ def main():
     sel = arg("sel", "approx", str)
     selection = int(sel) if sel != "approx" else "approx"
     mode = arg("mode", "full", str)
+    fused = bool(arg("fused", 0))
+    expand = bool(arg("expand", 1))
     pre_sel = arg("presel", 8 * k + 16)
     sigma = 0.25
     n_pad = -(-n // window) * window
@@ -128,11 +130,12 @@ def main():
         q_cap = 1 << (max(32, 2 * expect) - 1).bit_length()
     _log(f"mode={mode} Q={Q} nprobe={nprobe} window={window} C={C} "
          f"q_cap={q_cap} m={m} group={group} stream={stream} "
-         f"sel={selection}")
+         f"sel={selection} fused={fused} expand={expand}")
 
     core = _batched_core(m, nprobe, window, q_cap, group, selection,
-                         stream)
+                         stream, fused)
     pool = selection if isinstance(selection, int) else 1
+    xp = pool if (pool > 1 and expand) else 1
 
     if mode in ("mm", "scan"):
         # stripped scan bodies to isolate costs:
@@ -230,7 +233,7 @@ def main():
                 s, p = gather_rerank_topk_chunked(
                     buf, pos, cur, k, "cosine", first_scores=sc,
                     dedup=(pool == 1), chunk=min(128, Q),
-                    pre_select=pre_sel, expand_pool=pool)
+                    pre_select=pre_sel, expand_pool=xp)
                 cur = cur + 1e-30 * (
                     s[0, 0] + p[0, 0].astype(jnp.float32) * 1e-6)
                 return cur, acc + s[0, 0]
@@ -256,6 +259,7 @@ def main():
         "mode": mode, "q": Q, "nprobe": nprobe, "window": window,
         "q_cap": q_cap, "m": m, "group": group, "stream": stream,
         "sel": str(selection), "presel": pre_sel, "n": n,
+        "fused": fused, "expand": expand,
         "batch_ms": round(per_batch * 1e3, 3),
         "qps": round(Q / per_batch, 1),
     }), flush=True)
@@ -273,7 +277,7 @@ def main():
         _, p = gather_rerank_topk_chunked(
             corpus_q, pos, queries, k, "cosine", first_scores=sc,
             dedup=(pool == 1), chunk=min(128, Q), pre_select=pre_sel,
-            expand_pool=pool)
+            expand_pool=xp)
         oi = np.asarray(oi)
         p = np.asarray(p)[:nq]
         rec = float(np.mean([
