@@ -707,6 +707,73 @@ static PyObject *py_wal_overlay(PyObject *self, PyObject *args) {
         return PyErr_NoMemory();
     }
     long n = 0;
+    if (len < (Py_ssize_t)(2 << 20)) {
+        // SMALL log: the whole buffer is (or will immediately be)
+        // cache-resident, so the software-pipelined walk below is
+        // pure bookkeeping overhead — its prefetches, two-batch
+        // staging, and stride guessing bought nothing in-cache
+        // (measured 13.9 -> 39 M rec/s on 10K-record logs from this
+        // simple loop, but 13.9 -> 7.9 at 9.6 MB where the pipelined
+        // walk's prefetches matter). One tight pass per record.
+        int bad = 0;
+        // pre-size from the first frame's stride (same rationale as
+        // the pipelined path's priming)
+        if (len >= 12) {
+            uint32_t flen0;
+            memcpy(&flen0, buf, 4);
+            Py_ssize_t stride0 = 8 + (Py_ssize_t)flen0;
+            if (stride0 > 8) {
+                size_t est = (size_t)(len / stride0) * 2 + 1;
+                size_t cap = ov->cap;
+                while (cap < est && cap < ((size_t)1 << 23))
+                    cap <<= 1;
+                if (cap > ov->cap) ov_grow(ov, cap);
+            }
+        }
+        while (pos + 8 <= len && !bad) {
+            uint32_t flen, crc;
+            memcpy(&flen, buf + pos, 4);
+            memcpy(&crc, buf + pos + 4, 4);
+            if ((Py_ssize_t)flen > len - pos - 8) break;  // torn tail
+            const unsigned char *payload = buf + pos + 8;
+            if ((!lazy || pos + 8 + (Py_ssize_t)flen == len
+                 || pos + 8 + (Py_ssize_t)flen + 8 > len)
+                && fast_crc(payload, flen) != crc) break;
+            if (flen < 5) {
+                if (lazy) break;
+                goto malformed;
+            }
+            unsigned op = payload[0];
+            uint32_t klen;
+            memcpy(&klen, payload + 1, 4);
+            if ((Py_ssize_t)klen > (Py_ssize_t)flen - 5) {
+                if (lazy) break;
+                goto malformed;
+            }
+            if (op > 1) {
+                if (lazy) break;
+                goto malformed;
+            }
+            uint64_t koff = (uint64_t)(pos + 8 + 5);
+            uint32_t h = ov_hash(ov->base + koff, klen);
+            int fresh;
+            OvEntry *e = ov_upsert_h(ov, ov->base + koff, klen, koff,
+                                     h, &fresh);
+            if (op == 0) {
+                if (!fresh && e->val < 0) ov->tombstones--;
+                e->val = (Py_ssize_t)(pos + 8 + 5 + klen);
+                e->flen = flen;
+            } else {
+                if (fresh || e->val >= 0) ov->tombstones++;
+                e->val = -1;
+            }
+            n++;
+            pos += 8 + (Py_ssize_t)flen;
+        }
+        return Py_BuildValue(
+            "(Nl)", PyCapsule_New(ov, "neumann.walov", overlay_destroy),
+            n);
+    }
     // Software-pipelined walk. The frame chain is a serial pointer
     // chase (each header address depends on the previous frame's
     // length — one DRAM latency per 570B record) and every upsert's
@@ -938,6 +1005,9 @@ static PyObject *py_overlay_tombstones(PyObject *self, PyObject *args) {
     if (!PyArg_ParseTuple(args, "O", &cap)) return NULL;
     WalOverlay *ov = overlay_of(cap);
     if (!ov) return NULL;
+    // clean logs (no deletes) skip the full-table scan — this runs on
+    // every recover(), and the scan cost rivaled the parse on small logs
+    if (ov->tombstones == 0) return PyList_New(0);
     PyObject *dels = PyList_New(0);
     if (!dels) return NULL;
     for (size_t i = 0; i < ov->cap; i++) {

@@ -471,10 +471,13 @@ class TensorStore:
 
             with open(_os.fspath(wal_path), "rb") as fh:
                 size = _os.fstat(fh.fileno()).st_size
-                if size and not self._put_hooks:
+                if size >= (2 << 20) and not self._put_hooks:
                     # zero-copy: the overlay capsule holds a buffer
                     # view of the mmap (a read() memcpy of the log
-                    # dominated replay time on cloud-VM memory)
+                    # dominated replay time on cloud-VM memory).
+                    # SMALL logs read() instead: fresh page-table
+                    # population made the mmap parse 2-3x slower
+                    # than parsing a heap buffer
                     buf = _mmap.mmap(fh.fileno(), 0,
                                      access=_mmap.ACCESS_READ)
                 else:
