@@ -1054,6 +1054,10 @@ def _batched_core(m: int, nprobe: int, window: int, q_cap: int,
     if fused and not pool:
         raise ValueError("fused batched core requires pooled-bits "
                          "selection (selection=<pool int>)")
+    if fused == "pallas" and pool * 128 != window:
+        raise ValueError(
+            f"pallas fused core uses 128 strided pools of window/128 "
+            f"rows: selection must be {window // 128}, got {pool}")
 
     @jax.jit
     def run(buf, rmult, cents, starts, qs, valid_q):
@@ -1151,8 +1155,6 @@ def _batched_core(m: int, nprobe: int, window: int, q_cap: int,
         if fused:
             G = window // pool
             nw = C * window
-            corpus4 = buf[:nw].reshape(C, G, pool, d)
-            rm3 = rmult[:nw].reshape(C, G, pool)
             tblC = tbl_q[:C]
             # one-hot query selection as a single [C*q_cap, Q] x
             # [Q, d] int8 matmul (rows one-hot -> result IS the int8
@@ -1167,32 +1169,55 @@ def _batched_core(m: int, nprobe: int, window: int, q_cap: int,
             ).astype(jnp.int8).reshape(C, q_cap, d)
             sc_slot = jnp.where(tblC >= 0,
                                 qsc[jnp.maximum(tblC, 0)], 0.0)
-            # the whole first pass as ONE batched s8 x s8 dot_general:
-            # batch dim C, contracting d, G and pool ride as free dims
-            # so the segmented max below fuses into the consumer chain
-            dots = lax.dot_general(
-                qsel, corpus4,
-                (((2,), (3,)), ((0,), (0,))),
-                preferred_element_type=jnp.int32)  # [C, q_cap, G, pool]
-            s = (dots.astype(jnp.float32)
-                 * (sc_slot[:, :, None, None] * rm3[:, None, :, :])
-                 + 2.0)
-            s = jnp.where(rm3[:, None, :, :] > 0, s, 0.0)
-            pi = lax.broadcasted_iota(jnp.int32, s.shape, 3)
-            bits = (lax.bitcast_convert_type(s, jnp.int32)
-                    & ~(pool - 1)) | pi
-            wb = jnp.max(bits, axis=3)         # [C, q_cap, G]
-            dead = wb < 0x3F800000             # below bitcast(1.0)
-            ys_s = jnp.where(
-                dead, -jnp.inf,
-                lax.bitcast_convert_type(wb & ~(pool - 1),
-                                         jnp.float32) - 2.0)
-            local = wb & (pool - 1)
-            base = (starts[:C, None, None]
-                    + jnp.arange(G, dtype=jnp.int32)[None, None, :]
-                    * pool)
-            ys_p = jnp.where(dead, -1, base + local)
-            cg_cap = C
+            if fused == "pallas":
+                # VMEM-fused: the dot output never reaches HBM; pools
+                # are STRIDED (see pallas_kernels block comment), so
+                # G must be 128 — selection=window//128 enforced below
+                from neumann_tpu.ops.pallas_kernels import (
+                    batched_probe_pallas,
+                    decode_strided_pool_bits,
+                )
+
+                rm2 = rmult[:nw].reshape(C, window)
+                wb = batched_probe_pallas(buf[:nw], rm2, qsel,
+                                          sc_slot, window)
+                ys_s, posw = decode_strided_pool_bits(wb, window)
+                ys_p = jnp.where(posw < 0, -1,
+                                 starts[:C, None, None] + posw)
+                cg_cap = C
+            else:
+                corpus4 = buf[:nw].reshape(C, G, pool, d)
+                rm3 = rmult[:nw].reshape(C, G, pool)
+                # the whole first pass as ONE batched s8 x s8
+                # dot_general: batch dim C, contracting d, G and pool
+                # ride as free dims so the segmented max below can
+                # fuse into the consumer chain (XLA currently
+                # materializes it — the pallas variant fixes that)
+                dots = lax.dot_general(
+                    qsel, corpus4,
+                    (((2,), (3,)), ((0,), (0,))),
+                    preferred_element_type=jnp.int32
+                )                              # [C, q_cap, G, pool]
+                s = (dots.astype(jnp.float32)
+                     * (sc_slot[:, :, None, None]
+                        * rm3[:, None, :, :])
+                     + 2.0)
+                s = jnp.where(rm3[:, None, :, :] > 0, s, 0.0)
+                pi = lax.broadcasted_iota(jnp.int32, s.shape, 3)
+                bits = (lax.bitcast_convert_type(s, jnp.int32)
+                        & ~(pool - 1)) | pi
+                wb = jnp.max(bits, axis=3)     # [C, q_cap, G]
+                dead = wb < 0x3F800000         # below bitcast(1.0)
+                ys_s = jnp.where(
+                    dead, -jnp.inf,
+                    lax.bitcast_convert_type(wb & ~(pool - 1),
+                                             jnp.float32) - 2.0)
+                local = wb & (pool - 1)
+                base = (starts[:C, None, None]
+                        + jnp.arange(G, dtype=jnp.int32)[None, None, :]
+                        * pool)
+                ys_p = jnp.where(dead, -1, base + local)
+                cg_cap = C
         elif stream:
             # windows ride the scan as xs: leading-axis slicing is a
             # pipelined DMA, while a traced-start dynamic_slice

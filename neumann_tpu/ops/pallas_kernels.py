@@ -298,3 +298,105 @@ def ivf_windowed_topk_pallas(buf, rmult, cents, starts, queries,
     s, i = lax.top_k(s_a, k)
     i = jnp.take_along_axis(i_a, i, axis=1)
     return s, jnp.take_along_axis(pos, i, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# batched IVF: fused window-scoring + pooled-bits selection
+# ---------------------------------------------------------------------------
+#
+# The XLA fused batched core (ops/ivf._batched_core fused=True) runs the
+# whole first pass as one batched s8 x s8 dot_general but XLA
+# MATERIALIZES the [C, q_cap, window] int32 dot output before the pool
+# max (2.6 GB at 10M/q_cap=64 — measured 45 ms core; OOM at q_cap=256).
+# This kernel fuses the reduction in VMEM: one grid step per window
+# streams the [window, d] int8 block from HBM (double-buffered by the
+# BlockSpec pipeline), does the [q_cap, d] x [d, window] MXU matmul,
+# and reduces scores to one packed winner per (slot, pool) before
+# anything leaves VMEM. HBM traffic = the corpus read + tiny outputs,
+# the roofline the brute scan already achieves.
+#
+# Pools are STRIDED (pool member i of pool b = window row i*128 + b):
+# a consecutive-pool reduction would need a lane-splitting reshape of
+# the [q_cap, window] score tile (Mosaic-hostile); strided pools make
+# the reduction `pool` unrolled maxes over static 128-lane slices, and
+# the within-pool index is a compile-time constant per slice — no iota.
+# Pool membership is an arbitrary partition, so recall semantics match
+# the consecutive-pool XLA path. Score bits: shift to [1, 3), bitcast,
+# pack the local index into the low log2(pool) mantissa bits (bits 0 =
+# dead row — below any valid pattern).
+
+
+def _batched_probe_kernel(pool: int):
+    mask = ~(pool - 1)
+
+    def kernel(qsel_ref, buf_ref, mult_ref, rm_ref, out_ref):
+        """qsel [1, q_cap, d] i8, buf [window, d] i8, mult [1, q_cap]
+        f32, rm [1, window] f32 -> out [1, q_cap, 128] i32."""
+        dots = lax.dot_general(
+            qsel_ref[0], buf_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)                       # [q_cap, window]
+        s = dots * (mult_ref[0][:, None] * rm_ref[:]) + 2.0
+        s = jnp.where(rm_ref[:] > 0, s, 0.0)
+        q_cap = s.shape[0]
+        wb = jnp.zeros((q_cap, 128), jnp.int32)
+        for a in range(pool):                       # static unroll
+            chunk = s[:, a * 128:(a + 1) * 128]
+            bits = (lax.bitcast_convert_type(chunk, jnp.int32)
+                    & mask) | a
+            wb = jnp.maximum(wb, bits)
+        out_ref[0] = wb
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("window",))
+def batched_probe_pallas(buf, rmult2d, qsel, scmult, window: int):
+    """Fused batched-IVF first pass over ALL windows.
+
+    buf     [C*window, d] int8 fixed-window corpus (row count must be
+            exactly C*window).
+    rmult2d [C, window] f32 cosine row multipliers (0 = dead row).
+    qsel    [C, q_cap, d] int8 per-window selected queries (the
+            one-hot matmul product, ops/ivf._batched_core fused path).
+    scmult  [C, q_cap] f32 per-slot query scales (0 = empty slot).
+    Returns packed winner bits [C, q_cap, 128] int32: 128 strided
+    pools of `window//128` rows each; decode with
+    decode_strided_pool_bits.
+    """
+    C, q_cap, d = qsel.shape
+    pool = window // 128
+    assert C * window == buf.shape[0]
+    return pl.pallas_call(
+        _batched_probe_kernel(pool),
+        out_shape=jax.ShapeDtypeStruct((C, q_cap, 128), jnp.int32),
+        grid=(C,),
+        in_specs=[
+            pl.BlockSpec((1, q_cap, d), lambda c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((window, d), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_cap), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, window), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, q_cap, 128), lambda c: (c, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=not _on_tpu(),
+    )(qsel, buf, scmult, rmult2d)
+
+
+def decode_strided_pool_bits(wb, window: int):
+    """(scores f32, within-window positions i32, -1 = dead) from the
+    packed strided-pool winner bits (last axis = 128 pools)."""
+    pool = window // 128
+    dead = wb < 0x3F800000                  # below bitcast(1.0)
+    scores = jnp.where(
+        dead, -jnp.inf,
+        lax.bitcast_convert_type(wb & ~(pool - 1), jnp.float32) - 2.0)
+    local = wb & (pool - 1)
+    lane = lax.broadcasted_iota(jnp.int32, wb.shape, wb.ndim - 1)
+    pos = jnp.where(dead, -1, local * 128 + lane)
+    return scores, pos

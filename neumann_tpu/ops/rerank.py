@@ -81,6 +81,7 @@ def gather_rerank_topk(
     residual_scale: Optional[jnp.ndarray] = None,
     first_scores: Optional[jnp.ndarray] = None,
     dedup: bool = True,
+    row_mult: Optional[jnp.ndarray] = None,
 ):
     """Exact f32 top-k over gathered candidate rows.
 
@@ -94,12 +95,38 @@ def gather_rerank_topk(
     residual_* optional second int8 plane (see residual_quantize).
     first_scores  optional [Q, C] first-pass scores: slots already at
                -inf there (masked rows) stay -inf after rerank.
+    row_mult   [N] f32 precomputed cosine multipliers (scale/||row||,
+               0 = invalid — ops.quant.int8_cosine_row_mult). Cosine
+               fast path: score = dots * row_mult[pos] / ||q||, one
+               f32 pass over the gather instead of three (scale
+               multiply + dots + norm recompute) — same f32 numbers,
+               the norms were just computed once at ingest.
     Returns (scores [Q, k] f32, positions [Q, k] int32, -1 for empty).
     """
     if residual_q is not None and scale is None:
         raise ValueError("residual rerank needs the first-pass scale")
     qf = queries.astype(jnp.float32)
     safe = jnp.maximum(pos, 0)
+    if (row_mult is not None and metric == "cosine"
+            and residual_q is None):
+        cand = corpus_q[safe].astype(jnp.float32)      # [Q, C, d]
+        dots = jnp.einsum("qcd,qd->qc", cand, qf,
+                          preferred_element_type=jnp.float32,
+                          precision=lax.Precision.HIGHEST)
+        qn = jnp.sqrt(jnp.maximum(
+            jnp.sum(qf * qf, axis=-1, keepdims=True), 1e-60))
+        scores = dots * row_mult[safe] / qn
+        dead = pos < 0
+        if first_scores is not None:
+            dead = dead | jnp.isneginf(first_scores)
+        scores = jnp.where(dead, NEG_INF, scores)
+        if dedup:
+            scores, pos = _dedup_sorted(scores, pos)
+        k = min(k, scores.shape[1])
+        s, i = lax.top_k(scores, k)
+        out_pos = jnp.take_along_axis(pos, i, axis=1)
+        out_pos = jnp.where(jnp.isneginf(s), -1, out_pos)
+        return s, out_pos.astype(jnp.int32)
     cand = corpus_q[safe].astype(jnp.float32)          # [Q, C, d]
     if scale is not None:
         cand = cand * scale[safe][..., None]
@@ -147,21 +174,23 @@ def gather_rerank_topk(
 def gather_rerank_topk_jit(corpus_q, pos, queries, k, metric="cosine",
                            scale=None, residual_q=None,
                            residual_scale=None, first_scores=None,
-                           dedup=True):
+                           dedup=True, row_mult=None):
     return gather_rerank_topk(corpus_q, pos, queries, k, metric, scale,
                               residual_q, residual_scale, first_scores,
-                              dedup)
+                              dedup, row_mult)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "metric", "dedup", "chunk",
-                                    "pre_select", "expand_pool"))
+                                    "pre_select", "expand_pool",
+                                    "expand_window"))
 def gather_rerank_topk_chunked(corpus_q, pos, queries, k,
                                metric="cosine", scale=None,
                                residual_q=None, residual_scale=None,
                                first_scores=None, dedup=True,
                                chunk=128, pre_select=None,
-                               expand_pool=1):
+                               expand_pool=1, row_mult=None,
+                               expand_window=0):
     """gather_rerank_topk with the query axis streamed in chunks.
 
     The plain rerank materializes the [Q, C, d] f32 candidate gather —
@@ -197,11 +226,24 @@ def gather_rerank_topk_chunked(corpus_q, pos, queries, k,
         first_scores = fs
     if expand_pool > 1:
         p = expand_pool
-        base = jnp.where(pos >= 0, pos - (pos % p), -1)
         off = jnp.arange(p, dtype=pos.dtype)
-        pos = jnp.where(base[:, :, None] >= 0,
-                        base[:, :, None] + off[None, None, :],
-                        -1).reshape(pos.shape[0], -1)
+        if expand_window:
+            # STRIDED pools (the pallas fused core's partition): a
+            # winner at fixed-window position w*W + i*128 + b has
+            # pool-mates w*W + j*128 + b for all j < p
+            W = expand_window
+            wstart = jnp.where(pos >= 0, (pos // W) * W, -1)
+            lane = jnp.where(pos >= 0, (pos % W) % 128, 0)
+            pos = jnp.where(
+                wstart[:, :, None] >= 0,
+                wstart[:, :, None] + lane[:, :, None]
+                + off[None, None, :] * 128,
+                -1).reshape(pos.shape[0], -1)
+        else:
+            base = jnp.where(pos >= 0, pos - (pos % p), -1)
+            pos = jnp.where(base[:, :, None] >= 0,
+                            base[:, :, None] + off[None, None, :],
+                            -1).reshape(pos.shape[0], -1)
         if first_scores is not None:
             first_scores = jnp.repeat(first_scores, p, axis=1)
     q_total = pos.shape[0]
@@ -226,13 +268,13 @@ def gather_rerank_topk_chunked(corpus_q, pos, queries, k,
         s, p = lax.map(
             lambda a: gather_rerank_topk(
                 corpus_q, a[0], a[1], k, metric, scale, residual_q,
-                residual_scale, None, dedup),
+                residual_scale, None, dedup, row_mult),
             (pos_r, q_r))
     else:
         s, p = lax.map(
             lambda a: gather_rerank_topk(
                 corpus_q, a[0], a[1], k, metric, scale, residual_q,
-                residual_scale, a[2], dedup),
+                residual_scale, a[2], dedup, row_mult),
             (pos_r, q_r, first_scores.reshape(n_chunks, chunk, -1)))
     kk = s.shape[-1]
     return (s.reshape(q_pad, kk)[:q_total],
@@ -269,9 +311,14 @@ def int8_pooled_rerank_topk(
                                pool=pool, block_rows=block_rows,
                                mask=mask, n_valid=n_valid,
                                row_mult=row_mult)
+    # cosine fast path: reuse the precomputed row multipliers so the
+    # rerank makes ONE f32 pass over the gathered rows (no scale
+    # multiply, no norm recompute) — same f32 numbers, ~8% of the
+    # whole chained scan recovered (BENCH r3 610 -> target 660+ GB/s)
     return gather_rerank_topk(
         corpus_q, pos, queries, k, "cosine", corpus_scale,
-        residual_q, residual_scale, first_scores=s1, dedup=False)
+        residual_q, residual_scale, first_scores=s1, dedup=False,
+        row_mult=row_mult if residual_q is None else None)
 
 
 def f32_pooled_rerank_topk(

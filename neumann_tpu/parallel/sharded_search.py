@@ -436,25 +436,23 @@ class ShardedIVFCorpus:
                               self.starts, jnp.asarray(qp))
         s = np.asarray(s)
         gpos = np.asarray(gpos)
+        # positions are DISTINCT by construction — shard windows are
+        # disjoint and cross-shard bases never collide — and each
+        # original row lives in exactly one shard slot, so no dedup is
+        # needed; padding slots map to rid -1 and are masked. (The
+        # previous per-result Python set loop undid the disjoint-
+        # windows guarantee one layer up and scaled as k x Q.)
         flat_ids = self.row_ids.reshape(-1)
-        nq = s.shape[0]
-        out_s = np.full((nq, k), -np.inf, np.float32)
-        out_i = np.full((nq, k), -1, np.int64)
-        for r in range(nq):
-            seen: set = set()
-            w = 0
-            for j in range(s.shape[1]):
-                if w >= k or not np.isfinite(s[r, j]):
-                    break
-                p = int(gpos[r, j])
-                if p < 0 or p in seen:
-                    continue
-                rid = int(flat_ids[p])
-                if rid < 0 or rid in seen:
-                    continue
-                seen.add(p)
-                seen.add(rid)
-                out_s[r, w] = s[r, j]
-                out_i[r, w] = rid
-                w += 1
+        ids = np.where(gpos >= 0, flat_ids[np.maximum(gpos, 0)], -1)
+        ids = np.where(np.isfinite(s), ids, -1)
+        sm = np.where(ids >= 0, s, -np.inf).astype(np.float32)
+        order = np.argsort(-sm, axis=1, kind="stable")[:, :k]
+        out_s = np.take_along_axis(sm, order, axis=1)
+        out_i = np.take_along_axis(ids, order, axis=1).astype(np.int64)
+        if out_s.shape[1] < k:          # fewer candidates than k
+            pad = k - out_s.shape[1]
+            out_s = np.pad(out_s, ((0, 0), (0, pad)),
+                           constant_values=-np.inf)
+            out_i = np.pad(out_i, ((0, 0), (0, pad)),
+                           constant_values=-1)
         return out_s, out_i

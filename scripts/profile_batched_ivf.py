@@ -73,7 +73,8 @@ def main():
     sel = arg("sel", "approx", str)
     selection = int(sel) if sel != "approx" else "approx"
     mode = arg("mode", "full", str)
-    fused = bool(arg("fused", 0))
+    fused_i = arg("fused", 0)
+    fused = "pallas" if fused_i == 2 else bool(fused_i)
     expand = bool(arg("expand", 1))
     pre_sel = arg("presel", 8 * k + 16)
     sigma = 0.25
@@ -233,7 +234,9 @@ def main():
                 s, p = gather_rerank_topk_chunked(
                     buf, pos, cur, k, "cosine", first_scores=sc,
                     dedup=(pool == 1), chunk=min(128, Q),
-                    pre_select=pre_sel, expand_pool=xp)
+                    pre_select=pre_sel, expand_pool=xp,
+                    expand_window=(window if fused == "pallas"
+                                   else 0))
                 cur = cur + 1e-30 * (
                     s[0, 0] + p[0, 0].astype(jnp.float32) * 1e-6)
                 return cur, acc + s[0, 0]
@@ -259,7 +262,7 @@ def main():
         "mode": mode, "q": Q, "nprobe": nprobe, "window": window,
         "q_cap": q_cap, "m": m, "group": group, "stream": stream,
         "sel": str(selection), "presel": pre_sel, "n": n,
-        "fused": fused, "expand": expand,
+        "fused": str(fused), "expand": expand,
         "batch_ms": round(per_batch * 1e3, 3),
         "qps": round(Q / per_batch, 1),
     }), flush=True)
@@ -277,7 +280,8 @@ def main():
         _, p = gather_rerank_topk_chunked(
             corpus_q, pos, queries, k, "cosine", first_scores=sc,
             dedup=(pool == 1), chunk=min(128, Q), pre_select=pre_sel,
-            expand_pool=xp)
+            expand_pool=xp,
+            expand_window=(window if fused == "pallas" else 0))
         oi = np.asarray(oi)
         p = np.asarray(p)[:nq]
         rec = float(np.mean([

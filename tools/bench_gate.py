@@ -123,7 +123,47 @@ def gate_device(record: bool) -> int:
     return 1 if bad else 0
 
 
+def gate_bench_artifact(path: str) -> int:
+    """Gate a recorded device-bench JSON (BENCH_r*.json / bench.py
+    output): the recall-vs-QPS artifact must be complete and above the
+    bars — >=5 measured recall-curve points (BASELINE.md calls this
+    out as the thing the reference never publishes), headline IVF
+    recall@10 >= 0.99, exact-rerank recall vs the fp32 oracle >= 0.999,
+    and any batched-IVF headline must carry recall >= 0.99."""
+    with open(path) as f:
+        row = json.load(f)
+    if "parsed" in row:                     # driver-recorded wrapper
+        row = row["parsed"]
+    failures = []
+    curve = row.get("ivf_recall_curve") or {}
+    if len(curve) < 5:
+        failures.append(f"ivf_recall_curve has {len(curve)} points "
+                        "(need >= 5)")
+    if (row.get("ivf_recall_at_10") or 0) < 0.99:
+        failures.append(
+            f"ivf_recall_at_10 {row.get('ivf_recall_at_10')} < 0.99")
+    if (row.get("recall_at_10_vs_fp32") or 0) < 0.999:
+        failures.append(f"recall_at_10_vs_fp32 "
+                        f"{row.get('recall_at_10_vs_fp32')} < 0.999")
+    if row.get("headline_path", "").startswith("batched-ivf") and \
+            (row.get("batched_ivf_recall_at_10") or 0) < 0.99:
+        failures.append("batched-IVF headline below recall 0.99")
+    rk = row.get("ivf_recall_k") or {}
+    if len(rk) < 2:
+        failures.append(f"ivf_recall_k has {len(rk)} k-points "
+                        "(need k=1/10/100 coverage)")
+    for f_ in failures:
+        print(f"FAIL {f_}")
+    if not failures:
+        print(f"ok: curve={len(curve)} pts, k-points={sorted(rk)}, "
+              f"recall@10={row.get('ivf_recall_at_10')}")
+    return 1 if failures else 0
+
+
 def main() -> int:
+    for i, a in enumerate(sys.argv):
+        if a == "--bench" and i + 1 < len(sys.argv):
+            return gate_bench_artifact(sys.argv[i + 1])
     if "--device" in sys.argv:
         return gate_device("--record" in sys.argv)
     rows = run_quick()
