@@ -330,15 +330,18 @@ def _batched_probe_kernel(pool: int):
     mask = ~(pool - 1)
 
     def kernel(qsel_ref, buf_ref, mult_ref, rm_ref, out_ref):
-        """qsel [1, q_cap, d] i8, buf [window, d] i8, mult [1, q_cap]
-        f32, rm [1, window] f32 -> out [1, q_cap, 128] i32."""
+        """qsel [1, q_cap, d] i8, buf [window, d] i8, mult
+        [1, 1, q_cap] f32, rm [1, 1, window] f32 -> out
+        [1, q_cap, 128] i32. (mult/rm ride as 3D blocks whose last two
+        dims equal the array dims — Mosaic's block-shape rule.)"""
         dots = lax.dot_general(
             qsel_ref[0], buf_ref[:],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32)                       # [q_cap, window]
-        s = dots * (mult_ref[0][:, None] * rm_ref[:]) + 2.0
-        s = jnp.where(rm_ref[:] > 0, s, 0.0)
+        rm = rm_ref[0]                              # [1, window]
+        s = dots * (mult_ref[0][0][:, None] * rm) + 2.0
+        s = jnp.where(rm > 0, s, 0.0)
         q_cap = s.shape[0]
         wb = jnp.zeros((q_cap, 128), jnp.int32)
         for a in range(pool):                       # static unroll
@@ -377,15 +380,15 @@ def batched_probe_pallas(buf, rmult2d, qsel, scmult, window: int):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((window, d), lambda c: (c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, q_cap), lambda c: (c, 0),
+            pl.BlockSpec((1, 1, q_cap), lambda c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, window), lambda c: (c, 0),
+            pl.BlockSpec((1, 1, window), lambda c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, q_cap, 128), lambda c: (c, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=not _on_tpu(),
-    )(qsel, buf, scmult, rmult2d)
+    )(qsel, buf, scmult[:, None, :], rmult2d[:, None, :])
 
 
 def decode_strided_pool_bits(wb, window: int):
