@@ -422,6 +422,91 @@ class ShardedIVFCorpus:
         self._fns[k] = fn
         return fn
 
+    def _batched_fn(self, k: int, q_cap: int):
+        """Batched probe-sharing search per shard under shard_map: the
+        single-chip throughput core (ops.ivf.batched_ivf_topk — each
+        probed window read once per BATCH, scored only against the
+        queries that probed it) runs shard-locally, an exact f32
+        rerank cuts to k per shard, and one ICI all-gather merges.
+        Returns fn(corpus, rmult, cents, starts, queries) ->
+        (scores [Q, k], global positions [Q, k], overflow [Q?]-sum)."""
+        key = ("batched", k, q_cap)
+        fn = self._fns.get(key)
+        if fn is not None:
+            return fn
+        axis, window, rows_s = self.axis, self.window, self.rows_s
+        nprobe = min(self.nprobe, self.c_per)
+        m = min(k + 6, window)
+
+        from neumann_tpu.ops.ivf import batched_ivf_topk
+        from neumann_tpu.ops.rerank import gather_rerank_topk_chunked
+
+        def local(buf, rm, cents, starts, queries):
+            buf, rm = buf[0], rm[0]
+            cents, starts = cents[0], starts[0]
+            qn = queries / jnp.maximum(
+                jnp.linalg.norm(queries, axis=1, keepdims=True),
+                1e-30)
+            sc, pos, ovf = batched_ivf_topk(
+                buf, rm, cents, starts, qn, nprobe, window, m, q_cap)
+            # shard-local exact rerank (rm is scale/||x||, so the
+            # row_mult fast path rescores exact f32 in one pass);
+            # disjoint fixed windows -> no dedup
+            s_k, pos_k = gather_rerank_topk_chunked(
+                buf, pos, qn, k, "cosine", first_scores=sc,
+                dedup=False, chunk=min(128, qn.shape[0]),
+                pre_select=min(8 * k + 16, pos.shape[1]),
+                row_mult=rm)
+            shard_idx = lax.axis_index(axis)
+            gpos = jnp.where(jnp.isneginf(s_k), -1,
+                             pos_k + shard_idx * rows_s)
+            s_m, p_m = _merge_gathered(s_k, gpos, axis, k)
+            return s_m, p_m, lax.psum(ovf, axis)[None]
+
+        fn = jax.jit(jax.shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(axis, None, None), P(axis, None),
+                      P(axis, None, None), P(axis, None),
+                      P(None, None)),
+            out_specs=(P(None, None), P(None, None), P(None)),
+            check_vma=False,
+        ))
+        self._fns[key] = fn
+        return fn
+
+    def search_batched(self, queries: np.ndarray, k: int
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+        """Throughput search over the mesh: batched probe-sharing per
+        shard + exact shard rerank + all-gather merge. Same results
+        contract as search(); q_cap doubles on overflow like the
+        single-chip DeviceIVFInt8.search_batched."""
+        if self.corpus is None:
+            raise ValueError("load() first")
+        q = np.asarray(queries, np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        nq = q.shape[0]
+        q_pad = max(8, 1 << (nq - 1).bit_length())
+        qp = np.zeros((q_pad, self.dim_pad), np.float32)
+        qp[:nq, : self.dim] = q[:, : self.dim]
+        nprobe = min(self.nprobe, self.c_per)
+        expect = -(-q_pad * nprobe // max(1, self.c_per))
+        q_cap = 1 << (max(16, 4 * expect) - 1).bit_length()
+        qd = jnp.asarray(qp)
+        while True:
+            s, gpos, ovf = self._batched_fn(k, q_cap)(
+                self.corpus, self.rmult, self.cents, self.starts, qd)
+            if int(np.asarray(ovf)[0]) == 0 or q_cap >= q_pad:
+                break
+            q_cap *= 2
+        s = np.asarray(s)[:nq]
+        gpos = np.asarray(gpos)[:nq]
+        flat_ids = self.row_ids.reshape(-1)
+        ids = np.where(gpos >= 0, flat_ids[np.maximum(gpos, 0)], -1)
+        ids = np.where(np.isfinite(s), ids, -1)
+        s = np.where(ids >= 0, s, -np.inf).astype(np.float32)
+        return s, ids.astype(np.int64)
+
     def search(self, queries: np.ndarray, k: int
                ) -> Tuple[np.ndarray, np.ndarray]:
         """(scores [Q, k], ORIGINAL row ids [Q, k], -1 sentinels)."""

@@ -146,6 +146,49 @@ def test_sharded_ivf_corpus_recall_and_ids(rng):
         assert len(live) == len(set(live))
 
 
+def test_sharded_ivf_batched_parity(rng):
+    """Batched probe-sharing mesh search (one window read per batch
+    per shard + exact shard rerank + all-gather merge): exact-merge
+    parity with the per-query mesh path and the brute oracle."""
+    import jax
+
+    from neumann_tpu.parallel import make_mesh
+    from neumann_tpu.parallel.sharded_search import ShardedIVFCorpus
+
+    mesh = make_mesh(len(jax.devices()))
+    n, d, kc = 8192, 64, 32
+    cents = rng.standard_normal((kc, d)).astype(np.float32) * 3
+    assign = rng.integers(0, kc, n)
+    vecs = (cents[assign]
+            + 1.0 * rng.standard_normal((n, d))).astype(np.float32)
+    corpus = ShardedIVFCorpus(mesh, d, n_clusters=kc, nprobe=6)
+    corpus.load(vecs)
+
+    rows = rng.choice(n, 24, replace=False)
+    queries = vecs[rows] + 0.01 * rng.standard_normal(
+        (24, d)).astype(np.float32)
+    sb, ib = corpus.search_batched(queries, 10)
+    assert sb.shape == (24, 10) and (ib >= 0).all()
+    # self-match first
+    assert (ib[:, 0] == rows).all()
+    # parity with the single-query mesh path: same probes, same exact
+    # rerank -> identical top-10 sets (scores to f32 tolerance)
+    ss, is_ = corpus.search(queries, 10)
+    same = np.mean([
+        len(set(ib[i].tolist()) & set(is_[i].tolist())) / 10
+        for i in range(24)])
+    assert same >= 0.95, same
+    np.testing.assert_allclose(sb[:, 0], ss[:, 0], atol=1e-5)
+    # recall vs the exact oracle
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    want = np.argsort(-(qn @ vn.T), axis=1)[:, :10]
+    rec = np.mean([
+        len(set(ib[i].tolist()) & set(want[i].tolist())) / 10
+        for i in range(24)])
+    assert rec >= 0.85, rec
+
+
 # ---------------------------------------------------------------------------
 # router-integrated planning (round-3 item #5): the same scenarios,
 # driven through plain QueryRouter.execute() with a planner attached —

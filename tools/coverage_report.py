@@ -40,6 +40,42 @@ def _on_line(code, line):
     return sys.monitoring.DISABLE       # first hit only
 
 
+# Explicit file-level exclusions, matching the reference's practice of
+# excluding generated code from its 95% gate. Every entry needs a
+# reason — implicit exclusions would make the number a lie.
+EXCLUDED_FILES = {
+    # generated protobuf descriptor stubs (vendored, not authored)
+    "neumann_tpu/server/neumann_pb2.py",
+    "neumann_tpu/server/reflection_pb2.py",
+}
+
+
+def _excluded_lines(path: str, src: bytes) -> set:
+    """Lines opted out with `# pragma: no cover` — a pragma on a
+    def/class/if/try header excludes that whole block (coverage.py
+    semantics). Device-only branches (real-TPU Pallas paths the CPU
+    suite cannot reach) are the intended use; each pragma is an
+    explicit, grep-able exclusion."""
+    import ast
+
+    text = src.decode("utf-8", "replace")
+    marked = {i + 1 for i, ln in enumerate(text.splitlines())
+              if "pragma: no cover" in ln}
+    if not marked:
+        return set()
+    out = set(marked)
+    try:
+        tree = ast.parse(text)
+    except SyntaxError:
+        return out
+    for node in ast.walk(tree):
+        start = getattr(node, "lineno", None)
+        end = getattr(node, "end_lineno", None)
+        if start in marked and end:
+            out.update(range(start, end + 1))
+    return out
+
+
 def _executable_lines(path: str) -> set:
     with open(path, "rb") as fh:
         src = fh.read()
@@ -47,12 +83,13 @@ def _executable_lines(path: str) -> set:
         top = compile(src, path, "exec")
     except SyntaxError:
         return set()
+    skip = _excluded_lines(path, src)
     lines: set = set()
     stack = [top]
     while stack:
         code = stack.pop()
         for _, _, ln in code.co_lines():
-            if ln is not None and ln > 0:
+            if ln is not None and ln > 0 and ln not in skip:
                 lines.add(ln)
         for const in code.co_consts:
             if hasattr(const, "co_lines"):
@@ -91,6 +128,8 @@ def main() -> int:
             if not name.endswith(".py"):
                 continue
             path = os.path.join(root, name)
+            if os.path.relpath(path, REPO) in EXCLUDED_FILES:
+                continue
             ex = _executable_lines(path)
             if not ex:
                 continue
