@@ -201,6 +201,56 @@ def main():
                 return cur, acc + ys[0, 0, 0, 0]
             _, acc = lax.fori_loop(0, reps, body, (qs, 0.0))
             return acc
+    elif mode == "kernel":
+        # fused-pallas pipeline WITHOUT the [Q, nprobe] reassembly
+        # gather: probe + invert + one-hot qsel + kernel + decode,
+        # reduced to a scalar. core - kernel = reassembly cost.
+        from neumann_tpu.ops.pallas_kernels import (
+            batched_probe_pallas,
+            decode_strided_pool_bits,
+        )
+        from neumann_tpu.ops.quant import scalar_quantize as _sq2
+
+        nw = C * window
+
+        @jax.jit
+        def chain(buf, rm, cents, st, qs, reps):
+            rm2 = rm[:nw].reshape(C, window)
+
+            def body(i, carry):
+                cur, acc = carry
+                qn = cur / jnp.maximum(
+                    jnp.linalg.norm(cur, axis=1, keepdims=True),
+                    1e-30)
+                _, probe = lax.top_k(qn @ cents.T, nprobe)
+                seq = jnp.arange(Q * nprobe, dtype=jnp.int32)
+                flat_c = probe.reshape(-1)
+                order = jnp.argsort(flat_c)
+                scl = flat_c[order]
+                first = jnp.searchsorted(scl, scl, side="left")
+                rank = (seq - first).astype(jnp.int32)
+                fq = (seq // nprobe)[order]
+                tbl_q = jnp.full((C, q_cap), -1, jnp.int32
+                                 ).at[scl, rank].set(fq, mode="drop")
+                qq_i8, qsc = _sq2(qn)
+                oh = (tbl_q[:, :, None]
+                      == jnp.arange(Q, dtype=jnp.int32)[None, None, :]
+                      ).astype(jnp.int8)
+                qsel = lax.dot_general(
+                    oh.reshape(C * q_cap, Q), qq_i8,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32
+                ).astype(jnp.int8).reshape(C, q_cap, d)
+                scm = jnp.where(tbl_q >= 0,
+                                qsc[jnp.maximum(tbl_q, 0)], 0.0)
+                wb = batched_probe_pallas(buf[:nw], rm2, qsel, scm,
+                                          window)
+                s, p = decode_strided_pool_bits(wb, window)
+                val = jnp.max(s[0, 0]) + p[0, 0, 0].astype(jnp.float32)
+                cur = cur + 1e-30 * val
+                return cur, acc + val
+            _, acc = lax.fori_loop(0, reps, body, (qs, 0.0))
+            return acc
     elif mode == "probe":
         @jax.jit
         def chain(buf, rm, cents, st, qs, reps):

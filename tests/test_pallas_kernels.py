@@ -123,3 +123,36 @@ def test_ivf_search_with_pallas_flag(monkeypatch):
     monkeypatch.setenv("NEUMANN_PALLAS", "1")
     s, ids = ivf.search(v[5], 5)
     assert ids[0][0] == 5 and s[0][0] > 0.98
+
+
+def test_hamming_topk_1d_query_and_exact_tile(rng):
+    """1-D query promotion + the no-padding branch (n a multiple of
+    block_rows) + explicit mask threading in the block scan."""
+    corpus = rng.standard_normal((4096, 64)).astype(np.float32)
+    cb = binary_quantize(jnp.asarray(corpus))
+    qb1 = binary_quantize(jnp.asarray(corpus[7:8]))[0]   # 1-D bits
+    s, i = hamming_topk_pallas(cb, qb1, 3, tile=512, block_rows=2048)
+    assert i.shape == (1, 3) and int(i[0, 0]) == 7
+    # masked, padding-free
+    mask = jnp.asarray(np.arange(4096) % 2 == 0)
+    s2, i2 = hamming_topk_pallas(cb, qb1, 3, mask=mask, tile=512,
+                                 block_rows=2048)
+    assert (np.asarray(i2) % 2 == 0).all()
+
+
+def test_probe_scores_1d_starts(rng):
+    """ivf_probe_scores_pallas accepts a single shared probe list."""
+    from neumann_tpu.ops.pallas_kernels import ivf_probe_scores_pallas
+
+    corpus = rng.standard_normal((1024, 128)).astype(np.float32)
+    from neumann_tpu.ops.quant import scalar_quantize
+
+    cq, sc = scalar_quantize(jnp.asarray(corpus))
+    rm = (sc / np.maximum(np.linalg.norm(
+        np.asarray(cq, np.float32) * np.asarray(sc)[:, None],
+        axis=1), 1e-30)).astype(np.float32)
+    qs = jnp.asarray(corpus[:2])
+    starts = jnp.asarray(np.array([0, 2], np.int32))   # 1-D: shared
+    out = ivf_probe_scores_pallas(cq, jnp.asarray(rm)[None, :],
+                                  starts, qs, 128)
+    assert out.shape == (2, 2 * 128)
