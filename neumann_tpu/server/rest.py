@@ -132,6 +132,12 @@ class RestServer:
                 ctype = self.headers.get("Content-Type")
                 if (outer._grpc_web is not None
                         and GrpcWebGateway.is_grpc_web(ctype)):
+                    # this port's api_keys gate grpc-web traffic too —
+                    # mounting the gateway must not open a key-free
+                    # side door (the gRPC server's own auth still
+                    # applies inside the replayed handlers)
+                    if not self._auth():
+                        return
                     length = int(self.headers.get("Content-Length") or 0)
                     if length > self._MAX_BODY:
                         self.send_response(413)
