@@ -1261,12 +1261,14 @@ class VectorEngine:
         from neumann_tpu.ops.hnsw import HNSWConfig, HNSWIndex
 
         dim, corpus, row_map, mat = self._gather_rows()
-        cfg = HNSWConfig(m=m, ef_construction=ef_construction,
-                         ef_search=ef_search,
-                         metric=metric or self.config.default_metric)
-        if cfg.metric not in ("cosine", "euclidean", "dot"):
+        hnsw_metric = metric or self.config.default_metric
+        # validate BEFORE HNSWConfig so engine callers get a
+        # VectorError, not the kernel layer's ValueError
+        if hnsw_metric not in ("cosine", "euclidean", "dot"):
             raise VectorError(
-                f"HNSW supports cosine/euclidean/dot, not {cfg.metric}")
+                f"HNSW supports cosine/euclidean/dot, not {hnsw_metric}")
+        cfg = HNSWConfig(m=m, ef_construction=ef_construction,
+                         ef_search=ef_search, metric=hnsw_metric)
         idx = HNSWIndex(dim, cfg)
         ins = {"dense": idx.insert, "quantized": idx.insert_quantized,
                "binary": idx.insert_binary,
