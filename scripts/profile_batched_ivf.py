@@ -75,6 +75,7 @@ def main():
     mode = arg("mode", "full", str)
     fused_i = arg("fused", 0)
     fused = "pallas" if fused_i == 2 else bool(fused_i)
+    probe_mode = arg("probe", "exact", str)
     expand = bool(arg("expand", 1))
     pre_sel = arg("presel", 8 * k + 16)
     sigma = 0.25
@@ -131,10 +132,11 @@ def main():
         q_cap = 1 << (max(32, 2 * expect) - 1).bit_length()
     _log(f"mode={mode} Q={Q} nprobe={nprobe} window={window} C={C} "
          f"q_cap={q_cap} m={m} group={group} stream={stream} "
-         f"sel={selection} fused={fused} expand={expand}")
+         f"sel={selection} fused={fused} expand={expand} "
+         f"probe={probe_mode}")
 
     core = _batched_core(m, nprobe, window, q_cap, group, selection,
-                         stream, fused)
+                         stream, fused, probe_mode)
     pool = selection if isinstance(selection, int) else 1
     xp = pool if (pool > 1 and expand) else 1
 
@@ -312,7 +314,7 @@ def main():
         "mode": mode, "q": Q, "nprobe": nprobe, "window": window,
         "q_cap": q_cap, "m": m, "group": group, "stream": stream,
         "sel": str(selection), "presel": pre_sel, "n": n,
-        "fused": str(fused), "expand": expand,
+        "fused": str(fused), "expand": expand, "probe": probe_mode,
         "batch_ms": round(per_batch * 1e3, 3),
         "qps": round(Q / per_batch, 1),
     }), flush=True)
