@@ -371,11 +371,18 @@ def main():
     # ---------------- batched IVF throughput (probe-sharing) -----------
     # The brute pooled scan is FLOP-bound past Q~256 (Q x N x d int8
     # MACs), capping ~21-22K QPS regardless of batch size. The batched
-    # probe-sharing kernel (ops/ivf.batched_ivf_topk) reads each
-    # cluster window once per batch and scores only the queries that
-    # probed it — Q x nprobe x window MACs — then reranks exactly.
-    bq = 1024 if on_tpu else 64
-    b_nprobe = 96 if on_tpu else 8
+    # probe-sharing pass reads each cluster window once per batch and
+    # scores only the queries that probed it — Q x nprobe x window MACs
+    # — then reranks exactly. On TPU it rides the VMEM-fused Pallas
+    # kernel (ops/pallas_kernels.batched_probe_pallas): pooled-bits
+    # selection inside the window matmul, approx probe top-k, deferred
+    # decode, pool-expanded exact rerank — the r4 profile sweep
+    # (scripts/profile_batched_ivf.py) measured 43.3K QPS @ recall@10
+    # 0.9953 at Q=4096/nprobe=128/presel=16 vs 19.4K brute.
+    bq = 4096 if on_tpu else 64
+    b_nprobe = 128 if on_tpu else 8
+    b_presel = 16 if on_tpu else 8 * k + 16
+    pool_b = window // 128 if on_tpu else 1
     ivf_qps = 0.0
     ivf_batch_recall = None
     try:
@@ -391,17 +398,27 @@ def main():
         m_b = k + 6
         expect = -(-bq * b_nprobe // cents_n.shape[0])
         q_cap = 1 << (max(32, 2 * expect) - 1).bit_length()
-        core_b = _batched_core(m_b, b_nprobe, window, q_cap, 8)
+        if on_tpu:
+            core_b = _batched_core(m_b, b_nprobe, window, q_cap, 8,
+                                   selection=pool_b, fused="pallas",
+                                   probe_mode="approx")
+        else:
+            core_b = _batched_core(m_b, b_nprobe, window, q_cap, 8)
         validq = jnp.ones(bq, bool)
+
+        def rerank_b(buf, posb, cur, sc):
+            return gather_rerank_topk_chunked(
+                buf, posb, cur, k, "cosine", first_scores=sc,
+                dedup=not on_tpu, chunk=128, pre_select=b_presel,
+                expand_pool=pool_b,
+                expand_window=window if on_tpu else 0)
 
         @jax.jit
         def ivf_batched_chain(buf, rm, cents, st, qs, reps):
             def body(i, carry):
                 cur, acc = carry
                 sc, posb, _ = core_b(buf, rm, cents, st, cur, validq)
-                s, p = gather_rerank_topk_chunked(
-                    buf, posb, cur, k, "cosine", first_scores=sc,
-                    dedup=True, chunk=128, pre_select=8 * k + 16)
+                s, p = rerank_b(buf, posb, cur, sc)
                 cur = cur + 1e-30 * (
                     s[0, 0] + p[0, 0].astype(jnp.float32) * 1e-6)
                 return cur, acc + s[0, 0]
@@ -433,9 +450,7 @@ def main():
             block_rows=min(block_rows, 256 * 1024))
         sc_b, pos_b, _ = core_b(corpus_q, rmult, cents_n, starts_dev,
                                 bqueries, validq)
-        _, pb = gather_rerank_topk_chunked(
-            corpus_q, pos_b, bqueries, k, "cosine", first_scores=sc_b,
-            dedup=True, chunk=128, pre_select=8 * k + 16)
+        _, pb = rerank_b(corpus_q, pos_b, bqueries, sc_b)
         ob = np.asarray(ob)
         pb = np.asarray(pb)[:nq_b]
         ivf_batch_recall = float(np.mean([

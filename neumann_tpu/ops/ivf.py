@@ -846,7 +846,8 @@ class DeviceIVFInt8:
     def search_batched(self, queries: np.ndarray, k: int,
                        nprobe: Optional[int] = None,
                        m: Optional[int] = None,
-                       q_cap: Optional[int] = None, group: int = 8
+                       q_cap: Optional[int] = None, group: int = 8,
+                       fast: Optional[bool] = None
                        ) -> Tuple[np.ndarray, np.ndarray]:
         """Throughput search: probe-sharing batched IVF + exact rerank.
 
@@ -857,13 +858,25 @@ class DeviceIVFInt8:
         plane when built) via the chunked rerank. Queries are padded to
         power-of-two buckets so compile count stays bounded; q_cap
         (max queries per cluster) starts at 4x the uniform expectation
-        and doubles on overflow (skewed query batches)."""
+        and doubles on overflow (skewed query batches).
+
+        fast (default: auto = fixed windows and a 128-multiple window):
+        the VMEM-fused Pallas first pass — pooled-bits selection inside
+        the window matmul, approx probe top-k, and a pool-expanded
+        exact rerank. Same recall contract (exact f32 rerank decides
+        the final order; pool expansion makes pooled selection
+        collision-exact), measured 2.7x the XLA scan core at the 10M
+        bench shape. Interpreted (slow, correct) off-TPU."""
         import jax.numpy as jnp
 
         from neumann_tpu.ops.rerank import gather_rerank_topk_chunked
 
         if self._buf is None:
             raise ValueError("build() first")
+        if fast is None:
+            pool_a = self._window // 128
+            fast = (self._fixed and self._window % 128 == 0
+                    and pool_a >= 2 and (pool_a & (pool_a - 1)) == 0)
         nprobe = min(nprobe or self.nprobe, self.n_clusters)
         q = np.asarray(queries, np.float32)
         if q.ndim == 1:
@@ -880,11 +893,16 @@ class DeviceIVFInt8:
             expect = -(-q_pad * nprobe // self.n_clusters)
             q_cap = 1 << (max(16, 4 * expect) - 1).bit_length()
         qd = jnp.asarray(q)
+        pool = self._window // 128 if fast else 0
+        sel = pool if fast else "approx"
+        fused = "pallas" if fast else False
+        pmode = "approx" if fast else "exact"
         while True:
             sc, pos, overflow = batched_ivf_topk(
                 self._buf, self._rmult, self.centroids, self._starts,
                 qd, nprobe, self._window, m, q_cap, group=group,
-                valid_q=valid)
+                valid_q=valid, selection=sel, fused=fused,
+                probe_mode=pmode)
             if int(overflow) == 0 or q_cap >= q_pad:
                 break  # q_cap == q_pad can never overflow (probes
                 # within one query are distinct clusters)
@@ -893,13 +911,20 @@ class DeviceIVFInt8:
         # corpus row gathers cost ~µs each: cut the nprobe*m candidate
         # list to O(8k) by first-pass score before gathering (the bf16
         # first pass orders well past rank 8k; exact rerank restores
-        # f32 ordering). +16 covers window-overlap duplicates.
-        cand = min(8 * k + 16, pos.shape[1])
+        # f32 ordering). +16 covers window-overlap duplicates. The
+        # pooled fast path pre-selects fewer (each survivor expands to
+        # its whole `pool`-row strided pool before rescoring, so the
+        # gather is presel*pool rows/query — measured recall-neutral
+        # past ~3k survivors).
+        cand = (min(max(3 * k + 2, 32), pos.shape[1]) if fast
+                else min(8 * k + 16, pos.shape[1]))
         sc, pos = gather_rerank_topk_chunked(
             self._buf, pos, qd, k, "cosine", scale=self._scale,
             residual_q=self._rbuf, residual_scale=self._rscale,
-            first_scores=sc, dedup=not self._fixed, chunk=chunk,
-            pre_select=cand)
+            first_scores=sc, dedup=not self._fixed and not fast,
+            chunk=chunk, pre_select=cand, expand_pool=pool if fast
+            else 1, expand_window=self._window if fast else 0,
+            valid_rows=self._rmult if fast else None)
         sc = np.asarray(sc)[:nq]
         pos = np.asarray(pos)[:nq]
         ids = np.where(pos >= 0,

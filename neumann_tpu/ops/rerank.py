@@ -82,6 +82,7 @@ def gather_rerank_topk(
     first_scores: Optional[jnp.ndarray] = None,
     dedup: bool = True,
     row_mult: Optional[jnp.ndarray] = None,
+    valid_rows: Optional[jnp.ndarray] = None,
 ):
     """Exact f32 top-k over gathered candidate rows.
 
@@ -101,6 +102,11 @@ def gather_rerank_topk(
                f32 pass over the gather instead of three (scale
                multiply + dots + norm recompute) — same f32 numbers,
                the norms were just computed once at ingest.
+    valid_rows [N] row-validity plane (<= 0 = dead: tombstoned or
+               padding). Needed when candidates can include rows the
+               FIRST pass never scored — pool expansion copies a
+               winner's first-pass score onto every pool-mate, so a
+               tombstone in the pool would otherwise be rescored live.
     Returns (scores [Q, k] f32, positions [Q, k] int32, -1 for empty).
     """
     if residual_q is not None and scale is None:
@@ -117,6 +123,8 @@ def gather_rerank_topk(
             jnp.sum(qf * qf, axis=-1, keepdims=True), 1e-60))
         scores = dots * row_mult[safe] / qn
         dead = pos < 0
+        if valid_rows is not None:
+            dead = dead | (valid_rows[safe] <= 0)
         if first_scores is not None:
             dead = dead | jnp.isneginf(first_scores)
         scores = jnp.where(dead, NEG_INF, scores)
@@ -155,6 +163,8 @@ def gather_rerank_topk(
     else:
         raise ValueError(f"unsupported rerank metric: {metric}")
     dead = pos < 0
+    if valid_rows is not None:
+        dead = dead | (valid_rows[safe] <= 0)
     if first_scores is not None:
         dead = dead | jnp.isneginf(first_scores)
     scores = jnp.where(dead, NEG_INF, scores)
@@ -190,7 +200,7 @@ def gather_rerank_topk_chunked(corpus_q, pos, queries, k,
                                first_scores=None, dedup=True,
                                chunk=128, pre_select=None,
                                expand_pool=1, row_mult=None,
-                               expand_window=0):
+                               expand_window=0, valid_rows=None):
     """gather_rerank_topk with the query axis streamed in chunks.
 
     The plain rerank materializes the [Q, C, d] f32 candidate gather —
@@ -217,9 +227,14 @@ def gather_rerank_topk_chunked(corpus_q, pos, queries, k,
         # wide candidate lists (pooled batched IVF emits nprobe *
         # window/pool per query): exact top_k is a full VPU sort —
         # approx_max_k suffices because order does not matter here
-        # (the rerank below re-scores and re-sorts whatever survives)
+        # (the rerank below re-scores and re-sorts whatever survives).
+        # recall_target=0.99: the default 0.95 lets the tiled reduce
+        # drop ~5% of true winners, which showed up as end-to-end
+        # recall@10 fluctuating 0.984-0.995 run-to-run at presel 16-32
+        # — selection losses here are unrecoverable downstream.
         if pos.shape[1] > 4 * pre_select:
-            fs, ci = lax.approx_max_k(first_scores, pre_select)
+            fs, ci = lax.approx_max_k(first_scores, pre_select,
+                                      recall_target=0.99)
         else:
             fs, ci = lax.top_k(first_scores, pre_select)
         pos = jnp.take_along_axis(pos, ci, axis=1)
@@ -268,13 +283,13 @@ def gather_rerank_topk_chunked(corpus_q, pos, queries, k,
         s, p = lax.map(
             lambda a: gather_rerank_topk(
                 corpus_q, a[0], a[1], k, metric, scale, residual_q,
-                residual_scale, None, dedup, row_mult),
+                residual_scale, None, dedup, row_mult, valid_rows),
             (pos_r, q_r))
     else:
         s, p = lax.map(
             lambda a: gather_rerank_topk(
                 corpus_q, a[0], a[1], k, metric, scale, residual_q,
-                residual_scale, a[2], dedup, row_mult),
+                residual_scale, a[2], dedup, row_mult, valid_rows),
             (pos_r, q_r, first_scores.reshape(n_chunks, chunk, -1)))
     kk = s.shape[-1]
     return (s.reshape(q_pad, kk)[:q_total],
