@@ -43,6 +43,9 @@ class RestServer:
         self.tracker = ProgressTracker()
         self.router.metrics.listeners.append(
             lambda kind, ms, err: self.tracker.record(kind, ms))
+        from neumann_tpu.server.admin import AdminApp
+
+        self._admin = AdminApp(self.router, self.tracker)
         keys = set(api_keys) if api_keys else None
         outer = self
 
@@ -60,6 +63,14 @@ class RestServer:
                     raise NeumannError(
                         f"request body too large ({length} bytes)")
                 raw = self.rfile.read(length) or b"{}"
+                ctype = (self.headers.get("Content-Type") or "")
+                if ctype.startswith(
+                        "application/x-www-form-urlencoded"):
+                    # admin-page HTML forms post urlencoded bodies
+                    from urllib.parse import parse_qs
+
+                    return {k: v[-1] for k, v in parse_qs(
+                        raw.decode("utf-8", "replace")).items()}
                 try:
                     parsed = json.loads(raw)
                 except (ValueError, UnicodeDecodeError) as e:
@@ -195,6 +206,10 @@ class RestServer:
                     "count": res.count, "value": res.value}
         if parts and parts[0] == "collections":
             return self._collections(method, parts[1:], body)
+        routed = self._admin.dispatch(method, path, body)
+        if routed is not None:
+            payload, ctype = routed
+            return (payload, ctype) if ctype else payload
         raise NeumannError(f"no route {method} {path}")
 
     def _graph_svg(self, max_nodes: int = 60) -> str:
@@ -295,10 +310,18 @@ graph: <code>{r.graph.node_count()}</code> nodes /
 <code>{prog['streak_days']}d</code></p>
 <p>{badges or 'no achievements yet — run a query'}</p>
 <h2>graph</h2>{self._graph_svg(40)}
+<p>admin: <a href="/relational" style="color:#7dd3fc">relational</a> ·
+<a href="/vector" style="color:#7dd3fc">vector</a> ·
+<a href="/graph" style="color:#7dd3fc">graph</a> ·
+<a href="/graph/algorithms" style="color:#7dd3fc">algorithms</a> ·
+<a href="/metrics/dashboard" style="color:#7dd3fc">metrics</a> ·
+<a href="/achievements/page" style="color:#7dd3fc">achievements</a></p>
 <p>JSON API: <a href="/health" style="color:#7dd3fc">/health</a> ·
 <a href="/metrics" style="color:#7dd3fc">/metrics</a> ·
 <a href="/collections" style="color:#7dd3fc">/collections</a> ·
 <a href="/achievements" style="color:#7dd3fc">/achievements</a> ·
+<a href="/api/metrics" style="color:#7dd3fc">/api/metrics</a> ·
+<a href="/api/graph/subgraph" style="color:#7dd3fc">subgraph</a> ·
 <a href="/graph/viz" style="color:#7dd3fc">/graph/viz</a></p>
 </body></html>"""
 
