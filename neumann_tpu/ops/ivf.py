@@ -897,12 +897,17 @@ class DeviceIVFInt8:
         sel = pool if fast else "approx"
         fused = "pallas" if fast else False
         pmode = "approx" if fast else "exact"
+        # fast path: the top-2-per-pool kernel + packed-bits presel
+        # keep only O(3k) candidates per query, so the rerank gather
+        # is tiny and needs no pool expansion (ops/ivf._batched_core
+        # presel docstring)
+        presel_n = min(max(3 * k + 2, 32), nprobe * 256) if fast else 0
         while True:
             sc, pos, overflow = batched_ivf_topk(
                 self._buf, self._rmult, self.centroids, self._starts,
                 qd, nprobe, self._window, m, q_cap, group=group,
                 valid_q=valid, selection=sel, fused=fused,
-                probe_mode=pmode)
+                probe_mode=pmode, presel=presel_n)
             if int(overflow) == 0 or q_cap >= q_pad:
                 break  # q_cap == q_pad can never overflow (probes
                 # within one query are distinct clusters)
@@ -912,19 +917,13 @@ class DeviceIVFInt8:
         # list to O(8k) by first-pass score before gathering (the bf16
         # first pass orders well past rank 8k; exact rerank restores
         # f32 ordering). +16 covers window-overlap duplicates. The
-        # pooled fast path pre-selects fewer (each survivor expands to
-        # its whole `pool`-row strided pool before rescoring, so the
-        # gather is presel*pool rows/query — measured recall-neutral
-        # past ~3k survivors).
-        cand = (min(max(3 * k + 2, 32), pos.shape[1]) if fast
-                else min(8 * k + 16, pos.shape[1]))
+        # fast path's candidates are already the presel survivors.
+        cand = None if fast else min(8 * k + 16, pos.shape[1])
         sc, pos = gather_rerank_topk_chunked(
             self._buf, pos, qd, k, "cosine", scale=self._scale,
             residual_q=self._rbuf, residual_scale=self._rscale,
-            first_scores=sc, dedup=not self._fixed and not fast,
-            chunk=chunk, pre_select=cand, expand_pool=pool if fast
-            else 1, expand_window=self._window if fast else 0,
-            valid_rows=self._rmult if fast else None)
+            first_scores=sc, dedup=not self._fixed,
+            chunk=chunk, pre_select=cand)
         sc = np.asarray(sc)[:nq]
         pos = np.asarray(pos)[:nq]
         ids = np.where(pos >= 0,
@@ -1041,7 +1040,8 @@ def windowed_ivf_topk(buf, rmult, cents, starts, qs, k: int,
 @functools.lru_cache(maxsize=None)
 def _batched_core(m: int, nprobe: int, window: int, q_cap: int,
                   group: int, selection="approx", stream: bool = False,
-                  fused: bool = False, probe_mode: str = "exact"):
+                  fused: bool = False, probe_mode: str = "exact",
+                  presel: int = 0):
     """selection: "approx" = lax.approx_max_k of m per (query, window);
     an int p = POOLED-BITS — one max per p-row pool with the within-
     pool index packed into the low mantissa bits (the brute scan's
@@ -1067,7 +1067,18 @@ def _batched_core(m: int, nprobe: int, window: int, q_cap: int,
     ~3% of MXU peak at 10M (100 µs/step against ~6 µs of MACs); one
     batched op lets XLA tile and pipeline the whole pass. Requires a
     fixed-window layout and pooled-bits selection (an unpooled fused
-    pass would materialize the [C, q_cap, window] score tensor)."""
+    pass would materialize the [C, q_cap, window] score tensor).
+
+    presel (pallas-fused only): run the kernel in TOP-2-per-pool mode
+    and pre-select the `presel` best candidates per query DIRECTLY on
+    the packed winner bits (the bit pattern is score-monotone for
+    live rows, so approx_max_k needs no decode), then decode only the
+    survivors. Returns [Q, presel] instead of [Q, nprobe*m_eff].
+    Top-2 makes pooled selection exact under <= 2-way pool collisions
+    without the pool-expansion rerank gather (pool x survivor rows);
+    >= 3 true top-k rows in one 16-row strided pool of a 2048-row
+    window is measurement noise at recall@10. Skips materializing
+    the [Q, nprobe, 128] score/position planes entirely."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -1083,6 +1094,9 @@ def _batched_core(m: int, nprobe: int, window: int, q_cap: int,
         raise ValueError(
             f"pallas fused core uses 128 strided pools of window/128 "
             f"rows: selection must be {window // 128}, got {pool}")
+    if presel and fused != "pallas":
+        raise ValueError("packed-bits presel requires the pallas "
+                         "fused core")
 
     @jax.jit
     def run(buf, rmult, cents, starts, qs, valid_q):
@@ -1094,8 +1108,39 @@ def _batched_core(m: int, nprobe: int, window: int, q_cap: int,
         # probe selection: approx_max_k is ~5x cheaper than the full
         # per-row sort at C~5K (measured 2.35 -> 0.46 ms at Q=1024)
         # and only perturbs WHICH windows are read — recall is gated
-        # end-to-end, so throughput callers opt in via probe_mode
-        if probe_mode == "approx":
+        # end-to-end, so throughput callers opt in via probe_mode.
+        # "pool": one winner per strided pool of the score row — a
+        # single VPU max pass (no sort at all; approx_max_k measured
+        # 13 ms at Q=4096 x C=4883, almost all in its final
+        # aggregate-to-topk sort). Pool winners are a perturbed
+        # top-nprobe: the best windows always win their pools; only
+        # same-pool ties among near-rank-nprobe windows differ.
+        if probe_mode == "pool" and C > nprobe:
+            sc_c = lax.dot_general(
+                qn.astype(jnp.bfloat16), cents.astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            cp2 = -(-C // nprobe) * nprobe
+            ppool = cp2 // nprobe
+            lowb = max(1, (ppool - 1).bit_length())
+            sp = jnp.pad(sc_c, ((0, 0), (0, cp2 - C)),
+                         constant_values=-jnp.inf) + 2.0
+            # scores land in [1, 3) like the window kernel's packing
+            # (clip absorbs bf16 rounding past the cosine bounds);
+            # padding clusters drop below any valid pattern
+            sp = jnp.where(jnp.isfinite(sp),
+                           jnp.clip(sp, 1.0, 2.9999998), 0.0)
+            s3 = sp.reshape(Q, ppool, nprobe)
+            pi = lax.broadcasted_iota(jnp.int32, s3.shape, 1)
+            bits = (lax.bitcast_convert_type(s3, jnp.int32)
+                    & ~((1 << lowb) - 1)) | pi
+            wb_p = jnp.max(bits, axis=1)            # [Q, nprobe]
+            lane = lax.broadcasted_iota(jnp.int32, wb_p.shape, 1)
+            probe = (wb_p & ((1 << lowb) - 1)) * nprobe + lane
+            # dead pools (all padding) decode below 1.0 -> send to the
+            # sentinel cluster so their table writes drop
+            probe = jnp.where(wb_p < 0x3F800000, C, probe)
+        elif probe_mode == "approx":
             _, probe = lax.approx_max_k(qn @ cents.T, nprobe)
             probe = probe.astype(jnp.int32)
         else:
@@ -1112,8 +1157,30 @@ def _batched_core(m: int, nprobe: int, window: int, q_cap: int,
         # query probes are DISTINCT clusters, so no intra-row term.
         iota_c = jnp.arange(C, dtype=jnp.int32)
         onehot = probe[:, :, None] == iota_c[None, None, :]
-        hist = jnp.sum(onehot, axis=1).astype(jnp.int32)     # [Q, C]
-        csum = jnp.cumsum(hist, axis=0) - hist               # exclusive
+        qb = 256
+        if Q % qb == 0 and Q > qb:
+            # exclusive scan over the query axis as a block-triangular
+            # MXU matmul: jnp.cumsum lowers to a log-depth associative
+            # scan (12 passes over the [Q, C] plane - measured ~14 ms
+            # at Q=4096) while strict-tril [qb, qb] x [qb, C] per
+            # block + a tiny cross-block cumsum is ~10 GFLOP of
+            # matmul. Counts are small integers, so HIGHEST (bf16x3)
+            # reproduces exact f32 arithmetic.
+            hist = jnp.sum(onehot, axis=1, dtype=jnp.float32)
+            nb = Q // qb
+            h3 = hist.reshape(nb, qb, C)
+            tril = jnp.tril(jnp.ones((qb, qb), jnp.float32), k=-1)
+            within = jnp.einsum(
+                "ij,bjc->bic", tril, h3,
+                precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            bsum = jnp.sum(h3, axis=1)                      # [nb, C]
+            offs = jnp.cumsum(bsum, axis=0) - bsum          # exclusive
+            csum = (within + offs[:, None, :]).reshape(Q, C
+                                                       ).astype(jnp.int32)
+        else:
+            hist = jnp.sum(onehot, axis=1).astype(jnp.int32)  # [Q, C]
+            csum = jnp.cumsum(hist, axis=0) - hist            # exclusive
         rank = jnp.take_along_axis(
             csum, jnp.minimum(probe, C - 1), axis=1).astype(jnp.int32)
         fq2 = jnp.broadcast_to(
@@ -1215,7 +1282,8 @@ def _batched_core(m: int, nprobe: int, window: int, q_cap: int,
 
                 rm2 = rmult[:nw].reshape(C, window)
                 wb = batched_probe_pallas(buf[:nw], rm2, qsel,
-                                          sc_slot, window)
+                                          sc_slot, window,
+                                          top2=bool(presel))
                 # DEFERRED decode: gather only the (probe, rank) slots
                 # each query owns, then decode that [Q, nprobe, 128]
                 # view — decoding the full [C, q_cap, 128] table first
@@ -1223,6 +1291,52 @@ def _batched_core(m: int, nprobe: int, window: int, q_cap: int,
                 ok = (probe < C) & (rank_of < q_cap)
                 cg_ = jnp.minimum(probe, C - 1)
                 rk_ = jnp.minimum(rank_of, q_cap - 1)
+                if presel:
+                    # packed-bits preselect: live bits are
+                    # bitcast(score+2 in [1,3)) | pool-index — as ints
+                    # they compare exactly like scores (dead rows and
+                    # masked slots stay below 1.0), so the top-presel
+                    # cut runs on the RAW kernel output and only the
+                    # survivors pay decode + position arithmetic.
+                    # approx_max_k over the [Q, nprobe*256] plane
+                    # measured ~25 ms at Q=4096 — instead steal
+                    # log2(nprobe) more mantissa bits for the probe
+                    # slot and reduce the probe axis with a streaming
+                    # top-2 (entries of one lane-pool differ in their
+                    # probe bits, so an equality mask isolates the
+                    # runner-up exactly); the kernel's own top-1/top-2
+                    # of a window land in different lane-pools, so
+                    # nothing re-collides. Survivors: 2 per lane-pool
+                    # -> one tiny exact top_k over [Q, 512].
+                    lanes = wb.shape[-1]        # 256: top-2 kernel
+                    wbg = jnp.where(ok[:, :, None], wb[cg_, rk_], 0)
+                    kb = (pool - 1).bit_length()
+                    mb = max(1, (nprobe - 1).bit_length())
+                    pr_iota = lax.broadcasted_iota(
+                        jnp.int32, wbg.shape, 1)
+                    bits2 = ((wbg & ~((1 << (mb + kb)) - 1))
+                             | (pr_iota << kb) | (wbg & (pool - 1)))
+                    m1 = jnp.max(bits2, axis=1)            # [Q, 256]
+                    m2 = jnp.max(jnp.where(
+                        bits2 == m1[:, None, :], 0, bits2), axis=1)
+                    cand = jnp.concatenate([m1, m2], axis=1)
+                    fv = lax.bitcast_convert_type(cand, jnp.float32)
+                    sv, si = lax.top_k(fv, presel)
+                    bits = lax.bitcast_convert_type(sv, jnp.int32)
+                    deadb = bits < 0x3F800000
+                    g_s = jnp.where(
+                        deadb, -jnp.inf,
+                        lax.bitcast_convert_type(
+                            bits & ~((1 << (mb + kb)) - 1),
+                            jnp.float32) - 2.0)
+                    local = bits & (pool - 1)
+                    pr = (bits >> kb) & ((1 << mb) - 1)
+                    lane = (si % lanes) % 128
+                    win = jnp.take_along_axis(cg_, pr, axis=1)
+                    g_p = jnp.where(
+                        deadb, -1,
+                        starts[win] + local * 128 + lane)
+                    return g_s, g_p.astype(jnp.int32), overflow
                 wbg = wb[cg_, rk_]              # [Q, nprobe, 128]
                 g_s, g_pos = decode_strided_pool_bits(wbg, window)
                 base = starts[cg_][:, :, None]
@@ -1315,7 +1429,7 @@ def batched_ivf_topk(buf, rmult, cents, starts, qs, nprobe: int,
                      window: int, m: int, q_cap: int, group: int = 8,
                      valid_q=None, selection="approx",
                      stream: bool = False, fused: bool = False,
-                     probe_mode: str = "exact"):
+                     probe_mode: str = "exact", presel: int = 0):
     """Probe-sharing batched IVF candidate pass (see block comment).
 
     buf/rmult/cents/starts: the DeviceIVFInt8 windowed layout.
@@ -1332,5 +1446,5 @@ def batched_ivf_topk(buf, rmult, cents, starts, qs, nprobe: int,
     if valid_q is None:
         valid_q = jnp.ones(qs.shape[0], bool)
     return _batched_core(m, nprobe, window, q_cap, group, selection,
-                         stream, fused, probe_mode)(
+                         stream, fused, probe_mode, presel)(
         buf, rmult, cents, starts, qs, valid_q)

@@ -326,13 +326,14 @@ def ivf_windowed_topk_pallas(buf, rmult, cents, starts, queries,
 # dead row — below any valid pattern).
 
 
-def _batched_probe_kernel(pool: int):
+def _batched_probe_kernel(pool: int, top2: bool = False):
     mask = ~(pool - 1)
 
     def kernel(qsel_ref, buf_ref, mult_ref, rm_ref, out_ref):
         """qsel [1, q_cap, d] i8, buf [window, d] i8, mult
         [1, 1, q_cap] f32, rm [1, 1, window] f32 -> out
-        [1, q_cap, 128] i32. (mult/rm ride as 3D blocks whose last two
+        [1, q_cap, 128] i32 (top2: [1, q_cap, 256] — second-best per
+        pool in lanes 128:). (mult/rm ride as 3D blocks whose last two
         dims equal the array dims — Mosaic's block-shape rule.)"""
         dots = lax.dot_general(
             qsel_ref[0], buf_ref[:],
@@ -344,18 +345,35 @@ def _batched_probe_kernel(pool: int):
         s = jnp.where(rm > 0, s, 0.0)
         q_cap = s.shape[0]
         wb = jnp.zeros((q_cap, 128), jnp.int32)
+        if not top2:
+            for a in range(pool):                   # static unroll
+                chunk = s[:, a * 128:(a + 1) * 128]
+                bits = (lax.bitcast_convert_type(chunk, jnp.int32)
+                        & mask) | a
+                wb = jnp.maximum(wb, bits)
+            out_ref[0] = wb
+            return
+        # streaming top-2 per pool: nm1 = max(m1, x), nm2 =
+        # max(m2, min(m1, x)). Two winners per pool make pooled
+        # selection exact under <= 2-way collisions WITHOUT the
+        # pool-expansion rerank gather (expansion reads pool x the
+        # survivor rows; two extra VPU maxes here are free next to
+        # the MXU matmul).
+        wb2 = jnp.zeros((q_cap, 128), jnp.int32)
         for a in range(pool):                       # static unroll
             chunk = s[:, a * 128:(a + 1) * 128]
             bits = (lax.bitcast_convert_type(chunk, jnp.int32)
                     & mask) | a
+            wb2 = jnp.maximum(wb2, jnp.minimum(wb, bits))
             wb = jnp.maximum(wb, bits)
-        out_ref[0] = wb
+        out_ref[0] = jnp.concatenate([wb, wb2], axis=1)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("window",))
-def batched_probe_pallas(buf, rmult2d, qsel, scmult, window: int):
+@functools.partial(jax.jit, static_argnames=("window", "top2"))
+def batched_probe_pallas(buf, rmult2d, qsel, scmult, window: int,
+                         top2: bool = False):
     """Fused batched-IVF first pass over ALL windows.
 
     buf     [C*window, d] int8 fixed-window corpus (row count must be
@@ -366,14 +384,17 @@ def batched_probe_pallas(buf, rmult2d, qsel, scmult, window: int):
     scmult  [C, q_cap] f32 per-slot query scales (0 = empty slot).
     Returns packed winner bits [C, q_cap, 128] int32: 128 strided
     pools of `window//128` rows each; decode with
-    decode_strided_pool_bits.
+    decode_strided_pool_bits. top2=True: [C, q_cap, 256] with each
+    pool's SECOND-best winner in lanes 128: (position decode is
+    lane % 128).
     """
     C, q_cap, d = qsel.shape
     pool = window // 128
+    lanes = 256 if top2 else 128
     assert C * window == buf.shape[0]
     return pl.pallas_call(
-        _batched_probe_kernel(pool),
-        out_shape=jax.ShapeDtypeStruct((C, q_cap, 128), jnp.int32),
+        _batched_probe_kernel(pool, top2),
+        out_shape=jax.ShapeDtypeStruct((C, q_cap, lanes), jnp.int32),
         grid=(C,),
         in_specs=[
             pl.BlockSpec((1, q_cap, d), lambda c: (c, 0, 0),
@@ -385,7 +406,7 @@ def batched_probe_pallas(buf, rmult2d, qsel, scmult, window: int):
             pl.BlockSpec((1, 1, window), lambda c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, q_cap, 128), lambda c: (c, 0, 0),
+        out_specs=pl.BlockSpec((1, q_cap, lanes), lambda c: (c, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=not _on_tpu(),
     )(qsel, buf, scmult[:, None, :], rmult2d[:, None, :])
@@ -393,13 +414,15 @@ def batched_probe_pallas(buf, rmult2d, qsel, scmult, window: int):
 
 def decode_strided_pool_bits(wb, window: int):
     """(scores f32, within-window positions i32, -1 = dead) from the
-    packed strided-pool winner bits (last axis = 128 pools)."""
+    packed strided-pool winner bits (last axis = 128 pools, or 256
+    for top-2 kernels — lanes 128: are the per-pool runners-up, so
+    the lane index wraps mod 128)."""
     pool = window // 128
     dead = wb < 0x3F800000                  # below bitcast(1.0)
     scores = jnp.where(
         dead, -jnp.inf,
         lax.bitcast_convert_type(wb & ~(pool - 1), jnp.float32) - 2.0)
     local = wb & (pool - 1)
-    lane = lax.broadcasted_iota(jnp.int32, wb.shape, wb.ndim - 1)
+    lane = lax.broadcasted_iota(jnp.int32, wb.shape, wb.ndim - 1) % 128
     pos = jnp.where(dead, -1, local * 128 + lane)
     return scores, pos

@@ -78,6 +78,7 @@ def main():
     probe_mode = arg("probe", "exact", str)
     expand = bool(arg("expand", 1))
     pre_sel = arg("presel", 8 * k + 16)
+    core_presel = arg("presel2", 0)     # packed-bits top-2 presel
     sigma = 0.25
     n_pad = -(-n // window) * window
 
@@ -133,10 +134,10 @@ def main():
     _log(f"mode={mode} Q={Q} nprobe={nprobe} window={window} C={C} "
          f"q_cap={q_cap} m={m} group={group} stream={stream} "
          f"sel={selection} fused={fused} expand={expand} "
-         f"probe={probe_mode}")
+         f"probe={probe_mode} presel2={core_presel}")
 
     core = _batched_core(m, nprobe, window, q_cap, group, selection,
-                         stream, fused, probe_mode)
+                         stream, fused, probe_mode, core_presel)
     pool = selection if isinstance(selection, int) else 1
     xp = pool if (pool > 1 and expand) else 1
 
@@ -283,12 +284,17 @@ def main():
             def body(i, carry):
                 cur, acc = carry
                 sc, pos, _ = core(buf, rm, cents, st, cur, validq)
-                s, p = gather_rerank_topk_chunked(
-                    buf, pos, cur, k, "cosine", first_scores=sc,
-                    dedup=(pool == 1), chunk=min(128, Q),
-                    pre_select=pre_sel, expand_pool=xp,
-                    expand_window=(window if fused == "pallas"
-                                   else 0))
+                if core_presel:
+                    s, p = gather_rerank_topk_chunked(
+                        buf, pos, cur, k, "cosine", first_scores=sc,
+                        dedup=False, chunk=min(128, Q))
+                else:
+                    s, p = gather_rerank_topk_chunked(
+                        buf, pos, cur, k, "cosine", first_scores=sc,
+                        dedup=(pool == 1), chunk=min(128, Q),
+                        pre_select=pre_sel, expand_pool=xp,
+                        expand_window=(window if fused == "pallas"
+                                       else 0))
                 cur = cur + 1e-30 * (
                     s[0, 0] + p[0, 0].astype(jnp.float32) * 1e-6)
                 return cur, acc + s[0, 0]
@@ -329,11 +335,17 @@ def main():
             corpus_q, rmult, queries[:nq], k, block_rows=256 * 1024)
         sc, pos, ovf = core(corpus_q, rmult, cents_n, starts_dev,
                             queries, validq)
-        _, p = gather_rerank_topk_chunked(
-            corpus_q, pos, queries, k, "cosine", first_scores=sc,
-            dedup=(pool == 1), chunk=min(128, Q), pre_select=pre_sel,
-            expand_pool=xp,
-            expand_window=(window if fused == "pallas" else 0))
+        if core_presel:
+            _, p = gather_rerank_topk_chunked(
+                corpus_q, pos, queries, k, "cosine", first_scores=sc,
+                dedup=False, chunk=min(128, Q))
+        else:
+            _, p = gather_rerank_topk_chunked(
+                corpus_q, pos, queries, k, "cosine", first_scores=sc,
+                dedup=(pool == 1), chunk=min(128, Q),
+                pre_select=pre_sel,
+                expand_pool=xp,
+                expand_window=(window if fused == "pallas" else 0))
         oi = np.asarray(oi)
         p = np.asarray(p)[:nq]
         rec = float(np.mean([

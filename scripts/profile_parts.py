@@ -187,6 +187,67 @@ def main():
 
         emit("invert_hist", timed(invert_hist, probe0))
 
+        @jax.jit
+        def invert_scatter(probe, reps):
+            """hist built by scatter-add of the Q*nprobe probes, rank
+            read back by take_along_axis — O(Q*C) bytes instead of the
+            one-hot's O(Q*nprobe*C) compares."""
+            def body(i, carry):
+                pr, acc = carry
+                fq2 = jnp.broadcast_to(
+                    jnp.arange(Q, dtype=jnp.int32)[:, None],
+                    (Q, nprobe))
+                hist = jnp.zeros((Q, C), jnp.int32).at[
+                    fq2.reshape(-1), pr.reshape(-1)].add(
+                    1, mode="drop")
+                csum = jnp.cumsum(hist, axis=0) - hist
+                rank = jnp.take_along_axis(
+                    csum, jnp.minimum(pr, C - 1), axis=1)
+                tbl_q = jnp.full((C, q_cap), -1, jnp.int32
+                                 ).at[pr.reshape(-1),
+                                      jnp.where(rank < q_cap, rank,
+                                                q_cap).reshape(-1)
+                                      ].set(fq2.reshape(-1),
+                                            mode="drop")
+                rank_of = jnp.where(rank < q_cap, rank, q_cap)
+                v = tbl_q[0, 0] + rank_of[0, 0]
+                pr = (pr + v) % C
+                return pr, acc + v
+            _, acc = lax.fori_loop(0, reps, body, (probe, 0))
+            return acc
+
+        emit("invert_scatter", timed(invert_scatter, probe0))
+
+        @jax.jit
+        def invert_hist_take(probe, reps):
+            """The committed variant: one-hot hist + cumsum, rank via
+            take_along_axis (not a second one-hot sum)."""
+            def body(i, carry):
+                pr, acc = carry
+                iota_c = jnp.arange(C, dtype=jnp.int32)
+                onehot = (pr[:, :, None] == iota_c[None, None, :])
+                hist = jnp.sum(onehot, axis=1, dtype=jnp.int32)
+                csum = jnp.cumsum(hist, axis=0) - hist
+                rank = jnp.take_along_axis(
+                    csum, jnp.minimum(pr, C - 1), axis=1)
+                fq2 = jnp.broadcast_to(
+                    jnp.arange(Q, dtype=jnp.int32)[:, None],
+                    (Q, nprobe))
+                tbl_q = jnp.full((C, q_cap), -1, jnp.int32
+                                 ).at[pr.reshape(-1),
+                                      jnp.where(rank < q_cap, rank,
+                                                q_cap).reshape(-1)
+                                      ].set(fq2.reshape(-1),
+                                            mode="drop")
+                rank_of = jnp.where(rank < q_cap, rank, q_cap)
+                v = tbl_q[0, 0] + rank_of[0, 0]
+                pr = (pr + v) % C
+                return pr, acc + v
+            _, acc = lax.fori_loop(0, reps, body, (probe, 0))
+            return acc
+
+        emit("invert_hist_take", timed(invert_hist_take, probe0))
+
     # ---- one-hot qsel build ------------------------------------------
     from neumann_tpu.ops.quant import scalar_quantize
 
