@@ -374,14 +374,14 @@ def main():
     # probe-sharing pass reads each cluster window once per batch and
     # scores only the queries that probed it — Q x nprobe x window MACs
     # — then reranks exactly. On TPU it rides the VMEM-fused Pallas
-    # kernel (ops/pallas_kernels.batched_probe_pallas): pooled-bits
-    # selection inside the window matmul, approx probe top-k, deferred
-    # decode, pool-expanded exact rerank — the r4 profile sweep
-    # (scripts/profile_batched_ivf.py) measured 43.3K QPS @ recall@10
-    # 0.9953 at Q=4096/nprobe=128/presel=16 vs 19.4K brute.
+    # kernel (ops/pallas_kernels.batched_probe_pallas): top-2-per-pool
+    # selection inside the window matmul, pool-winner probe selection,
+    # packed-bits presel, MXU block-scan rank tables — the r4 profile
+    # sweeps (scripts/profile_batched_ivf.py) measured 68.2K QPS @
+    # recall@10 0.9953 at Q=4096/nprobe=128/presel=32 vs 19.4K brute.
     bq = 4096 if on_tpu else 64
     b_nprobe = 128 if on_tpu else 8
-    b_presel = 16 if on_tpu else 8 * k + 16
+    b_presel = 32 if on_tpu else 0
     pool_b = window // 128 if on_tpu else 1
     ivf_qps = 0.0
     ivf_batch_recall = None
@@ -397,21 +397,28 @@ def main():
             kqb2, (bq, d), jnp.float32)
         m_b = k + 6
         expect = -(-bq * b_nprobe // cents_n.shape[0])
-        q_cap = 1 << (max(32, 2 * expect) - 1).bit_length()
+        # kernel MACs scale with q_cap: round 1.8x the uniform
+        # expectation up to a 64-multiple instead of a power of two
+        # (256 -> 192 at the 10M shape: 71.0K -> 79.2K QPS, zero
+        # overflow on the clustered query mix)
+        q_cap = max(64, -(-(expect * 9 // 5) // 64) * 64)
         if on_tpu:
             core_b = _batched_core(m_b, b_nprobe, window, q_cap, 8,
                                    selection=pool_b, fused="pallas",
-                                   probe_mode="approx")
+                                   probe_mode="pool", presel=b_presel)
         else:
             core_b = _batched_core(m_b, b_nprobe, window, q_cap, 8)
+
         validq = jnp.ones(bq, bool)
 
         def rerank_b(buf, posb, cur, sc):
+            if on_tpu:      # candidates are already presel survivors
+                return gather_rerank_topk_chunked(
+                    buf, posb, cur, k, "cosine", first_scores=sc,
+                    dedup=False, chunk=128)
             return gather_rerank_topk_chunked(
                 buf, posb, cur, k, "cosine", first_scores=sc,
-                dedup=not on_tpu, chunk=128, pre_select=b_presel,
-                expand_pool=pool_b,
-                expand_window=window if on_tpu else 0)
+                dedup=True, chunk=128, pre_select=8 * k + 16)
 
         @jax.jit
         def ivf_batched_chain(buf, rm, cents, st, qs, reps):

@@ -890,13 +890,20 @@ class DeviceIVFInt8:
         if m is None:
             m = min(k + 6, self._window)
         if q_cap is None:
+            # kernel MACs scale with q_cap; 3x the uniform expectation
+            # rounded to a 64-multiple absorbs realistic query skew
+            # (the overflow loop below doubles on the rest) without
+            # the up-to-8x padding a power-of-two round-up costs
             expect = -(-q_pad * nprobe // self.n_clusters)
-            q_cap = 1 << (max(16, 4 * expect) - 1).bit_length()
+            q_cap = max(64, -(-(3 * expect) // 64) * 64) \
+                if q_pad > 64 else \
+                (1 << (max(16, 4 * expect) - 1).bit_length())
         qd = jnp.asarray(q)
         pool = self._window // 128 if fast else 0
         sel = pool if fast else "approx"
         fused = "pallas" if fast else False
-        pmode = "approx" if fast else "exact"
+        pmode = ("pool" if nprobe < self.n_clusters else "exact") \
+            if fast else "exact"
         # fast path: the top-2-per-pool kernel + packed-bits presel
         # keep only O(3k) candidates per query, so the rerank gather
         # is tiny and needs no pool expansion (ops/ivf._batched_core
