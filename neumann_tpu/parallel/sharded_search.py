@@ -422,21 +422,26 @@ class ShardedIVFCorpus:
         self._fns[k] = fn
         return fn
 
-    def _batched_fn(self, k: int, q_cap: int):
+    def _batched_fn(self, k: int, q_cap: int, fast: bool = False):
         """Batched probe-sharing search per shard under shard_map: the
         single-chip throughput core (ops.ivf.batched_ivf_topk — each
         probed window read once per BATCH, scored only against the
         queries that probed it) runs shard-locally, an exact f32
         rerank cuts to k per shard, and one ICI all-gather merges.
+        fast: the VMEM-fused Pallas core (top-2-per-pool kernel +
+        packed-bits presel + pool-winner probes), shard-local like the
+        XLA core — Pallas composes with shard_map per device.
         Returns fn(corpus, rmult, cents, starts, queries) ->
         (scores [Q, k], global positions [Q, k], overflow [Q?]-sum)."""
-        key = ("batched", k, q_cap)
+        key = ("batched", k, q_cap, fast)
         fn = self._fns.get(key)
         if fn is not None:
             return fn
         axis, window, rows_s = self.axis, self.window, self.rows_s
         nprobe = min(self.nprobe, self.c_per)
         m = min(k + 6, window)
+        pool = window // 128
+        presel = min(max(3 * k + 2, 32), nprobe * 256) if fast else 0
 
         from neumann_tpu.ops.ivf import batched_ivf_topk
         from neumann_tpu.ops.rerank import gather_rerank_topk_chunked
@@ -447,15 +452,25 @@ class ShardedIVFCorpus:
             qn = queries / jnp.maximum(
                 jnp.linalg.norm(queries, axis=1, keepdims=True),
                 1e-30)
-            sc, pos, ovf = batched_ivf_topk(
-                buf, rm, cents, starts, qn, nprobe, window, m, q_cap)
+            if fast:
+                sc, pos, ovf = batched_ivf_topk(
+                    buf, rm, cents, starts, qn, nprobe, window, m,
+                    q_cap, selection=pool, fused="pallas",
+                    probe_mode="pool" if nprobe < self.c_per
+                    else "exact", presel=presel)
+            else:
+                sc, pos, ovf = batched_ivf_topk(
+                    buf, rm, cents, starts, qn, nprobe, window, m,
+                    q_cap)
             # shard-local exact rerank (rm is scale/||x||, so the
             # row_mult fast path rescores exact f32 in one pass);
-            # disjoint fixed windows -> no dedup
+            # disjoint fixed windows -> no dedup. The fast core's
+            # candidates are already its presel survivors.
             s_k, pos_k = gather_rerank_topk_chunked(
                 buf, pos, qn, k, "cosine", first_scores=sc,
                 dedup=False, chunk=min(128, qn.shape[0]),
-                pre_select=min(8 * k + 16, pos.shape[1]),
+                pre_select=None if fast
+                else min(8 * k + 16, pos.shape[1]),
                 row_mult=rm)
             shard_idx = lax.axis_index(axis)
             gpos = jnp.where(jnp.isneginf(s_k), -1,
@@ -474,7 +489,8 @@ class ShardedIVFCorpus:
         self._fns[key] = fn
         return fn
 
-    def search_batched(self, queries: np.ndarray, k: int
+    def search_batched(self, queries: np.ndarray, k: int,
+                       fast: Optional[bool] = None
                        ) -> Tuple[np.ndarray, np.ndarray]:
         """Throughput search over the mesh: batched probe-sharing per
         shard + exact shard rerank + all-gather merge. Same results
@@ -490,11 +506,21 @@ class ShardedIVFCorpus:
         qp = np.zeros((q_pad, self.dim_pad), np.float32)
         qp[:nq, : self.dim] = q[:, : self.dim]
         nprobe = min(self.nprobe, self.c_per)
+        if fast is None:
+            # the Pallas core is interpret-mode (slow, correct) off
+            # TPU — default it on real chips only
+            import jax as _jax
+
+            pool_a = self.window // 128
+            fast = (_jax.devices()[0].platform == "tpu"
+                    and self.window % 128 == 0 and pool_a >= 2
+                    and (pool_a & (pool_a - 1)) == 0)
         expect = -(-q_pad * nprobe // max(1, self.c_per))
-        q_cap = 1 << (max(16, 4 * expect) - 1).bit_length()
+        q_cap = (max(64, -(-(3 * expect) // 64) * 64) if q_pad > 64
+                 else (1 << (max(16, 4 * expect) - 1).bit_length()))
         qd = jnp.asarray(qp)
         while True:
-            s, gpos, ovf = self._batched_fn(k, q_cap)(
+            s, gpos, ovf = self._batched_fn(k, q_cap, fast)(
                 self.corpus, self.rmult, self.cents, self.starts, qd)
             if int(np.asarray(ovf)[0]) == 0 or q_cap >= q_pad:
                 break

@@ -187,6 +187,15 @@ def test_sharded_ivf_batched_parity(rng):
         len(set(ib[i].tolist()) & set(want[i].tolist())) / 10
         for i in range(24)])
     assert rec >= 0.85, rec
+    # the fused-Pallas fast core under shard_map (interpret mode on
+    # the CPU mesh) returns the same top-10 as the XLA core
+    sf, if_ = corpus.search_batched(queries, 10, fast=True)
+    assert (if_[:, 0] == rows).all()
+    samef = np.mean([
+        len(set(if_[i].tolist()) & set(ib[i].tolist())) / 10
+        for i in range(24)])
+    assert samef >= 0.9, samef
+    np.testing.assert_allclose(sf[:, 0], sb[:, 0], atol=1e-5)
 
 
 # ---------------------------------------------------------------------------
