@@ -377,9 +377,11 @@ def main():
     # kernel (ops/pallas_kernels.batched_probe_pallas): top-2-per-pool
     # selection inside the window matmul, pool-winner probe selection,
     # packed-bits presel, MXU block-scan rank tables — the r4 profile
-    # sweeps (scripts/profile_batched_ivf.py) measured 68.2K QPS @
-    # recall@10 0.9953 at Q=4096/nprobe=128/presel=32 vs 19.4K brute.
-    bq = 4096 if on_tpu else 64
+    # sweeps (scripts/profile_batched_ivf.py) measured 86.2K QPS @
+    # recall@10 0.9953 at Q=8192/nprobe=128/presel=32 vs 19.4K brute
+    # (the per-batch corpus read amortizes with Q; per-query MACs are
+    # q_cap-bound and flat).
+    bq = 8192 if on_tpu else 64
     b_nprobe = 128 if on_tpu else 8
     b_presel = 32 if on_tpu else 0
     pool_b = window // 128 if on_tpu else 1
@@ -397,11 +399,11 @@ def main():
             kqb2, (bq, d), jnp.float32)
         m_b = k + 6
         expect = -(-bq * b_nprobe // cents_n.shape[0])
-        # kernel MACs scale with q_cap: round 1.8x the uniform
-        # expectation up to a 64-multiple instead of a power of two
-        # (256 -> 192 at the 10M shape: 71.0K -> 79.2K QPS, zero
-        # overflow on the clustered query mix)
-        q_cap = max(64, -(-(expect * 9 // 5) // 64) * 64)
+        # kernel MACs scale with q_cap: size to ~1.8x the uniform
+        # expectation on a 64-multiple instead of a power of two
+        # (256 -> 192 at Q=4096: 71.0K -> 79.2K QPS, zero overflow on
+        # the clustered query mix; Q=8192 measured clean at 384)
+        q_cap = max(64, (expect * 9 // 5) // 64 * 64)
         if on_tpu:
             core_b = _batched_core(m_b, b_nprobe, window, q_cap, 8,
                                    selection=pool_b, fused="pallas",
