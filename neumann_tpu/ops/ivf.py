@@ -875,8 +875,12 @@ class DeviceIVFInt8:
             raise ValueError("build() first")
         if fast is None:
             pool_a = self._window // 128
+            # k cap: the packed-bits presel yields at most 512 distinct
+            # candidates/query (top-2 over 256 lane-pools) — plenty for
+            # serving k's, not for bulk exports
             fast = (self._fixed and self._window % 128 == 0
-                    and pool_a >= 2 and (pool_a & (pool_a - 1)) == 0)
+                    and pool_a >= 2 and (pool_a & (pool_a - 1)) == 0
+                    and k <= 128)
         nprobe = min(nprobe or self.nprobe, self.n_clusters)
         q = np.asarray(queries, np.float32)
         if q.ndim == 1:
@@ -1328,7 +1332,7 @@ def _batched_core(m: int, nprobe: int, window: int, q_cap: int,
                         bits2 == m1[:, None, :], 0, bits2), axis=1)
                     cand = jnp.concatenate([m1, m2], axis=1)
                     fv = lax.bitcast_convert_type(cand, jnp.float32)
-                    sv, si = lax.top_k(fv, presel)
+                    sv, si = lax.top_k(fv, min(presel, 2 * lanes))
                     bits = lax.bitcast_convert_type(sv, jnp.int32)
                     deadb = bits < 0x3F800000
                     g_s = jnp.where(

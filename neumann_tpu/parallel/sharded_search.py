@@ -514,7 +514,7 @@ class ShardedIVFCorpus:
             pool_a = self.window // 128
             fast = (_jax.devices()[0].platform == "tpu"
                     and self.window % 128 == 0 and pool_a >= 2
-                    and (pool_a & (pool_a - 1)) == 0)
+                    and (pool_a & (pool_a - 1)) == 0 and k <= 128)
         expect = -(-q_pad * nprobe // max(1, self.c_per))
         q_cap = (max(64, -(-(3 * expect) // 64) * 64) if q_pad > 64
                  else (1 << (max(16, 4 * expect) - 1).bit_length()))
