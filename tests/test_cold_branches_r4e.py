@@ -1,0 +1,106 @@
+"""Cold-branch coverage, part 5: non-cosine int8 scan metrics, masked
+scans, quantize round-trips, IVF device-index constructors."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def small_corpus(rng):
+    import jax.numpy as jnp
+
+    from neumann_tpu.ops.quant import scalar_quantize
+
+    v = rng.standard_normal((512, 32)).astype(np.float32)
+    cq, sc = scalar_quantize(jnp.asarray(v))
+    return v, cq, sc
+
+
+def _oracle(v, q, metric, k):
+    if metric == "cosine":
+        vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+        qn = q / np.linalg.norm(q)
+        s = vn @ qn
+    elif metric == "dot":
+        s = v @ q
+    else:  # euclidean: higher = closer (negated distance)
+        s = -np.linalg.norm(v - q[None, :], axis=1)
+    return np.argsort(-s)[:k]
+
+
+@pytest.mark.parametrize("metric", ["dot", "euclidean"])
+def test_int8_topk_scan_non_cosine_metrics(small_corpus, rng, metric):
+    import jax.numpy as jnp
+
+    from neumann_tpu.ops.quant import int8_topk_scan
+
+    v, cq, sc = small_corpus
+    q = v[7] + 0.01 * rng.standard_normal(32).astype(np.float32)
+    s, ids = int8_topk_scan(cq, sc, jnp.asarray(q[None, :]), 5,
+                            metric=metric, block_rows=128)
+    got = np.asarray(ids)[0]
+    want = _oracle(v, q, metric, 8)
+    assert got[0] == want[0]
+    assert len(set(got.tolist()) & set(want.tolist())) >= 4
+
+
+def test_int8_topk_scan_masked_euclidean(small_corpus, rng):
+    import jax.numpy as jnp
+
+    from neumann_tpu.ops.quant import int8_topk_scan
+
+    v, cq, sc = small_corpus
+    q = v[7]
+    mask = np.ones(512, bool)
+    mask[7] = False                      # exclude the self-match
+    s, ids = int8_topk_scan(cq, sc, jnp.asarray(q[None, :]), 3,
+                            metric="euclidean",
+                            mask=jnp.asarray(mask), block_rows=128)
+    assert 7 not in np.asarray(ids)[0].tolist()
+    # everything masked -> sentinels
+    s2, ids2 = int8_topk_scan(cq, sc, jnp.asarray(q[None, :]), 3,
+                              metric="euclidean",
+                              mask=jnp.zeros(512, bool),
+                              block_rows=128)
+    assert (np.asarray(ids2)[0] == -1).all()
+
+
+def test_scalar_dequantize_roundtrip(small_corpus):
+    from neumann_tpu.ops.quant import scalar_dequantize
+
+    v, cq, sc = small_corpus
+    back = np.asarray(scalar_dequantize(cq, sc))
+    err = np.abs(back - v).max() / (np.abs(v).max() + 1e-9)
+    assert err < 0.01
+
+
+def test_device_ivf_from_device_layout(rng):
+    """from_device_layout (born-sorted corpora skip host staging)
+    searches identically to the index that produced the layout."""
+    import jax.numpy as jnp
+
+    from neumann_tpu.ops.ivf import DeviceIVFInt8
+    from neumann_tpu.ops.quant import scalar_quantize
+
+    v = rng.standard_normal((2048, 32)).astype(np.float32)
+    cq, sc = scalar_quantize(jnp.asarray(v))
+    ix = DeviceIVFInt8(32, n_clusters=8, nprobe=8, iters=4)
+    ix.build(np.asarray(cq), np.asarray(sc), sample_rows=1024,
+             fixed_window=256)
+    qs = v[rng.choice(2048, 8)]
+    s1, i1 = ix.search(qs, 5)
+
+    ix2 = DeviceIVFInt8.from_device_layout(
+        32, ix.centroids, ix._buf, ix._rmult, ix._starts,
+        ix._row_ids, ix._window, nprobe=8, scale=ix._scale,
+        residual=(ix._rbuf, ix._rscale) if ix._rbuf is not None
+        else None, fixed=True)
+    s2, i2 = ix2.search(qs, 5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                               atol=1e-5)
+    # the restored index keeps serving mutations: add + delete
+    ids = ix2.add(v[:4] + 0.5)
+    assert len(ids) == 4
+    assert ix2.delete(ids[:2]) == 2
+    assert ix2.n_live == 2048 + 2
