@@ -74,6 +74,41 @@ def test_scalar_dequantize_roundtrip(small_corpus):
     assert err < 0.01
 
 
+def test_graph_store_hooks_direct_puts():
+    """Graph engine materializes nodes/edges written DIRECTLY to the
+    store (replication replay path), ignores malformed keys, and
+    reindexes on overwrite."""
+    from neumann_tpu.engines.graph import GraphEngine
+    from neumann_tpu.store.tensor_store import TensorData, TensorStore
+
+    st = TensorStore()
+    g = GraphEngine(st)
+    st.put("node:abc", TensorData.with_values(x=1))   # malformed id
+    st.put("edge:xyz", TensorData.with_values(x=1))
+    assert g.node_count() == 0 and g.edge_count() == 0
+    st.put("node:5", TensorData.with_values(_label="P", name="ann"))
+    st.put("node:6", TensorData.with_values(_label="P", name="bo"))
+    st.put("edge:2", TensorData.with_values(
+        _src=5, _dst=6, _type="KNOWS", _directed=1))
+    assert g.node_count() == 2 and g.edge_count() == 1
+    assert g.get_node(5)["properties"]["name"] == "ann"
+    # overwrite reindexes: old property value no longer matches
+    st.put("node:5", TensorData.with_values(_label="P", name="zed"))
+    assert g.find_nodes_by_property("name", "ann") == []
+    assert g.find_nodes_by_property("name", "zed") == [5]
+    # edge overwrite detaches then reattaches
+    st.put("edge:2", TensorData.with_values(
+        _src=6, _dst=5, _type="KNOWS", _directed=1))
+    assert g.edge_count() == 1
+    assert g.get_edge(2)["src"] == 6
+    # deletes through the store, including malformed keys
+    st.delete("node:abc")
+    st.delete("edge:xyz")
+    st.delete("edge:2")
+    st.delete("node:5")
+    assert g.node_count() == 1 and g.edge_count() == 0
+
+
 def test_device_ivf_from_device_layout(rng):
     """from_device_layout (born-sorted corpora skip host staging)
     searches identically to the index that produced the layout."""
