@@ -74,6 +74,35 @@ def test_scalar_dequantize_roundtrip(small_corpus):
     assert err < 0.01
 
 
+def test_vault_secret_template_branches():
+    """Every template kind generates + JSON round-trips; unknown
+    kinds raise cleanly (scoped.py _generate/_template_*_json)."""
+    from neumann_tpu.utils.errors import VaultError
+    from neumann_tpu.vault.scoped import (
+        SecretTemplate,
+        _generate,
+        _template_from_json,
+        _template_to_json,
+    )
+
+    for tpl, prefix in ((SecretTemplate.password(), None),
+                        (SecretTemplate.api_key("svc"), "svc-"),
+                        (SecretTemplate.hex_token(8), None)):
+        kind, value = _generate(tpl)
+        assert value and (prefix is None or value.startswith(prefix))
+        doc = _template_to_json(tpl)
+        back = _template_from_json(doc)
+        assert back[0] == tpl[0]
+    kind, value = _generate(SecretTemplate.hex_token(8))
+    assert len(value) == 16            # hex of 8 bytes
+    with pytest.raises(VaultError, match="unknown"):
+        _generate(("jwt", None))
+    with pytest.raises(VaultError, match="unknown"):
+        _template_to_json(("jwt", None))
+    with pytest.raises(VaultError, match="unknown"):
+        _template_from_json({"kind": "jwt"})
+
+
 def test_graph_store_hooks_direct_puts():
     """Graph engine materializes nodes/edges written DIRECTLY to the
     store (replication replay path), ignores malformed keys, and
