@@ -1197,7 +1197,14 @@ class RelationalEngine:
         if not len(v):
             return None                             # SUM of none: NULL
         if v.dtype.kind in "iu":
-            return sum(int(x) for x in v)           # overflow-proof
+            # overflow-proof WITHOUT the 1M-element Python loop that
+            # made SUM@1M cost 99 ms: when n * max|v| provably fits
+            # int64, one vectorized sum is exact; only pathological
+            # magnitudes pay the bigint loop
+            bound = max(abs(int(v.min())), abs(int(v.max())), 1)
+            if len(v) <= (1 << 62) // bound:
+                return int(v.sum(dtype=np.int64))
+            return sum(int(x) for x in v)
         return float(v.sum())
 
     def avg_column(self, name, column, condition=None) -> Optional[float]:
