@@ -60,6 +60,7 @@ def test_cypher_examples_parse():
 @pytest.mark.parametrize("example", [
     "basic_relational", "graph_traversal", "unified_query",
     "vector_search", "sdk_tour", "vault_security",
+    "batched_throughput",
 ])
 def test_examples_run_clean(example, capsys):
     """Every shipped example executes end-to-end without raising."""
