@@ -248,6 +248,76 @@ def main():
 
         emit("invert_hist_take", timed(invert_hist_take, probe0))
 
+        def _blockscan(hist):
+            """Exclusive scan over the query axis via block-triangular
+            MXU matmuls (the committed _batched_core path)."""
+            qb = 256
+            nb = Q // qb
+            h3 = hist.reshape(nb, qb, C)
+            tril = jnp.tril(jnp.ones((qb, qb), jnp.float32), k=-1)
+            within = jnp.einsum(
+                "ij,bjc->bic", tril, h3,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            bsum = jnp.sum(h3, axis=1)
+            offs = jnp.cumsum(bsum, axis=0) - bsum
+            return (within + offs[:, None, :]).reshape(Q, C
+                                                       ).astype(jnp.int32)
+
+        def _tail(pr, rank):
+            fq2 = jnp.broadcast_to(
+                jnp.arange(Q, dtype=jnp.int32)[:, None],
+                (Q, nprobe)).reshape(-1)
+            tbl_q = jnp.full((C, q_cap), -1, jnp.int32
+                             ).at[pr.reshape(-1),
+                                  jnp.where(rank < q_cap, rank,
+                                            q_cap).reshape(-1)
+                                  ].set(fq2, mode="drop")
+            rank_of = jnp.where(rank < q_cap, rank, q_cap)
+            return tbl_q[0, 0] + rank_of[0, 0]
+
+        @jax.jit
+        def invert_onehot_mxu(probe, reps):
+            """Committed variant: one-hot hist + MXU block scan."""
+            def body(i, carry):
+                pr, acc = carry
+                iota_c = jnp.arange(C, dtype=jnp.int32)
+                onehot = (pr[:, :, None] == iota_c[None, None, :])
+                hist = jnp.sum(onehot, axis=1, dtype=jnp.float32)
+                csum = _blockscan(hist)
+                rank = jnp.take_along_axis(
+                    csum, jnp.minimum(pr, C - 1), axis=1)
+                v = _tail(pr, rank)
+                pr = (pr + v) % C
+                return pr, acc + v
+            _, acc = lax.fori_loop(0, reps, body, (probe, 0))
+            return acc
+
+        emit("invert_onehot_mxu", timed(invert_onehot_mxu, probe0))
+
+        @jax.jit
+        def invert_scatter_mxu(probe, reps):
+            """Scatter-add hist + MXU block scan: O(Q*C) bytes for the
+            hist instead of the one-hot's O(Q*nprobe*C) compares."""
+            def body(i, carry):
+                pr, acc = carry
+                fq2 = jnp.broadcast_to(
+                    jnp.arange(Q, dtype=jnp.int32)[:, None],
+                    (Q, nprobe))
+                hist = jnp.zeros((Q, C), jnp.float32).at[
+                    fq2.reshape(-1), pr.reshape(-1)].add(
+                    1.0, mode="drop")
+                csum = _blockscan(hist)
+                rank = jnp.take_along_axis(
+                    csum, jnp.minimum(pr, C - 1), axis=1)
+                v = _tail(pr, rank)
+                pr = (pr + v) % C
+                return pr, acc + v
+            _, acc = lax.fori_loop(0, reps, body, (probe, 0))
+            return acc
+
+        emit("invert_scatter_mxu", timed(invert_scatter_mxu, probe0))
+
     # ---- one-hot qsel build ------------------------------------------
     from neumann_tpu.ops.quant import scalar_quantize
 
