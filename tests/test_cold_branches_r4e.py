@@ -74,6 +74,40 @@ def test_scalar_dequantize_roundtrip(small_corpus):
     assert err < 0.01
 
 
+def test_transport_wire_branches(monkeypatch):
+    """JSON wire emission handles bytes payloads (tagged base64),
+    rejects unwirable types, and NEUMANN_WIRE_BINARY=1 opts into the
+    binary codec; bidirectional unblock clears both directions."""
+    from neumann_tpu.chain.transport import (
+        Message,
+        TransportHub,
+        _json_default,
+    )
+
+    assert "__b64__" in _json_default(b"\x00\xff")
+    with pytest.raises(TypeError, match="wirable"):
+        _json_default(object())
+
+    m = Message(kind="k", src="a", dst="b",
+                payload={"blob": b"\x01\x02"})
+    j = m.encode()
+    assert Message.decode(j).payload["blob"] == b"\x01\x02"
+    monkeypatch.setenv("NEUMANN_WIRE_BINARY", "1")
+    bwire = m.encode()
+    assert bwire != j
+    assert Message.decode(bwire).payload["blob"] == b"\x01\x02"
+    monkeypatch.delenv("NEUMANN_WIRE_BINARY")
+
+    net = TransportHub(seed=3)
+    ta = net.register("a")
+    net.register("b")
+    net.block_link("a", "b", bidirectional=True)
+    net.unblock_link("a", "b", bidirectional=True)
+    assert not net.blocked_links
+    # sends to unknown destinations are accepted (and dropped)
+    assert ta.send("ghost", "k", {}) in (True, False)
+
+
 def test_vault_secret_template_branches():
     """Every template kind generates + JSON round-trips; unknown
     kinds raise cleanly (scoped.py _generate/_template_*_json)."""
