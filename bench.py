@@ -124,6 +124,15 @@ def main():
                   or os.environ.get("NEUMANN_BENCH_FAST") == "1")
     _probe_backend()
 
+    # persistent executables (SURVEY §7f): every compile below lands in
+    # the on-disk cache, so re-runs (CI, server restarts, re-bench) skip
+    # trace+compile — the TPU analogue of the reference's prebuilt
+    # binaries. First-run numbers are unaffected (cache miss = compile).
+    from neumann_tpu.utils.compile_cache import enable_persistent_cache
+    cache_dir = enable_persistent_cache()
+    if cache_dir:
+        _phase(f"persistent compile cache at {cache_dir}")
+
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -247,7 +256,12 @@ def main():
                 jnp.linalg.norm(x, axis=1, keepdims=True), 1e-30)
 
         sample = take_norm(corpus_q, scale, samp_idx)
+        np.asarray(sample[0, 0])    # real sync (block_until_ready
+        _phase(f"  build: sample gather done "     # is a no-op here)
+               f"(+{time.perf_counter() - t_b:.1f}s)")
         learned = kmeans_device(sample, n_centers, iters=kmeans_iters)
+        np.asarray(learned[0, 0])
+        _phase(f"  build: k-means done (+{time.perf_counter() - t_b:.1f}s)")
         del sample
         kcents = learned / jnp.maximum(
             jnp.linalg.norm(learned, axis=1, keepdims=True), 1e-30)
@@ -278,8 +292,13 @@ def main():
                 jnp.arange(n, dtype=jnp.int32))
             return counts, inv
 
+        np.asarray(assign[0])
+        _phase(f"  build: full-corpus assignment done "
+               f"(+{time.perf_counter() - t_b:.1f}s)")
         counts_dev, inv = layout_of(assign)
         counts_h = np.asarray(counts_dev)                  # 16 KB pull
+        _phase(f"  build: argsort layout done "
+               f"(+{time.perf_counter() - t_b:.1f}s)")
         del assign, kcents
 
         # relayout WITHOUT a second corpus buffer: free the generator-

@@ -189,6 +189,15 @@ class NeumannServer:
             warmup = os.environ.get("NEUMANN_WARMUP", "1") != "0"
         if warmup:
             try:
+                # restart path: warmup compiles load from the on-disk
+                # executable cache instead of recompiling (§7f)
+                from neumann_tpu.utils.compile_cache import (
+                    enable_persistent_cache,
+                )
+                enable_persistent_cache()
+            except Exception:   # noqa: BLE001
+                pass
+            try:
                 self.router.warmup()
             except Exception:   # noqa: BLE001 — a warmup failure must
                 pass            # never block serving; queries compile

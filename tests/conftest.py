@@ -23,6 +23,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# reuse compiled executables across test runs (same on-disk cache the
+# bench/server use; entries are keyed by HLO+flags+topology so the
+# 8-device CPU mesh never collides with TPU entries)
+from neumann_tpu.utils.compile_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
