@@ -269,6 +269,9 @@ def main():
         @functools.partial(jax.jit, donate_argnums=(0,),
                            static_argnames="rows")
         def assign_chunk(out, cq, cents, start, rows):
+            # f32 on purpose: assignment must agree with the f32
+            # query-side probe ranking or thin-margin rows become
+            # unreachable (see ops/ivf.py assign_chunk note)
             x = lax.dynamic_slice(cq, (start, 0),
                                   (rows, cq.shape[1])).astype(jnp.float32)
             inv = lax.rsqrt(jnp.maximum(
@@ -715,8 +718,10 @@ def main():
         _phase(f"served p99: ingesting {n_srv} rows into the engine")
         router = QueryRouter()
         router.vector.config.mesh_auto = False
-        srv_vecs = np.asarray(jax.random.normal(
-            jax.random.PRNGKey(17), (n_srv, d_srv), jnp.float32))
+        # host RNG: jax.random here would generate ON DEVICE and pull
+        # 3 GB back through the MB/s tunnel (measured 310 s)
+        srv_vecs = np.random.default_rng(17).standard_normal(
+            (n_srv, d_srv)).astype(np.float32)
         eng = router.vector
         for i in range(n_srv):
             eng.store_embedding(f"s{i}", srv_vecs[i])
@@ -725,9 +730,8 @@ def main():
         server.serve(block=False, warmup=True)
         try:
             client = NeumannClient.connect(f"127.0.0.1:{server.port}")
-            qs_srv = srv_vecs[:256] + 0.05 * np.asarray(
-                jax.random.normal(jax.random.PRNGKey(19),
-                                  (256, d_srv), jnp.float32))
+            qs_srv = srv_vecs[:256] + 0.05 * np.random.default_rng(
+                19).standard_normal((256, d_srv)).astype(np.float32)
             stmts = ["SIMILAR [" + ",".join(
                 f"{x:.4f}" for x in qs_srv[i]) + f"] TOP {k}"
                 for i in range(256)]

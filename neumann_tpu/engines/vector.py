@@ -743,8 +743,11 @@ class VectorEngine:
                 scores, idx = _jitted_topk()(
                     emb, jnp.asarray(qp), k, metric, mask)
 
-        scores = np.asarray(scores)
-        idx = np.asarray(idx)
+        from neumann_tpu.ops.scan import host_pull
+
+        # one latency floor for both pulls (the serial pair costs two
+        # ~25 ms tunnel syncs — the bulk of served p50)
+        scores, idx = host_pull(scores, idx)
         out: List[List[SearchResult]] = []
         for qi in range(q.shape[0]):
             row: List[SearchResult] = []
@@ -1097,8 +1100,9 @@ class VectorEngine:
                 ds, di = _jitted_topk()(
                     dmat, jnp.asarray(qp), kd, "cosine",
                     jnp.ones(rows.size, bool))
-                ds = np.asarray(ds)
-                di = np.asarray(di)
+                from neumann_tpu.ops.scan import host_pull
+
+                ds, di = host_pull(ds, di)
                 dids = np.where(di >= 0, rows[np.maximum(di, 0)], -1)
                 scores = np.concatenate([scores, ds], axis=1)
                 ids = np.concatenate([ids, dids], axis=1)

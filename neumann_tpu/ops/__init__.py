@@ -10,6 +10,7 @@ corpora.
 
 from neumann_tpu.ops.scan import (  # noqa: F401
     METRICS,
+    host_pull,
     topk_scan,
     score_all,
 )

@@ -289,8 +289,9 @@ class IVFIndex:
             aux = jnp.zeros((q.shape[0], 1), jnp.float32)
         s, pos = run(corpus, cj, valid, jnp.asarray(q), aux, k, nprobe,
                      storage)
-        s = np.asarray(s)
-        pos = np.asarray(pos)
+        from neumann_tpu.ops.scan import host_pull
+
+        s, pos = host_pull(s, pos)
         ids = np.where(pos >= 0, self._row_ids[np.maximum(pos, 0)], -1)
         ids = np.where(np.isneginf(s), -1, ids)
         return s, ids.astype(np.int32)
@@ -480,6 +481,12 @@ class DeviceIVFInt8:
         # chunked device assignment: nearest centroid by cosine
         @jax.jit
         def assign_chunk(chunk_q, cents):
+            # NOTE assignment precision is correctness-coupled: rows
+            # must land in the window the QUERY-side (f32) probe
+            # scoring would rank first, or thin-margin rows become
+            # unreachable (a bf16 variant measurably broke self-query
+            # recall on random data). argmax is scale-invariant, so
+            # the rsqrt normalize is kept only for f32 conditioning.
             x = chunk_q.astype(jnp.float32)
             inv = lax.rsqrt(jnp.maximum(
                 jnp.sum(x * x, axis=1, keepdims=True), 1e-30))
@@ -832,8 +839,11 @@ class DeviceIVFInt8:
                 self._buf, pc, qc, k, "cosine", scale=self._scale,
                 residual_q=self._rbuf, residual_scale=self._rscale,
                 first_scores=sc, dedup=not self._fixed)
-            s_parts.append(np.asarray(sc))
-            p_parts.append(np.asarray(pc))
+            from neumann_tpu.ops.scan import host_pull
+
+            sc, pc = host_pull(sc, pc)   # one tunnel floor, not two
+            s_parts.append(sc)
+            p_parts.append(pc)
         s = np.concatenate(s_parts, axis=0)
         pos = np.concatenate(p_parts, axis=0)
         ids = np.where(pos >= 0,
@@ -935,8 +945,11 @@ class DeviceIVFInt8:
             residual_q=self._rbuf, residual_scale=self._rscale,
             first_scores=sc, dedup=not self._fixed,
             chunk=chunk, pre_select=cand)
-        sc = np.asarray(sc)[:nq]
-        pos = np.asarray(pos)[:nq]
+        from neumann_tpu.ops.scan import host_pull
+
+        sc, pos = host_pull(sc, pos)
+        sc = sc[:nq]
+        pos = pos[:nq]
         ids = np.where(pos >= 0,
                        np.asarray(self._row_ids)[np.maximum(pos, 0)],
                        -1)

@@ -351,3 +351,23 @@ def topk_scan_jit(corpus, queries, k, metric="cosine", mask=None,
     """jit-wrapped topk_scan for direct use."""
     return topk_scan(corpus, queries, k, metric, mask, block_rows,
                      selection, recall_target, weights)
+
+
+def host_pull(*arrays):
+    """Transfer several device arrays to host with ONE latency floor.
+
+    ``np.asarray(a); np.asarray(b)`` pays the device->host round-trip
+    serially per array (the dev tunnel's sync floor is ~25 ms, so a
+    (scores, ids) result costs 2 floors). Starting non-blocking D2H
+    copies for every array first overlaps the transfers, so the total
+    is max(transfer) + one floor. numpy inputs pass through untouched.
+    Returns a tuple of np.ndarray in argument order.
+    """
+    for a in arrays:
+        f = getattr(a, "copy_to_host_async", None)
+        if f is not None:
+            try:
+                f()
+            except Exception:   # backend without async D2H: serial
+                pass            # np.asarray below still works
+    return tuple(np.asarray(a) for a in arrays)

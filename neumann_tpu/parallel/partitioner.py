@@ -172,9 +172,17 @@ def kmeans_device(x, k: int, iters: int = 10, seed: int = 0,
     @jax.jit
     def step(cent, x):
         xx = jnp.sum(x * x, 1)
-        d2 = (xx[:, None] - 2.0 * x @ cent.T
-              + jnp.sum(cent * cent, 1)[None, :])
-        assign = jnp.argmin(d2, axis=1)
+        # argmin_c ||x-c||^2 == argmax_c (x.c - ||c||^2/2); the xx term
+        # is constant per row. bf16 MXU matmul (4x f32 throughput) with
+        # f32 accumulation — k-means assignment tolerates the ~1e-3
+        # input rounding (it is a heuristic partition; the centroid
+        # UPDATE below stays exact f32), and the [n, k] score matrix
+        # is the build's biggest HBM write either way.
+        score = jnp.dot(x.astype(jnp.bfloat16),
+                        cent.T.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+        assign = jnp.argmax(score - 0.5 * jnp.sum(cent * cent, 1)[None],
+                            axis=1)
         sums = jax.ops.segment_sum(x, assign, num_segments=k)
         counts = jax.ops.segment_sum(
             jnp.ones((x.shape[0],)), assign, num_segments=k)

@@ -206,7 +206,9 @@ class ShardedCorpus:
                       jnp.asarray(qp), m)
         else:
             s, i = fn(self.corpus, jnp.asarray(qp), m)
-        return np.asarray(s), np.asarray(i)
+        from neumann_tpu.ops.scan import host_pull
+
+        return host_pull(s, i)
 
 
 # ---------------------------------------------------------------------------
@@ -525,8 +527,10 @@ class ShardedIVFCorpus:
             if int(np.asarray(ovf)[0]) == 0 or q_cap >= q_pad:
                 break
             q_cap *= 2
-        s = np.asarray(s)[:nq]
-        gpos = np.asarray(gpos)[:nq]
+        from neumann_tpu.ops.scan import host_pull
+
+        s, gpos = host_pull(s, gpos)
+        s, gpos = s[:nq], gpos[:nq]
         flat_ids = self.row_ids.reshape(-1)
         ids = np.where(gpos >= 0, flat_ids[np.maximum(gpos, 0)], -1)
         ids = np.where(np.isfinite(s), ids, -1)
@@ -545,8 +549,9 @@ class ShardedIVFCorpus:
         qp[:, : self.dim] = q
         s, gpos = self._fn(k)(self.corpus, self.rmult, self.cents,
                               self.starts, jnp.asarray(qp))
-        s = np.asarray(s)
-        gpos = np.asarray(gpos)
+        from neumann_tpu.ops.scan import host_pull
+
+        s, gpos = host_pull(s, gpos)
         # positions are DISTINCT by construction — shard windows are
         # disjoint and cross-shard bases never collide — and each
         # original row lives in exactly one shard slot, so no dedup is
