@@ -752,6 +752,25 @@ def main():
             _phase(f"served p50 {served['p50_ms_served']} ms, p99 "
                    f"{served['p99_ms_served']} ms (sync floor "
                    f"{floor_ms:.1f} ms)")
+
+            # concurrent served throughput: 16 client threads, the
+            # router-level batcher coalesces them into bucketed device
+            # calls (server/batcher.py) — the serving number that
+            # matters for a fleet of callers
+            import concurrent.futures as _fut
+
+            def _one(i):
+                client.execute(stmts[i % len(stmts)])
+
+            with _fut.ThreadPoolExecutor(max_workers=16) as ex:
+                list(ex.map(_one, range(32)))       # warm the buckets
+                t0 = time.perf_counter()
+                n_conc = 512
+                list(ex.map(_one, range(n_conc)))
+                dt = time.perf_counter() - t0
+            served["served_qps_concurrent"] = round(n_conc / dt, 1)
+            _phase(f"served concurrent (16 threads): "
+                   f"{served['served_qps_concurrent']} QPS")
         finally:
             server.stop()
     except Exception as e:  # noqa: BLE001 — bench must always print

@@ -132,6 +132,42 @@ class QueryRouter:
         from neumann_tpu.utils.observability import QueryMetrics
 
         self.metrics = QueryMetrics()
+        # serving-side query coalescing (server/batcher.py): off for
+        # embedded use (adds max_wait_ms to single-caller latency),
+        # enabled by NeumannServer before accepting traffic
+        self._batchers = None
+        self._batcher_wait_ms = 2.0
+
+    def enable_batched_serving(self, max_wait_ms: float = 2.0) -> None:
+        """Coalesce concurrent plain SIMILAR queries into bucketed
+        device calls (server/batcher.QueryBatcher). Under concurrent
+        load every caller shares one padded batch_search instead of
+        serializing per-query device calls; a lone caller pays at most
+        ``max_wait_ms`` extra. Idempotent."""
+        if self._batchers is None:
+            self._batchers = {}
+        self._batcher_wait_ms = max_wait_ms
+
+    def disable_batched_serving(self) -> None:
+        if self._batchers:
+            for b in self._batchers.values():
+                b.close()
+        self._batchers = None
+
+    def _batcher_for(self, dim: int):
+        if self._batchers is None:
+            return None
+        b = self._batchers.get(dim)
+        if b is None:
+            from neumann_tpu.server.batcher import QueryBatcher
+
+            with self._lock:
+                b = self._batchers.get(dim)
+                if b is None:
+                    b = self._batchers[dim] = QueryBatcher(
+                        self.vector, dim,
+                        max_wait_ms=self._batcher_wait_ms)
+        return b
 
     def warmup(self, buckets=(1, 4, 16, 64, 256),
                top_ks=(5, 10)) -> int:
@@ -1200,8 +1236,14 @@ class QueryRouter:
                 _filter_from_condition(s.where), s.metric)
         else:
             q = self._resolve_query(s, query)
-            res = self.vector.search_similar_with_metric(
-                q, s.limit, s.metric or "cosine")
+            metric = s.metric or "cosine"
+            batcher = (self._batcher_for(len(q))
+                       if metric == "cosine" else None)
+            if batcher is not None:
+                res = batcher.search(q, s.limit)
+            else:
+                res = self.vector.search_similar_with_metric(
+                    q, s.limit, metric)
         return QueryResult("similar", results=[
             {"key": r.key, "score": r.score} for r in res])
 

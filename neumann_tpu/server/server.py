@@ -187,6 +187,10 @@ class NeumannServer:
         loaded; set NEUMANN_WARMUP=0 to skip for fast test startup)."""
         if warmup is None:
             warmup = os.environ.get("NEUMANN_WARMUP", "1") != "0"
+        if os.environ.get("NEUMANN_BATCHING", "1") != "0":
+            # coalesce concurrent SIMILAR RPCs into bucketed device
+            # calls (server/batcher.py); embedded routers stay unbatched
+            self.router.enable_batched_serving()
         if warmup:
             try:
                 # restart path: warmup compiles load from the on-disk
@@ -211,6 +215,7 @@ class NeumannServer:
         if self._otlp is not None:
             self._otlp.stop()  # final flush
             self._otlp = None
+        self.router.disable_batched_serving()
         self._server.stop(grace)
 
     def audit_log(self) -> List[dict]:
