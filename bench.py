@@ -224,6 +224,7 @@ def main():
         return c, sc
 
     _phase("generating corpus")
+    t_gen = time.perf_counter()
     chunk_keys = []          # recorded so the real build can regenerate
     done = 0
     while done < n:
@@ -233,6 +234,12 @@ def main():
         corpus_q, scale = fill(corpus_q, scale, centers, offsets_dev,
                                sub, jnp.int32(done), rows)
         done += rows
+    # sync BEFORE the build timer starts: the fills dispatch async and
+    # would otherwise complete inside the build's first sync, billing
+    # synthetic-corpus generation (10 x 1M x 768 RNG chunks — the most
+    # tunnel-variable segment, 130-360 s observed) to ivf_build_s
+    np.asarray(corpus_q[0, 0])
+    _phase(f"corpus generated in {time.perf_counter() - t_gen:.1f}s")
 
     # ---------------- real on-device IVF build ------------------------
     build_mode = "generator-order+window-means"
@@ -724,11 +731,20 @@ def main():
             (n_srv, d_srv)).astype(np.float32)
         eng = router.vector
         t_ing = time.perf_counter()
-        chunk_i = 100_000
-        for s0 in range(0, n_srv, chunk_i):
-            eng.batch_store_embeddings(
-                [(f"s{i}", srv_vecs[i])
-                 for i in range(s0, min(n_srv, s0 + chunk_i))])
+        import gc
+
+        # this process holds a multi-GB live heap (the 10M corpus
+        # phases); per-put object churn makes cyclic GC quadratic-ish
+        # during mass ingest — standard ingest practice: pause it
+        gc.disable()
+        try:
+            chunk_i = 100_000
+            for s0 in range(0, n_srv, chunk_i):
+                eng.batch_store_embeddings(
+                    [(f"s{i}", srv_vecs[i])
+                     for i in range(s0, min(n_srv, s0 + chunk_i))])
+        finally:
+            gc.enable()
         served_ingest_s = time.perf_counter() - t_ing
         server = NeumannServer(router=router, port=0, max_workers=64)
         _phase("served p99: warmup (compiles the serving executables)")
