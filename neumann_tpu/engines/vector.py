@@ -264,6 +264,9 @@ class _Corpus:
         self.slab = EmbeddingSlab(dim)
         self.meta: Dict[int, Dict[str, object]] = {}
         self.lock = threading.RLock()
+        # serializes auto-IVF (re)builds so concurrent batcher workers
+        # never run two multi-second builds of the same corpus
+        self.build_lock = threading.Lock()
         # mesh placements, rebuilt when the slab version moves:
         # (version, ShardedCorpus) and (version, ShardedIVFCorpus,
         # row_map) — see VectorEngine._mesh_search
@@ -1134,9 +1137,16 @@ class VectorEngine:
                 max(1024, cfg.ivf_auto_rebuild_frac * n):
             ivf = None          # too stale: rebuild
         if ivf is None:
-            self._build_auto_ivf(corpus)
-            with corpus.lock:
-                ivf = corpus._auto_ivf
+            with corpus.build_lock:
+                # another worker may have just (re)built: only build if
+                # the index is still missing or still stale
+                with corpus.lock:
+                    ivf = getattr(corpus, "_auto_ivf", None)
+                if ivf is None or slab.watch_count("auto_ivf") > \
+                        max(1024, cfg.ivf_auto_rebuild_frac * n):
+                    self._build_auto_ivf(corpus)
+                with corpus.lock:
+                    ivf = corpus._auto_ivf
 
         qp = np.zeros((q.shape[0], slab.dim_pad), np.float32)
         qp[:, : corpus.dim] = q
@@ -1226,19 +1236,47 @@ class VectorEngine:
                      metric: Optional[str] = None
                      ) -> List[List[SearchResult]]:
         """Batched multi-query search: one device call for Q queries."""
+        return self.batch_search_ns(queries, top_k, metric)
+
+    def batch_search_ns(self, queries, top_k: int,
+                        metric: Optional[str] = None, ns: str = "",
+                        filter_cond: Optional[FilterCondition] = None,
+                        quantization: Optional[str] = None
+                        ) -> List[List[SearchResult]]:
+        """Batched search against any namespace ("" | "entity" |
+        "col/{name}"), with an optional shared metadata filter — the
+        cohort primitive the serving batcher coalesces onto
+        (server/batcher.py). Collections resolve their configured
+        metric/quantization when not overridden."""
         self._flush_bulk_if_pending()
         q = np.asarray(queries, dtype=np.float32)
         if q.ndim != 2:
             raise VectorError("batch_search expects [Q, d]")
+        if ns.startswith("col/"):
+            cfg = self.collection_config(ns[4:])
+            metric = metric or cfg.metric
+            if quantization is None:
+                quantization = cfg.quantization
+            if cfg.dimension and q.shape[1] != cfg.dimension:
+                raise VectorError(
+                    f"dimension mismatch: expected {cfg.dimension}, "
+                    f"got {q.shape[1]}")
         metric = metric or self.config.default_metric
+        if metric not in METRICS:
+            raise VectorError(f"unknown metric {metric}")
+        quantization = quantization or "none"
         with self._lock:
-            corpus = self._corpora.get("", {}).get(q.shape[1])
+            corpus = self._corpora.get(ns, {}).get(q.shape[1])
         if corpus is None or corpus.count() == 0:
             return [[] for _ in range(q.shape[0])]
-        auto = self._auto_ivf_search(corpus, q, top_k, metric, "none")
-        if auto is not None:
-            return auto
-        return self._device_search(corpus, q, top_k, metric)
+        if filter_cond is None:
+            auto = self._auto_ivf_search(corpus, q, top_k, metric,
+                                         quantization)
+            if auto is not None:
+                return auto
+        extra = corpus.filter_mask(filter_cond) if filter_cond else None
+        return self._device_search(corpus, q, top_k, metric, extra,
+                                   quantization)
 
     def warmup(self, buckets: Sequence[int] = (1, 4, 16, 64, 256),
                top_ks: Sequence[int] = (10,)) -> int:
@@ -1490,6 +1528,7 @@ class VectorEngine:
                         metric: Optional[str] = None,
                         mask_rows: Optional[np.ndarray] = None
                         ) -> List[SearchResult]:
+        self._flush_bulk_if_pending()   # bulk-mode reads see all puts
         q = self._validate_vec(query)
         metric = metric or self.config.default_metric
         with self._lock:
@@ -1500,6 +1539,7 @@ class VectorEngine:
 
     def entity_corpus(self, dim: int) -> Optional[_Corpus]:
         """Expose the entity corpus for fused hybrid queries (unified)."""
+        self._flush_bulk_if_pending()   # bulk-mode reads see all puts
         with self._lock:
             return self._corpora.get("entity", {}).get(dim)
 

@@ -144,28 +144,41 @@ class QueryRouter:
         load every caller shares one padded batch_search instead of
         serializing per-query device calls; a lone caller pays at most
         ``max_wait_ms`` extra. Idempotent."""
-        if self._batchers is None:
-            self._batchers = {}
-        self._batcher_wait_ms = max_wait_ms
+        with self._lock:
+            if self._batchers is None:
+                self._batchers = {}
+            self._batcher_wait_ms = max_wait_ms
 
     def disable_batched_serving(self) -> None:
-        if self._batchers:
-            for b in self._batchers.values():
+        # swap-out under the lock so a concurrent _batcher_for either
+        # sees the live dict or None — never a half-closed batcher
+        with self._lock:
+            batchers, self._batchers = self._batchers, None
+        if batchers:
+            for b in batchers.values():
                 b.close()
-        self._batchers = None
 
-    def _batcher_for(self, dim: int):
-        if self._batchers is None:
+    def _batcher_for(self, dim: int, metric: str = "cosine",
+                     ns: str = ""):
+        """Serving batcher for a (namespace, dim, metric) bucket —
+        collection and metric variants coalesce too, each in its own
+        executable-stable bucket; filters ride as cohort keys inside
+        the batcher (server/batcher.py)."""
+        batchers = self._batchers   # snapshot: disable may race us
+        if batchers is None:
             return None
-        b = self._batchers.get(dim)
+        key = (ns, dim, metric)
+        b = batchers.get(key)
         if b is None:
             from neumann_tpu.server.batcher import QueryBatcher
 
             with self._lock:
-                b = self._batchers.get(dim)
+                if self._batchers is not batchers:
+                    return None     # disabled (or swapped) concurrently
+                b = batchers.get(key)
                 if b is None:
-                    b = self._batchers[dim] = QueryBatcher(
-                        self.vector, dim,
+                    b = batchers[key] = QueryBatcher(
+                        self.vector, dim, ns=ns, metric=metric,
                         max_wait_ms=self._batcher_wait_ms)
         return b
 
@@ -1222,23 +1235,34 @@ class QueryRouter:
             res = self.unified.find_similar_connected(
                 query, s.limit, s.connected_to, s.metric)
         elif s.collection is not None:
-            if s.where is not None:
+            q = self._resolve_query(s, query)
+            filt = (_filter_from_condition(s.where)
+                    if s.where is not None else None)
+            metric = s.metric or self.vector.collection_config(
+                s.collection).metric
+            batcher = self._batcher_for(
+                len(q), metric, f"col/{s.collection}")
+            if batcher is not None:
+                res = batcher.search(q, s.limit, filter_cond=filt)
+            elif filt is not None:
                 res = self.vector.search_filtered_in_collection(
-                    s.collection, self._resolve_query(s, query), s.limit,
-                    _filter_from_condition(s.where), s.metric)
+                    s.collection, q, s.limit, filt, s.metric)
             else:
                 res = self.vector.search_in_collection(
-                    s.collection, self._resolve_query(s, query), s.limit,
-                    s.metric)
+                    s.collection, q, s.limit, s.metric)
         elif s.where is not None:
-            res = self.vector.search_similar_filtered(
-                self._resolve_query(s, query), s.limit,
-                _filter_from_condition(s.where), s.metric)
+            q = self._resolve_query(s, query)
+            batcher = self._batcher_for(len(q), s.metric or "cosine")
+            filt = _filter_from_condition(s.where)
+            if batcher is not None:
+                res = batcher.search(q, s.limit, filter_cond=filt)
+            else:
+                res = self.vector.search_similar_filtered(
+                    q, s.limit, filt, s.metric)
         else:
             q = self._resolve_query(s, query)
             metric = s.metric or "cosine"
-            batcher = (self._batcher_for(len(q))
-                       if metric == "cosine" else None)
+            batcher = self._batcher_for(len(q), metric)
             if batcher is not None:
                 res = batcher.search(q, s.limit)
             else:

@@ -215,8 +215,13 @@ class NeumannServer:
         if self._otlp is not None:
             self._otlp.stop()  # final flush
             self._otlp = None
+        # stop accepting traffic FIRST: in-flight RPCs finish inside the
+        # grace window while their batchers are still live; disabling
+        # batchers first would strand queued requests until their
+        # 30 s client timeout (advisor r4)
+        ev = self._server.stop(grace)
+        ev.wait(grace + 1.0)
         self.router.disable_batched_serving()
-        self._server.stop(grace)
 
     def audit_log(self) -> List[dict]:
         return list(self._auth.audit)

@@ -25,6 +25,36 @@ import os
 _enabled_path: str | None = None
 
 
+def host_fingerprint() -> str:
+    """Short fingerprint of THIS host's machine features.
+
+    XLA:CPU AOT-compiles against the compiling host's CPU features; an
+    executable cached on one machine and loaded on another can SIGILL
+    (the r4 dryrun tail was full of `cpu_aot_loader ... Machine type
+    ... doesn't match` warnings). The JAX cache key does not include
+    host features, so we scope the cache DIRECTORY per host instead:
+    arch + a hash of /proc/cpuinfo flags. A mismatched host resolves a
+    different directory and recompiles — never loads foreign AOT code.
+    ``NEUMANN_FAKE_CPU_FEATURES`` overrides the flags (tests)."""
+    import hashlib
+    import platform
+
+    feats = os.environ.get("NEUMANN_FAKE_CPU_FEATURES")
+    if feats is None:
+        feats = ""
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith(("flags", "Features")):
+                        feats = line.split(":", 1)[1].strip()
+                        break
+        except OSError:
+            pass
+        feats += platform.processor()
+    h = hashlib.sha256(feats.encode()).hexdigest()[:12]
+    return f"{platform.machine()}-{h}"
+
+
 def default_cache_dir() -> str:
     """Repo-/package-adjacent cache dir (kept beside the installed
     package so multiple checkouts don't share stale flag-keyed
@@ -34,16 +64,34 @@ def default_cache_dir() -> str:
     return os.path.join(os.path.dirname(pkg), ".cache", "jax")
 
 
-def enable_persistent_cache(path: str | None = None) -> str | None:
+def enable_persistent_cache(path: str | None = None,
+                            allow_cpu: bool = False) -> str | None:
     """Enable JAX's on-disk compilation cache. Returns the cache dir,
-    or None when disabled (env opt-out or an unwritable target)."""
+    or None when disabled (env opt-out, an unwritable target, or a
+    CPU-only backend without explicit opt-in).
+
+    On CPU the cache is skipped unless the caller opts in (explicit
+    ``path``, ``allow_cpu=True``, or NEUMANN_COMPILE_CACHE): XLA:CPU
+    persists executables as AOT machine code whose deserializer
+    feature-checks every load (same-host loads trip a pseudo-feature
+    false positive; foreign-host loads can SIGILL), and CPU compiles
+    are fast enough that the cache buys little — the minutes-long
+    remote AOT compiles it exists for are a TPU phenomenon."""
     global _enabled_path
     if os.environ.get("NEUMANN_NO_COMPILE_CACHE") == "1":
         return None
     if _enabled_path is not None:
         return _enabled_path
-    path = (path or os.environ.get("NEUMANN_COMPILE_CACHE")
-            or default_cache_dir())
+    env_path = os.environ.get("NEUMANN_COMPILE_CACHE")
+    if path is None and env_path is None and not allow_cpu:
+        import jax
+
+        if jax.default_backend() == "cpu":
+            return None
+    path = path or env_path or default_cache_dir()
+    # per-host subdir: an AOT result compiled under different CPU
+    # features must never be loaded here (see host_fingerprint)
+    path = os.path.join(path, host_fingerprint())
     try:
         os.makedirs(path, exist_ok=True)
         probe = os.path.join(path, ".w")

@@ -28,7 +28,9 @@ jax.config.update("jax_platforms", "cpu")
 # 8-device CPU mesh never collides with TPU entries)
 from neumann_tpu.utils.compile_cache import enable_persistent_cache  # noqa: E402
 
-enable_persistent_cache()
+# allow_cpu: the suite re-hits the same-host cache thousands of times;
+# production CPU-only processes skip it (see compile_cache docstring)
+enable_persistent_cache(allow_cpu=True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
