@@ -78,6 +78,22 @@ def bench_store():
            note=f"{m} keys; reference: 1K keys in 191us = 5.2M/s")
     t = timeit(lambda: store.scan_count("user:1"), reps=5)
     report("store scan_count", 1e6 * t, "us", note="reference: 41us")
+
+    # columnar embedding ingest (ingest_matrix, zero-copy adopt): the
+    # product mass-write path the 10M served corpus loads through
+    from neumann_tpu.engines.vector import VectorEngine
+
+    eng = VectorEngine()
+    eng.config.mesh_auto = False
+    ni = 50_000 if QUICK else 400_000
+    mat = np.random.default_rng(0).standard_normal(
+        (ni, 768)).astype(np.float32)
+    ikeys = [f"e{i}" for i in range(ni)]
+    t0 = time.perf_counter()
+    eng.ingest_matrix(ikeys, mat, copy=False)
+    report("columnar ingest (768d, zero-copy)",
+           rate(ni, time.perf_counter() - t0), "rows/s",
+           ref=2_000_000, note="reference: in-memory writes 2.0M/s")
     return store, keys
 
 
@@ -170,6 +186,24 @@ def bench_wal(tmp):
     t = timeit(lambda: store5.recover(tmp / "wal_small.log"), reps=5)
     report("WAL replay (small records, ~40B/rec)", rate(10_000, t),
            "records/s", ref=25_000_000, note="reference: 25M records/s")
+
+    # replay floor: frame walk + CRC with the overlay map removed —
+    # replay/floor attributes the hash-map share, floor/memory-rate
+    # attributes the CRC+walk share (round-3 ask: >=20M rec/s or a
+    # measured proof of the floor)
+    from neumann_tpu.store import codec as _codec0
+
+    ext0 = _codec0._native()
+    if ext0 is not None and hasattr(ext0, "wal_walk_floor"):
+        logbytes = (tmp / "wal_small.log").read_bytes()
+        t = timeit(lambda: ext0.wal_walk_floor(logbytes), reps=5)
+        report("WAL replay floor (walk+CRC only, no map)",
+               rate(10_000, t), "records/s",
+               note="same parse as replay minus upserts")
+        t = timeit(lambda: ext0.wal_walk_floor(logbytes, 1), reps=5)
+        report("WAL replay floor (walk only, lazy CRC)",
+               rate(10_000, t), "records/s",
+               note="header chain walk alone")
 
 
 def bench_snapshot(tmp):

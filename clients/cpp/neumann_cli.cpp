@@ -111,6 +111,15 @@ static int conformance(neumann::Client& client) {
   auto qp = client.query_points("cpp_col", {1.f, 0.f, 0.f, 0.f}, 2);
   std::printf("{\"step\": \"query_points\", \"n\": %zu, \"top\": \"%s\"}\n",
               qp.size(), jesc(qp.empty() ? "" : qp[0].id).c_str());
+  auto qb = client.query_points_batch(
+      "cpp_col", {{1.f, 0.f, 0.f, 0.f}, {0.f, 1.f, 0.f, 0.f}}, 1);
+  std::printf("{\"step\": \"query_batch\", \"n\": %zu, "
+              "\"t0\": \"%s\", \"t1\": \"%s\"}\n",
+              qb.size(),
+              jesc(qb.size() > 0 && !qb[0].empty() ? qb[0][0].id : "")
+                  .c_str(),
+              jesc(qb.size() > 1 && !qb[1].empty() ? qb[1][0].id : "")
+                  .c_str());
   auto scroll = client.scroll_points("cpp_col", 1);
   std::printf("{\"step\": \"scroll\", \"n\": %zu, \"has_next\": %s}\n",
               scroll.first.size(),

@@ -488,36 +488,38 @@ class Client {
   std::vector<ScoredPoint> query_points(const std::string& collection,
                                         const std::vector<float>& vector,
                                         int limit,
-                                        const std::string& filter_json = "") {
-    std::string req;
-    pb::put_string(req, 1, collection);
-    pb::put_packed_floats(req, 2, vector);
-    pb::put_int(req, 3, limit);
-    pb::put_string(req, 4, filter_json);
-    auto msgs = call("/neumann.PointsService/Query", {req});
+                                        const std::string& filter_json = "",
+                                        bool with_payload = true,
+                                        const std::string& metric = "") {
+    auto msgs = call("/neumann.PointsService/Query",
+                     {encode_query_points(collection, vector, limit,
+                                          filter_json, with_payload,
+                                          metric, 0)});
+    return parse_scored_points(first(msgs));
+  }
+
+  // Qdrant query_batch parity: many queries in ONE RPC, answered in
+  // order; a homogeneous batch runs as one batched device call
+  // server-side (proto QueryPointsBatchRequest, repeated field 1)
+  std::vector<std::vector<ScoredPoint>> query_points_batch(
+      const std::string& collection,
+      const std::vector<std::vector<float>>& vectors, int limit,
+      const std::string& metric = "") {
+    std::string batch;
+    uint64_t rid = 1;
+    for (const auto& v : vectors)
+      pb::put_string(batch, 1,
+                     encode_query_points(collection, v, limit, "",
+                                         false, metric, rid++));
+    auto msgs = call("/neumann.PointsService/QueryBatch", {batch});
+    std::vector<std::vector<ScoredPoint>> out;
     pb::Reader rd(first(msgs));
-    std::vector<ScoredPoint> out;
-    std::string err;
     int f, w;
     while (rd.next(&f, &w)) {
-      if (f == 1 && w == 2) {
-        pb::Reader pm(rd.bytes());
-        ScoredPoint sp;
-        int pf, pw;
-        while (pm.next(&pf, &pw)) {
-          if (pf == 1 && pw == 2) sp.id = pm.bytes();
-          else if (pf == 2 && pw == 5) sp.score = pm.f32();
-          else if (pf == 3 && pw == 2) sp.payload_json = pm.bytes();
-          else pm.skip(pw);
-        }
-        out.push_back(sp);
-      } else if (f == 2 && w == 2) {
-        err = rd.bytes();
-      } else {
-        rd.skip(w);
-      }
+      if (f == 1 && w == 2) out.push_back(parse_scored_points(rd.bytes()));
+      else if (f == 2 && w == 2) throw Error(-1, rd.bytes());
+      else rd.skip(w);
     }
-    if (!err.empty()) throw Error(-1, err);
     return out;
   }
 
@@ -697,6 +699,52 @@ class Client {
         rd.skip(w);
       }
     }
+  }
+
+  static std::string encode_query_points(const std::string& collection,
+                                         const std::vector<float>& vector,
+                                         int limit,
+                                         const std::string& filter_json,
+                                         bool with_payload,
+                                         const std::string& metric,
+                                         uint64_t req_id) {
+    std::string req;
+    pb::put_string(req, 1, collection);
+    pb::put_packed_floats(req, 2, vector);
+    pb::put_int(req, 3, limit);
+    pb::put_string(req, 4, filter_json);
+    if (with_payload) pb::put_int(req, 5, 1);
+    pb::put_string(req, 6, metric);
+    if (req_id) pb::put_int(req, 15, static_cast<int64_t>(req_id));
+    return req;
+  }
+
+  static std::vector<ScoredPoint> parse_scored_points(
+      const std::string& body) {
+    pb::Reader rd(body);
+    std::vector<ScoredPoint> out;
+    std::string err;
+    int f, w;
+    while (rd.next(&f, &w)) {
+      if (f == 1 && w == 2) {
+        pb::Reader pm(rd.bytes());
+        ScoredPoint sp;
+        int pf, pw;
+        while (pm.next(&pf, &pw)) {
+          if (pf == 1 && pw == 2) sp.id = pm.bytes();
+          else if (pf == 2 && pw == 5) sp.score = pm.f32();
+          else if (pf == 3 && pw == 2) sp.payload_json = pm.bytes();
+          else pm.skip(pw);
+        }
+        out.push_back(sp);
+      } else if (f == 2 && w == 2) {
+        err = rd.bytes();
+      } else {
+        rd.skip(w);
+      }
+    }
+    if (!err.empty()) throw Error(-1, err);
+    return out;
   }
 
   static std::vector<Point> parse_points(const std::string& body,

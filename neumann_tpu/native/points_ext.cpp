@@ -421,6 +421,75 @@ PyObject* parse_response(PyObject*, PyObject* arg) {
   return out;
 }
 
+// --------------------------------------------------------- split / join --
+// QueryPointsBatch{Request,Response} are just `repeated <msg> = 1`;
+// these two generic helpers (de)frame the submessages so the batch
+// path composes with the per-message codec above.
+PyObject* split_messages(PyObject*, PyObject* arg) {
+  Py_buffer buf;
+  if (PyObject_GetBuffer(arg, &buf, PyBUF_SIMPLE) != 0) return nullptr;
+  const uint8_t* p = static_cast<const uint8_t*>(buf.buf);
+  const uint8_t* end = p + buf.len;
+  PyObject* out = PyList_New(0);
+  bool ok = out != nullptr;
+  while (ok && p < end) {
+    uint64_t tag, len;
+    if (!get_varint(p, end, &tag)) { ok = false; break; }
+    if ((tag >> 3) == 1 && (tag & 7) == 2) {
+      if (!get_varint(p, end, &len) || uint64_t(end - p) < len) {
+        ok = false; break;
+      }
+      PyObject* sub = PyBytes_FromStringAndSize(
+          reinterpret_cast<const char*>(p), Py_ssize_t(len));
+      if (!sub || PyList_Append(out, sub) != 0) {
+        Py_XDECREF(sub); ok = false; break;
+      }
+      Py_DECREF(sub);
+      p += len;
+    } else if (!skip_field(p, end, uint32_t(tag & 7))) {
+      ok = false; break;
+    }
+  }
+  PyBuffer_Release(&buf);
+  if (!ok) {
+    Py_XDECREF(out);
+    if (!PyErr_Occurred())
+      PyErr_SetString(PyExc_ValueError, "malformed batch message");
+    return nullptr;
+  }
+  return out;
+}
+
+PyObject* join_messages(PyObject*, PyObject* arg) {
+  if (!PyList_Check(arg)) {
+    PyErr_SetString(PyExc_TypeError, "expected list of bytes");
+    return nullptr;
+  }
+  Py_ssize_t n = PyList_GET_SIZE(arg);
+  size_t total = 0;
+  for (Py_ssize_t i = 0; i < n; ++i) {
+    PyObject* it = PyList_GET_ITEM(arg, i);
+    if (!PyBytes_Check(it)) {
+      PyErr_SetString(PyExc_TypeError, "expected list of bytes");
+      return nullptr;
+    }
+    size_t ln = size_t(PyBytes_GET_SIZE(it));
+    total += 1 + varint_size(ln) + ln;
+  }
+  PyObject* out = PyBytes_FromStringAndSize(nullptr, Py_ssize_t(total));
+  if (!out) return nullptr;
+  uint8_t* w = reinterpret_cast<uint8_t*>(PyBytes_AS_STRING(out));
+  for (Py_ssize_t i = 0; i < n; ++i) {
+    PyObject* it = PyList_GET_ITEM(arg, i);
+    size_t ln = size_t(PyBytes_GET_SIZE(it));
+    *w++ = 0x0a;
+    w = put_varint(w, ln);
+    std::memcpy(w, PyBytes_AS_STRING(it), ln);
+    w += ln;
+  }
+  return out;
+}
+
 PyMethodDef methods[] = {
     {"parse_query", parse_query, METH_O,
      "parse QueryPointsRequest bytes"},
@@ -430,6 +499,10 @@ PyMethodDef methods[] = {
      "parse QueryPointsResponse bytes"},
     {"encode_response", encode_response, METH_VARARGS,
      "encode QueryPointsResponse"},
+    {"split_messages", split_messages, METH_O,
+     "split `repeated <msg> = 1` batch bytes into submessage list"},
+    {"join_messages", join_messages, METH_O,
+     "frame a list of submessage bytes as `repeated <msg> = 1`"},
     {nullptr, nullptr, 0, nullptr}};
 
 PyModuleDef moduledef = {PyModuleDef_HEAD_INIT, "_neumann_points",

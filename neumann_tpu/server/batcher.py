@@ -53,6 +53,14 @@ class _Request:
     event: threading.Event = field(default_factory=threading.Event)
     result: Optional[List[SearchResult]] = None
     error: Optional[Exception] = None
+    # async completion hook (QueryStream serving): called exactly once
+    # with (results, error) from a worker thread
+    callback: Optional[object] = None
+
+    def finish(self) -> None:
+        self.event.set()
+        if self.callback is not None:
+            self.callback(self.result, self.error)
 
 
 class BatcherClosed(RuntimeError):
@@ -105,24 +113,34 @@ class QueryBatcher:
                ) -> List[SearchResult]:
         """Blocking search; coalesced with concurrent callers.
 
-        Validation happens HERE, before the request can join a cohort,
-        so a malformed query fails only its own caller."""
-        q = np.asarray(query, np.float32)
-        if q.shape != (self.dim,):
-            raise ValueError(f"query dim {q.shape} != ({self.dim},)")
-        if top_k <= 0:
-            raise ValueError("top_k must be positive")
-        req = _Request(q, top_k, filter_cond)
-        with self._cond:
-            if self._stop.is_set():
-                raise BatcherClosed("batcher is closed")
-            self._queue.append(req)
-            self._cond.notify()
+        Validation happens at submit, before the request can join a
+        cohort, so a malformed query fails only its own caller."""
+        req = self.submit(query, top_k, filter_cond)
         if not req.event.wait(timeout_s):
             raise TimeoutError("batched search timed out")
         if req.error is not None:
             raise req.error
         return req.result
+
+    def submit(self, query, top_k: int,
+               filter_cond: Optional[FilterCondition] = None,
+               callback=None) -> _Request:
+        """Non-blocking enqueue; validation errors raise HERE (in the
+        submitting thread). ``callback(results, error)`` fires from a
+        worker thread on completion — the QueryStream pipelined-serving
+        hook."""
+        q = np.asarray(query, np.float32)
+        if q.shape != (self.dim,):
+            raise ValueError(f"query dim {q.shape} != ({self.dim},)")
+        if top_k <= 0:
+            raise ValueError("top_k must be positive")
+        req = _Request(q, top_k, filter_cond, callback=callback)
+        with self._cond:
+            if self._stop.is_set():
+                raise BatcherClosed("batcher is closed")
+            self._queue.append(req)
+            self._cond.notify()
+        return req
 
     def close(self) -> None:
         """Drain: queued requests are still executed (workers keep
@@ -138,7 +156,7 @@ class QueryBatcher:
             leftovers, self._queue = self._queue, []
         for req in leftovers:
             req.error = BatcherClosed("batcher closed before execution")
-            req.event.set()
+            req.finish()
 
     # ------------------------------------------------------------------
     def _loop(self) -> None:
@@ -192,13 +210,13 @@ class QueryBatcher:
                 q, max_k, self.metric, self.ns, filter_cond=filt)
             for i, req in enumerate(cohort):
                 req.result = all_results[i][: req.top_k]
-                req.event.set()
+                req.finish()
             self.batches_run += 1
             self.queries_served += len(cohort)
         except Exception as e:  # noqa: BLE001 — isolate, then propagate
             if len(cohort) == 1:
                 cohort[0].error = e
-                cohort[0].event.set()
+                cohort[0].finish()
                 return
             # failure isolation: re-run per request so only the
             # offending one fails (VERDICT r4 #6)
@@ -210,4 +228,4 @@ class QueryBatcher:
                     self.queries_served += 1
                 except Exception as e2:  # noqa: BLE001
                     req.error = e2
-                req.event.set()
+                req.finish()

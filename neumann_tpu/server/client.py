@@ -260,25 +260,110 @@ class NeumannClient:
             raise NeumannError(resp.error)
         return resp.upserted
 
+    def _points_codec(self):
+        from neumann_tpu.server.server import _points_codec
+
+        return _points_codec()
+
     def query_points(self, collection: str, vector, limit: int = 10,
-                     filter_json: Optional[dict] = None) -> List[dict]:
+                     filter_json: Optional[dict] = None,
+                     with_payload: bool = True,
+                     metric: Optional[str] = None) -> List[dict]:
+        """Binary vector query (PointsService.Query). Travels as raw
+        packed-float bytes through the native codec — never as a text
+        SIMILAR statement. Empty ``collection`` searches the default
+        embedding namespace."""
         if self._router is not None:
-            hits = self._router.vector.search_in_collection(
-                collection, vector, limit)
+            if collection:
+                hits = self._router.vector.search_in_collection(
+                    collection, vector, limit, metric)
+            else:
+                hits = self._router.vector.search_similar_with_metric(
+                    vector, limit, metric or "cosine")
             return [{"id": h.key, "score": h.score} for h in hits]
-        pb = self._pb
-        resp = self._call(
-            "neumann.PointsService", "Query",
-            pb.QueryPointsRequest(
-                collection=collection, vector=list(vector), limit=limit,
-                filter_json=json.dumps(filter_json) if filter_json
-                else ""),
-            pb.QueryPointsResponse)
-        if resp.error:
-            raise NeumannError(resp.error)
-        return [{"id": r.id, "score": r.score,
-                 "payload": _json_obj(r.payload_json)}
-                for r in resp.result]
+        import grpc
+        import numpy as np
+
+        codec = self._points_codec()
+        raw = codec.encode_query(
+            collection, np.asarray(vector, "<f4").tobytes(), limit,
+            json.dumps(filter_json) if filter_json else None,
+            with_payload, metric, 0)
+        rpc = getattr(self, "_raw_query_stub", None)
+        if rpc is None:
+            rpc = self._raw_query_stub = self._channel.unary_unary(
+                "/neumann.PointsService/Query")
+        try:
+            resp = rpc(raw, metadata=self._metadata())
+        except grpc.RpcError as e:
+            raise NeumannError(
+                f"rpc Query failed: {e.code().name}: "
+                f"{e.details()}") from e
+        _, ids, scores, payloads, error = codec.parse_response(resp)
+        if error:
+            raise NeumannError(error)
+        sc = np.frombuffer(scores, "<f4")
+        return [{"id": ids[i], "score": float(sc[i]),
+                 "payload": _json_obj(payloads[i])
+                 if payloads and payloads[i] else None}
+                for i in range(len(ids))]
+
+    def query_points_batch(self, vectors, limit: int = 10,
+                           collection: str = "",
+                           metric: Optional[str] = None
+                           ) -> List[List[dict]]:
+        """Many binary queries in one RPC, answered in order (Qdrant
+        query_batch parity). A homogeneous batch runs as ONE batched
+        device call server-side — the amortized-wire path for bulk
+        search from a single caller."""
+        import numpy as np
+
+        vecs = np.ascontiguousarray(vectors, dtype="<f4")
+        if vecs.ndim != 2:
+            raise NeumannError("query_points_batch expects [Q, d]")
+        if self._router is not None:
+            res = self._router.vector.batch_search_ns(
+                vecs, limit, metric,
+                f"col/{collection}" if collection else "")
+            return [[{"id": h.key, "score": h.score} for h in hits]
+                    for hits in res]
+        import grpc
+
+        codec = self._points_codec()
+        reqs = [codec.encode_query(collection, vecs[i].tobytes(),
+                                   limit, None, False, metric, i + 1)
+                for i in range(vecs.shape[0])]
+        raw = codec.join_messages(reqs)
+        rpc = getattr(self, "_raw_batch_stub", None)
+        if rpc is None:
+            rpc = self._raw_batch_stub = self._channel.unary_unary(
+                "/neumann.PointsService/QueryBatch")
+        try:
+            resp = rpc(raw, metadata=self._metadata())
+        except grpc.RpcError as e:
+            raise NeumannError(
+                f"rpc QueryBatch failed: {e.code().name}: "
+                f"{e.details()}") from e
+        out = []
+        for sub in codec.split_messages(resp):
+            _, ids, scores, payloads, error = codec.parse_response(sub)
+            if error:
+                raise NeumannError(error)
+            sc = np.frombuffer(scores, "<f4")
+            out.append([{"id": ids[i], "score": float(sc[i])}
+                        for i in range(len(ids))])
+        return out
+
+    def points_pipeline(self) -> "PointsPipeline":
+        """Open a PointsService.QueryStream pipeline: submit many
+        binary queries without waiting for responses; each submit
+        returns a Future. The server coalesces concurrent stream
+        queries into batched device calls — the high-throughput
+        serving path for a fleet of queries from one process."""
+        if self._channel is None:
+            raise NeumannError("points_pipeline needs a remote client")
+        return PointsPipeline(self._channel, self._metadata(),
+                              self._points_codec())
 
     def delete_points(self, collection: str, ids: List[str]) -> int:
         pb = self._pb
@@ -398,3 +483,103 @@ class NeumannClient:
                 "creator": info.creator, "created": info.created,
                 "tags": list(info.tags), "links": list(info.links),
                 "chunks": info.chunks}
+
+
+class PointsPipeline:
+    """Pipelined binary vector queries over one QueryStream bidi RPC.
+
+    ``search()`` enqueues a query and returns a
+    concurrent.futures.Future immediately; a background reader resolves
+    futures as responses arrive (the server may answer out of order —
+    correlation is by req_id). One pipeline saturates the server's
+    batched device path without one-thread-per-query clients; mirrors
+    the throughput role of the reference's multiplexed HTTP/2 tonic
+    clients (neumann_client/src/lib.rs execute_stream)."""
+
+    _CLOSE = object()
+
+    def __init__(self, channel, metadata, codec):
+        import queue as _queue
+        import threading
+
+        self._codec = codec
+        self._q: "_queue.Queue" = _queue.Queue()
+        self._futures: Dict[int, object] = {}
+        self._flock = threading.Lock()
+        self._next_id = 1
+        self._closed = False
+        stub = channel.stream_stream(
+            "/neumann.PointsService/QueryStream")
+        self._responses = stub(iter(self._q.get, self._CLOSE),
+                               metadata=metadata)
+        self._reader = threading.Thread(target=self._drain,
+                                        daemon=True,
+                                        name="points-pipeline-reader")
+        self._reader.start()
+
+    def _drain(self) -> None:
+        import numpy as np
+
+        try:
+            for raw in self._responses:
+                rid, ids, scores, payloads, error = \
+                    self._codec.parse_response(raw)
+                with self._flock:
+                    fut = self._futures.pop(rid, None)
+                if fut is None:
+                    continue
+                if error:
+                    fut.set_exception(NeumannError(error))
+                    continue
+                sc = np.frombuffer(scores, "<f4")
+                fut.set_result(
+                    [{"id": ids[i], "score": float(sc[i]),
+                      "payload": _json_obj(payloads[i])
+                      if payloads and payloads[i] else None}
+                     for i in range(len(ids))])
+        except Exception as e:  # noqa: BLE001 — stream died: fail all
+            err = e
+            with self._flock:
+                pending = list(self._futures.values())
+                self._futures.clear()
+            for fut in pending:
+                if not fut.done():
+                    fut.set_exception(NeumannError(
+                        f"query stream failed: {err}"))
+
+    def search(self, vector, limit: int = 10, collection: str = "",
+               filter_json: Optional[dict] = None,
+               with_payload: bool = False,
+               metric: Optional[str] = None):
+        """Enqueue one query; returns a Future of List[dict]."""
+        import concurrent.futures as _fut
+
+        import numpy as np
+
+        if self._closed:
+            raise NeumannError("pipeline is closed")
+        fut = _fut.Future()
+        with self._flock:
+            rid = self._next_id
+            self._next_id += 1
+            self._futures[rid] = fut
+        self._q.put(self._codec.encode_query(
+            collection, np.asarray(vector, "<f4").tobytes(), limit,
+            json.dumps(filter_json) if filter_json else None,
+            with_payload, metric, rid))
+        return fut
+
+    def close(self, timeout_s: float = 10.0) -> None:
+        """Half-close the request stream, wait for in-flight
+        responses, then stop the reader."""
+        if self._closed:
+            return
+        self._closed = True
+        self._q.put(self._CLOSE)
+        self._reader.join(timeout=timeout_s)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -61,6 +61,120 @@ def result_to_proto(res: QueryResult) -> pb.QueryResponse:
     return out
 
 
+def _identity(b):
+    return b
+
+
+_POINTS_CODEC = None
+
+
+def _points_codec():
+    """Native raw-bytes codec for the Points Query hot path, or a
+    protobuf shim with identical call signatures when no toolchain is
+    available. Both produce the same wire bytes
+    (tests/test_points_codec.py)."""
+    global _POINTS_CODEC
+    if _POINTS_CODEC is None:
+        from neumann_tpu.native import pypoints
+
+        _POINTS_CODEC = pypoints.load() or _PbPointsCodec
+    return _POINTS_CODEC
+
+
+class _PbPointsCodec:
+    """Fallback points codec over the generated protobuf classes."""
+
+    @staticmethod
+    def parse_query(raw):
+        req = pb.QueryPointsRequest.FromString(bytes(raw))
+        vec = np.asarray(req.vector, "<f4").tobytes()
+        return (req.collection, vec, req.limit,
+                req.filter_json or None, req.with_payload,
+                req.metric or None, req.req_id)
+
+    @staticmethod
+    def encode_query(collection, vec, limit, filter_json, with_payload,
+                     metric, req_id):
+        return pb.QueryPointsRequest(
+            collection=collection,
+            vector=np.frombuffer(vec, "<f4").tolist(), limit=limit,
+            filter_json=filter_json or "",
+            with_payload=bool(with_payload), metric=metric or "",
+            req_id=req_id).SerializeToString()
+
+    @staticmethod
+    def encode_response(req_id, ids, scores, payloads, error):
+        sc = np.frombuffer(scores, "<f4")
+        out = pb.QueryPointsResponse(req_id=req_id, error=error or "")
+        for i, pid in enumerate(ids):
+            out.result.append(pb.ScoredPoint(
+                id=pid, score=float(sc[i]),
+                payload_json=(payloads[i] or "") if payloads else ""))
+        return out.SerializeToString()
+
+    # batch framing is `repeated <msg> = 1` for requests AND responses,
+    # so split/join work on raw tags (message-type-agnostic, matching
+    # the native codec's split_messages/join_messages)
+    @staticmethod
+    def split_messages(raw):
+        raw = bytes(raw)
+        out, i, n = [], 0, len(raw)
+        while i < n:
+            tag, i = _PbPointsCodec._uvarint(raw, i)
+            if tag >> 3 == 1 and tag & 7 == 2:
+                ln, i = _PbPointsCodec._uvarint(raw, i)
+                out.append(raw[i: i + ln])
+                i += ln
+            elif tag & 7 == 0:
+                _, i = _PbPointsCodec._uvarint(raw, i)
+            elif tag & 7 == 2:
+                ln, i = _PbPointsCodec._uvarint(raw, i)
+                i += ln
+            elif tag & 7 == 5:
+                i += 4
+            elif tag & 7 == 1:
+                i += 8
+            else:
+                raise ValueError("malformed batch message")
+        return out
+
+    @staticmethod
+    def _uvarint(raw, i):
+        v = s = 0
+        while True:
+            b = raw[i]
+            i += 1
+            v |= (b & 0x7F) << s
+            if not b & 0x80:
+                return v, i
+            s += 7
+
+    @staticmethod
+    def join_messages(subs):
+        out = bytearray()
+        for s in subs:
+            out.append(0x0A)
+            ln = len(s)
+            while ln >= 0x80:
+                out.append((ln & 0x7F) | 0x80)
+                ln >>= 7
+            out.append(ln)
+            out.extend(s)
+        return bytes(out)
+
+    @staticmethod
+    def parse_response(raw):
+        resp = pb.QueryPointsResponse.FromString(bytes(raw))
+        ids = [r.id for r in resp.result]
+        scores = np.asarray([r.score for r in resp.result],
+                            "<f4").tobytes()
+        payloads = [r.payload_json or None for r in resp.result]
+        if not any(p for p in payloads):
+            payloads = None
+        return (resp.req_id, ids, scores, payloads,
+                resp.error or None)
+
+
 class _Auth:
     def __init__(self, api_keys: Optional[Iterable[str]],
                  rate_limit_per_min: int):
@@ -347,9 +461,22 @@ class NeumannServer:
             "Delete": self._wrap(self._points_delete,
                                  pb.DeletePointsRequest,
                                  pb.DeletePointsResponse),
-            "Query": self._wrap(self._points_query,
-                                pb.QueryPointsRequest,
-                                pb.QueryPointsResponse),
+            # raw-bytes fast path: no Python protobuf on the hot path
+            # (native codec; see _points_query_fast). Identity
+            # serializers instead of None: the grpc-web gateway calls
+            # them explicitly (grpc_web.py:163,184)
+            "Query": grpc.unary_unary_rpc_method_handler(
+                self._points_query_unary,
+                request_deserializer=_identity,
+                response_serializer=_identity),
+            "QueryStream": grpc.stream_stream_rpc_method_handler(
+                self._points_stream_entry,
+                request_deserializer=_identity,
+                response_serializer=_identity),
+            "QueryBatch": grpc.unary_unary_rpc_method_handler(
+                self._points_query_batch_unary,
+                request_deserializer=_identity,
+                response_serializer=_identity),
             "Scroll": self._wrap(self._points_scroll,
                                  pb.ScrollPointsRequest,
                                  pb.ScrollPointsResponse),
@@ -487,32 +614,224 @@ class NeumannServer:
                 n += 1
         return pb.DeletePointsResponse(deleted=n)
 
-    def _points_query(self, request, context):
-        from neumann_tpu.engines.vector import FilterCondition
+    # -- points query fast path --------------------------------------------
+    # The serving data plane: raw request bytes in, raw response bytes
+    # out, decoded/encoded by the native codec (points_ext.cpp) and
+    # dispatched through the router's coalescing batchers — no Python
+    # protobuf objects on the hot path. Mirrors the reference's
+    # compiled tonic handlers (neumann_server/src/service/query.rs:
+    # 207-278 + proto/vector.proto).
+    def _resolve_metric(self, ns: str, metric: Optional[str]) -> str:
+        if metric:
+            return metric
+        if ns.startswith("col/"):
+            return self.router.vector.collection_config(ns[4:]).metric
+        return "cosine"
 
-        filt = None
-        if request.filter_json:
-            filt = _filter_from_json(json.loads(request.filter_json))
-        if filt is not None:
-            hits = self.router.vector.search_filtered_in_collection(
-                request.collection, list(request.vector),
-                request.limit or 10, filt)
-        else:
-            hits = self.router.vector.search_in_collection(
-                request.collection, list(request.vector),
-                request.limit or 10)
-        out = pb.QueryPointsResponse()
-        for h in hits:
-            data = self.router.store.get(
-                f"col:{request.collection}:{h.key}")
-            payload = {}
+    def _search_points_ns(self, ns: str, q: np.ndarray, limit: int,
+                          filt, metric: Optional[str]):
+        mt = self._resolve_metric(ns, metric)
+        batcher = self.router._batcher_for(q.size, mt, ns)
+        if batcher is not None:
+            return batcher.search(q, limit, filter_cond=filt)
+        return self.router.vector.batch_search_ns(
+            q[None, :], limit, mt, ns, filter_cond=filt)[0]
+
+    def _payloads_for(self, collection: str, keys):
+        prefix = f"col:{collection}:" if collection else "emb:"
+        out = []
+        for k in keys:
+            data = self.router.store.get(prefix + k)
+            payload = None
             if data is not None:
                 payload = {n: v.value for n, v in data.fields.items()
                            if n != "embedding" and v.kind == "scalar"}
-            out.result.append(pb.ScoredPoint(
-                id=h.key, score=h.score,
-                payload_json=dumps(payload) if payload else ""))
+            out.append(dumps(payload) if payload else None)
         return out
+
+    def _points_query_fast(self, raw: bytes, codec) -> bytes:
+        return self._points_query_parsed(codec.parse_query(raw), codec)
+
+    def _points_query_parsed(self, parsed, codec) -> bytes:
+        col, vecb, limit, fjson, with_payload, metric, rid = parsed
+        try:
+            q = np.frombuffer(vecb, "<f4")
+            filt = (_filter_from_json(json.loads(fjson))
+                    if fjson else None)
+            ns = f"col/{col}" if col else ""
+            hits = self._search_points_ns(ns, q, limit or 10, filt,
+                                          metric or None)
+        except (NeumannError, ValueError, KeyError) as e:
+            return codec.encode_response(rid, [], b"", None, str(e))
+        ids = [h.key for h in hits]
+        scores = np.fromiter((h.score for h in hits), "<f4",
+                             count=len(ids))
+        payloads = self._payloads_for(col, ids) if with_payload \
+            else None
+        return codec.encode_response(rid, ids, scores.tobytes(),
+                                     payloads, None)
+
+    def _points_query_batch_fast(self, raw: bytes, codec) -> bytes:
+        """QueryBatch: a HOMOGENEOUS batch (one collection/metric, no
+        filters, no payloads, one dim) becomes a single [B, d] matrix
+        and ONE batched device call — the amortized-wire serving path
+        (Qdrant query_batch parity). Mixed batches fall back to the
+        per-item fast path, answered in order either way."""
+        parsed = [codec.parse_query(s)
+                  for s in codec.split_messages(raw)]
+        if not parsed:
+            return b""
+        p0 = parsed[0]
+        homogeneous = all(
+            p[0] == p0[0] and p[3] is None and not p[4]
+            and (p[5] or "") == (p0[5] or "")
+            and len(p[1]) == len(p0[1]) and len(p[1]) > 0
+            for p in parsed)
+        if not homogeneous:
+            return codec.join_messages(
+                [self._points_query_parsed(p, codec) for p in parsed])
+        col = p0[0]
+        ns = f"col/{col}" if col else ""
+        d = len(p0[1]) // 4
+        mat = np.frombuffer(b"".join(p[1] for p in parsed),
+                            "<f4").reshape(len(parsed), d)
+        k = max((p[2] or 10) for p in parsed)
+        try:
+            results = self.router.vector.batch_search_ns(
+                mat, k, p0[5] or None, ns)
+        except (NeumannError, ValueError, KeyError) as e:
+            msg = str(e)
+            return codec.join_messages([
+                codec.encode_response(p[6], [], b"", None, msg)
+                for p in parsed])
+        resps = []
+        for p, hits in zip(parsed, results):
+            hits = hits[: (p[2] or 10)]
+            ids = [h.key for h in hits]
+            scores = np.fromiter((h.score for h in hits), "<f4",
+                                 count=len(ids))
+            resps.append(codec.encode_response(
+                p[6], ids, scores.tobytes(), None, None))
+        return codec.join_messages(resps)
+
+    def _points_query_batch_unary(self, request: bytes,
+                                  context) -> bytes:
+        t0 = time.time()
+        key = self._auth.check(context)
+        try:
+            out = self._points_query_batch_fast(request,
+                                                _points_codec())
+            self._record(t0, False)
+            return out
+        except Exception as e:  # noqa: BLE001 — surface faithfully
+            self._record(t0, True)
+            self._auth.log(key, "points_query_batch", ok=False,
+                           detail=str(e))
+            context.abort(grpc.StatusCode.INTERNAL,
+                          f"{type(e).__name__}: {e}")
+
+    def _points_query_unary(self, request: bytes, context) -> bytes:
+        t0 = time.time()
+        key = self._auth.check(context)
+        try:
+            out = self._points_query_fast(request, _points_codec())
+            self._record(t0, False)
+            return out
+        except Exception as e:  # noqa: BLE001 — surface faithfully
+            self._record(t0, True)
+            self._auth.log(key, "points_query", ok=False, detail=str(e))
+            context.abort(grpc.StatusCode.INTERNAL,
+                          f"{type(e).__name__}: {e}")
+
+    def _points_stream_entry(self, request_iterator, context):
+        """Bidi QueryStream: pipelined binary queries, coalesced into
+        batched device calls; responses stream back as their batch
+        completes (correlated by req_id, possibly out of order)."""
+        import queue as _queue
+
+        self._auth.check(context)
+        codec = _points_codec()
+        out: "_queue.Queue" = _queue.Queue()
+        _DONE = object()
+        lock = threading.Lock()
+        pending = [1]                      # reader's own ref
+
+        def dec():
+            with lock:
+                pending[0] -= 1
+                if pending[0] == 0:
+                    out.put(_DONE)
+
+        def completion(rid, col, with_payload, t0):
+            def cb(results, error):
+                try:
+                    if error is not None:
+                        out.put(codec.encode_response(
+                            rid, [], b"", None, str(error)))
+                        self._record(t0, True)
+                        return
+                    ids = [h.key for h in results]
+                    scores = np.fromiter(
+                        (h.score for h in results), "<f4",
+                        count=len(ids))
+                    payloads = (self._payloads_for(col, ids)
+                                if with_payload else None)
+                    out.put(codec.encode_response(
+                        rid, ids, scores.tobytes(), payloads, None))
+                    self._record(t0, False)
+                finally:
+                    dec()
+            return cb
+
+        def reader():
+            try:
+                for raw in request_iterator:
+                    t0 = time.time()
+                    rid = 0
+                    try:
+                        col, vecb, limit, fjson, with_payload, metric, \
+                            rid = codec.parse_query(raw)
+                        q = np.frombuffer(vecb, "<f4")
+                        filt = (_filter_from_json(json.loads(fjson))
+                                if fjson else None)
+                        ns = f"col/{col}" if col else ""
+                        mt = self._resolve_metric(ns, metric or None)
+                        with lock:
+                            pending[0] += 1
+                        cb = completion(rid, col, with_payload, t0)
+                        batcher = self.router._batcher_for(
+                            q.size, mt, ns)
+                        if batcher is not None:
+                            try:
+                                batcher.submit(q, limit or 10, filt,
+                                               callback=cb)
+                            except Exception as e:  # noqa: BLE001
+                                cb(None, e)
+                        else:
+                            try:
+                                cb(self.router.vector.batch_search_ns(
+                                    q[None, :], limit or 10, mt, ns,
+                                    filter_cond=filt)[0], None)
+                            except Exception as e:  # noqa: BLE001
+                                cb(None, e)
+                    except Exception as e:  # noqa: BLE001 — one bad
+                        # message answers with an error (correlated if
+                        # the req_id parsed), stream lives
+                        out.put(codec.encode_response(
+                            rid, [], b"", None,
+                            f"{type(e).__name__}: {e}"))
+                        self._record(t0, True)
+            finally:
+                dec()
+
+        threading.Thread(target=reader, daemon=True,
+                         name="points-stream-reader").start()
+        while True:
+            item = out.get()
+            if item is _DONE:
+                return
+            yield item
+
 
     def _points_scroll(self, request, context):
         prefix = f"col:{request.collection}:"

@@ -121,13 +121,54 @@ class EmbeddingSlab:
         with self._lock:
             if len(rows):
                 self._ensure_capacity(int(rows.max()))
-                self._host[rows, : self.dim] = vecs
-                self._host[rows, self.dim:] = 0.0
-                self._valid[rows] = True
-                self._dirty.update(int(r) for r in rows)
+                start = int(rows[0])
+                if rows.size > 1 and int(rows[-1]) - start == \
+                        rows.size - 1 and bool((np.diff(rows) == 1).all()):
+                    # contiguous ascending range: one slice memcpy
+                    # instead of fancy indexing (columnar ingest path)
+                    end = start + rows.size
+                    self._host[start:end, : self.dim] = vecs
+                    self._host[start:end, self.dim:] = 0.0
+                    self._valid[start:end] = True
+                else:
+                    self._host[rows, : self.dim] = vecs
+                    self._host[rows, self.dim:] = 0.0
+                    self._valid[rows] = True
+                row_list = rows.tolist()    # C loop, not a genexpr
+                self._dirty.update(row_list)
                 for w in self._watchers.values():
-                    w.update(int(r) for r in rows)
+                    w.update(row_list)
                 self._version += 1
+
+    def adopt_matrix(self, matrix: np.ndarray) -> bool:
+        """Zero-copy bulk load into an EMPTY slab: take ownership of a
+        C-contiguous [N, dim_pad] f32 buffer as rows 0..N-1 instead of
+        memcpying it in (~2.8 µs/row at 768d on the bench VM — the
+        dominant ingest cost). The caller must not mutate the buffer
+        afterwards. Returns False (and changes nothing) when the slab
+        already has rows or the buffer shape/layout doesn't match."""
+        if (matrix.dtype != np.float32
+                or not matrix.flags["C_CONTIGUOUS"]
+                or not matrix.flags["WRITEABLE"]
+                or matrix.ndim != 2
+                or matrix.shape[1] != self.dim_pad
+                or matrix.shape[0] < _MIN_CAPACITY):
+            return False
+        with self._lock:
+            if self._valid.any():
+                return False
+            n = matrix.shape[0]
+            self._host = matrix
+            self._valid = np.ones(n, bool)
+            self._capacity = n
+            self._full_dirty = True
+            self._device = None
+            self._device_valid = None
+            rows = range(n)
+            for w in self._watchers.values():
+                w.update(rows)
+            self._version += 1
+            return True
 
     def clear_row(self, row: int) -> None:
         with self._lock:

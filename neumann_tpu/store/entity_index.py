@@ -33,6 +33,39 @@ class EntityIndex:
             self._key_to_id[key] = eid
             return eid
 
+    def get_or_insert_many(self, keys) -> "np.ndarray":
+        """Vectorized get_or_insert for a batch of keys (columnar
+        ingest). The fresh-ingest common case — no free-listed ids, no
+        key already present, no duplicate within the batch — is three
+        C-speed dict/set operations instead of a per-key Python loop;
+        anything else falls back to the exact per-key path."""
+        import numpy as np
+
+        n = len(keys)
+        with self._lock:
+            k2i, i2k = self._key_to_id, self._id_to_key
+            if not self._free:
+                seen = set(keys)
+                if len(seen) == n and k2i.keys().isdisjoint(seen):
+                    start = len(i2k)
+                    k2i.update(zip(keys, range(start, start + n)))
+                    i2k.extend(keys)
+                    return np.arange(start, start + n, dtype=np.int64)
+            out = np.empty(n, np.int64)
+            free = self._free
+            for i, key in enumerate(keys):
+                eid = k2i.get(key)
+                if eid is None:
+                    if free:
+                        eid = free.pop()
+                        i2k[eid] = key
+                    else:
+                        eid = len(i2k)
+                        i2k.append(key)
+                    k2i[key] = eid
+                out[i] = eid
+            return out
+
     def lookup(self, key: str) -> Optional[int]:
         with self._lock:
             return self._key_to_id.get(key)

@@ -84,6 +84,9 @@ def test_conformance_battery(cli, stack):
     assert steps["get_points"]["n"] == 1
     assert steps["get_points"]["dim"] == 4
     assert steps["query_points"]["top"] == "p1"
+    assert steps["query_batch"]["n"] == 2
+    assert steps["query_batch"]["t0"] == "p1"
+    assert steps["query_batch"]["t1"] == "p2"
     assert steps["scroll"]["n"] == 1
     assert steps["delete_points"]["n"] == 1
 

@@ -152,6 +152,32 @@ def gate_bench_artifact(path: str) -> int:
     if len(rk) < 2:
         failures.append(f"ivf_recall_k has {len(rk)} k-points "
                         "(need k=1/10/100 coverage)")
+    # round-5 bars: the curve must CURVE (recall varies across nprobe
+    # points, i.e. it reaches below-saturation operating points) and
+    # every point must carry a throughput number so it answers
+    # operating-point questions (VERDICT r4 #3)
+    full = row.get("ivf_curve") or []
+    if len(full) < 5:
+        failures.append(f"ivf_curve has {len(full)} points (need >=5)")
+    else:
+        recs = [p.get("recall_at_10") for p in full
+                if p.get("recall_at_10") is not None]
+        if recs and max(recs) - min(recs) < 1e-4:
+            failures.append("ivf_curve is flat: sweep does not reach "
+                            "the knee (all points saturated)")
+        with_qps = [p for p in full if "qps" in p or "p50_ms" in p]
+        if len(with_qps) < max(3, len(full) - 2):
+            failures.append(
+                f"only {len(with_qps)}/{len(full)} ivf_curve points "
+                "carry qps/p50_ms")
+    bcurve = row.get("ivf_batched_curve") or []
+    if len(bcurve) < 3:
+        failures.append(f"ivf_batched_curve has {len(bcurve)} points "
+                        "(need >=3 with qps+recall)")
+    served = row.get("served_corpus_n") or 0
+    if served and served < 10_000_000 and row.get("value", 0) > 50_000:
+        print(f"note: served corpus {served} below the 10M headline "
+              "(deadline fallback?)")
     for f_ in failures:
         print(f"FAIL {f_}")
     if not failures:
