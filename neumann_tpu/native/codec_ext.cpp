@@ -411,8 +411,16 @@ static void s16_init(void) {
     s16_ok = (s16_crc(0, tv, sizeof tv) == want);
 #if defined(__x86_64__)
     if (__builtin_cpu_supports("pclmul")
-        && __builtin_cpu_supports("sse4.1"))
+        && __builtin_cpu_supports("sse4.1")) {
         pclmul_ok = (crc32_pclmul(0, tv, sizeof tv) == want);
+        // the small-size single-fold entry has its own reduction path:
+        // self-check every length class incl. chained init values
+        for (size_t ln = 16; pclmul_ok && ln < 80; ln += 7)
+            pclmul_ok = (crc32_pclmul(0, tv, ln)
+                         == (uint32_t)crc32(0, tv, ln))
+                && (crc32_pclmul(0x12345678u, tv, ln)
+                    == (uint32_t)crc32(0x12345678u, tv, ln));
+    }
 #endif
 }
 
@@ -451,7 +459,41 @@ static uint32_t crc32_pclmul(uint32_t crc0, const unsigned char *buf, size_t len
     static const uint64_t k5 = 0x0163cd6124ULL; // x^64 mod P
     static const uint64_t poly = 0x01db710641ULL;
     static const uint64_t mu   = 0x01f7011641ULL;
-    if (len < 64) return (uint32_t)crc32(crc0, buf, len);
+    // single-xmm entry for 16..63 bytes: small WAL payloads (~40B
+    // records) otherwise fall to the table CRC, which is the largest
+    // per-record cost of small-log replay
+    if (len < 16) return (uint32_t)crc32(crc0, buf, len);
+    const __m128i K34s = _mm_set_epi64x((long long)k4, (long long)k3);
+    if (len < 64) {
+        uint32_t c = ~crc0;
+        __m128i x = _mm_xor_si128(_mm_loadu_si128((const __m128i*)buf),
+                                  _mm_cvtsi32_si128((int)c));
+        buf += 16; len -= 16;
+        while (len >= 16) {
+            __m128i y = _mm_loadu_si128((const __m128i*)buf);
+            x = _mm_xor_si128(_mm_xor_si128(
+                    _mm_clmulepi64_si128(x, K34s, 0x00),
+                    _mm_clmulepi64_si128(x, K34s, 0x11)), y);
+            buf += 16; len -= 16;
+        }
+        __m128i t = _mm_clmulepi64_si128(x, K34s, 0x10);
+        x = _mm_xor_si128(_mm_srli_si128(x, 8), t);
+        const __m128i K5s = _mm_set_epi64x(0, (long long)k5);
+        t = _mm_clmulepi64_si128(
+            _mm_and_si128(x, _mm_set_epi32(0, 0, 0, -1)), K5s, 0x00);
+        x = _mm_xor_si128(_mm_srli_si128(x, 4), t);
+        const __m128i Kmps = _mm_set_epi64x((long long)poly,
+                                            (long long)mu);
+        t = _mm_clmulepi64_si128(
+            _mm_and_si128(x, _mm_set_epi32(0, 0, 0, -1)), Kmps, 0x00);
+        t = _mm_clmulepi64_si128(
+            _mm_and_si128(t, _mm_set_epi32(0, 0, 0, -1)), Kmps, 0x10);
+        x = _mm_xor_si128(x, t);
+        c = (uint32_t)_mm_extract_epi32(x, 1);
+        c = ~c;
+        if (len) c = (uint32_t)crc32(c, buf, len);
+        return c;
+    }
     uint32_t c = ~crc0;
     __m128i x0 = _mm_loadu_si128((const __m128i*)buf);
     __m128i x1 = _mm_loadu_si128((const __m128i*)(buf+16));
@@ -517,7 +559,7 @@ static uint32_t crc32_pclmul(uint32_t crc0, const unsigned char *buf, size_t len
 
 static inline uint32_t fast_crc(const unsigned char *p, size_t n) {
 #if defined(__x86_64__)
-    if (pclmul_ok && n >= 64) return crc32_pclmul(0, p, n);
+    if (pclmul_ok && n >= 16) return crc32_pclmul(0, p, n);
 #endif
     return s16_ok ? s16_crc(0, p, n) : (uint32_t)crc32(0, p, n);
 }
