@@ -196,11 +196,32 @@ export class NeumannGrpcClient {
   }
 
   queryPoints(collection: string, vector: number[], limit = 10,
-              filter?: unknown):
+              filter?: unknown, withPayload = false, metric = ""):
       Promise<{ result: Array<{ id: string; score: number }> }> {
     return this.unary(this.points, "Query", {
       collection, vector, limit,
       filter_json: filter ? JSON.stringify(filter) : "",
+      with_payload: withPayload, metric,
+    });
+  }
+
+  /** Qdrant query_batch parity: many queries in one RPC, answered in
+   *  order; a homogeneous batch runs as ONE batched device call
+   *  server-side. */
+  async queryPointsBatch(collection: string, vectors: number[][],
+                         limit = 10, metric = ""):
+      Promise<Array<Array<{ id: string; score: number }>>> {
+    const resp: { responses: Array<{
+      result: Array<{ id: string; score: number }>; error: string;
+    }> } = await this.unary(this.points, "QueryBatch", {
+      requests: vectors.map((vector, i) => ({
+        collection, vector, limit, filter_json: "",
+        with_payload: false, metric, req_id: i + 1,
+      })),
+    });
+    return (resp.responses ?? []).map((r) => {
+      if (r.error) throw new Error(r.error);
+      return r.result ?? [];
     });
   }
 

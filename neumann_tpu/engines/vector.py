@@ -900,16 +900,22 @@ class VectorEngine:
         # one latency floor for both pulls (the serial pair costs two
         # ~25 ms tunnel syncs — the bulk of served p50)
         scores, idx = host_pull(scores, idx)
+        # batch the key lookups: ONE index lock for the whole result
+        # set instead of one per hit (measurable at serving batches)
+        flat_ids = idx.reshape(-1).tolist()
+        flat_keys = corpus.index.keys_of(flat_ids)
+        kk_row = idx.shape[1]
         out: List[List[SearchResult]] = []
         for qi in range(q.shape[0]):
             row: List[SearchResult] = []
-            for score, rid in zip(scores[qi], idx[qi]):
-                if rid < 0:
+            base = qi * kk_row
+            for j, score in enumerate(scores[qi].tolist()):
+                if flat_ids[base + j] < 0:
                     continue
-                key = corpus.index.key_of(int(rid))
+                key = flat_keys[base + j]
                 if key is None:
                     continue
-                s = float(score)
+                s = score
                 if metric == "euclidean" and quantization != "binary":
                     s = _euclid_report(s)
                 elif angular and quantization != "binary":
@@ -1267,19 +1273,23 @@ class VectorEngine:
                 scores = np.concatenate([scores, ds], axis=1)
                 ids = np.concatenate([ids, dids], axis=1)
 
+        order = np.argsort(-scores, axis=1)[:, : top_k + 8]
+        cand_ids = np.take_along_axis(ids, order, axis=1)
+        cand_sc = np.take_along_axis(scores, order, axis=1)
+        flat_ids = cand_ids.reshape(-1).tolist()
+        flat_keys = corpus.index.keys_of(flat_ids)   # one lock
+        width = cand_ids.shape[1]
         out: List[List[SearchResult]] = []
         for qi in range(qp.shape[0]):
-            order = np.argsort(-scores[qi])[: top_k + 8]
             row: List[SearchResult] = []
-            for j in order:
-                if len(row) >= top_k or not np.isfinite(scores[qi][j]):
+            base = qi * width
+            for j, s in enumerate(cand_sc[qi].tolist()):
+                if len(row) >= top_k or not np.isfinite(s):
                     break
-                rid = int(ids[qi][j])
-                if rid < 0:
+                if flat_ids[base + j] < 0:
                     continue
-                key = corpus.index.key_of(rid)
+                key = flat_keys[base + j]
                 if key is not None:
-                    s = float(scores[qi][j])
                     if angular:
                         s = float(-np.arccos(np.clip(s, -1.0, 1.0)))
                     row.append(SearchResult(key, s))

@@ -76,6 +76,14 @@ class EntityIndex:
                 return self._id_to_key[eid]
             return None
 
+    def keys_of(self, eids) -> List[Optional[str]]:
+        """Batch key_of: one lock acquisition for a whole result set
+        (the per-hit lock was measurable at serving batch sizes)."""
+        with self._lock:
+            i2k = self._id_to_key
+            n = len(i2k)
+            return [i2k[e] if 0 <= e < n else None for e in eids]
+
     def remove(self, key: str) -> Optional[int]:
         with self._lock:
             eid = self._key_to_id.pop(key, None)
