@@ -241,6 +241,36 @@ def _pick_pool_blocks(n: int, k: int, pool: int, block_rows: int):
     return p, g_total // nblocks, nblocks
 
 
+def _pooled_bits_select(allbits, pool: int, k: int, q_orig: int,
+                        selector: str):
+    """Final candidate cut over the packed [Q, N/pool] winner bits.
+
+    selector="topk": exact lax.top_k (bit-pattern order == score order).
+    selector="approx": candidate selection only needs the true top-k to
+    SURVIVE the cut, not an exact ranking — the packed patterns are
+    positive ints whose ordering equals that of the positive floats
+    they bitcast to, so ``lax.approx_max_k`` (bucketed reduction, far
+    cheaper than an exact sort on the [Q, N/pool] plane) runs directly
+    on a bitcast view. Larger entries are retained preferentially, so
+    top-10-in-top-80 coverage stays ~1 even at recall_target 0.95.
+    """
+    if selector == "approx":
+        fb = lax.bitcast_convert_type(allbits, jnp.float32)
+        tf, pos = lax.approx_max_k(fb, k, recall_target=0.95)
+        tb = lax.bitcast_convert_type(tf, jnp.int32)
+    else:
+        tb, pos = lax.top_k(allbits, k)
+    local = tb & (pool - 1)
+    score = lax.bitcast_convert_type(tb & ~(pool - 1), jnp.float32) - 2.0
+    rows = pos * pool + local
+    # dead rows carry negative bit patterns (the -1e30 bias); a pool
+    # that was never written stays at the int 0 init — both are <= 0,
+    # any live score is >= 1.0 so its bits are a positive int
+    dead = tb <= 0
+    return (jnp.where(dead, NEG_INF, score)[:q_orig],
+            jnp.where(dead, -1, rows).astype(jnp.int32)[:q_orig])
+
+
 def int8_pooled_topk(
     corpus_q: jnp.ndarray,
     corpus_scale: jnp.ndarray,
@@ -251,6 +281,7 @@ def int8_pooled_topk(
     mask: Optional[jnp.ndarray] = None,
     n_valid=None,
     row_mult: Optional[jnp.ndarray] = None,
+    selector: str = "topk",
 ):
     """Cosine top-k over an int8 corpus via the pooled-bits scan.
 
@@ -265,8 +296,12 @@ def int8_pooled_topk(
        log2(pool) mantissa bits are replaced by the within-pool row index:
        positive-float ordering == int ordering, so ONE max per pool carries
        both the (slightly truncated) score and its argmax.
-    3. an exact ``lax.top_k`` over the tiny [Q, N/pool] candidate matrix
-       recovers global rows.
+    3. a final cut over the tiny [Q, N/pool] candidate matrix recovers
+       global rows — exact ``lax.top_k`` by default, or
+       ``selector="approx"`` for ``approx_max_k`` on the bit patterns
+       (saves ~0.7 ms/pass on a 10M x 768 chain at Q=256 — see
+       tools/exp_pool_sweep.py — at ~0.998 candidate coverage; use it
+       when an oversampled exact rerank follows).
 
     Exactness: per-row scores are exact up to int8 quantization and
     ~2^(10-log2(pool)) relative mantissa truncation; the only recall loss
@@ -308,46 +343,47 @@ def int8_pooled_topk(
     block_rows = g * pool
     corpus_b = corpus_q.reshape(nblocks, g, pool, d)
     rm_b = row_mult.reshape(nblocks, g, pool)
-    mask_b = (None if mask is None
-              else mask.reshape(nblocks, g, pool))
-    nv = None if n_valid is None else jnp.asarray(n_valid, jnp.int32)
+
+    # Dead rows (index >= n_valid, or mask False) are excluded by a
+    # per-ROW additive bias instead of a per-ELEMENT alive test: the
+    # "+2.0" score shift becomes "+bias[row]" with bias -1e30 on dead
+    # rows, so their scores bitcast to negative ints and can never win
+    # a pool max (any live score is >= 1.0 -> positive bits). This
+    # moves an iota+compare+select off the hot [Q, G, pool] plane onto
+    # one O(N) vector prepared outside the matmul loop (~0.4 ms/pass
+    # on the 10M chain, tools/exp_pool_sweep.py).
+    dead_bias = (n_valid is not None) or (mask is not None)
+    if dead_bias:
+        live = (jnp.ones(n, bool) if n_valid is None
+                else jnp.arange(n, dtype=jnp.int32)
+                < jnp.asarray(n_valid, jnp.int32))
+        if mask is not None:
+            live = live & mask
+        bias_b = jnp.where(live, 2.0, -1e30).astype(
+            jnp.float32).reshape(nblocks, g, pool)
 
     def step(carry, xs):
-        if mask_b is None:
-            bi, block3, rm2 = xs
-            bm = None
+        if dead_bias:
+            block3, rm2, b2 = xs
+            shift = b2[None, :, :]
         else:
-            bi, block3, rm2, bm = xs
+            block3, rm2 = xs
+            shift = 2.0
         dots = lax.dot_general(
             qq, block3,
             dimension_numbers=(((1,), (2,)), ((), ())),
             preferred_element_type=jnp.int32).astype(jnp.float32)
-        s = dots * qmult[:, :, None] * rm2[None, :, :] + 2.0
+        s = dots * qmult[:, :, None] * rm2[None, :, :] + shift
         pi = lax.broadcasted_iota(jnp.int32, s.shape, 2)
         bits = (lax.bitcast_convert_type(s, jnp.int32) & ~(pool - 1)) | pi
-        alive = None
-        if nv is not None:
-            gi = lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            alive = (bi * block_rows + gi * pool + pi) < nv
-        if bm is not None:
-            alive = bm[None, :, :] if alive is None \
-                else alive & bm[None, :, :]
-        if alive is not None:
-            bits = jnp.where(alive, bits, 0)
         return carry, jnp.max(bits, axis=2)
 
-    xs = (jnp.arange(nblocks, dtype=jnp.int32), corpus_b, rm_b)
-    if mask_b is not None:
-        xs = xs + (mask_b,)
+    xs = (corpus_b, rm_b)
+    if dead_bias:
+        xs = xs + (bias_b,)
     _, allbits = lax.scan(step, 0, xs)
     allbits = jnp.swapaxes(allbits, 0, 1).reshape(queries.shape[0], -1)
-    tb, pos = lax.top_k(allbits, k)
-    local = tb & (pool - 1)
-    score = lax.bitcast_convert_type(tb & ~(pool - 1), jnp.float32) - 2.0
-    rows = pos * pool + local
-    dead = tb == 0
-    return (jnp.where(dead, NEG_INF, score)[:q_orig],
-            jnp.where(dead, -1, rows).astype(jnp.int32)[:q_orig])
+    return _pooled_bits_select(allbits, pool, k, q_orig, selector)
 
 
 def int8_cosine_row_mult(corpus_q, corpus_scale):
@@ -431,6 +467,7 @@ def f32_pooled_topk(
     mask: Optional[jnp.ndarray] = None,
     n_valid=None,
     row_mult: Optional[jnp.ndarray] = None,
+    selector: str = "topk",
 ):
     """Cosine top-k over an f32 corpus via the pooled-bits scan.
 
@@ -466,46 +503,41 @@ def f32_pooled_topk(
     block_rows = g * pool
     corpus_b = corpus.reshape(nblocks, g, pool, d)
     rm_b = row_mult.reshape(nblocks, g, pool)
-    mask_b = (None if mask is None
-              else mask.reshape(nblocks, g, pool))
-    nv = None if n_valid is None else jnp.asarray(n_valid, jnp.int32)
+
+    # per-row dead bias instead of per-element alive test — see
+    # int8_pooled_topk
+    dead_bias = (n_valid is not None) or (mask is not None)
+    if dead_bias:
+        live = (jnp.ones(n, bool) if n_valid is None
+                else jnp.arange(n, dtype=jnp.int32)
+                < jnp.asarray(n_valid, jnp.int32))
+        if mask is not None:
+            live = live & mask
+        bias_b = jnp.where(live, 2.0, -1e30).astype(
+            jnp.float32).reshape(nblocks, g, pool)
 
     def step(carry, xs):
-        if mask_b is None:
-            bi, block3, rm2 = xs
-            bm = None
+        if dead_bias:
+            block3, rm2, b2 = xs
+            shift = b2[None, :, :]
         else:
-            bi, block3, rm2, bm = xs
+            block3, rm2 = xs
+            shift = 2.0
         dots = lax.dot_general(
             queries, block3,
             dimension_numbers=(((1,), (2,)), ((), ())),
             preferred_element_type=jnp.float32)
-        s = dots * qmult[:, :, None] * rm2[None, :, :] + 2.0
+        s = dots * qmult[:, :, None] * rm2[None, :, :] + shift
         pi = lax.broadcasted_iota(jnp.int32, s.shape, 2)
         bits = (lax.bitcast_convert_type(s, jnp.int32) & ~(pool - 1)) | pi
-        alive = None
-        if nv is not None:
-            gi = lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            alive = (bi * block_rows + gi * pool + pi) < nv
-        if bm is not None:
-            alive = bm[None, :, :] if alive is None \
-                else alive & bm[None, :, :]
-        if alive is not None:
-            bits = jnp.where(alive, bits, 0)
         return carry, jnp.max(bits, axis=2)
 
-    xs = (jnp.arange(nblocks, dtype=jnp.int32), corpus_b, rm_b)
-    if mask_b is not None:
-        xs = xs + (mask_b,)
+    xs = (corpus_b, rm_b)
+    if dead_bias:
+        xs = xs + (bias_b,)
     _, allbits = lax.scan(step, 0, xs)
     allbits = jnp.swapaxes(allbits, 0, 1).reshape(queries.shape[0], -1)
-    tb, pos = lax.top_k(allbits, k)
-    local = tb & (pool - 1)
-    score = lax.bitcast_convert_type(tb & ~(pool - 1), jnp.float32) - 2.0
-    rows = pos * pool + local
-    dead = tb == 0
-    return (jnp.where(dead, NEG_INF, score)[:q_orig],
-            jnp.where(dead, -1, rows).astype(jnp.int32)[:q_orig])
+    return _pooled_bits_select(allbits, pool, k, q_orig, selector)
 
 
 # ---------------------------------------------------------------------------

@@ -309,6 +309,7 @@ def int8_pooled_rerank_topk(
     row_mult: Optional[jnp.ndarray] = None,
     residual_q: Optional[jnp.ndarray] = None,
     residual_scale: Optional[jnp.ndarray] = None,
+    selector: str = "topk",
 ):
     """Pooled-bits selection + exact rerank, fused in one traceable fn.
 
@@ -325,7 +326,7 @@ def int8_pooled_rerank_topk(
     s1, pos = int8_pooled_topk(corpus_q, corpus_scale, queries, c,
                                pool=pool, block_rows=block_rows,
                                mask=mask, n_valid=n_valid,
-                               row_mult=row_mult)
+                               row_mult=row_mult, selector=selector)
     # cosine fast path: reuse the precomputed row multipliers so the
     # rerank makes ONE f32 pass over the gathered rows (no scale
     # multiply, no norm recompute) — same f32 numbers, ~8% of the

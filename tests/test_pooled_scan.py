@@ -241,3 +241,58 @@ def test_masked_pooled_gate_occupancy(rng, monkeypatch):
     got = [h.key for h in res]
     assert len(set(got) & set(want)) >= 4   # pooled may drop 1 collision
     assert all(int(k[1:]) % 10 == 3 for k in got)  # mask never leaks
+
+
+class TestApproxSelector:
+    """selector="approx" swaps the final exact top_k over the [Q, N/pool]
+    winner bits for lax.approx_max_k on an order-preserving bitcast view.
+    Larger entries are retained preferentially, so the true top rows must
+    keep surviving the candidate cut."""
+
+    def test_top_rows_survive_the_cut(self):
+        n, d, k = 8192, 64, 10
+        x, cq, scale = _random_corpus(n, d, seed=11)
+        queries = jnp.asarray(np.random.default_rng(13).normal(
+            size=(8, d)).astype(np.float32))
+        # wide candidate cut (C=64), compare coverage of the exact
+        # pooled top-10 — approx selection must not lose them
+        ts, ti = int8_pooled_topk(cq, scale, queries, k, pool=64)
+        aps, api = int8_pooled_topk(cq, scale, queries, 64, pool=64,
+                                    selector="approx")
+        ti, api = np.asarray(ti), np.asarray(api)
+        for r in range(8):
+            got = set(api[r].tolist())
+            assert all(i in got for i in ti[r].tolist())
+
+    def test_scores_and_rows_decode_identically(self):
+        # where both selectors return the same row, the decoded score
+        # must be bit-identical (same packed pattern, same unpacking)
+        n, d, k = 4096, 32, 8
+        x, cq, scale = _random_corpus(n, d, seed=5)
+        queries = jnp.asarray(np.random.default_rng(6).normal(
+            size=(4, d)).astype(np.float32))
+        es, ei = int8_pooled_topk(cq, scale, queries, k, pool=64)
+        as_, ai = int8_pooled_topk(cq, scale, queries, k, pool=64,
+                                   selector="approx")
+        es, ei = np.asarray(es), np.asarray(ei)
+        as_, ai = np.asarray(as_), np.asarray(ai)
+        for r in range(4):
+            exact = dict(zip(ei[r].tolist(), es[r].tolist()))
+            for row, sc in zip(ai[r].tolist(), as_[r].tolist()):
+                if row in exact:
+                    assert sc == exact[row]
+
+    def test_rerank_chain_accepts_selector(self):
+        from neumann_tpu.ops.rerank import int8_pooled_rerank_topk
+        n, d, k = 4096, 32, 10
+        x, cq, scale = _random_corpus(n, d, seed=9)
+        queries = jnp.asarray(np.random.default_rng(10).normal(
+            size=(4, d)).astype(np.float32))
+        ts, ti = int8_pooled_rerank_topk(cq, scale, queries, k,
+                                         pool=64)
+        os_, oi = int8_pooled_rerank_topk(cq, scale, queries, k,
+                                          pool=64, selector="approx")
+        ti, oi = np.asarray(ti), np.asarray(oi)
+        recalls = [len(set(ti[r].tolist()) & set(oi[r].tolist())) / k
+                   for r in range(4)]
+        assert np.mean(recalls) >= 0.9
