@@ -334,6 +334,73 @@ def _served_phase(on_tpu, d, k):
     return served
 
 
+def _device_health_probe(retries: int = 4, wait_s: float = 180.0):
+    """Measure scan throughput on a small corpus before benching.
+
+    The dev-tunnel TPU is a shared chip: throughput was observed to
+    collapse to ~50% for stretches (352 GB/s on a program that runs
+    ~680 healthy — 2026-08-20). A bench recorded during such a window
+    is garbage, so probe a 3.2 GB differenced scan first and wait out
+    degradation (up to ~retries*wait_s) before proceeding. Returns the
+    last measured GB/s; the caller records it as `device_health_GBps`.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from neumann_tpu.ops.quant import int8_pooled_topk
+
+    if jax.devices()[0].platform != "tpu":
+        return None
+    n = 1 << 22
+    a = jnp.zeros((n, 768), jnp.int8)
+    sc = jnp.ones(n, jnp.float32)
+    qs0 = jnp.ones((256, 768), jnp.float32)
+
+    @jax.jit
+    def chain(a, sc, qs, reps):
+        def body(i, carry):
+            cur, acc = carry
+            s, idx = int8_pooled_topk(a, sc, cur, 64, pool=2048,
+                                      block_rows=1 << 20,
+                                      selector="approx")
+            cur = cur + 1e-30 * (s[0, 0]
+                                 + idx[0, 0].astype(jnp.float32) * 1e-6)
+            return cur, acc + s[0, 0]
+        _, acc = lax.fori_loop(0, reps, body, (qs, 0.0))
+        return acc
+
+    def t(r):
+        t0 = time.perf_counter()
+        float(chain(a, sc, qs0, jnp.int32(r)))
+        return time.perf_counter() - t0
+
+    gbps = 0.0
+    for attempt in range(retries + 1):
+        try:
+            t(2)
+            a1 = min(t(2) for _ in range(2))
+            b1 = min(t(12) for _ in range(2))
+            per = (b1 - a1) / 10
+            gbps = n * 768 / per / 1e9
+        except Exception as e:  # noqa: BLE001 — probe must not kill bench
+            _phase(f"health probe failed ({e}); proceeding")
+            return None
+        if gbps >= 500.0:
+            _phase(f"device health: {gbps:.0f} GB/s (ok)")
+            return gbps
+        if attempt < retries:
+            _phase(f"device health: {gbps:.0f} GB/s — shared chip "
+                   f"degraded, waiting {wait_s:.0f}s "
+                   f"({attempt + 1}/{retries})")
+            time.sleep(wait_s)
+    _phase(f"device health: {gbps:.0f} GB/s — still degraded, "
+           "benching anyway (numbers will understate the hardware)")
+    return gbps
+
+
 def main():
     fast_build = ("--fast-build" in sys.argv[1:]
                   or os.environ.get("NEUMANN_BENCH_FAST") == "1")
@@ -347,6 +414,8 @@ def main():
     cache_dir = enable_persistent_cache()
     if cache_dir:
         _phase(f"persistent compile cache at {cache_dir}")
+
+    health_gbps = _device_health_probe()
 
     import jax
     import jax.numpy as jnp
@@ -1139,6 +1208,8 @@ def main():
         "brute_selector": brute_selector,
         "batch": q,
         "platform": dev.platform,
+        "device_health_GBps": (round(health_gbps, 1)
+                               if health_gbps else None),
         "scan_GBps": round(n_pad * d / batched_s / 1e9, 1),
         "scan_GBps_selection_only": (
             round(n_pad * d / pooled_s / 1e9, 1)
