@@ -443,7 +443,7 @@ def main():
         # 0.9984 vs 1.0 — the exact sort over [Q, N/pool] winner bits
         # was ~0.7 ms/pass and selection only needs top-10 SURVIVAL
         pool = 2048
-        brute_selector = "approx"
+        brute_selector = "approx:0.99"
         oracle_rows = 1 << 20
         # sweep DOWN to the knee so the curve actually curves
         nprobe_curve = (2, 4, 8, 16, 32, 64, 128)
@@ -454,7 +454,7 @@ def main():
         n_centers = 256
         block_rows = 1 << 15
         pool = 64
-        brute_selector = "approx"
+        brute_selector = "approx:0.99"
         oracle_rows = 1 << 15
         nprobe_curve = (1, 2, 4, 8, 16)
         kmeans_sample = 1 << 14

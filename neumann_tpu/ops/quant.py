@@ -254,9 +254,15 @@ def _pooled_bits_select(allbits, pool: int, k: int, q_orig: int,
     on a bitcast view. Larger entries are retained preferentially, so
     top-10-in-top-80 coverage stays ~1 even at recall_target 0.95.
     """
-    if selector == "approx":
+    if selector.startswith("approx"):
+        # "approx" or "approx:<target>" (e.g. "approx:0.98") — the
+        # target trades cut sharpness for time in approx_max_k's
+        # bucketed reduction; top-ranked entries survive preferentially
+        # either way, so top-10 coverage exceeds the per-entry target
+        target = float(selector.split(":")[1]) if ":" in selector \
+            else 0.95
         fb = lax.bitcast_convert_type(allbits, jnp.float32)
-        tf, pos = lax.approx_max_k(fb, k, recall_target=0.95)
+        tf, pos = lax.approx_max_k(fb, k, recall_target=target)
         tb = lax.bitcast_convert_type(tf, jnp.int32)
     else:
         tb, pos = lax.top_k(allbits, k)
