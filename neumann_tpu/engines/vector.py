@@ -204,6 +204,12 @@ class VectorEngineConfig:
     # at ~int16 fidelity, so IVF results track the f32 ordering instead
     # of the int8 one (ops/rerank.py residual_quantize)
     ivf_auto_residual: bool = True
+    # Candidate cut of the pooled-bits brute scan: "topk" = exact
+    # lax.top_k over the winner bits; "approx" / "approx:<target>" =
+    # lax.approx_max_k on the packed patterns — measured +10% chain
+    # throughput at recall@10 0.9984 vs 0.9996 on a 10M x 768 corpus
+    # (tools/exp_pool_sweep.py; the exact rerank stays either way)
+    pooled_selector: str = "topk"
     # Mesh placement: when more than one device is visible, corpora at
     # least mesh_threshold rows are placed row-sharded over the device
     # mesh (parallel.ShardedCorpus) and SIMILAR runs shard-local scan +
@@ -346,7 +352,7 @@ def _jitted_int8_pooled():
     # int8 quantization and pooled mantissa truncation (ops/rerank.py)
     return jax.jit(int8_pooled_rerank_topk,
                    static_argnames=("k", "oversample", "pool",
-                                    "block_rows"))
+                                    "block_rows", "selector"))
 
 
 @functools.lru_cache(maxsize=None)
@@ -357,7 +363,7 @@ def _jitted_f32_pooled():
 
     return jax.jit(f32_pooled_rerank_topk,
                    static_argnames=("k", "oversample", "pool",
-                                    "block_rows"))
+                                    "block_rows", "selector"))
 
 
 def _pooled_pool(corpus, k: int, metric: str, extra_mask) -> Optional[int]:
@@ -868,7 +874,8 @@ class VectorEngine:
                     mask = jnp.logical_and(mask, jnp.asarray(extra_mask))
                 scores, idx = _jitted_int8_pooled()(
                     cq, cs, jnp.asarray(qp), k, pool=pool, mask=mask,
-                    row_mult=rmult)
+                    row_mult=rmult,
+                    selector=self.config.pooled_selector)
             else:
                 cq, cs, valid = corpus.slab.quantized_view("int8")
                 mask = valid
@@ -886,7 +893,8 @@ class VectorEngine:
                     mask = jnp.logical_and(mask, jnp.asarray(extra_mask))
                 scores, idx = _jitted_f32_pooled()(
                     emb, jnp.asarray(qp), k, pool=pool, mask=mask,
-                    row_mult=rmult)
+                    row_mult=rmult,
+                    selector=self.config.pooled_selector)
             else:
                 emb, valid = corpus.slab.device_view()
                 mask = valid

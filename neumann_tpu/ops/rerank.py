@@ -347,6 +347,7 @@ def f32_pooled_rerank_topk(
     mask: Optional[jnp.ndarray] = None,
     n_valid=None,
     row_mult: Optional[jnp.ndarray] = None,
+    selector: str = "topk",
 ):
     """f32 pooled-bits selection + exact rerank.
 
@@ -361,7 +362,8 @@ def f32_pooled_rerank_topk(
     c = min(max(oversample * k, 64), corpus.shape[0])
     s1, pos = f32_pooled_topk(corpus, queries, c, pool=pool,
                               block_rows=block_rows, mask=mask,
-                              n_valid=n_valid, row_mult=row_mult)
+                              n_valid=n_valid, row_mult=row_mult,
+                              selector=selector)
     return gather_rerank_topk(
         corpus, pos, queries, k, "cosine",
         first_scores=s1, dedup=False)

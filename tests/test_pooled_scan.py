@@ -296,3 +296,32 @@ class TestApproxSelector:
         recalls = [len(set(ti[r].tolist()) & set(oi[r].tolist())) / k
                    for r in range(4)]
         assert np.mean(recalls) >= 0.9
+
+    def test_engine_pooled_selector_config(self, monkeypatch):
+        # pooled_selector="approx:0.99" must route through the same
+        # pooled path and return the same neighbors on a separable
+        # corpus (the cut is oversampled; the exact rerank stays)
+        monkeypatch.setenv("NEUMANN_POOLED_MIN_ROWS", "512")
+        monkeypatch.setenv("NEUMANN_POOLED_MIN_POOLS", "4")
+        from neumann_tpu.engines.vector import (
+            VectorCollectionConfig,
+            VectorEngine,
+            VectorEngineConfig,
+        )
+        from neumann_tpu.store.tensor_store import TensorStore
+
+        eng = VectorEngine(
+            TensorStore(),
+            config=VectorEngineConfig(pooled_selector="approx:0.99"))
+        eng.create_collection("flat", VectorCollectionConfig(dimension=16))
+        rng = np.random.default_rng(29)
+        base = np.eye(16, dtype=np.float32)
+        for i in range(1000):
+            v = base[i % 16] * 4.0 + rng.normal(size=16).astype(
+                np.float32) * 0.05
+            eng.store_in_collection("flat", f"d{i}", v)
+        res = eng.search_in_collection("flat", base[7] * 4.0, top_k=3,
+                                       metric="cosine")
+        assert len(res) == 3
+        for r in res:
+            assert int(r.key[1:]) % 16 == 7 and r.score > 0.9
