@@ -337,12 +337,15 @@ def _served_phase(on_tpu, d, k):
 def _device_health_probe(retries: int = 4, wait_s: float = 180.0):
     """Measure scan throughput on a small corpus before benching.
 
-    The dev-tunnel TPU is a shared chip: throughput was observed to
-    collapse to ~50% for stretches (352 GB/s on a program that runs
-    ~680 healthy — 2026-08-20). A bench recorded during such a window
-    is garbage, so probe a 3.2 GB differenced scan first and wait out
-    degradation (up to ~retries*wait_s) before proceeding. Returns the
-    last measured GB/s; the caller records it as `device_health_GBps`.
+    A competing process on the chip (or a genuinely degraded tunnel
+    host) makes every number garbage — a bench recorded concurrently
+    with a leftover profiling run measured the 670 GB/s chain at
+    25 GB/s (2026-08-20). Probe a 3.2 GB differenced scan first and
+    wait out contention (up to ~retries*wait_s) before proceeding.
+    Returns the last measured GB/s; the caller records it as
+    `device_health_GBps`. The probe precomputes row_mult like every
+    real caller — omitting it doubles the measured traffic (the scan
+    recomputes corpus norms per pass) and halves the apparent rate.
     """
     import functools
 
@@ -350,22 +353,23 @@ def _device_health_probe(retries: int = 4, wait_s: float = 180.0):
     import jax.numpy as jnp
     from jax import lax
 
-    from neumann_tpu.ops.quant import int8_pooled_topk
+    from neumann_tpu.ops.quant import int8_cosine_row_mult, int8_pooled_topk
 
     if jax.devices()[0].platform != "tpu":
         return None
     n = 1 << 22
     a = jnp.zeros((n, 768), jnp.int8)
     sc = jnp.ones(n, jnp.float32)
+    rm = jax.jit(int8_cosine_row_mult)(a, sc)
     qs0 = jnp.ones((256, 768), jnp.float32)
 
     @jax.jit
-    def chain(a, sc, qs, reps):
+    def chain(a, sc, rm, qs, reps):
         def body(i, carry):
             cur, acc = carry
             s, idx = int8_pooled_topk(a, sc, cur, 64, pool=2048,
                                       block_rows=1 << 20,
-                                      selector="approx")
+                                      selector="approx", row_mult=rm)
             cur = cur + 1e-30 * (s[0, 0]
                                  + idx[0, 0].astype(jnp.float32) * 1e-6)
             return cur, acc + s[0, 0]
@@ -374,7 +378,7 @@ def _device_health_probe(retries: int = 4, wait_s: float = 180.0):
 
     def t(r):
         t0 = time.perf_counter()
-        float(chain(a, sc, qs0, jnp.int32(r)))
+        float(chain(a, sc, rm, qs0, jnp.int32(r)))
         return time.perf_counter() - t0
 
     gbps = 0.0
