@@ -447,7 +447,7 @@ def main():
         # 0.9984 vs 1.0 — the exact sort over [Q, N/pool] winner bits
         # was ~0.7 ms/pass and selection only needs top-10 SURVIVAL
         pool = 2048
-        brute_selector = "approx:0.99"
+        brute_selector = "approx:0.98"
         oracle_rows = 1 << 20
         # sweep DOWN to the knee so the curve actually curves
         nprobe_curve = (2, 4, 8, 16, 32, 64, 128)
@@ -458,7 +458,7 @@ def main():
         n_centers = 256
         block_rows = 1 << 15
         pool = 64
-        brute_selector = "approx:0.99"
+        brute_selector = "approx:0.98"
         oracle_rows = 1 << 15
         nprobe_curve = (1, 2, 4, 8, 16)
         kmeans_sample = 1 << 14
@@ -687,8 +687,11 @@ def main():
     r1, r2 = 2, 12
     timed(r1, q)  # one compile serves all rep counts
     timed(r2, q)  # warm both shapes'/cache paths
-    t1 = min(timed(r1, q) for _ in range(3))
-    t2 = min(timed(r2, q) for _ in range(3))
+    # noise on this shared tunnel is positive-additive (scheduling /
+    # tunnel hiccups only ever ADD time; observed +-7% run to run), so
+    # min over more samples converges on the true per-iter floor
+    t1 = min(timed(r1, q) for _ in range(6))
+    t2 = min(timed(r2, q) for _ in range(6))
     batched_s = (t2 - t1) / (r2 - r1)
     qps = q / batched_s
 
@@ -722,8 +725,8 @@ def main():
     try:
         timed_sel(r1)
         timed_sel(r2)
-        s1t = min(timed_sel(r1) for _ in range(3))
-        s2t = min(timed_sel(r2) for _ in range(3))
+        s1t = min(timed_sel(r1) for _ in range(6))
+        s2t = min(timed_sel(r2) for _ in range(6))
         pooled_s = (s2t - s1t) / (r2 - r1)
         rerank_ms = max(0.0, (batched_s - pooled_s) * 1e3)
         _phase(f"selection-only {pooled_s * 1e3:.2f} ms/iter "
@@ -1168,7 +1171,6 @@ def main():
     del corpus_q, scale, rmult, cents_n, sub_q, sub_scale, sub_rmult
     del qsub, fi, qi, ci
     gc.collect()
-    served = _served_phase(on_tpu, d, k)
 
     ref_qps = 1e9 / (REF_NS_PER_VEC_768 * n)   # reference rate on this n
     # headline = the fastest batched path at recall >= 0.99; the brute
@@ -1176,7 +1178,7 @@ def main():
     headline_qps, headline_path = qps, "brute+rerank"
     if ivf_qps > qps and (ivf_batch_recall or 0) >= 0.99:
         headline_qps, headline_path = ivf_qps, "batched-ivf+rerank"
-    print(json.dumps({
+    row = {
         "metric": f"batched SIMILAR top-{k} QPS, {n}x{d} int8 corpus",
         "value": round(headline_qps, 2),
         "unit": "QPS",
@@ -1220,8 +1222,17 @@ def main():
             if pooled_s else None),
         "rerank_ms_batch": (round(rerank_ms, 2)
                             if rerank_ms is not None else None),
-        **served,
-    }))
+    }
+    # provisional line FIRST: the 10M served phase (auto-IVF build +
+    # serving compiles) can run tens of minutes, and a driver that
+    # times the whole script out must still find a parseable artifact
+    # as the last stdout line. The final line below supersedes it.
+    print(json.dumps(row), flush=True)
+    _phase("kernel numbers emitted; starting served phase")
+    served = _served_phase(on_tpu, d, k)
+    if served:
+        row.update(served)
+        print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":

@@ -204,6 +204,13 @@ class VectorEngineConfig:
     # at ~int16 fidelity, so IVF results track the f32 ordering instead
     # of the int8 one (ops/rerank.py residual_quantize)
     ivf_auto_residual: bool = True
+    # ...but not past this plane size: the residual DOUBLES device HBM
+    # (two int8 planes) and the build's host->device traffic — at
+    # 10M x 768 the two planes alone are 15.4 GB, which does not leave
+    # working memory on a 16 GB chip. Beyond this many bytes the index
+    # builds without the residual plane (exact-f32 rerank of the int8
+    # selection still runs; measured recall@10 0.9969 at 10M x 768)
+    ivf_auto_residual_max_bytes: int = 4 << 30
     # Candidate cut of the pooled-bits brute scan: "topk" = exact
     # lax.top_k over the winner bits; "approx" / "approx:<target>" =
     # lax.approx_max_k on the packed patterns — measured +10% chain
@@ -1185,17 +1192,32 @@ class VectorEngine:
         # the build land in the watcher set and get the exact-delta
         # treatment, so the snapshot below doesn't have to be atomic
         slab.watch("auto_ivf")
+        import os as _os
+        import sys as _sys
+        import time as _time
+        _dbg = _os.environ.get("NEUMANN_IVF_BUILD_DEBUG") == "1"
+        _t0 = _time.time()
+
+        def _stage(msg):
+            if _dbg:
+                print(f"[auto-ivf +{_time.time() - _t0:6.1f}s] {msg}",
+                      file=_sys.stderr, flush=True)
+
         residual = None
-        if cfg.ivf_auto_residual:
+        plane_bytes = slab.capacity * slab.dim_pad
+        if cfg.ivf_auto_residual and \
+                plane_bytes <= cfg.ivf_auto_residual_max_bytes:
             q8, scale, rq, rscale = slab.host_int8(residual=True)
             residual = (rq, rscale)
         else:
             q8, scale = slab.host_int8()
+        _stage("host_int8 done")
         clusters = max(4, min(cfg.ivf_auto_clusters, max(1, n // 64)))
         ivf = DeviceIVFInt8(slab.dim_pad, n_clusters=clusters,
                             nprobe=min(cfg.ivf_auto_nprobe, clusters))
         ivf.build(q8, scale, sample_mask=slab.valid_mask_host(),
                   residual=residual)
+        _stage("device build done")
         with corpus.lock:
             corpus._auto_ivf = ivf
             corpus._auto_ivf_delta = None

@@ -36,7 +36,7 @@ def load() -> Optional[ctypes.CDLL]:
                     or any(os.path.getmtime(_SO) < os.path.getmtime(s)
                            for s in _SRCS)):
                 subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", *_SRCS,
+                    ["g++", "-O3", "-fno-math-errno", "-shared", "-fPIC", *_SRCS,
                      "-o", _SO],
                     check=True, capture_output=True, timeout=120)
             lib = ctypes.CDLL(_SO)
@@ -66,6 +66,12 @@ def load() -> Optional[ctypes.CDLL]:
         lib.nn_rle_decode.restype = ctypes.c_size_t
         lib.nn_rle_decode.argtypes = [u8p, ctypes.c_size_t, u8p,
                                       ctypes.c_size_t]
+        f32p = ctypes.POINTER(ctypes.c_float)
+        i8p = ctypes.POINTER(ctypes.c_int8)
+        lib.nn_quantize_int8.restype = None
+        lib.nn_quantize_int8.argtypes = [f32p, ctypes.c_size_t,
+                                         ctypes.c_size_t, i8p, f32p,
+                                         i8p, f32p]
         cp = ctypes.c_char_p
         lib.nn_oki_new.restype = ctypes.c_void_p
         lib.nn_oki_new.argtypes = []
@@ -215,3 +221,27 @@ def rle_decode(buf: bytes, max_out: Optional[int] = None) -> bytes:
     if n == ctypes.c_size_t(-1).value:
         raise ValueError("truncated RLE stream")
     return bytes(out[:n])
+
+
+def quantize_int8(x, q, scale, rq=None, rscale=None) -> bool:
+    """Single-pass per-row symmetric int8 quantization into caller
+    buffers (numpy: x [n,d] f32 C-contig, q [n,d] int8, scale [n] f32,
+    optional residual plane rq/rscale). Returns False when the native
+    library is unavailable (caller falls back to numpy)."""
+    lib = load()
+    if lib is None:
+        return False
+    import ctypes as _ct
+
+    import numpy as _np
+
+    assert x.dtype == _np.float32 and x.flags.c_contiguous
+    n, d = x.shape
+    f32p = _ct.POINTER(_ct.c_float)
+    i8p = _ct.POINTER(_ct.c_int8)
+    lib.nn_quantize_int8(
+        x.ctypes.data_as(f32p), n, d,
+        q.ctypes.data_as(i8p), scale.ctypes.data_as(f32p),
+        rq.ctypes.data_as(i8p) if rq is not None else None,
+        rscale.ctypes.data_as(f32p) if rscale is not None else None)
+    return True

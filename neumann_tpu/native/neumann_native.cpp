@@ -10,6 +10,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <cmath>
 #include <cstddef>
 #include <mutex>
 #include <new>
@@ -329,6 +330,56 @@ size_t nn_rle_decode(const uint8_t* buf, size_t size,
         o += run;
     }
     return o;
+}
+
+// Per-row symmetric int8 quantization (scale = absmax/127), optionally
+// with a second int8 plane of the quantization error (residual): one
+// cache-resident pass per row instead of the ~8 allocating numpy
+// passes (measured 23 s -> ~1 s per GB on the single-core build VM).
+// rq/rscale may be NULL to skip the residual plane. Zero rows get
+// scale 1 and all-zero codes, matching the numpy path exactly.
+void nn_quantize_int8(const float* x, size_t n, size_t d,
+                      int8_t* q, float* scale,
+                      int8_t* rq, float* rscale) {
+    // rintf (current mode = half-even, matching np.round) vectorizes
+    // to roundps under -fno-math-errno; lrintf is an unvectorizable
+    // libm call (measured 4x slower end to end)
+    for (size_t i = 0; i < n; ++i) {
+        const float* row = x + i * d;
+        int8_t* qr = q + i * d;
+        float am = 0.0f;
+        for (size_t j = 0; j < d; ++j)
+            am = fmaxf(am, fabsf(row[j]));
+        float sc = am > 0 ? am / 127.0f : 1.0f;
+        float inv = 1.0f / sc;
+        scale[i] = sc;
+        if (!rq) {
+            for (size_t j = 0; j < d; ++j) {
+                float v = rintf(row[j] * inv);
+                qr[j] = (int8_t)fminf(fmaxf(v, -127.0f), 127.0f);
+            }
+            continue;
+        }
+        int8_t* rr = rq + i * d;
+        float ram = 0.0f;
+        // pass 1: quantize + residual magnitude (residual values are
+        // recomputed in pass 2 — recompute beats a d-float spill for
+        // the autovectorizer, rows are cache-resident either way)
+        for (size_t j = 0; j < d; ++j) {
+            float v = rintf(row[j] * inv);
+            float qq = fminf(fmaxf(v, -127.0f), 127.0f);
+            qr[j] = (int8_t)qq;
+            ram = fmaxf(ram, fabsf(row[j] - qq * sc));
+        }
+        float rsc = ram > 0 ? ram / 127.0f : 1.0f;
+        float rinv = 1.0f / rsc;
+        rscale[i] = rsc;
+        for (size_t j = 0; j < d; ++j) {
+            float r = row[j] - (float)qr[j] * sc;
+            float v = rintf(r * rinv);
+            rr[j] = (int8_t)fminf(fmaxf(v, -127.0f), 127.0f);
+        }
+    }
 }
 
 }  // extern "C"

@@ -460,6 +460,17 @@ class DeviceIVFInt8:
 
         from neumann_tpu.parallel.partitioner import kmeans
 
+        import os
+        import sys as _sys
+        import time as _time
+        _t0 = _time.time()
+        _dbg = os.environ.get("NEUMANN_IVF_BUILD_DEBUG") == "1"
+
+        def _stage(msg):
+            if _dbg:
+                print(f"[ivf-build +{_time.time() - _t0:6.1f}s] {msg}",
+                      file=_sys.stderr, flush=True)
+
         n, d = corpus_q.shape
         rng = np.random.default_rng(seed)
         pool = (np.flatnonzero(sample_mask)
@@ -472,8 +483,20 @@ class DeviceIVFInt8:
             * corpus_scale[pick][:, None]
         sample /= np.maximum(
             np.linalg.norm(sample, axis=1, keepdims=True), 1e-30)
+        _stage("kmeans sample ready")
         kk_means = getattr(self, "_kmeans_k", None) or self.n_clusters
-        cents = np.array(kmeans(sample, kk_means, self.iters))
+        if sample.size >= (1 << 24):
+            # big samples train on device (the bench-build path:
+            # random init + balance reseeding, ~7 s at 10M/4096).
+            # partitioner.kmeans's k-means++ seeding is a k-step host
+            # loop over the whole sample — measured MINUTES at
+            # k=1024 x 200K x 768 (the r5 10M serving-warmup stall)
+            from neumann_tpu.parallel.partitioner import kmeans_device
+
+            cents = np.array(kmeans_device(jnp.asarray(sample),
+                                           kk_means, self.iters))
+        else:
+            cents = np.array(kmeans(sample, kk_means, self.iters))
         cents /= np.maximum(
             np.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
         self.centroids = jnp.asarray(cents)
@@ -493,6 +516,7 @@ class DeviceIVFInt8:
             return jnp.argmax((x * inv) @ cents.T, axis=1).astype(
                 jnp.int32)
 
+        _stage("kmeans done; assigning")
         assign = np.empty(n, np.int32)
         for s in range(0, n, chunk_rows):
             e = min(n, s + chunk_rows)
@@ -508,6 +532,7 @@ class DeviceIVFInt8:
         # whole 128-row blocks — the layout the Pallas probe kernel's
         # scalar-prefetch block indexing needs (and harmless for the
         # XLA path: extra rows are real rows).
+        _stage("assignment done")
         counts = np.bincount(assign, minlength=kk_means)
         order = np.argsort(assign, kind="stable").astype(np.int32)
         if fixed_window:
@@ -533,36 +558,57 @@ class DeviceIVFInt8:
             starts = ((np.clip(starts, 0, max(0, n_pad - window))
                        // 128) * 128).astype(np.int32)
 
-        # per-row cosine multiplier in sorted order (scale x rsqrt(norm));
-        # all-zero (invalid) rows keep 0 -> masked at search time
-        sq = np.einsum("ij,ij->i", corpus_q.astype(np.float32),
-                       corpus_q.astype(np.float32)) * corpus_scale ** 2
-        rm = np.where(sq > 0, corpus_scale / np.sqrt(np.maximum(sq, 1e-30)),
-                      0.0).astype(np.float32)
-        buf_sorted = corpus_q[order]
-        rm_sorted = rm[order]
+        # Relayout ON DEVICE by chunked scatter: each host chunk is
+        # uploaded once and scattered straight to its sorted position
+        # (inverse permutation), so the host never pays the [N, d]
+        # fancy-gather passes and peak HBM is target + one chunk
+        # (a host-side `corpus_q[order]` + full asarray measured
+        # ~10x the build time at 10M x 768 over the dev tunnel).
+        inv = np.empty(n, np.int64)
+        inv[order] = np.arange(n)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def _scatter(buf, rows, chunk):
+            return buf.at[rows].set(chunk)
+
+        def _scatter_plane(src, fill=0):
+            buf = jnp.full((n_pad, d), fill, src.dtype)
+            for s in range(0, n, chunk_rows):
+                e = min(n, s + chunk_rows)
+                buf = _scatter(buf, jnp.asarray(inv[s:e]),
+                               jnp.asarray(src[s:e]))
+            return buf
+
+        _stage("scattering main plane")
+        self._buf = _scatter_plane(corpus_q)
+        # scale/rm are [N]-sized: host gathers are cheap there, and the
+        # cosine multiplier comes from ONE device pass over the sorted
+        # int8 buffer instead of a host einsum over the f32 view
         sc_sorted = corpus_scale[order].astype(np.float32)
         if n_pad != n:       # pad to whole 128-row blocks (rm 0 = masked)
-            buf_sorted = np.concatenate(
-                [buf_sorted, np.zeros((n_pad - n, d), corpus_q.dtype)])
-            rm_sorted = np.concatenate(
-                [rm_sorted, np.zeros(n_pad - n, np.float32)])
             sc_sorted = np.concatenate(
                 [sc_sorted, np.ones(n_pad - n, np.float32)])
-        self._buf = jnp.asarray(buf_sorted)
-        self._rmult = jnp.asarray(rm_sorted)
         self._scale = jnp.asarray(sc_sorted)
+
+        @jax.jit
+        def _rmult_of(buf, scale):
+            sq = jnp.sum(buf.astype(jnp.float32) ** 2, axis=1) \
+                * scale ** 2
+            return jnp.where(
+                sq > 0, scale * lax.rsqrt(jnp.maximum(sq, 1e-30)), 0.0)
+
+        _stage("main plane scattered")
+        self._rmult = _rmult_of(self._buf, self._scale)
         if residual is not None:
             rq, rsc = residual
-            rq_sorted = rq[order]
+            _stage("scattering residual plane")
+            self._rbuf = _scatter_plane(rq)
             rsc_sorted = rsc[order].astype(np.float32)
             if n_pad != n:
-                rq_sorted = np.concatenate(
-                    [rq_sorted, np.zeros((n_pad - n, d), rq.dtype)])
                 rsc_sorted = np.concatenate(
                     [rsc_sorted, np.ones(n_pad - n, np.float32)])
-            self._rbuf = jnp.asarray(rq_sorted)
             self._rscale = jnp.asarray(rsc_sorted)
+        _stage("planes on device")
         self._starts = jnp.asarray(starts)
         self._row_ids = order
         self._window = window

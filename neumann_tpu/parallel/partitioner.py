@@ -83,21 +83,28 @@ def kmeans(vectors: np.ndarray, k: int, iters: int = 20,
     k = min(k, n)
     rng = np.random.default_rng(seed)
     # k-means++ seeding: spread initial centroids by D^2 sampling
-    # (plain random init collapses well-separated clusters)
-    x64 = vectors.astype(np.float64)
-    first = rng.integers(n)
+    # (plain random init collapses well-separated clusters). The
+    # seeding loop is O(k * rows * d) SEQUENTIAL host work, so it runs
+    # on a bounded subsample — seeding only needs one draw per mixture
+    # mode, not the full sample (the Lloyd iterations below still see
+    # everything)
+    seed_rows = min(n, max(4 * k, 16_384))
+    seed_idx = (np.arange(n) if seed_rows >= n
+                else rng.choice(n, seed_rows, replace=False))
+    x64 = vectors[seed_idx].astype(np.float64)
+    first = rng.integers(seed_rows)
     chosen = [first]
     d2 = np.sum((x64 - x64[first]) ** 2, axis=1)
     for _ in range(1, k):
         total = d2.sum()
         if total <= 0:
-            chosen.append(rng.integers(n))
+            chosen.append(rng.integers(seed_rows))
         else:
             probs = d2 / total
-            chosen.append(int(rng.choice(n, p=probs)))
+            chosen.append(int(rng.choice(seed_rows, p=probs)))
         d2 = np.minimum(d2, np.sum(
             (x64 - x64[chosen[-1]]) ** 2, axis=1))
-    centroids = vectors[chosen].copy()
+    centroids = vectors[seed_idx[chosen]].copy()
 
     if n * d < _DEVICE_KMEANS_MIN_ELEMS:
         x = vectors.astype(np.float32)

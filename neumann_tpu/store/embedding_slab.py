@@ -216,6 +216,16 @@ class EmbeddingSlab:
         scale = np.empty(n, np.float32)
         rq = np.empty((n, self.dim_pad), np.int8) if residual else None
         rscale = np.empty(n, np.float32) if residual else None
+        # native single-pass path: ~10x the chained numpy ops on the
+        # single-core build VM (2.2 s vs 23 s per 300K x 768 with
+        # residual), bit-exact incl. round-half-even
+        from neumann_tpu import native as _native
+
+        if host.flags.c_contiguous and _native.available() and \
+                _native.quantize_int8(host[:n], q, scale, rq, rscale):
+            if residual:
+                return q, scale, rq, rscale
+            return q, scale
         for s in range(0, n, chunk_rows):
             e = min(n, s + chunk_rows)
             blk = host[s:e]
