@@ -330,7 +330,9 @@ def _served_phase(on_tpu, d, k):
         finally:
             server.stop()
     except Exception as e:  # noqa: BLE001 — bench must always print
+        import traceback
         _phase(f"served phase failed: {type(e).__name__}: {e}")
+        traceback.print_exc(file=sys.stderr)
     return served
 
 

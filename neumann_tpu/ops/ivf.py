@@ -376,9 +376,19 @@ class DeviceIVFInt8:
     """
 
     def __init__(self, dim: int, n_clusters: int = 1024,
-                 nprobe: int = 32, iters: int = 12):
+                 nprobe: int = 32, iters: int = 12,
+                 max_read_frac: float = 0.02):
         self.dim = dim
         self.n_clusters = n_clusters
+        # cap on the corpus fraction one query reads through the
+        # windowed path: the cluster-unit nprobe config scales the
+        # intended fraction with n (64/1024 clusters = 6.25% of ANY
+        # corpus), which over-probes big corpora badly — at 10M x 768
+        # it meant 611 windows (625K rows) per query, recall long
+        # saturated (the bench curve saturates by ~0.7% read on
+        # clustered data). 2% keeps small-corpus behavior unchanged
+        # and bounds the big-corpus read volume.
+        self.max_read_frac = max_read_frac
         self._kmeans_k = n_clusters  # survives the fixed-window
         # overwrite of n_clusters so compact()/re-build() train the
         # intended k-means, not one-per-window
@@ -626,8 +636,13 @@ class DeviceIVFInt8:
             # layout change: "probe 64 of 1024 clusters" meant reading
             # ~64 * (n/1024) rows; that is 64 * avg/window windows
             avg = max(1, n // max(1, k_kmeans))
+            # floor 64: the cap exists to stop the cluster-unit
+            # fraction from scaling reads with n (611 windows/query at
+            # 10M); small corpora never reach it, so their recall and
+            # layout-parity behavior are unchanged
+            cap = max(64, int(self.max_read_frac * n) // window)
             self.nprobe = int(max(1, min(
-                self.n_clusters,
+                self.n_clusters, cap,
                 -(-self._nprobe_cfg * avg // window))))
         self._n = n
         self._next_id = n
@@ -1052,11 +1067,20 @@ def windowed_ivf_topk(buf, rmult, cents, starts, qs, k: int,
     positions may repeat across overlapping windows — callers dedup.
 
     aligned128: the layout guarantees 128-aligned starts + window —
-    with NEUMANN_PALLAS=1 the fused Pallas probe kernel takes over
-    (scalar-prefetch block loads; no bf16 gather materialization)."""
+    on a TPU backend the fused Pallas probe kernel takes over
+    (scalar-prefetch block loads; no bf16 gather materialization — the
+    XLA fallback gathers [Q_chunk, nprobe, window, d] bf16 and at 10M
+    serving shapes its COMPILE alone crashed the remote compiler).
+    NEUMANN_PALLAS=1 forces the kernel elsewhere; =0 forces XLA."""
     import os
 
-    if aligned128 and window % 128 == 0 and             os.environ.get("NEUMANN_PALLAS") == "1":
+    flag = os.environ.get("NEUMANN_PALLAS")
+    use_pallas = flag == "1"
+    if flag is None and aligned128 and window % 128 == 0:
+        import jax
+
+        use_pallas = jax.default_backend() == "tpu"
+    if aligned128 and window % 128 == 0 and use_pallas:
         from neumann_tpu.ops.pallas_kernels import (
             ivf_windowed_topk_pallas,
         )

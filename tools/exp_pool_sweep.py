@@ -62,7 +62,7 @@ def main():
     cfgs = []
     for a in sys.argv[1:]:
         if a.startswith("--cfg="):
-            p, sel = a.split("=")[1].split(":")
+            p, sel = a.split("=")[1].split(":", 1)
             cfgs.append((int(p), sel))
     if not cfgs:
         cfgs = [(1024, "topk"), (1024, "approx"), (2048, "topk"),
